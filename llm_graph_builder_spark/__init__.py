@@ -1,0 +1,22 @@
+"""llm_graph_builder_spark — a PySpark-native knowledge-graph construction engine.
+
+Brand-new engine (NOT a port) with the data-processing semantics of
+neo4j-labs/llm-graph-builder (reference snapshot at /root/reference), re-expressed
+as batched, partitioned, checkpointed Spark DataFrame stages over a corpus table
+``repos(repo, path, commit, lang, content)``.
+
+Stage DAG (SURVEY.md §7.1):
+
+    repos → documents → chunks → {chunk_graph, embeddings, extraction}
+          → mentions/triples → entities/edges → linking (LSH + CC)
+          → SIMILAR kNN → communities (LPA hierarchy) → counts/finalize
+
+Design rules:
+  * DataFrame/SQL only — no RDDs; Catalyst owns the physical plan.
+  * Python appears only in vectorized Arrow/pandas UDFs (chunker, extractor,
+    embedder) — never per-row Python in the hot path.
+  * Every stage is deterministic (content-addressed ids), idempotent, and
+    independently resumable via a per-partition manifest table.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,106 @@
+"""Pipeline configuration.
+
+Mirrors the reference's env-driven knobs (reference: backend/example.env:8-26,
+backend/src/create_chunks.py:29-82, backend/src/graphDB_dataAccess.py:151-195,470-518)
+with defaults scaled to the synthetic corpus. Every constant that participates in a
+DuckDB-oracle-checked stage is part of the *extraction contract*: the SQL oracles in
+``llm_graph_builder_spark.oracle`` hard-code the same values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Extraction contract constants (shared with oracle SQL — do not change one
+# side without the other).
+# ---------------------------------------------------------------------------
+
+#: token-window chunker (reference: TokenTextSplitter at src/create_chunks.py:42;
+#: defaults there are 200/20 tiktoken tokens — we use whitespace tokens and a
+#: smaller window because the synthetic docs are 10-110 tokens long)
+CHUNK_SIZE_TOKENS = 50
+CHUNK_OVERLAP_TOKENS = 10
+CHUNK_STRIDE_TOKENS = CHUNK_SIZE_TOKENS - CHUNK_OVERLAP_TOKENS
+
+#: minimum token length for a token to count as an entity mention
+#: (stands in for the reference's LLM mention detection, src/llm.py:195-247)
+MENTION_MIN_LEN = 4
+
+#: deterministic label rule: these ids are 'Operation', all else 'Artifact'
+OPERATION_WORDS = (
+    "join",
+    "merge",
+    "sort",
+    "scan",
+    "filter",
+    "group",
+    "hash",
+    "window",
+    "batch",
+    "stream",
+    "query",
+)
+LABEL_OPERATION = "Operation"
+LABEL_ARTIFACT = "Artifact"
+
+#: deterministic predicate rule for adjacent-mention triples
+#: (subj_label, obj_label) -> predicate
+PREDICATE_RULES = {
+    (LABEL_OPERATION, LABEL_OPERATION): "THEN",
+    (LABEL_OPERATION, LABEL_ARTIFACT): "USES",
+    (LABEL_ARTIFACT, LABEL_OPERATION): "FEEDS",
+    (LABEL_ARTIFACT, LABEL_ARTIFACT): "WITH",
+}
+
+#: chunk kNN (reference: KNN_MIN_SCORE=0.8 env, top-6, degree cap <5 —
+#: src/graphDB_dataAccess.py:151-195, backend/example.env:8)
+KNN_MIN_SCORE = 0.8
+KNN_TOP_K = 6
+KNN_MAX_DEGREE = 5
+
+#: duplicate-entity detection (reference: example.env:19-20,
+#: src/graphDB_dataAccess.py:470-518)
+DUPLICATE_SCORE_VALUE = 0.97
+DUPLICATE_TEXT_DISTANCE = 3
+DUPLICATE_CONTAIN_MIN_LEN = 3  # reference: "len > 2" substring-containment guard
+
+#: community detection (reference: MAX_COMMUNITY_LEVELS=3, min size 1 —
+#: src/communities.py:14-16)
+MAX_COMMUNITY_LEVELS = 3
+
+#: deterministic hash-embedding dimension (test/offline stand-in for the
+#: embedding model factory at src/shared/common_fn.py:161-217; 64 matches the
+#: synthetic embeddings.parquet dimension)
+EMBEDDING_DIM = 64
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Runtime knobs for a pipeline run."""
+
+    chunk_size: int = CHUNK_SIZE_TOKENS
+    chunk_overlap: int = CHUNK_OVERLAP_TOKENS
+    #: per-file chunk cap — reference MAX_TOKEN_CHUNK_SIZE/token_chunk_size
+    #: (src/create_chunks.py:43-44); None = unlimited
+    max_chunks_per_doc: int | None = None
+    embedding_dim: int = EMBEDDING_DIM
+    knn_min_score: float = KNN_MIN_SCORE
+    knn_top_k: int = KNN_TOP_K
+    knn_max_degree: int = KNN_MAX_DEGREE
+    duplicate_score: float = DUPLICATE_SCORE_VALUE
+    duplicate_distance: int = DUPLICATE_TEXT_DISTANCE
+    max_community_levels: int = MAX_COMMUNITY_LEVELS
+    #: number of shuffle partitions for pipeline stages; None = session default
+    shuffle_partitions: int | None = None
+    #: salt factor for skewed repos (hash(path) % salt joins the repo key)
+    repo_salt: int = 8
+    #: allowed entity labels (reference allowedNodes, src/llm.py:257-276); None = all
+    allowed_labels: tuple[str, ...] | None = None
+    #: allowed (subj_label, pred, obj_label) triples; None = all
+    allowed_relationships: tuple[tuple[str, str, str], ...] | None = None
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,41 @@
+"""Text-normalization contract shared by the chunker, extractor, and oracles.
+
+Reference parity:
+  * sanitization drops ``"`` and ``'`` and flattens newlines to spaces
+    (reference: backend/src/main.py:707-715);
+  * each chunk is whitespace-normalized (reference: backend/src/create_chunks.py:74-75
+    ``re.sub(r'\\s+', ' ', ...)``).
+
+Both a plain-Python version (used inside pandas UDFs and by tests) and a Spark
+Column version (JVM-side, whole-stage-codegen friendly) are provided; the DuckDB
+oracle SQL in ``llm_graph_builder_spark.oracle`` implements the identical rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sanitize_py(text: str) -> str:
+    """Drop double/single quotes (reference: main.py:710-713)."""
+    return text.replace('"', "").replace("'", "")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Sanitize then split on any whitespace run, dropping empties.
+
+    ``str.split()`` with no argument ≡ regexp split on ``\\s+`` with empty
+    tokens removed — the oracle uses
+    ``list_filter(string_split_regex(x, '\\s+'), t -> len(t) > 0)``.
+    """
+    return sanitize_py(text).split()
+
+
+def sanitize_col(col: Column) -> Column:
+    return F.translate(col, "\"'", "")
+
+
+def tokenize_col(col: Column) -> Column:
+    """Array of non-empty whitespace-separated tokens (JVM-side)."""
+    return F.filter(F.split(sanitize_col(col), r"\s+"), lambda t: F.length(t) > 0)

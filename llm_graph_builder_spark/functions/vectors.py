@@ -1,0 +1,39 @@
+"""Vector math over ``array<float/double>`` columns — pure built-ins, JVM-side.
+
+Replaces the reference's Neo4j ``vector.similarity.cosine`` / vector indexes
+(reference: backend/src/graphDB_dataAccess.py:185-195,490;
+shared/constants.py:355-363). No UDFs: ``F.zip_with`` + ``F.aggregate`` keep the
+arithmetic inside whole-stage codegen, which matters when the similarity join
+fans out to billions of candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda v: v / n)).otherwise(a)

@@ -1,0 +1,157 @@
+"""Stage 1 — token-window chunker (SURVEY §2.2 C1-C5).
+
+Reference parity:
+  * ``TokenTextSplitter(chunk_size, chunk_overlap)`` sliding token window
+    (reference: backend/src/create_chunks.py:29-82). We window over whitespace
+    tokens instead of tiktoken ids (no tokenizer dependency in-container; the
+    window/stride/stop semantics are identical).
+  * chunk id = hex digest of chunk text (reference: sha1 at
+    backend/src/make_relationships.py:67-70 — we use sha256 so the same digest
+    family serves the per-row content invariant; documented deviation).
+  * 1-based ``position``, cumulative ``content_offset``, ``length``
+    (reference: make_relationships.py:71-102).
+  * optional per-doc chunk cap (reference: MAX_TOKEN_CHUNK_SIZE/token_chunk_size,
+    create_chunks.py:43-44,78-80).
+
+Execution shape: one vectorized pandas UDF (Arrow batches) produces
+``array<struct<text,position,offset>>`` per document; ``posexplode``-free
+explode + JVM-side ``sha2``/``length`` finish the stage. The UDF is pure
+
+    tokens[i*stride : i*stride+size]   for i in 0..n_chunks-1,
+    n_chunks = 1 + ceil(max(n_tokens - size, 0) / stride)
+
+so re-runs are idempotent and the DuckDB oracle (oracle.CHUNKS_SQL) replicates
+it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CHUNK_OVERLAP_TOKENS, CHUNK_SIZE_TOKENS
+from ..functions.text import tokenize_py
+
+_CHUNK_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("position", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+)
+
+
+def split_tokens(
+    tokens: list[str], size: int, overlap: int, max_chunks: int | None = None
+) -> list[tuple[str, int, int]]:
+    """Pure-Python window logic shared by the UDF and unit tests.
+
+    Returns [(chunk_text, position(1-based), char_offset_in_normalized_text)].
+    """
+    stride = size - overlap
+    n = len(tokens)
+    if n == 0:
+        # empty/whitespace-only content → no chunks (reference: TokenTextSplitter
+        # yields nothing for empty input)
+        return []
+    n_chunks = 1 + math.ceil(max(n - size, 0) / stride)
+    if max_chunks is not None:
+        n_chunks = min(n_chunks, max_chunks)
+    out = []
+    offset = 0
+    # offset of chunk i = len(' '.join(tokens[:i*stride])) + 1 for i>0
+    for i in range(n_chunks):
+        start = i * stride
+        window = tokens[start : start + size]
+        if i > 0:
+            offset = sum(len(t) + 1 for t in tokens[:start])
+        out.append((" ".join(window), i + 1, offset))
+    return out
+
+
+def make_chunker_udf(size: int, overlap: int, max_chunks: int | None):
+    @F.pandas_udf(_CHUNK_STRUCT)
+    def chunk_content(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda c: split_tokens(tokenize_py(c or ""), size, overlap, max_chunks)
+        )
+
+    return chunk_content
+
+
+def chunk_documents(
+    documents: DataFrame,
+    size: int = CHUNK_SIZE_TOKENS,
+    overlap: int = CHUNK_OVERLAP_TOKENS,
+    max_chunks: int | None = None,
+) -> DataFrame:
+    """documents(doc_id, content, ...) → chunks table.
+
+    Output: (chunk_id, doc_id, text, position, content_offset, length).
+    chunk_id is global/content-addressed — identical vendored files across
+    repos share chunk ids, which is what makes pre-extraction chunk dedup the
+    biggest cost saver at 10^12 files (SURVEY §7.4.4).
+    """
+    chunker = make_chunker_udf(size, overlap, max_chunks)
+    exploded = (
+        documents.select("doc_id", F.explode(chunker(F.col("content"))).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.text").alias("text"),
+            F.col("c.position").alias("position"),
+            F.col("c.offset").alias("content_offset"),
+        )
+    )
+    return exploded.select(
+        F.sha2(F.col("text"), 256).alias("chunk_id"),
+        "doc_id",
+        "text",
+        "position",
+        "content_offset",
+        F.length("text").alias("length"),
+    )
+
+
+def chunk_graph_edges(chunks: DataFrame) -> DataFrame:
+    """Stage 2 — structural chunk edges: PART_OF, FIRST_CHUNK, NEXT_CHUNK.
+
+    Reference parity: PART_OF + FIRST_CHUNK (position==1) + NEXT_CHUNK
+    (prev→current by position) at backend/src/make_relationships.py:56,105-145.
+    NEXT_CHUNK uses ``lag`` over (doc, position) — one shuffle by doc_id that
+    AQE coalesces; no self-join.
+    """
+    part_of = chunks.select(
+        F.col("chunk_id").alias("src"),
+        F.lit("PART_OF").alias("rel_type"),
+        F.col("doc_id").alias("dst"),
+    )
+    first_chunk = chunks.filter(F.col("position") == 1).select(
+        F.col("doc_id").alias("src"),
+        F.lit("FIRST_CHUNK").alias("rel_type"),
+        F.col("chunk_id").alias("dst"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("position")
+    next_chunk = (
+        chunks.withColumn("prev_chunk", F.lag("chunk_id").over(w))
+        .filter(F.col("prev_chunk").isNotNull())
+        .select(
+            F.col("prev_chunk").alias("src"),
+            F.lit("NEXT_CHUNK").alias("rel_type"),
+            F.col("chunk_id").alias("dst"),
+        )
+    )
+    # Neo4j MERGE semantics → distinct edges (content-addressed chunk ids can
+    # repeat across docs/positions); one dedup shuffle over the union.
+    return (
+        part_of.unionByName(first_chunk)
+        .unionByName(next_chunk)
+        .dropDuplicates(["src", "rel_type", "dst"])
+    )

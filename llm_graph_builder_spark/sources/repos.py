@@ -1,0 +1,88 @@
+"""Corpus sources.
+
+The engine's input is an Iceberg/parquet table
+``repos(repo: string, path: string, commit: string, lang: string, content: string)``
+(BASELINE.json ``input_hint``). In this sandbox the corpus is synthesized as a
+*deterministic, SQL-expressible projection* of the driver-provided
+``documents.parquet`` (doc_id, text, lang, source, n_chars) so that every
+downstream stage can be cross-checked against a DuckDB oracle running the same
+derivation.
+
+Reference parity: one row of ``repos`` plays the role of one source Document
+(reference: backend/src/main.py:66-328 registers one Document node per file;
+src/document_sources/* collapse every format to a page list — here every file is
+already one ``content`` string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: number of synthetic repositories; 37 (prime) spreads doc_ids evenly but
+#: unevenly-sized sources still produce realistic per-repo skew.
+N_SYNTH_REPOS = 37
+
+#: lang → file extension for synthetic paths
+_EXT = {"en": "py", "de": "rs", "fr": "go", "es": "js", "zh": "java"}
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw driver-provided documents table."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def synth_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``repos`` corpus derived from documents.parquet.
+
+    Pure-projection contract (replicated in oracle SQL — keep in sync with
+    ``oracle.REPOS_CTE``):
+
+        repo    = 'repo-' || (doc_id % 37)
+        path    = 'src/' || source || '/f' || doc_id || '.' || ext(lang)
+        commit  = substr(sha256('commit:' || doc_id), 1, 12)
+        lang    = lang
+        content = text                      (byte-exact; sanitization happens
+                                             only inside the chunker — SURVEY §1.5)
+    """
+    docs = read_documents(spark, sf_dir)
+    ext = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _EXT.items()],
+        F.lit("txt"),
+    )
+    return docs.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % N_SYNTH_REPOS).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/"), F.col("source"), F.lit("/f"),
+            F.col("doc_id").cast("string"), F.lit("."), ext,
+        ).alias("path"),
+        F.substring(F.sha2(F.concat(F.lit("commit:"), F.col("doc_id").cast("string")), 256), 1, 12).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def ingest(repos: DataFrame, repo_salt: int = 8) -> DataFrame:
+    """Stage 0 — normalize the corpus into the ``documents`` dimension.
+
+    Adds content-addressed identities and the per-row sha256 invariant column
+    (BASELINE.json: "per-row invariant vs the reference: content sha256
+    equality"). The ``salt`` column pre-splits giant repos for downstream
+    repartitioning (SURVEY §4 skew rule: Zipfian repos → salt hot keys).
+
+    Reference parity: fileName/doc identity per src/graphDB_dataAccess.py:41-74;
+    doc_id = sha256(repo‖path‖commit) replaces Neo4j's fileName MERGE key.
+    """
+    file_name = F.concat_ws("@", F.concat_ws("/", F.col("repo"), F.col("path")), F.col("commit"))
+    return repos.select(
+        F.sha2(file_name, 256).alias("doc_id"),
+        file_name.alias("file_name"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.length("content").alias("content_length"),
+        F.pmod(F.xxhash64("path"), F.lit(repo_salt)).alias("salt"),
+    )

@@ -1,0 +1,106 @@
+"""Chunker golden tests + the content-sha256 reassembly invariant."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.functions.text import tokenize_py
+from llm_graph_builder_spark.operators.chunking import (
+    chunk_documents,
+    chunk_graph_edges,
+    split_tokens,
+)
+from llm_graph_builder_spark.sources.repos import ingest, synth_repos
+
+
+def test_split_tokens_golden():
+    toks = [f"t{i}" for i in range(90)]
+    out = split_tokens(toks, size=50, overlap=10)
+    assert len(out) == 2
+    text0, pos0, off0 = out[0]
+    text1, pos1, off1 = out[1]
+    assert text0 == " ".join(toks[0:50]) and pos0 == 1 and off0 == 0
+    assert text1 == " ".join(toks[40:90]) and pos1 == 2
+    assert off1 == sum(len(t) + 1 for t in toks[:40])
+
+
+def test_split_tokens_small_and_exact():
+    assert split_tokens(["a", "b"], 50, 10) == [("a b", 1, 0)]
+    out = split_tokens([str(i) for i in range(50)], 50, 10)
+    assert len(out) == 1  # end == n stops exactly
+    out = split_tokens([str(i) for i in range(51)], 50, 10)
+    assert len(out) == 2
+    assert split_tokens([], 50, 10) == []
+
+
+def test_split_tokens_cap():
+    toks = [f"t{i}" for i in range(500)]
+    assert len(split_tokens(toks, 50, 10, max_chunks=3)) == 3
+
+
+def test_chunk_documents_matches_pure_python(spark, sf_dir):
+    docs = ingest(synth_repos(spark, sf_dir)).limit(20).cache()
+    chunks = chunk_documents(docs).toPandas()
+    src = {r["doc_id"]: r["content"] for r in docs.collect()}
+    for doc_id, content in src.items():
+        expected = split_tokens(tokenize_py(content), 50, 10)
+        got = chunks[chunks.doc_id == doc_id].sort_values("position")
+        assert list(got["text"]) == [e[0] for e in expected]
+        assert list(got["position"]) == [e[1] for e in expected]
+        assert list(got["content_offset"]) == [e[2] for e in expected]
+        for _, row in got.iterrows():
+            assert row["chunk_id"] == hashlib.sha256(row["text"].encode()).hexdigest()
+            assert row["length"] == len(row["text"])
+
+
+def test_reassembly_sha256_invariant(spark, sf_dir):
+    """Concatenating chunk cores reconstructs the normalized content exactly
+    (BASELINE.json per-row invariant, applied post-normalization since the
+    corpus is already whitespace-normalized)."""
+    docs = ingest(synth_repos(spark, sf_dir)).cache()
+    chunks = chunk_documents(docs)
+    # strip the overlap prefix from every chunk after the first: tokens 0..10
+    # of chunk i>1 duplicate the tail of chunk i-1 (overlap=10)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("position")
+    # order within collect_list isn't guaranteed → sort the (position, core)
+    # structs before rebuilding
+    reassembled = (
+        chunks.withColumn(
+            "core",
+            F.when(F.col("position") == 1, F.col("text")).otherwise(
+                F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 11, 100000))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("position", "core"))).alias("parts"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform("parts", lambda p: p["core"])).alias("rebuilt"),
+        )
+    )
+    joined = (
+        docs.select("doc_id", "content")
+        .join(reassembled, "doc_id")
+        .withColumn("norm", F.concat_ws(" ", F.split(F.trim("content"), r"\s+")))
+        .withColumn("ok", F.sha2("rebuilt", 256) == F.sha2("norm", 256))
+    )
+    bad = joined.filter(~F.col("ok")).count()
+    assert bad == 0
+
+
+def test_chunk_graph_edges(spark, sf_dir):
+    docs = ingest(synth_repos(spark, sf_dir)).limit(50).cache()
+    chunks = chunk_documents(docs).cache()
+    edges = chunk_graph_edges(chunks).cache()
+    n_docs = docs.count()
+    per_doc = chunks.groupBy("doc_id").count().collect()
+    by_type = {r["rel_type"]: r["cnt"] for r in edges.groupBy("rel_type").agg(F.count("*").alias("cnt")).collect()}
+    # exactly one FIRST_CHUNK per doc
+    assert by_type["FIRST_CHUNK"] == n_docs
+    # NEXT_CHUNK = sum(chunks-1) per doc (chunk texts here are unique per doc)
+    assert by_type["NEXT_CHUNK"] == sum(r["count"] - 1 for r in per_doc)
+    assert by_type["PART_OF"] == chunks.select("chunk_id", "doc_id").distinct().count()
