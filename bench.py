@@ -1,0 +1,162 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline KG-construction stages + training-data operators at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. The primary metric mirrors BASELINE.json:
+files/sec triple-extraction throughput (reported in ``extra``), with per-query
+wall seconds in ``queries``.
+
+Scaling evidence (north rule: >=0.8 efficiency N → 4N) is produced by
+``scripts/scaling_bench.py`` which re-invokes the same extraction job at
+local[8] and local[32] in fresh JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from llm_graph_builder_spark.operators import dedup  # noqa: E402
+from llm_graph_builder_spark.operators.ann import ann_bruteforce_topk  # noqa: E402
+from llm_graph_builder_spark.operators.chunking import (  # noqa: E402
+    chunk_documents,
+    chunk_graph_edges,
+)
+from llm_graph_builder_spark.operators.communities import community_hierarchy  # noqa: E402
+from llm_graph_builder_spark.operators.counts import doc_counts  # noqa: E402
+from llm_graph_builder_spark.operators.embeddings import embed_chunks  # noqa: E402
+from llm_graph_builder_spark.operators.extraction import (  # noqa: E402
+    entities_from_mentions,
+    entity_edges,
+    extract_chunks,
+)
+from llm_graph_builder_spark.operators.linking import (  # noqa: E402
+    candidate_pairs_exact,
+    canonical_map,
+    connected_components,
+    entity_degrees,
+    merge_entities,
+)
+from llm_graph_builder_spark.operators.similar import (  # noqa: E402
+    lsh_block_chunks,
+    similar_edges,
+)
+from llm_graph_builder_spark.sources.repos import ingest, read_documents, synth_repos  # noqa: E402
+from llm_graph_builder_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out_dir = tempfile.mkdtemp(prefix="lgb_bench_")
+    spark = get_spark(app_name="lgb-bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # --- q1: extraction pipeline end-to-end (ingest→chunk→extract→materialize)
+    with timed("extract_pipeline"):
+        docs = ingest(synth_repos(spark, sf_dir), repo_salt=cpus).cache()
+        n_docs = docs.count()
+        chunks = chunk_documents(docs).cache()
+        mentions, triples = extract_chunks(chunks)
+        mentions.write.mode("overwrite").parquet(f"{out_dir}/mentions")
+        triples.write.mode("overwrite").parquet(f"{out_dir}/triples")
+    extra["files"] = n_docs
+    extra["files_per_sec"] = round(n_docs / timings["extract_pipeline"], 2)
+
+    mentions = spark.read.parquet(f"{out_dir}/mentions").cache()
+    triples = spark.read.parquet(f"{out_dir}/triples").cache()
+    ents = entities_from_mentions(mentions).cache()
+    eedges = entity_edges(triples).cache()
+    ents.count(), eedges.count()
+
+    with timed("chunk_graph"):
+        chunk_graph_edges(chunks).write.mode("overwrite").parquet(f"{out_dir}/chunk_edges")
+
+    with timed("chunk_embeddings"):
+        emb_chunks = embed_chunks(
+            chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+        ).cache()
+        emb_chunks.count()
+
+    with timed("similar_lsh"):
+        blocked = lsh_block_chunks(
+            emb_chunks.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        )
+        similar_edges(blocked, block_col="block").write.mode("overwrite").parquet(
+            f"{out_dir}/similar"
+        )
+
+    with timed("entity_linking"):
+        pairs = candidate_pairs_exact(ents.select("id", "label"))
+        comp = connected_components(pairs, spark)
+        cmap = canonical_map(comp, ents, entity_degrees(eedges))
+        me, med = merge_entities(ents, eedges, cmap)
+        me.write.mode("overwrite").parquet(f"{out_dir}/entities")
+        med.write.mode("overwrite").parquet(f"{out_dir}/edges")
+
+    with timed("communities"):
+        community_hierarchy(eedges, all_entities=ents).write.mode("overwrite").parquet(
+            f"{out_dir}/communities"
+        )
+
+    with timed("doc_counts"):
+        doc_counts(
+            docs, chunks, spark.read.parquet(f"{out_dir}/chunk_edges"), mentions, triples
+        ).write.mode("overwrite").parquet(f"{out_dir}/doc_counts")
+
+    raw_docs = read_documents(spark, sf_dir).cache()
+    raw_docs.count()
+    with timed("dedup_minhash"):
+        dedup.minhash_lsh_pairs(raw_docs).write.mode("overwrite").parquet(f"{out_dir}/mh")
+    with timed("dedup_simhash"):
+        dedup.simhash_pairs(raw_docs).write.mode("overwrite").parquet(f"{out_dir}/sh")
+    with timed("ann_topk"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ann_bruteforce_topk(emb, q, k=5).write.mode("overwrite").parquet(f"{out_dir}/ann")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construction_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

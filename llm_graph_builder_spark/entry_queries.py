@@ -1,0 +1,332 @@
+"""Spark callables for the driver contract (``__spark_entry__.queries()``).
+
+Every callable takes ``(spark, sf_dir)`` and returns a DataFrame whose column
+names/types match the DuckDB oracle in ``oracle.ORACLE_SQL`` exactly (the
+driver sorts columns by name and value-hashes). Counts → BIGINT; similarity
+scores → ``*_e4`` fixed-point BIGINT computed with mirrored double arithmetic.
+
+Pipeline intermediates are memoized per (session, sf_dir) and cached so the
+driver's sequential query sweep does not recompute chunking/extraction per
+query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import textstats
+from .operators import dedup
+from .operators.ann import ann_bruteforce_topk, ann_lsh_topk
+from .operators.chunking import chunk_documents, chunk_graph_edges
+from .operators.communities import community_hierarchy, community_tables
+from .operators.counts import (
+    chunk_counts,
+    chunk_page,
+    doc_counts,
+    label_inventory,
+    schema_triplets,
+)
+from .operators.embeddings import embed_chunks
+from .operators.extraction import (
+    entities_from_mentions,
+    entity_edges,
+    extract_chunks,
+    has_entity_edges,
+)
+from .operators.linking import (
+    candidate_pairs_exact,
+    canonical_map,
+    connected_components,
+    entity_degrees,
+    merge_entities,
+    orphan_entities,
+)
+from .operators.similar import similar_edges
+from .sources.repos import ingest, read_documents, synth_repos
+
+_CACHE: dict = {}
+
+
+def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (and memoize) the stage-0..5 tables for a scale factor."""
+    key = (id(spark), sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = ingest(synth_repos(spark, sf_dir)).cache()
+    chunks = chunk_documents(docs).cache()
+    mentions, triples = extract_chunks(chunks)
+    mentions = mentions.cache()
+    triples = triples.cache()
+    tables = {
+        "docs": docs,
+        "chunks": chunks,
+        "chunk_edges": chunk_graph_edges(chunks).cache(),
+        "mentions": mentions,
+        "triples": triples,
+        "entities": entities_from_mentions(mentions).cache(),
+        "entity_edges": entity_edges(triples).cache(),
+    }
+    _CACHE[key] = tables
+    return tables
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet with the vector upcast to array<double> so Spark's
+    fold arithmetic mirrors the oracle's CAST(... AS DOUBLE) exactly."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def q_ingest_docs(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["docs"].select(
+        "doc_id", "file_name", "repo", "path", "commit", "lang",
+        "content_sha256", "content_length",
+    )
+
+
+def q_chunks(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["chunks"].select(
+        "chunk_id", "doc_id", "text",
+        F.col("position").cast("long").alias("position"),
+        "content_offset",
+        F.col("length").cast("long").alias("length"),
+    )
+
+
+def q_chunk_graph(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["chunk_edges"]
+
+
+def q_mentions(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["mentions"]
+
+
+def q_triples(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["triples"]
+
+
+def q_entities(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["entities"]
+
+
+def q_has_entity(spark, sf_dir):
+    return has_entity_edges(pipeline_tables(spark, sf_dir)["mentions"])
+
+
+def q_entity_edges(spark, sf_dir):
+    return pipeline_tables(spark, sf_dir)["entity_edges"]
+
+
+def q_link_candidates(spark, sf_dir):
+    ents = pipeline_tables(spark, sf_dir)["entities"].select("id", "label")
+    return candidate_pairs_exact(ents)
+
+
+def q_orphan_entities(spark, sf_dir):
+    t = pipeline_tables(spark, sf_dir)
+    return orphan_entities(t["entities"], t["entity_edges"])
+
+
+def q_chunk_counts(spark, sf_dir):
+    return chunk_counts(pipeline_tables(spark, sf_dir)["chunks"])
+
+
+def q_doc_counts(spark, sf_dir):
+    t = pipeline_tables(spark, sf_dir)
+    out = doc_counts(t["docs"], t["chunks"], t["chunk_edges"], t["mentions"], t["triples"])
+    longs = [
+        "chunkNodeCount", "chunkRelCount", "entityNodeCount",
+        "entityEntityRelCount", "nodeCount", "relationshipCount",
+    ]
+    return out.select(
+        "doc_id", "file_name", *[F.col(c).cast("long").alias(c) for c in longs]
+    )
+
+
+def q_schema_triplets(spark, sf_dir):
+    return schema_triplets(pipeline_tables(spark, sf_dir)["triples"])
+
+
+def q_label_inventory(spark, sf_dir):
+    return label_inventory(pipeline_tables(spark, sf_dir)["entities"])
+
+
+def q_top_entities(spark, sf_dir):
+    t = pipeline_tables(spark, sf_dir)
+    ents = t["entities"]
+    w = Window.orderBy(
+        F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
+    )
+    top20 = ents.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= 20
+    )
+    pred_counts = t["entity_edges"].groupBy(
+        F.col("subj_id").alias("id"), F.col("subj_label").alias("label"), "pred"
+    ).agg(F.sum("weight").alias("pred_weight"))
+    wp = Window.partitionBy("id", "label").orderBy(F.desc("pred_weight"), F.asc("pred"))
+    best = (
+        pred_counts.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") == 1)
+        .select("id", "label", F.col("pred").alias("top_pred"), F.col("pred_weight").alias("top_pred_weight"))
+    )
+    return (
+        top20.join(best, on=["id", "label"], how="left")
+        .select(
+            "id", "label", "doc_count", "chunk_count", "rnk",
+            F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+            F.coalesce("top_pred_weight", F.lit(0)).cast("long").alias("top_pred_weight"),
+        )
+    )
+
+
+def q_chunk_page(spark, sf_dir):
+    out = chunk_page(pipeline_tables(spark, sf_dir)["chunks"], skip=10, limit=10)
+    return out.select(
+        "doc_id", "chunk_id", "text", F.col("position").cast("long").alias("position")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(read_documents(spark, sf_dir))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    # 0.35 demo threshold: the synthetic vectors are near-orthogonal, so the
+    # reference's 0.97 (operator default) would be vacuously empty here
+    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), min_cosine=0.35)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_bruteforce_topk(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk").withColumn(
+        "rnk", F.col("rnk").cast("long")
+    )
+
+
+def q_similar_knn(spark, sf_dir):
+    sub = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 4 == 0)
+        .select(F.col("vec_id").cast("string").alias("chunk_id"), "embedding")
+    )
+    out = similar_edges(sub, min_score=0.3)  # demo threshold (see dedup note)
+    return out.select(
+        "src", "rel_type", "dst",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(read_documents(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_scores(read_documents(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(read_documents(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(read_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: iterative algorithms / LSH internals)
+# ---------------------------------------------------------------------------
+
+def q_linked_entities(spark, sf_dir):
+    """Full entity-linking stage: candidates → CC → canonical map → merged
+    entities (iterative; no SQL oracle — driver records rows-only)."""
+    t = pipeline_tables(spark, sf_dir)
+    ents = t["entities"]
+    pairs = candidate_pairs_exact(ents.select("id", "label"))
+    comp = connected_components(pairs, spark)
+    cmap = canonical_map(comp, ents, entity_degrees(t["entity_edges"]))
+    merged_entities, merged_edges = merge_entities(ents, t["entity_edges"], cmap)
+    return merged_entities
+
+
+def q_communities(spark, sf_dir):
+    t = pipeline_tables(spark, sf_dir)
+    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
+    comms, _ = community_tables(h, t["mentions"], t["chunks"])
+    return comms
+
+
+def q_similar_chunks(spark, sf_dir):
+    """Pipeline SIMILAR edges over hash-embedded chunks (float model output →
+    rows-only; the oracle-checked variant is similar_knn on embeddings)."""
+    t = pipeline_tables(spark, sf_dir)
+    emb = embed_chunks(t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"]))
+    return similar_edges(emb.withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(read_documents(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_lsh_topk(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk").withColumn("rnk", F.col("rnk").cast("long"))
+
+
+#: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists
+QUERIES = {
+    "ingest_docs": q_ingest_docs,
+    "chunks": q_chunks,
+    "chunk_graph": q_chunk_graph,
+    "mentions": q_mentions,
+    "triples": q_triples,
+    "entities": q_entities,
+    "has_entity": q_has_entity,
+    "entity_edges": q_entity_edges,
+    "link_candidates": q_link_candidates,
+    "orphan_entities": q_orphan_entities,
+    "chunk_counts": q_chunk_counts,
+    "doc_counts": q_doc_counts,
+    "schema_triplets": q_schema_triplets,
+    "label_inventory": q_label_inventory,
+    "top_entities": q_top_entities,
+    "chunk_page": q_chunk_page,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "similar_knn": q_similar_knn,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    # rows-only (no oracle): iterative / LSH-approximate / model-backed
+    "linked_entities": q_linked_entities,
+    "communities": q_communities,
+    "similar_chunks": q_similar_chunks,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_lsh": q_ann_lsh,
+}

@@ -1,0 +1,39 @@
+"""Iteration utilities for DataFrame fixpoint loops (CC, LPA).
+
+Why not ``localCheckpoint``: Spark 4 copies the origin plan's *statistics*
+into the checkpointed ``LogicalRDD`` (so AQE decisions survive), which means a
+join-per-iteration loop roughly squares ``sizeInBytes`` every round — after
+~10 rounds the estimate is a multi-thousand-digit BigInt and every subsequent
+stats visit burns minutes in BigInteger multiplication (observed: Catalyst's
+``SizeInBytesOnlyStatsPlanVisitor`` pegging a core via ToomCook3).
+
+A second failure mode: the *analyzed* plan of an iterative loop references the
+previous iteration's plan twice per round (join + convergence compare), so the
+logical tree doubles every iteration — after ~10 rounds ``generateTreeString``
+alone OOMs the driver.
+
+``materialize`` fixes both: cache + count first (the ``InMemoryRelation`` now
+carries the *measured* byte size), then ``localCheckpoint`` (truncates the
+logical plan to a single ``LogicalRDD`` leaf that inherits those small, real
+stats), then unpersist (the checkpoint holds its own blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, previous: DataFrame | None = None) -> tuple[DataFrame, int]:
+    """Truncate plan + stats of ``df`` for use in a fixpoint loop.
+
+    Returns (truncated_df, row_count) — the count doubles as the loop's
+    convergence probe so no extra job is spent. ``previous`` (the prior
+    iteration's materialized frame) is dropped from cache.
+    """
+    cached = df.cache()
+    n = cached.count()  # materializes → InMemoryRelation stats become real
+    out = cached.localCheckpoint(eager=True)  # plan → LogicalRDD leaf
+    cached.unpersist()
+    if previous is not None:
+        previous.unpersist()
+    return out, n

@@ -1,0 +1,109 @@
+"""Text-analysis functions for training-data curation: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (whole-stage codegen; zero
+Python in the hot path); each has a matching DuckDB oracle in
+``llm_graph_builder_spark.oracle``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lexicons for the n-gram/stopword langid heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "y", "de"),
+}
+
+#: BPE-ish token regex: word pieces, numbers, or single punctuation
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_K = 5
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language ID. For each language lexicon compute the hit
+    ratio; predict the argmax (ties → lexicographically first lang), or
+    'unknown' when no stopword hits at all."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    def _in_lexicon(ws: tuple):
+        return lambda t: t.isin(*ws)
+
+    scores = {
+        lang: F.size(F.filter(toks, _in_lexicon(ws))) / F.greatest(n, F.lit(1))
+        for lang, ws in STOPWORDS.items()
+    }
+    # argmax with deterministic tie-break: iterate langs sorted, keep best
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        best_lang.alias("pred_lang"),
+        F.round(best_score * 10000).cast("long").alias("score_e4"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: token count, mean token length (e2), unique
+    token ratio (e4), stopword ratio (e4, en lexicon), alpha char ratio (e4)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_d = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / n_d
+    )
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n_d
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("double") / n_d
+    alpha = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        n.alias("n_tokens"),
+        F.round(mean_len * 100).cast("long").alias("mean_token_len_e2"),
+        F.round(uniq * 10000).cast("long").alias("unique_ratio_e4"),
+        F.round(sw * 10000).cast("long").alias("stopword_ratio_e4"),
+        F.round(alpha * 10000).cast("long").alias("alpha_ratio_e4"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.size(_tokens(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = FINGERPRINT_K
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over word k-gram shingles
+    (portable across engines — same value in DuckDB/Python)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
+    )

@@ -1,0 +1,87 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Replaces the reference's Neo4j vector indexes (HNSW) for retrieval top-k
+(reference: graphDB_dataAccess.py:551-582, shared/constants.py:302).
+
+  * ``ann_bruteforce_topk`` — exact cosine top-k, the correctness baseline;
+    broadcast the (small) query set against the (huge) corpus so the scan is
+    a single map-side pass, no shuffle except the final per-query top-k.
+  * ``ann_lsh_topk`` — random-hyperplane LSH bucketing (the 100 TB path):
+    queries only join their bucket (+ optional multi-probe neighbors), trading
+    recall for a bucket-local join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine
+from .similar import lsh_block_chunks
+
+
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, cos_e4, rank). Self-matches excluded when
+    ids collide. The query side is broadcast — at 100 TB the corpus never
+    shuffles; only the per-query heap (window top-k) aggregates.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id").cast("string") != F.col("qid").cast("string"))
+        .withColumn("cos_e4", F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "cos_e4", "rank")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's
+    random-hyperplane bucket; same output schema as the brute-force path so
+    recall can be measured by direct comparison."""
+    c = lsh_block_chunks(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")),
+        n_planes=n_planes,
+        id_col="neighbor_id",
+    ).select("neighbor_id", F.col("embedding").alias("cv"), "block")
+    q = lsh_block_chunks(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("embedding")),
+        n_planes=n_planes,
+        id_col="qid",
+    ).select("qid", F.col("embedding").alias("qv"), "block")
+    scored = (
+        c.join(F.broadcast(q), on="block")
+        .filter(F.col("neighbor_id").cast("string") != F.col("qid").cast("string"))
+        .withColumn("cos_e4", F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "cos_e4", "rank")
+    )

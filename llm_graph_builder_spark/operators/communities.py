@@ -1,0 +1,217 @@
+"""Stage 8 — community detection hierarchy (SURVEY §2.6 G1-G8).
+
+Reference parity: GDS Leiden with includeIntermediateCommunities, 3 levels,
+min size 1, weighted (src/communities.py:14-16,232-247). Per the north-star
+contract, Leiden is replaced by **weighted label propagation (LPA)** with
+deterministic tie-breaking (min label), applied hierarchically: level 0 on the
+entity graph, levels 1..L-1 on the contracted community graph. Parity with the
+reference is structural (hierarchy shape, membership stability), not
+label-identical (SURVEY §7.4.2).
+
+Derived tables mirror src/communities.py:
+  * community id = "{level}-{communityId}" (:45,54)
+  * IN_COMMUNITY (entity → level-0 community) and PARENT_COMMUNITY chain (:37-62)
+  * community_rank = distinct documents touching members (:63-73)
+  * weight = distinct chunks of members (:75-84)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import MAX_COMMUNITY_LEVELS
+
+
+def community_projection(entity_edges_df: DataFrame) -> DataFrame:
+    """G1 — undirected weighted entity-entity graph.
+
+    Input: aggregated edges (subj_id, subj_label, pred, obj_id, obj_label,
+    weight); node key = id‖label. Output: (u, v, weight) symmetric, self-loops
+    dropped, parallel predicates summed (reference counts parallel edges as
+    weight, src/communities.py:20-34).
+    """
+    key_u = F.concat_ws("\x01", "subj_id", "subj_label")
+    key_v = F.concat_ws("\x01", "obj_id", "obj_label")
+    directed = entity_edges_df.select(key_u.alias("u"), key_v.alias("v"), "weight")
+    sym = directed.unionByName(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "weight")
+    )
+    return (
+        sym.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def label_propagation(
+    graph: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Weighted synchronous LPA with deterministic tie-breaks.
+
+    Each round: node label ← label with max total neighbor weight, ties broken
+    by min label; stop at fixpoint or ``max_iter``. Returns (u, community).
+    Deterministic by construction — no Date.now/random anywhere.
+    """
+    from ..functions.iterutils import materialize
+
+    labels, _ = materialize(
+        graph.select("u").distinct().withColumn("community", F.col("u"))
+    )
+    for _ in range(max_iter):
+        votes = (
+            graph.join(
+                labels.select(F.col("u").alias("v"), F.col("community").alias("vlab")),
+                on="v",
+            )
+            .groupBy("u", "vlab")
+            .agg(F.sum("weight").alias("w"))
+        )
+        w_pick = Window.partitionBy("u").orderBy(F.desc("w"), F.asc("vlab"))
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("u", F.col("vlab").alias("community"))
+        )
+        # isolated nodes keep their own label
+        merged = (
+            labels.select("u", F.col("community").alias("old"))
+            .join(new_labels, on="u", how="left")
+            .select("u", F.coalesce("community", "old").alias("community"), "old")
+        )
+        merged, _ = materialize(merged, previous=labels)
+        changed = merged.filter(F.col("community") != F.col("old")).limit(1).count()
+        labels = merged.select("u", "community")
+        if changed == 0:
+            break
+    return labels
+
+
+def community_hierarchy(
+    entity_edges_df: DataFrame,
+    levels: int = MAX_COMMUNITY_LEVELS,
+    max_iter: int = 10,
+    all_entities: DataFrame | None = None,
+) -> DataFrame:
+    """G2 — hierarchical LPA → (u, communities array<string> length=levels).
+
+    Level k>0 runs LPA on the contracted graph of level k-1 communities
+    (weights summed, self-loops dropped). Output community ids are the
+    representative node keys at each level (content-derived → deterministic).
+    """
+    from ..functions.iterutils import materialize
+
+    graph, _ = materialize(community_projection(entity_edges_df))
+    assignments = []
+    current = label_propagation(graph, max_iter)  # (u, community)
+    assignments.append(current)
+    contracted = graph
+    for _ in range(1, levels):
+        mapping = current.select(F.col("u").alias("node"), "community")
+        contracted_new = (
+            contracted.join(mapping.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), on="u")
+            .join(mapping.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), on="v")
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"), "weight")
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        contracted, _ = materialize(contracted_new)
+        nxt = label_propagation(contracted, max_iter)  # communities of communities
+        # compose: node -> level-(k-1) community -> level-k community
+        prev = assignments[-1]
+        composed = (
+            prev.join(
+                nxt.select(
+                    F.col("u").alias("community"), F.col("community").alias("parent")
+                ),
+                on="community",
+                how="left",
+            )
+            .select("u", F.coalesce("parent", "community").alias("community"))
+        )
+        composed, _ = materialize(composed)
+        assignments.append(composed)
+        current = composed
+    out = assignments[0].select("u", F.col("community").alias("c0"))
+    for k, a in enumerate(assignments[1:], start=1):
+        out = out.join(a.withColumnRenamed("community", f"c{k}"), on="u")
+    out = out.select(
+        "u", F.array(*[F.col(f"c{k}") for k in range(levels)]).alias("communities")
+    )
+    if all_entities is not None:
+        # isolated entities (no entity-entity edge) form singleton communities
+        # at every level (reference: GDS projects all entities; minCommunitySize=1)
+        everyone = all_entities.select(
+            F.concat_ws("\x01", "id", "label").alias("u")
+        ).distinct()
+        out = (
+            everyone.join(out, on="u", how="left")
+            .select(
+                "u",
+                F.coalesce(
+                    "communities",
+                    F.array(*[F.col("u") for _ in range(levels)]),
+                ).alias("communities"),
+            )
+        )
+    return out
+
+
+def community_tables(
+    hierarchy: DataFrame,
+    mentions: DataFrame,
+    chunks: DataFrame,
+    levels: int = MAX_COMMUNITY_LEVELS,
+) -> tuple[DataFrame, DataFrame]:
+    """G3-G5 — community nodes (+rank/weight) and membership/parent edges.
+
+    Returns (communities, community_edges):
+      communities(community_id, level, member_count, community_rank, weight)
+      community_edges(src, rel_type ∈ {IN_COMMUNITY, PARENT_COMMUNITY}, dst)
+    """
+    # explode levels: (u, level, cid)
+    member = hierarchy.select(
+        "u", F.posexplode("communities").alias("level", "cid")
+    ).withColumn("community_id", F.concat_ws("-", F.col("level"), F.col("cid")))
+    # entity key → (id, label)
+    ent = member.withColumn("id", F.split_part(F.col("u"), F.lit("\x01"), F.lit(1))).withColumn(
+        "label", F.split_part(F.col("u"), F.lit("\x01"), F.lit(2))
+    )
+    # provenance joins: entity → mentions → chunks → docs
+    prov = ent.join(
+        mentions.select(
+            F.col("entity_id").alias("id"),
+            F.col("entity_label").alias("label"),
+            "chunk_id",
+            "doc_id",
+        ),
+        on=["id", "label"],
+        how="left",
+    )
+    communities = prov.groupBy("community_id", "level").agg(
+        F.countDistinct("u").alias("member_count"),
+        F.countDistinct("doc_id").alias("community_rank"),
+        F.countDistinct("chunk_id").alias("weight"),
+    )
+    in_comm = (
+        member.filter(F.col("level") == 0)
+        .select(F.col("u").alias("src"), F.lit("IN_COMMUNITY").alias("rel_type"), F.col("community_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    # parent chain: level k community → level k+1 community of any member
+    parents = (
+        member.alias("a")
+        .join(
+            member.alias("b"),
+            on=(F.col("a.u") == F.col("b.u")) & (F.col("b.level") == F.col("a.level") + 1),
+        )
+        .select(
+            F.col("a.community_id").alias("src"),
+            F.lit("PARENT_COMMUNITY").alias("rel_type"),
+            F.col("b.community_id").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return communities, in_comm.unionByName(parents)

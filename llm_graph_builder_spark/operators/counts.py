@@ -1,0 +1,142 @@
+"""Stage 9 — per-document aggregations and schema inventories (SURVEY §2.8-2.10).
+
+Reference parity:
+  * A1/A2 per-document node/rel counts (NODEREL_COUNT_QUERY_*,
+    shared/constants.py:159-240; driver graphDB_dataAccess.py:587-647)
+  * A3 chunk counts (COUNT_CHUNKS_QUERY, shared/constants.py:146-149)
+  * A4 distinct (fromLabel, relType, toLabel) triplets (src/main.py:869-915)
+  * A5 embedding-dimension probe (graphDB_dataAccess.py:269-271)
+  * P1 distinct labels / rel-types (graphDB_dataAccess.py:649-673)
+  * T3 chunk-text pagination (shared/constants.py:151-157)
+
+All pure built-in groupBy/agg/join — Catalyst handles partial aggregation
+map-side; the per-doc joins shuffle on doc_id once and reuse that exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def chunk_counts(chunks: DataFrame) -> DataFrame:
+    """A3 — total chunks per document."""
+    return chunks.groupBy("doc_id").agg(F.count("*").alias("total_chunks"))
+
+
+def doc_counts(
+    documents: DataFrame,
+    chunks: DataFrame,
+    chunk_edges: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    similar_edges_df: DataFrame | None = None,
+) -> DataFrame:
+    """A1/A2 — per-document chunk/entity node & relationship counts.
+
+    Columns follow the reference Document properties
+    (graphDB_dataAccess.py:45-55): chunkNodeCount, chunkRelCount,
+    entityNodeCount, entityEntityRelCount, nodeCount, relationshipCount.
+    """
+    chunk_nodes = chunks.groupBy("doc_id").agg(
+        F.countDistinct("chunk_id").alias("chunkNodeCount")
+    )
+    # chunk rels touching this doc's chunks: PART_OF + NEXT_CHUNK + FIRST_CHUNK
+    doc_chunks = chunks.select("doc_id", "chunk_id").distinct()
+    part_of = chunk_edges.filter(F.col("rel_type") == "PART_OF").groupBy(
+        F.col("dst").alias("doc_id")
+    ).agg(F.countDistinct("src").alias("n_part_of"))
+    next_chunks = (
+        chunk_edges.filter(F.col("rel_type") == "NEXT_CHUNK")
+        .join(doc_chunks.withColumnRenamed("chunk_id", "src"), on="src")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("src", "dst").alias("n_next"))
+    )
+    has_entity = mentions.groupBy("doc_id").agg(
+        F.countDistinct("chunk_id", "entity_id", "entity_label").alias("n_has_entity")
+    )
+    similar_cnt = None
+    if similar_edges_df is not None:
+        similar_cnt = (
+            similar_edges_df.join(doc_chunks.withColumnRenamed("chunk_id", "src"), on="src")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("src", "dst").alias("n_similar"))
+        )
+    entity_nodes = mentions.groupBy("doc_id").agg(
+        F.countDistinct("entity_id", "entity_label").alias("entityNodeCount")
+    )
+    # entity-entity rels among this doc's entity set = its triples, distinct
+    ee_rels = triples.groupBy("doc_id").agg(
+        F.countDistinct("subj_id", "subj_label", "pred", "obj_id", "obj_label").alias(
+            "entityEntityRelCount"
+        )
+    )
+    out = (
+        documents.select("doc_id", "file_name")
+        .join(chunk_nodes, "doc_id", "left")
+        .join(part_of, "doc_id", "left")
+        .join(next_chunks, "doc_id", "left")
+        .join(has_entity, "doc_id", "left")
+        .join(entity_nodes, "doc_id", "left")
+        .join(ee_rels, "doc_id", "left")
+    )
+    if similar_cnt is not None:
+        out = out.join(similar_cnt, "doc_id", "left")
+    else:
+        out = out.withColumn("n_similar", F.lit(0))
+    out = out.na.fill(0)
+    out = out.withColumn(
+        "chunkRelCount",
+        F.col("n_part_of") + F.col("n_next") + F.col("n_has_entity") + F.col("n_similar"),
+    )
+    return out.select(
+        "doc_id",
+        "file_name",
+        "chunkNodeCount",
+        "chunkRelCount",
+        "entityNodeCount",
+        "entityEntityRelCount",
+        (F.col("chunkNodeCount") + F.col("entityNodeCount")).alias("nodeCount"),
+        (F.col("chunkRelCount") + F.col("entityEntityRelCount")).alias("relationshipCount"),
+    )
+
+
+def schema_triplets(triples: DataFrame) -> DataFrame:
+    """A4 — distinct (from_label, rel_type, to_label) inventory."""
+    return (
+        triples.select(
+            F.col("subj_label").alias("from_label"),
+            F.col("pred").alias("rel_type"),
+            F.col("obj_label").alias("to_label"),
+        )
+        .distinct()
+    )
+
+
+def label_inventory(entities: DataFrame) -> DataFrame:
+    """P1 — distinct non-empty entity labels with counts."""
+    return (
+        entities.filter(F.length("label") > 0)
+        .groupBy("label")
+        .agg(F.count("*").alias("entity_count"))
+    )
+
+
+def embedding_probe(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """A5 — (dimension, total rows, rows with embedding)."""
+    return df.agg(
+        F.first(F.size(col), ignorenulls=True).alias("dimension"),
+        F.count("*").alias("total"),
+        F.count(col).alias("with_embedding"),
+    )
+
+
+def chunk_page(chunks: DataFrame, skip: int, limit: int = 10) -> DataFrame:
+    """T3 — chunk-text pagination ordered by (doc_id, position)."""
+    w = Window.orderBy("doc_id", "position")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > skip) & (F.col("rn") <= skip + limit))
+        .select("doc_id", "chunk_id", "text", "position")
+    )

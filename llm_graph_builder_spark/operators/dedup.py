@@ -1,0 +1,218 @@
+"""Corpus deduplication operators for training-data pipelines.
+
+These generalize the reference's duplicate-entity machinery
+(src/graphDB_dataAccess.py:470-518) from entity ids to whole documents — the
+operations a 100 TB pretraining corpus needs before extraction:
+
+  * exact dedup           — sha256 hash groups (one shuffle);
+  * MinHash + LSH         — shingle → minhash → band → bucket join; every hash
+                            is md5-derived so DuckDB oracles replicate it;
+  * n-gram Jaccard        — verified pairwise similarity on word shingles;
+  * SimHash               — 64-bit sign-aggregated fingerprint, Hamming blocking;
+  * embedding cosine      — near-dup via vector similarity (same-label blocked).
+
+All operators are built-in-function-only (no Python UDFs): the md5/minhash/
+band pipeline is Spark SQL expressions end-to-end, so it runs in whole-stage
+codegen and scales by partitioning on the band key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+#: defaults for document near-dup detection
+MINHASH_HASHES = 9
+MINHASH_BAND_SIZE = 3
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _word_shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM-side)."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (content_hash, dup_count, min_doc_id keeper)."""
+    hashed = docs.select(F.col(id_col).cast("string").alias("doc"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return hashed.groupBy("content_hash").agg(
+        F.count("*").alias("dup_count"), F.min("doc").alias("keeper")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Portable MinHash: sig_i = min over shingles of md5(i || ':' || shingle).
+
+    md5-hex min is a lexicographic min — engine-agnostic (same value in Spark,
+    DuckDB, Python), unlike xxhash64 which only Spark has. Output:
+    (doc, shingles, mh0..mh{n-1}).
+    """
+    shingles = _word_shingles(F.col(text_col), k)
+
+    def _seeded_md5(seed: int):
+        # NB: capture via factory — a default-arg lambda would make PySpark
+        # treat the extra parameter as the HOF's index argument
+        return lambda g: F.md5(F.concat_ws(":", F.lit(str(seed)), g))
+
+    sigs = [
+        F.array_min(F.transform(F.col("shingles"), _seeded_md5(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"), shingles.alias("shingles")
+    ).select("doc", "shingles", *sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+    k: int = SHINGLE_K,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    band key = (band index, concat of band minhashes); docs sharing any band
+    become candidates; candidates are verified with exact Jaccard over the
+    shingle sets. Output: (doc_a, doc_b, jaccard_e4) with doc_a < doc_b.
+    At scale the band join shuffles on the band key only — no cross product.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, k)
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        key = F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * band_size + r}") for r in range(band_size)])
+        part = sigs.select("doc", "shingles", key.alias("band"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"), "band")
+    b = bands.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"), "band")
+    cands = (
+        a.join(b, on="band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cands.withColumn("jaccard_e4", F.round(jac * 10000).cast("long"))
+        .filter(F.col("jaccard_e4") >= int(jaccard_threshold * 10000))
+        .select("doc_a", "doc_b", "jaccard_e4")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    k: int = SHINGLE_K,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exhaustive (per-block) n-gram Jaccard pairs — the oracle-grade baseline
+    the LSH path approximates. Blocks (default: lang) bound the cross product.
+    Output: (doc_a, doc_b, jaccard_e4), doc_a < doc_b."""
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        _word_shingles(F.col(text_col), k).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), *(["blk"] if block_col else []))
+    b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), *(["blk"] if block_col else []))
+    pairs = (a.join(b, on="blk") if block_col else a.crossJoin(b)).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard_e4", F.round(jac * 10000).cast("long"))
+        .filter(F.col("jaccard_e4") >= int(threshold * 10000))
+        .select("doc_a", "doc_b", "jaccard_e4")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document (sign-aggregated token hashes).
+
+    bit_j(doc) = 1 if sum over tokens of sign_j(token) >= 0, where sign_j
+    derives from xxhash64(token) bit j. JVM-side only; returns
+    (doc, simhash bigint as unsigned-ish, plus a 16-bit prefix for blocking).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+
+    def _bit_vote(shift: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), shift).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_sums = [F.aggregate(toks, F.lit(0), _bit_vote(j)) for j in range(bits)]
+    sim = None
+    for j, s in enumerate(bit_sums):
+        bit = F.when(s >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        sim.alias("simhash"),
+    ).withColumn("block16", F.shiftrightunsigned("simhash", 48))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs blocked on the top-16-bit prefix; verified by
+    Hamming distance via bit_count(xor). Output (doc_a, doc_b, hamming)."""
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    a = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "block16")
+    b = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "block16")
+    return (
+        a.join(b, on="block16")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    min_cosine: float = 0.97,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (reference threshold
+    DUPLICATE_SCORE_VALUE=0.97, example.env:19). Blocked per label by default.
+    Output: (id_a, id_b, cos_e4) with id_a < id_b."""
+    base = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), *(["blk"] if block_col else []))
+    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), *(["blk"] if block_col else []))
+    pairs = (a.join(b, on="blk") if block_col else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_e4", F.round(cosine(F.col("v_a"), F.col("v_b")) * 10000).cast("long"))
+        .filter(F.col("cos_e4") >= int(min_cosine * 10000))
+        .select("id_a", "id_b", "cos_e4")
+    )

@@ -1,0 +1,89 @@
+"""Stage 3 — embedding operators (SURVEY §2.4 E1-E4).
+
+Reference parity: the reference embeds every chunk with a per-process embedding
+model singleton in a sequential per-row loop (src/make_relationships.py:35-58),
+entities as ``id + " " + coalesce(description, "")`` in batches of 1000
+(src/post_processing.py:123-147), and community summaries in batches of 100
+(src/communities.py:374-401). Here all three reuse one **batched Arrow pandas
+UDF**; the model is a pluggable per-executor lazy singleton
+(reference: threadsafe singleton at src/shared/common_fn.py:54-68).
+
+The default model is ``HashingEmbedder`` — a deterministic feature-hashing
+encoder (md5-token buckets, L2-normalized), the offline stand-in for
+sentence-transformers/OpenAI/VertexAI (reference model factory:
+src/shared/common_fn.py:161-217). Same UDF shape, same dimension contract, so
+swapping in a real model changes one constructor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EMBEDDING_DIM
+
+
+def hash_embed_py(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
+    """Deterministic feature-hash embedding.
+
+    For each whitespace token: h = int(md5(token)[:8], 16);
+    bucket = h % dim; sign = +1 if (h >> 8) % 2 == 0 else -1; then L2-normalize.
+    Pure integer/md5 math so any engine (tests, DuckDB, executors) reproduces it.
+    """
+    vec = [0.0] * dim
+    for tok in (text or "").split():
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+        vec[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+    n = math.sqrt(sum(v * v for v in vec))
+    if n > 0:
+        vec = [v / n for v in vec]
+    return vec
+
+
+class HashingEmbedder:
+    """Deterministic offline embedding model (E1 stand-in)."""
+
+    def __init__(self, dim: int = EMBEDDING_DIM):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        return [hash_embed_py(t, self.dim) for t in texts]
+
+
+def make_embedder_udf(model_factory: Callable[[], object] | None = None, dim: int = EMBEDDING_DIM):
+    """Arrow-batched embedding UDF; ``model_factory`` builds the model once per
+    executor (sentence-transformers-style ``encode(list[str])`` contract)."""
+    factory = model_factory or (lambda: HashingEmbedder(dim))
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = factory()  # lazy per-executor singleton
+        for batch in texts:
+            yield pd.Series(model.encode(batch.fillna("").tolist()))
+
+    return embed
+
+
+def embed_chunks(chunks: DataFrame, model_factory=None, dim: int = EMBEDDING_DIM) -> DataFrame:
+    """E2 — add an ``embedding`` column to the chunks table."""
+    embed = make_embedder_udf(model_factory, dim)
+    return chunks.withColumn("embedding", embed(F.col("text")))
+
+
+def embed_entities(entities: DataFrame, model_factory=None, dim: int = EMBEDDING_DIM) -> DataFrame:
+    """E3 — entity embeddings over ``id + ' ' + coalesce(description, '')``
+    (reference text expression: src/post_processing.py:132). Embeds only rows
+    where ``embedding`` is missing, like the reference's IS NULL filter."""
+    embed = make_embedder_udf(model_factory, dim)
+    text = F.concat_ws(" ", F.col("id"), F.coalesce(F.col("description"), F.lit("")))
+    if "embedding" in entities.columns:
+        todo = entities.filter(F.col("embedding").isNull()).withColumn("embedding", embed(text))
+        done = entities.filter(F.col("embedding").isNotNull())
+        return done.unionByName(todo)
+    return entities.withColumn("embedding", embed(text))

@@ -1,0 +1,317 @@
+"""Stage 4 — mention detection + (subj, pred, obj) triple extraction.
+
+Reference parity (SURVEY §2.3): the reference feeds combined chunks to
+LangChain's ``LLMGraphTransformer`` (backend/src/llm.py:195-247), cleans the
+output (``handle_backticks_nodes_relationship_id_type``,
+src/shared/common_fn.py:235-268), re-associates GraphDocuments to member chunks
+(src/shared/common_fn.py:146-153) and materializes HAS_ENTITY edges
+(src/make_relationships.py:12-32).
+
+Here the extractor is a **pluggable vectorized pandas UDF**:
+
+  * ``DeterministicExtractor`` — lexicon/position rules (the controlled
+    variable for P/R = 1.0 tests and the DuckDB oracle; stands in for the LLM
+    exactly like the reference's test fixtures stand in for providers).
+  * ``LLMExtractor`` — the production path: lazy per-executor provider client,
+    one batched call per Arrow batch (reference analog: chunks_to_combine +
+    ThreadPool, SURVEY §4 "LLM batching"). The provider client is injected;
+    in this offline sandbox instantiating it without a client raises.
+
+Both return the same Arrow schema, so every downstream stage is
+extractor-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import (
+    LABEL_ARTIFACT,
+    LABEL_OPERATION,
+    MENTION_MIN_LEN,
+    OPERATION_WORDS,
+    PREDICATE_RULES,
+)
+
+# ---------------------------------------------------------------------------
+# Output schema of any extractor UDF (per input text)
+# ---------------------------------------------------------------------------
+EXTRACTION_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("label", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "triples",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("subj_id", T.StringType()),
+                        T.StructField("subj_label", T.StringType()),
+                        T.StructField("pred", T.StringType()),
+                        T.StructField("obj_id", T.StringType()),
+                        T.StructField("obj_label", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_OPS = frozenset(OPERATION_WORDS)
+
+
+def _label_of(token: str) -> str:
+    return LABEL_OPERATION if token in _OPS else LABEL_ARTIFACT
+
+
+def extract_text_py(text: str) -> dict:
+    """Pure-Python deterministic extraction (shared by UDF, tests, fixtures).
+
+    Contract (mirrored in oracle SQL — keep in sync):
+      * mention occurrence = token with len >= MENTION_MIN_LEN, in token order;
+      * distinct mentions (id, label) with label from OPERATION_WORDS rule;
+      * triple = each adjacent occurrence pair with different ids, predicate
+        from PREDICATE_RULES on the label pair; distinct per text.
+    """
+    toks = [t for t in (text or "").split() if len(t) >= MENTION_MIN_LEN]
+    mentions: list[dict] = []
+    seen = set()
+    for t in toks:
+        if t not in seen:
+            seen.add(t)
+            mentions.append({"id": t, "label": _label_of(t)})
+    triples: list[dict] = []
+    tseen = set()
+    for a, b in zip(toks, toks[1:]):
+        if a == b:
+            continue
+        la, lb = _label_of(a), _label_of(b)
+        key = (a, la, b, lb)
+        if key not in tseen:
+            tseen.add(key)
+            triples.append(
+                {
+                    "subj_id": a,
+                    "subj_label": la,
+                    "pred": PREDICATE_RULES[(la, lb)],
+                    "obj_id": b,
+                    "obj_label": lb,
+                }
+            )
+    return {"mentions": mentions, "triples": triples}
+
+
+class DeterministicExtractor:
+    """Offline extractor — deterministic, vocabulary-rule based."""
+
+    def make_udf(self):
+        @F.pandas_udf(EXTRACTION_SCHEMA)
+        def extract(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for batch in texts:
+                res = batch.map(extract_text_py)
+                yield pd.DataFrame(
+                    {
+                        "mentions": res.map(lambda r: r["mentions"]),
+                        "triples": res.map(lambda r: r["triples"]),
+                    }
+                )
+
+        return extract
+
+
+class LLMExtractor:
+    """Production extractor: batches texts into provider calls per Arrow batch.
+
+    ``client_factory`` is called once per executor (lazy singleton inside the
+    iterator UDF — reference analog: threadsafe embedding/LLM singletons at
+    src/shared/common_fn.py:54-68); it must return an object with
+    ``extract_batch(list[str]) -> list[dict]`` where each dict matches
+    EXTRACTION_SCHEMA (nodes/relationships of a GraphDocument,
+    reference: src/llm.py:222-235).
+    """
+
+    def __init__(self, client_factory: Callable[[], object] | None = None):
+        if client_factory is None:
+            raise NotImplementedError(
+                "no LLM provider is available in this sandbox; inject a "
+                "client_factory (see reference backend/src/llm.py:23-147 for "
+                "the provider-dispatch semantics this replaces)"
+            )
+        self.client_factory = client_factory
+
+    def make_udf(self):
+        factory = self.client_factory
+
+        @F.pandas_udf(EXTRACTION_SCHEMA)
+        def extract(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            client = factory()  # one client per executor process
+            for batch in texts:
+                out = client.extract_batch(batch.tolist())
+                yield pd.DataFrame(
+                    {
+                        "mentions": [o["mentions"] for o in out],
+                        "triples": [o["triples"] for o in out],
+                    }
+                )
+
+        return extract
+
+
+def combine_chunks(chunks: DataFrame, k: int) -> DataFrame:
+    """C6 — combine k consecutive chunks of a doc into one extraction unit
+    (reference: get_combined_chunks, src/llm.py:158-182).
+
+    Output: (doc_id, unit_id, text, chunk_ids array). With k=1 the unit is the
+    chunk itself (fast path: no shuffle).
+    """
+    if k <= 1:
+        return chunks.select(
+            "doc_id",
+            F.col("chunk_id").alias("unit_id"),
+            "text",
+            F.array("chunk_id").alias("chunk_ids"),
+        )
+    grp = F.floor((F.col("position") - 1) / k).alias("grp")
+    combined = (
+        chunks.select("doc_id", "chunk_id", "text", "position", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("position", "text", "chunk_id"))
+            ).alias("parts")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform("parts", lambda p: p["text"])).alias("text"),
+            F.transform("parts", lambda p: p["chunk_id"]).alias("chunk_ids"),
+        )
+        .withColumn("unit_id", F.sha2(F.col("text"), 256))
+    )
+    return combined.select("doc_id", "unit_id", "text", "chunk_ids")
+
+
+def clean_extraction(df: DataFrame, id_col: str, label_col: str) -> DataFrame:
+    """X4 — strip backticks, trim, drop empty ids/labels
+    (reference: handle_backticks_nodes_relationship_id_type,
+    src/shared/common_fn.py:235-268)."""
+    cleaned = df.withColumn(id_col, F.trim(F.regexp_replace(id_col, "`", ""))).withColumn(
+        label_col, F.trim(F.regexp_replace(label_col, "`", ""))
+    )
+    return cleaned.filter((F.length(id_col) > 0) & (F.length(label_col) > 0))
+
+
+def extract_chunks(
+    chunks: DataFrame,
+    extractor=None,
+    combine_k: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the extractor over (combined) chunks.
+
+    Returns ``(mentions, triples)``:
+      mentions(chunk_id, doc_id, entity_id, entity_label)   — distinct
+      triples(chunk_id, doc_id, subj_id, subj_label, pred, obj_id, obj_label)
+    With combine_k > 1, every member chunk inherits the combined unit's
+    extraction (reference: get_chunk_and_graphDocument flattening,
+    src/shared/common_fn.py:146-153).
+    """
+    extractor = extractor or DeterministicExtractor()
+    udf = extractor.make_udf()
+    units = combine_chunks(chunks, combine_k)
+    # Content-addressed dedup BEFORE the extractor: vendored files repeated
+    # across repos share unit ids, so each distinct text hits the (expensive)
+    # extractor exactly once — the biggest cost saver at 10^12 files
+    # (SURVEY §7.4.4). Deterministic extraction ⇒ identical results.
+    distinct_units = units.select("unit_id", "text").dropDuplicates(["unit_id"])
+    unit_results = distinct_units.withColumn("x", udf(F.col("text"))).select(
+        "unit_id", F.col("x.mentions").alias("mentions"), F.col("x.triples").alias("triples")
+    )
+    extracted = units.select("doc_id", "unit_id", "chunk_ids").join(
+        unit_results, on="unit_id"
+    ).select("doc_id", "chunk_ids", "mentions", "triples")
+    # X6 re-association: explode member chunk ids first so both outputs share it
+    per_chunk = extracted.select(
+        "doc_id", F.explode("chunk_ids").alias("chunk_id"), "mentions", "triples"
+    )
+    mentions = clean_extraction(
+        per_chunk.select(
+            "chunk_id",
+            "doc_id",
+            F.explode("mentions").alias("m"),
+        ).select(
+            "chunk_id",
+            "doc_id",
+            F.col("m.id").alias("entity_id"),
+            F.col("m.label").alias("entity_label"),
+        ),
+        "entity_id",
+        "entity_label",
+    ).dropDuplicates(["chunk_id", "doc_id", "entity_id", "entity_label"])
+    triples = (
+        per_chunk.select("chunk_id", "doc_id", F.explode("triples").alias("t"))
+        .select(
+            "chunk_id",
+            "doc_id",
+            F.col("t.subj_id").alias("subj_id"),
+            F.col("t.subj_label").alias("subj_label"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj_id").alias("obj_id"),
+            F.col("t.obj_label").alias("obj_label"),
+        )
+    )
+    triples = clean_extraction(triples, "subj_id", "subj_label")
+    triples = (
+        clean_extraction(triples, "obj_id", "obj_label")
+        .withColumn("pred", F.trim(F.regexp_replace("pred", "`", "")))
+        .filter(F.length("pred") > 0)
+    )
+    triples = triples.dropDuplicates(
+        ["chunk_id", "doc_id", "subj_id", "subj_label", "pred", "obj_id", "obj_label"]
+    )
+    return mentions, triples
+
+
+def entities_from_mentions(mentions: DataFrame) -> DataFrame:
+    """S8 node sink semantics — distinct entities keyed by (label, id)
+    (reference: apoc.merge.node([label], {id}), src/make_relationships.py:29)."""
+    return (
+        mentions.groupBy(
+            F.col("entity_id").alias("id"), F.col("entity_label").alias("label")
+        )
+        .agg(
+            F.countDistinct("chunk_id").alias("chunk_count"),
+            F.countDistinct("doc_id").alias("doc_count"),
+        )
+    )
+
+
+def has_entity_edges(mentions: DataFrame) -> DataFrame:
+    """X7 — HAS_ENTITY provenance edges, one per (chunk, entity)
+    (reference: src/make_relationships.py:12-32)."""
+    return mentions.select(
+        F.col("chunk_id").alias("src"),
+        F.lit("HAS_ENTITY").alias("rel_type"),
+        F.col("entity_id").alias("dst_id"),
+        F.col("entity_label").alias("dst_label"),
+    ).dropDuplicates(["src", "dst_id", "dst_label"])
+
+
+def entity_edges(triples: DataFrame) -> DataFrame:
+    """Aggregated entity-entity relations; weight = parallel-edge count
+    (feeds the community projection G1, reference: src/communities.py:20-34)."""
+    return triples.groupBy(
+        "subj_id", "subj_label", "pred", "obj_id", "obj_label"
+    ).agg(F.count("*").alias("weight"))

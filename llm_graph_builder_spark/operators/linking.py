@@ -1,0 +1,341 @@
+"""Stage 6 — entity linking / dedup / canonicalization (SURVEY §2.5 J2-J4).
+
+Reference parity:
+  * candidate detection (src/graphDB_dataAccess.py:470-518): pairs with the
+    same label and ANY of (a) case-insensitive id substring containment with
+    len > 2, (b) Levenshtein distance < DUPLICATE_TEXT_DISTANCE (3) when both
+    ids are longer than 5, (c) embedding cosine > DUPLICATE_SCORE_VALUE (0.97);
+  * group formation + subset elimination (:494-501) — replaced by connected
+    components over the pair graph (documented deviation: strictly more
+    canonical, same transitive-closure intent);
+  * merge (apoc.refactor.mergeNodes, :520-538): representative's properties
+    win, edges rewired, parallel edges deduped, self-loops dropped. The
+    reference scans candidates ordered by degree desc, id length desc (:476) —
+    our representative rule: max (degree, id length), lexical min id tiebreak;
+  * orphan listing/deletion (:430-468): entities with no entity-entity edge.
+
+Scale: the reference's candidate scan is O(n²); at 10^12 files that's fatal
+(SURVEY §4). ``block_candidates_lsh`` blocks on MinHash bands of id 3-grams so
+only same-band pairs are compared; the predicates applied per pair are
+identical to the exhaustive path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import (
+    DUPLICATE_CONTAIN_MIN_LEN,
+    DUPLICATE_SCORE_VALUE,
+    DUPLICATE_TEXT_DISTANCE,
+)
+from ..functions.vectors import cosine
+
+
+def _pair_predicates(min_contain_len: int, max_distance: int, min_cosine: float, with_embeddings: bool):
+    la, lb = F.lower(F.col("id_a")), F.lower(F.col("id_b"))
+    contain = (
+        ((F.length("id_b") > min_contain_len - 1) & F.contains(la, lb))
+        | ((F.length("id_a") > min_contain_len - 1) & F.contains(lb, la))
+    )
+    lev = (
+        (F.length("id_a") > 5)
+        & (F.length("id_b") > 5)
+        & (F.levenshtein(la, lb) < max_distance)
+    )
+    pred = contain | lev
+    if with_embeddings:
+        pred = pred | (cosine(F.col("emb_a"), F.col("emb_b")) > min_cosine)
+    return pred
+
+
+def candidate_pairs_exact(
+    entities: DataFrame,
+    min_cosine: float = DUPLICATE_SCORE_VALUE,
+    max_distance: int = DUPLICATE_TEXT_DISTANCE,
+    min_contain_len: int = DUPLICATE_CONTAIN_MIN_LEN,
+) -> DataFrame:
+    """Exhaustive per-label candidate pairs — the reference's O(n²) semantics
+    (src/graphDB_dataAccess.py:477-491). Correct at any SF, affordable only
+    when the per-label entity count is small; the LSH path is the scale route.
+
+    Input: entities(id, label[, embedding]); output: (label, id_a, id_b) with
+    id_a < id_b.
+    """
+    with_emb = "embedding" in entities.columns
+    cols_a = [F.col("id").alias("id_a"), "label"] + (
+        [F.col("embedding").alias("emb_a")] if with_emb else []
+    )
+    cols_b = [F.col("id").alias("id_b"), "label"] + (
+        [F.col("embedding").alias("emb_b")] if with_emb else []
+    )
+    a = entities.select(*cols_a)
+    b = entities.select(*cols_b)
+    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    pred = _pair_predicates(min_contain_len, max_distance, min_cosine, with_emb)
+    return pairs.filter(pred).select("label", "id_a", "id_b")
+
+
+def block_candidates_lsh(
+    entities: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 1,
+    min_cosine: float = DUPLICATE_SCORE_VALUE,
+    max_distance: int = DUPLICATE_TEXT_DISTANCE,
+    min_contain_len: int = DUPLICATE_CONTAIN_MIN_LEN,
+) -> DataFrame:
+    """MinHash-LSH blocked candidate pairs (the 100 TB path).
+
+    Shingle = character 3-grams of lower(id); minhash_i = min over shingles of
+    xxhash64(i, shingle); band key = (label, band_index, minhashes in band).
+    Pairs sharing any band key get the same predicates as the exact path.
+    Default 8 bands of size 1: candidate recall = 1-(1-J)^8, i.e. >=0.95 at
+    3-gram Jaccard 0.31 — tuned for the containment/Levenshtein families per
+    SURVEY §7.4.5 (false candidates are discarded by the exact predicates, so
+    extra bands only cost candidate-join width, never precision). The cosine
+    family additionally goes through ``similar.lsh_block_chunks`` when
+    embeddings are present.
+    """
+    with_emb = "embedding" in entities.columns
+    # char-3-gram shingles of '^^'+lower(id)+'$$' (dynamic-start substring → expr)
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(concat('^^', lower(id), '$$')) - 2, 1)), "
+        "i -> substring(concat('^^', lower(id), '$$'), i, 3))"
+    )
+    def _seeded_hash(seed: int):
+        return lambda g: F.xxhash64(F.lit(seed), g)
+
+    sigs = [
+        F.array_min(F.transform(grams, _seeded_hash(j))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    sel = entities.select(
+        "id", "label", *( ["embedding"] if with_emb else [] ), *sigs
+    )
+    n_bands = n_hashes // band_size
+    band_rows = []
+    for bidx in range(n_bands):
+        key = F.concat_ws(
+            "|",
+            F.lit(str(bidx)),
+            *[F.col(f"mh{bidx * band_size + r}").cast("string") for r in range(band_size)],
+        )
+        band_rows.append(
+            sel.select("id", "label", *( ["embedding"] if with_emb else [] ), key.alias("band"))
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.select(
+        F.col("id").alias("id_a"), "label", "band",
+        *( [F.col("embedding").alias("emb_a")] if with_emb else [] ),
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), "label", "band",
+        *( [F.col("embedding").alias("emb_b")] if with_emb else [] ),
+    )
+    pairs = (
+        a.join(b, on=["label", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("band")
+        .dropDuplicates(["label", "id_a", "id_b"])
+    )
+    pred = _pair_predicates(min_contain_len, max_distance, min_cosine, with_emb)
+    return pairs.filter(pred).select("label", "id_a", "id_b")
+
+
+def connected_components(
+    pairs: DataFrame,
+    spark: SparkSession | None = None,
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Min-label propagation over (label, id_a, id_b) pairs → components.
+
+    Output: (label, id, component) where component = lexicographic min id of
+    the node's component (within its label). Iterates to fixpoint with
+    ``localCheckpoint`` every few rounds to cut lineage (SURVEY §4.4).
+    Convergence: O(log n) rounds for path-shaped components per round of
+    two-directional min propagation.
+    """
+    from ..functions.iterutils import materialize
+
+    edges, _ = materialize(
+        pairs.select("label", F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select("label", F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .dropDuplicates(["label", "u", "v"])
+    )
+    comp, _ = materialize(
+        edges.select("label", F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for it in range(max_iter):
+        # candidate component via neighbors
+        nbr_min = (
+            edges.join(
+                comp.withColumnRenamed("id", "v").withColumnRenamed("component", "vcomp"),
+                on=["label", "v"],
+            )
+            .groupBy("label", "u")
+            .agg(F.min("vcomp").alias("nbr_comp"))
+            .withColumnRenamed("u", "id")
+        )
+        new_comp = (
+            comp.join(nbr_min, on=["label", "id"], how="left")
+            .select(
+                "label",
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_comp", F.col("component"))).alias("component"),
+            )
+        )
+        # pointer-jumping: component ← component's component (halves depth)
+        jumped = (
+            new_comp.alias("n")
+            .join(
+                new_comp.select(
+                    F.col("label"), F.col("id").alias("component"), F.col("component").alias("parent")
+                ).alias("p"),
+                on=["label", "component"],
+                how="left",
+            )
+            .select(
+                "label", "id", F.least(F.col("component"), F.coalesce("parent", F.col("component"))).alias("component")
+            )
+        )
+        # materialize every round: truncates plan AND statistics (see
+        # functions/iterutils.py for why localCheckpoint is NOT safe here)
+        jumped, _ = materialize(jumped)
+        changed = (
+            jumped.alias("a")
+            .join(comp.alias("b"), on=["label", "id"])
+            .filter(F.col("a.component") != F.col("b.component"))
+            .limit(1)
+            .count()
+        )
+        comp.unpersist()
+        comp = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp
+
+
+def canonical_map(
+    components: DataFrame, entities: DataFrame, degrees: DataFrame | None = None
+) -> DataFrame:
+    """Pick one representative per component → map(label, id → canonical_id).
+
+    Representative rule (reference ordering at graphDB_dataAccess.py:476 made
+    deterministic): max degree, then longest id, then lexicographically
+    smallest id. ``degrees`` is (id, label, degree); missing → degree 0.
+    """
+    enriched = components.join(
+        degrees if degrees is not None else entities.select("id", "label").withColumn("degree", F.lit(0)),
+        on=["id", "label"],
+        how="left",
+    ).na.fill({"degree": 0})
+    w = Window.partitionBy("label", "component").orderBy(
+        F.desc("degree"), F.desc(F.length("id")), F.asc("id")
+    )
+    reps = (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "component", F.col("id").alias("canonical_id"))
+    )
+    return components.join(reps, on=["label", "component"]).select(
+        "label", "id", "canonical_id"
+    )
+
+
+def merge_entities(
+    entities: DataFrame, edges: DataFrame, cmap: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """J3 — rewrite entities and entity-entity edges through the canonical map;
+    drop self-loops; dedupe parallel edges (weights summed).
+
+    ``edges`` = (subj_id, subj_label, pred, obj_id, obj_label, weight).
+    Returns (merged_entities, merged_edges). Canonical map is expected to be
+    small relative to entities → broadcast both joins.
+    """
+    emap = F.broadcast(
+        cmap.select(
+            F.col("id").alias("_m_id"),
+            F.col("label").alias("_m_label"),
+            F.col("canonical_id").alias("_m_canon"),
+        )
+    )
+    other_cols = [c for c in entities.columns if c not in ("id", "label")]
+    if not other_cols:
+        entities = entities.withColumn("chunk_count", F.lit(0).cast("long"))
+        other_cols = ["chunk_count"]
+    merged_entities = (
+        entities.join(
+            emap,
+            on=(entities["id"] == emap["_m_id"]) & (entities["label"] == emap["_m_label"]),
+            how="left",
+        )
+        .select(
+            F.coalesce(F.col("_m_canon"), F.col("id")).alias("id"),
+            F.col("label"),
+            *other_cols,
+        )
+        .groupBy("id", "label")
+        .agg(
+            *[
+                F.sum(c).alias(c)
+                if c in ("chunk_count", "doc_count")
+                else F.first(c, ignorenulls=True).alias(c)
+                for c in other_cols
+            ]
+        )
+    )
+    bmap = F.broadcast(cmap)
+    smap = bmap.select(
+        F.col("id").alias("subj_id"), F.col("label").alias("subj_label"),
+        F.col("canonical_id").alias("subj_canon"),
+    )
+    omap = bmap.select(
+        F.col("id").alias("obj_id"), F.col("label").alias("obj_label"),
+        F.col("canonical_id").alias("obj_canon"),
+    )
+    merged_edges = (
+        edges.join(smap, on=["subj_id", "subj_label"], how="left")
+        .join(omap, on=["obj_id", "obj_label"], how="left")
+        .select(
+            F.coalesce("subj_canon", "subj_id").alias("subj_id"),
+            "subj_label",
+            "pred",
+            F.coalesce("obj_canon", "obj_id").alias("obj_id"),
+            "obj_label",
+            "weight",
+        )
+        .filter(~((F.col("subj_id") == F.col("obj_id")) & (F.col("subj_label") == F.col("obj_label"))))
+        .groupBy("subj_id", "subj_label", "pred", "obj_id", "obj_label")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return merged_entities, merged_edges
+
+
+def entity_degrees(edges: DataFrame) -> DataFrame:
+    """Degree per (id, label) over entity-entity edges (for the rep rule)."""
+    out_deg = edges.select(F.col("subj_id").alias("id"), F.col("subj_label").alias("label"))
+    in_deg = edges.select(F.col("obj_id").alias("id"), F.col("obj_label").alias("label"))
+    return out_deg.unionByName(in_deg).groupBy("id", "label").agg(F.count("*").alias("degree"))
+
+
+def orphan_entities(entities: DataFrame, edges: DataFrame, limit: int = 100) -> DataFrame:
+    """J4 — entities with no entity-entity edge, ordered by id, LIMIT 100
+    (reference: src/graphDB_dataAccess.py:430-450)."""
+    endpoints = (
+        edges.select(F.col("subj_id").alias("id"), F.col("subj_label").alias("label"))
+        .unionByName(edges.select(F.col("obj_id").alias("id"), F.col("obj_label").alias("label")))
+        .distinct()
+    )
+    return (
+        entities.join(endpoints, on=["id", "label"], how="left_anti")
+        .orderBy("id", "label")
+        .limit(limit)
+    )

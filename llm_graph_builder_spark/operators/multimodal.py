@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The container has no decode libraries, so the codec step is stubbed behind a
+deterministic fake (or ``NotImplementedError`` in strict mode); everything
+Spark-side — schema, Arrow batch shape, ``mapInPandas`` partitioning, metadata
+struct — is real and tested, so swapping in Pillow/torchaudio later changes
+only the ``decode_fn`` body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal asset schema: opaque payload + typed metadata
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decode→feature-extract: byte histogram
+    folded into ``dim`` buckets, L2-normalized. Replace with a real
+    decoder+model; the Spark plumbing stays identical."""
+    if payload is None:
+        return [0.0] * dim
+    buckets = [0.0] * dim
+    for by in payload:
+        buckets[by % dim] += 1.0
+    n = sum(v * v for v in buckets) ** 0.5
+    return [v / n for v in buckets] if n > 0 else buckets
+
+
+def strict_decode(payload: bytes, dim: int = 8) -> list[float]:
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; inject a real decode_fn"
+    )
+
+
+def extract_features(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow moves the binary column in batches; one decoder per executor task;
+    the output schema is fixed so downstream ANN/dedup operators work on
+    ``feature`` exactly like any embedding column.
+    """
+    fn = decode_fn or fake_decode_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                    "feature": pdf["payload"].map(fn),
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        media = ["image", "audio", "video"][i % 3]
+        payload = bytes(((i * 7 + j * 13) % 251) for j in range(64 + (i % 5) * 16))
+        rows.append((f"asset-{i}", media, payload, {"w": str(64 + i), "codec": "fake"}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

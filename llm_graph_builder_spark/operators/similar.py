@@ -1,0 +1,116 @@
+"""Stage 7 — SIMILAR kNN edges over chunk embeddings (SURVEY §2.5 J1).
+
+Reference parity: Neo4j vector-index top-6 per chunk, cosine >= KNN_MIN_SCORE
+(0.8), undirected MERGE with ``score``, degree capped < 5
+(src/graphDB_dataAccess.py:151-195). The reference builds edges incrementally
+per request; our batch-deterministic restatement:
+
+  1. candidate pairs = top-k (k=6) neighbors per chunk with score >= threshold;
+  2. canonicalize undirected pairs (least, greatest);
+  3. per-node rank by (score desc, neighbor id) and keep edges ranked <= 5 on
+     **both** endpoints (the batch equivalent of "degree cap < 5").
+
+Scale path: exact top-k needs a similarity join. ``similar_edges`` does a
+block-nested self-join — callers provide a blocking column (e.g. LSH bucket or
+repo) so the cross product stays per-block; with ``block_col=None`` it is the
+exhaustive join (fine at test SF, quadratic at 100 TB — use
+``lsh_block_chunks`` first there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import KNN_MAX_DEGREE, KNN_MIN_SCORE, KNN_TOP_K
+from ..functions.vectors import cosine
+
+
+def lsh_block_chunks(chunks: DataFrame, n_planes: int = 8, id_col: str = "chunk_id") -> DataFrame:
+    """Random-hyperplane (SimHash) LSH bucket per vector → ``block`` column.
+
+    Deterministic: hyperplane h_j uses per-dimension pseudo-random signs
+    derived from xxhash64(j, dim_index). Vectors in the same bucket are likely
+    cosine-close; at 100 TB this turns the O(n²) join into per-bucket joins.
+    """
+    emb = F.col("embedding")
+    bits = []
+    for j in range(n_planes):
+        # sign_j(i) = +1/-1 from a hash of (plane j, dim i); dot(sign_j, v) >= 0 → bit 1
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(emb) - 1),
+                    lambda i: F.when(F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                ),
+                lambda v, s: v * s,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    block = F.concat_ws("", *[b.cast("string") for b in bits])
+    return chunks.withColumn("block", block)
+
+
+def similar_edges(
+    chunks_with_emb: DataFrame,
+    id_col: str = "chunk_id",
+    min_score: float = KNN_MIN_SCORE,
+    top_k: int = KNN_TOP_K,
+    max_degree: int = KNN_MAX_DEGREE,
+    block_col: str | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """→ edges(src, rel_type='SIMILAR', dst, score) with src < dst."""
+    block_cols = [block_col] if block_col else []
+    left = chunks_with_emb.select(
+        F.col(id_col).alias("a"), F.col("embedding").alias("ea"), *block_cols
+    ).dropDuplicates(["a"])
+    right = chunks_with_emb.select(
+        F.col(id_col).alias("b"), F.col("embedding").alias("eb"), *block_cols
+    ).dropDuplicates(["b"])
+    if block_col:
+        pairs = left.join(right, on=block_col)
+    else:
+        pairs = left.crossJoin(right)
+    pairs = pairs.filter(F.col("a") != F.col("b")).withColumn(
+        "score", F.round(cosine(F.col("ea"), F.col("eb")), score_decimals)
+    ).filter(F.col("score") >= min_score).select("a", "b", "score")
+
+    # top-k per query node (the vector-index "top 6" emulation)
+    w_query = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    topk = pairs.withColumn("qrank", F.row_number().over(w_query)).filter(
+        F.col("qrank") <= top_k
+    )
+    # undirected canonical pair, union of both query directions
+    und = (
+        topk.select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"), "score"
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    # degree cap: rank every edge within BOTH endpoints' incident lists and
+    # keep it only if it is top-`max_degree` for each — guarantees
+    # degree(node) <= max_degree deterministically. (The reference's
+    # incremental guard `count{(c)-[:SIMILAR]-()} < 5` is order-dependent and
+    # can exceed 5 on the receiving node; this batch restatement is strict.)
+    incident = und.select(F.col("src").alias("node"), F.col("dst").alias("other"), "score").unionByName(
+        und.select(F.col("dst").alias("node"), F.col("src").alias("other"), "score")
+    )
+    w_node = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("other"))
+    ranked = incident.withColumn("rk", F.row_number().over(w_node))
+    r_src = ranked.select(
+        F.col("node").alias("src"), F.col("other").alias("dst"), F.col("rk").alias("rk_src")
+    )
+    r_dst = ranked.select(
+        F.col("other").alias("src"), F.col("node").alias("dst"), F.col("rk").alias("rk_dst")
+    )
+    capped = (
+        und.join(r_src, on=["src", "dst"])
+        .join(r_dst, on=["src", "dst"])
+        .filter((F.col("rk_src") <= max_degree) & (F.col("rk_dst") <= max_degree))
+    )
+    return capped.select("src", F.lit("SIMILAR").alias("rel_type"), "dst", "score")

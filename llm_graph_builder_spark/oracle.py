@@ -1,0 +1,472 @@
+"""DuckDB oracle SQL for every SQL-expressible operator.
+
+Each entry replicates the corresponding Spark stage *from the raw driver views*
+(``documents``, ``embeddings``) using the identical extraction contract
+(config constants). The driver runs these side-by-side with ``queries()`` at
+sf=0.01 and compares row count + schema + order-insensitive value hash, so
+column names and types must match the Spark callables exactly (all counts are
+BIGINT; all similarity scores are ``*_e4`` BIGINT fixed-point to dodge float
+formatting drift; float arithmetic is mirrored operation-for-operation in
+DOUBLE so rounding is bit-identical).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Shared CTE prefix: documents → repos → docs → chunks → mentions → triples
+# (contract constants: CHUNK_SIZE=50, STRIDE=40, MENTION_MIN_LEN=4,
+#  OPERATION_WORDS, PREDICATE_RULES — see config.py)
+# ---------------------------------------------------------------------------
+
+_OPS_SQL = "('join','merge','sort','scan','filter','group','hash','window','batch','stream','query')"
+
+PIPELINE_CTE = f"""
+WITH repos AS (
+  SELECT
+    'repo-' || CAST(doc_id % 37 AS VARCHAR) AS repo,
+    'src/' || source || '/f' || CAST(doc_id AS VARCHAR) || '.' ||
+      CASE lang WHEN 'en' THEN 'py' WHEN 'de' THEN 'rs' WHEN 'fr' THEN 'go'
+                WHEN 'es' THEN 'js' WHEN 'zh' THEN 'java' ELSE 'txt' END AS path,
+    substr(sha256('commit:' || CAST(doc_id AS VARCHAR)), 1, 12) AS commit,
+    lang,
+    text AS content
+  FROM documents
+),
+docs AS (
+  SELECT
+    sha256(repo || '/' || path || '@' || commit) AS doc_id,
+    repo || '/' || path || '@' || commit AS file_name,
+    repo, path, commit, lang, content,
+    sha256(content) AS content_sha256,
+    CAST(length(content) AS BIGINT) AS content_length
+  FROM repos
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(replace(replace(content, '"', ''), '''', ''), '\\s+'),
+                     t -> len(t) > 0) AS ts
+  FROM docs
+),
+tn AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         1 + CAST(ceil(greatest(len(ts) - 50, 0) / 40.0) AS INT) AS k
+  FROM toks WHERE len(ts) > 0
+),
+chunk_idx AS (SELECT doc_id, ts, n, unnest(range(0, k)) AS i FROM tn),
+chunks0 AS (
+  SELECT doc_id,
+         array_to_string(ts[i*40 + 1 : least(i*40 + 50, n)], ' ') AS text,
+         CAST(i + 1 AS INT) AS position,
+         CAST(CASE WHEN i = 0 THEN 0
+                   ELSE length(array_to_string(ts[1 : i*40], ' ')) + 1 END AS BIGINT)
+           AS content_offset
+  FROM chunk_idx
+),
+chunks AS (
+  SELECT sha256(text) AS chunk_id, doc_id, text, position, content_offset,
+         CAST(length(text) AS BIGINT) AS length
+  FROM chunks0
+),
+mtoks AS (
+  SELECT chunk_id, doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> len(t) >= 4)) AS tok,
+         unnest(range(1, len(list_filter(string_split(text, ' '), t -> len(t) >= 4)) + 1)) AS ord
+  FROM chunks
+),
+labeled AS (
+  SELECT chunk_id, doc_id, tok,
+         CASE WHEN tok IN {_OPS_SQL} THEN 'Operation' ELSE 'Artifact' END AS label,
+         ord
+  FROM mtoks
+),
+mentions AS (
+  SELECT DISTINCT chunk_id, doc_id, tok AS entity_id, label AS entity_label FROM labeled
+),
+mpairs AS (
+  SELECT chunk_id, doc_id, tok AS subj_id, label AS subj_label,
+         lead(tok) OVER w AS obj_id, lead(label) OVER w AS obj_label
+  FROM labeled
+  WINDOW w AS (PARTITION BY chunk_id, doc_id ORDER BY ord)
+),
+triples AS (
+  SELECT DISTINCT chunk_id, doc_id, subj_id, subj_label,
+         CASE WHEN subj_label = 'Operation' AND obj_label = 'Operation' THEN 'THEN'
+              WHEN subj_label = 'Operation' THEN 'USES'
+              WHEN obj_label = 'Operation' THEN 'FEEDS'
+              ELSE 'WITH' END AS pred,
+         obj_id, obj_label
+  FROM mpairs
+  WHERE obj_id IS NOT NULL AND subj_id <> obj_id
+),
+entities AS (
+  SELECT entity_id AS id, entity_label AS label,
+         COUNT(DISTINCT chunk_id) AS chunk_count,
+         COUNT(DISTINCT doc_id) AS doc_count
+  FROM mentions GROUP BY 1, 2
+),
+entity_edges AS (
+  SELECT subj_id, subj_label, pred, obj_id, obj_label, COUNT(*) AS weight
+  FROM triples GROUP BY 1, 2, 3, 4, 5
+)
+"""
+
+# exact double-precision mirror of functions/vectors.py::cosine (sequential
+# left-fold, double math) so fixed-point rounding is bit-identical
+_DOT = (
+    "list_reduce(list_apply(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_apply({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 THEN ({dot}) / (({na}) * ({nb})) "
+        "ELSE 0.0 END"
+    )
+
+
+# word k-gram shingle list over whitespace tokens of a text column
+def _shingles_sql(col: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(list_filter(string_split_regex({col}, '\\s+'), t -> len(t) > 0)) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string((list_filter(string_split_regex({col}, '\\s+'), t -> len(t) > 0))[i : i + {k - 1}], ' ')))"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["ingest_docs"] = PIPELINE_CTE + """
+SELECT doc_id, file_name, repo, path, commit, lang, content_sha256, content_length
+FROM docs
+"""
+
+ORACLE_SQL["chunks"] = PIPELINE_CTE + """
+SELECT chunk_id, doc_id, text, CAST(position AS BIGINT) AS position,
+       content_offset, length
+FROM chunks
+"""
+
+ORACLE_SQL["chunk_graph"] = PIPELINE_CTE + """
+SELECT DISTINCT src, rel_type, dst FROM (
+  SELECT chunk_id AS src, 'PART_OF' AS rel_type, doc_id AS dst FROM chunks
+  UNION ALL
+  SELECT doc_id, 'FIRST_CHUNK', chunk_id FROM chunks WHERE position = 1
+  UNION ALL
+  SELECT prev, 'NEXT_CHUNK', chunk_id FROM (
+    SELECT doc_id, chunk_id, lag(chunk_id) OVER (PARTITION BY doc_id ORDER BY position) AS prev
+    FROM chunks
+  ) WHERE prev IS NOT NULL
+)
+"""
+
+ORACLE_SQL["mentions"] = PIPELINE_CTE + """
+SELECT chunk_id, doc_id, entity_id, entity_label FROM mentions
+"""
+
+ORACLE_SQL["triples"] = PIPELINE_CTE + """
+SELECT chunk_id, doc_id, subj_id, subj_label, pred, obj_id, obj_label FROM triples
+"""
+
+ORACLE_SQL["entities"] = PIPELINE_CTE + """
+SELECT id, label, chunk_count, doc_count FROM entities
+"""
+
+ORACLE_SQL["has_entity"] = PIPELINE_CTE + """
+SELECT DISTINCT chunk_id AS src, 'HAS_ENTITY' AS rel_type,
+       entity_id AS dst_id, entity_label AS dst_label
+FROM mentions
+"""
+
+ORACLE_SQL["entity_edges"] = PIPELINE_CTE + """
+SELECT subj_id, subj_label, pred, obj_id, obj_label, weight FROM entity_edges
+"""
+
+ORACLE_SQL["link_candidates"] = PIPELINE_CTE + """
+SELECT a.label AS label, a.id AS id_a, b.id AS id_b
+FROM entities a JOIN entities b ON a.label = b.label AND a.id < b.id
+WHERE ((length(b.id) > 2 AND contains(lower(a.id), lower(b.id)))
+    OR (length(a.id) > 2 AND contains(lower(b.id), lower(a.id)))
+    OR (length(a.id) > 5 AND length(b.id) > 5
+        AND levenshtein(lower(a.id), lower(b.id)) < 3))
+"""
+
+ORACLE_SQL["orphan_entities"] = PIPELINE_CTE + """
+SELECT id, label, chunk_count, doc_count FROM entities e
+WHERE NOT EXISTS (
+  SELECT 1 FROM entity_edges x
+  WHERE (x.subj_id = e.id AND x.subj_label = e.label)
+     OR (x.obj_id = e.id AND x.obj_label = e.label)
+)
+ORDER BY id, label LIMIT 100
+"""
+
+ORACLE_SQL["chunk_counts"] = PIPELINE_CTE + """
+SELECT doc_id, COUNT(*) AS total_chunks FROM chunks GROUP BY doc_id
+"""
+
+ORACLE_SQL["doc_counts"] = PIPELINE_CTE + """
+, chunk_nodes AS (
+  SELECT doc_id, COUNT(DISTINCT chunk_id) AS chunkNodeCount FROM chunks GROUP BY doc_id
+),
+doc_chunks AS (SELECT DISTINCT doc_id, chunk_id FROM chunks),
+next_edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT lag(chunk_id) OVER (PARTITION BY doc_id ORDER BY position) AS src, chunk_id AS dst
+    FROM chunks
+  ) WHERE src IS NOT NULL
+),
+n_next AS (
+  SELECT dc.doc_id, COUNT(DISTINCT (ne.src, ne.dst)) AS n_next
+  FROM next_edges ne JOIN doc_chunks dc ON ne.src = dc.chunk_id
+  GROUP BY dc.doc_id
+),
+n_he AS (
+  SELECT doc_id, COUNT(DISTINCT (chunk_id, entity_id, entity_label)) AS n_has_entity
+  FROM mentions GROUP BY doc_id
+),
+ent_nodes AS (
+  SELECT doc_id, COUNT(DISTINCT (entity_id, entity_label)) AS entityNodeCount
+  FROM mentions GROUP BY doc_id
+),
+ee_rels AS (
+  SELECT doc_id,
+         COUNT(DISTINCT (subj_id, subj_label, pred, obj_id, obj_label)) AS entityEntityRelCount
+  FROM triples GROUP BY doc_id
+)
+SELECT d.doc_id, d.file_name,
+       COALESCE(cn.chunkNodeCount, 0) AS chunkNodeCount,
+       COALESCE(cn.chunkNodeCount, 0) + COALESCE(nn.n_next, 0)
+         + COALESCE(he.n_has_entity, 0) + 0 AS chunkRelCount,
+       COALESCE(en.entityNodeCount, 0) AS entityNodeCount,
+       COALESCE(ee.entityEntityRelCount, 0) AS entityEntityRelCount,
+       COALESCE(cn.chunkNodeCount, 0) + COALESCE(en.entityNodeCount, 0) AS nodeCount,
+       COALESCE(cn.chunkNodeCount, 0) + COALESCE(nn.n_next, 0)
+         + COALESCE(he.n_has_entity, 0)
+         + COALESCE(ee.entityEntityRelCount, 0) AS relationshipCount
+FROM docs d
+LEFT JOIN chunk_nodes cn ON d.doc_id = cn.doc_id
+LEFT JOIN n_next nn ON d.doc_id = nn.doc_id
+LEFT JOIN n_he he ON d.doc_id = he.doc_id
+LEFT JOIN ent_nodes en ON d.doc_id = en.doc_id
+LEFT JOIN ee_rels ee ON d.doc_id = ee.doc_id
+"""
+
+ORACLE_SQL["schema_triplets"] = PIPELINE_CTE + """
+SELECT DISTINCT subj_label AS from_label, pred AS rel_type, obj_label AS to_label
+FROM triples
+"""
+
+ORACLE_SQL["label_inventory"] = PIPELINE_CTE + """
+SELECT label, COUNT(*) AS entity_count FROM entities
+WHERE length(label) > 0 GROUP BY label
+"""
+
+ORACLE_SQL["top_entities"] = PIPELINE_CTE + """
+, ranked AS (
+  SELECT id, label, doc_count, chunk_count,
+         row_number() OVER (ORDER BY doc_count DESC, chunk_count DESC, id ASC, label ASC) AS rnk
+  FROM entities
+),
+top20 AS (SELECT * FROM ranked WHERE rnk <= 20),
+pred_counts AS (
+  SELECT subj_id AS id, subj_label AS label, pred, SUM(weight) AS pred_weight
+  FROM entity_edges GROUP BY 1, 2, 3
+),
+best_pred AS (
+  SELECT id, label, pred AS top_pred, pred_weight AS top_pred_weight,
+         row_number() OVER (PARTITION BY id, label ORDER BY pred_weight DESC, pred ASC) AS prn
+  FROM pred_counts
+)
+SELECT t.id, t.label, t.doc_count, t.chunk_count, CAST(t.rnk AS BIGINT) AS rnk,
+       COALESCE(bp.top_pred, '') AS top_pred,
+       COALESCE(bp.top_pred_weight, 0) AS top_pred_weight
+FROM top20 t LEFT JOIN best_pred bp
+  ON t.id = bp.id AND t.label = bp.label AND bp.prn = 1
+"""
+
+ORACLE_SQL["chunk_page"] = PIPELINE_CTE + """
+SELECT doc_id, chunk_id, text, CAST(position AS BIGINT) AS position FROM (
+  SELECT *, row_number() OVER (ORDER BY doc_id, position) AS rn FROM chunks
+) WHERE rn > 10 AND rn <= 20
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data operators over the raw documents/embeddings views
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["dedup_exact"] = """
+SELECT sha256(text) AS content_hash, COUNT(*) AS dup_count,
+       MIN(CAST(doc_id AS VARCHAR)) AS keeper
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_SHINGLES = _shingles_sql("text", 3)
+
+
+def _minhash_cte(n_hashes: int = 9) -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(sh, g -> md5('{i}:' || g))) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, {_MINHASH_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc, sh,
+         {mh_cols}
+  FROM sh0
+),
+bands AS (
+  SELECT doc, sh, '0' || '|' || mh0 || '|' || mh1 || '|' || mh2 AS band FROM sigs
+  UNION ALL
+  SELECT doc, sh, '1' || '|' || mh3 || '|' || mh4 || '|' || mh5 FROM sigs
+  UNION ALL
+  SELECT doc, sh, '2' || '|' || mh6 || '|' || mh7 || '|' || mh8 FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc
+)
+"""
+
+
+ORACLE_SQL["dedup_minhash"] = _minhash_cte() + """
+SELECT doc_a, doc_b,
+       CAST(round(10000.0 * len(list_intersect(sh_a, sh_b))
+                  / len(list_distinct(list_concat(sh_a, sh_b)))) AS BIGINT) AS jaccard_e4
+FROM cands
+WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
+  AND CAST(round(10000.0 * len(list_intersect(sh_a, sh_b))
+                 / len(list_distinct(list_concat(sh_a, sh_b)))) AS BIGINT) >= 5000
+"""
+
+ORACLE_SQL["dedup_ngram"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(round(10000.0 * len(list_intersect(a.sh, b.sh))
+                  / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e4
+FROM base a JOIN base b ON a.lang = b.lang AND a.doc < b.doc
+WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND CAST(round(10000.0 * len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 5000
+"""
+
+ORACLE_SQL["dedup_embedding"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) AS cos_e4
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) >= 3500
+"""
+
+ORACLE_SQL["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CAST(round(({_cosine_sql('q.qv', 'c.embedding')}) * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings c CROSS JOIN q
+  WHERE CAST(c.vec_id AS VARCHAR) <> CAST(q.qid AS VARCHAR)
+),
+ranked AS (
+  SELECT qid AS query_id, neighbor_id, cos_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_e4, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 5
+"""
+
+_SIM_COS = _cosine_sql("a.embedding", "b.embedding")
+ORACLE_SQL["similar_knn"] = f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+pairs AS (
+  SELECT CAST(a.vec_id AS VARCHAR) AS a, CAST(b.vec_id AS VARCHAR) AS b,
+         round({_SIM_COS}, 6) AS score
+  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+),
+qual AS (SELECT * FROM pairs WHERE score >= 0.3),
+topk AS (
+  SELECT * FROM (
+    SELECT a, b, score, row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS qrank
+    FROM qual
+  ) WHERE qrank <= 6
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst, score FROM topk
+),
+incident AS (
+  SELECT src AS node, dst AS other, score FROM und
+  UNION ALL SELECT dst, src, score FROM und
+),
+ranked AS (
+  SELECT node, other, row_number() OVER (PARTITION BY node ORDER BY score DESC, other ASC) AS rk
+  FROM incident
+)
+SELECT u.src, 'SIMILAR' AS rel_type, u.dst,
+       CAST(round(u.score * 10000) AS BIGINT) AS score_e4
+FROM und u
+JOIN ranked r1 ON r1.node = u.src AND r1.other = u.dst
+JOIN ranked r2 ON r2.node = u.dst AND r2.other = u.src
+WHERE r1.rk <= 5 AND r2.rk <= 5
+"""
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+_SW = {
+    "de": "('der','die','das','und','ist')",
+    "en": "('the','a','of','and','to')",
+    "es": "('el','la','los','y','de')",
+    "fr": "('le','la','et','les','des')",
+}
+_SCORE = {
+    lang: f"(len(list_filter({_TOKS}, t -> t IN {ws})) / greatest(len({_TOKS}), 1))"
+    for lang, ws in _SW.items()
+}
+_MAXS = f"greatest({_SCORE['de']}, {_SCORE['en']}, {_SCORE['es']}, {_SCORE['fr']})"
+
+ORACLE_SQL["lang_id"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc,
+       CASE WHEN {_MAXS} <= 0 THEN 'unknown'
+            WHEN {_SCORE['de']} = {_MAXS} THEN 'de'
+            WHEN {_SCORE['en']} = {_MAXS} THEN 'en'
+            WHEN {_SCORE['es']} = {_MAXS} THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CAST(round(({_MAXS}) * 10000) AS BIGINT) AS score_e4
+FROM documents
+"""
+
+ORACLE_SQL["text_quality"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(list_reduce(list_prepend(0, list_apply({_TOKS}, t -> len(t))), (x, y) -> x + y) AS DOUBLE)
+                  / greatest(len({_TOKS}), 1) * 100) AS BIGINT) AS mean_token_len_e2,
+       CAST(round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                  / greatest(len({_TOKS}), 1) * 10000) AS BIGINT) AS unique_ratio_e4,
+       CAST(round(CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                  / greatest(len({_TOKS}), 1) * 10000) AS BIGINT) AS stopword_ratio_e4,
+       CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) * 10000) AS BIGINT) AS alpha_ratio_e4
+FROM documents
+"""
+
+ORACLE_SQL["token_counts"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+_FP_SHINGLES = _shingles_sql("text", 5)
+ORACLE_SQL["fingerprints"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc,
+       list_min(list_transform({_FP_SHINGLES}, g -> md5(g))) AS fingerprint
+FROM documents
+"""

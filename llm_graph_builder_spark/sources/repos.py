@@ -83,6 +83,6 @@ def ingest(repos: DataFrame, repo_salt: int = 8) -> DataFrame:
         "lang",
         "content",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
-        F.length("content").alias("content_length"),
+        F.length("content").cast("long").alias("content_length"),
         F.pmod(F.xxhash64("path"), F.lit(repo_salt)).alias("salt"),
     )

@@ -1,0 +1,133 @@
+"""Dedup family, ANN, text-analysis, multimodal plumbing, streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.functions.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from llm_graph_builder_spark.operators.ann import ann_bruteforce_topk, ann_lsh_topk
+from llm_graph_builder_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from llm_graph_builder_spark.operators.multimodal import (
+    extract_features,
+    fake_decode_features,
+    synthesize_assets,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+    (4, "completely different words describing unrelated content here", "en"),
+    (5, "der schnelle braune fuchs springt", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = {r["keeper"]: r["dup_count"] for r in exact_dedup_groups(docs).collect()}
+    assert groups["1"] == 2  # docs 1,2 identical; keeper = min id
+    assert groups["3"] == 1
+
+
+def test_minhash_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in minhash_lsh_pairs(docs).collect()}
+    assert ("1", "2") in pairs and pairs[("1", "2")] == 10000  # identical
+    assert ("1", "3") in pairs and 5000 <= pairs[("1", "3")] < 10000
+    assert not any("4" in p for p in pairs)
+
+
+def test_ngram_jaccard_matches_minhash_on_dups(docs):
+    ng = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in ngram_jaccard_pairs(docs).collect()}
+    mh = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in minhash_lsh_pairs(docs).collect()}
+    # LSH pairs are a subset of exhaustive pairs with identical verified scores
+    for k, v in mh.items():
+        assert ng[k] == v
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert pairs.get(("1", "2")) == 0  # identical docs → identical simhash
+    if ("1", "3") in pairs:
+        assert pairs[("1", "3")] <= 8
+
+
+def test_embedding_dup_and_ann(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.001, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),  # other label: blocked out of dedup
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    dups = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df).collect()}
+    assert dups == {(1, 2)}
+    q = df.filter(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = ann_bruteforce_topk(df, q, k=2).collect()
+    # vec4 (identical) and vec2 (cos≈0.9999995) both round to cos_e4=10000;
+    # the deterministic tiebreak is neighbor_id asc
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [2, 4]
+    # LSH variant returns a subset ranked identically
+    lsh = ann_lsh_topk(df, q, k=2).collect()
+    assert all(r["query_id"] == 1 for r in lsh)
+
+
+def test_lang_id_and_quality(docs):
+    langs = {r["doc"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert langs["1"] == "en"
+    assert langs["5"] == "de"
+    qual = {r["doc"]: r for r in quality_scores(docs).collect()}
+    assert qual["1"]["n_tokens"] == 12
+    assert qual["4"]["unique_ratio_e4"] == 10000  # all unique tokens
+    toks = {r["doc"]: r for r in token_counts(docs).collect()}
+    assert toks["1"]["ws_tokens"] == 12
+    assert toks["1"]["bpe_tokens"] == 12  # plain words
+    fps = {r["doc"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert fps["1"] == fps["2"] and fps["1"] != fps["4"]
+
+
+def test_multimodal_plumbing(spark):
+    assets = synthesize_assets(spark, n=12)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 12
+    by_id = {r["asset_id"]: r for r in feats}
+    a0 = by_id["asset-0"]
+    assert a0["n_bytes"] == 64 and len(a0["feature"]) == 8
+    # determinism: features equal the pure-python decode of the same payload
+    payload = assets.filter(F.col("asset_id") == "asset-0").collect()[0]["payload"]
+    assert a0["feature"] == pytest.approx(fake_decode_features(bytes(payload)), abs=1e-6)
+
+
+def test_streaming_incremental_chunking(spark, tmp_path):
+    from llm_graph_builder_spark.streaming.ingest import start_incremental_chunking
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows = [("r1", "a.py", "c1", "en", "alpha beta gamma delta"),
+            ("r2", "b.py", "c2", "en", "one two three four five")]
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(inp)
+    q = start_incremental_chunking(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    docs = spark.read.parquet(f"{out}/documents")
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert docs.count() == 2 and chunks.count() == 2
+    # exactly-once: restarting with no new files appends nothing
+    q2 = start_incremental_chunking(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/documents").count() == 2

@@ -1,0 +1,163 @@
+"""Extraction determinism, P/R=1.0 vs the pure-Python oracle, combine-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.chunking import chunk_documents
+from llm_graph_builder_spark.operators.extraction import (
+    DeterministicExtractor,
+    LLMExtractor,
+    entities_from_mentions,
+    entity_edges,
+    extract_chunks,
+    extract_text_py,
+    has_entity_edges,
+)
+from llm_graph_builder_spark.sources.repos import ingest, synth_repos
+
+
+def test_extract_text_py_golden():
+    out = extract_text_py("the fast join a merge join data big")
+    # tokens >=4 chars: fast join merge join data
+    assert out["mentions"] == [
+        {"id": "fast", "label": "Artifact"},
+        {"id": "join", "label": "Operation"},
+        {"id": "merge", "label": "Operation"},
+        {"id": "data", "label": "Artifact"},
+    ]
+    preds = [(t["subj_id"], t["pred"], t["obj_id"]) for t in out["triples"]]
+    assert preds == [
+        ("fast", "FEEDS", "join"),
+        ("join", "THEN", "merge"),
+        ("merge", "THEN", "join"),
+        ("join", "USES", "data"),
+    ]
+
+
+def test_extract_text_py_dedup_and_selfpairs():
+    out = extract_text_py("join join join data join data")
+    assert out["mentions"] == [
+        {"id": "join", "label": "Operation"},
+        {"id": "data", "label": "Artifact"},
+    ]
+    preds = [(t["subj_id"], t["pred"], t["obj_id"]) for t in out["triples"]]
+    # join join (self) skipped; (join,data) and (data,join) deduped to one each
+    assert preds == [("join", "USES", "data"), ("data", "FEEDS", "join")]
+    assert extract_text_py("") == {"mentions": [], "triples": []}
+
+
+def test_extract_chunks_matches_python(spark, sf_dir):
+    docs = ingest(synth_repos(spark, sf_dir)).limit(30).cache()
+    chunks = chunk_documents(docs).cache()
+    mentions, triples = extract_chunks(chunks)
+    got_m = {
+        (r["chunk_id"], r["entity_id"], r["entity_label"])
+        for r in mentions.collect()
+    }
+    got_t = {
+        (r["chunk_id"], r["subj_id"], r["pred"], r["obj_id"]) for r in triples.collect()
+    }
+    exp_m, exp_t = set(), set()
+    for r in chunks.collect():
+        ex = extract_text_py(r["text"])
+        for m in ex["mentions"]:
+            exp_m.add((r["chunk_id"], m["id"], m["label"]))
+        for t in ex["triples"]:
+            exp_t.add((r["chunk_id"], t["subj_id"], t["pred"], t["obj_id"]))
+    # P/R = 1.0 vs the stage oracle (SURVEY §5)
+    assert got_m == exp_m
+    assert got_t == exp_t
+
+
+def test_combine_k_reassociation(spark):
+    # 1 doc, 3 chunks; combine-2 → unit1={c1,c2}, unit2={c3}; every member
+    # chunk inherits the unit's extraction (reference common_fn.py:146-153)
+    rows = [
+        ("d", "c1", "join data", 1),
+        ("d", "c2", "merge line", 2),
+        ("d", "c3", "sort part", 3),
+    ]
+    chunks = spark.createDataFrame(rows, "doc_id string, chunk_id string, text string, position int")
+    mentions, triples = extract_chunks(chunks, combine_k=2)
+    m = {(r["chunk_id"], r["entity_id"]) for r in mentions.collect()}
+    assert ("c1", "merge") in m and ("c2", "join") in m  # cross-inherited
+    assert ("c3", "sort") in m and ("c3", "part") in m
+    assert ("c3", "join") not in m
+    t = {(r["chunk_id"], r["subj_id"], r["obj_id"]) for r in triples.collect()}
+    # combined text "join data merge line" creates a bridging triple data->merge
+    assert ("c1", "data", "merge") in t and ("c2", "data", "merge") in t
+
+
+def test_entity_tables(spark, sf_dir):
+    docs = ingest(synth_repos(spark, sf_dir)).limit(30).cache()
+    chunks = chunk_documents(docs).cache()
+    mentions, triples = extract_chunks(chunks)
+    ents = entities_from_mentions(mentions).cache()
+    assert ents.groupBy("id", "label").count().filter("count > 1").count() == 0
+    he = has_entity_edges(mentions)
+    assert he.count() == mentions.select("chunk_id", "entity_id", "entity_label").distinct().count()
+    ee = entity_edges(triples).cache()
+    assert ee.filter(F.col("weight") < 1).count() == 0
+    # triple endpoints are a subset of entities
+    subj_missing = (
+        ee.select(F.col("subj_id").alias("id"), F.col("subj_label").alias("label"))
+        .distinct()
+        .join(ents, ["id", "label"], "left_anti")
+        .count()
+    )
+    assert subj_missing == 0
+
+
+def test_llm_extractor_requires_client():
+    with pytest.raises(NotImplementedError):
+        LLMExtractor()
+
+
+def test_llm_extractor_with_fake_client(spark):
+    """The production UDF path works end-to-end given any client."""
+
+    class FakeClient:
+        def extract_batch(self, texts):
+            return [extract_text_py(t) for t in texts]
+
+    chunks = spark.createDataFrame(
+        [("d", "c1", "join data", 1)],
+        "doc_id string, chunk_id string, text string, position int",
+    )
+    mentions, triples = extract_chunks(chunks, extractor=LLMExtractor(FakeClient))
+    assert {r["entity_id"] for r in mentions.collect()} == {"join", "data"}
+    assert triples.count() == 1
+
+
+def test_cleaning_drops_backticks_and_empties(spark):
+    class DirtyClient:
+        def extract_batch(self, texts):
+            return [
+                {
+                    "mentions": [
+                        {"id": "`Foo`", "label": " Bar "},
+                        {"id": "", "label": "X"},
+                        {"id": "ok", "label": ""},
+                    ],
+                    "triples": [
+                        {"subj_id": "`Foo`", "subj_label": "Bar", "pred": "`R`",
+                         "obj_id": "baz", "obj_label": "Qux"},
+                        {"subj_id": "", "subj_label": "B", "pred": "R",
+                         "obj_id": "z", "obj_label": "Q"},
+                    ],
+                }
+                for _ in texts
+            ]
+
+    chunks = spark.createDataFrame(
+        [("d", "c1", "whatever", 1)],
+        "doc_id string, chunk_id string, text string, position int",
+    )
+    mentions, triples = extract_chunks(chunks, extractor=LLMExtractor(DirtyClient))
+    m = [(r["entity_id"], r["entity_label"]) for r in mentions.collect()]
+    assert m == [("Foo", "Bar")]
+    t = triples.collect()
+    assert len(t) == 1
+    assert t[0]["subj_id"] == "Foo" and t[0]["pred"] == "R"

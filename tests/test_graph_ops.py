@@ -1,0 +1,215 @@
+"""Embeddings, SIMILAR kNN, entity linking + CC, communities, counts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.communities import (
+    community_hierarchy,
+    community_projection,
+    community_tables,
+    label_propagation,
+)
+from llm_graph_builder_spark.operators.embeddings import (
+    HashingEmbedder,
+    embed_chunks,
+    hash_embed_py,
+)
+from llm_graph_builder_spark.operators.linking import (
+    block_candidates_lsh,
+    candidate_pairs_exact,
+    canonical_map,
+    connected_components,
+    entity_degrees,
+    merge_entities,
+    orphan_entities,
+)
+from llm_graph_builder_spark.operators.similar import similar_edges
+
+
+def test_hash_embed_deterministic_and_normalized():
+    v1 = hash_embed_py("join data join")
+    v2 = hash_embed_py("join data join")
+    assert v1 == v2
+    assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-9
+    assert hash_embed_py("") == [0.0] * 64
+
+
+def test_embed_chunks_matches_python(spark):
+    chunks = spark.createDataFrame(
+        [("c1", "join data"), ("c2", "merge line sort")], "chunk_id string, text string"
+    )
+    rows = {r["chunk_id"]: r["embedding"] for r in embed_chunks(chunks).collect()}
+    exp = HashingEmbedder().encode(["join data", "merge line sort"])
+    for got, want in zip([rows["c1"], rows["c2"]], exp):
+        assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_similar_edges_semantics(spark):
+    # e1 ≈ e2 (identical), e3 orthogonal, e4 close to e1
+    rows = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [1.0, 0.0, 0.0, 0.0]),
+        ("c", [0.0, 1.0, 0.0, 0.0]),
+        ("d", [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "chunk_id string, embedding array<double>")
+    edges = similar_edges(df, min_score=0.8, top_k=6, max_degree=5).collect()
+    pairs = {(r["src"], r["dst"]): r["score"] for r in edges}
+    assert ("a", "b") in pairs and pairs[("a", "b")] == pytest.approx(1.0)
+    assert ("a", "d") in pairs and ("b", "d") in pairs
+    assert all("c" not in p for p in pairs)  # orthogonal excluded
+    # undirected canonicalization: no reversed duplicates
+    assert not any((b, a) in pairs for (a, b) in pairs)
+
+
+def test_similar_edges_degree_cap(spark):
+    # hub h plus 8 sats all ≈ h: degree cap 5 keeps only 5 edges at h
+    rows = [("h", [1.0, 0.0])] + [(f"s{i}", [1.0, 0.001 * i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "chunk_id string, embedding array<double>")
+    edges = similar_edges(df, min_score=0.8, top_k=20, max_degree=5)
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("n"))
+        .groupBy("n")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in deg) <= 5
+
+
+ENTS = [
+    ("apple inc", "Org"),
+    ("apple incorporated", "Org"),  # contains 'apple inc'
+    ("aple inc", "Org"),  # levenshtein 1 from 'apple inc'
+    ("banana", "Org"),
+    ("apple inc", "Fruit"),  # same id, different label: never a candidate
+    ("cherry", "Fruit"),
+]
+
+
+def test_candidate_pairs_exact(spark):
+    ents = spark.createDataFrame(ENTS, "id string, label string")
+    pairs = {(r["id_a"], r["id_b"]) for r in candidate_pairs_exact(ents).collect()}
+    assert ("apple inc", "apple incorporated") in pairs  # containment
+    assert ("aple inc", "apple inc") in pairs  # levenshtein 1 < 3
+    assert not any("banana" in p or "cherry" in p for p in pairs)
+
+
+def test_lsh_blocking_recall(spark):
+    ents = spark.createDataFrame(ENTS, "id string, label string")
+    exact = {tuple(r) for r in candidate_pairs_exact(ents).collect()}
+    lsh = {tuple(r) for r in block_candidates_lsh(ents).collect()}
+    # LSH must recover every exact pair on this fixture (recall target §7.4.5)
+    assert exact == lsh
+
+
+def test_connected_components_and_canonical(spark):
+    pairs = spark.createDataFrame(
+        [("Org", "a", "b"), ("Org", "b", "c"), ("Org", "x", "y"), ("P", "a", "q")],
+        "label string, id_a string, id_b string",
+    )
+    comp = connected_components(pairs, spark)
+    got = {(r["label"], r["id"]): r["component"] for r in comp.collect()}
+    assert got[("Org", "a")] == got[("Org", "b")] == got[("Org", "c")] == "a"
+    assert got[("Org", "x")] == got[("Org", "y")] == "x"
+    assert got[("P", "a")] == got[("P", "q")] == "a"
+    # canonical rep by degree desc, len desc, id asc
+    ents = spark.createDataFrame(
+        [("a", "Org"), ("b", "Org"), ("c", "Org"), ("x", "Org"), ("y", "Org"), ("a", "P"), ("q", "P")],
+        "id string, label string",
+    )
+    degrees = spark.createDataFrame(
+        [("a", "Org", 1), ("b", "Org", 5), ("c", "Org", 2)], "id string, label string, degree int"
+    )
+    cmap = canonical_map(comp, ents, degrees)
+    m = {(r["label"], r["id"]): r["canonical_id"] for r in cmap.collect()}
+    assert m[("Org", "a")] == "b" and m[("Org", "c")] == "b"  # b has max degree
+
+
+def test_merge_entities_rewrites_edges(spark):
+    ents = spark.createDataFrame(
+        [("a", "Org", 3, 1), ("b", "Org", 2, 1), ("z", "Org", 1, 1)],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "Org", "R", "z", "Org", 2), ("b", "Org", "R", "z", "Org", 1),
+         ("a", "Org", "R", "b", "Org", 4)],
+        "subj_id string, subj_label string, pred string, obj_id string, obj_label string, weight long",
+    )
+    cmap = spark.createDataFrame(
+        [("Org", "a", "b"), ("Org", "b", "b")], "label string, id string, canonical_id string"
+    )
+    ments, medges = merge_entities(ents, edges, cmap)
+    mrows = {r["id"]: r for r in ments.collect()}
+    assert set(mrows) == {"b", "z"}
+    assert mrows["b"]["chunk_count"] == 5  # 3+2 summed
+    erows = {(r["subj_id"], r["obj_id"]): r["weight"] for r in medges.collect()}
+    # a→z and b→z collapse into b→z weight 3; a→b becomes self-loop → dropped
+    assert erows == {("b", "z"): 3}
+
+
+def test_orphan_entities(spark):
+    ents = spark.createDataFrame(
+        [("a", "Org"), ("b", "Org"), ("solo", "Org")], "id string, label string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "Org", "R", "b", "Org", 1)],
+        "subj_id string, subj_label string, pred string, obj_id string, obj_label string, weight long",
+    )
+    got = [r["id"] for r in orphan_entities(ents, edges).collect()]
+    assert got == ["solo"]
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by a weak bridge → two communities
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    rows = []
+    for u, v in tri1 + tri2:
+        rows += [(u, v, 10), (v, u, 10)]
+    for u, v in bridge:
+        rows += [(u, v, 1), (v, u, 1)]
+    g = spark.createDataFrame(rows, "u string, v string, weight long")
+    labels = {r["u"]: r["community"] for r in label_propagation(g).collect()}
+    assert labels["a"] == labels["b"] == labels["c"]
+    assert labels["x"] == labels["y"] == labels["z"]
+    assert labels["a"] != labels["x"]
+
+
+def test_community_hierarchy_and_tables(spark):
+    edges = spark.createDataFrame(
+        [("a", "Org", "R", "b", "Org", 5), ("b", "Org", "R", "c", "Org", 5),
+         ("x", "Org", "R", "y", "Org", 5)],
+        "subj_id string, subj_label string, pred string, obj_id string, obj_label string, weight long",
+    )
+    ents = spark.createDataFrame(
+        [("a", "Org"), ("b", "Org"), ("c", "Org"), ("x", "Org"), ("y", "Org"), ("iso", "Org")],
+        "id string, label string",
+    )
+    h = community_hierarchy(edges, levels=3, all_entities=ents)
+    rows = {r["u"]: r["communities"] for r in h.collect()}
+    assert len(rows) == 6
+    assert all(len(v) == 3 for v in rows.values())
+    assert rows["iso\x01Org".replace("\\x01", "\x01")] is not None
+    mentions = spark.createDataFrame(
+        [("ch1", "d1", "a", "Org"), ("ch2", "d2", "b", "Org")],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    chunks = spark.createDataFrame([("ch1", "d1"), ("ch2", "d2")], "chunk_id string, doc_id string")
+    comms, cedges = community_tables(h, mentions, chunks)
+    assert comms.filter(F.col("level") == 0).count() >= 3
+    types = {r["rel_type"] for r in cedges.select("rel_type").distinct().collect()}
+    assert types == {"IN_COMMUNITY", "PARENT_COMMUNITY"}
+
+
+def test_entity_degrees(spark):
+    edges = spark.createDataFrame(
+        [("a", "Org", "R", "b", "Org", 1), ("a", "Org", "S", "c", "Org", 1)],
+        "subj_id string, subj_label string, pred string, obj_id string, obj_label string, weight long",
+    )
+    d = {r["id"]: r["degree"] for r in entity_degrees(edges).collect()}
+    assert d == {"a": 2, "b": 1, "c": 1}

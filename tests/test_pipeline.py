@@ -1,0 +1,60 @@
+"""End-to-end pipeline runner: manifest, invariant, resume idempotency."""
+
+from __future__ import annotations
+
+import json
+
+from llm_graph_builder_spark.plans.pipeline import PipelineRunner
+from llm_graph_builder_spark.sources.repos import synth_repos
+
+
+def _repos(spark, sf_dir):
+    return synth_repos(spark, sf_dir).limit(60)
+
+
+def test_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    runner = PipelineRunner(spark, wh)
+    results = runner.run(_repos(spark, sf_dir))
+    by_stage = {r.stage: r for r in results}
+    assert set(by_stage) == set(PipelineRunner.STAGES)
+    assert all(not r.skipped for r in results)
+    assert by_stage["documents"].rows_out == 60
+    assert by_stage["chunks"].rows_out > 0
+    assert by_stage["triples"].rows_out > 0
+
+    # manifest recorded the content-sha invariant as COMPLETED (not FAILED)
+    manifest = [json.loads(l) for l in open(f"{wh}/_manifest.jsonl")]
+    inv = [m for m in manifest if m["stage"] == "invariant_content_sha256"]
+    assert inv and all(m["status"] == "COMPLETED" for m in inv)
+
+    # resume: nothing recomputes, outputs byte-identical row counts
+    results2 = runner.run(_repos(spark, sf_dir), resume=True)
+    assert all(r.skipped for r in results2)
+    assert {r.stage: r.rows_out for r in results2} == {
+        r.stage: r.rows_out for r in results
+    }
+
+
+def test_pipeline_resume_after_partial(spark, sf_dir, tmp_path):
+    """Kill-mid-run simulation: manifest truncated after 'chunks' → resume
+    recomputes only the missing stages and converges to the same counts."""
+    wh = str(tmp_path / "wh2")
+    runner = PipelineRunner(spark, wh)
+    full = {r.stage: r.rows_out for r in runner.run(_repos(spark, sf_dir))}
+
+    # wipe manifest entries after the first three stages (simulates a crash
+    # between stage commits; parquet dirs of later stages may exist but are
+    # not trusted without a manifest row)
+    keep = {"documents", "chunks", "chunk_edges"}
+    lines = [json.loads(l) for l in open(f"{wh}/_manifest.jsonl")]
+    with open(f"{wh}/_manifest.jsonl", "w") as f:
+        for m in lines:
+            if m["stage"] in keep:
+                f.write(json.dumps(m) + "\n")
+
+    results = runner.run(_repos(spark, sf_dir), resume=True)
+    by_stage = {r.stage: r for r in results}
+    assert by_stage["documents"].skipped and by_stage["chunks"].skipped
+    assert not by_stage["mentions"].skipped
+    assert {r.stage: r.rows_out for r in results} == full
