@@ -79,7 +79,7 @@ def main():
         docs = ingest(synth_repos(spark, sf_dir), repo_salt=cpus).cache()
         n_docs = docs.count()
         chunks = chunk_documents(docs).cache()
-        mentions, triples = extract_chunks(chunks)
+        mentions, triples = extract_chunks(chunks, persist=True)
         mentions.write.mode("overwrite").parquet(f"{out_dir}/mentions")
         triples.write.mode("overwrite").parquet(f"{out_dir}/triples")
     extra["files"] = n_docs

@@ -214,54 +214,142 @@ def clean_extraction(df: DataFrame, id_col: str, label_col: str) -> DataFrame:
     return cleaned.filter((F.length(id_col) > 0) & (F.length(label_col) > 0))
 
 
-def extract_chunks(
+def _clean_str(c):
+    return F.trim(F.regexp_replace(c, "`", ""))
+
+
+def _clean_mentions_arr(col):
+    """X4 cleaning at array granularity — trim/strip-backticks every mention,
+    drop empties, dedup within the chunk. Pure JVM expressions (transform /
+    filter / array_distinct) inside whole-stage codegen: per-chunk dedup never
+    needs a cluster-wide shuffle because the output key includes chunk_id."""
+    cleaned = F.transform(
+        col,
+        lambda m: F.struct(
+            _clean_str(m["id"]).alias("id"), _clean_str(m["label"]).alias("label")
+        ),
+    )
+    return F.array_distinct(
+        F.filter(cleaned, lambda m: (F.length(m["id"]) > 0) & (F.length(m["label"]) > 0))
+    )
+
+
+def _clean_triples_arr(col):
+    cleaned = F.transform(
+        col,
+        lambda t: F.struct(
+            _clean_str(t["subj_id"]).alias("subj_id"),
+            _clean_str(t["subj_label"]).alias("subj_label"),
+            _clean_str(t["pred"]).alias("pred"),
+            _clean_str(t["obj_id"]).alias("obj_id"),
+            _clean_str(t["obj_label"]).alias("obj_label"),
+        ),
+    )
+    return F.array_distinct(
+        F.filter(
+            cleaned,
+            lambda t: (F.length(t["subj_id"]) > 0)
+            & (F.length(t["subj_label"]) > 0)
+            & (F.length(t["pred"]) > 0)
+            & (F.length(t["obj_id"]) > 0)
+            & (F.length(t["obj_label"]) > 0),
+        )
+    )
+
+
+def extract_units(
     chunks: DataFrame,
     extractor=None,
     combine_k: int = 1,
-) -> tuple[DataFrame, DataFrame]:
-    """Run the extractor over (combined) chunks.
+) -> DataFrame:
+    """Run the extractor over (combined) chunks; one row per (doc, unit).
 
-    Returns ``(mentions, triples)``:
-      mentions(chunk_id, doc_id, entity_id, entity_label)   — distinct
-      triples(chunk_id, doc_id, subj_id, subj_label, pred, obj_id, obj_label)
-    With combine_k > 1, every member chunk inherits the combined unit's
-    extraction (reference: get_chunk_and_graphDocument flattening,
-    src/shared/common_fn.py:146-153).
+    Output: (doc_id, chunk_ids array, mentions array, triples array), cleaned
+    (X4) and per-unit distinct. This is the compact, materializable form —
+    the pipeline persists/writes THIS once and derives the exploded mentions
+    and triples tables as cheap projections, instead of recomputing the
+    extractor DAG per output.
     """
     extractor = extractor or DeterministicExtractor()
     udf = extractor.make_udf()
-    units = combine_chunks(chunks, combine_k)
-    # Content-addressed dedup BEFORE the extractor: vendored files repeated
-    # across repos share unit ids, so each distinct text hits the (expensive)
-    # extractor exactly once — the biggest cost saver at 10^12 files
-    # (SURVEY §7.4.4). Deterministic extraction ⇒ identical results.
-    distinct_units = units.select("unit_id", "text").dropDuplicates(["unit_id"])
-    unit_results = distinct_units.withColumn("x", udf(F.col("text"))).select(
-        "unit_id", F.col("x.mentions").alias("mentions"), F.col("x.triples").alias("triples")
-    )
-    extracted = units.select("doc_id", "unit_id", "chunk_ids").join(
-        unit_results, on="unit_id"
-    ).select("doc_id", "chunk_ids", "mentions", "triples")
-    # X6 re-association: explode member chunk ids first so both outputs share it
-    per_chunk = extracted.select(
-        "doc_id", F.explode("chunk_ids").alias("chunk_id"), "mentions", "triples"
-    )
-    mentions = clean_extraction(
-        per_chunk.select(
-            "chunk_id",
-            "doc_id",
-            F.explode("mentions").alias("m"),
+    if combine_k <= 1:
+        # Fast path (the default): ONE shuffle, no join. A single aggregation
+        # by content-addressed chunk_id simultaneously (a) dedups vendored
+        # files repeated across repos/docs so each distinct text hits the
+        # (expensive) extractor exactly once — the biggest cost saver at
+        # 10^12 files (SURVEY §7.4.4) — and (b) collects the doc membership
+        # set, replacing the dedup-shuffle + sort-merge-join re-association
+        # of the generic path. The extractor UDF runs post-shuffle on the
+        # distinct texts; explode(doc_ids) restores per-doc rows.
+        grouped = chunks.groupBy(F.col("chunk_id").alias("unit_id")).agg(
+            F.first("text").alias("text"),
+            F.collect_set("doc_id").alias("doc_ids"),
+        )
+        # NB: the cleaning projection must live in its own select — a
+        # generator (explode) in the same projection breaks resolution of
+        # struct-field aliases inside the transform() lambdas.
+        exploded = grouped.select(
+            "unit_id", "doc_ids", udf(F.col("text")).alias("x")
         ).select(
+            F.explode("doc_ids").alias("doc_id"),
+            F.array("unit_id").alias("chunk_ids"),
+            "x",
+        )
+        return exploded.select(
+            "doc_id",
+            "chunk_ids",
+            _clean_mentions_arr(F.col("x.mentions")).alias("mentions"),
+            _clean_triples_arr(F.col("x.triples")).alias("triples"),
+        )
+    units = combine_chunks(chunks, combine_k)
+    # A doc with two byte-identical windows yields the same unit twice —
+    # Neo4j-MERGE semantics keep one (dedup on skinny keys BEFORE the explode,
+    # not on millions of exploded mention rows).
+    doc_units = units.select("doc_id", "unit_id", "chunk_ids").dropDuplicates(
+        ["doc_id", "unit_id"]
+    )
+    # Content-addressed dedup BEFORE the extractor (see fast path above).
+    distinct_units = units.select("unit_id", "text").dropDuplicates(["unit_id"])
+    unit_results = distinct_units.select(
+        "unit_id", udf(F.col("text")).alias("x")
+    ).select(
+        "unit_id",
+        _clean_mentions_arr(F.col("x.mentions")).alias("mentions"),
+        _clean_triples_arr(F.col("x.triples")).alias("triples"),
+    )
+    return doc_units.join(unit_results, on="unit_id").select(
+        "doc_id", "chunk_ids", "mentions", "triples"
+    )
+
+
+def mentions_from_units(extracted: DataFrame) -> DataFrame:
+    """Explode the unit table into mentions(chunk_id, doc_id, entity_id,
+    entity_label). Distinct by construction: one row per (doc, chunk) upstream
+    and per-unit array_distinct — no shuffle needed (X6 re-association:
+    every member chunk inherits the unit's extraction, reference
+    src/shared/common_fn.py:146-153)."""
+    return (
+        extracted.select(
+            "doc_id", F.explode("chunk_ids").alias("chunk_id"), "mentions"
+        )
+        .select("doc_id", "chunk_id", F.explode("mentions").alias("m"))
+        .select(
             "chunk_id",
             "doc_id",
             F.col("m.id").alias("entity_id"),
             F.col("m.label").alias("entity_label"),
-        ),
-        "entity_id",
-        "entity_label",
-    ).dropDuplicates(["chunk_id", "doc_id", "entity_id", "entity_label"])
-    triples = (
-        per_chunk.select("chunk_id", "doc_id", F.explode("triples").alias("t"))
+        )
+    )
+
+
+def triples_from_units(extracted: DataFrame) -> DataFrame:
+    """Explode the unit table into the triples table (distinct by
+    construction, same argument as mentions_from_units)."""
+    return (
+        extracted.select(
+            "doc_id", F.explode("chunk_ids").alias("chunk_id"), "triples"
+        )
+        .select("doc_id", "chunk_id", F.explode("triples").alias("t"))
         .select(
             "chunk_id",
             "doc_id",
@@ -272,16 +360,28 @@ def extract_chunks(
             F.col("t.obj_label").alias("obj_label"),
         )
     )
-    triples = clean_extraction(triples, "subj_id", "subj_label")
-    triples = (
-        clean_extraction(triples, "obj_id", "obj_label")
-        .withColumn("pred", F.trim(F.regexp_replace("pred", "`", "")))
-        .filter(F.length("pred") > 0)
-    )
-    triples = triples.dropDuplicates(
-        ["chunk_id", "doc_id", "subj_id", "subj_label", "pred", "obj_id", "obj_label"]
-    )
-    return mentions, triples
+
+
+def extract_chunks(
+    chunks: DataFrame,
+    extractor=None,
+    combine_k: int = 1,
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the extractor over (combined) chunks.
+
+    Returns ``(mentions, triples)``:
+      mentions(chunk_id, doc_id, entity_id, entity_label)   — distinct
+      triples(chunk_id, doc_id, subj_id, subj_label, pred, obj_id, obj_label)
+    With combine_k > 1, every member chunk inherits the combined unit's
+    extraction (reference: get_chunk_and_graphDocument flattening,
+    src/shared/common_fn.py:146-153). With ``persist=True`` the compact unit
+    table is persisted so materializing both outputs runs the extractor once.
+    """
+    extracted = extract_units(chunks, extractor, combine_k)
+    if persist:
+        extracted = extracted.persist()
+    return mentions_from_units(extracted), triples_from_units(extracted)
 
 
 def entities_from_mentions(mentions: DataFrame) -> DataFrame:

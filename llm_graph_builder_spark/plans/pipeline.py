@@ -35,8 +35,10 @@ from ..operators.embeddings import embed_chunks
 from ..operators.extraction import (
     entities_from_mentions,
     entity_edges,
-    extract_chunks,
+    extract_units,
     has_entity_edges,
+    mentions_from_units,
+    triples_from_units,
 )
 from ..operators.linking import (
     candidate_pairs_exact,
@@ -65,6 +67,7 @@ class PipelineRunner:
         "chunks",
         "chunk_edges",
         "chunk_embeddings",
+        "extractions",
         "mentions",
         "triples",
         "entities",
@@ -161,14 +164,17 @@ class PipelineRunner:
         stage("chunk_embeddings", lambda: embed_chunks(
             chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"]), dim=cfg.embedding_dim))
 
-        if resume and "mentions" in done and "triples" in done \
-                and os.path.exists(f"{self._table('triples')}/_SUCCESS"):
-            results.append(StageResult("mentions", done["mentions"]["rows_out"], 0, True))
-            results.append(StageResult("triples", done["triples"]["rows_out"], 0, True))
-        else:
-            mentions, triples = extract_chunks(chunks, self.extractor)
-            stage("mentions", lambda: mentions)
-            stage("triples", lambda: triples)
+        # The compact per-unit table (chunk_ids/mentions/triples arrays) is the
+        # canonical extraction materialization: arrays amortize the 64-hex
+        # doc/chunk ids ~10× vs exploded rows, so the expensive stage writes
+        # one small table and the exploded mentions/triples tables are cheap
+        # projections of it (never a second run of the extractor).
+        stage("extractions", lambda: extract_units(chunks, self.extractor))
+        extracted = self.read("extractions")
+        mentions = mentions_from_units(extracted)
+        triples = triples_from_units(extracted)
+        stage("mentions", lambda: mentions)
+        stage("triples", lambda: triples)
         mentions = self.read("mentions").cache()
         triples = self.read("triples").cache()
 

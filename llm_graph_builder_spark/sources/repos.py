@@ -62,7 +62,7 @@ def synth_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ingest(repos: DataFrame, repo_salt: int = 8) -> DataFrame:
+def ingest(repos: DataFrame, repo_salt: int = 8, num_partitions: int | None = None) -> DataFrame:
     """Stage 0 — normalize the corpus into the ``documents`` dimension.
 
     Adds content-addressed identities and the per-row sha256 invariant column
@@ -70,11 +70,20 @@ def ingest(repos: DataFrame, repo_salt: int = 8) -> DataFrame:
     equality"). The ``salt`` column pre-splits giant repos for downstream
     repartitioning (SURVEY §4 skew rule: Zipfian repos → salt hot keys).
 
+    The output is hash-repartitioned on ``(repo, salt)`` — the explicit
+    pre-partitioning the north rule requires: co-locates a repo's files while
+    the salt splits Zipfian-hot repos across ``repo_salt`` partitions, and it
+    decouples downstream parallelism from the input file layout (a handful of
+    giant Iceberg/parquet files must not serialize the pandas-UDF stages).
+    ``num_partitions`` defaults to 2× the cluster's default parallelism.
+
     Reference parity: fileName/doc identity per src/graphDB_dataAccess.py:41-74;
     doc_id = sha256(repo‖path‖commit) replaces Neo4j's fileName MERGE key.
     """
+    if num_partitions is None:
+        num_partitions = repos.sparkSession.sparkContext.defaultParallelism * 2
     file_name = F.concat_ws("@", F.concat_ws("/", F.col("repo"), F.col("path")), F.col("commit"))
-    return repos.select(
+    return repos.repartition(num_partitions, "repo", F.pmod(F.xxhash64("path"), F.lit(repo_salt))).select(
         F.sha2(file_name, 256).alias("doc_id"),
         file_name.alias("file_name"),
         "repo",
