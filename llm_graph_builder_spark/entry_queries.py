@@ -193,6 +193,34 @@ def q_chunk_page(spark, sf_dir):
     )
 
 
+def q_code_triples(spark, sf_dir):
+    """Code-rule extraction (IMPORTS / DEFINED_IN / CALLS / WRITTEN_IN) over a
+    deterministic synthetic-code projection of documents.parquet. The DuckDB
+    oracle derives the expected triples independently (direct construction,
+    not regex replication), so this checks the extractor's semantic contract
+    end-to-end through the multi-arg pandas UDF."""
+    from .operators.code_extract import code_triples, extract_code_documents
+
+    docs = read_documents(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    code = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("src/f"), d, F.lit(".py")).alias("path"),
+        "lang",
+        F.concat(
+            F.lit("import util_"), (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.lit("from pkg_"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(" import helper\n"),
+            F.lit("class Handler_"), (F.col("doc_id") % 11).cast("string"), F.lit(":\n"),
+            F.lit("def process_"), (F.col("doc_id") % 13).cast("string"), F.lit("():\n"),
+            F.lit("    run_"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("(payload)\n"),
+            F.lit("setup()\n"),
+        ).alias("content"),
+    )
+    return code_triples(extract_code_documents(code))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -313,6 +341,7 @@ QUERIES = {
     "label_inventory": q_label_inventory,
     "top_entities": q_top_entities,
     "chunk_page": q_chunk_page,
+    "code_triples": q_code_triples,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,

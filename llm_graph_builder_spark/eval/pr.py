@@ -1,0 +1,70 @@
+"""Precision/recall scoring of emitted triples against an expected set.
+
+Mirrors the reference's extraction-quality protocol: its integration tests
+and offline comparisons score each model's emitted node/relation sets against
+human-annotated expectations (reference: backend/test_integrationqa.py,
+data/llm_comparision.json — e.g. the "Human Extraction" row with 22 nodes /
+24 relations for Football_news.pdf; experiments/LLM_Results_.csv "Human"
+rows). The north rule pins the bar at P/R >= 0.95.
+
+All set arithmetic is distributed (distinct + joins), so the same scorer runs
+on a 12-file pytest fixture and on a billion-triple table; only the three
+counters are collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_KEY = ["subj_id", "subj_label", "pred", "obj_id", "obj_label"]
+MENTION_KEY = ["entity_id", "entity_label"]
+
+
+def _normalize(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.select(*[F.lower(F.trim(F.col(c))).alias(c) for c in cols]).distinct()
+
+
+def set_prf(
+    emitted: DataFrame,
+    expected: DataFrame,
+    cols: list[str],
+    normalize: bool = True,
+    per_doc: bool = False,
+) -> dict:
+    """Precision/recall/F1 of ``emitted`` vs ``expected`` over key ``cols``.
+
+    With ``per_doc=True`` the match key includes ``doc_id`` (a triple must be
+    found in the *right* document to count). ``normalize=True`` lower-cases
+    and trims ids before comparison (the reference's comparisons are
+    case-tolerant: e.g. GPT emits 'Luis Suarez' vs human 'Suarez').
+    """
+    key = (["doc_id"] + cols) if per_doc else cols
+    e = _normalize(emitted.select(*key), key) if normalize else emitted.select(*key).distinct()
+    x = _normalize(expected.select(*key), key) if normalize else expected.select(*key).distinct()
+    tp = e.join(x, on=key, how="inner").count()
+    n_e = e.count()
+    n_x = x.count()
+    precision = tp / n_e if n_e else 1.0
+    recall = tp / n_x if n_x else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return {
+        "tp": tp,
+        "emitted": n_e,
+        "expected": n_x,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def triple_prf(emitted: DataFrame, expected: DataFrame, **kw) -> dict:
+    return set_prf(emitted, expected, TRIPLE_KEY, **kw)
+
+
+def mention_prf(emitted: DataFrame, expected: DataFrame, **kw) -> dict:
+    return set_prf(emitted, expected, MENTION_KEY, **kw)

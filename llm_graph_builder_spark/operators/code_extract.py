@@ -1,0 +1,197 @@
+"""Code-aware deterministic extractor — the source-code instantiation of the
+reference's LLM triple extraction (SURVEY §2.3 X2).
+
+The reference invents node labels/relationship types per chunk via
+``LLMGraphTransformer`` (reference: backend/src/llm.py:195-247); for a corpus
+of source-code repositories (BASELINE.json ``input_hint``) the deterministic
+stand-in extracts the code-graph schema promised in FIXTURES.md §2:
+
+    (Module, IMPORTS,    Module)     import / from-import / use / require
+    (Class,  DEFINED_IN, Module)     class / struct / interface definitions
+    (Function, DEFINED_IN, Module)   def / fn / func / function definitions
+    (Module, CALLS,      Function)   call sites (definition lines excluded)
+    (Module, WRITTEN_IN, Language)   from the ``lang`` column
+
+Rules are pure regex, written in the common subset of Python ``re`` and RE2
+(no lookbehind/backreferences) so the DuckDB oracle (``oracle.ORACLE_SQL
+['code_triples']``) replicates them with ``regexp_extract_all`` exactly.
+
+Execution shape: one multi-argument vectorized pandas UDF over
+``(path, lang, content)`` at document grain (the chunk-grained provenance
+path stays with the generic extractor — extraction.py); the UDF returns the
+same mentions/triples Arrow schema, so downstream stages are shared.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .extraction import EXTRACTION_SCHEMA
+
+# -- the extraction contract (mirrored in oracle SQL — keep in sync) --------
+
+#: module identity = path basename without its last extension
+RE_BASENAME = r"([^/]+)$"
+RE_STRIP_EXT = r"\.[^.]*$"
+
+#: import forms (group 1 = imported module id)
+RE_IMPORTS = (
+    r"(?m)^\s*import\s+([A-Za-z_][\w\.]*)",
+    r"(?m)^\s*from\s+([A-Za-z_][\w\.]*)\s+import\b",
+    r"(?m)^\s*use\s+([A-Za-z_][\w:]*)",
+    r"require\(['\"]([^'\"]+)['\"]\)",
+)
+
+#: type definitions (group 1 = class id)
+RE_CLASS = r"(?m)^\s*(?:public\s+|export\s+)?(?:class|struct|interface)\s+([A-Za-z_]\w*)"
+
+#: function definitions (group 1 = function id)
+RE_FUNC = r"(?m)^\s*(?:def|fn|func|function)\s+([A-Za-z_]\w*)"
+
+#: call sites: NAME( — applied after definition names are blanked out
+#: (RE2 has no lookbehind, so "not preceded by def" is expressed by deleting
+#: the definition keyword+name first; identical sub in both engines)
+RE_DEF_BLANK = r"(?m)^(\s*)(?:def|fn|func|function)\s+[A-Za-z_]\w*"
+RE_CALL = r"\b([A-Za-z_]\w*)\s*\("
+
+#: control-flow / builtin words never counted as called functions
+CALL_STOPWORDS = (
+    "if", "for", "while", "return", "switch", "catch", "print",
+    "require", "import", "use", "class",
+)
+
+LABEL_MODULE = "Module"
+LABEL_CLASS = "Class"
+LABEL_FUNCTION = "Function"
+LABEL_LANGUAGE = "Language"
+
+PRED_IMPORTS = "IMPORTS"
+PRED_DEFINED_IN = "DEFINED_IN"
+PRED_CALLS = "CALLS"
+PRED_WRITTEN_IN = "WRITTEN_IN"
+
+_STOP = frozenset(CALL_STOPWORDS)
+
+
+def module_of(path: str) -> str:
+    m = re.search(RE_BASENAME, path or "")
+    base = m.group(1) if m else (path or "")
+    return re.sub(RE_STRIP_EXT, "", base)
+
+
+def extract_code_py(path: str, lang: str, content: str) -> dict:
+    """Pure-Python code extraction (shared by the UDF, tests, fixtures).
+
+    Returns {mentions, triples} in the EXTRACTION_SCHEMA shape; mentions and
+    triples are distinct, in first-occurrence order.
+    """
+    mod = module_of(path)
+    content = content or ""
+    imports: list[str] = []
+    for pat in RE_IMPORTS:
+        imports.extend(re.findall(pat, content))
+    classes = re.findall(RE_CLASS, content)
+    funcs = re.findall(RE_FUNC, content)
+    blanked = re.sub(RE_DEF_BLANK, r"\1", content)
+    calls = [c for c in re.findall(RE_CALL, blanked) if c not in _STOP]
+
+    mentions: list[dict] = []
+    mseen = set()
+
+    def _mention(mid: str, label: str) -> None:
+        if (mid, label) not in mseen:
+            mseen.add((mid, label))
+            mentions.append({"id": mid, "label": label})
+
+    triples: list[dict] = []
+    tseen = set()
+
+    def _triple(s: str, sl: str, p: str, o: str, ol: str) -> None:
+        key = (s, sl, p, o, ol)
+        if key not in tseen:
+            tseen.add(key)
+            triples.append(
+                {"subj_id": s, "subj_label": sl, "pred": p, "obj_id": o, "obj_label": ol}
+            )
+
+    _mention(mod, LABEL_MODULE)
+    if lang:
+        _mention(lang, LABEL_LANGUAGE)
+        _triple(mod, LABEL_MODULE, PRED_WRITTEN_IN, lang, LABEL_LANGUAGE)
+    for imp in imports:
+        _mention(imp, LABEL_MODULE)
+        _triple(mod, LABEL_MODULE, PRED_IMPORTS, imp, LABEL_MODULE)
+    for cls in classes:
+        _mention(cls, LABEL_CLASS)
+        _triple(cls, LABEL_CLASS, PRED_DEFINED_IN, mod, LABEL_MODULE)
+    for fn in funcs:
+        _mention(fn, LABEL_FUNCTION)
+        _triple(fn, LABEL_FUNCTION, PRED_DEFINED_IN, mod, LABEL_MODULE)
+    for call in calls:
+        _mention(call, LABEL_FUNCTION)
+        _triple(mod, LABEL_MODULE, PRED_CALLS, call, LABEL_FUNCTION)
+    return {"mentions": mentions, "triples": triples}
+
+
+class CodeExtractor:
+    """Document-grain extractor over (path, lang, content)."""
+
+    def make_udf(self):
+        @F.pandas_udf(EXTRACTION_SCHEMA)
+        def extract(
+            it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+        ) -> Iterator[pd.DataFrame]:
+            for paths, langs, contents in it:
+                rows = [
+                    extract_code_py(p, la, c)
+                    for p, la, c in zip(paths, langs, contents)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "mentions": [r["mentions"] for r in rows],
+                        "triples": [r["triples"] for r in rows],
+                    }
+                )
+
+        return extract
+
+
+def extract_code_documents(
+    docs: DataFrame,
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """documents → (doc_id, mentions array, triples array), code-rule grain.
+
+    Same compact materialization contract as ``extract_units``; explode with
+    ``code_mentions`` / ``code_triples`` below.
+    """
+    udf = CodeExtractor().make_udf()
+    return docs.select(
+        "doc_id", udf(F.col(path_col), F.col(lang_col), F.col(content_col)).alias("x")
+    ).select("doc_id", F.col("x.mentions").alias("mentions"), F.col("x.triples").alias("triples"))
+
+
+def code_mentions(extracted: DataFrame) -> DataFrame:
+    return extracted.select("doc_id", F.explode("mentions").alias("m")).select(
+        "doc_id",
+        F.col("m.id").alias("entity_id"),
+        F.col("m.label").alias("entity_label"),
+    )
+
+
+def code_triples(extracted: DataFrame) -> DataFrame:
+    return extracted.select("doc_id", F.explode("triples").alias("t")).select(
+        "doc_id",
+        F.col("t.subj_id").alias("subj_id"),
+        F.col("t.subj_label").alias("subj_label"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj_id").alias("obj_id"),
+        F.col("t.obj_label").alias("obj_label"),
+    )

@@ -302,6 +302,33 @@ SELECT doc_id, chunk_id, text, CAST(position AS BIGINT) AS position FROM (
 # Training-data operators over the raw documents/embeddings views
 # ---------------------------------------------------------------------------
 
+# Expected code-rule triples derived directly (independent construction — the
+# Spark side runs the regex UDF over the same synthetic-code projection; see
+# entry_queries.q_code_triples and operators/code_extract.py).
+ORACLE_SQL["code_triples"] = """
+WITH code AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents)
+SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR) AS subj_id, 'Module' AS subj_label,
+       'WRITTEN_IN' AS pred, lang AS obj_id, 'Language' AS obj_label FROM code
+UNION ALL
+SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+       'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM code
+UNION ALL
+SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+       'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM code
+UNION ALL
+SELECT doc_id, 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class', 'DEFINED_IN',
+       'f' || CAST(doc_id AS VARCHAR), 'Module' FROM code
+UNION ALL
+SELECT doc_id, 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function', 'DEFINED_IN',
+       'f' || CAST(doc_id AS VARCHAR), 'Module' FROM code
+UNION ALL
+SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+       'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM code
+UNION ALL
+SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+       'setup', 'Function' FROM code
+"""
+
 ORACLE_SQL["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, COUNT(*) AS dup_count,
        MIN(CAST(doc_id AS VARCHAR)) AS keeper

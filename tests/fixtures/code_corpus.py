@@ -1,0 +1,117 @@
+"""Hand-written source-code fixture corpus + golden extraction expectations.
+
+This is our analog of the reference's human-annotated expected node/relation
+sets (reference: data/llm_comparision.json "Human Extraction" — 22 nodes /
+24 relations for Football_news.pdf; experiments/LLM_Results_.csv "Human"
+rows): files authored by hand, expected triples annotated by hand, and the
+pipeline's emitted triples scored against them (north rule: P/R >= 0.95).
+
+The corpus deliberately contains case-variant entity ids across files
+(``HttpClient`` vs ``HTTPClient``) so the entity-linking stage has real work,
+and prose/empty files so the extractor's negative space is covered.
+"""
+
+#: (repo, path, commit, lang, content)
+FILES = [
+    (
+        "acme/web",
+        "src/http/client.py",
+        "c000000000a1",
+        "python",
+        "import requests\n"
+        "from urllib import parse\n"
+        "\n"
+        "class HttpClient:\n"
+        "    def get(url):\n"
+        "        return requests.get(parse(url))\n",
+    ),
+    (
+        "acme/web",
+        "src/net/transport.rs",
+        "c000000000a2",
+        "rust",
+        "use serde;\n"
+        "\n"
+        "struct HTTPClient;\n"
+        "fn fetch_data() {\n"
+        "    parse(input);\n"
+        "}\n",
+    ),
+    (
+        "acme/app",
+        "lib/app.js",
+        "c000000000a3",
+        "javascript",
+        "const req = require('axios')\n"
+        "\n"
+        "export class AppServer {}\n"
+        "function start() {\n"
+        "    listen(80)\n"
+        "}\n",
+    ),
+    (
+        "acme/app",
+        "src/Main.java",
+        "c000000000a4",
+        "java",
+        "import com.acme.Util;\n"
+        "\n"
+        "public class Main {\n"
+        "    void run() { helper(x); }\n"
+        "}\n",
+    ),
+    (
+        "acme/docs",
+        "docs/README.md",
+        "c000000000a5",
+        "markdown",
+        "This project fetches things over HTTP.\n",
+    ),
+    (
+        "acme/docs",
+        "src/empty.py",
+        "c000000000a6",
+        "python",
+        "",
+    ),
+]
+
+#: golden triples per path: (subj_id, subj_label, pred, obj_id, obj_label)
+EXPECTED_TRIPLES = {
+    "src/http/client.py": [
+        ("client", "Module", "WRITTEN_IN", "python", "Language"),
+        ("client", "Module", "IMPORTS", "requests", "Module"),
+        ("client", "Module", "IMPORTS", "urllib", "Module"),
+        ("HttpClient", "Class", "DEFINED_IN", "client", "Module"),
+        ("get", "Function", "DEFINED_IN", "client", "Module"),
+        ("client", "Module", "CALLS", "get", "Function"),
+        ("client", "Module", "CALLS", "parse", "Function"),
+    ],
+    "src/net/transport.rs": [
+        ("transport", "Module", "WRITTEN_IN", "rust", "Language"),
+        ("transport", "Module", "IMPORTS", "serde", "Module"),
+        ("HTTPClient", "Class", "DEFINED_IN", "transport", "Module"),
+        ("fetch_data", "Function", "DEFINED_IN", "transport", "Module"),
+        ("transport", "Module", "CALLS", "parse", "Function"),
+    ],
+    "lib/app.js": [
+        ("app", "Module", "WRITTEN_IN", "javascript", "Language"),
+        ("app", "Module", "IMPORTS", "axios", "Module"),
+        ("AppServer", "Class", "DEFINED_IN", "app", "Module"),
+        ("start", "Function", "DEFINED_IN", "app", "Module"),
+        ("app", "Module", "CALLS", "listen", "Function"),
+    ],
+    "src/Main.java": [
+        ("Main", "Module", "WRITTEN_IN", "java", "Language"),
+        ("Main", "Module", "IMPORTS", "com.acme.Util", "Module"),
+        ("Main", "Class", "DEFINED_IN", "Main", "Module"),
+        ("Main", "Module", "CALLS", "run", "Function"),
+        ("Main", "Module", "CALLS", "helper", "Function"),
+    ],
+    "docs/README.md": [
+        ("README", "Module", "WRITTEN_IN", "markdown", "Language"),
+    ],
+    "src/empty.py": [
+        ("empty", "Module", "WRITTEN_IN", "python", "Language"),
+    ],
+}
