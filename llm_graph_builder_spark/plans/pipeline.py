@@ -124,13 +124,45 @@ class PipelineRunner:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._table(name))
 
+    def _partition_lineage(self, name: str, path: str) -> int:
+        """Per-partition lineage/metrics for a written stage (north rule:
+        "checkpoints each stage with per-partition lineage and metrics").
+
+        One output file == one write task == one partition, so a single cheap
+        count-by-input-file scan records (stage, partition file, rows, bytes)
+        into the partition manifest; total rows fall out of the same pass.
+        """
+        per_file = (
+            self.spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        total = 0
+        with open(f"{self.warehouse}/_manifest_partitions.jsonl", "a") as f:
+            for r in per_file:
+                total += r["rows"]
+                fname = r["file"].rsplit("/", 1)[-1]
+                try:
+                    nbytes = os.path.getsize(os.path.join(path, fname))
+                except OSError:
+                    nbytes = None
+                f.write(
+                    json.dumps(
+                        {"stage": name, "partition_file": fname, "rows": r["rows"],
+                         "bytes": nbytes, "ts": time.time()}
+                    )
+                    + "\n"
+                )
+        return total
+
     def _write_stage(self, name: str, df: DataFrame, resume: bool, done: dict, **extra) -> StageResult:
         path = self._table(name)
         if resume and name in done and os.path.exists(f"{path}/_SUCCESS"):
             return StageResult(name, done[name]["rows_out"], 0, skipped=True)
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        rows = self._partition_lineage(name, path)
         ms = int((time.time() - t0) * 1000)
         self._record(name, rows, ms, **extra)
         return StageResult(name, rows, ms, skipped=False)

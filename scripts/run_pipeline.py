@@ -1,0 +1,86 @@
+"""spark-submit entrypoint for the KG-construction pipeline.
+
+The north rule requires the pipeline to launch via
+``spark-submit --py-files`` on a multi-executor cluster; this script is that
+entrypoint. It builds no master of its own — spark-submit owns cluster
+config — and reads the package from the ``--py-files`` zip (or PYTHONPATH
+when run locally).
+
+Usage:
+  scripts/submit.sh [N_CORES] [sf_dir] [warehouse]         # wraps spark-submit
+  spark-submit --master ... --py-files dist/llm_graph_builder_spark.zip \
+      scripts/run_pipeline.py --input synth:/root/testdata/sf0.001 \
+      --warehouse /tmp/kg_out [--resume]
+
+``--input`` accepts either ``synth:<sf_dir>`` (derive the repos corpus from
+the driver-provided documents.parquet — sandbox mode) or a parquet/Iceberg
+path of a real ``repos(repo, path, commit, lang, content)`` table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="KG-construction pipeline runner")
+    p.add_argument("--input", required=True, help="repos table path or synth:<sf_dir>")
+    p.add_argument("--warehouse", required=True, help="output table root")
+    p.add_argument("--resume", action="store_true", help="skip COMPLETED stages")
+    p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--chunk-overlap", type=int, default=None)
+    p.add_argument("--max-chunks-per-doc", type=int, default=None)
+    p.add_argument("--repo-salt", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from llm_graph_builder_spark.config import DEFAULT_CONFIG, PipelineConfig
+    from llm_graph_builder_spark.plans.pipeline import PipelineRunner
+    from llm_graph_builder_spark.sources.repos import synth_repos
+
+    spark = SparkSession.builder.appName("llm-graph-builder-spark").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input.startswith("synth:"):
+        repos = synth_repos(spark, args.input.split(":", 1)[1])
+    else:
+        repos = spark.read.parquet(args.input)
+
+    overrides = {
+        k: v
+        for k, v in {
+            "chunk_size": args.chunk_size,
+            "chunk_overlap": args.chunk_overlap,
+            "max_chunks_per_doc": args.max_chunks_per_doc,
+            "repo_salt": args.repo_salt,
+        }.items()
+        if v is not None
+    }
+    cfg = (
+        PipelineConfig(**{**DEFAULT_CONFIG.__dict__, **overrides})
+        if overrides
+        else DEFAULT_CONFIG
+    )
+
+    runner = PipelineRunner(spark, args.warehouse, config=cfg)
+    results = runner.run(repos, resume=args.resume)
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "stage": r.stage,
+                    "rows_out": r.rows_out,
+                    "wall_ms": r.wall_ms,
+                    "skipped": r.skipped,
+                }
+            )
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

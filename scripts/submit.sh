@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Launch the KG-construction pipeline via spark-submit --py-files (north
+# rule's launch mode). On a real cluster replace --master with yarn/k8s and
+# the same zip + entrypoint work unchanged.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CORES="${1:-8}"
+SF_DIR="${2:-/root/testdata/sf0.001}"
+WAREHOUSE="${3:-/tmp/kg_warehouse}"
+shift $(( $# > 3 ? 3 : $# )) || true
+
+mkdir -p "$REPO/dist"
+ZIP="$REPO/dist/llm_graph_builder_spark.zip"
+rm -f "$ZIP"
+(cd "$REPO" && zip -qr "$ZIP" llm_graph_builder_spark -x '*__pycache__*')
+
+exec "${SPARK_HOME:-/opt/spark}/bin/spark-submit" \
+  --master "local[$CORES]" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.shuffle.partitions="$CORES" \
+  --conf spark.ui.enabled=false \
+  --py-files "$ZIP" \
+  "$REPO/scripts/run_pipeline.py" \
+  --input "synth:$SF_DIR" \
+  --warehouse "$WAREHOUSE" \
+  "$@"
