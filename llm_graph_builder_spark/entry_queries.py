@@ -221,6 +221,87 @@ def q_code_triples(spark, sf_dir):
     return code_triples(extract_code_documents(code))
 
 
+def _synth_code(spark, sf_dir):
+    docs = read_documents(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("src/f"), d, F.lit(".py")).alias("path"),
+        "lang",
+        F.concat(
+            F.lit("import util_"), (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.lit("from pkg_"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(" import helper\n"),
+            F.lit("class Handler_"), (F.col("doc_id") % 11).cast("string"), F.lit(":\n"),
+            F.lit("def process_"), (F.col("doc_id") % 13).cast("string"), F.lit("():\n"),
+            F.lit("    run_"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("(payload)\n"),
+            F.lit("setup()\n"),
+        ).alias("content"),
+    )
+
+
+def q_schema_consolidation(spark, sf_dir):
+    """P2 — deterministic synonym-grouping over a label set with case/plural
+    variants (lang, UPPER(lang), lang||'s'); output the mapping table."""
+    from .operators.maintenance import label_consolidation_map
+
+    langs = read_documents(spark, sf_dir).select("lang")
+    labels = (
+        langs.select(F.col("lang").alias("label"))
+        .unionByName(langs.select(F.upper("lang").alias("label")))
+        .unionByName(langs.select(F.concat("lang", F.lit("s")).alias("label")))
+    )
+    return label_consolidation_map(labels)
+
+
+def q_delete_cascade(spark, sf_dir):
+    """S10 — orphaned entities after cascade-deleting docs with doc_id%10==0
+    over the synthetic-code corpus (per-doc module entities become orphans)."""
+    from .operators.code_extract import code_mentions, extract_code_documents
+    from .operators.maintenance import delete_documents_cascade
+
+    code = _synth_code(spark, sf_dir)
+    ments = code_mentions(extract_code_documents(code))
+    delete = code.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    out = delete_documents_cascade(code, code.select("doc_id"), ments, delete)
+    return out["orphaned_entities"]
+
+
+def q_resume_position(spark, sf_dir):
+    """T7 — first unprocessed chunk position per doc, simulating a run that
+    completed only position-1 chunks."""
+    from .operators.maintenance import resume_positions
+
+    t = pipeline_tables(spark, sf_dir)
+    chunks = t["chunks"]
+    processed = chunks.filter(F.col("position") == 1).select("doc_id", "chunk_id")
+    return resume_positions(chunks, processed)
+
+
+def q_embedding_probe(spark, sf_dir):
+    """A5 — (dimension, total, with_embedding) over embeddings.parquet."""
+    from .operators.counts import embedding_probe
+
+    return embedding_probe(_emb(spark, sf_dir)).select(
+        F.col("dimension").cast("long").alias("dimension"),
+        F.col("total").cast("long").alias("total"),
+        F.col("with_embedding").cast("long").alias("with_embedding"),
+    )
+
+
+def q_combined_units(spark, sf_dir):
+    """C6 — combine-2 chunks per extraction unit (doc_id, unit text, member
+    count)."""
+    from .operators.extraction import combine_chunks
+
+    t = pipeline_tables(spark, sf_dir)
+    units = combine_chunks(t["chunks"], 2)
+    return units.select(
+        "doc_id", "unit_id", "text", F.size("chunk_ids").cast("long").alias("n_chunks")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -342,6 +423,11 @@ QUERIES = {
     "top_entities": q_top_entities,
     "chunk_page": q_chunk_page,
     "code_triples": q_code_triples,
+    "schema_consolidation": q_schema_consolidation,
+    "delete_cascade": q_delete_cascade,
+    "resume_position": q_resume_position,
+    "embedding_probe": q_embedding_probe,
+    "combined_units": q_combined_units,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,

@@ -1,0 +1,109 @@
+"""Graph-maintenance operators: schema consolidation, cascade delete, resume
+point (SURVEY §2.7 P1-P2, §2.1 S10, §2.9 T7).
+
+Reference parity:
+  * P2 ``graph_schema_consolidation`` (src/post_processing.py:149-185): an LLM
+    groups synonym labels/rel-types into canonical categories
+    (GRAPH_CLEANUP_PROMPT, shared/constants.py:827-883) and nodes/rels are
+    rewritten. Here the mapping producer is pluggable; the deterministic
+    stand-in canonicalizes by case/plural-insensitive key (the controlled
+    variable, exactly like the deterministic extractor stands in for X2), and
+    the rewrite is a broadcast join — the part that matters at 10^12 rows.
+  * S10 ``delete_file_from_graph`` (src/graphDB_dataAccess.py:362-428):
+    delete documents + their chunks; entities referenced ONLY by deleted docs
+    become deletable orphans (anti-join at :395-400).
+  * T7 resume point (shared/constants.py:801-816, src/main.py:732-744): the
+    first unprocessed chunk position per document = min position of chunks
+    with no extraction output yet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# -- P2: schema consolidation ------------------------------------------------
+
+def label_consolidation_map(labels: DataFrame, col: str = "label") -> DataFrame:
+    """Deterministic synonym-grouping: labels sharing a normalized key
+    (lowercase, trailing 's' stripped) collapse to the lexicographically
+    smallest variant. Output: (label, canonical_label).
+
+    The LLM path replaces this one small DataFrame with the model's grouping
+    (driver-side single call, reference src/post_processing.py:162-170); the
+    rewrite below is unchanged.
+    """
+    norm = F.regexp_replace(F.lower(F.col(col)), "s$", "")
+    return (
+        labels.select(F.col(col).alias("label")).distinct()
+        .withColumn("_k", norm)
+        .withColumn("canonical_label", F.min("label").over(Window.partitionBy("_k")))
+        .select("label", "canonical_label")
+    )
+
+
+def consolidate_schema(
+    entities: DataFrame, mapping: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Rewrite ``label_col`` through the (label → canonical_label) mapping via
+    a broadcast join (the mapping is tiny by construction — one row per
+    distinct label)."""
+    return (
+        entities.join(
+            F.broadcast(mapping.withColumnRenamed("label", label_col)),
+            on=label_col,
+            how="left",
+        )
+        .withColumn(label_col, F.coalesce("canonical_label", F.col(label_col)))
+        .drop("canonical_label")
+    )
+
+
+# -- S10: cascade delete -----------------------------------------------------
+
+def delete_documents_cascade(
+    docs: DataFrame,
+    chunks: DataFrame,
+    mentions: DataFrame,
+    delete_docs: DataFrame,
+) -> dict[str, DataFrame]:
+    """Cascade-delete plan for ``delete_docs(doc_id)``.
+
+    Returns the surviving tables plus the orphaned entities (entities whose
+    every mention lives in a deleted doc — the reference's anti-join at
+    src/graphDB_dataAccess.py:395-400). All anti-joins; the delete set is
+    broadcast. On Iceberg these become MERGE/DELETE commits; the plan shape
+    is identical.
+    """
+    keep = F.broadcast(delete_docs.select("doc_id"))
+    docs_kept = docs.join(keep, on="doc_id", how="left_anti")
+    chunks_kept = chunks.join(keep, on="doc_id", how="left_anti")
+    mentions_kept = mentions.join(keep, on="doc_id", how="left_anti")
+    all_entities = mentions.select("entity_id", "entity_label").distinct()
+    surviving = mentions_kept.select("entity_id", "entity_label").distinct()
+    orphaned = all_entities.join(
+        surviving, on=["entity_id", "entity_label"], how="left_anti"
+    )
+    return {
+        "documents": docs_kept,
+        "chunks": chunks_kept,
+        "mentions": mentions_kept,
+        "orphaned_entities": orphaned,
+    }
+
+
+# -- T7: resume point --------------------------------------------------------
+
+def resume_positions(chunks: DataFrame, processed_mentions: DataFrame) -> DataFrame:
+    """First unprocessed chunk position per doc given a partially-written
+    mentions table: min(position) over chunks with no extraction output.
+    Docs fully processed are absent (the reference returns no row → restart
+    not needed)."""
+    done = processed_mentions.select("doc_id", "chunk_id").distinct()
+    return (
+        chunks.join(done, on=["doc_id", "chunk_id"], how="left_anti")
+        .groupBy("doc_id")
+        .agg(F.min("position").cast("long").alias("resume_position"))
+    )

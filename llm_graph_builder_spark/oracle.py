@@ -302,6 +302,72 @@ SELECT doc_id, chunk_id, text, CAST(position AS BIGINT) AS position FROM (
 # Training-data operators over the raw documents/embeddings views
 # ---------------------------------------------------------------------------
 
+ORACLE_SQL["schema_consolidation"] = """
+WITH labels AS (
+  SELECT DISTINCT label FROM (
+    SELECT lang AS label FROM documents
+    UNION ALL SELECT upper(lang) FROM documents
+    UNION ALL SELECT lang || 's' FROM documents
+  )
+)
+SELECT label,
+       min(label) OVER (PARTITION BY regexp_replace(lower(label), 's$', ''))
+         AS canonical_label
+FROM labels
+"""
+
+ORACLE_SQL["delete_cascade"] = """
+WITH code AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents),
+cmentions AS (
+  SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR) AS entity_id, 'Module' AS entity_label FROM code
+  UNION ALL SELECT doc_id, lang, 'Language' FROM code
+  UNION ALL SELECT doc_id, 'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class' FROM code
+  UNION ALL SELECT doc_id, 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function' FROM code
+  UNION ALL SELECT doc_id, 'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM code
+  UNION ALL SELECT doc_id, 'setup', 'Function' FROM code
+),
+deleted AS (SELECT doc_id FROM code WHERE doc_id % 10 = 0),
+all_e AS (SELECT DISTINCT entity_id, entity_label FROM cmentions),
+surv AS (
+  SELECT DISTINCT entity_id, entity_label FROM cmentions m
+  WHERE NOT EXISTS (SELECT 1 FROM deleted d WHERE d.doc_id = m.doc_id)
+)
+SELECT entity_id, entity_label FROM all_e a
+WHERE NOT EXISTS (
+  SELECT 1 FROM surv s
+  WHERE s.entity_id = a.entity_id AND s.entity_label = a.entity_label
+)
+"""
+
+ORACLE_SQL["resume_position"] = PIPELINE_CTE + """
+SELECT doc_id, CAST(min(position) AS BIGINT) AS resume_position
+FROM chunks c
+WHERE NOT EXISTS (
+  SELECT 1 FROM chunks p
+  WHERE p.position = 1 AND p.doc_id = c.doc_id AND p.chunk_id = c.chunk_id
+)
+GROUP BY doc_id
+"""
+
+ORACLE_SQL["embedding_probe"] = """
+SELECT CAST(any_value(len(embedding)) AS BIGINT) AS dimension,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(count(embedding) AS BIGINT) AS with_embedding
+FROM embeddings
+"""
+
+ORACLE_SQL["combined_units"] = PIPELINE_CTE + """
+SELECT doc_id, sha256(text) AS unit_id, text, n_chunks FROM (
+  SELECT doc_id,
+         string_agg(text, ' ' ORDER BY position) AS text,
+         CAST(count(*) AS BIGINT) AS n_chunks
+  FROM chunks
+  GROUP BY doc_id, (position - 1) // 2
+)
+"""
+
 # Expected code-rule triples derived directly (independent construction — the
 # Spark side runs the regex UDF over the same synthetic-code projection; see
 # entry_queries.q_code_triples and operators/code_extract.py).

@@ -1,0 +1,54 @@
+"""Maintenance operators: schema consolidation (P2), cascade delete (S10),
+resume point (T7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.maintenance import (
+    consolidate_schema,
+    delete_documents_cascade,
+    label_consolidation_map,
+    resume_positions,
+)
+
+
+def test_label_consolidation_and_rewrite(spark):
+    labels = spark.createDataFrame(
+        [("Person",), ("persons",), ("PERSON",), ("Org",)], ["label"]
+    )
+    mapping = label_consolidation_map(labels)
+    got = {r.label: r.canonical_label for r in mapping.collect()}
+    # lower+strip-s key: person/persons/PERSON collapse; min() picks 'PERSON'
+    assert got["Person"] == got["persons"] == got["PERSON"]
+    assert got["Org"] == "Org"
+    ents = spark.createDataFrame([("e1", "persons"), ("e2", "Org")], ["id", "label"])
+    rewritten = {r.id: r.label for r in consolidate_schema(ents, mapping).collect()}
+    assert rewritten["e1"] == got["persons"] and rewritten["e2"] == "Org"
+
+
+def test_delete_cascade_orphans(spark):
+    docs = spark.createDataFrame([("d1",), ("d2",)], ["doc_id"])
+    chunks = spark.createDataFrame([("d1", "c1"), ("d2", "c2")], ["doc_id", "chunk_id"])
+    mentions = spark.createDataFrame(
+        [("d1", "c1", "only_in_d1", "Thing"), ("d1", "c1", "shared", "Thing"),
+         ("d2", "c2", "shared", "Thing")],
+        ["doc_id", "chunk_id", "entity_id", "entity_label"],
+    )
+    delete = spark.createDataFrame([("d1",)], ["doc_id"])
+    out = delete_documents_cascade(docs, chunks, mentions, delete)
+    assert [r.doc_id for r in out["documents"].collect()] == ["d2"]
+    assert [r.chunk_id for r in out["chunks"].collect()] == ["c2"]
+    orphans = {r.entity_id for r in out["orphaned_entities"].collect()}
+    assert orphans == {"only_in_d1"}
+
+
+def test_resume_positions(spark):
+    chunks = spark.createDataFrame(
+        [("d1", "c1", 1), ("d1", "c2", 2), ("d1", "c3", 3), ("d2", "c4", 1)],
+        ["doc_id", "chunk_id", "position"],
+    )
+    processed = chunks.filter(F.col("position") <= 1).select("doc_id", "chunk_id")
+    got = {r.doc_id: r.resume_position for r in resume_positions(chunks, processed).collect()}
+    # d1 resumes at 2; d2 fully processed -> absent
+    assert got == {"d1": 2}
