@@ -28,8 +28,12 @@ _EXT = {"en": "py", "de": "rs", "fr": "go", "es": "js", "zh": "java"}
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw driver-provided documents table."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Raw driver-provided documents table, repartitioned to the cluster's
+    parallelism (the sf tables are single parquet files — without this every
+    downstream text operator would run in one task)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def synth_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
