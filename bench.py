@@ -141,6 +141,13 @@ def main():
         )
         ann_bruteforce_topk(emb, q, k=5).write.mode("overwrite").parquet(f"{out_dir}/ann")
 
+    # attach the latest two-parallelism scaling evidence (north rule) if
+    # scripts/scaling_bench.py has produced it
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            extra["scaling"] = json.load(f)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -395,6 +395,27 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(read_documents(spark, sf_dir))
 
 
+def q_community_summaries(spark, sf_dir):
+    """G7 — title/summary per level-0 community (deterministic formatter;
+    pluggable LLM summarizer UDF). Rows-only: depends on iterative LPA."""
+    from .operators.communities import summarize_communities
+
+    t = pipeline_tables(spark, sf_dir)
+    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
+    return summarize_communities(h, t["entity_edges"])
+
+
+def q_entity_embeddings(spark, sf_dir):
+    """E3 — entity embeddings over id+description, null-gated (hash-embedder
+    stand-in → rows-only)."""
+    from .operators.embeddings import embed_entities
+
+    t = pipeline_tables(spark, sf_dir)
+    ents = t["entities"].withColumn("description", F.lit(None).cast("string"))
+    out = embed_entities(ents)
+    return out.select("id", "label", F.size("embedding").alias("dim"))
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -444,4 +465,6 @@ QUERIES = {
     "similar_chunks": q_similar_chunks,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh": q_ann_lsh,
+    "community_summaries": q_community_summaries,
+    "entity_embeddings": q_entity_embeddings,
 }

@@ -27,8 +27,10 @@ it exactly.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,6 +87,48 @@ def make_chunker_udf(size: int, overlap: int, max_chunks: int | None):
     return chunk_content
 
 
+_CHUNK_ROWS_DDL = "doc_id string, text string, position int, content_offset long"
+
+
+def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None):
+    """mapInArrow kernel: (doc_id, content) batches → exploded chunk-row
+    batches built columnar-native (flat value arrays, no nested structs).
+
+    The pandas-UDF formulation returned array<struct> per doc, which pays a
+    python-object→Arrow-nested conversion per chunk — the dominant cost of
+    the stage, ~5× the windowing itself. Emitting exploded rows from flat
+    lists removes both that conversion and the downstream explode.
+    """
+
+    def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids = rb.column(0).to_pylist()
+            contents = rb.column(1).to_pylist()
+            o_doc: list[str] = []
+            o_text: list[str] = []
+            o_pos: list[int] = []
+            o_off: list[int] = []
+            for did, content in zip(doc_ids, contents):
+                for text, pos, off in split_tokens(
+                    tokenize_py(content or ""), size, overlap, max_chunks
+                ):
+                    o_doc.append(did)
+                    o_text.append(text)
+                    o_pos.append(pos)
+                    o_off.append(off)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_text, pa.string()),
+                    pa.array(o_pos, pa.int32()),
+                    pa.array(o_off, pa.int64()),
+                ],
+                names=["doc_id", "text", "position", "content_offset"],
+            )
+
+    return chunk_batches
+
+
 def chunk_documents(
     documents: DataFrame,
     size: int = CHUNK_SIZE_TOKENS,
@@ -98,15 +142,8 @@ def chunk_documents(
     repos share chunk ids, which is what makes pre-extraction chunk dedup the
     biggest cost saver at 10^12 files (SURVEY §7.4.4).
     """
-    chunker = make_chunker_udf(size, overlap, max_chunks)
-    exploded = (
-        documents.select("doc_id", F.explode(chunker(F.col("content"))).alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.text").alias("text"),
-            F.col("c.position").alias("position"),
-            F.col("c.offset").alias("content_offset"),
-        )
+    exploded = documents.select("doc_id", "content").mapInArrow(
+        _make_chunk_batches(size, overlap, max_chunks), _CHUNK_ROWS_DDL
     )
     return exploded.select(
         F.sha2(F.col("text"), 256).alias("chunk_id"),

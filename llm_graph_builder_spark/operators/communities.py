@@ -46,20 +46,24 @@ def community_projection(entity_edges_df: DataFrame) -> DataFrame:
 
 
 def label_propagation(
-    graph: DataFrame, max_iter: int = 10
+    graph: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Weighted synchronous LPA with deterministic tie-breaks.
+    """Weighted semi-synchronous LPA with deterministic tie-breaks.
 
     Each round: node label ← label with max total neighbor weight, ties broken
-    by min label; stop at fixpoint or ``max_iter``. Returns (u, community).
-    Deterministic by construction — no Date.now/random anywhere.
+    by min label — but only HALF the nodes update per round, scheduled by a
+    deterministic hash parity alternating each iteration. Fully synchronous
+    LPA oscillates forever on bipartite-ish structures (e.g. a path a—b—c
+    flips between two colorings and never converges); semi-synchronous
+    scheduling is the standard fix and stays deterministic (no randomness —
+    resume-safe). Stops at fixpoint or ``max_iter``. Returns (u, community).
     """
     from ..functions.iterutils import materialize
 
     labels, _ = materialize(
         graph.select("u").distinct().withColumn("community", F.col("u"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         votes = (
             graph.join(
                 labels.select(F.col("u").alias("v"), F.col("community").alias("vlab")),
@@ -74,16 +78,32 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("u", F.col("vlab").alias("community"))
         )
-        # isolated nodes keep their own label
+        # fresh deterministic coin per (node, round): with a FIXED parity,
+        # nodes whose hashes align would update in lockstep and reproduce the
+        # synchronous oscillation; re-drawing each round makes any adjacent
+        # pair eventually update in different rounds (converges w.p. → 1)
+        scheduled = F.pmod(F.xxhash64("u", F.lit(it)), F.lit(2)) == 0
+        # unscheduled and isolated nodes keep their current label; `desired`
+        # tracks what EVERY node would pick so the fixpoint test covers
+        # unscheduled nodes too (stopping on "no scheduled node changed"
+        # would terminate early whenever the coin skips a node that still
+        # wants a different label)
         merged = (
             labels.select("u", F.col("community").alias("old"))
             .join(new_labels, on="u", how="left")
-            .select("u", F.coalesce("community", "old").alias("community"), "old")
+            .select(
+                "u",
+                F.coalesce("community", "old").alias("desired"),
+                F.when(scheduled, F.coalesce("community", "old"))
+                .otherwise(F.col("old"))
+                .alias("community"),
+                "old",
+            )
         )
         merged, _ = materialize(merged, previous=labels)
-        changed = merged.filter(F.col("community") != F.col("old")).limit(1).count()
+        wants_change = merged.filter(F.col("desired") != F.col("old")).limit(1).count()
         labels = merged.select("u", "community")
-        if changed == 0:
+        if wants_change == 0:
             break
     return labels
 
@@ -215,3 +235,98 @@ def community_tables(
         .dropDuplicates(["src", "dst"])
     )
     return communities, in_comm.unionByName(parents)
+
+
+def community_info(
+    hierarchy: DataFrame,
+    entity_edges_df: DataFrame,
+    level: int = 0,
+    min_members: int = 2,
+    max_members: int = 25,
+) -> DataFrame:
+    """G6 — per-community summarization input: member list + induced internal
+    relations (reference: GET_COMMUNITY_INFO subgraph per level-0 community
+    with >1 member, src/communities.py:86-98).
+
+    Output: (cid, member_ids array<string>, member_count, rel_kinds
+    array<string> ordered by total weight desc).
+    """
+    member = hierarchy.select("u", F.col("communities")[level].alias("cid"))
+    ent = member.withColumn("id", F.split_part(F.col("u"), F.lit("\x01"), F.lit(1)))
+    members = (
+        ent.groupBy("cid")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("id")), 1, max_members).alias("member_ids"),
+            F.countDistinct("u").alias("member_count"),
+        )
+        .filter(F.col("member_count") >= min_members)
+    )
+    key_s = F.concat_ws("\x01", "subj_id", "subj_label")
+    key_o = F.concat_ws("\x01", "obj_id", "obj_label")
+    internal = (
+        entity_edges_df.withColumn("us", key_s)
+        .withColumn("uo", key_o)
+        .join(member.select(F.col("u").alias("us"), F.col("cid").alias("cs")), on="us")
+        .join(member.select(F.col("u").alias("uo"), F.col("cid").alias("co")), on="uo")
+        .filter(F.col("cs") == F.col("co"))
+        .groupBy(F.col("cs").alias("cid"), "pred")
+        .agg(F.sum("weight").alias("w"))
+    )
+    rels = internal.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("w")).alias("nw"), F.col("pred").alias("p")))
+            ),
+            lambda s: s["p"],
+        ).alias("rel_kinds")
+    )
+    return members.join(rels, on="cid", how="left").withColumn(
+        "rel_kinds", F.coalesce("rel_kinds", F.array().cast("array<string>"))
+    )
+
+
+def summarize_communities(
+    hierarchy: DataFrame,
+    entity_edges_df: DataFrame,
+    level: int = 0,
+    summarizer_udf=None,
+    min_members: int = 2,
+) -> DataFrame:
+    """G7 — 'title:/summary:' per community (reference: LLM prompt per
+    community over its member subgraph with ThreadPool(10),
+    src/communities.py:250-372 — here executor parallelism replaces the
+    thread pool).
+
+    The distributed part — building each community's member/relations input —
+    is shared; text generation is pluggable: ``summarizer_udf`` (an LLM
+    pandas UDF over the info text, batched per Arrow batch like X2) or the
+    deterministic JVM formatter (whole-stage codegen, zero Python).
+    Output: (community_id, level, title, summary).
+    """
+    info = community_info(hierarchy, entity_edges_df, level, min_members)
+    base = info.select(
+        F.concat_ws("-", F.lit(level), F.col("cid")).alias("community_id"),
+        F.lit(level).cast("int").alias("level"),
+        F.concat_ws(", ", "member_ids").alias("members_text"),
+        F.concat_ws(", ", "rel_kinds").alias("rels_text"),
+        "member_count",
+    )
+    if summarizer_udf is not None:
+        prompt = F.concat_ws(
+            "\n", F.lit("Members:"), "members_text", F.lit("Relations:"), "rels_text"
+        )
+        out = base.withColumn("ts", summarizer_udf(prompt))
+        return out.select(
+            "community_id", "level",
+            F.col("ts.title").alias("title"), F.col("ts.summary").alias("summary"),
+        )
+    return base.select(
+        "community_id",
+        "level",
+        F.concat(F.lit("Community "), "community_id").alias("title"),
+        F.concat(
+            F.lit("Members ("), F.col("member_count").cast("string"), F.lit("): "),
+            "members_text",
+            F.when(F.length("rels_text") > 0, F.concat(F.lit("; relations: "), F.col("rels_text"))).otherwise(F.lit("")),
+        ).alias("summary"),
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -115,8 +116,23 @@ def extract_text_py(text: str) -> dict:
     return {"mentions": mentions, "triples": triples}
 
 
+#: mapInArrow output contract of the fast extraction path
+_EXTRACT_UNITS_DDL = (
+    "unit_id string, doc_ids array<string>, "
+    "mentions array<struct<id:string,label:string>>, "
+    "triples array<struct<subj_id:string,subj_label:string,pred:string,"
+    "obj_id:string,obj_label:string>>"
+)
+
+
 class DeterministicExtractor:
     """Offline extractor — deterministic, vocabulary-rule based."""
+
+    #: the arrow kernel applies X4 cleaning itself (backtick-strip, trim,
+    #: drop-empty, per-unit dedup), so extract_units skips the JVM-side
+    #: array-transform cleaning — those interpreted per-element expressions
+    #: are the single largest JVM cost of the extraction stage
+    emits_clean = True
 
     def make_udf(self):
         @F.pandas_udf(EXTRACTION_SCHEMA)
@@ -131,6 +147,100 @@ class DeterministicExtractor:
                 )
 
         return extract
+
+    def make_arrow_kernel(self):
+        """mapInArrow kernel over (unit_id, doc_ids, text) batches.
+
+        Builds the nested mentions/triples columns columnar-native (flat
+        value lists + list offsets). The pandas-UDF path converts one python
+        dict per mention/triple into an Arrow struct scalar — for tens of
+        millions of elements that conversion costs ~5× the extraction
+        itself; flat-array construction removes it while producing byte-
+        identical columns.
+        """
+
+        def extract_batches(
+            batches: "Iterator[pa.RecordBatch]",
+        ) -> "Iterator[pa.RecordBatch]":
+            for rb in batches:
+                idx = {n: i for i, n in enumerate(rb.schema.names)}
+                texts = rb.column(idx["text"]).to_pylist()
+                m_off = [0]
+                m_id: list[str] = []
+                m_lab: list[str] = []
+                t_off = [0]
+                t_s: list[str] = []
+                t_sl: list[str] = []
+                t_p: list[str] = []
+                t_o: list[str] = []
+                t_ol: list[str] = []
+                for text in texts:
+                    r = extract_text_py(text)
+                    if "`" in (text or ""):
+                        # X4 cleaning inline (rare path: whitespace-split
+                        # tokens are pre-trimmed, so only backticks can dirty
+                        # them); dedup on the CLEANED values mirrors
+                        # clean-then-array_distinct exactly
+                        seen_m: set = set()
+                        for m in r["mentions"]:
+                            i, la = m["id"].replace("`", "").strip(), m["label"].replace("`", "").strip()
+                            if i and la and (i, la) not in seen_m:
+                                seen_m.add((i, la))
+                                m_id.append(i)
+                                m_lab.append(la)
+                        m_off.append(len(m_id))
+                        seen_t: set = set()
+                        for t in r["triples"]:
+                            vals = tuple(
+                                t[k].replace("`", "").strip()
+                                for k in ("subj_id", "subj_label", "pred", "obj_id", "obj_label")
+                            )
+                            if all(vals) and vals not in seen_t:
+                                seen_t.add(vals)
+                                t_s.append(vals[0])
+                                t_sl.append(vals[1])
+                                t_p.append(vals[2])
+                                t_o.append(vals[3])
+                                t_ol.append(vals[4])
+                        t_off.append(len(t_s))
+                        continue
+                    for m in r["mentions"]:
+                        m_id.append(m["id"])
+                        m_lab.append(m["label"])
+                    m_off.append(len(m_id))
+                    for t in r["triples"]:
+                        t_s.append(t["subj_id"])
+                        t_sl.append(t["subj_label"])
+                        t_p.append(t["pred"])
+                        t_o.append(t["obj_id"])
+                        t_ol.append(t["obj_label"])
+                    t_off.append(len(t_s))
+                mentions = pa.ListArray.from_arrays(
+                    pa.array(m_off, pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [pa.array(m_id, pa.string()), pa.array(m_lab, pa.string())],
+                        ["id", "label"],
+                    ),
+                )
+                triples = pa.ListArray.from_arrays(
+                    pa.array(t_off, pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [
+                            pa.array(t_s, pa.string()),
+                            pa.array(t_sl, pa.string()),
+                            pa.array(t_p, pa.string()),
+                            pa.array(t_o, pa.string()),
+                            pa.array(t_ol, pa.string()),
+                        ],
+                        ["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+                    ),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(idx["unit_id"]), rb.column(idx["doc_ids"]), mentions, triples],
+                    names=["unit_id", "doc_ids", "mentions", "triples"],
+                )
+
+        return extract_batches
 
 
 class LLMExtractor:
@@ -271,7 +381,6 @@ def extract_units(
     extractor DAG per output.
     """
     extractor = extractor or DeterministicExtractor()
-    udf = extractor.make_udf()
     if combine_k <= 1:
         # Fast path (the default): ONE shuffle, no join. A single aggregation
         # by content-addressed chunk_id simultaneously (a) dedups vendored
@@ -279,28 +388,41 @@ def extract_units(
         # (expensive) extractor exactly once — the biggest cost saver at
         # 10^12 files (SURVEY §7.4.4) — and (b) collects the doc membership
         # set, replacing the dedup-shuffle + sort-merge-join re-association
-        # of the generic path. The extractor UDF runs post-shuffle on the
+        # of the generic path. The extractor runs post-shuffle on the
         # distinct texts; explode(doc_ids) restores per-doc rows.
         grouped = chunks.groupBy(F.col("chunk_id").alias("unit_id")).agg(
             F.first("text").alias("text"),
             F.collect_set("doc_id").alias("doc_ids"),
         )
+        if hasattr(extractor, "make_arrow_kernel"):
+            # columnar-native kernel: no pandas/nested-object conversion
+            units_x = grouped.select("unit_id", "doc_ids", "text").mapInArrow(
+                extractor.make_arrow_kernel(), _EXTRACT_UNITS_DDL
+            )
+        else:
+            udf = extractor.make_udf()
+            units_x = grouped.select(
+                "unit_id", "doc_ids", udf(F.col("text")).alias("x")
+            ).select("unit_id", "doc_ids", F.col("x.mentions").alias("mentions"),
+                     F.col("x.triples").alias("triples"))
         # NB: the cleaning projection must live in its own select — a
         # generator (explode) in the same projection breaks resolution of
         # struct-field aliases inside the transform() lambdas.
-        exploded = grouped.select(
-            "unit_id", "doc_ids", udf(F.col("text")).alias("x")
-        ).select(
+        exploded = units_x.select(
             F.explode("doc_ids").alias("doc_id"),
             F.array("unit_id").alias("chunk_ids"),
-            "x",
+            "mentions",
+            "triples",
         )
+        if getattr(extractor, "emits_clean", False):
+            return exploded
         return exploded.select(
             "doc_id",
             "chunk_ids",
-            _clean_mentions_arr(F.col("x.mentions")).alias("mentions"),
-            _clean_triples_arr(F.col("x.triples")).alias("triples"),
+            _clean_mentions_arr(F.col("mentions")).alias("mentions"),
+            _clean_triples_arr(F.col("triples")).alias("triples"),
         )
+    udf = extractor.make_udf()
     units = combine_chunks(chunks, combine_k)
     # A doc with two byte-identical windows yields the same unit twice —
     # Neo4j-MERGE semantics keep one (dedup on skinny keys BEFORE the explode,

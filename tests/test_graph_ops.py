@@ -213,3 +213,28 @@ def test_entity_degrees(spark):
     )
     d = {r["id"]: r["degree"] for r in entity_degrees(edges).collect()}
     assert d == {"a": 2, "b": 1, "c": 1}
+
+
+def test_community_summaries(spark):
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.communities import (
+        community_hierarchy,
+        summarize_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "Artifact", "USES", "b", "Artifact", 3),
+         ("b", "Artifact", "USES", "c", "Artifact", 2),
+         ("x", "Artifact", "FEEDS", "y", "Artifact", 5)],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label", "weight"],
+    )
+    h = community_hierarchy(edges)
+    out = summarize_communities(h, edges)
+    rows = {r.community_id: r for r in out.collect()}
+    # two communities (abc, xy), each with >1 member at level 0
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r.title.startswith("Community ") and "Members (" in r.summary
+    abc = [r for r in rows.values() if "a, b, c" in r.summary]
+    assert len(abc) == 1 and "USES" in abc[0].summary
