@@ -161,12 +161,16 @@ def q_label_inventory(spark, sf_dir):
 def q_top_entities(spark, sf_dir):
     t = pipeline_tables(spark, sf_dir)
     ents = t["entities"]
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge); ranking the global window first
+    # would single-partition-sort the whole entity table
+    top20_rows = ents.orderBy(
+        F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
+    ).limit(20)
     w = Window.orderBy(
         F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
     )
-    top20 = ents.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
-        F.col("rnk") <= 20
-    )
+    top20 = top20_rows.withColumn("rnk", F.row_number().over(w).cast("long"))
     pred_counts = t["entity_edges"].groupBy(
         F.col("subj_id").alias("id"), F.col("subj_label").alias("label"), "pred"
     ).agg(F.sum("weight").alias("pred_weight"))

@@ -133,10 +133,16 @@ def embedding_probe(df: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def chunk_page(chunks: DataFrame, skip: int, limit: int = 10) -> DataFrame:
-    """T3 — chunk-text pagination ordered by (doc_id, position)."""
+    """T3 — chunk-text pagination ordered by (doc_id, position).
+
+    orderBy+limit(skip+limit) is a distributed top-k
+    (TakeOrderedAndProject); only the skip+limit survivors hit the tiny
+    ranking window — never a whole-table single-partition sort.
+    """
+    head = chunks.orderBy("doc_id", "position").limit(skip + limit)
     w = Window.orderBy("doc_id", "position")
     return (
-        chunks.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > skip) & (F.col("rn") <= skip + limit))
+        head.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > skip)
         .select("doc_id", "chunk_id", "text", "position")
     )
