@@ -87,3 +87,10 @@ def embed_entities(entities: DataFrame, model_factory=None, dim: int = EMBEDDING
         done = entities.filter(F.col("embedding").isNotNull())
         return done.unionByName(todo)
     return entities.withColumn("embedding", embed(text))
+
+
+def embed_communities(summaries: DataFrame, model_factory=None, dim: int = EMBEDDING_DIM) -> DataFrame:
+    """E4 — community-summary embeddings (reference: batches of 100 at
+    src/communities.py:374-401 — here one Arrow-batched UDF pass)."""
+    embed = make_embedder_udf(model_factory, dim)
+    return summaries.withColumn("embedding", embed(F.col("summary")))

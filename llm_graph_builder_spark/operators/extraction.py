@@ -537,3 +537,111 @@ def entity_edges(triples: DataFrame) -> DataFrame:
     return triples.groupBy(
         "subj_id", "subj_label", "pred", "obj_id", "obj_label"
     ).agg(F.count("*").alias("weight"))
+
+
+# ---------------------------------------------------------------------------
+# X1/X3/X5 — provider config, allowed-schema enforcement, instruction hygiene
+# ---------------------------------------------------------------------------
+
+def get_llm_factory(model: str, env: dict | None = None, client_builder=None):
+    """X1 — env-driven provider dispatch (reference: get_llm, src/llm.py:23-147;
+    env format ``LLM_MODEL_CONFIG_<model> = "model_name,api_key[,endpoint]"``
+    per backend/example.env:28-47).
+
+    Returns a zero-arg factory suitable for ``LLMExtractor(client_factory=...)``
+    — called once per executor. ``client_builder(model_name, api_key,
+    endpoint)`` constructs the actual provider client; without one this
+    sandbox has no providers, so a clear error surfaces at build time rather
+    than inside a task.
+    """
+    import os as _os
+
+    env = env if env is not None else dict(_os.environ)
+    key = f"LLM_MODEL_CONFIG_{model.replace('-', '_')}"
+    raw = env.get(key)
+    if not raw:
+        raise ValueError(f"no provider config: set {key}=model_name,api_key[,endpoint]")
+    parts = [p.strip() for p in raw.split(",")]
+    model_name, api_key = parts[0], parts[1] if len(parts) > 1 else ""
+    endpoint = parts[2] if len(parts) > 2 else None
+    if client_builder is None:
+        raise NotImplementedError(
+            "no LLM provider library in this environment; pass client_builder"
+        )
+    return lambda: client_builder(model_name, api_key, endpoint)
+
+
+def parse_allowed_schema(nodes_csv: str | None, rels_csv: str | None):
+    """X3 — parse/validate allowedNodes + allowedRelationship (reference:
+    get_graph_from_llm validation, src/llm.py:249-292: rels must be
+    (source, rel, target) triples whose endpoints are known node labels).
+
+    Returns (labels tuple | None, relationship triples tuple | None).
+    """
+    labels = tuple(s.strip() for s in nodes_csv.split(",") if s.strip()) if nodes_csv else None
+    if not rels_csv:
+        return labels, None
+    items = [s.strip() for s in rels_csv.split(",") if s.strip()]
+    if len(items) % 3 != 0:
+        raise ValueError(
+            "allowed_relationships must be (source, relationship, target) triples"
+        )
+    rels = tuple(tuple(items[i : i + 3]) for i in range(0, len(items), 3))
+    if labels is not None:
+        for s, _, t in rels:
+            if s not in labels or t not in labels:
+                raise ValueError(f"relationship endpoints {s!r}/{t!r} not in allowed nodes")
+    return labels, rels
+
+
+def enforce_allowed_schema(
+    mentions: DataFrame,
+    triples: DataFrame,
+    allowed_labels: tuple[str, ...] | None = None,
+    allowed_relationships: tuple[tuple[str, str, str], ...] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """X3 enforcement — keep only whitelisted labels / (src,rel,dst) kinds.
+
+    Label filter is a codegen ``isin``; the relationship whitelist is a
+    broadcast semi-join on (subj_label, pred, obj_label) — the mapping is
+    driver-side tiny at any corpus scale.
+    """
+    if allowed_labels is not None:
+        lab = list(allowed_labels)
+        mentions = mentions.filter(F.col("entity_label").isin(lab))
+        triples = triples.filter(
+            F.col("subj_label").isin(lab) & F.col("obj_label").isin(lab)
+        )
+    if allowed_relationships is not None:
+        spark = triples.sparkSession
+        allowed = spark.createDataFrame(
+            list(allowed_relationships), ["subj_label", "pred", "obj_label"]
+        )
+        triples = triples.join(
+            F.broadcast(allowed), on=["subj_label", "pred", "obj_label"], how="leftsemi"
+        )
+    return mentions, triples
+
+
+#: substrings the reference refuses in user-supplied extraction instructions
+#: (prompt-injection hygiene; reference: sanitize_additional_instruction,
+#: src/llm.py:294-314 — braces swapped to brackets, code-exec tokens dropped)
+_INSTRUCTION_BLOCKLIST = (
+    "eval(", "exec(", "import ", "__", "os.getenv(", "getenv(", "open(",
+    "subprocess", "system(",
+)
+
+
+def sanitize_additional_instructions(text: str | None) -> str:
+    """X5 — driver-side hygiene for user extraction instructions."""
+    if not text:
+        return ""
+    out = text.replace("{", "[").replace("}", "]")
+    low = out.lower()
+    for bad in _INSTRUCTION_BLOCKLIST:
+        idx = low.find(bad)
+        while idx != -1:
+            out = out[:idx] + out[idx + len(bad):]
+            low = out.lower()
+            idx = low.find(bad)
+    return out.strip()

@@ -33,6 +33,7 @@ from ..operators.communities import community_hierarchy, community_tables
 from ..operators.counts import doc_counts
 from ..operators.embeddings import embed_chunks
 from ..operators.extraction import (
+    enforce_allowed_schema,
     entities_from_mentions,
     entity_edges,
     extract_units,
@@ -205,6 +206,10 @@ class PipelineRunner:
         extracted = self.read("extractions")
         mentions = mentions_from_units(extracted)
         triples = triples_from_units(extracted)
+        if cfg.allowed_labels or cfg.allowed_relationships:
+            mentions, triples = enforce_allowed_schema(
+                mentions, triples, cfg.allowed_labels, cfg.allowed_relationships
+            )
         stage("mentions", lambda: mentions)
         stage("triples", lambda: triples)
         mentions = self.read("mentions").cache()

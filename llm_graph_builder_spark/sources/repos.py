@@ -66,7 +66,12 @@ def synth_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ingest(repos: DataFrame, repo_salt: int = 8, num_partitions: int | None = None) -> DataFrame:
+def ingest(
+    repos: DataFrame,
+    repo_salt: int = 8,
+    num_partitions: int | None = None,
+    max_content_chars: int | None = None,
+) -> DataFrame:
     """Stage 0 — normalize the corpus into the ``documents`` dimension.
 
     Adds content-addressed identities and the per-row sha256 invariant column
@@ -86,6 +91,12 @@ def ingest(repos: DataFrame, repo_salt: int = 8, num_partitions: int | None = No
     """
     if num_partitions is None:
         num_partitions = repos.sparkSession.sparkContext.defaultParallelism * 2
+    if max_content_chars is not None:
+        # per-doc content cap (reference: Wikipedia source truncates at 100k
+        # chars, src/document_sources/wikipedia.py:33). NB: the sha256
+        # invariant is then over the capped content — cap at the source if
+        # byte-parity with an uncapped copy matters.
+        repos = repos.withColumn("content", F.substring("content", 1, max_content_chars))
     file_name = F.concat_ws("@", F.concat_ws("/", F.col("repo"), F.col("path")), F.col("commit"))
     return repos.repartition(num_partitions, "repo", F.pmod(F.xxhash64("path"), F.lit(repo_salt))).select(
         F.sha2(file_name, 256).alias("doc_id"),

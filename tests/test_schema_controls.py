@@ -1,0 +1,83 @@
+"""X1/X3/X5 controls: provider config dispatch, allowed-schema parsing and
+enforcement, instruction sanitization; E4 community-summary embeddings."""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_graph_builder_spark.operators.extraction import (
+    enforce_allowed_schema,
+    get_llm_factory,
+    parse_allowed_schema,
+    sanitize_additional_instructions,
+)
+
+
+def test_get_llm_factory_env_dispatch():
+    env = {"LLM_MODEL_CONFIG_gpt_4o": "gpt-4o,sk-xyz,https://api.example.com"}
+    built = {}
+
+    def builder(model_name, api_key, endpoint):
+        built.update(m=model_name, k=api_key, e=endpoint)
+        return "client"
+
+    factory = get_llm_factory("gpt-4o", env=env, client_builder=builder)
+    assert factory() == "client"
+    assert built == {"m": "gpt-4o", "k": "sk-xyz", "e": "https://api.example.com"}
+    with pytest.raises(ValueError):
+        get_llm_factory("missing-model", env=env, client_builder=builder)
+    with pytest.raises(NotImplementedError):
+        get_llm_factory("gpt-4o", env=env)()
+
+
+def test_parse_allowed_schema():
+    labels, rels = parse_allowed_schema("Person, Org", "Person,WORKS_AT,Org")
+    assert labels == ("Person", "Org")
+    assert rels == (("Person", "WORKS_AT", "Org"),)
+    with pytest.raises(ValueError):
+        parse_allowed_schema("Person", "Person,WORKS_AT")  # not a triple
+    with pytest.raises(ValueError):
+        parse_allowed_schema("Person", "Person,WORKS_AT,Org")  # Org unknown
+
+
+def test_enforce_allowed_schema(spark):
+    mentions = spark.createDataFrame(
+        [("c1", "d1", "alice", "Person"), ("c1", "d1", "acme", "Org"),
+         ("c1", "d1", "pi", "Number")],
+        ["chunk_id", "doc_id", "entity_id", "entity_label"],
+    )
+    triples = spark.createDataFrame(
+        [("c1", "d1", "alice", "Person", "WORKS_AT", "acme", "Org"),
+         ("c1", "d1", "alice", "Person", "LIKES", "acme", "Org"),
+         ("c1", "d1", "pi", "Number", "WORKS_AT", "acme", "Org")],
+        ["chunk_id", "doc_id", "subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+    )
+    m, t = enforce_allowed_schema(
+        mentions, triples,
+        allowed_labels=("Person", "Org"),
+        allowed_relationships=(("Person", "WORKS_AT", "Org"),),
+    )
+    assert {r.entity_id for r in m.collect()} == {"alice", "acme"}
+    rows = t.collect()
+    assert len(rows) == 1 and rows[0].pred == "WORKS_AT"
+
+
+def test_sanitize_additional_instructions():
+    assert sanitize_additional_instructions(None) == ""
+    out = sanitize_additional_instructions(
+        "use {json} and eval(danger) and OS.GETENV(secret)"
+    )
+    assert "{" not in out and "}" not in out
+    assert "eval(" not in out.lower() and "getenv(" not in out.lower()
+    assert out.startswith("use [json]")
+
+
+def test_embed_communities(spark):
+    from llm_graph_builder_spark.operators.embeddings import embed_communities
+
+    df = spark.createDataFrame(
+        [("0-a", 0, "Community 0-a", "Members (2): a, b")],
+        ["community_id", "level", "title", "summary"],
+    )
+    out = embed_communities(df).collect()
+    assert len(out[0].embedding) == 64
