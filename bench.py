@@ -57,9 +57,19 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    out_dir = tempfile.mkdtemp(prefix="lgb_bench_")
-    spark = get_spark(app_name="lgb-bench", shuffle_partitions=cpus)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="lgb_bench_", dir=shm)
+    local_dir = tempfile.mkdtemp(prefix="lgb_bench_shuffle_", dir=shm)
+    spark = get_spark(
+        app_name="lgb-bench",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": local_dir},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Arrow/python-worker path so stage timings measure the
+    # stages, not process startup
+    _w = ingest(synth_repos(spark, sf_dir)).limit(500)
+    extract_chunks(chunk_documents(_w))[1].write.mode("overwrite").parquet(f"{out_dir}/warm")
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
@@ -163,6 +173,7 @@ def main():
     )
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
