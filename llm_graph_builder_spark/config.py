@@ -94,6 +94,9 @@ class PipelineConfig:
     max_community_levels: int = MAX_COMMUNITY_LEVELS
     #: number of shuffle partitions for pipeline stages; None = session default
     shuffle_partitions: int | None = None
+    #: entity count above which linking switches from the exact O(n²)-per-
+    #: label candidate scan to MinHash-LSH blocking (same pair predicates)
+    linking_block_threshold: int = 100_000
     #: salt factor for skewed repos (hash(path) % salt joins the repo key)
     repo_salt: int = 8
     #: allowed entity labels (reference allowedNodes, src/llm.py:257-276); None = all

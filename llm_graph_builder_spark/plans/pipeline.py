@@ -42,6 +42,7 @@ from ..operators.extraction import (
     triples_from_units,
 )
 from ..operators.linking import (
+    block_candidates_lsh,
     candidate_pairs_exact,
     canonical_map,
     connected_components,
@@ -222,11 +223,22 @@ class PipelineRunner:
         eedges = self.read("entity_edges").cache()
 
         def linked():
-            pairs = candidate_pairs_exact(
-                ents.select("id", "label"),
-                min_cosine=cfg.duplicate_score,
-                max_distance=cfg.duplicate_distance,
-            )
+            # O(n²)-per-label exact candidates below the threshold; MinHash-
+            # LSH blocking above it (identical pair predicates, SURVEY §7.4.5
+            # — the reference's exhaustive scan only survives tiny graphs)
+            n_entities = ents.count()
+            if n_entities > cfg.linking_block_threshold:
+                pairs = block_candidates_lsh(
+                    ents.select("id", "label"),
+                    min_cosine=cfg.duplicate_score,
+                    max_distance=cfg.duplicate_distance,
+                )
+            else:
+                pairs = candidate_pairs_exact(
+                    ents.select("id", "label"),
+                    min_cosine=cfg.duplicate_score,
+                    max_distance=cfg.duplicate_distance,
+                )
             comp = connected_components(pairs, self.spark)
             cmap = canonical_map(comp, ents, entity_degrees(eedges))
             me, med = merge_entities(ents, eedges, cmap)

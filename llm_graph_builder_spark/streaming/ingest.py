@@ -66,3 +66,42 @@ def start_incremental_chunking(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_incremental_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    extractor=None,
+):
+    """repos drops → documents + chunks + per-unit extractions appends.
+
+    The full extraction front-half of the pipeline as a stream: each
+    micro-batch runs the identical batch operators (ingest → chunker →
+    one-shuffle dedup + Arrow extraction) and appends. The checkpoint dir
+    makes re-runs skip processed input files; content-addressed ids keep
+    appends idempotent at the row level, so a crashed batch that re-runs
+    converges to duplicates-on-read being impossible after a
+    ``dropDuplicates(chunk_id/doc_id)`` compaction — or use Iceberg MERGE in
+    production for true exactly-once.
+    """
+    from ..operators.extraction import extract_units
+
+    stream = stream_repos(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        docs = ingest(batch_df)
+        docs.write.mode("append").parquet(f"{output_dir}/documents")
+        chunks = chunk_documents(docs)
+        chunks.write.mode("append").parquet(f"{output_dir}/chunks")
+        extract_units(chunks, extractor).write.mode("append").parquet(
+            f"{output_dir}/extractions"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

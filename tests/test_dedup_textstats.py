@@ -131,3 +131,28 @@ def test_streaming_incremental_chunking(spark, tmp_path):
     q2 = start_incremental_chunking(spark, inp, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/documents").count() == 2
+
+
+def test_streaming_incremental_extraction_exactly_once(spark, tmp_path):
+    """Two drops + a re-run with no new data: extraction outputs appended
+    exactly once per input file (checkpoint-driven resume)."""
+    from llm_graph_builder_spark.streaming.ingest import start_incremental_extraction
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows1 = [("r1", "a.py", "c1", "python", "alpha beta gamma delta")]
+    rows2 = [("r2", "b.py", "c2", "python", "epsilon zeta etaX theta")]
+    cols = ["repo", "path", "commit", "lang", "content"]
+    spark.createDataFrame(rows1, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_incremental_extraction(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out_dir}/extractions").count()
+    assert n1 == 1
+    spark.createDataFrame(rows2, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_incremental_extraction(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/extractions").count() == 2
+    # re-run with nothing new: no duplicate appends
+    q = start_incremental_extraction(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/extractions").count() == 2
+    assert spark.read.parquet(f"{out_dir}/documents").count() == 2
