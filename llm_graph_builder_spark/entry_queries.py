@@ -306,6 +306,24 @@ def q_combined_units(spark, sf_dir):
     )
 
 
+def q_allowed_schema(spark, sf_dir):
+    """X3 enforcement — pipeline triples restricted to Operation-subject
+    USES/THEN relations (label isin + broadcast semi-join on kinds)."""
+    from .operators.extraction import enforce_allowed_schema
+
+    t = pipeline_tables(spark, sf_dir)
+    _, triples = enforce_allowed_schema(
+        t["mentions"],
+        t["triples"],
+        allowed_labels=("Operation", "Artifact"),
+        allowed_relationships=(
+            ("Operation", "USES", "Artifact"),
+            ("Operation", "THEN", "Operation"),
+        ),
+    )
+    return triples
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -409,6 +427,12 @@ def q_community_summaries(spark, sf_dir):
     return summarize_communities(h, t["entity_edges"])
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end corpus dedup: exact+near-dup pairs → connected components →
+    keeper per cluster (iterative CC → rows-only)."""
+    return dedup.near_dup_clusters(read_documents(spark, sf_dir))
+
+
 def q_entity_embeddings(spark, sf_dir):
     """E3 — entity embeddings over id+description, null-gated (hash-embedder
     stand-in → rows-only)."""
@@ -453,6 +477,7 @@ QUERIES = {
     "resume_position": q_resume_position,
     "embedding_probe": q_embedding_probe,
     "combined_units": q_combined_units,
+    "allowed_schema": q_allowed_schema,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
@@ -471,4 +496,5 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "community_summaries": q_community_summaries,
     "entity_embeddings": q_entity_embeddings,
+    "dedup_clusters": q_dedup_clusters,
 }

@@ -257,3 +257,49 @@ def embedding_dup_pairs(
         .filter(F.col("cos_e4") >= int(min_cosine * 10000))
         .select("id_a", "id_b", "cos_e4")
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """End-to-end corpus dedup: exact + MinHash-LSH near-dup pairs →
+    connected components → one keeper per cluster.
+
+    This is the operation a pretraining corpus actually needs (drop
+    near-duplicates, keep one representative): pairs from
+    ``minhash_lsh_pairs`` plus exact-hash identity, transitively closed with
+    the same min-label propagation used for entity linking; keeper = lexical
+    min doc id of the cluster (deterministic). Output:
+    (doc, cluster, keeper boolean).
+    """
+    from .linking import connected_components
+
+    near = minhash_lsh_pairs(
+        docs, text_col, id_col, jaccard_threshold=jaccard_threshold
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    exact = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc"),
+            F.sha2(F.col(text_col), 256).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.min("doc").alias("id_a"), F.collect_set("doc").alias("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = near.unionByName(exact).dropDuplicates().withColumn("label", F.lit("doc"))
+    comp = connected_components(pairs.select("label", "id_a", "id_b"), docs.sparkSession)
+    singles = (
+        docs.select(F.col(id_col).cast("string").alias("id"))
+        .join(comp.select("id"), on="id", how="left_anti")
+        .withColumn("component", F.col("id"))
+    )
+    clusters = comp.select("id", "component").unionByName(singles)
+    return clusters.select(
+        F.col("id").alias("doc"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("keeper"),
+    )

@@ -302,6 +302,15 @@ SELECT doc_id, chunk_id, text, CAST(position AS BIGINT) AS position FROM (
 # Training-data operators over the raw documents/embeddings views
 # ---------------------------------------------------------------------------
 
+ORACLE_SQL["allowed_schema"] = PIPELINE_CTE + """
+SELECT chunk_id, doc_id, subj_id, subj_label, pred, obj_id, obj_label
+FROM triples
+WHERE subj_label IN ('Operation', 'Artifact')
+  AND obj_label IN ('Operation', 'Artifact')
+  AND ((subj_label = 'Operation' AND pred = 'USES' AND obj_label = 'Artifact')
+    OR (subj_label = 'Operation' AND pred = 'THEN' AND obj_label = 'Operation'))
+"""
+
 ORACLE_SQL["schema_consolidation"] = """
 WITH labels AS (
   SELECT DISTINCT label FROM (

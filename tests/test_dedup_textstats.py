@@ -156,3 +156,20 @@ def test_streaming_incremental_extraction_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(f"{out_dir}/extractions").count() == 2
     assert spark.read.parquet(f"{out_dir}/documents").count() == 2
+
+
+def test_near_dup_clusters(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog again and again today"),  # near dup
+        (4, "completely different content about spark dataframe shuffles here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from llm_graph_builder_spark.operators.dedup import near_dup_clusters
+
+    out = {r.doc: (r.cluster, r.keeper) for r in near_dup_clusters(docs).collect()}
+    assert out["1"][0] == out["2"][0] == out["3"][0]
+    assert out["4"][0] == "4" and out["4"][1] is True
+    keepers = [d for d, (_, k) in out.items() if k]
+    assert keepers == ["1", "4"] or set(keepers) == {"1", "4"}
