@@ -27,13 +27,16 @@ N_SYNTH_REPOS = 37
 _EXT = {"en": "py", "de": "rs", "fr": "go", "es": "js", "zh": "java"}
 
 
-def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents(spark: SparkSession, sf_dir: str, repartition: bool = True) -> DataFrame:
     """Raw driver-provided documents table, repartitioned to the cluster's
     parallelism (the sf tables are single parquet files — without this every
-    downstream text operator would run in one task)."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    downstream text operator would run in one task). Pass
+    ``repartition=False`` when the caller repartitions anyway (e.g. ingest's
+    (repo, salt) exchange) to avoid a redundant back-to-back shuffle."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if repartition:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def synth_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +52,7 @@ def synth_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
         content = text                      (byte-exact; sanitization happens
                                              only inside the chunker — SURVEY §1.5)
     """
-    docs = read_documents(spark, sf_dir)
+    docs = read_documents(spark, sf_dir, repartition=False)
     ext = F.coalesce(
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _EXT.items()],
         F.lit("txt"),
