@@ -104,3 +104,18 @@ def test_chunk_graph_edges(spark, sf_dir):
     # NEXT_CHUNK = sum(chunks-1) per doc (chunk texts here are unique per doc)
     assert by_type["NEXT_CHUNK"] == sum(r["count"] - 1 for r in per_doc)
     assert by_type["PART_OF"] == chunks.select("chunk_id", "doc_id").distinct().count()
+
+
+def test_ingest_content_cap(spark):
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.sources.repos import ingest
+
+    df = spark.createDataFrame(
+        [("r", "p.py", "c", "python", "x" * 500)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    row = ingest(df, max_content_chars=100).select(
+        F.length("content").alias("n"), "content_sha256"
+    ).collect()[0]
+    assert row.n == 100
