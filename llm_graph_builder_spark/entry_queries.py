@@ -427,6 +427,38 @@ def q_community_summaries(spark, sf_dir):
     return summarize_communities(h, t["entity_edges"])
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents → binary assets (payload =
+    utf-8 bytes of text; deterministic) → mapInPandas feature extraction.
+    Rows-only: the decode step is the stubbed deterministic fake — the
+    Spark-side schema/batching/partitioning is the real thing under test."""
+    from .operators.multimodal import extract_features
+
+    docs = read_documents(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("fake")).alias("meta"),
+    )
+    return extract_features(assets).select(
+        "asset_id", "media_type", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (deterministic k-means training; rows-only —
+    iterative Lloyd rounds)."""
+    from .operators.ann import ann_ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivf_topk(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk").withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """End-to-end corpus dedup: exact+near-dup pairs → connected components →
     keeper per cluster (iterative CC → rows-only)."""
@@ -497,4 +529,6 @@ QUERIES = {
     "community_summaries": q_community_summaries,
     "entity_embeddings": q_entity_embeddings,
     "dedup_clusters": q_dedup_clusters,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_features": q_multimodal_features,
 }

@@ -173,3 +173,40 @@ def test_near_dup_clusters(spark):
     assert out["4"][0] == "4" and out["4"][1] is True
     keepers = [d for d, (_, k) in out.items() if k]
     assert keepers == ["1", "4"] or set(keepers) == {"1", "4"}
+
+
+def test_ann_ivf_recall(spark):
+    """IVF top-k must agree with brute force on most neighbors (recall), and
+    exactly when probing every centroid."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.ann import ann_bruteforce_topk, ann_ivf_topk
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(corpus, queries, k=5).collect()
+    }
+    full_probe = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in ann_ivf_topk(
+            corpus, queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full_probe == {(int(a), int(b)) for a, b in exact}
+    approx = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in ann_ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    exact_i = {(int(a), int(b)) for a, b in exact}
+    recall = len(approx & exact_i) / len(exact_i)
+    assert recall >= 0.5, recall
