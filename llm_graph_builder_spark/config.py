@@ -97,6 +97,9 @@ class PipelineConfig:
     #: entity count above which linking switches from the exact O(n²)-per-
     #: label candidate scan to MinHash-LSH blocking (same pair predicates)
     linking_block_threshold: int = 100_000
+    #: also run the code-aware doc-grain extractor (IMPORTS/DEFINED_IN/CALLS/
+    #: WRITTEN_IN rules over path+lang+content) as a `code_extractions` stage
+    code_extraction: bool = False
     #: salt factor for skewed repos (hash(path) % salt joins the repo key)
     repo_salt: int = 8
     #: allowed entity labels (reference allowedNodes, src/llm.py:257-276); None = all

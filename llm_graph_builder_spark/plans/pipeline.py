@@ -69,6 +69,7 @@ class PipelineRunner:
         "chunks",
         "chunk_edges",
         "chunk_embeddings",
+        "code_extractions",  # optional (config.code_extraction)
         "extractions",
         "mentions",
         "triples",
@@ -203,6 +204,11 @@ class PipelineRunner:
         # doc/chunk ids ~10× vs exploded rows, so the expensive stage writes
         # one small table and the exploded mentions/triples tables are cheap
         # projections of it (never a second run of the extractor).
+        if cfg.code_extraction:
+            from ..operators.code_extract import extract_code_documents
+
+            stage("code_extractions", lambda: extract_code_documents(docs))
+
         stage("extractions", lambda: extract_units(chunks, self.extractor))
         extracted = self.read("extractions")
         mentions = mentions_from_units(extracted)

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: cross-batch repo progress tracking.
+
+The reference's only "state" is the Document row it mutates per batch
+(processed_chunk / node_count counters, src/main.py:569-586). The streaming
+restatement keeps that running state INSIDE the engine with
+``applyInPandasWithState``: one state cell per repo accumulates
+(files_seen, chunks_seen, distinct-chunk sketch size) across micro-batches
+and emits an updated progress row per batch — the SSE status surface
+(score.py:664-709) becomes a readable progress stream/table.
+
+State is a bounded sketch, not the chunk set itself: per repo we keep a
+fixed-size set of 32-bit chunk-hash prefixes capped at ``MAX_SKETCH`` —
+memory per key is bounded no matter how large a repo streams in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAX_SKETCH = 4096
+
+PROGRESS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("files_seen", LongType()),
+        StructField("chunks_seen", LongType()),
+        StructField("distinct_chunk_sketch", IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("files_seen", LongType()),
+        StructField("chunks_seen", LongType()),
+        StructField("sketch", StringType()),  # csv of hex prefixes (bounded)
+    ]
+)
+
+
+def _update_repo_progress(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    files, chunks, sketch = 0, 0, set()
+    if state.exists:
+        files, chunks, sk = state.get
+        sketch = set(sk.split(",")) if sk else set()
+    for pdf in pdfs:
+        files += pdf["doc_id"].nunique()
+        chunks += len(pdf)
+        for h in pdf["chunk_id"].str[:8]:
+            if len(sketch) >= MAX_SKETCH:
+                break
+            sketch.add(h)
+    state.update((files, chunks, ",".join(sorted(sketch))))
+    yield pd.DataFrame(
+        {
+            "repo": [key[0]],
+            "files_seen": [files],
+            "chunks_seen": [chunks],
+            "distinct_chunk_sketch": [len(sketch)],
+        }
+    )
+
+
+def repo_progress_stream(chunk_stream: DataFrame) -> DataFrame:
+    """chunks stream (repo, doc_id, chunk_id) → running per-repo progress.
+
+    One output row per (repo, micro-batch); state never exceeds MAX_SKETCH
+    hash prefixes per repo.
+    """
+    return chunk_stream.groupBy("repo").applyInPandasWithState(
+        _update_repo_progress,
+        outputStructType=PROGRESS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -106,3 +106,17 @@ def test_sha256_invariant_on_code_corpus(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_pipeline_with_code_extraction(spark, tmp_path):
+    from llm_graph_builder_spark.config import PipelineConfig
+    from llm_graph_builder_spark.plans.pipeline import PipelineRunner
+
+    cfg = PipelineConfig(code_extraction=True)
+    runner = PipelineRunner(spark, str(tmp_path / "wh"), config=cfg)
+    results = runner.run(_corpus_df(spark))
+    names = [r.stage for r in results]
+    assert "code_extractions" in names
+    ce = runner.read("code_extractions")
+    n_triples = ce.selectExpr("sum(size(triples)) as n").collect()[0].n
+    assert n_triples == sum(len(v) for v in EXPECTED_TRIPLES.values())

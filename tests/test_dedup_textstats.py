@@ -210,3 +210,42 @@ def test_ann_ivf_recall(spark):
     exact_i = {(int(a), int(b)) for a, b in exact}
     recall = len(approx & exact_i) / len(exact_i)
     assert recall >= 0.5, recall
+
+
+def test_stateful_repo_progress(spark, tmp_path):
+    """applyInPandasWithState accumulates per-repo progress across batches."""
+    from llm_graph_builder_spark.streaming.stateful import repo_progress_stream
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("repo", StringType()), StructField("doc_id", StringType()),
+         StructField("chunk_id", StringType())]
+    )
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    b1 = [("r1", "d1", "aaaaaaaa11"), ("r1", "d1", "bbbbbbbb22"), ("r2", "d2", "cccccccc33")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            repo_progress_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    b2 = [("r1", "d3", "aaaaaaaa11"), ("r1", "d3", "dddddddd44")]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    out = spark.read.parquet(out_dir)
+    last_r1 = (
+        out.filter("repo = 'r1'").orderBy("chunks_seen", ascending=False).first()
+    )
+    # cumulative across batches: 2 docs, 4 chunk rows, 3 distinct chunk prefixes
+    assert last_r1.files_seen == 2
+    assert last_r1.chunks_seen == 4
+    assert last_r1.distinct_chunk_sketch == 3
