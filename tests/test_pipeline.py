@@ -17,7 +17,8 @@ def test_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
     runner = PipelineRunner(spark, wh)
     results = runner.run(_repos(spark, sf_dir))
     by_stage = {r.stage: r for r in results}
-    assert set(by_stage) == set(PipelineRunner.STAGES)
+    # code_extractions only runs with config.code_extraction=True
+    assert set(by_stage) == set(PipelineRunner.STAGES) - {"code_extractions"}
     assert all(not r.skipped for r in results)
     assert by_stage["documents"].rows_out == 60
     assert by_stage["chunks"].rows_out > 0
