@@ -119,3 +119,56 @@ def test_ingest_content_cap(spark):
         F.length("content").alias("n"), "content_sha256"
     ).collect()[0]
     assert row.n == 100
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (pure-Python window logic — no Spark session)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from llm_graph_builder_spark.operators.chunking import split_tokens as _split
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcXYZ09_", min_size=1, max_size=12), max_size=300),
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=0, max_value=30),
+)
+def test_split_tokens_properties(tokens, size, overlap):
+    overlap = min(overlap, size - 1)
+    out = _split(tokens, size, overlap)
+    if not tokens:
+        assert out == []
+        return
+    stride = size - overlap
+    # dense 1-based positions
+    assert [p for _, p, _ in out] == list(range(1, len(out) + 1))
+    # offsets are the exact char offsets into ' '.join(tokens)
+    joined = " ".join(tokens)
+    for text, pos, off in out:
+        start = (pos - 1) * stride
+        assert joined[off : off + len(text)] == text
+        assert text == " ".join(tokens[start : start + size])
+    # full coverage: every token index appears in some window
+    covered = set()
+    for _, pos, _ in out:
+        start = (pos - 1) * stride
+        covered.update(range(start, min(start + size, len(tokens))))
+    assert covered == set(range(len(tokens)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=400))
+def test_extract_text_properties(text):
+    from llm_graph_builder_spark.operators.extraction import extract_text_py
+
+    r = extract_text_py(text)
+    ids = {(m["id"], m["label"]) for m in r["mentions"]}
+    assert len(ids) == len(r["mentions"])  # mentions distinct
+    for t in r["triples"]:
+        # triple endpoints are mentioned, labels consistent
+        assert (t["subj_id"], t["subj_label"]) in ids
+        assert (t["obj_id"], t["obj_label"]) in ids
+        assert t["subj_id"] != t["obj_id"] or t["subj_label"] != t["obj_label"]
