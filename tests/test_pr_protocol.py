@@ -1,0 +1,61 @@
+"""Scorer-protocol validation: eval.pr must reproduce hand-computed
+precision/recall on comparison-style fixtures (the shape of the reference's
+model-vs-human extraction comparisons in data/llm_comparision.json /
+experiments/LLM_Results_.csv, where each model's emitted node/relation sets
+are scored against a human-annotated row)."""
+
+from __future__ import annotations
+
+from llm_graph_builder_spark.eval.pr import mention_prf, set_prf, triple_prf
+
+
+def test_triple_prf_hand_computed(spark):
+    emitted = spark.createDataFrame(
+        [
+            ("Messi", "Person", "member_of", "Inter Miami", "Team"),
+            ("Suarez", "Person", "member_of", "Inter Miami", "Team"),
+            ("Messi", "Person", "teammate", "Suarez", "Person"),
+            ("Busquets", "Person", "member_of", "Barcelona", "Team"),  # FP
+        ],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+    )
+    expected = spark.createDataFrame(
+        [
+            ("messi", "person", "member_of", "inter miami", "team"),
+            ("suarez", "person", "member_of", "inter miami", "team"),
+            ("messi", "person", "teammate", "suarez", "person"),
+            ("paes", "person", "member_of", "fc dallas", "team"),  # FN
+            ("ferreira", "person", "member_of", "fc dallas", "team"),  # FN
+        ],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+    )
+    s = triple_prf(emitted, expected)  # normalize=True: case-tolerant match
+    assert s["tp"] == 3 and s["emitted"] == 4 and s["expected"] == 5
+    assert s["precision"] == 3 / 4 and s["recall"] == 3 / 5
+    f1 = 2 * (3 / 4) * (3 / 5) / ((3 / 4) + (3 / 5))
+    assert abs(s["f1"] - f1) < 1e-12
+
+
+def test_mention_prf_and_per_doc(spark):
+    emitted = spark.createDataFrame(
+        [("d1", "Messi", "Person"), ("d2", "Suarez", "Person")],
+        ["doc_id", "entity_id", "entity_label"],
+    )
+    expected = spark.createDataFrame(
+        [("d1", "Messi", "Person"), ("d1", "Suarez", "Person")],
+        ["doc_id", "entity_id", "entity_label"],
+    )
+    loose = mention_prf(emitted, expected)  # doc-agnostic: both match
+    assert loose["precision"] == 1.0 and loose["recall"] == 1.0
+    strict = mention_prf(emitted, expected, per_doc=True)  # Suarez in wrong doc
+    assert strict["tp"] == 1
+    assert strict["precision"] == 0.5 and strict["recall"] == 0.5
+
+
+def test_prf_empty_edges(spark):
+    empty = spark.createDataFrame([], "entity_id string, entity_label string")
+    some = spark.createDataFrame([("x", "T")], ["entity_id", "entity_label"])
+    s = set_prf(empty, some, ["entity_id", "entity_label"])
+    assert s["precision"] == 1.0 and s["recall"] == 0.0
+    s2 = set_prf(some, empty, ["entity_id", "entity_label"])
+    assert s2["precision"] == 0.0 and s2["recall"] == 1.0
