@@ -116,9 +116,9 @@ def extract_text_py(text: str) -> dict:
     return {"mentions": mentions, "triples": triples}
 
 
-#: mapInArrow output contract of the fast extraction path
-_EXTRACT_UNITS_DDL = (
-    "unit_id string, doc_ids array<string>, "
+#: mapInArrow output columns appended by the extraction kernel (the carry
+#: columns of the aggregate pass through ahead of these)
+_EXTRACT_ARRAYS_DDL = (
     "mentions array<struct<id:string,label:string>>, "
     "triples array<struct<subj_id:string,subj_label:string,pred:string,"
     "obj_id:string,obj_label:string>>"
@@ -165,6 +165,7 @@ class DeterministicExtractor:
             for rb in batches:
                 idx = {n: i for i, n in enumerate(rb.schema.names)}
                 texts = rb.column(idx["text"]).to_pylist()
+                passthrough_names = [n for n in rb.schema.names if n != "text"]
                 m_off = [0]
                 m_id: list[str] = []
                 m_lab: list[str] = []
@@ -235,9 +236,13 @@ class DeterministicExtractor:
                         ["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
                     ),
                 )
+                # every non-text input column passes through untouched (zero
+                # conversion — the arrow buffers are reused), so the same
+                # kernel serves any carry shape: doc_ids for combine_k=1,
+                # (doc_id, chunk_ids) member structs for combine_k>1
                 yield pa.RecordBatch.from_arrays(
-                    [rb.column(idx["unit_id"]), rb.column(idx["doc_ids"]), mentions, triples],
-                    names=["unit_id", "doc_ids", "mentions", "triples"],
+                    [rb.column(idx[n]) for n in passthrough_names] + [mentions, triples],
+                    names=passthrough_names + ["mentions", "triples"],
                 )
 
         return extract_batches
@@ -381,66 +386,73 @@ def extract_units(
     extractor DAG per output.
     """
     extractor = extractor or DeterministicExtractor()
+    # ONE aggregation by content-addressed unit_id simultaneously (a) dedups
+    # vendored content repeated across repos/docs so each distinct text hits
+    # the (expensive) extractor exactly once — the biggest cost saver at
+    # 10^12 files (SURVEY §7.4.4) — and (b) collects the per-doc membership
+    # carry, replacing a dedup shuffle + sort-merge-join re-association.
+    # The extractor runs post-shuffle on the distinct texts; exploding the
+    # carry restores per-doc rows. combine_k=1 carries doc_ids (unit IS the
+    # chunk); combine_k>1 first windows units (one groupBy) and carries
+    # (doc_id, chunk_ids) member structs — collect_set on the struct also
+    # dedups byte-identical windows within a doc (Neo4j-MERGE semantics).
     if combine_k <= 1:
-        # Fast path (the default): ONE shuffle, no join. A single aggregation
-        # by content-addressed chunk_id simultaneously (a) dedups vendored
-        # files repeated across repos/docs so each distinct text hits the
-        # (expensive) extractor exactly once — the biggest cost saver at
-        # 10^12 files (SURVEY §7.4.4) — and (b) collects the doc membership
-        # set, replacing the dedup-shuffle + sort-merge-join re-association
-        # of the generic path. The extractor runs post-shuffle on the
-        # distinct texts; explode(doc_ids) restores per-doc rows.
         grouped = chunks.groupBy(F.col("chunk_id").alias("unit_id")).agg(
             F.first("text").alias("text"),
             F.collect_set("doc_id").alias("doc_ids"),
         )
-        if hasattr(extractor, "make_arrow_kernel"):
-            # columnar-native kernel: no pandas/nested-object conversion
-            units_x = grouped.select("unit_id", "doc_ids", "text").mapInArrow(
-                extractor.make_arrow_kernel(), _EXTRACT_UNITS_DDL
-            )
-        else:
-            udf = extractor.make_udf()
-            units_x = grouped.select(
-                "unit_id", "doc_ids", udf(F.col("text")).alias("x")
-            ).select("unit_id", "doc_ids", F.col("x.mentions").alias("mentions"),
-                     F.col("x.triples").alias("triples"))
-        # NB: the cleaning projection must live in its own select — a
-        # generator (explode) in the same projection breaks resolution of
-        # struct-field aliases inside the transform() lambdas.
+    else:
+        units = combine_chunks(chunks, combine_k)
+        grouped = units.groupBy("unit_id").agg(
+            F.first("text").alias("text"),
+            F.collect_set(F.struct("doc_id", "chunk_ids")).alias("members"),
+        )
+    if hasattr(extractor, "make_arrow_kernel"):
+        # columnar-native kernel: no pandas/nested-object conversion; carry
+        # columns pass through as raw arrow buffers
+        carry_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in grouped.drop("text").schema.fields
+        )
+        units_x = grouped.mapInArrow(
+            extractor.make_arrow_kernel(), carry_ddl + ", " + _EXTRACT_ARRAYS_DDL
+        )
+    else:
+        udf = extractor.make_udf()
+        carry_cols = [c for c in grouped.columns if c != "text"]
+        units_x = grouped.select(
+            *carry_cols, udf(F.col("text")).alias("x")
+        ).select(
+            *carry_cols,
+            F.col("x.mentions").alias("mentions"),
+            F.col("x.triples").alias("triples"),
+        )
+    # NB: the cleaning projection must live in its own select — a generator
+    # (explode) in the same projection breaks resolution of struct-field
+    # aliases inside the transform() lambdas.
+    if combine_k <= 1:
         exploded = units_x.select(
             F.explode("doc_ids").alias("doc_id"),
             F.array("unit_id").alias("chunk_ids"),
             "mentions",
             "triples",
         )
-        if getattr(extractor, "emits_clean", False):
-            return exploded
-        return exploded.select(
-            "doc_id",
-            "chunk_ids",
-            _clean_mentions_arr(F.col("mentions")).alias("mentions"),
-            _clean_triples_arr(F.col("triples")).alias("triples"),
+    else:
+        exploded = units_x.select(
+            F.explode("members").alias("m"), "mentions", "triples"
+        ).select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.chunk_ids").alias("chunk_ids"),
+            "mentions",
+            "triples",
         )
-    udf = extractor.make_udf()
-    units = combine_chunks(chunks, combine_k)
-    # A doc with two byte-identical windows yields the same unit twice —
-    # Neo4j-MERGE semantics keep one (dedup on skinny keys BEFORE the explode,
-    # not on millions of exploded mention rows).
-    doc_units = units.select("doc_id", "unit_id", "chunk_ids").dropDuplicates(
-        ["doc_id", "unit_id"]
-    )
-    # Content-addressed dedup BEFORE the extractor (see fast path above).
-    distinct_units = units.select("unit_id", "text").dropDuplicates(["unit_id"])
-    unit_results = distinct_units.select(
-        "unit_id", udf(F.col("text")).alias("x")
-    ).select(
-        "unit_id",
-        _clean_mentions_arr(F.col("x.mentions")).alias("mentions"),
-        _clean_triples_arr(F.col("x.triples")).alias("triples"),
-    )
-    return doc_units.join(unit_results, on="unit_id").select(
-        "doc_id", "chunk_ids", "mentions", "triples"
+    if getattr(extractor, "emits_clean", False):
+        return exploded
+    return exploded.select(
+        "doc_id",
+        "chunk_ids",
+        _clean_mentions_arr(F.col("mentions")).alias("mentions"),
+        _clean_triples_arr(F.col("triples")).alias("triples"),
     )
 
 
