@@ -324,6 +324,62 @@ def q_allowed_schema(spark, sf_dir):
     return triples
 
 
+def q_entity_neighbors(spark, sf_dir):
+    """Read surface — 1-hop neighborhood of a deterministic anchor entity
+    (reference: /get_neighbours, backend/src/neighbours.py:4-65). Anchor =
+    lexicographically smallest Operation entity."""
+    t = pipeline_tables(spark, sf_dir)
+    anchor = (
+        t["entities"].filter(F.col("label") == "Operation")
+        .orderBy("id").limit(1)
+        .select(F.col("id").alias("aid"))
+    )
+    e = t["entity_edges"]
+    out_edges = e.join(F.broadcast(anchor), on=e.subj_id == F.col("aid")).select(
+        F.lit("out").alias("direction"),
+        F.col("pred"),
+        F.col("obj_id").alias("neighbor_id"),
+        F.col("obj_label").alias("neighbor_label"),
+        F.col("weight"),
+    )
+    in_edges = e.join(F.broadcast(anchor), on=e.obj_id == F.col("aid")).select(
+        F.lit("in").alias("direction"),
+        F.col("pred"),
+        F.col("subj_id").alias("neighbor_id"),
+        F.col("subj_label").alias("neighbor_label"),
+        F.col("weight"),
+    )
+    return out_edges.unionByName(in_edges)
+
+
+def q_chunk_entities(spark, sf_dir):
+    """Read surface — chunks of one doc with their entity lists (reference:
+    /chunk_entities, backend/src/chunkid_entities.py:265-318). Doc = min
+    doc_id; entities sorted and csv-joined for stable comparison."""
+    t = pipeline_tables(spark, sf_dir)
+    doc = t["docs"].orderBy("doc_id").limit(1).select(F.col("doc_id").alias("the_doc"))
+    ch = t["chunks"].join(F.broadcast(doc), on=t["chunks"].doc_id == F.col("the_doc"))
+    m = t["mentions"].select(
+        "chunk_id", F.col("doc_id").alias("mdoc"), "entity_id", "entity_label"
+    )
+    joined = ch.join(
+        m, on=(ch.chunk_id == m.chunk_id) & (ch.doc_id == F.col("mdoc")), how="left"
+    ).select(
+        ch.chunk_id.alias("chunk_id"),
+        F.col("position").cast("long").alias("position"),
+        # concat_ws would silently turn a left-join miss into '' — keep NULL
+        # so count()/collect_list skip empty chunks like the oracle does
+        F.when(
+            F.col("entity_id").isNotNull(),
+            F.concat_ws("\x02", "entity_id", "entity_label"),
+        ).alias("ent"),
+    )
+    return joined.groupBy("chunk_id", "position").agg(
+        F.count("ent").alias("n_entities"),
+        F.concat_ws("|", F.array_sort(F.collect_list("ent"))).alias("entities_csv"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -510,6 +566,8 @@ QUERIES = {
     "embedding_probe": q_embedding_probe,
     "combined_units": q_combined_units,
     "allowed_schema": q_allowed_schema,
+    "entity_neighbors": q_entity_neighbors,
+    "chunk_entities": q_chunk_entities,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,

@@ -311,6 +311,32 @@ WHERE subj_label IN ('Operation', 'Artifact')
     OR (subj_label = 'Operation' AND pred = 'THEN' AND obj_label = 'Operation'))
 """
 
+ORACLE_SQL["entity_neighbors"] = PIPELINE_CTE + """
+, anchor AS (
+  SELECT id AS aid FROM entities WHERE label = 'Operation' ORDER BY id LIMIT 1
+)
+SELECT 'out' AS direction, pred, obj_id AS neighbor_id,
+       obj_label AS neighbor_label, weight
+FROM entity_edges, anchor WHERE subj_id = aid
+UNION ALL
+SELECT 'in', pred, subj_id, subj_label, weight
+FROM entity_edges, anchor WHERE obj_id = aid
+"""
+
+ORACLE_SQL["chunk_entities"] = PIPELINE_CTE + """
+, the_doc AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT 1),
+ch AS (SELECT c.chunk_id, c.position FROM chunks c JOIN the_doc d ON c.doc_id = d.doc_id),
+me AS (
+  SELECT m.chunk_id, m.entity_id || chr(2) || m.entity_label AS ent
+  FROM mentions m JOIN the_doc d ON m.doc_id = d.doc_id
+)
+SELECT ch.chunk_id, CAST(ch.position AS BIGINT) AS position,
+       CAST(count(me.ent) AS BIGINT) AS n_entities,
+       coalesce(array_to_string(list_sort(list(me.ent) FILTER (me.ent IS NOT NULL)), '|'), '') AS entities_csv
+FROM ch LEFT JOIN me ON ch.chunk_id = me.chunk_id
+GROUP BY ch.chunk_id, ch.position
+"""
+
 ORACLE_SQL["schema_consolidation"] = """
 WITH labels AS (
   SELECT DISTINCT label FROM (
