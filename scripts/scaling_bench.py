@@ -45,9 +45,19 @@ def run_one(cpus: int, sf_dir: str) -> None:
         master=f"local[{cpus}]",
         # identical data layout at both parallelism levels (a dataset
         # property, not a cluster property — otherwise per-task fixed costs
-        # inflate only the 4N run): 4N reducers, 16N input partitions
-        shuffle_partitions=4 * N_SLOTS,
-        extra_conf={"spark.local.dir": local_dir},
+        # inflate only the 4N run). 16N partitions = 4 waves per slot at the
+        # 4N level: with only 1 task per slot a single straggler extends the
+        # whole stage; 4 waves let fast slots absorb it.
+        shuffle_partitions=16 * N_SLOTS,
+        extra_conf={
+            "spark.local.dir": local_dir,
+            # partitions are explicitly sized (16N); AQE size-based
+            # coalescing would shrink the reduce stage to ~shufMB/64MB tasks
+            # — different counts at N vs 4N (6 vs 10 measured) and 1.25
+            # straggler-bound waves at 4N. Identical 16N-task layout at both
+            # levels is the point of the protocol.
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Deterministic workload amplification: replicate each file R times with a
