@@ -502,6 +502,54 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_code_graph_communities(spark, sf_dir):
+    """North-star slice on actual code semantics: synthetic code corpus →
+    code-rule extraction → entity/edge tables → entity linking → LPA
+    communities. Rows-only (iterative CC + LPA). Output: one row per
+    community with member count and dominant entity label."""
+    from .operators.code_extract import (
+        code_mentions,
+        code_triples,
+        extract_code_documents,
+    )
+    from .operators.communities import community_hierarchy
+    from .operators.linking import (
+        candidate_pairs_exact,
+        canonical_map,
+        connected_components,
+        entity_degrees,
+        merge_entities,
+    )
+
+    # deterministic subset: the iterative CC+LPA tail dominates this query's
+    # cost; 250 docs exercise the same path at half the driver budget
+    code = _synth_code(spark, sf_dir).filter(F.col("doc_id") < 250)
+    extracted = extract_code_documents(code).persist()
+    ments = code_mentions(extracted)
+    ents = ments.groupBy(
+        F.col("entity_id").alias("id"), F.col("entity_label").alias("label")
+    ).agg(F.countDistinct("doc_id").alias("doc_count"))
+    edges = code_triples(extracted).groupBy(
+        "subj_id", "subj_label", "pred", "obj_id", "obj_label"
+    ).agg(F.count("*").alias("weight"))
+    pairs = candidate_pairs_exact(ents.select("id", "label"))
+    comp = connected_components(pairs, spark)
+    cmap = canonical_map(comp, ents, entity_degrees(edges))
+    merged_ents, merged_edges = merge_entities(ents, edges, cmap)
+    h = community_hierarchy(merged_edges, all_entities=merged_ents)
+    level0 = h.select("u", F.col("communities")[0].alias("cid"))
+    label_of = F.split_part(F.col("u"), F.lit("\x01"), F.lit(2))
+    return (
+        level0.withColumn("member_label", label_of)
+        .groupBy("cid")
+        .agg(
+            F.countDistinct("u").alias("member_count"),
+            F.max("member_label").alias("top_label"),
+        )
+        .filter(F.col("member_count") >= 3)
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-k (deterministic k-means training; rows-only —
     iterative Lloyd rounds)."""
@@ -589,4 +637,5 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "code_graph_communities": q_code_graph_communities,
 }
