@@ -23,16 +23,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: below this row count an iteration's frame coalesces to a few partitions —
+#: a fixpoint loop over a small graph otherwise drags full-width near-empty
+#: task waves through every one of its O(iters × stages) steps
+_SMALL_ROWS = 100_000
+_SMALL_PARTS = 4
+
+
 def materialize(df: DataFrame, previous: DataFrame | None = None) -> tuple[DataFrame, int]:
     """Truncate plan + stats of ``df`` for use in a fixpoint loop.
 
     Returns (truncated_df, row_count) — the count doubles as the loop's
     convergence probe so no extra job is spent. ``previous`` (the prior
-    iteration's materialized frame) is dropped from cache.
+    iteration's materialized frame) is dropped from cache. Small frames are
+    coalesced so subsequent loop stages run a handful of tasks instead of a
+    full-width wave of near-empty ones.
     """
     cached = df.cache()
     n = cached.count()  # materializes → InMemoryRelation stats become real
-    out = cached.localCheckpoint(eager=True)  # plan → LogicalRDD leaf
+    slim = cached.coalesce(_SMALL_PARTS) if n < _SMALL_ROWS else cached
+    out = slim.localCheckpoint(eager=True)  # plan → LogicalRDD leaf
     cached.unpersist()
     if previous is not None:
         previous.unpersist()
