@@ -160,6 +160,67 @@ class CodeExtractor:
 
         return extract
 
+    def make_arrow_kernel(self):
+        """mapInArrow kernel over (path, lang, content [, carries]) batches —
+        flat-array columnar construction (same rationale/shape as
+        DeterministicExtractor.make_arrow_kernel): non-input columns pass
+        through as raw arrow buffers; mentions/triples append."""
+        import pyarrow as pa
+
+        def extract_batches(batches):
+            for rb in batches:
+                idx = {n: i for i, n in enumerate(rb.schema.names)}
+                paths = rb.column(idx["path"]).to_pylist()
+                langs = rb.column(idx["lang"]).to_pylist()
+                contents = rb.column(idx["content"]).to_pylist()
+                m_off = [0]
+                m_id: list[str] = []
+                m_lab: list[str] = []
+                t_off = [0]
+                t_cols: list[list[str]] = [[], [], [], [], []]
+                for p, la, c in zip(paths, langs, contents):
+                    r = extract_code_py(p, la, c)
+                    for m in r["mentions"]:
+                        m_id.append(m["id"])
+                        m_lab.append(m["label"])
+                    m_off.append(len(m_id))
+                    for t in r["triples"]:
+                        for j, k in enumerate(
+                            ("subj_id", "subj_label", "pred", "obj_id", "obj_label")
+                        ):
+                            t_cols[j].append(t[k])
+                    t_off.append(len(t_cols[0]))
+                mentions = pa.ListArray.from_arrays(
+                    pa.array(m_off, pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [pa.array(m_id, pa.string()), pa.array(m_lab, pa.string())],
+                        ["id", "label"],
+                    ),
+                )
+                triples = pa.ListArray.from_arrays(
+                    pa.array(t_off, pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [pa.array(c, pa.string()) for c in t_cols],
+                        ["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+                    ),
+                )
+                passthrough = [
+                    n for n in rb.schema.names if n not in ("path", "lang", "content")
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(idx[n]) for n in passthrough] + [mentions, triples],
+                    names=passthrough + ["mentions", "triples"],
+                )
+
+        return extract_batches
+
+
+_CODE_ARRAYS_DDL = (
+    "mentions array<struct<id:string,label:string>>, "
+    "triples array<struct<subj_id:string,subj_label:string,pred:string,"
+    "obj_id:string,obj_label:string>>"
+)
+
 
 def extract_code_documents(
     docs: DataFrame,
@@ -170,12 +231,20 @@ def extract_code_documents(
     """documents → (doc_id, mentions array, triples array), code-rule grain.
 
     Same compact materialization contract as ``extract_units``; explode with
-    ``code_mentions`` / ``code_triples`` below.
+    ``code_mentions`` / ``code_triples`` below. Runs as a mapInArrow kernel
+    (flat columnar construction, no nested-object conversion); doc_id keeps
+    its input type (passthrough arrow buffer).
     """
-    udf = CodeExtractor().make_udf()
-    return docs.select(
-        "doc_id", udf(F.col(path_col), F.col(lang_col), F.col(content_col)).alias("x")
-    ).select("doc_id", F.col("x.mentions").alias("mentions"), F.col("x.triples").alias("triples"))
+    sel = docs.select(
+        "doc_id",
+        F.col(path_col).alias("path"),
+        F.col(lang_col).alias("lang"),
+        F.col(content_col).alias("content"),
+    )
+    doc_type = sel.schema["doc_id"].dataType.simpleString()
+    return sel.mapInArrow(
+        CodeExtractor().make_arrow_kernel(), f"doc_id {doc_type}, " + _CODE_ARRAYS_DDL
+    )
 
 
 def code_mentions(extracted: DataFrame) -> DataFrame:
