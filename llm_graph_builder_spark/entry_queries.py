@@ -306,6 +306,22 @@ def q_combined_units(spark, sf_dir):
     )
 
 
+def q_token_usage(spark, sf_dir):
+    """A6/X8 — per-doc token accounting over the chunk windows (chunks,
+    tokens incl. overlap; the LLM path adds provider prompt/completion
+    counts to the same rollup)."""
+    t = pipeline_tables(spark, sf_dir)
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0))
+    return (
+        t["chunks"].withColumn("toks", toks)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("toks").cast("long").alias("tokens"),
+        )
+    )
+
+
 def q_allowed_schema(spark, sf_dir):
     """X3 enforcement — pipeline triples restricted to Operation-subject
     USES/THEN relations (label isin + broadcast semi-join on kinds)."""
@@ -614,6 +630,7 @@ QUERIES = {
     "embedding_probe": q_embedding_probe,
     "combined_units": q_combined_units,
     "allowed_schema": q_allowed_schema,
+    "token_usage": q_token_usage,
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
     "dedup_exact": q_dedup_exact,

@@ -311,6 +311,12 @@ WHERE subj_label IN ('Operation', 'Artifact')
     OR (subj_label = 'Operation' AND pred = 'THEN' AND obj_label = 'Operation'))
 """
 
+ORACLE_SQL["token_usage"] = PIPELINE_CTE + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS chunks,
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS BIGINT) AS tokens
+FROM chunks GROUP BY doc_id
+"""
+
 ORACLE_SQL["entity_neighbors"] = PIPELINE_CTE + """
 , anchor AS (
   SELECT id AS aid FROM entities WHERE label = 'Operation' ORDER BY id LIMIT 1

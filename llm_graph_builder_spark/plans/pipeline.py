@@ -135,11 +135,20 @@ class PipelineRunner:
         count-by-input-file scan records (stage, partition file, rows, bytes)
         into the partition manifest; total rows fall out of the same pass.
         """
+        read_back = self.spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        # X8 token accounting: the chunks stage also records token counts per
+        # partition (whitespace tokens of the window text; an LLM extractor's
+        # provider token usage lands in the same rows via its client)
+        with_tokens = name == "chunks" and "text" in read_back.columns
+        if with_tokens:
+            aggs.append(
+                F.sum(
+                    F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+                ).alias("tokens")
+            )
         per_file = (
-            self.spark.read.parquet(path)
-            .groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
+            read_back.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
         )
         total = 0
         with open(f"{self.warehouse}/_manifest_partitions.jsonl", "a") as f:
@@ -150,13 +159,11 @@ class PipelineRunner:
                     nbytes = os.path.getsize(os.path.join(path, fname))
                 except OSError:
                     nbytes = None
-                f.write(
-                    json.dumps(
-                        {"stage": name, "partition_file": fname, "rows": r["rows"],
-                         "bytes": nbytes, "ts": time.time()}
-                    )
-                    + "\n"
-                )
+                row = {"stage": name, "partition_file": fname, "rows": r["rows"],
+                       "bytes": nbytes, "ts": time.time()}
+                if with_tokens:
+                    row["tokens"] = r["tokens"]
+                f.write(json.dumps(row) + "\n")
         return total
 
     def _write_stage(self, name: str, df: DataFrame, resume: bool, done: dict, **extra) -> StageResult:
