@@ -151,6 +151,22 @@ def main():
         )
         ann_bruteforce_topk(emb, q, k=5).write.mode("overwrite").parquet(f"{out_dir}/ann")
 
+    with timed("ann_ivf"):
+        from llm_graph_builder_spark.operators.ann import ann_ivf_topk
+
+        ann_ivf_topk(emb, q, k=5).write.mode("overwrite").parquet(f"{out_dir}/ivf")
+
+    with timed("code_extract"):
+        from llm_graph_builder_spark.operators.code_extract import (
+            code_triples,
+            extract_code_documents,
+        )
+
+        code_docs = docs.select("doc_id", "path", "lang", "content")
+        code_triples(extract_code_documents(code_docs)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/code_triples")
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
