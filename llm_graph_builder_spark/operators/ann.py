@@ -13,8 +13,13 @@ Replaces the reference's Neo4j vector indexes (HNSW) for retrieval top-k
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine
@@ -102,9 +107,9 @@ def ann_ivf_topk(
 
     Train: deterministic centroid seeding (the ``n_centroids`` corpus vectors
     with the smallest ``xxhash64(id)`` — a seedless uniform sample) plus
-    ``lloyd_iters`` k-means rounds computed as DataFrame aggregations (the
-    centroid matrix is driver-tiny: n_centroids × dim; the ASSIGNMENT scan is
-    the distributed part and never leaves the executors).
+    ``lloyd_iters`` k-means rounds (assignment = one numpy GEMM per Arrow
+    batch on executors; per-bucket means via applyInPandas; only the
+    driver-tiny n_centroids × dim matrix ever leaves the cluster).
     Search: each query probes its ``n_probe`` nearest centroids and scores
     only those buckets — at 100 TB the corpus is scanned once to bucket, and
     each query touches ~n_probe/n_centroids of it.
@@ -112,7 +117,6 @@ def ann_ivf_topk(
     Output schema matches the brute-force path so recall is measurable by
     direct comparison.
     """
-    import numpy as np
 
     c = corpus.select(
         F.col(id_col).cast("string").alias("cid"),
@@ -127,72 +131,66 @@ def ann_ivf_topk(
     )
     centroids = np.array([r.cv for r in seeds], dtype=np.float64)
 
-    def _score_array(vec_col, cents: np.ndarray):
-        # per-centroid cosine scores as ONE array expression (flat — a
-        # nested best-so-far when() chain grows an O(n²) tree that breaks
-        # analysis at realistic dims)
+    def _normed(cents: np.ndarray) -> np.ndarray:
         norms = np.linalg.norm(cents, axis=1)
         norms[norms == 0.0] = 1.0
-        cn = cents / norms[:, None]
-        vnorm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-        safe = F.when(vnorm > 0, vnorm).otherwise(F.lit(1.0))
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in cn[i]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / safe
-                for i in range(len(cn))
-            ]
-        )
+        return cents / norms[:, None]
 
-    def _assign_expr(cents: np.ndarray):
-        scores = _score_array(F.col("cv"), cents)
-        # first-max position → deterministic tie-break by centroid index
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    def _topc_udf(cents: np.ndarray, top: int):
+        """pandas UDF: per-vector indices of the `top` nearest centroids by
+        cosine — one numpy GEMM per Arrow batch (the per-centroid expression
+        array needs n_centroids interpreted folds per row). np.argsort is
+        stable ⇒ ties break by centroid index, deterministically."""
+        cn = _normed(cents)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def topc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vecs in batches:
+                if len(vecs) == 0:
+                    yield pd.Series([], dtype="object")
+                    continue
+                X = np.stack(vecs.to_numpy()).astype(np.float64)
+                vn = np.linalg.norm(X, axis=1)
+                vn[vn == 0.0] = 1.0
+                S = (X / vn[:, None]) @ cn.T
+                order = np.argsort(-S, axis=1, kind="stable")[:, :top]
+                yield pd.Series([row.tolist() for row in order])
+
+        return topc
 
     for _ in range(lloyd_iters):
-        assigned = c.withColumn("bucket", _assign_expr(centroids))
-        # new centroid = mean of member vectors (distributed agg; result tiny)
-        sums = (
-            assigned.groupBy("bucket")
-            .agg(
-                F.aggregate(
-                    F.collect_list("cv"),
-                    F.array(*[F.lit(0.0) for _ in range(centroids.shape[1])]),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("vsum"),
-                F.count("*").alias("n"),
+        assign = _topc_udf(centroids, 1)
+        assigned = c.withColumn("bucket", assign(F.col("cv"))[0])
+        # new centroid = mean of member vectors: per-bucket numpy mean via
+        # applyInPandas (result driver-tiny: n_centroids × dim)
+        mean_schema = "bucket int, vmean array<double>, n long"
+
+        def bucket_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["bucket"].iloc[0])],
+                    "vmean": [X.mean(axis=0).tolist()],
+                    "n": [len(pdf)],
+                }
             )
-            .collect()
-        )
+
+        sums = assigned.groupBy("bucket").applyInPandas(bucket_mean, mean_schema).collect()
         new_c = centroids.copy()
         for r in sums:
-            new_c[r.bucket] = np.array(r.vsum) / max(r.n, 1)
+            new_c[r.bucket] = np.array(r.vmean)
         centroids = new_c
 
-    bucketed = c.withColumn("bucket", _assign_expr(centroids))
+    bucketed = c.withColumn("bucket", _topc_udf(centroids, 1)(F.col("cv"))[0])
 
-    # query-side probe list: n_probe nearest centroids (driver-side numpy —
-    # queries join via explode of a literal-free computed array is overkill;
-    # instead compute per-query probes with the same expression trick)
+    # query-side probe list: n_probe nearest centroids per query
     q = queries.select(
         F.col(query_id_col).cast("string").alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    scores = _score_array(F.col("qv"), centroids)
-    idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
-    ranked = F.array_sort(
-        F.zip_with(scores, idx, lambda s, i: F.struct((-s).alias("ns"), i.alias("i")))
+    q_probed = q.withColumn(
+        "bucket", F.explode(_topc_udf(centroids, n_probe)(F.col("qv")))
     )
-    probes = F.slice(F.transform(ranked, lambda s: s["i"]), 1, n_probe)
-    q_probed = q.withColumn("bucket", F.explode(probes))
 
     scored = (
         bucketed.join(F.broadcast(q_probed), on="bucket")

@@ -19,6 +19,8 @@ exhaustive join (fine at test SF, quadratic at 100 TB — use
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,32 +31,43 @@ from pyspark.sql.window import Window
 from ..config import KNN_MAX_DEGREE, KNN_MIN_SCORE, KNN_TOP_K
 
 
+def _plane_signs(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix: sign(j, i) from md5(j:i) parity
+    (md5 is the engine-portable hash family used throughout)."""
+    import hashlib
+
+    signs = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            b = hashlib.md5(f"{j}:{i}".encode()).digest()[0]
+            signs[j, i] = 1.0 if (b & 1) == 0 else -1.0
+    return signs
+
+
 def lsh_block_chunks(chunks: DataFrame, n_planes: int = 8, id_col: str = "chunk_id") -> DataFrame:
     """Random-hyperplane (SimHash) LSH bucket per vector → ``block`` column.
 
-    Deterministic: hyperplane h_j uses per-dimension pseudo-random signs
-    derived from xxhash64(j, dim_index). Vectors in the same bucket are likely
-    cosine-close; at 100 TB this turns the O(n²) join into per-bucket joins.
+    Deterministic ±1 hyperplanes from md5(plane:dim) parity; the per-batch
+    projection is one numpy GEMM (the expression-tree formulation needs
+    n_planes interpreted folds per row). Vectors in the same bucket are
+    likely cosine-close; at 100 TB this turns the O(n²) join into per-bucket
+    joins.
     """
-    emb = F.col("embedding")
-    bits = []
-    for j in range(n_planes):
-        # sign_j(i) = +1/-1 from a hash of (plane j, dim i); dot(sign_j, v) >= 0 → bit 1
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(emb) - 1),
-                    lambda i: F.when(F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, s: v * s,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    block = F.concat_ws("", *[b.cast("string") for b in bits])
-    return chunks.withColumn("block", block)
+
+    @F.pandas_udf(T.StringType())
+    def block_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        signs = None
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="object")
+                continue
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            if signs is None or signs.shape[1] != X.shape[1]:
+                signs = _plane_signs(n_planes, X.shape[1])
+            bits = (X @ signs.T >= 0).astype(np.uint8)
+            yield pd.Series(["".join(map(str, row)) for row in bits])
+
+    return chunks.withColumn("block", block_of(F.col("embedding")))
 
 
 _PAIR_SCHEMA = T.StructType(
