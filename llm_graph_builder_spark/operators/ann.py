@@ -37,8 +37,11 @@ def ann_bruteforce_topk(
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, neighbor_id, cos_e4, rank). Self-matches excluded when
-    ids collide. The query side is broadcast — at 100 TB the corpus never
-    shuffles; only the per-query heap (window top-k) aggregates.
+    ids collide. The query side is broadcast — the corpus itself never
+    shuffles; only skinny (qid, part, id, score) rows move, pre-reduced to
+    ≤ k rows per (query, scan partition) before the final per-query rank.
+    Scoring stays JVM-side (fold-based ``cosine``) for bit-exact DuckDB-oracle
+    parity; with huge query sets, swap phase 1 for a mapInArrow GEMM heap.
     """
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
@@ -49,9 +52,23 @@ def ann_bruteforce_topk(
         .filter(F.col("neighbor_id").cast("string") != F.col("qid").cast("string"))
         .withColumn("cos_e4", F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long"))
     )
+    # two-phase exact top-k: a per-(query, input-partition) partial top-k
+    # first, so the final per-query rank sees at most k rows per scan
+    # partition instead of the whole corpus. Without this the unthresholded
+    # scores all shuffle into ONE reducer per query — a scale-killer at
+    # 100 TB. Partial-then-global top-k is exact (the global top-k of a
+    # partitioned set is contained in the union of per-partition top-ks).
+    w_part = Window.partitionBy("qid", "part").orderBy(
+        F.desc("cos_e4"), F.asc("neighbor_id")
+    )
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= k)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_e4"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "neighbor_id", "cos_e4", "rank")
     )
@@ -108,8 +125,8 @@ def ann_ivf_topk(
     Train: deterministic centroid seeding (the ``n_centroids`` corpus vectors
     with the smallest ``xxhash64(id)`` — a seedless uniform sample) plus
     ``lloyd_iters`` k-means rounds (assignment = one numpy GEMM per Arrow
-    batch on executors; per-bucket means via applyInPandas; only the
-    driver-tiny n_centroids × dim matrix ever leaves the cluster).
+    batch on executors; centroid means = JVM per-(bucket, dim) partial sums;
+    only the driver-tiny n_centroids × dim matrix ever leaves the cluster).
     Search: each query probes its ``n_probe`` nearest centroids and scores
     only those buckets — at 100 TB the corpus is scanned once to bucket, and
     each query touches ~n_probe/n_centroids of it.
@@ -161,24 +178,25 @@ def ann_ivf_topk(
     for _ in range(lloyd_iters):
         assign = _topc_udf(centroids, 1)
         assigned = c.withColumn("bucket", assign(F.col("cv"))[0])
-        # new centroid = mean of member vectors: per-bucket numpy mean via
-        # applyInPandas (result driver-tiny: n_centroids × dim)
-        mean_schema = "bucket int, vmean array<double>, n long"
-
-        def bucket_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-            X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            return pd.DataFrame(
-                {
-                    "bucket": [int(pdf["bucket"].iloc[0])],
-                    "vmean": [X.mean(axis=0).tolist()],
-                    "n": [len(pdf)],
-                }
-            )
-
-        sums = assigned.groupBy("bucket").applyInPandas(bucket_mean, mean_schema).collect()
+        # new centroid = mean of member vectors, computed as per-(bucket, dim)
+        # partial sums with JVM aggregation (posexplode + groupBy → map-side
+        # combine). Only n_centroids × dim tiny rows ever reach the driver —
+        # a per-bucket applyInPandas would materialize an entire bucket
+        # (~corpus/n_centroids vectors) in ONE task and OOM on skewed buckets.
+        sums = (
+            assigned.select("bucket", F.posexplode("cv").alias("dim", "val"))
+            .groupBy("bucket", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
         new_c = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
         for r in sums:
-            new_c[r.bucket] = np.array(r.vmean)
+            acc.setdefault(r.bucket, np.zeros(centroids.shape[1]))[r.dim] = r.s
+            cnt[r.bucket] = r.n
+        for b, vec in acc.items():
+            new_c[b] = vec / max(cnt[b], 1)
         centroids = new_c
 
     bucketed = c.withColumn("bucket", _topc_udf(centroids, 1)(F.col("cv"))[0])

@@ -87,9 +87,6 @@ def make_chunker_udf(size: int, overlap: int, max_chunks: int | None):
     return chunk_content
 
 
-_CHUNK_ROWS_DDL = "doc_id string, text string, position int, content_offset long"
-
-
 def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None):
     """mapInArrow kernel: (doc_id, content) batches → exploded chunk-row
     batches built columnar-native (flat value arrays, no nested structs).
@@ -98,27 +95,30 @@ def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None):
     python-object→Arrow-nested conversion per chunk — the dominant cost of
     the stage, ~5× the windowing itself. Emitting exploded rows from flat
     lists removes both that conversion and the downstream explode.
+
+    ``doc_id`` passes through with its INPUT type: the kernel emits per-doc
+    repeat counts and rebuilds the column with ``Array.take`` on the original
+    Arrow buffer — numeric/string/binary doc ids all survive unchanged.
     """
 
     def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids = rb.column(0).to_pylist()
             contents = rb.column(1).to_pylist()
-            o_doc: list[str] = []
+            take_idx: list[int] = []
             o_text: list[str] = []
             o_pos: list[int] = []
             o_off: list[int] = []
-            for did, content in zip(doc_ids, contents):
+            for row_i, content in enumerate(contents):
                 for text, pos, off in split_tokens(
                     tokenize_py(content or ""), size, overlap, max_chunks
                 ):
-                    o_doc.append(did)
+                    take_idx.append(row_i)
                     o_text.append(text)
                     o_pos.append(pos)
                     o_off.append(off)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(o_doc, pa.string()),
+                    rb.column(0).take(pa.array(take_idx, pa.int64())),
                     pa.array(o_text, pa.string()),
                     pa.array(o_pos, pa.int32()),
                     pa.array(o_off, pa.int64()),
@@ -142,8 +142,10 @@ def chunk_documents(
     repos share chunk ids, which is what makes pre-extraction chunk dedup the
     biggest cost saver at 10^12 files (SURVEY §7.4.4).
     """
+    doc_id_type = documents.schema["doc_id"].dataType.simpleString()
     exploded = documents.select("doc_id", "content").mapInArrow(
-        _make_chunk_batches(size, overlap, max_chunks), _CHUNK_ROWS_DDL
+        _make_chunk_batches(size, overlap, max_chunks),
+        f"doc_id {doc_id_type}, text string, position int, content_offset long",
     )
     return exploded.select(
         F.sha2(F.col("text"), 256).alias("chunk_id"),

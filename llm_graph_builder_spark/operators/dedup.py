@@ -85,23 +85,41 @@ def minhash_signatures(
     ).select("doc", "shingles", *sigs)
 
 
-def minhash_lsh_pairs(
+def _minhash_rep_pairs(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = MINHASH_HASHES,
-    band_size: int = MINHASH_BAND_SIZE,
-    k: int = SHINGLE_K,
-    jaccard_threshold: float = JACCARD_THRESHOLD,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    k: int,
+    jaccard_threshold: float,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the MinHash-LSH family, computed over DISTINCT texts.
 
-    band key = (band index, concat of band minhashes); docs sharing any band
-    become candidates; candidates are verified with exact Jaccard over the
-    shingle sets. Output: (doc_a, doc_b, jaccard_e4) with doc_a < doc_b.
-    At scale the band join shuffles on the band key only — no cross product.
+    A crawl corpus has million-member exact-duplicate groups; since identical
+    texts share every band, banding the raw corpus yields d(d−1)/2 candidate
+    pairs per group — O(10¹²) from one group at 100 TB. Collapsing to one
+    representative per ``sha2(text)`` first keeps the band join (and the
+    Jaccard verification) at O(distinct texts); membership is carried as a
+    row-grain table, never an in-row array.
+
+    Returns ``(rep_pairs, groups, members)``:
+      rep_pairs(doc_a, doc_b, jaccard_e4) — verified pairs BETWEEN distinct
+        texts (both endpoints are group representatives), threshold applied;
+      groups(h, rep, cnt) — one row per distinct text, rep = min doc id;
+      members(h, doc) — full doc membership at row grain.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, k)
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("t")
+    )
+    hashed = base.withColumn("h", F.sha2(F.col("t"), 256))
+    groups = hashed.groupBy("h").agg(
+        F.min("doc").alias("rep"), F.count("*").alias("cnt"), F.first("t").alias("t")
+    )
+    members = hashed.select("h", "doc")
+    sigs = minhash_signatures(
+        groups.select(F.col("rep").alias("doc"), "t"), "t", "doc", n_hashes, k
+    )
     n_bands = n_hashes // band_size
     keys = [
         F.concat_ws(
@@ -129,11 +147,65 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
+    rep_pairs = (
         pairs.withColumn("jaccard_e4", F.round(jac * 10000).cast("long"))
         .filter(F.col("jaccard_e4") >= int(jaccard_threshold * 10000))
         .select("doc_a", "doc_b", "jaccard_e4")
     )
+    return rep_pairs, groups.select("h", "rep", "cnt"), members
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+    k: int = SHINGLE_K,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard_e4) with doc_a < doc_b — all qualifying
+    DOC pairs, identical to banding the raw corpus. Internally the band join
+    runs on distinct texts only (``_minhash_rep_pairs``); the doc-grain
+    output is re-expanded through the membership table, so candidate
+    generation is O(distinct texts) and only the declared output is ever
+    quadratic (identical-doc groups inherently ARE d² pairs — cluster-grain
+    consumers should use ``near_dup_clusters`` instead).
+    """
+    rep_pairs, groups, members = _minhash_rep_pairs(
+        docs, text_col, id_col, n_hashes, band_size, k, jaccard_threshold
+    )
+    ga = groups.select(F.col("rep").alias("doc_a"), F.col("h").alias("h_a"))
+    gb = groups.select(F.col("rep").alias("doc_b"), F.col("h").alias("h_b"))
+    cross = (
+        rep_pairs.join(ga, on="doc_a")
+        .join(gb, on="doc_b")
+        .join(members.select(F.col("h").alias("h_a"), F.col("doc").alias("da")), on="h_a")
+        .join(members.select(F.col("h").alias("h_b"), F.col("doc").alias("db")), on="h_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard_e4",
+        )
+    )
+    # identical texts: every within-group pair has Jaccard exactly 1.0 (equal
+    # shingle sets — for tokenless texts both engines shingle to [''], so the
+    # union is never empty and 1.0 still holds)
+    if int(jaccard_threshold * 10000) <= 10000:
+        within = (
+            members.alias("x")
+            .join(members.alias("y"), on="h")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.lit(10000).cast("long").alias("jaccard_e4"),
+            )
+        )
+        return cross.unionByName(within)
+    return cross
 
 
 def ngram_jaccard_pairs(
@@ -277,18 +349,19 @@ def near_dup_clusters(
     """
     from .linking import connected_components
 
-    near = minhash_lsh_pairs(
-        docs, text_col, id_col, jaccard_threshold=jaccard_threshold
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    # near-dup edges at REPRESENTATIVE grain (one node per distinct text) +
+    # exact-dup star edges rep→member: the transitive closure over this graph
+    # equals the closure over all doc-grain pairs, with O(distinct) + O(docs)
+    # edges instead of per-group cliques
+    rep_pairs, groups, members = _minhash_rep_pairs(
+        docs, text_col, id_col, MINHASH_HASHES, MINHASH_BAND_SIZE, SHINGLE_K,
+        jaccard_threshold,
+    )
+    near = rep_pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     exact = (
-        docs.select(
-            F.col(id_col).cast("string").alias("doc"),
-            F.sha2(F.col(text_col), 256).alias("h"),
-        )
-        .groupBy("h")
-        .agg(F.min("doc").alias("id_a"), F.collect_set("doc").alias("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        members.join(groups.select("h", "rep"), on="h")
+        .filter(F.col("rep") < F.col("doc"))  # rep = min(group): star, no clique
+        .select(F.col("rep").alias("id_a"), F.col("doc").alias("id_b"))
     )
     pairs = near.unionByName(exact).dropDuplicates().withColumn("label", F.lit("doc"))
     comp = connected_components(pairs.select("label", "id_a", "id_b"), docs.sparkSession)

@@ -386,44 +386,42 @@ def extract_units(
     extractor DAG per output.
     """
     extractor = extractor or DeterministicExtractor()
-    # ONE aggregation by content-addressed unit_id simultaneously (a) dedups
-    # vendored content repeated across repos/docs so each distinct text hits
-    # the (expensive) extractor exactly once — the biggest cost saver at
-    # 10^12 files (SURVEY §7.4.4) — and (b) collects the per-doc membership
-    # carry, replacing a dedup shuffle + sort-merge-join re-association.
-    # The extractor runs post-shuffle on the distinct texts; exploding the
-    # carry restores per-doc rows. combine_k=1 carries doc_ids (unit IS the
-    # chunk); combine_k>1 first windows units (one groupBy) and carries
-    # (doc_id, chunk_ids) member structs — collect_set on the struct also
-    # dedups byte-identical windows within a doc (Neo4j-MERGE semantics).
+    # Dedup by content-addressed unit_id so vendored content repeated across
+    # repos/docs hits the (expensive) extractor exactly once — the biggest
+    # cost saver at 10^12 files (SURVEY §7.4.4). Membership stays a ROW-grain
+    # table re-associated by a join on unit_id; an in-row collect_set carry
+    # would make one vendored file present in 10M docs a single row holding a
+    # 10M-element array — a straggler task / executor OOM at scale. Both
+    # sides of the join arrive hash-partitioned on unit_id, and the
+    # extraction side holds exactly one row per distinct text.
+    # combine_k=1: unit IS the chunk. combine_k>1: window units first (one
+    # groupBy); membership dedup on (unit_id, doc_id, chunk_ids) mirrors the
+    # Neo4j-MERGE semantics for byte-identical windows within a doc.
     if combine_k <= 1:
-        grouped = chunks.groupBy(F.col("chunk_id").alias("unit_id")).agg(
-            F.first("text").alias("text"),
-            F.collect_set("doc_id").alias("doc_ids"),
-        )
+        members = chunks.select(
+            F.col("chunk_id").alias("unit_id"), "doc_id"
+        ).dropDuplicates(["unit_id", "doc_id"])
+        distinct_units = chunks.select(
+            F.col("chunk_id").alias("unit_id"), "text"
+        ).dropDuplicates(["unit_id"])
     else:
         units = combine_chunks(chunks, combine_k)
-        grouped = units.groupBy("unit_id").agg(
-            F.first("text").alias("text"),
-            F.collect_set(F.struct("doc_id", "chunk_ids")).alias("members"),
+        members = units.select("unit_id", "doc_id", "chunk_ids").dropDuplicates(
+            ["unit_id", "doc_id", "chunk_ids"]
         )
+        distinct_units = units.select("unit_id", "text").dropDuplicates(["unit_id"])
     if hasattr(extractor, "make_arrow_kernel"):
-        # columnar-native kernel: no pandas/nested-object conversion; carry
-        # columns pass through as raw arrow buffers
-        carry_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in grouped.drop("text").schema.fields
-        )
-        units_x = grouped.mapInArrow(
-            extractor.make_arrow_kernel(), carry_ddl + ", " + _EXTRACT_ARRAYS_DDL
+        # columnar-native kernel: no pandas/nested-object conversion; the
+        # unit_id carry passes through as a raw arrow buffer
+        units_x = distinct_units.mapInArrow(
+            extractor.make_arrow_kernel(), "unit_id string, " + _EXTRACT_ARRAYS_DDL
         )
     else:
         udf = extractor.make_udf()
-        carry_cols = [c for c in grouped.columns if c != "text"]
-        units_x = grouped.select(
-            *carry_cols, udf(F.col("text")).alias("x")
+        units_x = distinct_units.select(
+            "unit_id", udf(F.col("text")).alias("x")
         ).select(
-            *carry_cols,
+            "unit_id",
             F.col("x.mentions").alias("mentions"),
             F.col("x.triples").alias("triples"),
         )
@@ -431,20 +429,15 @@ def extract_units(
     # (explode) in the same projection breaks resolution of struct-field
     # aliases inside the transform() lambdas.
     if combine_k <= 1:
-        exploded = units_x.select(
-            F.explode("doc_ids").alias("doc_id"),
+        exploded = members.join(units_x, on="unit_id").select(
+            "doc_id",
             F.array("unit_id").alias("chunk_ids"),
             "mentions",
             "triples",
         )
     else:
-        exploded = units_x.select(
-            F.explode("members").alias("m"), "mentions", "triples"
-        ).select(
-            F.col("m.doc_id").alias("doc_id"),
-            F.col("m.chunk_ids").alias("chunk_ids"),
-            "mentions",
-            "triples",
+        exploded = members.join(units_x, on="unit_id").select(
+            "doc_id", "chunk_ids", "mentions", "triples"
         )
     if getattr(extractor, "emits_clean", False):
         return exploded
@@ -645,15 +638,21 @@ _INSTRUCTION_BLOCKLIST = (
 
 
 def sanitize_additional_instructions(text: str | None) -> str:
-    """X5 — driver-side hygiene for user extraction instructions."""
+    """X5 — driver-side hygiene for user extraction instructions.
+
+    Matches are replaced with a ``[BLOCKED]`` sentinel (like the reference)
+    rather than deleted: deletion can splice surrounding text into a new
+    banned token (``'evimport al('`` → ``'eval('``) that an ordered
+    single pass never re-checks; an inert sentinel cannot reassemble one.
+    """
     if not text:
         return ""
     out = text.replace("{", "[").replace("}", "]")
-    low = out.lower()
     for bad in _INSTRUCTION_BLOCKLIST:
+        low = out.lower()
         idx = low.find(bad)
         while idx != -1:
-            out = out[:idx] + out[idx + len(bad):]
+            out = out[:idx] + "[BLOCKED]" + out[idx + len(bad):]
             low = out.lower()
-            idx = low.find(bad)
+            idx = low.find(bad, idx + len("[BLOCKED]"))
     return out.strip()

@@ -78,8 +78,11 @@ _PAIR_SCHEMA = T.StructType(
     ]
 )
 
-#: GEMM tile sizes — bound peak memory to rows×cols×8B per task (~32 MB)
-#: regardless of block size, so a degenerate LSH bucket never OOMs a task.
+#: GEMM tile sizes — bound the matmul TEMPORARIES to rows×cols×8B (~32 MB)
+#: per tile. NB: tiling does NOT bound the block itself — applyInPandas still
+#: loads the whole block's rows into one pandas DataFrame, so a degenerate
+#: bucket concentrates its full block in one task; use ``max_block_rows`` to
+#: split oversized blocks before the group-by.
 _ROW_TILE = 1024
 _COL_TILE = 4096
 
@@ -134,13 +137,41 @@ def similar_edges(
     max_degree: int = KNN_MAX_DEGREE,
     block_col: str | None = None,
     score_decimals: int = 6,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
-    """→ edges(src, rel_type='SIMILAR', dst, score) with src < dst."""
+    """→ edges(src, rel_type='SIMILAR', dst, score) with src < dst.
+
+    ``max_block_rows`` splits any block larger than the cap into
+    ``ceil(n/cap)`` deterministic sub-blocks (xxhash64 of the id) before the
+    per-block top-k, so a degenerate LSH bucket cannot concentrate in one
+    task. Splitting loses cross-sub-block pairs — acceptable inside an
+    already-approximate LSH bucket, so it is opt-in (the oracle-checked exact
+    paths leave it None).
+    """
     dedup = chunks_with_emb.select(
         F.col(id_col).alias("id"),
         "embedding",
         (F.col(block_col) if block_col else F.lit("all")).alias("block"),
     ).dropDuplicates(["id", "block"])
+    if max_block_rows is not None:
+        sizes = dedup.groupBy("block").agg(F.count("*").alias("_bn"))
+        dedup = (
+            dedup.join(sizes, on="block")
+            .withColumn(
+                "block",
+                F.when(
+                    F.col("_bn") > max_block_rows,
+                    F.concat_ws(
+                        "#",
+                        "block",
+                        F.pmod(
+                            F.xxhash64("id"), F.ceil(F.col("_bn") / max_block_rows)
+                        ).cast("string"),
+                    ),
+                ).otherwise(F.col("block")),
+            )
+            .drop("_bn")
+        )
     topk = dedup.groupBy("block").applyInPandas(
         _make_block_topk(min_score, top_k, score_decimals), _PAIR_SCHEMA
     )

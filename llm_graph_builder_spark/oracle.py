@@ -287,7 +287,9 @@ best_pred AS (
 )
 SELECT t.id, t.label, t.doc_count, t.chunk_count, CAST(t.rnk AS BIGINT) AS rnk,
        COALESCE(bp.top_pred, '') AS top_pred,
-       COALESCE(bp.top_pred_weight, 0) AS top_pred_weight
+       -- SUM(BIGINT) is HUGEINT in DuckDB; without the cast the driver's
+       -- Arrow-path normalizer renders int128 differently than fetchall()
+       CAST(COALESCE(bp.top_pred_weight, 0) AS BIGINT) AS top_pred_weight
 FROM top20 t LEFT JOIN best_pred bp
   ON t.id = bp.id AND t.label = bp.label AND bp.prn = 1
 """

@@ -94,6 +94,11 @@ class PipelineRunner:
         self.warehouse = warehouse.rstrip("/")
         self.config = config
         self.extractor = extractor
+        #: stamped on every manifest/lineage record of a run() invocation so
+        #: overwrite/resume re-runs are distinguishable: the LIVE partition
+        #: set of a stage is the records carrying its latest run_id (stale
+        #: entries from replaced partition files keep their old run_id)
+        self.run_id: str | None = None
         os.makedirs(self.warehouse, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -116,7 +121,8 @@ class PipelineRunner:
             f.write(
                 json.dumps(
                     {"stage": stage, "rows_out": rows_out, "wall_ms": wall_ms,
-                     "status": status, "ts": time.time(), **extra}
+                     "status": status, "ts": time.time(), "run_id": self.run_id,
+                     **extra}
                 )
                 + "\n"
             )
@@ -160,7 +166,7 @@ class PipelineRunner:
                 except OSError:
                     nbytes = None
                 row = {"stage": name, "partition_file": fname, "rows": r["rows"],
-                       "bytes": nbytes, "ts": time.time()}
+                       "bytes": nbytes, "ts": time.time(), "run_id": self.run_id}
                 if with_tokens:
                     row["tokens"] = r["tokens"]
                 f.write(json.dumps(row) + "\n")
@@ -180,6 +186,7 @@ class PipelineRunner:
     # -- the DAG -------------------------------------------------------------
     def run(self, repos: DataFrame, resume: bool = False) -> list[StageResult]:
         cfg = self.config
+        self.run_id = f"{int(time.time() * 1000):x}-{os.getpid():x}"
         done = self._completed() if resume else {}
         results: list[StageResult] = []
 
