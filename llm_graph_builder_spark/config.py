@@ -97,6 +97,10 @@ class PipelineConfig:
     #: entity count above which linking switches from the exact O(n²)-per-
     #: label candidate scan to MinHash-LSH blocking (same pair predicates)
     linking_block_threshold: int = 100_000
+    #: LSH band keys with more members than this are dropped as
+    #: non-discriminative (skew guard); the dropped count is recorded in the
+    #: manifest as `linking_hot_bands_dropped` — never silent
+    linking_max_band_size: int = 100_000
     #: also run the code-aware doc-grain extractor (IMPORTS/DEFINED_IN/CALLS/
     #: WRITTEN_IN rules over path+lang+content) as a `code_extractions` stage
     code_extraction: bool = False

@@ -410,8 +410,13 @@ def q_dedup_ngram(spark, sf_dir):
 
 def q_dedup_embedding(spark, sf_dir):
     # 0.35 demo threshold: the synthetic vectors are near-orthogonal, so the
-    # reference's 0.97 (operator default) would be vacuously empty here
-    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), min_cosine=0.35)
+    # reference's 0.97 (operator default) would be vacuously empty here.
+    # 2 planes × 8 bands keeps candidate recall ≈0.98 at this low threshold
+    # (at the production 0.97 threshold the 8×8 default gives ≥0.997); the
+    # oracle replicates the banding bit-for-bit via md5-parity signs.
+    return dedup.embedding_dup_pairs(
+        _emb(spark, sf_dir), min_cosine=0.35, n_planes=2, n_bands=8
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -426,12 +431,18 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_similar_knn(spark, sf_dir):
+    from .operators.similar import lsh_block_chunks
+
     sub = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") % 4 == 0)
         .select(F.col("vec_id").cast("string").alias("chunk_id"), "embedding")
     )
-    out = similar_edges(sub, min_score=0.3)  # demo threshold (see dedup note)
+    # hyperplane-blocked (the 100 TB plan shape: per-bucket applyInPandas, no
+    # single global group); the oracle replicates the md5-parity buckets, so
+    # the approximate path is still value-hash-checked exactly
+    blocked = lsh_block_chunks(sub, n_planes=4)
+    out = similar_edges(blocked, min_score=0.3, block_col="block")
     return out.select(
         "src", "rel_type", "dst",
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
@@ -479,10 +490,17 @@ def q_communities(spark, sf_dir):
 
 def q_similar_chunks(spark, sf_dir):
     """Pipeline SIMILAR edges over hash-embedded chunks (float model output →
-    rows-only; the oracle-checked variant is similar_knn on embeddings)."""
+    rows-only; the oracle-checked variant is similar_knn on embeddings).
+    LSH-blocked like the pipeline's own similar stage — never one global
+    applyInPandas group."""
+    from .operators.similar import lsh_block_chunks
+
     t = pipeline_tables(spark, sf_dir)
     emb = embed_chunks(t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"]))
-    return similar_edges(emb.withColumn("embedding", F.col("embedding").cast("array<double>")))
+    blocked = lsh_block_chunks(
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    return similar_edges(blocked, block_col="block", max_block_rows=100_000)
 
 
 def q_dedup_simhash(spark, sf_dir):

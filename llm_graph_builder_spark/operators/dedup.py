@@ -313,17 +313,38 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     min_cosine: float = 0.97,
+    n_planes: int = 8,
+    n_bands: int = 8,
+    lsh: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (reference threshold
-    DUPLICATE_SCORE_VALUE=0.97, example.env:19). Blocked per label by default.
-    Output: (id_a, id_b, cos_e4) with id_a < id_b."""
-    base = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    DUPLICATE_SCORE_VALUE=0.97, example.env:19).
+
+    Blocking = (optional ``block_col``) × hyperplane-LSH band
+    (``similar.lsh_band_rows``): candidates must share a band, so the join
+    is bucket-local — a label alone has a handful of values and degenerates
+    into a per-label cross join at corpus scale. Candidate recall at the
+    default 8×8 bands is ≥0.997 for cosine ≥ 0.97; verification (the exact
+    fold-based cosine ≥ threshold) runs only on band-sharing pairs, so
+    blocking affects recall, never precision. ``lsh=False`` restores the
+    exhaustive per-``block_col`` join as the oracle-grade baseline.
+    Output: (id_a, id_b, cos_e4) with id_a < id_b.
+    """
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    base = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *blk)
+    if lsh:
+        from .similar import lsh_band_rows
+
+        base = lsh_band_rows(base, n_planes=n_planes, n_bands=n_bands,
+                             id_col="vid", vec_col="v")
+    keys = (["blk"] if block_col else []) + (["band"] if lsh else [])
+    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), *keys)
+    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), *keys)
+    pairs = (a.join(b, on=keys) if keys else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
     )
-    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), *(["blk"] if block_col else []))
-    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), *(["blk"] if block_col else []))
-    pairs = (a.join(b, on="blk") if block_col else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
+    if lsh:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn("cos_e4", F.round(cosine(F.col("v_a"), F.col("v_b")) * 10000).cast("long"))
         .filter(F.col("cos_e4") >= int(min_cosine * 10000))

@@ -78,25 +78,24 @@ def candidate_pairs_exact(
     return pairs.filter(pred).select("label", "id_a", "id_b")
 
 
-def block_candidates_lsh(
+def _band_rows(
     entities: DataFrame,
     n_hashes: int = 8,
     band_size: int = 1,
-    min_cosine: float = DUPLICATE_SCORE_VALUE,
-    max_distance: int = DUPLICATE_TEXT_DISTANCE,
-    min_contain_len: int = DUPLICATE_CONTAIN_MIN_LEN,
+    emb_planes: int = 8,
+    emb_bands: int = 8,
 ) -> DataFrame:
-    """MinHash-LSH blocked candidate pairs (the 100 TB path).
+    """Blocking keys for LSH candidate generation → (id, label[, embedding],
+    band) rows.
 
-    Shingle = character 3-grams of lower(id); minhash_i = min over shingles of
-    xxhash64(i, shingle); band key = (label, band_index, minhashes in band).
-    Pairs sharing any band key get the same predicates as the exact path.
-    Default 8 bands of size 1: candidate recall = 1-(1-J)^8, i.e. >=0.95 at
-    3-gram Jaccard 0.31 — tuned for the containment/Levenshtein families per
-    SURVEY §7.4.5 (false candidates are discarded by the exact predicates, so
-    extra bands only cost candidate-join width, never precision). The cosine
-    family additionally goes through ``similar.lsh_block_chunks`` when
-    embeddings are present.
+    Two band families, unioned:
+      * id 3-grams: minhash_j = min over char-3-gram shingles of
+        ``xxhash64(j, shingle)``; band = band_index ‖ its minhashes — catches
+        the substring-containment and Levenshtein duplicate families;
+      * hyperplane bands over ``embedding`` (when present), via
+        ``similar.lsh_band_rows`` — catches the reference's cosine family
+        (cosine > 0.97 fires even when ids are textually dissimilar,
+        src/graphDB_dataAccess.py:483-491), which id-gram bands miss.
     """
     with_emb = "embedding" in entities.columns
     # char-3-gram shingles of '^^'+lower(id)+'$$' (dynamic-start substring → expr)
@@ -111,31 +110,88 @@ def block_candidates_lsh(
         F.array_min(F.transform(grams, _seeded_hash(j))).alias(f"mh{j}")
         for j in range(n_hashes)
     ]
-    sel = entities.select(
-        "id", "label", *( ["embedding"] if with_emb else [] ), *sigs
-    )
+    emb_cols = ["embedding"] if with_emb else []
+    sel = entities.select("id", "label", *emb_cols, *sigs)
     n_bands = n_hashes // band_size
-    band_rows = []
-    for bidx in range(n_bands):
-        key = F.concat_ws(
+    keys = [
+        F.concat_ws(
             "|",
-            F.lit(str(bidx)),
+            F.lit(f"g{bidx}"),
             *[F.col(f"mh{bidx * band_size + r}").cast("string") for r in range(band_size)],
         )
-        band_rows.append(
-            sel.select("id", "label", *( ["embedding"] if with_emb else [] ), key.alias("band"))
+        for bidx in range(n_bands)
+    ]
+    banded = sel.select(
+        "id", "label", *emb_cols, F.explode(F.array(*keys)).alias("band")
+    )
+    if with_emb:
+        from .similar import lsh_band_rows
+
+        emb_banded = lsh_band_rows(
+            entities.select("id", "label", "embedding").filter(
+                F.col("embedding").isNotNull()
+            ),
+            n_planes=emb_planes,
+            n_bands=emb_bands,
+            id_col="id",
+            vec_col="embedding",
+        ).select("id", "label", "embedding", "band")
+        banded = banded.unionByName(emb_banded)
+    return banded
+
+
+def hot_bands(
+    entities: DataFrame,
+    max_band_size: int,
+    n_hashes: int = 8,
+    band_size: int = 1,
+) -> DataFrame:
+    """Blocking keys whose bucket exceeds ``max_band_size`` → (label, band,
+    n). These are the keys ``block_candidates_lsh`` drops when called with
+    the same cap; callers count/record them so truncation is never silent."""
+    return (
+        _band_rows(entities, n_hashes, band_size)
+        .groupBy("label", "band")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_band_size)
+    )
+
+
+def block_candidates_lsh(
+    entities: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 1,
+    min_cosine: float = DUPLICATE_SCORE_VALUE,
+    max_distance: int = DUPLICATE_TEXT_DISTANCE,
+    min_contain_len: int = DUPLICATE_CONTAIN_MIN_LEN,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """LSH-blocked candidate pairs (the 100 TB path).
+
+    Pairs sharing any band key (id-3-gram minhash bands ∪ hyperplane
+    embedding bands — see ``_band_rows``) get the same predicates as the
+    exact path, so blocking affects recall only, never precision. Default
+    8 id bands of size 1: candidate recall = 1-(1-J)^8, i.e. >=0.95 at
+    3-gram Jaccard 0.31 (SURVEY §7.4.5); embedding bands give >=0.997 at
+    cosine 0.97. ``max_band_size`` drops degenerate (non-discriminative)
+    band keys — a skew guard for hot buckets; pair it with ``hot_bands`` to
+    log what was dropped.
+    """
+    with_emb = "embedding" in entities.columns
+    banded = _band_rows(entities, n_hashes, band_size)
+    if max_band_size is not None:
+        sizes = banded.groupBy("label", "band").agg(F.count("*").alias("_n"))
+        banded = (
+            banded.join(
+                sizes.filter(F.col("_n") <= max_band_size).drop("_n"),
+                on=["label", "band"],
+                how="leftsemi",
+            )
         )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.select(
-        F.col("id").alias("id_a"), "label", "band",
-        *( [F.col("embedding").alias("emb_a")] if with_emb else [] ),
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), "label", "band",
-        *( [F.col("embedding").alias("emb_b")] if with_emb else [] ),
-    )
+    emb_a = [F.col("embedding").alias("emb_a")] if with_emb else []
+    emb_b = [F.col("embedding").alias("emb_b")] if with_emb else []
+    a = banded.select(F.col("id").alias("id_a"), "label", "band", *emb_a)
+    b = banded.select(F.col("id").alias("id_b"), "label", "band", *emb_b)
     pairs = (
         a.join(b, on=["label", "band"])
         .filter(F.col("id_a") < F.col("id_b"))

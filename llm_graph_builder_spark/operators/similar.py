@@ -31,15 +31,20 @@ from pyspark.sql.window import Window
 from ..config import KNN_MAX_DEGREE, KNN_MIN_SCORE, KNN_TOP_K
 
 
-def _plane_signs(n_planes: int, dim: int) -> np.ndarray:
-    """Deterministic ±1 hyperplane matrix: sign(j, i) from md5(j:i) parity
-    (md5 is the engine-portable hash family used throughout)."""
+def _plane_signs(n_planes: int, dim: int, seed: int = 0) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix: sign(j, i) from md5 first-byte
+    parity (md5 is the engine-portable hash family used throughout; DuckDB
+    mirrors the parity as ``md5_number_upper(key) & 1`` since its 'upper'
+    half is the first 8 digest bytes little-endian — low byte = digest[0]).
+    ``seed`` = 0 keys ``j:i`` (the historical single-band planes); seed > 0
+    keys ``b{seed}:j:i`` for independent multiband plane sets."""
     import hashlib
 
     signs = np.empty((n_planes, dim), dtype=np.float64)
     for j in range(n_planes):
         for i in range(dim):
-            b = hashlib.md5(f"{j}:{i}".encode()).digest()[0]
+            key = f"{j}:{i}" if seed == 0 else f"b{seed}:{j}:{i}"
+            b = hashlib.md5(key.encode()).digest()[0]
             signs[j, i] = 1.0 if (b & 1) == 0 else -1.0
     return signs
 
@@ -68,6 +73,56 @@ def lsh_block_chunks(chunks: DataFrame, n_planes: int = 8, id_col: str = "chunk_
             yield pd.Series(["".join(map(str, row)) for row in bits])
 
     return chunks.withColumn("block", block_of(F.col("embedding")))
+
+
+def lsh_band_rows(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    n_bands: int = 8,
+    id_col: str = "chunk_id",
+    vec_col: str = "embedding",
+    prefix: str = "e",
+) -> DataFrame:
+    """Multiband random-hyperplane LSH → one (row, band-key) row per band.
+
+    Each band has its own independent deterministic plane set
+    (``_plane_signs(seed=band+1)``); band key = ``{prefix}{band}|{bits}``.
+    Two vectors become candidates if they share ANY band key, so candidate
+    recall for cosine ≥ c is ``1-(1-(1-θ/π)^n_planes)^n_bands`` — with the
+    8×8 default, ≥0.997 at c=0.97 (θ≈0.078π), the reference's
+    DUPLICATE_SCORE_VALUE regime. Output: input columns + ``band``
+    (exploded). One numpy GEMM per Arrow batch computes all bands at once.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def bands_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        signs = None
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="object")
+                continue
+            first = next((v for v in vecs if v is not None), None)
+            if first is None:
+                yield pd.Series([[] for _ in range(len(vecs))])
+                continue
+            zero = [0.0] * len(first)
+            X = np.stack([(v if v is not None else zero) for v in vecs]).astype(np.float64)
+            if signs is None or signs.shape[1] != X.shape[1]:
+                signs = np.vstack(
+                    [_plane_signs(n_planes, X.shape[1], seed=b + 1) for b in range(n_bands)]
+                )  # (n_bands*n_planes, dim)
+            bits = (X @ signs.T >= 0).astype(np.uint8)
+            out = []
+            for row in bits:
+                out.append(
+                    [
+                        f"{prefix}{b}|" + "".join(map(str, row[b * n_planes : (b + 1) * n_planes]))
+                        for b in range(n_bands)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return vectors.withColumn("band", F.explode(bands_of(F.col(vec_col))))
 
 
 _PAIR_SCHEMA = T.StructType(

@@ -132,6 +132,54 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+def _hp_blocks_cte(
+    name: str,
+    src: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_bands: int = 1,
+    dim: int = 64,
+    banded: bool = True,
+) -> str:
+    """CTE chain replicating the hyperplane-LSH bucketing of
+    ``operators/similar.py`` (lsh_block_chunks / lsh_band_rows) in DuckDB.
+
+    The ±1 plane signs come from md5 first-byte parity; DuckDB's
+    ``md5_number_upper`` is the first 8 digest bytes little-endian, so its
+    low byte IS digest[0] and ``& 1`` reproduces the Python parity exactly.
+    ``banded=True`` mirrors lsh_band_rows (independent plane set per band,
+    key ``b{band+1}:{j}:{i}``, block string ``e{band}|bits``);
+    ``banded=False`` mirrors lsh_block_chunks (seed-0 keys ``{j}:{i}``, the
+    raw bit string as the single block). Emits ``{name}_blocks(vid, band)``.
+    """
+    if banded:
+        key = "'b' || CAST(b + 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+        block = "'e' || CAST(b AS VARCHAR) || '|' || string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)"
+    else:
+        key = "CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+        block = "string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)"
+    return f"""
+{name}_signs AS (
+  SELECT b, j, i,
+         CASE WHEN (md5_number_upper({key}) & 1) = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM range({n_bands}) tb(b), range({n_planes}) tj(j), range({dim}) ti(i)
+),
+{name}_dims AS (
+  SELECT {id_col} AS vid, d.i, CAST({vec_col}[d.i + 1] AS DOUBLE) AS val
+  FROM {src}, range({dim}) d(i)
+),
+{name}_dots AS (
+  SELECT vid, b, j, sum(val * s) AS dot
+  FROM {name}_dims JOIN {name}_signs USING (i)
+  GROUP BY 1, 2, 3
+),
+{name}_blocks AS (
+  SELECT vid, b, {block} AS band
+  FROM {name}_dots GROUP BY vid, b
+)"""
+
+
 # word k-gram shingle list over whitespace tokens of a text column
 def _shingles_sql(col: str, k: int) -> str:
     return (
@@ -498,10 +546,21 @@ WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
                  / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 5000
 """
 
-ORACLE_SQL["dedup_embedding"] = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+# mirrors embedding_dup_pairs(lsh=True, n_planes=2, n_bands=8): candidates
+# must share a hyperplane band AND the label block; verification = exact
+# fold cosine >= threshold (identical to the unblocked predicate)
+ORACLE_SQL["dedup_embedding"] = "WITH " + _hp_blocks_cte(
+    "emb", "embeddings", "vec_id", "embedding", n_planes=2, n_bands=8
+) + f""",
+cand AS (
+  SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+  FROM emb_blocks x JOIN emb_blocks y ON x.band = y.band AND x.vid < y.vid
+)
+SELECT c.id_a, c.id_b,
        CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) AS cos_e4
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b AND a.label = b.label
 WHERE CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) >= 3500
 """
 
@@ -522,12 +581,18 @@ SELECT query_id, neighbor_id, cos_e4, CAST(rnk AS BIGINT) AS rnk FROM ranked WHE
 """
 
 _SIM_COS = _cosine_sql("a.embedding", "b.embedding")
+# mirrors q_similar_knn: lsh_block_chunks(n_planes=4) buckets (seed-0
+# md5-parity hyperplanes), then the exact top-k/undirected/degree-cap
+# pipeline WITHIN each bucket
 ORACLE_SQL["similar_knn"] = f"""
 WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+{_hp_blocks_cte("knn", "sub", "vec_id", "embedding", n_planes=4, banded=False).lstrip()},
 pairs AS (
   SELECT CAST(a.vec_id AS VARCHAR) AS a, CAST(b.vec_id AS VARCHAR) AS b,
          round({_SIM_COS}, 6) AS score
   FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+  JOIN knn_blocks ka ON ka.vid = a.vec_id
+  JOIN knn_blocks kb ON kb.vid = b.vec_id AND ka.band = kb.band
 ),
 qual AS (SELECT * FROM pairs WHERE score >= 0.3),
 topk AS (

@@ -31,7 +31,7 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.chunking import chunk_documents, chunk_graph_edges
 from ..operators.communities import community_hierarchy, community_tables
 from ..operators.counts import doc_counts
-from ..operators.embeddings import embed_chunks
+from ..operators.embeddings import embed_chunks, embed_entities
 from ..operators.extraction import (
     enforce_allowed_schema,
     entities_from_mentions,
@@ -47,6 +47,7 @@ from ..operators.linking import (
     canonical_map,
     connected_components,
     entity_degrees,
+    hot_bands,
     merge_entities,
 )
 from ..operators.similar import lsh_block_chunks, similar_edges
@@ -243,19 +244,34 @@ class PipelineRunner:
         eedges = self.read("entity_edges").cache()
 
         def linked():
-            # O(n²)-per-label exact candidates below the threshold; MinHash-
-            # LSH blocking above it (identical pair predicates, SURVEY §7.4.5
-            # — the reference's exhaustive scan only survives tiny graphs)
+            # O(n²)-per-label exact candidates below the threshold; LSH
+            # blocking above it (identical pair predicates, SURVEY §7.4.5 —
+            # the reference's exhaustive scan only survives tiny graphs).
+            # Entities are E3-embedded first so the cosine duplicate family
+            # (reference: cosine > 0.97 even when ids are textually
+            # dissimilar) fires on BOTH paths: the exact predicates use the
+            # embedding directly, the LSH path through hyperplane bands.
+            ents_emb = embed_entities(
+                ents.withColumn(
+                    "description",
+                    F.col("description") if "description" in ents.columns
+                    else F.lit(None).cast("string"),
+                ),
+                dim=cfg.embedding_dim,
+            ).select("id", "label", "embedding")
             n_entities = ents.count()
             if n_entities > cfg.linking_block_threshold:
+                n_hot = hot_bands(ents_emb, cfg.linking_max_band_size).count()
+                self._record("linking_hot_bands_dropped", n_hot, 0)
                 pairs = block_candidates_lsh(
-                    ents.select("id", "label"),
+                    ents_emb,
                     min_cosine=cfg.duplicate_score,
                     max_distance=cfg.duplicate_distance,
+                    max_band_size=cfg.linking_max_band_size,
                 )
             else:
                 pairs = candidate_pairs_exact(
-                    ents.select("id", "label"),
+                    ents_emb,
                     min_cosine=cfg.duplicate_score,
                     max_distance=cfg.duplicate_distance,
                 )

@@ -1,0 +1,91 @@
+"""Embedding-cosine duplicate family through the LSH-blocked linking path.
+
+Verdict r1 gap: ``block_candidates_lsh`` blocked on id 3-grams only, so
+cosine-duplicates with textually dissimilar ids (reference predicate (c),
+graphDB_dataAccess.py:483-491) were silently lost above the blocking
+threshold. These tests pin the fix: hyperplane bands over entity embeddings
+reproduce the exact path's candidate set at >= 0.99 recall on a fixture
+where ONLY the embedding predicate fires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.linking import (
+    block_candidates_lsh,
+    candidate_pairs_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def cosine_dup_entities(spark):
+    """120 base entities with near-orthogonal random embeddings; 40 of them
+    get a 'shadow' entity whose id shares NO 3-gram but whose embedding is a
+    tiny perturbation (cosine > 0.99 >> 0.97)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((f"alpha{i:03d}", "Thing", v.tolist()))
+        if i < 40:
+            w = v + rng.normal(size=64) * 0.02
+            w /= np.linalg.norm(w)
+            # id shares no character 3-gram with its twin
+            rows.append((f"ZQX{i:03d}", "Thing", w.tolist()))
+    return spark.createDataFrame(
+        rows, "id string, label string, embedding array<double>"
+    ).cache()
+
+
+def test_embedding_family_recall_vs_exact(cosine_dup_entities):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs_exact(cosine_dup_entities).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in block_candidates_lsh(cosine_dup_entities).collect()
+    }
+    # the alpha<->ZQX twin pairs can ONLY fire via the cosine predicate (no
+    # shared 3-gram, Levenshtein far above the bound): the exact path must
+    # find all 40, and the hyperplane-banded LSH path >= 0.99 of them
+    twins = {(f"ZQX{i:03d}", f"alpha{i:03d}") for i in range(40)}
+    twins = {tuple(sorted(t)) for t in twins}
+    assert twins <= exact
+    recall = len(lsh & twins) / len(twins)
+    assert recall >= 0.99, f"cosine-family LSH recall {recall:.3f} < 0.99"
+    # the id-gram families keep their designed >= 0.95 recall overall
+    assert len(lsh & exact) / len(exact) >= 0.95
+    # precision is exact by construction (same predicates applied per pair)
+    assert lsh <= exact
+
+
+def test_id_gram_family_still_blocked_without_embeddings(cosine_dup_entities):
+    ents = cosine_dup_entities.select("id", "label")
+    exact = {(r["id_a"], r["id_b"]) for r in candidate_pairs_exact(ents).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in block_candidates_lsh(ents).collect()}
+    # without embeddings the cosine family cannot fire; id-gram recall holds
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_hot_band_cap_drops_are_reported(spark):
+    from llm_graph_builder_spark.operators.linking import hot_bands
+
+    # 300 entities share the id prefix 'commonprefix' → their 3-gram bands
+    # are hot; cap at 50 must report dropped keys, and blocking must still
+    # return a subset of the exact pairs
+    rows = [(f"commonprefix{i:04d}", "T") for i in range(300)]
+    ents = spark.createDataFrame(rows, "id string, label string")
+    hot = hot_bands(ents, max_band_size=50)
+    assert hot.count() > 0
+    capped = block_candidates_lsh(ents, max_band_size=50)
+    exact = candidate_pairs_exact(ents)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    allp = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert got <= allp
