@@ -31,9 +31,12 @@ from .operators.counts import (
 from .operators.embeddings import embed_chunks
 from .operators.extraction import (
     entities_from_mentions,
+    entity_descriptions_from_units,
     entity_edges,
-    extract_chunks,
+    extract_units,
     has_entity_edges,
+    mentions_from_units,
+    triples_from_units,
 )
 from .operators.linking import (
     candidate_pairs_exact,
@@ -56,13 +59,14 @@ def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict:
         return _CACHE[key]
     docs = ingest(synth_repos(spark, sf_dir)).cache()
     chunks = chunk_documents(docs).cache()
-    mentions, triples = extract_chunks(chunks)
-    mentions = mentions.cache()
-    triples = triples.cache()
+    units = extract_units(chunks).cache()
+    mentions = mentions_from_units(units).cache()
+    triples = triples_from_units(units).cache()
     tables = {
         "docs": docs,
         "chunks": chunks,
         "chunk_edges": chunk_graph_edges(chunks).cache(),
+        "units": units,
         "mentions": mentions,
         "triples": triples,
         "entities": entities_from_mentions(mentions).cache(),
@@ -396,6 +400,44 @@ def q_chunk_entities(spark, sf_dir):
     )
 
 
+def q_entity_paths(spark, sf_dir):
+    """Read surface — bounded 2-hop undirected path expansion from the
+    anchor entity (reference: GRAPH_QUERY entity paths with per-level
+    LIMIT 40, shared/constants.py:347-371). Join chain → fully
+    SQL-expressible, oracle-checked."""
+    from .operators.paths import entity_paths
+
+    t = pipeline_tables(spark, sf_dir)
+    anchor = (
+        t["entities"].filter(F.col("label") == "Operation")
+        .orderBy("id").limit(1)
+        .select(F.col("id").alias("aid"), F.col("label").alias("alabel"))
+    )
+    return entity_paths(t["entity_edges"], anchor, hops=2)
+
+
+def q_keyword_search(spark, sf_dir):
+    """Keyword/fulltext-index analog (reference `entities` fulltext index,
+    post_processing.py:12-16): inverted index over entity id+description,
+    broadcast query-term join, match-count rank."""
+    from .operators.fulltext import build_entity_index, keyword_search
+
+    t = pipeline_tables(spark, sf_dir)
+    ents = t["entities"].join(
+        entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
+    )
+    return keyword_search(build_entity_index(ents), "merge join stream data")
+
+
+def q_entity_descriptions(spark, sf_dir):
+    """Entity description property end-to-end (reference: LLM node
+    description, llm.py:211-215; embedded as E3 text, post_processing.py:132).
+    Deterministic contract: ±2-token window around the first occurrence,
+    minimized across chunks — fully mirrored in the DuckDB oracle."""
+    t = pipeline_tables(spark, sf_dir)
+    return entity_descriptions_from_units(t["units"])
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -508,13 +550,15 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_community_summaries(spark, sf_dir):
-    """G7 — title/summary per level-0 community (deterministic formatter;
-    pluggable LLM summarizer UDF). Rows-only: depends on iterative LPA."""
-    from .operators.communities import summarize_communities
+    """G7 — title/summary for EVERY hierarchy level: level 0 from member
+    subgraphs, parent levels composed from child summaries (reference:
+    communities.py:299-372). Deterministic formatter; pluggable LLM UDF.
+    Rows-only: depends on iterative LPA."""
+    from .operators.communities import summarize_hierarchy
 
     t = pipeline_tables(spark, sf_dir)
     h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
-    return summarize_communities(h, t["entity_edges"])
+    return summarize_hierarchy(h, t["entity_edges"])
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -604,14 +648,18 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_entity_embeddings(spark, sf_dir):
-    """E3 — entity embeddings over id+description, null-gated (hash-embedder
-    stand-in → rows-only)."""
+    """E3 — entity embeddings over id + ' ' + description (real extracted
+    descriptions, reference text expression post_processing.py:132),
+    null-gated. Hash-embedder stand-in; dim is the oracle-checkable
+    projection."""
     from .operators.embeddings import embed_entities
 
     t = pipeline_tables(spark, sf_dir)
-    ents = t["entities"].withColumn("description", F.lit(None).cast("string"))
+    ents = t["entities"].join(
+        entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
+    )
     out = embed_entities(ents)
-    return out.select("id", "label", F.size("embedding").alias("dim"))
+    return out.select("id", "label", F.size("embedding").cast("long").alias("dim"))
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -651,6 +699,9 @@ QUERIES = {
     "token_usage": q_token_usage,
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
+    "entity_paths": q_entity_paths,
+    "keyword_search": q_keyword_search,
+    "entity_descriptions": q_entity_descriptions,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,

@@ -330,3 +330,64 @@ def summarize_communities(
             F.when(F.length("rels_text") > 0, F.concat(F.lit("; relations: "), F.col("rels_text"))).otherwise(F.lit("")),
         ).alias("summary"),
     )
+
+
+def summarize_hierarchy(
+    hierarchy: DataFrame,
+    entity_edges_df: DataFrame,
+    levels: int = MAX_COMMUNITY_LEVELS,
+    summarizer_udf=None,
+    min_members: int = 2,
+    max_child_titles: int = 10,
+) -> DataFrame:
+    """G7 complete — summaries for EVERY level: level 0 from member
+    subgraphs, levels 1..L-1 composed from their CHILD communities' summaries
+    (reference: create_community_summaries walks parent levels summarizing
+    from child summaries, src/communities.py:299-372).
+
+    A parent is summarized iff at least one child community carries a summary
+    (reference behavior: parents of unsummarized singletons are skipped).
+    Child titles feeding a parent are sorted and capped at
+    ``max_child_titles`` so no parent row aggregates an unbounded array.
+    Output: (community_id, level, title, summary) for all levels.
+    """
+    results = [summarize_communities(hierarchy, entity_edges_df, 0, summarizer_udf, min_members)]
+    for k in range(1, levels):
+        # parent (level k) ← child (level k-1) distinct community pairs
+        pc = (
+            hierarchy.select(
+                F.col("communities")[k].alias("pid"),
+                F.col("communities")[k - 1].alias("cid"),
+            )
+            .dropDuplicates(["pid", "cid"])
+            .withColumn("child_id", F.concat_ws("-", F.lit(k - 1), F.col("cid")))
+        )
+        child = results[k - 1].select(
+            F.col("community_id").alias("child_id"),
+            F.col("title").alias("child_title"),
+        )
+        parent = (
+            pc.join(child, on="child_id")
+            .groupBy("pid")
+            .agg(
+                F.count("*").alias("n_children"),
+                F.slice(
+                    F.array_sort(F.collect_list("child_title")), 1, max_child_titles
+                ).alias("child_titles"),
+            )
+            .select(
+                F.concat_ws("-", F.lit(k), F.col("pid")).alias("community_id"),
+                F.lit(k).cast("int").alias("level"),
+                F.concat(F.lit("Community "), F.lit(k), F.lit("-"), F.col("pid")).alias("title"),
+                F.concat(
+                    F.lit("Contains "), F.col("n_children").cast("string"),
+                    F.lit(" sub-communities: "),
+                    F.concat_ws("; ", "child_titles"),
+                ).alias("summary"),
+            )
+        )
+        results.append(parent)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

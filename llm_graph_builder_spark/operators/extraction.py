@@ -51,6 +51,7 @@ EXTRACTION_SCHEMA = T.StructType(
                     [
                         T.StructField("id", T.StringType()),
                         T.StructField("label", T.StringType()),
+                        T.StructField("description", T.StringType()),
                     ]
                 )
             ),
@@ -85,16 +86,26 @@ def extract_text_py(text: str) -> dict:
     Contract (mirrored in oracle SQL — keep in sync):
       * mention occurrence = token with len >= MENTION_MIN_LEN, in token order;
       * distinct mentions (id, label) with label from OPERATION_WORDS rule;
+      * mention description = ±2-token context window (over the SAME filtered
+        token list) around the FIRST occurrence — the deterministic stand-in
+        for the reference's LLM node description (src/llm.py:211-215), which
+        feeds entity display and the E3 embedding text;
       * triple = each adjacent occurrence pair with different ids, predicate
         from PREDICATE_RULES on the label pair; distinct per text.
     """
     toks = [t for t in (text or "").split() if len(t) >= MENTION_MIN_LEN]
     mentions: list[dict] = []
     seen = set()
-    for t in toks:
+    for i, t in enumerate(toks):
         if t not in seen:
             seen.add(t)
-            mentions.append({"id": t, "label": _label_of(t)})
+            mentions.append(
+                {
+                    "id": t,
+                    "label": _label_of(t),
+                    "description": " ".join(toks[max(0, i - 2) : i + 3]),
+                }
+            )
     triples: list[dict] = []
     tseen = set()
     for a, b in zip(toks, toks[1:]):
@@ -119,7 +130,7 @@ def extract_text_py(text: str) -> dict:
 #: mapInArrow output columns appended by the extraction kernel (the carry
 #: columns of the aggregate pass through ahead of these)
 _EXTRACT_ARRAYS_DDL = (
-    "mentions array<struct<id:string,label:string>>, "
+    "mentions array<struct<id:string,label:string,description:string>>, "
     "triples array<struct<subj_id:string,subj_label:string,pred:string,"
     "obj_id:string,obj_label:string>>"
 )
@@ -169,6 +180,7 @@ class DeterministicExtractor:
                 m_off = [0]
                 m_id: list[str] = []
                 m_lab: list[str] = []
+                m_desc: list[str] = []
                 t_off = [0]
                 t_s: list[str] = []
                 t_sl: list[str] = []
@@ -189,6 +201,7 @@ class DeterministicExtractor:
                                 seen_m.add((i, la))
                                 m_id.append(i)
                                 m_lab.append(la)
+                                m_desc.append(m["description"].replace("`", "").strip())
                         m_off.append(len(m_id))
                         seen_t: set = set()
                         for t in r["triples"]:
@@ -208,6 +221,7 @@ class DeterministicExtractor:
                     for m in r["mentions"]:
                         m_id.append(m["id"])
                         m_lab.append(m["label"])
+                        m_desc.append(m["description"])
                     m_off.append(len(m_id))
                     for t in r["triples"]:
                         t_s.append(t["subj_id"])
@@ -219,8 +233,12 @@ class DeterministicExtractor:
                 mentions = pa.ListArray.from_arrays(
                     pa.array(m_off, pa.int32()),
                     pa.StructArray.from_arrays(
-                        [pa.array(m_id, pa.string()), pa.array(m_lab, pa.string())],
-                        ["id", "label"],
+                        [
+                            pa.array(m_id, pa.string()),
+                            pa.array(m_lab, pa.string()),
+                            pa.array(m_desc, pa.string()),
+                        ],
+                        ["id", "label", "description"],
                     ),
                 )
                 triples = pa.ListArray.from_arrays(
@@ -341,7 +359,9 @@ def _clean_mentions_arr(col):
     cleaned = F.transform(
         col,
         lambda m: F.struct(
-            _clean_str(m["id"]).alias("id"), _clean_str(m["label"]).alias("label")
+            _clean_str(m["id"]).alias("id"),
+            _clean_str(m["label"]).alias("label"),
+            _clean_str(m["description"]).alias("description"),
         ),
     )
     return F.array_distinct(
@@ -522,6 +542,19 @@ def entities_from_mentions(mentions: DataFrame) -> DataFrame:
             F.countDistinct("chunk_id").alias("chunk_count"),
             F.countDistinct("doc_id").alias("doc_count"),
         )
+    )
+
+
+def entity_descriptions_from_units(extracted: DataFrame) -> DataFrame:
+    """Entity-grain description: deterministic min over the per-chunk context
+    windows emitted by the extractor (the aggregation stand-in for the
+    reference's per-entity LLM description, src/llm.py:211-215 — stored on
+    the entity node and used as E3 embedding text, post_processing.py:132).
+    Output: (id, label, description)."""
+    return (
+        extracted.select(F.explode("mentions").alias("m"))
+        .groupBy(F.col("m.id").alias("id"), F.col("m.label").alias("label"))
+        .agg(F.min("m.description").alias("description"))
     )
 
 

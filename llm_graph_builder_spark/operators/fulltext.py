@@ -1,0 +1,83 @@
+"""Keyword / fulltext index analog (SURVEY §1.1).
+
+Reference parity: the reference maintains Neo4j fulltext indexes ``keyword``
+(chunk text) and ``entities`` (entity id + description) and queries them for
+retrieval (/root/reference/backend/src/post_processing.py:12-16, 149-186;
+index-backed search in shared/constants.py). The Spark-native analog is an
+inverted-index DataFrame — (term → document/entity) posting rows built with
+JVM split/explode (whole-stage codegen, one shuffle on term) — and search =
+a broadcast join of query terms against the index with a match-count rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: lowercase alphanumeric terms, like Lucene's standard analyzer lowercases
+#: and splits on non-alphanumerics
+_TERM_SPLIT = "[^a-z0-9]+"
+
+
+def _terms(col) -> "F.Column":
+    return F.array_distinct(
+        F.filter(
+            F.split(F.lower(col), _TERM_SPLIT), lambda t: F.length(t) > 0
+        )
+    )
+
+
+def build_entity_index(entities: DataFrame) -> DataFrame:
+    """Inverted index over entity id + description (the ``entities``
+    fulltext index, post_processing.py:12-16).
+
+    Input: (id, label[, description]); output posting rows (term, id, label),
+    distinct. One shuffle on term; at corpus scale the index is written
+    partitioned by term prefix so lookups prune partitions.
+    """
+    text = (
+        F.concat_ws(" ", "id", F.coalesce("description", F.lit("")))
+        if "description" in entities.columns
+        else F.col("id")
+    )
+    return (
+        entities.select("id", "label", F.explode(_terms(text)).alias("term"))
+        .dropDuplicates(["term", "id", "label"])
+        .select("term", "id", "label")
+    )
+
+
+def build_chunk_index(chunks: DataFrame) -> DataFrame:
+    """Inverted index over chunk text (the ``keyword`` fulltext index).
+    Output: (term, chunk_id), distinct."""
+    return (
+        chunks.select(
+            F.col("chunk_id"), F.explode(_terms(F.col("text"))).alias("term")
+        )
+        .dropDuplicates(["term", "chunk_id"])
+        .select("term", "chunk_id")
+    )
+
+
+def keyword_search(
+    index: DataFrame, query: str, limit: int = 20
+) -> DataFrame:
+    """Rank entities by how many distinct query terms they match.
+
+    The query-term set is driver-tiny → broadcast semi-side of the join; the
+    index never moves beyond its term partitioning. Output:
+    (id, label, matched) ordered by (matched desc, id, label), LIMIT-ed
+    (TakeOrderedAndProject).
+    """
+    spark = index.sparkSession
+    qterms = sorted(
+        {t for t in __import__("re").split(_TERM_SPLIT, query.lower()) if t}
+    )
+    qdf = F.broadcast(spark.createDataFrame([(t,) for t in qterms], ["term"]))
+    return (
+        index.join(qdf, on="term")
+        .groupBy("id", "label")
+        .agg(F.countDistinct("term").alias("matched"))
+        .orderBy(F.desc("matched"), F.asc("id"), F.asc("label"))
+        .limit(limit)
+    )

@@ -343,7 +343,9 @@ def merge_entities(
             *[
                 F.sum(c).alias(c)
                 if c in ("chunk_count", "doc_count")
-                else F.first(c, ignorenulls=True).alias(c)
+                # min, not first: deterministic winner for merged scalar
+                # properties (e.g. description) regardless of shuffle order
+                else F.min(c).alias(c)
                 for c in other_cols
             ]
         )

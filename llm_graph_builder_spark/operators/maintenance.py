@@ -94,6 +94,33 @@ def delete_documents_cascade(
     }
 
 
+# -- schema-from-text (/populate_graph_schema) --------------------------------
+
+def schema_from_text(text: str) -> dict:
+    """Propose a graph schema (node labels + relationship kinds) from sample
+    text — the deterministic stand-in for the reference's driver-side LLM
+    call (/populate_graph_schema, src/shared/schema_extraction.py:61-88),
+    exactly like the deterministic extractor stands in for X2.
+
+    Runs the extraction contract on the text and inventories what it emits.
+    Returns {"labels": [...], "relationship_types": [...],
+    "relationships": [(src, rel, dst), ...]} — the same shape the reference
+    returns to seed allowedNodes/allowedRelationship.
+    """
+    from .extraction import extract_text_py
+
+    r = extract_text_py(text or "")
+    labels = sorted({m["label"] for m in r["mentions"]})
+    triplets = sorted(
+        {(t["subj_label"], t["pred"], t["obj_label"]) for t in r["triples"]}
+    )
+    return {
+        "labels": labels,
+        "relationship_types": sorted({p for _, p, _ in triplets}),
+        "relationships": triplets,
+    }
+
+
 # -- T7: resume point --------------------------------------------------------
 
 def resume_positions(chunks: DataFrame, processed_mentions: DataFrame) -> DataFrame:

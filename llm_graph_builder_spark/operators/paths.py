@@ -1,0 +1,89 @@
+"""Bounded N-hop graph-expansion read queries (SURVEY §2 read surface).
+
+Reference parity: the retrieval/viz surface expands entity paths around an
+anchor with per-level limits (GRAPH_QUERY at
+/root/reference/backend/src/shared/constants.py:4-75, entity-path expansion
+:347-371; 1-hop neighbours at backend/src/neighbours.py:4-65). Neo4j walks
+these per-request; the batch restatement is a join chain over the aggregated
+entity-edge table — each hop is one join, directions are both traversed
+(undirected expansion), and the result is deterministically ordered and
+LIMIT-ed (TakeOrderedAndProject — per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference per-expansion cap (GRAPH_QUERY "LIMIT 40" per level,
+#: shared/constants.py:40-62)
+PATH_LIMIT = 40
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """(node → other) view of the directed entity-edge table, both ways.
+
+    Output: (id, label, dir ∈ {out, in}, pred, other_id, other_label, weight).
+    """
+    fwd = edges.select(
+        F.col("subj_id").alias("id"), F.col("subj_label").alias("label"),
+        F.lit("out").alias("dir"), "pred",
+        F.col("obj_id").alias("other_id"), F.col("obj_label").alias("other_label"),
+        "weight",
+    )
+    rev = edges.select(
+        F.col("obj_id").alias("id"), F.col("obj_label").alias("label"),
+        F.lit("in").alias("dir"), "pred",
+        F.col("subj_id").alias("other_id"), F.col("subj_label").alias("other_label"),
+        "weight",
+    )
+    return fwd.unionByName(rev)
+
+
+def entity_paths(
+    edges: DataFrame,
+    anchor: DataFrame,
+    hops: int = 2,
+    limit: int = PATH_LIMIT,
+) -> DataFrame:
+    """Bounded ``hops``-hop undirected path expansion from an anchor entity.
+
+    ``anchor`` = one-row frame (aid, alabel); broadcast into the first hop so
+    the full edge table is scanned once per hop with no shuffle on the big
+    side. Paths do not immediately backtrack (hop k+1 must leave the hop-k
+    source — the reference's path semantics exclude 2-cycles a→b→a).
+
+    Output (hops=2): (pred1, dir1, mid_id, mid_label, pred2, dir2, dst_id,
+    dst_label, weight1, weight2), ordered deterministically, LIMIT ``limit``.
+    """
+    und = undirected_edges(edges)
+    a = F.broadcast(anchor.select(F.col("aid"), F.col("alabel")))
+    hop1 = und.join(
+        a, on=(und["id"] == F.col("aid")) & (und["label"] == F.col("alabel"))
+    ).select(
+        F.col("pred").alias("pred1"), F.col("dir").alias("dir1"),
+        F.col("other_id").alias("mid_id"), F.col("other_label").alias("mid_label"),
+        F.col("weight").alias("weight1"), "aid", "alabel",
+    )
+    if hops == 1:
+        return (
+            hop1.select("pred1", "dir1", "mid_id", "mid_label", "weight1")
+            .orderBy("pred1", "dir1", "mid_id", "mid_label")
+            .limit(limit)
+        )
+    hop2 = hop1.join(
+        und,
+        on=(hop1["mid_id"] == und["id"]) & (hop1["mid_label"] == und["label"]),
+    ).filter(
+        # no immediate backtracking to the anchor
+        ~((F.col("other_id") == F.col("aid")) & (F.col("other_label") == F.col("alabel")))
+    ).select(
+        "pred1", "dir1", "mid_id", "mid_label",
+        F.col("pred").alias("pred2"), F.col("dir").alias("dir2"),
+        F.col("other_id").alias("dst_id"), F.col("other_label").alias("dst_label"),
+        "weight1", F.col("weight").alias("weight2"),
+    )
+    return hop2.orderBy(
+        "mid_id", "mid_label", "pred1", "dir1", "pred2", "dir2", "dst_id",
+        "dst_label",
+    ).limit(limit)

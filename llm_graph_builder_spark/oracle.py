@@ -393,6 +393,93 @@ FROM ch LEFT JOIN me ON ch.chunk_id = me.chunk_id
 GROUP BY ch.chunk_id, ch.position
 """
 
+ORACLE_SQL["entity_paths"] = PIPELINE_CTE + """
+, anchor AS (
+  SELECT id AS aid, label AS alabel FROM entities
+  WHERE label = 'Operation' ORDER BY id LIMIT 1
+),
+und AS (
+  SELECT subj_id AS id, subj_label AS label, 'out' AS dir, pred,
+         obj_id AS other_id, obj_label AS other_label, weight
+  FROM entity_edges
+  UNION ALL
+  SELECT obj_id, obj_label, 'in', pred, subj_id, subj_label, weight
+  FROM entity_edges
+),
+hop1 AS (
+  SELECT u.pred AS pred1, u.dir AS dir1, u.other_id AS mid_id,
+         u.other_label AS mid_label, u.weight AS weight1, a.aid, a.alabel
+  FROM und u, anchor a WHERE u.id = a.aid AND u.label = a.alabel
+),
+hop2 AS (
+  SELECT h.pred1, h.dir1, h.mid_id, h.mid_label,
+         u.pred AS pred2, u.dir AS dir2, u.other_id AS dst_id,
+         u.other_label AS dst_label, h.weight1, u.weight AS weight2
+  FROM hop1 h JOIN und u ON u.id = h.mid_id AND u.label = h.mid_label
+  WHERE NOT (u.other_id = h.aid AND u.other_label = h.alabel)
+)
+SELECT pred1, dir1, mid_id, mid_label, pred2, dir2, dst_id, dst_label,
+       weight1, weight2
+FROM hop2
+ORDER BY mid_id, mid_label, pred1, dir1, pred2, dir2, dst_id, dst_label
+LIMIT 40
+"""
+
+ORACLE_SQL["keyword_search"] = PIPELINE_CTE + """
+, cft AS (SELECT DISTINCT chunk_id, text FROM chunks),
+cfl AS (
+  SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) >= 4) AS ft
+  FROM cft
+),
+me AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
+dw AS (
+  SELECT me.entity_id AS id, me.entity_label AS label, cfl.ft,
+         list_position(cfl.ft, me.entity_id) AS p
+  FROM me JOIN cfl USING (chunk_id)
+),
+edesc AS (
+  SELECT id, label,
+         min(array_to_string(ft[greatest(p - 2, 1) : p + 2], ' ')) AS description
+  FROM dw GROUP BY 1, 2
+),
+posts AS (
+  SELECT DISTINCT e.id, e.label,
+         unnest(list_filter(
+           string_split_regex(lower(e.id || ' ' || coalesce(d.description, '')),
+                              '[^a-z0-9]+'),
+           t -> len(t) > 0)) AS term
+  FROM entities e LEFT JOIN edesc d ON e.id = d.id AND e.label = d.label
+),
+q AS (SELECT unnest(['data', 'join', 'merge', 'stream']) AS term)
+SELECT p.id, p.label, CAST(count(DISTINCT p.term) AS BIGINT) AS matched
+FROM posts p JOIN q USING (term)
+GROUP BY 1, 2
+ORDER BY matched DESC, id, label
+LIMIT 20
+"""
+
+ORACLE_SQL["entity_descriptions"] = PIPELINE_CTE + """
+, cft AS (SELECT DISTINCT chunk_id, text FROM chunks),
+cfl AS (
+  SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) >= 4) AS ft
+  FROM cft
+),
+me AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
+w AS (
+  SELECT me.entity_id AS id, me.entity_label AS label, cfl.ft,
+         list_position(cfl.ft, me.entity_id) AS p
+  FROM me JOIN cfl USING (chunk_id)
+)
+SELECT id, label,
+       min(array_to_string(ft[greatest(p - 2, 1) : p + 2], ' ')) AS description
+FROM w GROUP BY 1, 2
+"""
+
+# E3: dimension contract of the entity-embedding pass (id + description text)
+ORACLE_SQL["entity_embeddings"] = PIPELINE_CTE + """
+SELECT id, label, CAST(64 AS BIGINT) AS dim FROM entities
+"""
+
 ORACLE_SQL["schema_consolidation"] = """
 WITH labels AS (
   SELECT DISTINCT label FROM (

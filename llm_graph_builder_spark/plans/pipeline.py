@@ -35,6 +35,7 @@ from ..operators.embeddings import embed_chunks, embed_entities
 from ..operators.extraction import (
     enforce_allowed_schema,
     entities_from_mentions,
+    entity_descriptions_from_units,
     entity_edges,
     extract_units,
     has_entity_edges,
@@ -184,6 +185,56 @@ class PipelineRunner:
         self._record(name, rows, ms, **extra)
         return StageResult(name, rows, ms, skipped=False)
 
+    # -- retry modes (reference: retry_processing, src/main.py:689-748) ------
+
+    #: reference retry conditions (shared/constants.py START_FROM_* values)
+    START_FROM_BEGINNING = "start_from_beginning"
+    DELETE_ENTITIES_AND_START = "delete_entities_and_start_from_beginning"
+    START_FROM_LAST_PROCESSED_POSITION = "start_from_last_processed_position"
+
+    #: stages invalidated by delete_entities_and_start: everything derived
+    #: from extraction; documents/chunks/embeddings survive
+    _EXTRACTION_STAGES = (
+        "code_extractions", "extractions", "mentions", "triples", "entities",
+        "entity_edges", "has_entity", "linked_entities", "linked_edges",
+        "similar", "communities", "doc_counts",
+    )
+
+    def _invalidate_stages(self, stages: tuple[str, ...]) -> None:
+        """Rewrite the manifest dropping COMPLETED rows for ``stages`` so a
+        resume re-runs them (idempotent overwrite replaces their tables)."""
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return
+        keep = []
+        with open(p) as f:
+            for line in f:
+                row = json.loads(line)
+                if row["stage"] in stages and row.get("status") == "COMPLETED":
+                    continue
+                keep.append(line)
+        with open(p, "w") as f:
+            f.writelines(keep)
+
+    def retry(self, repos: DataFrame, condition: str) -> list[StageResult]:
+        """Re-run with the reference's retry semantics (main.py:689-748):
+
+        * ``start_from_beginning`` — full re-run, nothing skipped;
+        * ``delete_entities_and_start_from_beginning`` — keep the document/
+          chunk/embedding tables, drop and rebuild everything extraction-
+          derived (the reference deletes entities and re-extracts);
+        * ``start_from_last_processed_position`` — plain manifest resume:
+          completed stages are skipped, the failed stage re-runs.
+        """
+        if condition == self.START_FROM_BEGINNING:
+            return self.run(repos, resume=False)
+        if condition == self.DELETE_ENTITIES_AND_START:
+            self._invalidate_stages(self._EXTRACTION_STAGES)
+            return self.run(repos, resume=True)
+        if condition == self.START_FROM_LAST_PROCESSED_POSITION:
+            return self.run(repos, resume=True)
+        raise ValueError(f"unknown retry condition: {condition!r}")
+
     # -- the DAG -------------------------------------------------------------
     def run(self, repos: DataFrame, resume: bool = False) -> list[StageResult]:
         cfg = self.config
@@ -237,7 +288,10 @@ class PipelineRunner:
         mentions = self.read("mentions").cache()
         triples = self.read("triples").cache()
 
-        stage("entities", lambda: entities_from_mentions(mentions))
+        # entity nodes carry the aggregated description property (reference:
+        # LLM node description, llm.py:211-215) — E3 embedding text downstream
+        stage("entities", lambda: entities_from_mentions(mentions).join(
+            entity_descriptions_from_units(extracted), on=["id", "label"], how="left"))
         stage("entity_edges", lambda: entity_edges(triples))
         stage("has_entity", lambda: has_entity_edges(mentions))
         ents = self.read("entities").cache()

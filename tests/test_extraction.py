@@ -22,10 +22,10 @@ def test_extract_text_py_golden():
     out = extract_text_py("the fast join a merge join data big")
     # tokens >=4 chars: fast join merge join data
     assert out["mentions"] == [
-        {"id": "fast", "label": "Artifact"},
-        {"id": "join", "label": "Operation"},
-        {"id": "merge", "label": "Operation"},
-        {"id": "data", "label": "Artifact"},
+        {"id": "fast", "label": "Artifact", "description": "fast join merge"},
+        {"id": "join", "label": "Operation", "description": "fast join merge join"},
+        {"id": "merge", "label": "Operation", "description": "fast join merge join data"},
+        {"id": "data", "label": "Artifact", "description": "merge join data"},
     ]
     preds = [(t["subj_id"], t["pred"], t["obj_id"]) for t in out["triples"]]
     assert preds == [
@@ -39,8 +39,8 @@ def test_extract_text_py_golden():
 def test_extract_text_py_dedup_and_selfpairs():
     out = extract_text_py("join join join data join data")
     assert out["mentions"] == [
-        {"id": "join", "label": "Operation"},
-        {"id": "data", "label": "Artifact"},
+        {"id": "join", "label": "Operation", "description": "join join join"},
+        {"id": "data", "label": "Artifact", "description": "join join data join data"},
     ]
     preds = [(t["subj_id"], t["pred"], t["obj_id"]) for t in out["triples"]]
     # join join (self) skipped; (join,data) and (data,join) deduped to one each

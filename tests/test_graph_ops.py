@@ -238,3 +238,33 @@ def test_community_summaries(spark):
         assert r.title.startswith("Community ") and "Members (" in r.summary
     abc = [r for r in rows.values() if "a, b, c" in r.summary]
     assert len(abc) == 1 and "USES" in abc[0].summary
+
+
+def test_summarize_hierarchy_parent_levels(spark):
+    """Parent levels compose child summaries (reference communities.py:299-372):
+    every level is emitted, and each parent's summary names its child count."""
+    from llm_graph_builder_spark.operators.communities import (
+        community_hierarchy,
+        summarize_hierarchy,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "Artifact", "USES", "b", "Artifact", 3),
+         ("b", "Artifact", "USES", "c", "Artifact", 2),
+         ("x", "Artifact", "FEEDS", "y", "Artifact", 5)],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label", "weight"],
+    )
+    h = community_hierarchy(edges, levels=3)
+    out = summarize_hierarchy(h, edges, levels=3).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    assert set(by_level) == {0, 1, 2}
+    assert len(by_level[0]) == 2  # abc and xy
+    for lvl in (1, 2):
+        for r in by_level[lvl]:
+            assert r.summary.startswith("Contains ")
+            assert "sub-communities: Community " in r.summary
+            assert r.community_id.startswith(f"{lvl}-")
+    # composition: a level-1 parent's summary cites level-0 child titles
+    assert any("Community 0-" in r.summary for r in by_level[1])

@@ -52,3 +52,18 @@ def test_resume_positions(spark):
     got = {r.doc_id: r.resume_position for r in resume_positions(chunks, processed).collect()}
     # d1 resumes at 2; d2 fully processed -> absent
     assert got == {"d1": 2}
+
+
+def test_schema_from_text():
+    """Deterministic /populate_graph_schema stand-in
+    (schema_extraction.py:61-88): labels + relationship kinds from sample
+    text via the extraction contract."""
+    from llm_graph_builder_spark.operators.maintenance import schema_from_text
+
+    out = schema_from_text("query scan rows then join with table data")
+    assert out["labels"] == ["Artifact", "Operation"]
+    assert ("Operation", "USES", "Artifact") in out["relationships"]
+    assert set(out["relationship_types"]) <= {"THEN", "USES", "FEEDS", "WITH"}
+    assert schema_from_text("") == {
+        "labels": [], "relationship_types": [], "relationships": [],
+    }

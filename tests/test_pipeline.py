@@ -59,3 +59,33 @@ def test_pipeline_resume_after_partial(spark, sf_dir, tmp_path):
     assert by_stage["documents"].skipped and by_stage["chunks"].skipped
     assert not by_stage["mentions"].skipped
     assert {r.stage: r.rows_out for r in results} == full
+
+
+def test_retry_conditions(spark, sf_dir, tmp_path):
+    """Reference retry_processing semantics (main.py:689-748): the three
+    conditions skip/recompute the right stage sets."""
+    wh = str(tmp_path / "wh3")
+    runner = PipelineRunner(spark, wh)
+    base = {r.stage: r.rows_out for r in runner.run(_repos(spark, sf_dir))}
+
+    # last-processed-position == manifest resume: everything skips
+    r_last = runner.retry(_repos(spark, sf_dir), runner.START_FROM_LAST_PROCESSED_POSITION)
+    assert all(r.skipped for r in r_last)
+
+    # delete_entities_and_start: documents/chunks/embeddings survive,
+    # extraction-derived stages recompute (to identical counts — idempotent)
+    r_del = {r.stage: r for r in runner.retry(_repos(spark, sf_dir), runner.DELETE_ENTITIES_AND_START)}
+    assert r_del["documents"].skipped and r_del["chunks"].skipped
+    assert r_del["chunk_embeddings"].skipped
+    assert not r_del["extractions"].skipped and not r_del["entities"].skipped
+    assert r_del["entities"].rows_out == base["entities"]
+    assert r_del["triples"].rows_out == base["triples"]
+
+    # start_from_beginning: full recompute, nothing skipped
+    r_beg = runner.retry(_repos(spark, sf_dir), runner.START_FROM_BEGINNING)
+    assert all(not r.skipped for r in r_beg)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        runner.retry(_repos(spark, sf_dir), "nonsense")
