@@ -507,6 +507,51 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(read_documents(spark, sf_dir))
 
 
+def q_linking_invariants(spark, sf_dir):
+    """Oracle-checked invariants of the ITERATIVE linking stage: merging
+    through the canonical map must conserve the chunk/doc count mass
+    (sums aggregate, never drop) — SQL-predictable even though the CC
+    fixpoint itself is not."""
+    t = pipeline_tables(spark, sf_dir)
+    ents = t["entities"]
+    pairs = candidate_pairs_exact(ents.select("id", "label"))
+    comp = connected_components(pairs, spark)
+    cmap = canonical_map(comp, ents, entity_degrees(t["entity_edges"]))
+    merged, _ = merge_entities(ents, t["entity_edges"], cmap)
+    return merged.select(
+        F.sum("chunk_count").cast("long").alias("sum_chunk_count"),
+        F.sum("doc_count").cast("long").alias("sum_doc_count"),
+    )
+
+
+def q_community_invariants(spark, sf_dir):
+    """Oracle-checked invariants of the ITERATIVE LPA hierarchy: every level
+    is a partition of the full entity set (each entity in exactly one
+    community per level)."""
+    t = pipeline_tables(spark, sf_dir)
+    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
+    return (
+        h.select("u", F.posexplode("communities").alias("level", "cid"))
+        .groupBy(F.col("level").cast("long").alias("level"))
+        .agg(F.countDistinct("u").cast("long").alias("members"))
+    )
+
+
+def q_dedup_cluster_invariants(spark, sf_dir):
+    """Oracle-checked invariants of the ITERATIVE dedup clustering: one row
+    per doc, and exactly one keeper per cluster."""
+    out = dedup.near_dup_clusters(read_documents(spark, sf_dir))
+    per_cluster = out.groupBy("cluster").agg(
+        F.sum(F.col("keeper").cast("long")).alias("n_keepers")
+    )
+    totals = out.agg(F.count("*").cast("long").alias("total_rows"))
+    bad = per_cluster.agg(
+        F.sum(F.when(F.col("n_keepers") != 1, 1).otherwise(0))
+        .cast("long").alias("bad_clusters")
+    )
+    return totals.crossJoin(bad)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: iterative algorithms / LSH internals)
 # ---------------------------------------------------------------------------
@@ -531,10 +576,12 @@ def q_communities(spark, sf_dir):
 
 
 def q_similar_chunks(spark, sf_dir):
-    """Pipeline SIMILAR edges over hash-embedded chunks (float model output →
-    rows-only; the oracle-checked variant is similar_knn on embeddings).
-    LSH-blocked like the pipeline's own similar stage — never one global
-    applyInPandas group."""
+    """Pipeline SIMILAR edges over hash-embedded chunks, LSH-blocked like the
+    pipeline's own similar stage — never one global applyInPandas group.
+    Oracle-checked end-to-end: the DuckDB oracle rebuilds the md5 feature-
+    hash embeddings (md5_number_upper buckets/signs, float32-rounded
+    components), the seed-0 hyperplane buckets, and the top-k/degree-cap
+    pipeline bit-for-bit."""
     from .operators.similar import lsh_block_chunks
 
     t = pipeline_tables(spark, sf_dir)
@@ -542,11 +589,16 @@ def q_similar_chunks(spark, sf_dir):
     blocked = lsh_block_chunks(
         emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
-    return similar_edges(blocked, block_col="block", max_block_rows=100_000)
+    out = similar_edges(blocked, block_col="block", max_block_rows=100_000)
+    return out.select(
+        "src", "rel_type", "dst",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(read_documents(spark, sf_dir))
+    out = dedup.simhash_pairs(read_documents(spark, sf_dir))
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_community_summaries(spark, sf_dir):
@@ -576,7 +628,8 @@ def q_multimodal_features(spark, sf_dir):
         F.create_map(F.lit("codec"), F.lit("fake")).alias("meta"),
     )
     return extract_features(assets).select(
-        "asset_id", "media_type", "n_bytes", F.size("feature").alias("dim")
+        "asset_id", "media_type", "n_bytes",
+        F.size("feature").cast("long").alias("dim"),
     )
 
 
@@ -713,6 +766,9 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     # rows-only (no oracle): iterative / LSH-approximate / model-backed
+    "linking_invariants": q_linking_invariants,
+    "community_invariants": q_community_invariants,
+    "dedup_cluster_invariants": q_dedup_cluster_invariants,
     "linked_entities": q_linked_entities,
     "communities": q_communities,
     "similar_chunks": q_similar_chunks,

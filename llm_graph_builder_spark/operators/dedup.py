@@ -242,16 +242,17 @@ def ngram_jaccard_pairs(
 def simhash_py(text: str) -> int:
     """64-bit SimHash of a text (signed-int64 representation).
 
-    Token hash = first 8 bytes of md5 (stable across engines/processes —
-    same family as functions/embeddings hashing); bit_j = 1 iff the sum of
-    sign_j over tokens is >= 0. Shared by the UDF and unit tests.
+    Token hash = first 8 md5 digest bytes, LITTLE-endian — exactly DuckDB's
+    ``md5_number_upper``, so the oracle replicates every bit with integer
+    SQL; bit_j = 1 iff the sum of sign_j over tokens is >= 0. Shared by the
+    UDF and unit tests.
     """
     votes = _np.zeros(64, dtype=_np.int64)
     toks = (text or "").split()
     if toks:
         hs = _np.fromiter(
             (
-                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
                 for t in toks
             ),
             dtype=_np.uint64,

@@ -32,13 +32,15 @@ from ..config import EMBEDDING_DIM
 def hash_embed_py(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
     """Deterministic feature-hash embedding.
 
-    For each whitespace token: h = int(md5(token)[:8], 16);
-    bucket = h % dim; sign = +1 if (h >> 8) % 2 == 0 else -1; then L2-normalize.
-    Pure integer/md5 math so any engine (tests, DuckDB, executors) reproduces it.
+    For each whitespace token: h = first 8 md5 digest bytes LITTLE-endian
+    (== DuckDB ``md5_number_upper`` — the oracle replicates buckets/signs
+    with integer SQL); bucket = h % dim; sign = +1 if (h >> 8) % 2 == 0 else
+    -1; then L2-normalize. Pure integer/md5 math so any engine (tests,
+    DuckDB, executors) reproduces it.
     """
     vec = [0.0] * dim
     for tok in (text or "").split():
-        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
         vec[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
     n = math.sqrt(sum(v * v for v in vec))
     if n > 0:

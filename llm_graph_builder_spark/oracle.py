@@ -573,6 +573,26 @@ SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
        'setup', 'Function' FROM code
 """
 
+# invariant gates for the ITERATIVE stages (the fixpoints themselves are not
+# SQL-expressible; these conservation/partition properties are)
+ORACLE_SQL["linking_invariants"] = PIPELINE_CTE + """
+SELECT CAST(sum(chunk_count) AS BIGINT) AS sum_chunk_count,
+       CAST(sum(doc_count) AS BIGINT) AS sum_doc_count
+FROM entities
+"""
+
+ORACLE_SQL["community_invariants"] = PIPELINE_CTE + """
+SELECT CAST(l AS BIGINT) AS level,
+       (SELECT CAST(count(*) AS BIGINT) FROM entities) AS members
+FROM range(3) t(l)
+"""
+
+ORACLE_SQL["dedup_cluster_invariants"] = """
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(0 AS BIGINT) AS bad_clusters
+FROM documents
+"""
+
 ORACLE_SQL["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, COUNT(*) AS dup_count,
        MIN(CAST(doc_id AS VARCHAR)) AS keeper
@@ -651,6 +671,68 @@ JOIN embeddings b ON b.vec_id = c.id_b AND a.label = b.label
 WHERE CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) >= 3500
 """
 
+# full bit mirror of simhash_pairs: token hash = md5_number_upper (first 8
+# digest bytes little-endian, same as simhash_py), 64 per-bit sign votes,
+# top-16-bit prefix blocking, Hamming via bit_count(xor)
+ORACLE_SQL["dedup_simhash"] = """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc, text FROM documents),
+toks AS (
+  SELECT doc, unnest(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS tok
+  FROM d
+),
+votes AS (
+  SELECT t.doc, j.j,
+         sum(CASE WHEN (md5_number_upper(t.tok) >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks t, range(64) j(j) GROUP BY 1, 2
+),
+base AS (SELECT d.doc, j.j FROM d, range(64) j(j)),
+sims AS (
+  SELECT b.doc,
+         sum(CASE WHEN coalesce(v.v, 0) >= 0
+                  THEN CAST(1 AS HUGEINT) << CAST(b.j AS INT) ELSE 0 END) AS usim
+  FROM base b LEFT JOIN votes v ON b.doc = v.doc AND b.j = v.j
+  GROUP BY 1
+),
+fp AS (SELECT doc, CAST(usim AS UBIGINT) AS u, usim >> 48 AS block16 FROM sims)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.block16 = b.block16 AND a.doc < b.doc
+WHERE bit_count(xor(a.u, b.u)) <= 8
+"""
+
+# mirrors ann_lsh_topk: seed-0 hyperplane buckets (n_planes=6) on corpus and
+# queries, bucket-equality join, per-query rank
+ORACLE_SQL["ann_lsh"] = "WITH " + _hp_blocks_cte(
+    "lsh", "embeddings", "vec_id", "embedding", n_planes=6, banded=False
+) + f""",
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CAST(round(({_cosine_sql('q.qv', 'c.embedding')}) * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings c
+  JOIN lsh_blocks bc ON bc.vid = c.vec_id
+  CROSS JOIN q
+  JOIN lsh_blocks bq ON bq.vid = q.qid AND bq.band = bc.band
+  WHERE CAST(c.vec_id AS VARCHAR) <> CAST(q.qid AS VARCHAR)
+),
+ranked AS (
+  SELECT qid AS query_id, neighbor_id, cos_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_e4, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+# multimodal plumbing contract: payload = utf-8 bytes of the doc text,
+# n_bytes its octet length, dim the fake-decoder feature width
+ORACLE_SQL["multimodal_features"] = """
+SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(8 AS BIGINT) AS dim
+FROM documents
+"""
+
 ORACLE_SQL["ann_topk"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (
@@ -706,6 +788,72 @@ JOIN ranked r1 ON r1.node = u.src AND r1.other = u.dst
 JOIN ranked r2 ON r2.node = u.dst AND r2.other = u.src
 WHERE r1.rk <= 5 AND r2.rk <= 5
 """
+
+# full mirror of q_similar_chunks: feature-hash chunk embeddings
+# (md5_number_upper bucket/sign, integer bucket sums, L2-normalize, float32
+# rounding like the ArrayType(FloatType) UDF output), seed-0 hyperplane
+# buckets, then the exact top-k(6)/undirected/degree-cap(5) pipeline at the
+# production KNN_MIN_SCORE=0.8 within each bucket
+ORACLE_SQL["similar_chunks"] = PIPELINE_CTE + """
+, cdist AS (SELECT DISTINCT chunk_id, text FROM chunks),
+ctoks AS (
+  SELECT chunk_id, unnest(string_split(text, ' ')) AS tok FROM cdist
+),
+csums AS (
+  SELECT chunk_id,
+         CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM ctoks WHERE len(tok) > 0 GROUP BY 1, 2
+),
+cnorm AS (SELECT chunk_id, sqrt(sum(s * s)) AS nrm FROM csums GROUP BY 1),
+cgrid AS (
+  SELECT c.chunk_id, b.i AS bucket, coalesce(cs.s, 0.0) AS s, cn.nrm
+  FROM cdist c
+  CROSS JOIN range(64) b(i)
+  LEFT JOIN csums cs ON cs.chunk_id = c.chunk_id AND cs.bucket = b.i
+  JOIN cnorm cn ON cn.chunk_id = c.chunk_id
+),
+cvecs AS (
+  SELECT chunk_id,
+         list(CAST(CAST(CASE WHEN nrm > 0 THEN s / nrm ELSE s END AS FLOAT) AS DOUBLE)
+              ORDER BY bucket) AS embedding
+  FROM cgrid GROUP BY chunk_id
+),
+""" + _hp_blocks_cte(
+    "sc", "cvecs", "chunk_id", "embedding", n_planes=8, banded=False
+).lstrip() + """,
+spairs AS (
+  SELECT a.chunk_id AS a, b.chunk_id AS b,
+         round({COS}, 6) AS score
+  FROM cvecs a JOIN cvecs b ON a.chunk_id <> b.chunk_id
+  JOIN sc_blocks ba ON ba.vid = a.chunk_id
+  JOIN sc_blocks bb ON bb.vid = b.chunk_id AND ba.band = bb.band
+),
+squal AS (SELECT * FROM spairs WHERE score >= 0.8),
+stopk AS (
+  SELECT * FROM (
+    SELECT a, b, score, row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS qrank
+    FROM squal
+  ) WHERE qrank <= 6
+),
+sund AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst, score FROM stopk
+),
+sincident AS (
+  SELECT src AS node, dst AS other, score FROM sund
+  UNION ALL SELECT dst, src, score FROM sund
+),
+sranked AS (
+  SELECT node, other, row_number() OVER (PARTITION BY node ORDER BY score DESC, other ASC) AS rk
+  FROM sincident
+)
+SELECT u.src, 'SIMILAR' AS rel_type, u.dst,
+       CAST(round(u.score * 10000) AS BIGINT) AS score_e4
+FROM sund u
+JOIN sranked r1 ON r1.node = u.src AND r1.other = u.dst
+JOIN sranked r2 ON r2.node = u.dst AND r2.other = u.src
+WHERE r1.rk <= 5 AND r2.rk <= 5
+""".replace("{COS}", _cosine_sql("a.embedding", "b.embedding"))
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
 _SW = {
