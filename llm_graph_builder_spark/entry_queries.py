@@ -400,6 +400,16 @@ def q_chunk_entities(spark, sf_dir):
     )
 
 
+def q_extraction_token_usage(spark, sf_dir):
+    """X8 — per-doc extraction token accounting (units, prompt/completion
+    sums; provider counts flow through the same columns when an LLM client
+    reports usage)."""
+    from .operators.extraction import extraction_token_usage
+
+    t = pipeline_tables(spark, sf_dir)
+    return extraction_token_usage(t["units"])
+
+
 def q_entity_paths(spark, sf_dir):
     """Read surface — bounded 2-hop undirected path expansion from the
     anchor entity (reference: GRAPH_QUERY entity paths with per-level
@@ -752,6 +762,7 @@ QUERIES = {
     "token_usage": q_token_usage,
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
+    "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
     "keyword_search": q_keyword_search,
     "entity_descriptions": q_entity_descriptions,

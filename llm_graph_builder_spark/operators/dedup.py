@@ -93,6 +93,7 @@ def _minhash_rep_pairs(
     band_size: int,
     k: int,
     jaccard_threshold: float,
+    max_band_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of the MinHash-LSH family, computed over DISTINCT texts.
 
@@ -131,6 +132,16 @@ def _minhash_rep_pairs(
     # single projection (a per-band union would recompute the md5 signatures
     # n_bands times); the skinny (doc, band) rows are all that shuffles.
     banded = sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+    if max_band_size is not None:
+        # skew guard: a band shared by more than max_band_size DISTINCT texts
+        # is non-discriminative (e.g. boilerplate-dominated shingle sets) and
+        # would square into max_band_size² candidates; drop it. Opt-in —
+        # callers log the drop count via minhash_hot_bands (never silent).
+        sizes = banded.groupBy("band").agg(F.count("*").alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_band_size).drop("_n"),
+            on="band", how="leftsemi",
+        )
     cands = (
         banded.join(banded.withColumnRenamed("doc", "doc_b"), on="band")
         .filter(F.col("doc") < F.col("doc_b"))
@@ -353,11 +364,43 @@ def embedding_dup_pairs(
     )
 
 
+def minhash_hot_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_band_size: int = 10_000,
+    n_hashes: int = MINHASH_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Band keys (over DISTINCT texts) whose bucket exceeds ``max_band_size``
+    → (band, n). These are what ``near_dup_clusters(max_band_size=...)``
+    drops; count/record them so truncation is never silent."""
+    sigs = minhash_signatures(
+        docs.select(F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("t"))
+        .withColumn("h", F.sha2(F.col("t"), 256))
+        .groupBy("h").agg(F.min("doc").alias("doc"), F.first("t").alias("t"))
+        .select("doc", "t"),
+        "t", "doc", n_hashes, k,
+    )
+    n_bands = n_hashes // band_size
+    keys = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * band_size + r}") for r in range(band_size)])
+        for b in range(n_bands)
+    ]
+    banded = sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+    return (
+        banded.groupBy("band").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_band_size)
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: exact + MinHash-LSH near-dup pairs →
     connected components → one keeper per cluster.
@@ -377,7 +420,7 @@ def near_dup_clusters(
     # edges instead of per-group cliques
     rep_pairs, groups, members = _minhash_rep_pairs(
         docs, text_col, id_col, MINHASH_HASHES, MINHASH_BAND_SIZE, SHINGLE_K,
-        jaccard_threshold,
+        jaccard_threshold, max_band_size=max_band_size,
     )
     near = rep_pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     exact = (

@@ -70,6 +70,13 @@ EXTRACTION_SCHEMA = T.StructType(
                 )
             ),
         ),
+        # X8 — per-unit token accounting (reference: per-call LLM token usage
+        # rolled up per doc/user, main.py + graphDB_dataAccess). Providers
+        # report real counts through LLMExtractor; the deterministic contract
+        # is prompt = whitespace tokens of the unit text, completion =
+        # emitted mentions + triples.
+        T.StructField("prompt_tokens", T.LongType()),
+        T.StructField("completion_tokens", T.LongType()),
     ]
 )
 
@@ -132,7 +139,8 @@ def extract_text_py(text: str) -> dict:
 _EXTRACT_ARRAYS_DDL = (
     "mentions array<struct<id:string,label:string,description:string>>, "
     "triples array<struct<subj_id:string,subj_label:string,pred:string,"
-    "obj_id:string,obj_label:string>>"
+    "obj_id:string,obj_label:string>>, "
+    "prompt_tokens long, completion_tokens long"
 )
 
 
@@ -154,6 +162,10 @@ class DeterministicExtractor:
                     {
                         "mentions": res.map(lambda r: r["mentions"]),
                         "triples": res.map(lambda r: r["triples"]),
+                        "prompt_tokens": batch.map(lambda t: len((t or "").split())),
+                        "completion_tokens": res.map(
+                            lambda r: len(r["mentions"]) + len(r["triples"])
+                        ),
                     }
                 )
 
@@ -177,6 +189,8 @@ class DeterministicExtractor:
                 idx = {n: i for i, n in enumerate(rb.schema.names)}
                 texts = rb.column(idx["text"]).to_pylist()
                 passthrough_names = [n for n in rb.schema.names if n != "text"]
+                u_prompt: list[int] = []
+                u_completion: list[int] = []
                 m_off = [0]
                 m_id: list[str] = []
                 m_lab: list[str] = []
@@ -189,6 +203,8 @@ class DeterministicExtractor:
                 t_ol: list[str] = []
                 for text in texts:
                     r = extract_text_py(text)
+                    u_prompt.append(len((text or "").split()))
+                    n_m0, n_t0 = len(m_id), len(t_s)
                     if "`" in (text or ""):
                         # X4 cleaning inline (rare path: whitespace-split
                         # tokens are pre-trimmed, so only backticks can dirty
@@ -217,6 +233,7 @@ class DeterministicExtractor:
                                 t_o.append(vals[3])
                                 t_ol.append(vals[4])
                         t_off.append(len(t_s))
+                        u_completion.append((len(m_id) - n_m0) + (len(t_s) - n_t0))
                         continue
                     for m in r["mentions"]:
                         m_id.append(m["id"])
@@ -230,6 +247,7 @@ class DeterministicExtractor:
                         t_o.append(t["obj_id"])
                         t_ol.append(t["obj_label"])
                     t_off.append(len(t_s))
+                    u_completion.append((len(m_id) - n_m0) + (len(t_s) - n_t0))
                 mentions = pa.ListArray.from_arrays(
                     pa.array(m_off, pa.int32()),
                     pa.StructArray.from_arrays(
@@ -259,8 +277,15 @@ class DeterministicExtractor:
                 # kernel serves any carry shape: doc_ids for combine_k=1,
                 # (doc_id, chunk_ids) member structs for combine_k>1
                 yield pa.RecordBatch.from_arrays(
-                    [rb.column(idx[n]) for n in passthrough_names] + [mentions, triples],
-                    names=passthrough_names + ["mentions", "triples"],
+                    [rb.column(idx[n]) for n in passthrough_names]
+                    + [
+                        mentions,
+                        triples,
+                        pa.array(u_prompt, pa.int64()),
+                        pa.array(u_completion, pa.int64()),
+                    ],
+                    names=passthrough_names
+                    + ["mentions", "triples", "prompt_tokens", "completion_tokens"],
                 )
 
         return extract_batches
@@ -293,11 +318,99 @@ class LLMExtractor:
         def extract(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
             client = factory()  # one client per executor process
             for batch in texts:
-                out = client.extract_batch(batch.tolist())
+                raw = batch.tolist()
+                out = client.extract_batch(raw)
+                # X8: the provider's real token usage when reported (dict key
+                # "usage": {prompt_tokens, completion_tokens}); else the
+                # deterministic contract counts
                 yield pd.DataFrame(
                     {
                         "mentions": [o["mentions"] for o in out],
                         "triples": [o["triples"] for o in out],
+                        "prompt_tokens": [
+                            int(o.get("usage", {}).get(
+                                "prompt_tokens", len((t or "").split())))
+                            for o, t in zip(out, raw)
+                        ],
+                        "completion_tokens": [
+                            int(o.get("usage", {}).get(
+                                "completion_tokens",
+                                len(o["mentions"]) + len(o["triples"])))
+                            for o, t in zip(out, raw)
+                        ],
+                    }
+                )
+
+        return extract
+
+
+#: pattern rules of the alternate extractor: (label, compiled-regex source)
+_NER_PATTERNS = (
+    ("Url", r"https?://[^\s`\"']+"),
+    ("Email", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"),
+    ("Version", r"\bv?\d+\.\d+(?:\.\d+)?\b"),
+    ("TypeName", r"\b[A-Z][a-z0-9]+(?:[A-Z][a-z0-9]+)+\b"),
+)
+
+
+def regex_ner_extract_py(text: str) -> dict:
+    """Pattern-rule extraction shared by RegexNERExtractor and tests."""
+    import re as _re
+
+    found: list[tuple[str, str, int]] = []  # (id, label, position)
+    seen: set = set()
+    for label, pat in _NER_PATTERNS:
+        for m in _re.finditer(pat, text or ""):
+            key = (m.group(0), label)
+            if key not in seen:
+                seen.add(key)
+                found.append((m.group(0), label, m.start()))
+    found.sort(key=lambda x: (x[2], x[0], x[1]))
+    mentions = [
+        {"id": i, "label": la, "description": f"{la} at offset {pos}"}
+        for i, la, pos in found
+    ]
+    triples = []
+    tseen = set()
+    for (a, la, _), (b, lb, _) in zip(found, found[1:]):
+        if a == b:
+            continue
+        key = (a, la, b, lb)
+        if key not in tseen:
+            tseen.add(key)
+            triples.append(
+                {"subj_id": a, "subj_label": la, "pred": "NEAR",
+                 "obj_id": b, "obj_label": lb}
+            )
+    return {"mentions": mentions, "triples": triples}
+
+
+class RegexNERExtractor:
+    """X9 — alternate concrete extractor (analog of the reference's Diffbot
+    extraction service path, backend/src/main.py `retry`/Diffbot dispatch and
+    llm.py provider switch): a genuinely different extraction engine behind
+    the SAME pandas-UDF contract, so every downstream stage (cleaning,
+    re-association, entities, linking, communities) is extractor-agnostic.
+
+    Rules: URLs, emails, version strings, CamelCase type names; adjacent
+    findings link with a NEAR relation.
+    """
+
+    emits_clean = False  # regex hits may carry backticks → JVM X4 cleaning
+
+    def make_udf(self):
+        @F.pandas_udf(EXTRACTION_SCHEMA)
+        def extract(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for batch in texts:
+                res = batch.map(regex_ner_extract_py)
+                yield pd.DataFrame(
+                    {
+                        "mentions": res.map(lambda r: r["mentions"]),
+                        "triples": res.map(lambda r: r["triples"]),
+                        "prompt_tokens": batch.map(lambda t: len((t or "").split())),
+                        "completion_tokens": res.map(
+                            lambda r: len(r["mentions"]) + len(r["triples"])
+                        ),
                     }
                 )
 
@@ -444,6 +557,8 @@ def extract_units(
             "unit_id",
             F.col("x.mentions").alias("mentions"),
             F.col("x.triples").alias("triples"),
+            F.col("x.prompt_tokens").alias("prompt_tokens"),
+            F.col("x.completion_tokens").alias("completion_tokens"),
         )
     # NB: the cleaning projection must live in its own select — a generator
     # (explode) in the same projection breaks resolution of struct-field
@@ -454,10 +569,13 @@ def extract_units(
             F.array("unit_id").alias("chunk_ids"),
             "mentions",
             "triples",
+            "prompt_tokens",
+            "completion_tokens",
         )
     else:
         exploded = members.join(units_x, on="unit_id").select(
-            "doc_id", "chunk_ids", "mentions", "triples"
+            "doc_id", "chunk_ids", "mentions", "triples",
+            "prompt_tokens", "completion_tokens",
         )
     if getattr(extractor, "emits_clean", False):
         return exploded
@@ -466,6 +584,8 @@ def extract_units(
         "chunk_ids",
         _clean_mentions_arr(F.col("mentions")).alias("mentions"),
         _clean_triples_arr(F.col("triples")).alias("triples"),
+        "prompt_tokens",
+        "completion_tokens",
     )
 
 
@@ -542,6 +662,19 @@ def entities_from_mentions(mentions: DataFrame) -> DataFrame:
             F.countDistinct("chunk_id").alias("chunk_count"),
             F.countDistinct("doc_id").alias("doc_count"),
         )
+    )
+
+
+def extraction_token_usage(extracted: DataFrame) -> DataFrame:
+    """X8 — per-doc token-usage rollup of the extraction stage: one row per
+    doc with unit count and prompt/completion token sums (provider counts
+    when an LLM client reports them, deterministic contract counts
+    otherwise). Reference analog: per-call LLM usage aggregated per document
+    / user for quota math."""
+    return extracted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("units"),
+        F.sum("prompt_tokens").cast("long").alias("prompt_tokens"),
+        F.sum("completion_tokens").cast("long").alias("completion_tokens"),
     )
 
 

@@ -393,6 +393,34 @@ FROM ch LEFT JOIN me ON ch.chunk_id = me.chunk_id
 GROUP BY ch.chunk_id, ch.position
 """
 
+# X8 rollup: one unit per (doc, chunk); prompt = ALL whitespace tokens of
+# the unit text, completion = distinct mentions + distinct triples emitted
+ORACLE_SQL["extraction_token_usage"] = PIPELINE_CTE + """
+, dc AS (SELECT DISTINCT doc_id, chunk_id FROM chunks),
+ctox AS (
+  SELECT chunk_id,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS pt
+  FROM (SELECT DISTINCT chunk_id, text FROM chunks)
+),
+mc AS (
+  SELECT chunk_id, count(DISTINCT (entity_id, entity_label)) AS nm
+  FROM mentions GROUP BY 1
+),
+tc AS (
+  SELECT chunk_id,
+         count(DISTINCT (subj_id, subj_label, pred, obj_id, obj_label)) AS nt
+  FROM triples GROUP BY 1
+)
+SELECT dc.doc_id, CAST(count(*) AS BIGINT) AS units,
+       CAST(sum(ctox.pt) AS BIGINT) AS prompt_tokens,
+       CAST(sum(coalesce(mc.nm, 0) + coalesce(tc.nt, 0)) AS BIGINT) AS completion_tokens
+FROM dc
+JOIN ctox USING (chunk_id)
+LEFT JOIN mc USING (chunk_id)
+LEFT JOIN tc USING (chunk_id)
+GROUP BY 1
+"""
+
 ORACLE_SQL["entity_paths"] = PIPELINE_CTE + """
 , anchor AS (
   SELECT id AS aid, label AS alabel FROM entities

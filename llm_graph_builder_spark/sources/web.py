@@ -1,0 +1,118 @@
+"""Web / Wikipedia / YouTube sources (SURVEY §2.1 S4-S6).
+
+Reference parity: the reference ingests web pages (WebBaseLoader,
+src/document_sources/web_pages.py), Wikipedia articles capped at 100k chars
+(src/document_sources/wikipedia.py:14-40) and YouTube transcripts
+(src/document_sources/youtube.py). All three collapse to "one content string
+per source unit" before chunking — identical to the repos path.
+
+This sandbox has no network access, so fetching is split from parsing:
+
+  * ``html_to_text`` / ``web_documents`` — REAL: strip scripts/styles/tags
+    from already-materialized HTML with JVM regexps (whole-stage codegen, the
+    WebBaseLoader → text step), then normalize into the standard document
+    dimension via ``repos.ingest``;
+  * ``wikipedia_documents`` — REAL shaping (title→path, the 100k-char cap via
+    ``ingest(max_content_chars=...)``) over a pre-fetched article table;
+  * ``fetch_url`` / ``fetch_youtube_transcript`` — honest seams that raise
+    ``NotImplementedError`` unless a fetcher client is injected (same pattern
+    as LLMExtractor's client_factory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .repos import ingest
+
+
+def html_to_text(col: F.Column) -> F.Column:
+    """Strip an HTML string to visible text with JVM regexps: drop
+    script/style blocks and comments, drop tags, decode the five basic
+    entities, collapse whitespace (the WebBaseLoader/BeautifulSoup
+    ``get_text`` analog, kept deliberately regex-simple and deterministic)."""
+    no_script = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    no_comment = F.regexp_replace(no_script, r"(?s)<!--.*?-->", " ")
+    no_tags = F.regexp_replace(no_comment, r"(?s)<[^>]+>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(no_tags, "&amp;", "&"),
+                    "&lt;", "<"),
+                "&gt;", ">"),
+            "&quot;", '"'),
+        "&#39;", "'")
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
+def web_documents(
+    pages: DataFrame,
+    repo_salt: int = 8,
+    max_content_chars: int | None = None,
+) -> DataFrame:
+    """S4 — web-page corpus → the standard document dimension.
+
+    Input: ``pages(url, fetched_at, html)`` (pre-materialized — a crawl table
+    is how 100 TB of web data actually arrives; per-request fetching happens
+    upstream through ``fetch_url``). Maps url→(repo=host, path=url-path),
+    commit = fetch timestamp, lang unknown (downstream ``lang_id`` fills it).
+    """
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^[a-z]+://[^/]+(/.*)?$", 1)
+    repos = pages.select(
+        host.alias("repo"),
+        F.when(F.length(path) > 0, path).otherwise(F.lit("/")).alias("path"),
+        F.col("fetched_at").cast("string").alias("commit"),
+        F.lit("und").alias("lang"),
+        html_to_text(F.col("html")).alias("content"),
+    )
+    return ingest(repos, repo_salt, max_content_chars=max_content_chars)
+
+
+#: the reference caps Wikipedia article content at 100k characters
+#: (src/document_sources/wikipedia.py:33)
+WIKIPEDIA_MAX_CHARS = 100_000
+
+
+def wikipedia_documents(
+    articles: DataFrame,
+    repo_salt: int = 8,
+    max_content_chars: int = WIKIPEDIA_MAX_CHARS,
+) -> DataFrame:
+    """S5 — Wikipedia articles → document dimension with the 100k-char cap.
+
+    Input: ``articles(title, revision, lang, text)`` (pre-fetched dump/API
+    table). repo = '<lang>.wikipedia.org', path = /wiki/<title>.
+    """
+    repos = articles.select(
+        F.concat(F.col("lang"), F.lit(".wikipedia.org")).alias("repo"),
+        F.concat(F.lit("/wiki/"), F.col("title")).alias("path"),
+        F.col("revision").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    return ingest(repos, repo_salt, max_content_chars=max_content_chars)
+
+
+def fetch_url(url: str, fetcher=None) -> str:
+    """Seam for live web fetching (reference: WebBaseLoader). No network in
+    this sandbox: inject ``fetcher(url) -> html`` or get a clear error."""
+    if fetcher is None:
+        raise NotImplementedError(
+            "no network access in this sandbox; inject fetcher(url) -> html "
+            "(reference: src/document_sources/web_pages.py)"
+        )
+    return fetcher(url)
+
+
+def fetch_youtube_transcript(video_id: str, client=None) -> str:
+    """S6 seam (reference: youtube transcript via youtube-transcript-api,
+    src/document_sources/youtube.py). Inject ``client(video_id) -> text``."""
+    if client is None:
+        raise NotImplementedError(
+            "no youtube-transcript client in this sandbox; inject "
+            "client(video_id) -> transcript text"
+        )
+    return client(video_id)

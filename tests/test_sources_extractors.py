@@ -1,0 +1,156 @@
+"""Web/Wikipedia sources (S4/S5), alternate extractor (X9), token
+accounting (X8), MinHash hot-band guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.extraction import (
+    DeterministicExtractor,
+    RegexNERExtractor,
+    extract_chunks,
+    extract_units,
+    extraction_token_usage,
+    regex_ner_extract_py,
+)
+from llm_graph_builder_spark.sources.web import (
+    fetch_url,
+    fetch_youtube_transcript,
+    web_documents,
+    wikipedia_documents,
+)
+
+
+def test_web_documents_strip_html(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://example.org/docs/intro",
+                20260817,
+                "<html><head><style>b{color:red}</style></head><body>"
+                "<script>var x = 1;</script><!-- hidden -->"
+                "<h1>Spark &amp; Graphs</h1><p>join the merge &lt;fast&gt;</p>"
+                "</body></html>",
+            ),
+            ("https://example.org", 20260817, "<p>root page</p>"),
+        ],
+        "url string, fetched_at long, html string",
+    )
+    docs = web_documents(pages).collect()
+    by_path = {r["path"]: r for r in docs}
+    assert by_path["/docs/intro"]["repo"] == "example.org"
+    assert by_path["/docs/intro"]["content"] == "Spark & Graphs join the merge <fast>"
+    assert by_path["/"]["content"] == "root page"
+    # sha invariant columns present like any other source
+    assert all(len(r["content_sha256"]) == 64 for r in docs)
+
+
+def test_wikipedia_cap(spark):
+    articles = spark.createDataFrame(
+        [("Apache_Spark", 12345, "en", "x" * 150_000)],
+        "title string, revision long, lang string, text string",
+    )
+    out = wikipedia_documents(articles).collect()[0]
+    assert out["repo"] == "en.wikipedia.org"
+    assert out["path"] == "/wiki/Apache_Spark"
+    assert out["content_length"] == 100_000  # reference 100k-char cap
+
+
+def test_fetch_seams_raise_without_clients():
+    with pytest.raises(NotImplementedError):
+        fetch_url("https://example.org")
+    with pytest.raises(NotImplementedError):
+        fetch_youtube_transcript("abc123")
+    assert fetch_url("u", fetcher=lambda u: "<p>hi</p>") == "<p>hi</p>"
+    assert fetch_youtube_transcript("v", client=lambda v: "words") == "words"
+
+
+def test_regex_ner_extractor_py():
+    r = regex_ner_extract_py(
+        "See https://spark.apache.org/docs and mail dev@spark.apache.org "
+        "about DataFrameReader v3.5.1"
+    )
+    ids = {(m["id"], m["label"]) for m in r["mentions"]}
+    assert ("https://spark.apache.org/docs", "Url") in ids
+    assert ("dev@spark.apache.org", "Email") in ids
+    assert ("v3.5.1", "Version") in ids
+    assert ("DataFrameReader", "TypeName") in ids
+    preds = {(t["subj_id"], t["pred"], t["obj_id"]) for t in r["triples"]}
+    assert all(p == "NEAR" for _, p, _ in preds)
+    assert regex_ner_extract_py("") == {"mentions": [], "triples": []}
+
+
+def test_regex_ner_extractor_through_pipeline(spark):
+    chunks = spark.createDataFrame(
+        [("d1", "c1", 1, "docs at https://ex.org plus `v1.2` and MyHandler")],
+        "doc_id string, chunk_id string, position int, text string",
+    )
+    mentions, triples = extract_chunks(chunks, extractor=RegexNERExtractor())
+    got = {(r["entity_id"], r["entity_label"]) for r in mentions.collect()}
+    # X4 cleaning strips the backticks around v1.2
+    assert ("v1.2", "Version") in got
+    assert ("https://ex.org", "Url") in got
+    assert ("MyHandler", "TypeName") in got
+    assert triples.count() > 0
+
+
+def test_extraction_token_usage(spark):
+    chunks = spark.createDataFrame(
+        [
+            ("d1", "c1", 1, "join data merge"),
+            ("d1", "c2", 2, "scan"),
+            ("d2", "c1", 1, "join data merge"),  # shared unit, counted per doc
+        ],
+        "doc_id string, chunk_id string, position int, text string",
+    )
+    units = extract_units(chunks, DeterministicExtractor())
+    usage = {r["doc_id"]: r for r in extraction_token_usage(units).collect()}
+    # d1: unit c1 (3 toks, 3 mentions + 2 triples) + unit c2 (1 tok, 1 mention)
+    assert usage["d1"]["units"] == 2
+    assert usage["d1"]["prompt_tokens"] == 4
+    assert usage["d1"]["completion_tokens"] == 6
+    # d2 inherits the shared unit's counts even though extraction ran once
+    assert usage["d2"]["units"] == 1
+    assert usage["d2"]["prompt_tokens"] == 3
+    assert usage["d2"]["completion_tokens"] == 5
+
+
+def test_llm_extractor_usage_passthrough(spark):
+    """LLMExtractor forwards provider-reported token usage (X8)."""
+    from llm_graph_builder_spark.operators.extraction import LLMExtractor
+
+    class FakeClient:
+        def extract_batch(self, texts):
+            return [
+                {
+                    "mentions": [{"id": "spark", "label": "Tool", "description": "d"}],
+                    "triples": [],
+                    "usage": {"prompt_tokens": 111, "completion_tokens": 7},
+                }
+                for _ in texts
+            ]
+
+    chunks = spark.createDataFrame(
+        [("d1", "c1", 1, "whatever text")],
+        "doc_id string, chunk_id string, position int, text string",
+    )
+    units = extract_units(chunks, LLMExtractor(client_factory=FakeClient))
+    row = units.collect()[0]
+    assert row["prompt_tokens"] == 111 and row["completion_tokens"] == 7
+
+
+def test_minhash_hot_band_guard(spark):
+    from llm_graph_builder_spark.operators.dedup import (
+        minhash_hot_bands,
+        near_dup_clusters,
+    )
+
+    # 40 distinct texts sharing a dominant shingle set → hot bands
+    rows = [(i, f"common shared boilerplate header text everywhere variant{i}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = minhash_hot_bands(docs, max_band_size=10)
+    assert hot.count() > 0
+    capped = near_dup_clusters(docs, max_band_size=10)
+    assert capped.count() == 40  # every doc still assigned a cluster
