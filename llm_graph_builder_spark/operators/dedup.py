@@ -114,13 +114,26 @@ def _minhash_rep_pairs(
         F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("t")
     )
     hashed = base.withColumn("h", F.sha2(F.col("t"), 256))
+    # checkpoint the distinct-text table once: several downstream consumers
+    # (signatures, both expansion sides, exact star) would otherwise each
+    # replay the full-text groupBy-h shuffle. Plain localCheckpoint (not
+    # iterutils.materialize) so the partitioning — and the parallelism of the
+    # expensive md5-signature pass right after — is preserved.
     groups = hashed.groupBy("h").agg(
         F.min("doc").alias("rep"), F.count("*").alias("cnt"), F.first("t").alias("t")
-    )
+    ).localCheckpoint(eager=True)
     members = hashed.select("h", "doc")
+    # the signature table feeds the band join AND both verification sides —
+    # checkpoint so the 9 md5 array-transforms per text run exactly once.
+    # Explicit repartition first: AQE coalesces the small-byte groupBy output
+    # to ~1 partition, which would serialize the md5 pass (CPU-bound work
+    # whose input bytes are small — exactly the case AQE's byte-based
+    # coalescing misjudges).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     sigs = minhash_signatures(
-        groups.select(F.col("rep").alias("doc"), "t"), "t", "doc", n_hashes, k
-    )
+        groups.select(F.col("rep").alias("doc"), "t").repartition(par),
+        "t", "doc", n_hashes, k,
+    ).localCheckpoint(eager=True)
     n_bands = n_hashes // band_size
     keys = [
         F.concat_ws(

@@ -530,19 +530,27 @@ def extract_units(
     # combine_k=1: unit IS the chunk. combine_k>1: window units first (one
     # groupBy); membership dedup on (unit_id, doc_id, chunk_ids) mirrors the
     # Neo4j-MERGE semantics for byte-identical windows within a doc.
+    # ONE explicit hash exchange on unit_id feeds both derivations: the
+    # membership dedup and the distinct-text dedup are satisfied by the same
+    # partitioning (no further exchange — HashPartitioning(unit_id) clusters
+    # every dedup key), and the members side of the re-association join is
+    # already join-partitioned. Net shuffle cost vs the old in-row carry:
+    # one extra exchange of the COMPACT units_x side only. Explicit partition
+    # count: AQE's byte-based coalescing would otherwise shrink the exchange
+    # and serialize the CPU-bound Python extraction that runs on top of it.
+    par = chunks.sparkSession.sparkContext.defaultParallelism
     if combine_k <= 1:
-        members = chunks.select(
-            F.col("chunk_id").alias("unit_id"), "doc_id"
-        ).dropDuplicates(["unit_id", "doc_id"])
-        distinct_units = chunks.select(
-            F.col("chunk_id").alias("unit_id"), "text"
-        ).dropDuplicates(["unit_id"])
+        co = chunks.select(
+            F.col("chunk_id").alias("unit_id"), "doc_id", "text"
+        ).repartition(par, "unit_id")
+        members = co.select("unit_id", "doc_id").dropDuplicates(["unit_id", "doc_id"])
+        distinct_units = co.select("unit_id", "text").dropDuplicates(["unit_id"])
     else:
-        units = combine_chunks(chunks, combine_k)
-        members = units.select("unit_id", "doc_id", "chunk_ids").dropDuplicates(
+        co = combine_chunks(chunks, combine_k).repartition(par, "unit_id")
+        members = co.select("unit_id", "doc_id", "chunk_ids").dropDuplicates(
             ["unit_id", "doc_id", "chunk_ids"]
         )
-        distinct_units = units.select("unit_id", "text").dropDuplicates(["unit_id"])
+        distinct_units = co.select("unit_id", "text").dropDuplicates(["unit_id"])
     if hasattr(extractor, "make_arrow_kernel"):
         # columnar-native kernel: no pandas/nested-object conversion; the
         # unit_id carry passes through as a raw arrow buffer
