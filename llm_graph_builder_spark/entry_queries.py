@@ -400,6 +400,16 @@ def q_chunk_entities(spark, sf_dir):
     )
 
 
+def q_graph_view(spark, sf_dir):
+    """T5 — viz surface: bounded subgraph of the two smallest documents
+    (reference /graph_query, backend/src/graph_query.py)."""
+    from .operators.paths import document_graph_view
+
+    t = pipeline_tables(spark, sf_dir)
+    sel = t["docs"].orderBy("doc_id").limit(2).select("doc_id")
+    return document_graph_view(t["chunks"], t["mentions"], t["triples"], sel)
+
+
 def q_extraction_token_usage(spark, sf_dir):
     """X8 — per-doc extraction token accounting (units, prompt/completion
     sums; provider counts flow through the same columns when an LLM client
@@ -762,6 +772,7 @@ QUERIES = {
     "token_usage": q_token_usage,
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
+    "graph_view": q_graph_view,
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
     "keyword_search": q_keyword_search,

@@ -20,6 +20,59 @@ from pyspark.sql import functions as F
 PATH_LIMIT = 40
 
 
+def document_graph_view(
+    chunks: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    doc_ids: DataFrame,
+    limit: int = 200,
+) -> DataFrame:
+    """T5 — the /graph_query viz surface: the bounded subgraph of selected
+    documents (reference: backend/src/graph_query.py — per-document chunk
+    nodes, entities, HAS_ENTITY and entity-entity relationships, with result
+    caps; shared/constants.py GRAPH_QUERY limits).
+
+    ``doc_ids`` = small frame (doc_id) of the selected documents, broadcast
+    into every branch so the big tables are each scanned once with a
+    broadcast semi-join. Output: one row per graph element,
+    (kind ∈ chunk|entity|has_entity|rel, a, b, label), deterministically
+    ordered and LIMIT-ed (TakeOrderedAndProject).
+    """
+    sel = F.broadcast(doc_ids.select("doc_id"))
+    chunk_nodes = chunks.join(sel, on="doc_id", how="leftsemi").select(
+        F.lit("chunk").alias("kind"),
+        F.col("chunk_id").alias("a"),
+        F.col("doc_id").alias("b"),
+        F.lit("Chunk").alias("label"),
+    ).dropDuplicates(["a", "b"])
+    doc_mentions = mentions.join(sel, on="doc_id", how="leftsemi")
+    entity_nodes = doc_mentions.select(
+        F.lit("entity").alias("kind"),
+        F.col("entity_id").alias("a"),
+        F.lit("").alias("b"),
+        F.col("entity_label").alias("label"),
+    ).dropDuplicates(["a", "label"])
+    has_entity = doc_mentions.select(
+        F.lit("has_entity").alias("kind"),
+        F.col("chunk_id").alias("a"),
+        F.col("entity_id").alias("b"),
+        F.col("entity_label").alias("label"),
+    ).dropDuplicates(["a", "b", "label"])
+    rels = triples.join(sel, on="doc_id", how="leftsemi").select(
+        F.lit("rel").alias("kind"),
+        F.col("subj_id").alias("a"),
+        F.col("obj_id").alias("b"),
+        F.col("pred").alias("label"),
+    ).dropDuplicates(["a", "b", "label"])
+    return (
+        chunk_nodes.unionByName(entity_nodes)
+        .unionByName(has_entity)
+        .unionByName(rels)
+        .orderBy("kind", "a", "b", "label")
+        .limit(limit)
+    )
+
+
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """(node → other) view of the directed entity-edge table, both ways.
 

@@ -393,6 +393,31 @@ FROM ch LEFT JOIN me ON ch.chunk_id = me.chunk_id
 GROUP BY ch.chunk_id, ch.position
 """
 
+ORACLE_SQL["graph_view"] = PIPELINE_CTE + """
+, sel AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT 2),
+cn AS (
+  SELECT DISTINCT 'chunk' AS kind, chunk_id AS a, doc_id AS b, 'Chunk' AS label
+  FROM chunks JOIN sel USING (doc_id)
+),
+en AS (
+  SELECT DISTINCT 'entity', entity_id, '', entity_label
+  FROM mentions JOIN sel USING (doc_id)
+),
+he AS (
+  SELECT DISTINCT 'has_entity', chunk_id, entity_id, entity_label
+  FROM mentions JOIN sel USING (doc_id)
+),
+rl AS (
+  SELECT DISTINCT 'rel', subj_id, obj_id, pred
+  FROM triples JOIN sel USING (doc_id)
+)
+SELECT * FROM (
+  SELECT * FROM cn UNION ALL SELECT * FROM en
+  UNION ALL SELECT * FROM he UNION ALL SELECT * FROM rl
+)
+ORDER BY kind, a, b, label LIMIT 200
+"""
+
 # X8 rollup: one unit per (doc, chunk); prompt = ALL whitespace tokens of
 # the unit text, completion = distinct mentions + distinct triples emitted
 ORACLE_SQL["extraction_token_usage"] = PIPELINE_CTE + """

@@ -71,13 +71,47 @@ def main() -> None:
     from llm_graph_builder_spark.operators.extraction import extract_units
 
     snap(
-        "Extraction fast path (ONE extraction shuffle, no join)",
-        "Two exchanges total: the ingest (repo, salt) pre-partition, and ONE "
-        "hashpartitioning-by-chunk_id Exchange feeding an ObjectHashAggregate "
-        "pair (partial + final: first(text) + collect_set(doc_id)), then the "
-        "Arrow kernel and a Generate (explode doc_ids). There must be NO "
-        "SortMergeJoin and no second dedup shuffle.",
+        "Extraction (co-partitioned dedups + bounded-row re-association)",
+        "Each branch's dedup aggregate runs exchange-free directly on its "
+        "unit_id repartition (HashPartitioning(unit_id) satisfies the dedup "
+        "distribution — look for Exchange → double HashAggregate/SortAggregate "
+        "with no exchange between), and the members side is already join-"
+        "partitioned. The static plan shows the upstream scan→ingest→chunk "
+        "chain twice; at runtime AQE's ReusedExchange collapses the identical "
+        "exchanges, and the pipeline reads `chunks` from a materialized "
+        "table anyway. Crucially, NO row carries an unbounded doc-membership "
+        "array (the r1 collect_set carry is gone — a vendored file in 10M "
+        "docs is 10M skinny rows joined back by unit_id, not one 10M-element "
+        "array).",
         extract_units(chunks),
+    )
+
+    from llm_graph_builder_spark.operators.ann import ann_bruteforce_topk
+    from llm_graph_builder_spark.operators import dedup as _dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    snap(
+        "ANN brute-force (two-phase exact top-k)",
+        "Phase 1 ranks within (qid, spark_partition_id) so at most k rows "
+        "per (query, scan partition) reach the final per-query window — no "
+        "full-corpus single-reducer window. The corpus side is scanned once "
+        "with the broadcast query set (BroadcastNestedLoopJoin).",
+        ann_bruteforce_topk(emb, qs, k=5),
+    )
+
+    snap(
+        "MinHash-LSH (banded over DISTINCT texts)",
+        "The band self-join reads the localCheckpointed signature table "
+        "(LogicalRDD leaves) built over one row per distinct sha2(text) — "
+        "identical-doc groups contribute ONE representative to the banding, "
+        "so candidate generation is O(distinct texts); doc-grain expansion "
+        "is broadcast-join re-attachment of the row-grain membership.",
+        _dedup.minhash_lsh_pairs(read_documents(spark, SF)),
     )
 
     snap(
