@@ -400,6 +400,23 @@ def q_chunk_entities(spark, sf_dir):
     )
 
 
+def q_vector_retrieval(spark, sf_dir):
+    """T6/§3.3 — vector-search retrieval with graph context (reference
+    VECTOR_GRAPH_SEARCH_QUERY, shared/constants.py:302-371): exact cosine
+    top-5 chunks for a fixed query text, expanded with docs + entity lists.
+    Fully oracle-checked (the DuckDB oracle rebuilds the hash embeddings and
+    the query vector from scratch)."""
+    from .operators.embeddings import hash_embed_py
+    from .operators.retrieval import retrieval_context, vector_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    emb = embed_chunks(
+        t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    hits = vector_retrieve(emb, hash_embed_py("join merge data"), k=5)
+    return retrieval_context(hits, t["chunks"], t["mentions"])
+
+
 def q_graph_view(spark, sf_dir):
     """T5 — viz surface: bounded subgraph of the two smallest documents
     (reference /graph_query, backend/src/graph_query.py)."""
@@ -772,6 +789,7 @@ QUERIES = {
     "token_usage": q_token_usage,
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
+    "vector_retrieval": q_vector_retrieval,
     "graph_view": q_graph_view,
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,

@@ -157,7 +157,10 @@ class DeterministicExtractor:
         @F.pandas_udf(EXTRACTION_SCHEMA)
         def extract(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
             for batch in texts:
-                res = batch.map(extract_text_py)
+                # per-batch dedup: extract_units clusters identical texts, so
+                # each distinct text runs once per batch it spans
+                res_map = {t: extract_text_py(t) for t in pd.unique(batch)}
+                res = batch.map(res_map)
                 yield pd.DataFrame(
                     {
                         "mentions": res.map(lambda r: r["mentions"]),
@@ -172,7 +175,7 @@ class DeterministicExtractor:
         return extract
 
     def make_arrow_kernel(self):
-        """mapInArrow kernel over (unit_id, doc_ids, text) batches.
+        """mapInArrow kernel over (carry..., text) batches.
 
         Builds the nested mentions/triples columns columnar-native (flat
         value lists + list offsets). The pandas-UDF path converts one python
@@ -180,11 +183,55 @@ class DeterministicExtractor:
         millions of elements that conversion costs ~5× the extraction
         itself; flat-array construction removes it while producing byte-
         identical columns.
+
+        Repeated identical texts extract ONCE per partition: ``extract_units``
+        hash-partitions rows by unit_id, so a bounded per-partition memo
+        (dict capped at ``_MEMO_CAP`` entries, cleared on overflow —
+        correctness never depends on a hit) restores the one-extraction-per-
+        distinct-text guarantee without any in-row membership carry or
+        re-association join.
         """
+
+        def _emit(text: str) -> tuple[list, list, int, int]:
+            """→ (mentions [(id, label, desc)], triples [5-tuple], prompt,
+            completion) with X4 cleaning applied."""
+            r = extract_text_py(text)
+            prompt = len((text or "").split())
+            if "`" in (text or ""):
+                # X4 cleaning inline (rare path: whitespace-split tokens are
+                # pre-trimmed, so only backticks can dirty them); dedup on
+                # the CLEANED values mirrors clean-then-array_distinct
+                ml: list = []
+                seen_m: set = set()
+                for m in r["mentions"]:
+                    i, la = m["id"].replace("`", "").strip(), m["label"].replace("`", "").strip()
+                    if i and la and (i, la) not in seen_m:
+                        seen_m.add((i, la))
+                        ml.append((i, la, m["description"].replace("`", "").strip()))
+                tl: list = []
+                seen_t: set = set()
+                for t in r["triples"]:
+                    vals = tuple(
+                        t[k].replace("`", "").strip()
+                        for k in ("subj_id", "subj_label", "pred", "obj_id", "obj_label")
+                    )
+                    if all(vals) and vals not in seen_t:
+                        seen_t.add(vals)
+                        tl.append(vals)
+            else:
+                ml = [(m["id"], m["label"], m["description"]) for m in r["mentions"]]
+                tl = [
+                    (t["subj_id"], t["subj_label"], t["pred"], t["obj_id"], t["obj_label"])
+                    for t in r["triples"]
+                ]
+            return ml, tl, prompt, len(ml) + len(tl)
+
+        _MEMO_CAP = 65536
 
         def extract_batches(
             batches: "Iterator[pa.RecordBatch]",
         ) -> "Iterator[pa.RecordBatch]":
+            memo: dict = {}
             for rb in batches:
                 idx = {n: i for i, n in enumerate(rb.schema.names)}
                 texts = rb.column(idx["text"]).to_pylist()
@@ -202,52 +249,27 @@ class DeterministicExtractor:
                 t_o: list[str] = []
                 t_ol: list[str] = []
                 for text in texts:
-                    r = extract_text_py(text)
-                    u_prompt.append(len((text or "").split()))
-                    n_m0, n_t0 = len(m_id), len(t_s)
-                    if "`" in (text or ""):
-                        # X4 cleaning inline (rare path: whitespace-split
-                        # tokens are pre-trimmed, so only backticks can dirty
-                        # them); dedup on the CLEANED values mirrors
-                        # clean-then-array_distinct exactly
-                        seen_m: set = set()
-                        for m in r["mentions"]:
-                            i, la = m["id"].replace("`", "").strip(), m["label"].replace("`", "").strip()
-                            if i and la and (i, la) not in seen_m:
-                                seen_m.add((i, la))
-                                m_id.append(i)
-                                m_lab.append(la)
-                                m_desc.append(m["description"].replace("`", "").strip())
-                        m_off.append(len(m_id))
-                        seen_t: set = set()
-                        for t in r["triples"]:
-                            vals = tuple(
-                                t[k].replace("`", "").strip()
-                                for k in ("subj_id", "subj_label", "pred", "obj_id", "obj_label")
-                            )
-                            if all(vals) and vals not in seen_t:
-                                seen_t.add(vals)
-                                t_s.append(vals[0])
-                                t_sl.append(vals[1])
-                                t_p.append(vals[2])
-                                t_o.append(vals[3])
-                                t_ol.append(vals[4])
-                        t_off.append(len(t_s))
-                        u_completion.append((len(m_id) - n_m0) + (len(t_s) - n_t0))
-                        continue
-                    for m in r["mentions"]:
-                        m_id.append(m["id"])
-                        m_lab.append(m["label"])
-                        m_desc.append(m["description"])
+                    hit = memo.get(text)
+                    if hit is None:
+                        hit = _emit(text)
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        memo[text] = hit
+                    ml, tl, prompt, completion = hit
+                    u_prompt.append(prompt)
+                    u_completion.append(completion)
+                    for i, la, d in ml:
+                        m_id.append(i)
+                        m_lab.append(la)
+                        m_desc.append(d)
                     m_off.append(len(m_id))
-                    for t in r["triples"]:
-                        t_s.append(t["subj_id"])
-                        t_sl.append(t["subj_label"])
-                        t_p.append(t["pred"])
-                        t_o.append(t["obj_id"])
-                        t_ol.append(t["obj_label"])
+                    for vals in tl:
+                        t_s.append(vals[0])
+                        t_sl.append(vals[1])
+                        t_p.append(vals[2])
+                        t_o.append(vals[3])
+                        t_ol.append(vals[4])
                     t_off.append(len(t_s))
-                    u_completion.append((len(m_id) - n_m0) + (len(t_s) - n_t0))
                 mentions = pa.ListArray.from_arrays(
                     pa.array(m_off, pa.int32()),
                     pa.StructArray.from_arrays(
@@ -319,7 +341,12 @@ class LLMExtractor:
             client = factory()  # one client per executor process
             for batch in texts:
                 raw = batch.tolist()
-                out = client.extract_batch(raw)
+                # per-batch dedup: identical texts (clustered by
+                # extract_units) cost one provider call per batch they span
+                uniq = list(dict.fromkeys(raw))
+                out_u = client.extract_batch(uniq)
+                omap = dict(zip(uniq, out_u))
+                out = [omap[t] for t in raw]
                 # X8: the provider's real token usage when reported (dict key
                 # "usage": {prompt_tokens, completion_tokens}); else the
                 # deterministic contract counts
@@ -521,58 +548,60 @@ def extract_units(
     extractor = extractor or DeterministicExtractor()
     # Dedup by content-addressed unit_id so vendored content repeated across
     # repos/docs hits the (expensive) extractor exactly once — the biggest
-    # cost saver at 10^12 files (SURVEY §7.4.4). Membership stays a ROW-grain
-    # table re-associated by a join on unit_id; an in-row collect_set carry
-    # would make one vendored file present in 10M docs a single row holding a
-    # 10M-element array — a straggler task / executor OOM at scale. Both
-    # sides of the join arrive hash-partitioned on unit_id, and the
-    # extraction side holds exactly one row per distinct text.
-    # combine_k=1: unit IS the chunk. combine_k>1: window units first (one
-    # groupBy); membership dedup on (unit_id, doc_id, chunk_ids) mirrors the
-    # Neo4j-MERGE semantics for byte-identical windows within a doc.
-    # ONE explicit hash exchange on unit_id feeds both derivations: the
-    # membership dedup and the distinct-text dedup are satisfied by the same
-    # partitioning (no further exchange — HashPartitioning(unit_id) clusters
-    # every dedup key), and the members side of the re-association join is
-    # already join-partitioned. Net shuffle cost vs the old in-row carry:
-    # one extra exchange of the COMPACT units_x side only. Explicit partition
-    # count: AQE's byte-based coalescing would otherwise shrink the exchange
-    # and serialize the CPU-bound Python extraction that runs on top of it.
+    # cost saver at 10^12 files (SURVEY §7.4.4) — WITHOUT an in-row
+    # membership carry (r1's collect_set made one vendored file present in
+    # 10M docs a single row holding a 10M-element array: straggler task +
+    # executor OOM). Shape: ONE hash exchange on unit_id; the (unit, doc)-
+    # grain dedup runs exchange-free on top of it (max(text) is the hash-
+    # aggregatable dedup — text is determined by the content-addressed id;
+    # dropDuplicates desugars to first() and falls back to a SortAggregate
+    # that SORTS every text). All rows of a unit land in the same partition,
+    # so the extractor's per-partition capped memo runs each distinct text
+    # once. Streamed row output at (doc, unit) grain, no join, and no
+    # unbounded row anywhere — a pathological unit is many skinny rows in
+    # one partition (linear, spillable), never one giant array. Explicit
+    # partition count: AQE's byte-based coalescing would otherwise shrink
+    # the exchange and serialize the CPU-bound Python extraction running on
+    # top of it.
     par = chunks.sparkSession.sparkContext.defaultParallelism
     if combine_k <= 1:
         co = chunks.select(
             F.col("chunk_id").alias("unit_id"), "doc_id", "text"
         ).repartition(par, "unit_id")
-        members = co.select("unit_id", "doc_id").dropDuplicates(["unit_id", "doc_id"])
-        distinct_units = co.select("unit_id", "text").dropDuplicates(["unit_id"])
+        ordered = co.groupBy("unit_id", "doc_id").agg(F.max("text").alias("text"))
     else:
         co = combine_chunks(chunks, combine_k).repartition(par, "unit_id")
-        members = co.select("unit_id", "doc_id", "chunk_ids").dropDuplicates(
-            ["unit_id", "doc_id", "chunk_ids"]
+        ordered = co.groupBy("unit_id", "doc_id", "chunk_ids").agg(
+            F.max("text").alias("text")
         )
-        distinct_units = co.select("unit_id", "text").dropDuplicates(["unit_id"])
     if hasattr(extractor, "make_arrow_kernel"):
-        # columnar-native kernel: no pandas/nested-object conversion; the
-        # unit_id carry passes through as a raw arrow buffer
-        units_x = distinct_units.mapInArrow(
-            extractor.make_arrow_kernel(), "unit_id string, " + _EXTRACT_ARRAYS_DDL
+        # columnar-native kernel: no pandas/nested-object conversion; carry
+        # columns pass through as raw arrow buffers; consecutive identical
+        # texts (clustered by the partition-local sort) extract once
+        carry_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in ordered.drop("text").schema.fields
+        )
+        units_x = ordered.mapInArrow(
+            extractor.make_arrow_kernel(), carry_ddl + ", " + _EXTRACT_ARRAYS_DDL
         )
     else:
         udf = extractor.make_udf()
-        units_x = distinct_units.select(
-            "unit_id", udf(F.col("text")).alias("x")
+        carry_cols = [c for c in ordered.columns if c != "text"]
+        units_x = ordered.select(
+            *carry_cols, udf(F.col("text")).alias("x")
         ).select(
-            "unit_id",
+            *carry_cols,
             F.col("x.mentions").alias("mentions"),
             F.col("x.triples").alias("triples"),
             F.col("x.prompt_tokens").alias("prompt_tokens"),
             F.col("x.completion_tokens").alias("completion_tokens"),
         )
-    # NB: the cleaning projection must live in its own select — a generator
-    # (explode) in the same projection breaks resolution of struct-field
-    # aliases inside the transform() lambdas.
+    # NB: the projection must live in its own select — a generator in the
+    # same projection breaks resolution of struct-field aliases inside the
+    # transform() lambdas.
     if combine_k <= 1:
-        exploded = members.join(units_x, on="unit_id").select(
+        exploded = units_x.select(
             "doc_id",
             F.array("unit_id").alias("chunk_ids"),
             "mentions",
@@ -581,7 +610,7 @@ def extract_units(
             "completion_tokens",
         )
     else:
-        exploded = members.join(units_x, on="unit_id").select(
+        exploded = units_x.select(
             "doc_id", "chunk_ids", "mentions", "triples",
             "prompt_tokens", "completion_tokens",
         )

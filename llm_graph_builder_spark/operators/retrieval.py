@@ -1,0 +1,95 @@
+"""Vector retrieval read surface (SURVEY §3.3, T6).
+
+Reference parity: the QA retrievers run a vector-index top-k over chunk
+embeddings and expand each hit with its document and entities
+(VECTOR_SEARCH_QUERY / VECTOR_GRAPH_SEARCH_QUERY,
+/root/reference/backend/src/shared/constants.py:302-371). Neo4j serves these
+per request from an HNSW index; the batch-native analog scores the chunk
+table against a broadcast query vector (exact cosine — the correctness
+baseline; `operators/ann.py` holds the LSH/IVF scale paths) and joins the
+context in bulk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine
+
+
+def vector_retrieve(
+    chunk_emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "chunk_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k chunks by cosine against one query vector.
+
+    The query vector is a literal array (broadcast by construction); the
+    chunk table is scanned once, fold-based cosine stays JVM-side (bit-exact
+    DuckDB mirror), and the final rank runs over the per-partition top-k
+    pre-reduction (no single-reducer window).
+    Output: (chunk_id, score_e4, rnk).
+    """
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = chunk_emb.select(
+        F.col(id_col).alias("chunk_id"),
+        F.round(cosine(qv, F.col(vec_col)) * 10000).cast("long").alias("score_e4"),
+    )
+    w_part = Window.partitionBy("part").orderBy(F.desc("score_e4"), F.asc("chunk_id"))
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= k)
+    )
+    w = Window.orderBy(F.desc("score_e4"), F.asc("chunk_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("chunk_id", "score_e4", "rnk")
+    )
+
+
+def retrieval_context(
+    hits: DataFrame,
+    chunks: DataFrame,
+    mentions: DataFrame,
+) -> DataFrame:
+    """Expand retrieval hits with their documents and entity lists (the
+    VECTOR_GRAPH_SEARCH context assembly). Entities render as a sorted
+    csv for stable comparison (same convention as chunk_entities).
+    Output: (chunk_id, score_e4, rnk, docs_csv, n_entities, entities_csv).
+    """
+    h = F.broadcast(hits)
+    doc_of = (
+        chunks.select("chunk_id", "doc_id").dropDuplicates()
+        .join(h.select("chunk_id"), on="chunk_id", how="leftsemi")
+        .groupBy("chunk_id")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_set("doc_id"))).alias("docs_csv"))
+    )
+    ents = (
+        mentions.join(h.select("chunk_id"), on="chunk_id", how="leftsemi")
+        .select(
+            "chunk_id",
+            F.concat_ws("\x02", "entity_id", "entity_label").alias("ent"),
+        )
+        .distinct()
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.concat_ws("|", F.array_sort(F.collect_list("ent"))).alias("entities_csv"),
+        )
+    )
+    return (
+        hits.join(doc_of, on="chunk_id", how="left")
+        .join(ents, on="chunk_id", how="left")
+        .select(
+            "chunk_id", "score_e4", "rnk",
+            F.coalesce("docs_csv", F.lit("")).alias("docs_csv"),
+            F.coalesce("n_entities", F.lit(0)).cast("long").alias("n_entities"),
+            F.coalesce("entities_csv", F.lit("")).alias("entities_csv"),
+        )
+    )

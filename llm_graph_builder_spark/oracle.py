@@ -842,11 +842,41 @@ JOIN ranked r2 ON r2.node = u.dst AND r2.other = u.src
 WHERE r1.rk <= 5 AND r2.rk <= 5
 """
 
-# full mirror of q_similar_chunks: feature-hash chunk embeddings
-# (md5_number_upper bucket/sign, integer bucket sums, L2-normalize, float32
-# rounding like the ArrayType(FloatType) UDF output), seed-0 hyperplane
-# buckets, then the exact top-k(6)/undirected/degree-cap(5) pipeline at the
-# production KNN_MIN_SCORE=0.8 within each bucket
+# feature-hash chunk embeddings in SQL (md5_number_upper bucket/sign,
+# integer bucket sums, L2-normalize, float32 rounding like the
+# ArrayType(FloatType) UDF output) → cvecs(chunk_id, embedding). Shared by
+# the similar_chunks and vector_retrieval oracles.
+_CHUNK_VEC_CTE = """
+, cdist AS (SELECT DISTINCT chunk_id, text FROM chunks),
+ctoks AS (
+  SELECT chunk_id, unnest(string_split(text, ' ')) AS tok FROM cdist
+),
+csums AS (
+  SELECT chunk_id,
+         CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM ctoks WHERE len(tok) > 0 GROUP BY 1, 2
+),
+cnorm AS (SELECT chunk_id, sqrt(sum(s * s)) AS nrm FROM csums GROUP BY 1),
+cgrid AS (
+  SELECT c.chunk_id, b.i AS bucket, coalesce(cs.s, 0.0) AS s, cn.nrm
+  FROM cdist c
+  CROSS JOIN range(64) b(i)
+  LEFT JOIN csums cs ON cs.chunk_id = c.chunk_id AND cs.bucket = b.i
+  JOIN cnorm cn ON cn.chunk_id = c.chunk_id
+),
+cvecs AS (
+  SELECT chunk_id,
+         list(CAST(CAST(CASE WHEN nrm > 0 THEN s / nrm ELSE s END AS FLOAT) AS DOUBLE)
+              ORDER BY bucket) AS embedding
+  FROM cgrid GROUP BY chunk_id
+)
+"""
+
+# full mirror of q_similar_chunks: feature-hash chunk embeddings (shared
+# CTE above), seed-0 hyperplane buckets, then the exact top-k(6)/undirected/
+# degree-cap(5) pipeline at the production KNN_MIN_SCORE=0.8 within each
+# bucket
 ORACLE_SQL["similar_chunks"] = PIPELINE_CTE + """
 , cdist AS (SELECT DISTINCT chunk_id, text FROM chunks),
 ctoks AS (
@@ -907,6 +937,58 @@ JOIN sranked r1 ON r1.node = u.src AND r1.other = u.dst
 JOIN sranked r2 ON r2.node = u.dst AND r2.other = u.src
 WHERE r1.rk <= 5 AND r2.rk <= 5
 """.replace("{COS}", _cosine_sql("a.embedding", "b.embedding"))
+
+# mirror of q_vector_retrieval: query text hash-embedded the same way
+# (float64, not float32 — it is passed as literal doubles), exact cosine
+# top-5 over the float32-rounded chunk vectors, then the context joins
+ORACLE_SQL["vector_retrieval"] = PIPELINE_CTE + _CHUNK_VEC_CTE.rstrip() + """,
+qsum AS (
+  SELECT CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM (SELECT unnest(['join', 'merge', 'data']) AS tok) GROUP BY 1
+),
+qnorm AS (SELECT sqrt(sum(s * s)) AS nrm FROM qsum),
+qgrid AS (
+  SELECT b.i AS bucket, coalesce(q.s, 0.0) AS s
+  FROM range(64) b(i) LEFT JOIN qsum q ON q.bucket = b.i
+),
+qvec AS (
+  SELECT list(CASE WHEN n.nrm > 0 THEN g.s / n.nrm ELSE g.s END ORDER BY g.bucket) AS qv
+  FROM qgrid g, qnorm n GROUP BY n.nrm
+),
+scored AS (
+  SELECT c.chunk_id,
+         CAST(round(({QCOS}) * 10000) AS BIGINT) AS score_e4
+  FROM cvecs c, qvec q
+),
+rankedq AS (
+  SELECT chunk_id, score_e4,
+         row_number() OVER (ORDER BY score_e4 DESC, chunk_id ASC) AS rnk
+  FROM scored
+),
+hits AS (SELECT chunk_id, score_e4, CAST(rnk AS BIGINT) AS rnk FROM rankedq WHERE rnk <= 5),
+docs_of AS (
+  SELECT h.chunk_id, array_to_string(list_sort(list(DISTINCT c.doc_id)), '|') AS docs_csv
+  FROM hits h JOIN (SELECT DISTINCT chunk_id, doc_id FROM chunks) c USING (chunk_id)
+  GROUP BY 1
+),
+rments AS (
+  SELECT DISTINCT h.chunk_id, m.entity_id || chr(2) || m.entity_label AS ent
+  FROM hits h JOIN mentions m USING (chunk_id)
+),
+es AS (
+  SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_entities,
+         array_to_string(list_sort(list(ent)), '|') AS entities_csv
+  FROM rments GROUP BY 1
+)
+SELECT h.chunk_id, h.score_e4, h.rnk,
+       coalesce(d.docs_csv, '') AS docs_csv,
+       CAST(coalesce(e.n_entities, 0) AS BIGINT) AS n_entities,
+       coalesce(e.entities_csv, '') AS entities_csv
+FROM hits h
+LEFT JOIN docs_of d USING (chunk_id)
+LEFT JOIN es e USING (chunk_id)
+""".replace("{QCOS}", _cosine_sql("q.qv", "c.embedding"))
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
 _SW = {
