@@ -552,10 +552,13 @@ def extract_units(
     # membership carry (r1's collect_set made one vendored file present in
     # 10M docs a single row holding a 10M-element array: straggler task +
     # executor OOM). Shape: ONE hash exchange on unit_id; the (unit, doc)-
-    # grain dedup runs exchange-free on top of it (max(text) is the hash-
-    # aggregatable dedup — text is determined by the content-addressed id;
-    # dropDuplicates desugars to first() and falls back to a SortAggregate
-    # that SORTS every text). All rows of a unit land in the same partition,
+    # grain dedup runs exchange-free on top of it AS A GROUPING-ONLY
+    # DISTINCT over (unit_id, doc_id, text): text is determined by the
+    # content-addressed unit_id, so adding it to the key changes nothing
+    # semantically but keeps the dedup a pure HashAggregate — any
+    # formulation that AGGREGATES the text (max/first) has a string agg
+    # buffer and falls back to a SortAggregate that sorts every text.
+    # All rows of a unit land in the same partition,
     # so the extractor's per-partition capped memo runs each distinct text
     # once. Streamed row output at (doc, unit) grain, no join, and no
     # unbounded row anywhere — a pathological unit is many skinny rows in
@@ -568,11 +571,11 @@ def extract_units(
         co = chunks.select(
             F.col("chunk_id").alias("unit_id"), "doc_id", "text"
         ).repartition(par, "unit_id")
-        ordered = co.groupBy("unit_id", "doc_id").agg(F.max("text").alias("text"))
+        ordered = co.dropDuplicates(["unit_id", "doc_id", "text"])
     else:
         co = combine_chunks(chunks, combine_k).repartition(par, "unit_id")
-        ordered = co.groupBy("unit_id", "doc_id", "chunk_ids").agg(
-            F.max("text").alias("text")
+        ordered = co.select("unit_id", "doc_id", "chunk_ids", "text").dropDuplicates(
+            ["unit_id", "doc_id", "chunk_ids", "text"]
         )
     if hasattr(extractor, "make_arrow_kernel"):
         # columnar-native kernel: no pandas/nested-object conversion; carry
