@@ -85,6 +85,9 @@ class PipelineConfig:
     #: per-file chunk cap — reference MAX_TOKEN_CHUNK_SIZE/token_chunk_size
     #: (src/create_chunks.py:43-44); None = unlimited
     max_chunks_per_doc: int | None = None
+    #: consecutive chunks combined per extraction unit (reference
+    #: chunks_to_combine, src/llm.py:158-182); 1 = extract per chunk
+    combine_k: int = 1
     embedding_dim: int = EMBEDDING_DIM
     knn_min_score: float = KNN_MIN_SCORE
     knn_top_k: int = KNN_TOP_K

@@ -366,13 +366,21 @@ def summarize_hierarchy(
             F.col("community_id").alias("child_id"),
             F.col("title").alias("child_title"),
         )
+        # rank children per parent BEFORE collecting so the agg buffer is
+        # bounded by max_child_titles — a mega-community's million children
+        # must never materialize as one in-row array (the same hazard class
+        # as the r1 extraction collect_set carry)
+        w_rank = Window.partitionBy("pid").orderBy("child_title")
         parent = (
             pc.join(child, on="child_id")
+            .withColumn("_rn", F.row_number().over(w_rank))
             .groupBy("pid")
             .agg(
                 F.count("*").alias("n_children"),
-                F.slice(
-                    F.array_sort(F.collect_list("child_title")), 1, max_child_titles
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_child_titles, F.col("child_title"))
+                    )
                 ).alias("child_titles"),
             )
             .select(

@@ -124,6 +124,10 @@ def entity_paths(
             .orderBy("pred1", "dir1", "mid_id", "mid_label")
             .limit(limit)
         )
+    # hop1 is anchor-degree-bounded (small): broadcast it so the second hop
+    # is a map-side join over one scan of the edge table, never an SMJ that
+    # shuffles the full edges
+    hop1 = F.broadcast(hop1)
     hop2 = hop1.join(
         und,
         on=(hop1["mid_id"] == und["id"]) & (hop1["mid_label"] == und["label"]),

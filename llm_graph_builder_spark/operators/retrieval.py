@@ -57,18 +57,35 @@ def retrieval_context(
     hits: DataFrame,
     chunks: DataFrame,
     mentions: DataFrame,
+    max_docs_listed: int = 20,
 ) -> DataFrame:
     """Expand retrieval hits with their documents and entity lists (the
     VECTOR_GRAPH_SEARCH context assembly). Entities render as a sorted
-    csv for stable comparison (same convention as chunk_entities).
-    Output: (chunk_id, score_e4, rnk, docs_csv, n_entities, entities_csv).
+    csv for stable comparison (same convention as chunk_entities); the doc
+    list is ranked and capped BEFORE collection (a vendored chunk can live
+    in millions of docs — no unbounded in-row array), with the full count
+    alongside.
+    Output: (chunk_id, score_e4, rnk, n_docs, docs_csv, n_entities,
+    entities_csv).
     """
     h = F.broadcast(hits)
+    w_doc = Window.partitionBy("chunk_id").orderBy("doc_id")
     doc_of = (
         chunks.select("chunk_id", "doc_id").dropDuplicates()
         .join(h.select("chunk_id"), on="chunk_id", how="leftsemi")
+        .withColumn("_rn", F.row_number().over(w_doc))
         .groupBy("chunk_id")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_set("doc_id"))).alias("docs_csv"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_docs_listed, F.col("doc_id"))
+                    )
+                ),
+            ).alias("docs_csv"),
+        )
     )
     ents = (
         mentions.join(h.select("chunk_id"), on="chunk_id", how="leftsemi")
@@ -88,6 +105,7 @@ def retrieval_context(
         .join(ents, on="chunk_id", how="left")
         .select(
             "chunk_id", "score_e4", "rnk",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
             F.coalesce("docs_csv", F.lit("")).alias("docs_csv"),
             F.coalesce("n_entities", F.lit(0)).cast("long").alias("n_entities"),
             F.coalesce("entities_csv", F.lit("")).alias("entities_csv"),

@@ -968,7 +968,9 @@ rankedq AS (
 ),
 hits AS (SELECT chunk_id, score_e4, CAST(rnk AS BIGINT) AS rnk FROM rankedq WHERE rnk <= 5),
 docs_of AS (
-  SELECT h.chunk_id, array_to_string(list_sort(list(DISTINCT c.doc_id)), '|') AS docs_csv
+  SELECT h.chunk_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         array_to_string(list_sort(list(c.doc_id)) [1 : 20], '|') AS docs_csv
   FROM hits h JOIN (SELECT DISTINCT chunk_id, doc_id FROM chunks) c USING (chunk_id)
   GROUP BY 1
 ),
@@ -982,6 +984,7 @@ es AS (
   FROM rments GROUP BY 1
 )
 SELECT h.chunk_id, h.score_e4, h.rnk,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs,
        coalesce(d.docs_csv, '') AS docs_csv,
        CAST(coalesce(e.n_entities, 0) AS BIGINT) AS n_entities,
        coalesce(e.entities_csv, '') AS entities_csv

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.chunking import chunk_documents, chunk_graph_edges
-from ..operators.communities import community_hierarchy, community_tables
+from ..operators.communities import community_hierarchy
 from ..operators.counts import doc_counts
 from ..operators.embeddings import embed_chunks, embed_entities
 from ..operators.extraction import (
@@ -275,7 +275,8 @@ class PipelineRunner:
 
             stage("code_extractions", lambda: extract_code_documents(docs))
 
-        stage("extractions", lambda: extract_units(chunks, self.extractor))
+        stage("extractions", lambda: extract_units(
+            chunks, self.extractor, combine_k=cfg.combine_k))
         extracted = self.read("extractions")
         mentions = mentions_from_units(extracted)
         triples = triples_from_units(extracted)

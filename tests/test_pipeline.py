@@ -89,3 +89,19 @@ def test_retry_conditions(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         runner.retry(_repos(spark, sf_dir), "nonsense")
+
+
+def test_pipeline_combine_k(spark, sf_dir, tmp_path):
+    """combine_k > 1 (reference chunks_to_combine): member chunks inherit the
+    combined unit's extraction; downstream tables stay consistent."""
+    from llm_graph_builder_spark.config import PipelineConfig
+
+    wh = str(tmp_path / "whck")
+    runner = PipelineRunner(spark, wh, config=PipelineConfig(combine_k=2))
+    results = {r.stage: r for r in runner.run(_repos(spark, sf_dir))}
+    assert results["extractions"].rows_out > 0
+    assert results["mentions"].rows_out > 0
+    # every mention's chunk_id references a real chunk of the same doc
+    m = spark.read.parquet(f"{wh}/mentions").select("doc_id", "chunk_id").distinct()
+    c = spark.read.parquet(f"{wh}/chunks").select("doc_id", "chunk_id").distinct()
+    assert m.join(c, on=["doc_id", "chunk_id"], how="left_anti").count() == 0
