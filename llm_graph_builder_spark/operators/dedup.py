@@ -85,31 +85,18 @@ def minhash_signatures(
     ).select("doc", "shingles", *sigs)
 
 
-def _minhash_rep_pairs(
+def _minhash_banded(
     docs: DataFrame,
     text_col: str,
     id_col: str,
     n_hashes: int,
     band_size: int,
     k: int,
-    jaccard_threshold: float,
-    max_band_size: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared core of the MinHash-LSH family, computed over DISTINCT texts.
-
-    A crawl corpus has million-member exact-duplicate groups; since identical
-    texts share every band, banding the raw corpus yields d(d−1)/2 candidate
-    pairs per group — O(10¹²) from one group at 100 TB. Collapsing to one
-    representative per ``sha2(text)`` first keeps the band join (and the
-    Jaccard verification) at O(distinct texts); membership is carried as a
-    row-grain table, never an in-row array.
-
-    Returns ``(rep_pairs, groups, members)``:
-      rep_pairs(doc_a, doc_b, jaccard_e4) — verified pairs BETWEEN distinct
-        texts (both endpoints are group representatives), threshold applied;
-      groups(h, rep, cnt) — one row per distinct text, rep = min doc id;
-      members(h, doc) — full doc membership at row grain.
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Distinct-text collapse + MinHash signatures + exploded band keys —
+    the shared expensive front half of the MinHash-LSH family.
+    Returns (banded(doc=rep, band), groups(h, rep, cnt, t), members(h, doc),
+    sigs(doc, shingles, mh*))."""
     base = docs.select(
         F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("t")
     )
@@ -145,6 +132,37 @@ def _minhash_rep_pairs(
     # single projection (a per-band union would recompute the md5 signatures
     # n_bands times); the skinny (doc, band) rows are all that shuffles.
     banded = sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+    return banded, groups, members, sigs
+
+
+def _minhash_rep_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    k: int,
+    jaccard_threshold: float,
+    max_band_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the MinHash-LSH family, computed over DISTINCT texts.
+
+    A crawl corpus has million-member exact-duplicate groups; since identical
+    texts share every band, banding the raw corpus yields d(d−1)/2 candidate
+    pairs per group — O(10¹²) from one group at 100 TB. Collapsing to one
+    representative per ``sha2(text)`` first keeps the band join (and the
+    Jaccard verification) at O(distinct texts); membership is carried as a
+    row-grain table, never an in-row array.
+
+    Returns ``(rep_pairs, groups, members)``:
+      rep_pairs(doc_a, doc_b, jaccard_e4) — verified pairs BETWEEN distinct
+        texts (both endpoints are group representatives), threshold applied;
+      groups(h, rep, cnt) — one row per distinct text, rep = min doc id;
+      members(h, doc) — full doc membership at row grain.
+    """
+    banded, groups, members, sigs = _minhash_banded(
+        docs, text_col, id_col, n_hashes, band_size, k
+    )
     if max_band_size is not None:
         # skew guard: a band shared by more than max_band_size DISTINCT texts
         # is non-discriminative (e.g. boilerplate-dominated shingle sets) and
@@ -388,20 +406,11 @@ def minhash_hot_bands(
 ) -> DataFrame:
     """Band keys (over DISTINCT texts) whose bucket exceeds ``max_band_size``
     → (band, n). These are what ``near_dup_clusters(max_band_size=...)``
-    drops; count/record them so truncation is never silent."""
-    sigs = minhash_signatures(
-        docs.select(F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("t"))
-        .withColumn("h", F.sha2(F.col("t"), 256))
-        .groupBy("h").agg(F.min("doc").alias("doc"), F.first("t").alias("t"))
-        .select("doc", "t"),
-        "t", "doc", n_hashes, k,
-    )
-    n_bands = n_hashes // band_size
-    keys = [
-        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * band_size + r}") for r in range(band_size)])
-        for b in range(n_bands)
-    ]
-    banded = sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+    drops; count/record them so truncation is never silent. Shares
+    ``_minhash_banded`` with the pair/cluster operators (one banding
+    implementation — and the checkpoints mean a same-session pairing with
+    ``near_dup_clusters`` reuses materialized blocks where plans coincide)."""
+    banded, _, _, _ = _minhash_banded(docs, text_col, id_col, n_hashes, band_size, k)
     return (
         banded.groupBy("band").agg(F.count("*").alias("n"))
         .filter(F.col("n") > max_band_size)

@@ -493,19 +493,34 @@ def _clean_str(c):
 
 def _clean_mentions_arr(col):
     """X4 cleaning at array granularity — trim/strip-backticks every mention,
-    drop empties, dedup within the chunk. Pure JVM expressions (transform /
-    filter / array_distinct) inside whole-stage codegen: per-chunk dedup never
-    needs a cluster-wide shuffle because the output key includes chunk_id."""
-    cleaned = F.transform(
-        col,
-        lambda m: F.struct(
-            _clean_str(m["id"]).alias("id"),
-            _clean_str(m["label"]).alias("label"),
-            _clean_str(m["description"]).alias("description"),
+    drop empties, dedup within the chunk on (id, label) keeping the FIRST
+    description (the same grain/keep rule as the arrow kernel's inline
+    cleaning — an array_distinct over the full struct would key on the
+    description too and let same-entity mentions with different contexts
+    survive as duplicates). Pure JVM expressions inside whole-stage codegen:
+    per-chunk dedup never needs a cluster-wide shuffle because the output
+    key includes chunk_id."""
+    cleaned = F.filter(
+        F.transform(
+            col,
+            lambda m: F.struct(
+                _clean_str(m["id"]).alias("id"),
+                _clean_str(m["label"]).alias("label"),
+                _clean_str(m["description"]).alias("description"),
+            ),
         ),
+        lambda m: (F.length(m["id"]) > 0) & (F.length(m["label"]) > 0),
     )
-    return F.array_distinct(
-        F.filter(cleaned, lambda m: (F.length(m["id"]) > 0) & (F.length(m["label"]) > 0))
+    # keep element i iff no earlier element shares its (id, label)
+    return F.filter(
+        cleaned,
+        lambda m, i: F.size(
+            F.filter(
+                F.slice(cleaned, 1, i),
+                lambda p: (p["id"] == m["id"]) & (p["label"] == m["label"]),
+            )
+        )
+        == 0,
     )
 
 

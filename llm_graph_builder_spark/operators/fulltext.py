@@ -71,9 +71,13 @@ def keyword_search(
     """
     spark = index.sparkSession
     qterms = sorted(
-        {t for t in __import__("re").split(_TERM_SPLIT, query.lower()) if t}
+        {t for t in __import__("re").split(_TERM_SPLIT, (query or "").lower()) if t}
     )
-    qdf = F.broadcast(spark.createDataFrame([(t,) for t in qterms], ["term"]))
+    # explicit schema: an all-punctuation query yields zero terms, and an
+    # empty dataset cannot infer one (must return empty results, not raise)
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in qterms], "term string")
+    )
     return (
         index.join(qdf, on="term")
         .groupBy("id", "label")

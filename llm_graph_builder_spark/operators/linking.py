@@ -157,6 +157,29 @@ def hot_bands(
     )
 
 
+def _pairs_from_banded(
+    banded: DataFrame,
+    with_emb: bool,
+    min_cosine: float,
+    max_distance: int,
+    min_contain_len: int,
+) -> DataFrame:
+    """Band self-join + exact pair predicates over prebuilt (id, label,
+    band[, embedding]) rows."""
+    emb_a = [F.col("embedding").alias("emb_a")] if with_emb else []
+    emb_b = [F.col("embedding").alias("emb_b")] if with_emb else []
+    a = banded.select(F.col("id").alias("id_a"), "label", "band", *emb_a)
+    b = banded.select(F.col("id").alias("id_b"), "label", "band", *emb_b)
+    pairs = (
+        a.join(b, on=["label", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("band")
+        .dropDuplicates(["label", "id_a", "id_b"])
+    )
+    pred = _pair_predicates(min_contain_len, max_distance, min_cosine, with_emb)
+    return pairs.filter(pred).select("label", "id_a", "id_b")
+
+
 def block_candidates_lsh(
     entities: DataFrame,
     n_hashes: int = 8,
@@ -174,8 +197,9 @@ def block_candidates_lsh(
     8 id bands of size 1: candidate recall = 1-(1-J)^8, i.e. >=0.95 at
     3-gram Jaccard 0.31 (SURVEY §7.4.5); embedding bands give >=0.997 at
     cosine 0.97. ``max_band_size`` drops degenerate (non-discriminative)
-    band keys — a skew guard for hot buckets; pair it with ``hot_bands`` to
-    log what was dropped.
+    band keys — a skew guard for hot buckets; use
+    ``blocked_candidates_with_report`` to also LOG the drop count without
+    recomputing the banding.
     """
     with_emb = "embedding" in entities.columns
     banded = _band_rows(entities, n_hashes, band_size)
@@ -188,18 +212,40 @@ def block_candidates_lsh(
                 how="leftsemi",
             )
         )
-    emb_a = [F.col("embedding").alias("emb_a")] if with_emb else []
-    emb_b = [F.col("embedding").alias("emb_b")] if with_emb else []
-    a = banded.select(F.col("id").alias("id_a"), "label", "band", *emb_a)
-    b = banded.select(F.col("id").alias("id_b"), "label", "band", *emb_b)
-    pairs = (
-        a.join(b, on=["label", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("band")
-        .dropDuplicates(["label", "id_a", "id_b"])
+    return _pairs_from_banded(banded, with_emb, min_cosine, max_distance, min_contain_len)
+
+
+def blocked_candidates_with_report(
+    entities: DataFrame,
+    max_band_size: int,
+    n_hashes: int = 8,
+    band_size: int = 1,
+    min_cosine: float = DUPLICATE_SCORE_VALUE,
+    max_distance: int = DUPLICATE_TEXT_DISTANCE,
+    min_contain_len: int = DUPLICATE_CONTAIN_MIN_LEN,
+) -> tuple[DataFrame, int]:
+    """LSH-blocked candidates + hot-band drop count from ONE banding pass.
+
+    The banding (gram minhashes + hyperplane GEMM over every entity) is the
+    expensive part of candidate generation; it is checkpointed once and
+    feeds both the dropped-band count (the never-silent skew log) and the
+    capped candidate pairs — calling ``hot_bands`` and
+    ``block_candidates_lsh`` separately would run it twice.
+    Returns (pairs, n_hot_bands_dropped).
+    """
+    with_emb = "embedding" in entities.columns
+    banded = _band_rows(entities, n_hashes, band_size).localCheckpoint(eager=True)
+    sizes = banded.groupBy("label", "band").agg(F.count("*").alias("_n"))
+    n_hot = sizes.filter(F.col("_n") > max_band_size).count()
+    kept = banded.join(
+        sizes.filter(F.col("_n") <= max_band_size).drop("_n"),
+        on=["label", "band"],
+        how="leftsemi",
     )
-    pred = _pair_predicates(min_contain_len, max_distance, min_cosine, with_emb)
-    return pairs.filter(pred).select("label", "id_a", "id_b")
+    return (
+        _pairs_from_banded(kept, with_emb, min_cosine, max_distance, min_contain_len),
+        n_hot,
+    )
 
 
 def connected_components(

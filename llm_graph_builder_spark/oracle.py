@@ -877,32 +877,7 @@ cvecs AS (
 # CTE above), seed-0 hyperplane buckets, then the exact top-k(6)/undirected/
 # degree-cap(5) pipeline at the production KNN_MIN_SCORE=0.8 within each
 # bucket
-ORACLE_SQL["similar_chunks"] = PIPELINE_CTE + """
-, cdist AS (SELECT DISTINCT chunk_id, text FROM chunks),
-ctoks AS (
-  SELECT chunk_id, unnest(string_split(text, ' ')) AS tok FROM cdist
-),
-csums AS (
-  SELECT chunk_id,
-         CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
-         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
-  FROM ctoks WHERE len(tok) > 0 GROUP BY 1, 2
-),
-cnorm AS (SELECT chunk_id, sqrt(sum(s * s)) AS nrm FROM csums GROUP BY 1),
-cgrid AS (
-  SELECT c.chunk_id, b.i AS bucket, coalesce(cs.s, 0.0) AS s, cn.nrm
-  FROM cdist c
-  CROSS JOIN range(64) b(i)
-  LEFT JOIN csums cs ON cs.chunk_id = c.chunk_id AND cs.bucket = b.i
-  JOIN cnorm cn ON cn.chunk_id = c.chunk_id
-),
-cvecs AS (
-  SELECT chunk_id,
-         list(CAST(CAST(CASE WHEN nrm > 0 THEN s / nrm ELSE s END AS FLOAT) AS DOUBLE)
-              ORDER BY bucket) AS embedding
-  FROM cgrid GROUP BY chunk_id
-),
-""" + _hp_blocks_cte(
+ORACLE_SQL["similar_chunks"] = PIPELINE_CTE + _CHUNK_VEC_CTE.rstrip() + ",\n" + _hp_blocks_cte(
     "sc", "cvecs", "chunk_id", "embedding", n_planes=8, banded=False
 ).lstrip() + """,
 spairs AS (

@@ -43,12 +43,11 @@ from ..operators.extraction import (
     triples_from_units,
 )
 from ..operators.linking import (
-    block_candidates_lsh,
+    blocked_candidates_with_report,
     candidate_pairs_exact,
     canonical_map,
     connected_components,
     entity_degrees,
-    hot_bands,
     merge_entities,
 )
 from ..operators.similar import lsh_block_chunks, similar_edges
@@ -316,14 +315,15 @@ class PipelineRunner:
             ).select("id", "label", "embedding")
             n_entities = ents.count()
             if n_entities > cfg.linking_block_threshold:
-                n_hot = hot_bands(ents_emb, cfg.linking_max_band_size).count()
-                self._record("linking_hot_bands_dropped", n_hot, 0)
-                pairs = block_candidates_lsh(
+                # one banding pass feeds both the candidate pairs and the
+                # hot-band drop log (never silent, never computed twice)
+                pairs, n_hot = blocked_candidates_with_report(
                     ents_emb,
+                    cfg.linking_max_band_size,
                     min_cosine=cfg.duplicate_score,
                     max_distance=cfg.duplicate_distance,
-                    max_band_size=cfg.linking_max_band_size,
                 )
+                self._record("linking_hot_bands_dropped", n_hot, 0)
             else:
                 pairs = candidate_pairs_exact(
                     ents_emb,

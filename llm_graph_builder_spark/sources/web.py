@@ -35,15 +35,17 @@ def html_to_text(col: F.Column) -> F.Column:
     no_script = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     no_comment = F.regexp_replace(no_script, r"(?s)<!--.*?-->", " ")
     no_tags = F.regexp_replace(no_comment, r"(?s)<[^>]+>", " ")
+    # `&amp;` decodes LAST: decoding it first would double-decode escaped
+    # entity references (page text `&amp;lt;` means the literal `&lt;`)
     decoded = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(no_tags, "&amp;", "&"),
-                    "&lt;", "<"),
-                "&gt;", ">"),
-            "&quot;", '"'),
-        "&#39;", "'")
+                    F.regexp_replace(no_tags, "&lt;", "<"),
+                    "&gt;", ">"),
+                "&quot;", '"'),
+            "&#39;", "'"),
+        "&amp;", "&")
     return F.trim(F.regexp_replace(decoded, r"\s+", " "))
 
 

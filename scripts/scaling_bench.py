@@ -137,6 +137,7 @@ def orchestrate() -> None:
     os.makedirs(bench_dir, exist_ok=True)
     samples_path = os.path.join(bench_dir, "samples.jsonl")
     samples: dict[int, list[dict]] = {lo: [], hi: []}
+    cur_files = None
     # Alternate levels across rounds so slow co-tenant phases hit both levels;
     # min wall per level over ALL recorded samples (this invocation's plus
     # any persisted by earlier invocations on the same code/protocol — the
@@ -150,16 +151,20 @@ def orchestrate() -> None:
                 capture_output=True, text=True, env=env, check=True,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            if cur_files is None:
+                cur_files = json.loads(line)["files"]
             with open(samples_path, "a") as f:
                 f.write(line + "\n")
             print(line)
     # the persisted file is the single source of samples (it already
-    # includes this invocation's)
+    # includes this invocation's). Filter on matching job SIZE: min-by-wall
+    # across different SPARK_GRAFT_SCALE_REPL settings would pick the
+    # smallest job, not the fastest rate.
     if os.path.exists(samples_path):
         with open(samples_path) as f:
             for ln in f:
                 row = json.loads(ln)
-                if row.get("cpus") in samples:
+                if row.get("cpus") in samples and row.get("files") == cur_files:
                     samples[row["cpus"]].append(row)
     results = {c: min(s, key=lambda r: r["wall_sec"]) for c, s in samples.items()}
     t_lo, t_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]

@@ -154,3 +154,59 @@ def test_minhash_hot_band_guard(spark):
     assert hot.count() > 0
     capped = near_dup_clusters(docs, max_band_size=10)
     assert capped.count() == 40  # every doc still assigned a cluster
+
+
+def test_keyword_search_degenerate_queries(spark):
+    from llm_graph_builder_spark.operators.fulltext import (
+        build_entity_index,
+        keyword_search,
+    )
+
+    ents = spark.createDataFrame(
+        [("spark", "Tool", "fast engine")],
+        "id string, label string, description string",
+    )
+    idx = build_entity_index(ents)
+    assert keyword_search(idx, "??? --- !!!").count() == 0  # no alnum terms
+    assert keyword_search(idx, None).count() == 0
+    assert keyword_search(idx, "SPARK engine").collect()[0]["matched"] == 2
+
+
+def test_html_escaped_entities_not_double_decoded(spark):
+    from llm_graph_builder_spark.sources.web import web_documents
+
+    pages = spark.createDataFrame(
+        [("https://e.org/x", 1, "<p>&amp;lt; is written &lt;</p>")],
+        "url string, fetched_at long, html string",
+    )
+    out = web_documents(pages).collect()[0]
+    # page text '&lt; is written <' — the escaped entity must survive
+    assert out["content"] == "&lt; is written <"
+
+
+def test_clean_path_dedups_mentions_on_id_label(spark):
+    """The JVM X4 cleaning path dedups on (id, label) keeping the first
+    description — same grain as the arrow kernel's inline cleaning."""
+    from llm_graph_builder_spark.operators.extraction import LLMExtractor, extract_units
+
+    class DupClient:
+        def extract_batch(self, texts):
+            return [
+                {
+                    "mentions": [
+                        {"id": "spark", "label": "Tool", "description": "first ctx"},
+                        {"id": "`spark`", "label": "Tool", "description": "second ctx"},
+                    ],
+                    "triples": [],
+                }
+                for _ in texts
+            ]
+
+    chunks = spark.createDataFrame(
+        [("d1", "c1", 1, "whatever")],
+        "doc_id string, chunk_id string, position int, text string",
+    )
+    units = extract_units(chunks, LLMExtractor(client_factory=DupClient))
+    ms = units.collect()[0]["mentions"]
+    assert len(ms) == 1  # '`spark`' cleans to 'spark' → one mention survives
+    assert ms[0]["id"] == "spark" and ms[0]["description"] == "first ctx"
