@@ -253,13 +253,23 @@ def community_info(
     """
     member = hierarchy.select("u", F.col("communities")[level].alias("cid"))
     ent = member.withColumn("id", F.split_part(F.col("u"), F.lit("\x01"), F.lit(1)))
+    # rank DISTINCT member ids per community BEFORE collecting so the agg
+    # buffer is bounded by max_members — a mega-community must never
+    # materialize its full member list as one in-row array (same hazard
+    # class as the r1 extraction collect_set carry)
+    w_m = Window.partitionBy("cid").orderBy("id")
+    top_ids = (
+        ent.select("cid", "id").distinct()
+        .withColumn("_rn", F.row_number().over(w_m))
+        .filter(F.col("_rn") <= max_members)
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list("id")).alias("member_ids"))
+    )
     members = (
         ent.groupBy("cid")
-        .agg(
-            F.slice(F.array_sort(F.collect_set("id")), 1, max_members).alias("member_ids"),
-            F.countDistinct("u").alias("member_count"),
-        )
+        .agg(F.countDistinct("u").alias("member_count"))
         .filter(F.col("member_count") >= min_members)
+        .join(top_ids, on="cid")
     )
     key_s = F.concat_ws("\x01", "subj_id", "subj_label")
     key_o = F.concat_ws("\x01", "obj_id", "obj_label")
