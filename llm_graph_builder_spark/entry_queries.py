@@ -475,6 +475,14 @@ def q_entity_descriptions(spark, sf_dir):
     return entity_descriptions_from_units(t["units"])
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Training-data curation verdicts: heuristic quality gates + exact-dedup
+    keeper election in one pass (C4/Gopher-style filtering recipe shape)."""
+    from .operators.curation import curate_corpus
+
+    return curate_corpus(read_documents(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -795,6 +803,7 @@ QUERIES = {
     "entity_paths": q_entity_paths,
     "keyword_search": q_keyword_search,
     "entity_descriptions": q_entity_descriptions,
+    "corpus_curation": q_corpus_curation,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,

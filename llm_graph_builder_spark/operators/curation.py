@@ -1,0 +1,97 @@
+"""Corpus curation — the filter pass a pretraining corpus runs before
+extraction (composition of the text-analysis + dedup operators into one
+training-data decision per document).
+
+This is the standard pretraining-data recipe shape (heuristic quality gates
++ exact-dedup keeper election, cf. the public C4/Gopher-style filtering
+pipelines): every rule is a JVM expression over the document row, the
+keeper flag is one sha256 groupBy, and the verdict materializes as
+(kept, drop_reason) so downstream stages filter with a pushed-down
+predicate instead of re-deriving the rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: default gates (tuned to the synthetic corpus scale; production corpora
+#: override per-language)
+MIN_TOKENS = 5
+MIN_ALPHA_RATIO = 0.30
+MIN_UNIQUE_RATIO = 0.20
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = MIN_TOKENS,
+    min_alpha_ratio: float = MIN_ALPHA_RATIO,
+    min_unique_ratio: float = MIN_UNIQUE_RATIO,
+    dedup_clusters: DataFrame | None = None,
+) -> DataFrame:
+    """One curation verdict per document.
+
+    Rules, in precedence order (drop_reason = first failing rule):
+      1. ``too_short``      — fewer than ``min_tokens`` whitespace tokens;
+      2. ``low_alpha``      — alphabetic-character ratio below the gate
+                              (boilerplate/markup/binary-ish content);
+      3. ``low_unique``     — unique-token ratio below the gate (spammy
+                              repetition);
+      4. ``exact_dup``      — not the keeper (min doc id) of its exact
+                              sha256(text) group;
+      5. ``near_dup``       — only when ``dedup_clusters`` (the output of
+                              ``dedup.near_dup_clusters``) is supplied:
+                              cluster member that is not the keeper.
+
+    Output: (doc, n_tokens, alpha_ratio_e4, unique_ratio_e4,
+    exact_keeper, kept, drop_reason). Everything except the optional
+    near-dup join is JVM expressions + ONE sha256 groupBy; the whole pass
+    is a single shuffle at any corpus size.
+    """
+    toks = _toks(F.col(text_col))
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(F.length(text_col), F.lit(1))
+    unique_ratio = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double")
+    )
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(text_col).alias("_t"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio * 10000).cast("long").alias("alpha_ratio_e4"),
+        F.round(unique_ratio * 10000).cast("long").alias("unique_ratio_e4"),
+    )
+    w_h = Window.partitionBy(F.sha2(F.col("_t"), 256))
+    flagged = base.withColumn(
+        "exact_keeper", F.col("doc") == F.min("doc").over(w_h)
+    ).drop("_t")
+    if dedup_clusters is not None:
+        nd = dedup_clusters.select(
+            "doc", F.col("keeper").alias("_nd_keeper")
+        )
+        flagged = flagged.join(nd, on="doc", how="left").withColumn(
+            "_nd_keeper", F.coalesce("_nd_keeper", F.lit(True))
+        )
+    else:
+        flagged = flagged.withColumn("_nd_keeper", F.lit(True))
+    drop_reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("alpha_ratio_e4") < int(min_alpha_ratio * 10000), "low_alpha")
+        .when(F.col("unique_ratio_e4") < int(min_unique_ratio * 10000), "low_unique")
+        .when(~F.col("exact_keeper"), "exact_dup")
+        .when(~F.col("_nd_keeper"), "near_dup")
+        .otherwise("")
+    )
+    return flagged.select(
+        "doc", "n_tokens", "alpha_ratio_e4", "unique_ratio_e4", "exact_keeper",
+        drop_reason.alias("drop_reason"),
+    ).withColumn("kept", F.col("drop_reason") == "")

@@ -1013,6 +1013,33 @@ SELECT CAST(doc_id AS VARCHAR) AS doc,
 FROM documents
 """
 
+ORACLE_SQL["corpus_curation"] = f"""
+WITH cbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) * 10000) AS BIGINT) AS alpha_ratio_e4,
+         CAST(round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                    / greatest(len({_TOKS}), 1) * 10000) AS BIGINT) AS unique_ratio_e4,
+         sha256(text) AS h
+  FROM documents
+),
+ck AS (SELECT h, min(doc) AS keeper FROM cbase GROUP BY h),
+cf AS (
+  SELECT b.doc, b.n_tokens, b.alpha_ratio_e4, b.unique_ratio_e4,
+         (b.doc = k.keeper) AS exact_keeper,
+         CASE WHEN b.n_tokens < 5 THEN 'too_short'
+              WHEN b.alpha_ratio_e4 < 3000 THEN 'low_alpha'
+              WHEN b.unique_ratio_e4 < 2000 THEN 'low_unique'
+              WHEN b.doc <> k.keeper THEN 'exact_dup'
+              ELSE '' END AS drop_reason
+  FROM cbase b JOIN ck k USING (h)
+)
+SELECT doc, n_tokens, alpha_ratio_e4, unique_ratio_e4, exact_keeper,
+       drop_reason, (drop_reason = '') AS kept
+FROM cf
+"""
+
 _FP_SHINGLES = _shingles_sql("text", 5)
 ORACLE_SQL["fingerprints"] = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc,

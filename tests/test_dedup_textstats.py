@@ -249,3 +249,30 @@ def test_stateful_repo_progress(spark, tmp_path):
     assert last_r1.files_seen == 2
     assert last_r1.chunks_seen == 4
     assert last_r1.distinct_chunk_sketch == 3
+
+
+def test_corpus_curation(spark):
+    from llm_graph_builder_spark.operators.curation import curate_corpus
+    from llm_graph_builder_spark.operators.dedup import near_dup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "ok"),  # too short
+        (4, "1234 5678 9012 3456 7890 1111 2222 3333"),  # low alpha
+        (5, "spam spam spam spam spam spam spam spam spam spam"),  # low unique
+        (6, "a completely unique and perfectly reasonable document body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in curate_corpus(docs).collect()}
+    assert out["1"]["kept"] and out["1"]["exact_keeper"]
+    assert out["2"]["drop_reason"] == "exact_dup" and not out["2"]["kept"]
+    assert out["3"]["drop_reason"] == "too_short"
+    assert out["4"]["drop_reason"] == "low_alpha"
+    assert out["5"]["drop_reason"] == "low_unique"
+    assert out["6"]["kept"]
+    # optional near-dup stage: member of a near-dup cluster drops too
+    nd = near_dup_clusters(docs)
+    out2 = {r["doc"]: r for r in curate_corpus(docs, dedup_clusters=nd).collect()}
+    assert out2["6"]["kept"]
+    assert not out2["2"]["kept"]
