@@ -12,19 +12,19 @@ predicate instead of re-deriving the rules.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# the SAME tokenization used by the text-analysis operators — the curation
+# gates and textstats.quality_scores must never diverge on what a token is
+from ..functions.textstats import _tokens as _toks
 
 #: default gates (tuned to the synthetic corpus scale; production corpora
 #: override per-language)
 MIN_TOKENS = 5
 MIN_ALPHA_RATIO = 0.30
 MIN_UNIQUE_RATIO = 0.20
-
-
-def _toks(col: Column) -> Column:
-    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
 
 
 def curate_corpus(

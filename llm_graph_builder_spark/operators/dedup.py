@@ -406,10 +406,12 @@ def minhash_hot_bands(
 ) -> DataFrame:
     """Band keys (over DISTINCT texts) whose bucket exceeds ``max_band_size``
     → (band, n). These are what ``near_dup_clusters(max_band_size=...)``
-    drops; count/record them so truncation is never silent. Shares
-    ``_minhash_banded`` with the pair/cluster operators (one banding
-    implementation — and the checkpoints mean a same-session pairing with
-    ``near_dup_clusters`` reuses materialized blocks where plans coincide)."""
+    drops; count/record them so truncation is never silent. Shares the
+    ``_minhash_banded`` IMPLEMENTATION with the pair/cluster operators (one
+    banding code path); note each call still computes its own lineage —
+    pair it with ``near_dup_clusters`` knowing the banding runs per call
+    (both are one-pass over distinct texts, so the diagnostic costs one
+    extra signature pass, not a quadratic blowup)."""
     banded, _, _, _ = _minhash_banded(docs, text_col, id_col, n_hashes, band_size, k)
     return (
         banded.groupBy("band").agg(F.count("*").alias("n"))

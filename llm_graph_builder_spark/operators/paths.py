@@ -103,30 +103,38 @@ def entity_paths(
 
     ``anchor`` = one-row frame (aid, alabel); broadcast into the first hop so
     the full edge table is scanned once per hop with no shuffle on the big
-    side. Paths do not immediately backtrack (hop k+1 must leave the hop-k
-    source — the reference's path semantics exclude 2-cycles a→b→a).
+    side. The ``limit`` applies PER LEVEL (the reference's GRAPH_QUERY puts
+    LIMIT 40 on each expansion, not just the final result) — which also
+    bounds the hop-1 frontier to ``limit`` rows before it broadcasts into
+    hop 2, so a hub anchor with millions of neighbours can never blow up
+    the broadcast. Paths do not immediately backtrack (hop k+1 must leave
+    the hop-k source — the reference's path semantics exclude 2-cycles
+    a→b→a).
 
     Output (hops=2): (pred1, dir1, mid_id, mid_label, pred2, dir2, dst_id,
     dst_label, weight1, weight2), ordered deterministically, LIMIT ``limit``.
     """
     und = undirected_edges(edges)
     a = F.broadcast(anchor.select(F.col("aid"), F.col("alabel")))
-    hop1 = und.join(
-        a, on=(und["id"] == F.col("aid")) & (und["label"] == F.col("alabel"))
-    ).select(
-        F.col("pred").alias("pred1"), F.col("dir").alias("dir1"),
-        F.col("other_id").alias("mid_id"), F.col("other_label").alias("mid_label"),
-        F.col("weight").alias("weight1"), "aid", "alabel",
+    hop1 = (
+        und.join(
+            a, on=(und["id"] == F.col("aid")) & (und["label"] == F.col("alabel"))
+        )
+        .select(
+            F.col("pred").alias("pred1"), F.col("dir").alias("dir1"),
+            F.col("other_id").alias("mid_id"), F.col("other_label").alias("mid_label"),
+            F.col("weight").alias("weight1"), "aid", "alabel",
+        )
+        # per-level cap (deterministic TakeOrdered): reference GRAPH_QUERY
+        # limits EACH expansion; this also caps the hop-1 frontier at
+        # ``limit`` rows so the broadcast below is bounded for hub anchors
+        .orderBy("pred1", "dir1", "mid_id", "mid_label")
+        .limit(limit)
     )
     if hops == 1:
-        return (
-            hop1.select("pred1", "dir1", "mid_id", "mid_label", "weight1")
-            .orderBy("pred1", "dir1", "mid_id", "mid_label")
-            .limit(limit)
-        )
-    # hop1 is anchor-degree-bounded (small): broadcast it so the second hop
-    # is a map-side join over one scan of the edge table, never an SMJ that
-    # shuffles the full edges
+        return hop1.select("pred1", "dir1", "mid_id", "mid_label", "weight1")
+    # the capped frontier (≤ limit rows) broadcasts, so the second hop is a
+    # map-side join over one scan of the edge table
     hop1 = F.broadcast(hop1)
     hop2 = hop1.join(
         und,

@@ -460,9 +460,12 @@ und AS (
   FROM entity_edges
 ),
 hop1 AS (
+  -- per-level cap, mirroring the Spark side's bounded broadcast frontier
   SELECT u.pred AS pred1, u.dir AS dir1, u.other_id AS mid_id,
          u.other_label AS mid_label, u.weight AS weight1, a.aid, a.alabel
   FROM und u, anchor a WHERE u.id = a.aid AND u.label = a.alabel
+  ORDER BY pred1, dir1, mid_id, mid_label
+  LIMIT 40
 ),
 hop2 AS (
   SELECT h.pred1, h.dir1, h.mid_id, h.mid_label,

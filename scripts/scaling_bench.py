@@ -159,13 +159,18 @@ def orchestrate() -> None:
     # the persisted file is the single source of samples (it already
     # includes this invocation's). Filter on matching job SIZE: min-by-wall
     # across different SPARK_GRAFT_SCALE_REPL settings would pick the
-    # smallest job, not the fastest rate.
+    # smallest job, not the fastest rate. With ROUNDS=0 (regenerate the
+    # report from persisted samples only) the size comes from the newest
+    # persisted sample.
     if os.path.exists(samples_path):
-        with open(samples_path) as f:
-            for ln in f:
-                row = json.loads(ln)
-                if row.get("cpus") in samples and row.get("files") == cur_files:
-                    samples[row["cpus"]].append(row)
+        rows = [json.loads(ln) for ln in open(samples_path)]
+        if cur_files is None and rows:
+            cur_files = rows[-1].get("files")
+        for row in rows:
+            if row.get("cpus") in samples and row.get("files") == cur_files:
+                samples[row["cpus"]].append(row)
+    if not samples[lo] or not samples[hi]:
+        raise SystemExit("no samples at one or both levels — run with ROUNDS >= 1")
     results = {c: min(s, key=lambda r: r["wall_sec"]) for c, s in samples.items()}
     t_lo, t_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
     eff = t_hi / (4 * t_lo)

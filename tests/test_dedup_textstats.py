@@ -256,12 +256,15 @@ def test_corpus_curation(spark):
     from llm_graph_builder_spark.operators.dedup import near_dup_clusters
 
     rows = [
-        (1, "the quick brown fox jumps over the lazy dog today"),
-        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (1, "the quick brown fox jumps over the lazy dog today while the sun shines bright over the green hills and the river runs"),
+        (2, "the quick brown fox jumps over the lazy dog today while the sun shines bright over the green hills and the river runs"),  # exact dup
         (3, "ok"),  # too short
         (4, "1234 5678 9012 3456 7890 1111 2222 3333"),  # low alpha
         (5, "spam spam spam spam spam spam spam spam spam spam"),  # low unique
         (6, "a completely unique and perfectly reasonable document body"),
+        # 7 is a NEAR duplicate of 1 (one word differs) — drops only when the
+        # near-dup cluster stage is supplied
+        (7, "the quick brown fox jumps over the lazy cat today while the sun shines bright over the green hills and the river runs"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc"]: r for r in curate_corpus(docs).collect()}
@@ -272,7 +275,10 @@ def test_corpus_curation(spark):
     assert out["5"]["drop_reason"] == "low_unique"
     assert out["6"]["kept"]
     # optional near-dup stage: member of a near-dup cluster drops too
+    assert out["7"]["kept"]  # without the near-dup stage, 7 survives
     nd = near_dup_clusters(docs)
     out2 = {r["doc"]: r for r in curate_corpus(docs, dedup_clusters=nd).collect()}
     assert out2["6"]["kept"]
     assert not out2["2"]["kept"]
+    # the near_dup drop_reason branch actually fires: 7 is NOT an exact dup
+    assert out2["7"]["drop_reason"] == "near_dup" and not out2["7"]["kept"]
