@@ -166,18 +166,54 @@ def q_top_entities(spark, sf_dir):
     t = pipeline_tables(spark, sf_dir)
     ents = t["entities"]
     # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
-    # (per-partition heaps + driver merge); ranking the global window first
-    # would single-partition-sort the whole entity table
-    top20_rows = ents.orderBy(
-        F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
-    ).limit(20)
-    w = Window.orderBy(
-        F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
+    # (per-partition heaps + driver merge); ranking a global window first
+    # would single-partition-sort the whole entity table.
+    top20_rows = (
+        ents.orderBy(
+            F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
+        )
+        .limit(20)
+        .select(
+            "id",
+            "label",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("chunk_count").cast("long").alias("chunk_count"),
+        )
     )
-    top20 = top20_rows.withColumn("rnk", F.row_number().over(w).cast("long"))
+    # rnk = 1 + |rows sorting strictly before| over the already-selected 20
+    # rows: a broadcast self-join count, not a window — immune to any
+    # engine-specific window/order-by-limit interplay, identical comparison
+    # semantics (BIGINT + binary-UTF8 string <) in Spark and DuckDB.
+    lhs = top20_rows
+    rhs = top20_rows.select(
+        F.col("id").alias("r_id"),
+        F.col("label").alias("r_label"),
+        F.col("doc_count").alias("r_dc"),
+        F.col("chunk_count").alias("r_cc"),
+    )
+    before = (
+        (F.col("r_dc") > F.col("doc_count"))
+        | ((F.col("r_dc") == F.col("doc_count")) & (F.col("r_cc") > F.col("chunk_count")))
+        | (
+            (F.col("r_dc") == F.col("doc_count"))
+            & (F.col("r_cc") == F.col("chunk_count"))
+            & (F.col("r_id") < F.col("id"))
+        )
+        | (
+            (F.col("r_dc") == F.col("doc_count"))
+            & (F.col("r_cc") == F.col("chunk_count"))
+            & (F.col("r_id") == F.col("id"))
+            & (F.col("r_label") < F.col("label"))
+        )
+    )
+    top20 = (
+        lhs.join(F.broadcast(rhs), how="cross")
+        .groupBy("id", "label", "doc_count", "chunk_count")
+        .agg((F.sum(F.when(before, 1).otherwise(0)) + F.lit(1)).cast("long").alias("rnk"))
+    )
     pred_counts = t["entity_edges"].groupBy(
         F.col("subj_id").alias("id"), F.col("subj_label").alias("label"), "pred"
-    ).agg(F.sum("weight").alias("pred_weight"))
+    ).agg(F.sum("weight").cast("long").alias("pred_weight"))
     wp = Window.partitionBy("id", "label").orderBy(F.desc("pred_weight"), F.asc("pred"))
     best = (
         pred_counts.withColumn("prn", F.row_number().over(wp))

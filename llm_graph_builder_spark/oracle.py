@@ -318,14 +318,32 @@ WHERE length(label) > 0 GROUP BY label
 """
 
 ORACLE_SQL["top_entities"] = PIPELINE_CTE + """
-, ranked AS (
-  SELECT id, label, doc_count, chunk_count,
-         row_number() OVER (ORDER BY doc_count DESC, chunk_count DESC, id ASC, label ASC) AS rnk
+, top20_rows AS (
+  SELECT id, label, CAST(doc_count AS BIGINT) AS doc_count,
+         CAST(chunk_count AS BIGINT) AS chunk_count
   FROM entities
+  ORDER BY doc_count DESC, chunk_count DESC, id ASC, label ASC
+  LIMIT 20
 ),
-top20 AS (SELECT * FROM ranked WHERE rnk <= 20),
+-- rnk = 1 + |rows strictly before| among the selected 20 (count-based rank,
+-- no window: mirrors the Spark side exactly, same BIGINT/binary-string '<')
+top20 AS (
+  SELECT l.id, l.label, l.doc_count, l.chunk_count,
+         CAST(1 + SUM(CASE WHEN r.doc_count > l.doc_count
+               OR (r.doc_count = l.doc_count AND r.chunk_count > l.chunk_count)
+               OR (r.doc_count = l.doc_count AND r.chunk_count = l.chunk_count
+                   AND r.id < l.id)
+               OR (r.doc_count = l.doc_count AND r.chunk_count = l.chunk_count
+                   AND r.id = l.id AND r.label < l.label)
+             THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+  FROM top20_rows l CROSS JOIN top20_rows r
+  GROUP BY 1, 2, 3, 4
+),
 pred_counts AS (
-  SELECT subj_id AS id, subj_label AS label, pred, SUM(weight) AS pred_weight
+  -- SUM(BIGINT) is HUGEINT in DuckDB; cast eagerly so no int128 reaches the
+  -- driver's Arrow-path normalizer
+  SELECT subj_id AS id, subj_label AS label, pred,
+         CAST(SUM(weight) AS BIGINT) AS pred_weight
   FROM entity_edges GROUP BY 1, 2, 3
 ),
 best_pred AS (
@@ -333,10 +351,8 @@ best_pred AS (
          row_number() OVER (PARTITION BY id, label ORDER BY pred_weight DESC, pred ASC) AS prn
   FROM pred_counts
 )
-SELECT t.id, t.label, t.doc_count, t.chunk_count, CAST(t.rnk AS BIGINT) AS rnk,
+SELECT t.id, t.label, t.doc_count, t.chunk_count, t.rnk,
        COALESCE(bp.top_pred, '') AS top_pred,
-       -- SUM(BIGINT) is HUGEINT in DuckDB; without the cast the driver's
-       -- Arrow-path normalizer renders int128 differently than fetchall()
        CAST(COALESCE(bp.top_pred_weight, 0) AS BIGINT) AS top_pred_weight
 FROM top20 t LEFT JOIN best_pred bp
   ON t.id = bp.id AND t.label = bp.label AND bp.prn = 1
