@@ -63,17 +63,21 @@ def curate_corpus(
         F.size(F.array_distinct(toks)).cast("double")
         / F.greatest(n_tokens, F.lit(1)).cast("double")
     )
+    # hash BEFORE the keeper window: the window's exchange then moves a
+    # 64-char digest per row instead of the full document text (at corpus
+    # scale the text column dominates shuffle bytes; everything downstream
+    # of this select is skinny)
     base = docs.select(
         F.col(id_col).cast("string").alias("doc"),
-        F.col(text_col).alias("_t"),
+        F.sha2(F.col(text_col), 256).alias("_h"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(alpha_ratio * 10000).cast("long").alias("alpha_ratio_e4"),
         F.round(unique_ratio * 10000).cast("long").alias("unique_ratio_e4"),
     )
-    w_h = Window.partitionBy(F.sha2(F.col("_t"), 256))
+    w_h = Window.partitionBy("_h")
     flagged = base.withColumn(
         "exact_keeper", F.col("doc") == F.min("doc").over(w_h)
-    ).drop("_t")
+    ).drop("_h")
     if dedup_clusters is not None:
         nd = dedup_clusters.select(
             "doc", F.col("keeper").alias("_nd_keeper")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as _np
 import pandas as pd
@@ -281,6 +282,15 @@ def ngram_jaccard_pairs(
     )
 
 
+@lru_cache(maxsize=1 << 20)
+def _md5_u64(tok: str) -> int:
+    """First 8 md5 digest bytes LITTLE-endian as uint64, memoized per
+    worker — the vocabulary is far smaller than the token stream, so the
+    md5 runs once per distinct token; values identical to the uncached
+    path (DuckDB ``md5_number_upper`` parity preserved)."""
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+
+
 def simhash_py(text: str) -> int:
     """64-bit SimHash of a text (signed-int64 representation).
 
@@ -293,12 +303,7 @@ def simhash_py(text: str) -> int:
     toks = (text or "").split()
     if toks:
         hs = _np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-                for t in toks
-            ),
-            dtype=_np.uint64,
-            count=len(toks),
+            (_md5_u64(t) for t in toks), dtype=_np.uint64, count=len(toks)
         )
         bits = (hs[:, None] >> _np.arange(64, dtype=_np.uint64)) & _np.uint64(1)
         votes = (bits.astype(_np.int64) * 2 - 1).sum(axis=0)
@@ -338,7 +343,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs blocked on the top-16-bit prefix; verified by
     Hamming distance via bit_count(xor). Output (doc_a, doc_b, hamming)."""
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    # checkpoint: both sides of the self-join consume the fingerprint table,
+    # and without a cut Spark re-executes the pandas-UDF fingerprint pass per
+    # side (2× the md5 work — the dominant cost). Same mechanism as the
+    # MinHash front half; skinny (doc, int64, int16) rows, so the
+    # checkpoint itself is cheap.
+    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
     a = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "block16")
     b = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "block16")
     return (

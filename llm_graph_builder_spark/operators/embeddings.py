@@ -20,13 +20,27 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Callable, Iterator
+from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import EMBEDDING_DIM
+
+
+@lru_cache(maxsize=1 << 20)
+def _token_bucket_sign(tok: str, dim: int) -> tuple[int, float]:
+    """(bucket, sign) of one token — md5-derived, memoized per worker.
+
+    Corpus vocabulary is orders of magnitude smaller than the token stream,
+    so the md5 runs once per DISTINCT token per Python worker instead of
+    once per occurrence; values are identical to the uncached path.
+    """
+    h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+    return h % dim, 1.0 if (h >> 8) % 2 == 0 else -1.0
 
 
 def hash_embed_py(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
@@ -36,16 +50,25 @@ def hash_embed_py(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
     (== DuckDB ``md5_number_upper`` — the oracle replicates buckets/signs
     with integer SQL); bucket = h % dim; sign = +1 if (h >> 8) % 2 == 0 else
     -1; then L2-normalize. Pure integer/md5 math so any engine (tests,
-    DuckDB, executors) reproduces it.
+    DuckDB, executors) reproduces it. The bucket accumulation is a numpy
+    bincount over memoized token hashes; every intermediate value is an
+    exactly-representable integer, so the result is bit-identical to the
+    scalar formulation.
     """
-    vec = [0.0] * dim
-    for tok in (text or "").split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
-        vec[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
-    n = math.sqrt(sum(v * v for v in vec))
+    toks = (text or "").split()
+    if not toks:
+        return [0.0] * dim
+    idx = np.empty(len(toks), dtype=np.int64)
+    sgn = np.empty(len(toks), dtype=np.float64)
+    for i, t in enumerate(toks):
+        b, s = _token_bucket_sign(t, dim)
+        idx[i] = b
+        sgn[i] = s
+    vec = np.bincount(idx, weights=sgn, minlength=dim)
+    n = math.sqrt(float(vec @ vec))
     if n > 0:
-        vec = [v / n for v in vec]
-    return vec
+        vec = vec / n
+    return vec.tolist()
 
 
 class HashingEmbedder:
