@@ -246,6 +246,61 @@ WHERE ((length(b.id) > 2 AND contains(lower(a.id), lower(b.id)))
         AND levenshtein(lower(a.id), lower(b.id)) < 3))
 """
 
+# Full value oracle for the entity-linking stage (candidates → connected
+# components → canonical election → merge). The recursive CTE enumerates
+# reachability over the symmetric candidate graph, so min(reachable) equals
+# Spark's min-label-propagation component; the representative rule mirrors
+# canonical_map (degree desc, id length desc, lexical min) and the merge
+# mirrors merge_entities (sum counts through the canonical rewrite).
+ORACLE_SQL["linked_entities"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, cand AS (
+  SELECT a.label AS label, a.id AS id_a, b.id AS id_b
+  FROM entities a JOIN entities b ON a.label = b.label AND a.id < b.id
+  WHERE ((length(b.id) > 2 AND contains(lower(a.id), lower(b.id)))
+      OR (length(a.id) > 2 AND contains(lower(b.id), lower(a.id)))
+      OR (length(a.id) > 5 AND length(b.id) > 5
+          AND levenshtein(lower(a.id), lower(b.id)) < 3))
+),
+sym AS (
+  SELECT label, id_a AS u, id_b AS v FROM cand
+  UNION SELECT label, id_b AS u, id_a AS v FROM cand
+),
+reach(label, node, lab) AS (
+  SELECT label, u, u FROM sym
+  UNION
+  SELECT e.label, e.v, r.lab
+  FROM reach r JOIN sym e ON e.label = r.label AND e.u = r.node
+),
+comp AS (SELECT label, node AS id, min(lab) AS component FROM reach GROUP BY 1, 2),
+deg AS (
+  SELECT id, label, count(*) AS degree FROM (
+    SELECT subj_id AS id, subj_label AS label FROM entity_edges
+    UNION ALL SELECT obj_id, obj_label FROM entity_edges
+  ) GROUP BY 1, 2
+),
+reps AS (
+  SELECT label, component, id AS canonical_id FROM (
+    SELECT c.label, c.component, c.id,
+           row_number() OVER (
+             PARTITION BY c.label, c.component
+             ORDER BY coalesce(d.degree, 0) DESC, length(c.id) DESC, c.id ASC
+           ) AS rn
+    FROM comp c LEFT JOIN deg d ON d.id = c.id AND d.label = c.label
+  ) WHERE rn = 1
+),
+cmap AS (
+  SELECT c.label, c.id, r.canonical_id
+  FROM comp c JOIN reps r ON r.label = c.label AND r.component = c.component
+)
+SELECT coalesce(m.canonical_id, e.id) AS id, e.label,
+       CAST(sum(e.chunk_count) AS BIGINT) AS chunk_count,
+       CAST(sum(e.doc_count) AS BIGINT) AS doc_count
+FROM entities e LEFT JOIN cmap m ON m.id = e.id AND m.label = e.label
+GROUP BY 1, 2
+"""
+
 ORACLE_SQL["orphan_entities"] = PIPELINE_CTE + """
 SELECT id, label, chunk_count, doc_count FROM entities e
 WHERE NOT EXISTS (
@@ -710,6 +765,59 @@ FROM cands
 WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
   AND CAST(round(10000.0 * len(list_intersect(sh_a, sh_b))
                  / len(list_distinct(list_concat(sh_a, sh_b)))) AS BIGINT) >= 5000
+"""
+
+# Full value oracle for near_dup_clusters: same rep-grain graph the Spark
+# side builds (MinHash-LSH pairs over DISTINCT texts + exact-hash star
+# edges rep→member), transitively closed with a recursive-CTE reachability
+# (symmetric edges → every node reaches its whole component, so
+# min(reachable label) = the component's min label, exactly Spark's
+# min-label-propagation fixpoint). Keeper = doc == cluster min.
+_DEDUP_CLUSTER_MH = ",\n         ".join(
+    f"list_min(list_transform(sh, g -> md5('{i}:' || g))) AS mh{i}"
+    for i in range(9)
+)
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE
+d AS (SELECT CAST(doc_id AS VARCHAR) AS doc, text, sha256(text) AS h FROM documents),
+grp AS (SELECT h, min(doc) AS rep FROM d GROUP BY h),
+reps AS (SELECT g.rep AS doc, any_value(d.text) AS text
+         FROM d JOIN grp g ON d.h = g.h GROUP BY g.rep),
+sh0 AS (SELECT doc, {_MINHASH_SHINGLES} AS sh FROM reps),
+sigs AS (
+  SELECT doc, sh,
+         {_DEDUP_CLUSTER_MH}
+  FROM sh0
+),
+bands AS (
+  SELECT doc, sh, '0' || '|' || mh0 || '|' || mh1 || '|' || mh2 AS band FROM sigs
+  UNION ALL
+  SELECT doc, sh, '1' || '|' || mh3 || '|' || mh4 || '|' || mh5 FROM sigs
+  UNION ALL
+  SELECT doc, sh, '2' || '|' || mh6 || '|' || mh7 || '|' || mh8 FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc
+),
+near AS (
+  SELECT doc_a AS a, doc_b AS b FROM cands
+  WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
+    AND CAST(round(10000.0 * len(list_intersect(sh_a, sh_b))
+                   / len(list_distinct(list_concat(sh_a, sh_b)))) AS BIGINT) >= 5000
+),
+exact AS (
+  SELECT g.rep AS a, d.doc AS b FROM d JOIN grp g ON d.h = g.h WHERE g.rep < d.doc
+),
+e0 AS (SELECT a, b FROM near UNION SELECT a, b FROM exact),
+edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+reach(node, lab) AS (
+  SELECT doc, doc FROM d
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc, min(lab) AS cluster, (node = min(lab)) AS keeper
+FROM reach GROUP BY node
 """
 
 ORACLE_SQL["dedup_ngram"] = f"""
