@@ -123,7 +123,8 @@ def ann_ivf_topk(
     """IVF (inverted-file) approximate top-k — the second scale path.
 
     Train: deterministic centroid seeding (the ``n_centroids`` corpus vectors
-    with the smallest ``xxhash64(id)`` — a seedless uniform sample) plus
+    with the smallest ``md5(id)`` hex — a seedless uniform sample, portable
+    across engines so the DuckDB oracle reproduces the exact seed set) plus
     ``lloyd_iters`` k-means rounds (assignment = one numpy GEMM per Arrow
     batch on executors; centroid means = JVM per-(bucket, dim) partial sums;
     only the driver-tiny n_centroids × dim matrix ever leaves the cluster).
@@ -140,7 +141,7 @@ def ann_ivf_topk(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
     seeds = (
-        c.withColumn("h", F.xxhash64("cid"))
+        c.withColumn("h", F.md5("cid"))
         .orderBy("h")
         .limit(n_centroids)
         .select("cv")

@@ -851,6 +851,97 @@ JOIN embeddings b ON b.vec_id = c.id_b AND a.label = b.label
 WHERE CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) >= 3500
 """
 
+def _ivf_sql(n_centroids: int = 16, n_probe: int = 3, lloyd_iters: int = 2,
+             k: int = 5, dim: int = 64) -> str:
+    """Unrolled mirror of ann_ivf_topk (operators/ann.py): md5-ordered seed
+    set, ``lloyd_iters`` Lloyd rounds (assign = argmax cosine with stable
+    centroid-index tiebreak; new centroid = per-dim mean, empty buckets keep
+    the old centroid), then bucket + probe + exact-cosine rank. Seeding and
+    tiebreaks are integer/string-deterministic; the only FP divergence vs
+    Spark's numpy GEMM is sum order inside Lloyd means (~1e-15), far below
+    any assignment margin, and the output cos_e4 uses the proven bit-exact
+    fold-cosine mirror."""
+
+    def _assign(src: str, cent: str, out: str, top: int) -> str:
+        cos = _cosine_sql(f"{src[0]}.cv", "c.cv_c")
+        keep = "rn = 1" if top == 1 else f"rn <= {top}"
+        return f"""
+{out} AS (
+  SELECT cid, cv, cidx FROM (
+    SELECT {src[0]}.cid, {src[0]}.cv, c.cidx,
+           row_number() OVER (PARTITION BY {src[0]}.cid
+             ORDER BY ({cos}) DESC, c.cidx ASC) AS rn
+    FROM {src} {src[0]} CROSS JOIN {cent} c
+  ) WHERE {keep}
+)"""
+
+    parts = [
+        """
+e AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+  FROM embeddings
+),
+cent0 AS (
+  SELECT cidx, cv_c FROM (
+    SELECT row_number() OVER (ORDER BY md5(cid)) - 1 AS cidx, cv AS cv_c,
+           row_number() OVER (ORDER BY md5(cid)) AS rn
+    FROM e
+  ) WHERE rn <= %d
+)""" % n_centroids
+    ]
+    for i in range(lloyd_iters):
+        parts.append("," + _assign("e", f"cent{i}", f"a{i}", 1))
+        parts.append(f""",
+m{i} AS (
+  SELECT cidx AS bucket, j.j AS dim, sum(cv[j.j + 1]) AS s, count(*) AS n
+  FROM a{i}, range({dim}) j(j) GROUP BY 1, 2
+),
+cent{i + 1} AS (
+  SELECT c.cidx, coalesce(m.vec, c.cv_c) AS cv_c
+  FROM cent{i} c LEFT JOIN (
+    SELECT bucket AS cidx, list(s / greatest(n, 1) ORDER BY dim) AS vec
+    FROM m{i} GROUP BY 1
+  ) m ON m.cidx = c.cidx
+)""")
+    final = f"cent{lloyd_iters}"
+    parts.append("," + _assign("e", final, "bucketed", 1).replace(
+        "SELECT cid, cv, cidx FROM (", "SELECT cid, cv, cidx AS bucket FROM ("
+    ))
+    qcos = _cosine_sql("q.cv", "c.cv_c")
+    parts.append(f""",
+q AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 10
+),
+probed AS (
+  SELECT cid AS qid, cv AS qv, cidx AS bucket FROM (
+    SELECT q.cid, q.cv, c.cidx,
+           row_number() OVER (PARTITION BY q.cid
+             ORDER BY ({qcos}) DESC, c.cidx ASC) AS rn
+    FROM q CROSS JOIN {final} c
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.qid, b.cid,
+         CAST(round(({_cosine_sql('p.qv', 'b.cv')}) * 10000) AS BIGINT) AS cos_e4
+  FROM bucketed b JOIN probed p ON p.bucket = b.bucket
+  WHERE b.cid <> p.qid
+)
+SELECT qid AS query_id, cid AS neighbor_id, cos_e4, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+    ORDER BY cos_e4 DESC, cid ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+    )
+    return "WITH " + "".join(parts)
+
+
+ORACLE_SQL["ann_ivf"] = _ivf_sql()
+
 # full bit mirror of simhash_pairs: token hash = md5_number_upper (first 8
 # digest bytes little-endian, same as simhash_py), 64 per-bit sign votes,
 # top-16-bit prefix blocking, Hamming via bit_count(xor)
