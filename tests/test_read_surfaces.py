@@ -1,0 +1,225 @@
+"""Read surfaces: fulltext index/search, bounded N-hop paths, graph view,
+vector retrieval + context assembly; plus a randomized connected-components
+parity check against a Python union-find reference.
+
+Reference parity targets: fulltext indexes (post_processing.py:12-16),
+GRAPH_QUERY per-level limits (shared/constants.py:4-75), 1-hop neighbours
+(neighbours.py:4-65), VECTOR_GRAPH_SEARCH context (shared/constants.py:302-371).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.fulltext import (
+    build_chunk_index,
+    build_entity_index,
+    keyword_search,
+)
+from llm_graph_builder_spark.operators.linking import connected_components
+from llm_graph_builder_spark.operators.paths import (
+    document_graph_view,
+    entity_paths,
+)
+from llm_graph_builder_spark.operators.retrieval import (
+    retrieval_context,
+    vector_retrieve,
+)
+
+
+# ---------------------------------------------------------------------------
+# fulltext
+# ---------------------------------------------------------------------------
+
+def test_entity_index_terms_and_search(spark):
+    ents = spark.createDataFrame(
+        [
+            ("spark_engine", "Module", "distributed query engine"),
+            ("duckdb", "Module", "embedded analytics engine"),
+            ("numpy", "Module", None),
+        ],
+        "id string, label string, description string",
+    )
+    idx = build_entity_index(ents)
+    rows = {(r.term, r.id) for r in idx.collect()}
+    # id tokens and description tokens are both indexed, lowercased,
+    # non-alphanumeric split
+    assert ("spark", "spark_engine") in rows
+    assert ("engine", "spark_engine") in rows and ("engine", "duckdb") in rows
+    assert ("numpy", "numpy") in rows
+    # null description indexes the id only
+    assert not [t for t, i in rows if i == "numpy" and t != "numpy"]
+
+    hits = keyword_search(idx, "Distributed ENGINE").collect()
+    assert hits[0].id == "spark_engine" and hits[0].matched == 2
+    assert {h.id for h in hits} == {"spark_engine", "duckdb"}
+
+
+def test_keyword_search_empty_and_punct_query(spark):
+    ents = spark.createDataFrame(
+        [("a", "L", "x")], "id string, label string, description string"
+    )
+    idx = build_entity_index(ents)
+    assert keyword_search(idx, "").count() == 0
+    assert keyword_search(idx, "!!! ...").count() == 0
+
+
+def test_chunk_index_distinct_postings(spark):
+    chunks = spark.createDataFrame(
+        [("c1", "alpha beta alpha"), ("c2", "beta-gamma")],
+        "chunk_id string, text string",
+    )
+    rows = {(r.term, r.chunk_id) for r in build_chunk_index(chunks).collect()}
+    assert rows == {
+        ("alpha", "c1"), ("beta", "c1"), ("beta", "c2"), ("gamma", "c2"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# paths / graph view
+# ---------------------------------------------------------------------------
+
+def _edges(spark):
+    # a - b - c chain plus hub 'a' fan-out, all weight 1
+    rows = [("a", "E", "REL", "b", "E", 1), ("b", "E", "REL", "c", "E", 1)]
+    rows += [("a", "E", "FAN", f"n{i}", "E", 1) for i in range(5)]
+    return spark.createDataFrame(
+        rows,
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+
+
+def test_entity_paths_two_hop_no_backtrack(spark):
+    edges = _edges(spark)
+    anchor = spark.createDataFrame([("a", "E")], "aid string, alabel string")
+    out = entity_paths(edges, anchor, hops=2).collect()
+    assert out, "2-hop expansion from a connected anchor must be non-empty"
+    # a→b→a backtracking is excluded; a→b→c survives
+    assert all(not (r.mid_id == "b" and r.dst_id == "a") for r in out)
+    assert any(r.mid_id == "b" and r.dst_id == "c" for r in out)
+
+
+def test_entity_paths_per_level_cap(spark):
+    edges = _edges(spark)
+    anchor = spark.createDataFrame([("a", "E")], "aid string, alabel string")
+    hop1 = entity_paths(edges, anchor, hops=1, limit=3)
+    assert hop1.count() == 3  # hub fan-out capped at the per-level limit
+
+
+def test_document_graph_view_kinds_and_cap(spark):
+    chunks = spark.createDataFrame(
+        [("c1", "d1"), ("c2", "d2")], "chunk_id string, doc_id string"
+    )
+    mentions = spark.createDataFrame(
+        [("d1", "c1", "e1", "L")],
+        "doc_id string, chunk_id string, entity_id string, entity_label string",
+    )
+    triples = spark.createDataFrame(
+        [("d1", "e1", "REL", "e2")],
+        "doc_id string, subj_id string, pred string, obj_id string",
+    )
+    sel = spark.createDataFrame([("d1",)], "doc_id string")
+    rows = document_graph_view(chunks, mentions, triples, sel).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"chunk", "entity", "has_entity", "rel"}
+    # only d1's chunk is present (d2 filtered by the broadcast semi-join)
+    assert {r.a for r in rows if r.kind == "chunk"} == {"c1"}
+    assert document_graph_view(chunks, mentions, triples, sel, limit=2).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# retrieval
+# ---------------------------------------------------------------------------
+
+def test_vector_retrieve_exact_topk(spark):
+    vecs = [
+        ("c1", [1.0, 0.0]), ("c2", [0.9, 0.1]), ("c3", [0.0, 1.0]),
+        ("c4", [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "chunk_id string, embedding array<double>")
+    out = vector_retrieve(emb, [1.0, 0.0], k=2).orderBy("rnk").collect()
+    assert [r.chunk_id for r in out] == ["c1", "c2"]
+    assert out[0].score_e4 == 10000
+    assert [r.rnk for r in out] == [1, 2]
+
+
+def test_retrieval_context_caps_doc_list(spark):
+    hits = spark.createDataFrame(
+        [("c1", 10000, 1)], "chunk_id string, score_e4 long, rnk long"
+    )
+    # one chunk shared by 30 docs — the listed ids are capped, the count isn't
+    chunks = spark.createDataFrame(
+        [("c1", f"d{i:03d}") for i in range(30)], "chunk_id string, doc_id string"
+    )
+    mentions = spark.createDataFrame(
+        [("c1", "e1", "L"), ("c1", "e2", "L")],
+        "chunk_id string, entity_id string, entity_label string",
+    )
+    row = retrieval_context(hits, chunks, mentions, max_docs_listed=5).collect()[0]
+    assert row.n_docs == 30
+    assert row.docs_csv.split("|") == [f"d{i:03d}" for i in range(5)]
+    assert row.n_entities == 2
+
+
+def test_retrieval_context_hit_without_context(spark):
+    hits = spark.createDataFrame(
+        [("cX", 5000, 1)], "chunk_id string, score_e4 long, rnk long"
+    )
+    empty_chunks = spark.createDataFrame([], "chunk_id string, doc_id string")
+    empty_mentions = spark.createDataFrame(
+        [], "chunk_id string, entity_id string, entity_label string"
+    )
+    row = retrieval_context(hits, empty_chunks, empty_mentions).collect()[0]
+    assert (row.n_docs, row.docs_csv, row.n_entities, row.entities_csv) == (
+        0, "", 0, "",
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components vs union-find reference
+# ---------------------------------------------------------------------------
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min node id, matching min-label propagation
+    comp = {}
+    for n in parent:
+        root = find(n)
+        group = comp.setdefault(root, [])
+        group.append(n)
+    return {n: min(group) for group in comp.values() for n in group}
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+def test_connected_components_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(35)
+        }
+    )
+    df = spark.createDataFrame(
+        [("L", a, b) for a, b in pairs], "label string, id_a string, id_b string"
+    )
+    got = {
+        r.id: r.component for r in connected_components(df, spark).collect()
+    }
+    assert got == _uf_components(pairs)
