@@ -248,11 +248,39 @@ def blocked_candidates_with_report(
     )
 
 
+def _union_find_components(rows) -> list[tuple[str, str, str]]:
+    """Driver-side union-find over collected (label, u, v) edge rows →
+    (label, id, component) with component = min id per (label, component),
+    exactly the distributed fixpoint's output (tests assert the parity)."""
+    parent: dict[tuple[str, str], tuple[str, str]] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find((r.label, r.u)), find((r.label, r.v))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    groups: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    out = []
+    for members in groups.values():
+        comp = min(m[1] for m in members)
+        out.extend((lbl, nid, comp) for lbl, nid in members)
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     spark: SparkSession | None = None,
     max_iter: int = 25,
     checkpoint_every: int = 3,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Min-label propagation over (label, id_a, id_b) pairs → components.
 
@@ -261,6 +289,15 @@ def connected_components(
     ``localCheckpoint`` every few rounds to cut lineage (SURVEY §4.4).
     Convergence: O(log n) rounds for path-shaped components per round of
     two-directional min propagation.
+
+    Size gate: when the deduped edge list has ≤ ``driver_max_edges`` rows
+    (a few tens of MB — the count itself is computed distributed on the
+    already-materialized frame), a one-pass driver union-find replaces the
+    distributed fixpoint, whose per-round cost is several jobs regardless of
+    data size. Above the gate the distributed loop runs unchanged — the
+    candidate graph of a 10^12-file corpus never touches the driver. Both
+    paths produce byte-identical output (randomized parity test in
+    tests/test_read_surfaces.py).
     """
     from ..functions.iterutils import materialize
 
@@ -269,6 +306,12 @@ def connected_components(
         .unionByName(pairs.select("label", F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .dropDuplicates(["label", "u", "v"])
     )
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        sess = spark or edges.sparkSession
+        rows = _union_find_components(edges.collect())
+        out = sess.createDataFrame(rows, "label string, id string, component string")
+        edges.unpersist()
+        return out
     comp, _ = materialize(
         edges.select("label", F.col("u").alias("id"))
         .distinct()

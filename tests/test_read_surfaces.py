@@ -207,7 +207,11 @@ def _uf_components(pairs):
 
 
 @pytest.mark.parametrize("seed", [7, 41, 1234])
-def test_connected_components_matches_union_find(spark, seed):
+@pytest.mark.parametrize("driver_max_edges", [500_000, 0])
+def test_connected_components_matches_union_find(spark, seed, driver_max_edges):
+    """Both CC paths — the size-gated driver union-find and the distributed
+    min-label fixpoint (driver_max_edges=0 forces it) — must match the
+    Python union-find reference on random graphs."""
     rng = random.Random(seed)
     nodes = [f"n{i:02d}" for i in range(40)]
     pairs = sorted(
@@ -220,6 +224,9 @@ def test_connected_components_matches_union_find(spark, seed):
         [("L", a, b) for a, b in pairs], "label string, id_a string, id_b string"
     )
     got = {
-        r.id: r.component for r in connected_components(df, spark).collect()
+        r.id: r.component
+        for r in connected_components(
+            df, spark, driver_max_edges=driver_max_edges
+        ).collect()
     }
     assert got == _uf_components(pairs)
