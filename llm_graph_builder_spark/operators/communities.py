@@ -17,11 +17,78 @@ Derived tables mirror src/communities.py:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..config import MAX_COMMUNITY_LEVELS
+
+
+def _coin_expr(col: str, it: int):
+    """Deterministic per-(node, round) schedule coin, JVM side: parity of the
+    first 8 hex chars of md5("u|it"). Engine-portable (md5 is everywhere) so
+    ``_coin_py`` draws bit-identical coins for the driver-gated replica."""
+    h = F.substring(F.md5(F.concat_ws("|", F.col(col), F.lit(str(it)))), 1, 8)
+    return F.conv(h, 16, 10).cast("long") % 2 == 0
+
+
+def _coin_py(u: str, it: int) -> bool:
+    """Python twin of ``_coin_expr`` (asserted equal in tests)."""
+    return int(hashlib.md5(f"{u}|{it}".encode("utf-8")).hexdigest()[:8], 16) % 2 == 0
+
+
+def _lpa_py(edges: list, max_iter: int) -> dict:
+    """Driver-side twin of ``label_propagation`` over collected (u, v, weight)
+    tuples — same vote (max total neighbor weight, min-label tiebreak), same
+    md5 schedule coin, same desired-vs-old stop rule. Integer weights only, so
+    every quantity is exact and the parity with the distributed loop is exact
+    (randomized equality test in tests/test_read_surfaces.py)."""
+    labels = {u: u for u, _, _ in edges}
+    labels.update({v: v for _, v, _ in edges})
+    for it in range(max_iter):
+        votes: dict = {}
+        for u, v, w in edges:
+            acc = votes.setdefault(u, {})
+            lab = labels[v]
+            acc[lab] = acc.get(lab, 0) + w
+        desired = {
+            u: min((lab for lab, w in acc.items() if w == max(acc.values())))
+            for u, acc in votes.items()
+        }
+        wants_change = any(desired.get(u, old) != old for u, old in labels.items())
+        labels = {
+            u: (desired.get(u, old) if _coin_py(u, it) else old)
+            for u, old in labels.items()
+        }
+        if not wants_change:
+            break
+    return labels
+
+
+def _hierarchy_py(edges: list, levels: int, max_iter: int) -> dict:
+    """Driver-side twin of the hierarchy loop: LPA per level over the
+    contracted (community-grain) graph, parents composed onto nodes. Returns
+    {u: [c0..c(levels-1)]}."""
+    current = _lpa_py(edges, max_iter)
+    per_node = {u: [c] for u, c in current.items()}
+    contracted = edges
+    for _ in range(1, levels):
+        agg: dict = {}
+        for u, v, w in contracted:
+            cu, cv = current[u], current[v]
+            if cu != cv:
+                agg[(cu, cv)] = agg.get((cu, cv), 0) + w
+        contracted = [(cu, cv, w) for (cu, cv), w in agg.items()]
+        nxt = _lpa_py(contracted, max_iter)
+        composed = {}
+        for u, path in per_node.items():
+            parent = nxt.get(path[-1], path[-1])
+            composed[u] = path + [parent]
+        per_node = composed
+        current = {u: path[-1] for u, path in per_node.items()}
+    return per_node
 
 
 def community_projection(entity_edges_df: DataFrame) -> DataFrame:
@@ -81,8 +148,10 @@ def label_propagation(
         # fresh deterministic coin per (node, round): with a FIXED parity,
         # nodes whose hashes align would update in lockstep and reproduce the
         # synchronous oscillation; re-drawing each round makes any adjacent
-        # pair eventually update in different rounds (converges w.p. → 1)
-        scheduled = F.pmod(F.xxhash64("u", F.lit(it)), F.lit(2)) == 0
+        # pair eventually update in different rounds (converges w.p. → 1).
+        # md5-parity (not xxhash64) so the size-gated driver replica below
+        # draws the IDENTICAL coin — same convention as the dedup kernels.
+        scheduled = _coin_expr("u", it)
         # unscheduled and isolated nodes keep their current label; `desired`
         # tracks what EVERY node would pick so the fixpoint test covers
         # unscheduled nodes too (stopping on "no scheduled node changed"
@@ -113,16 +182,34 @@ def community_hierarchy(
     levels: int = MAX_COMMUNITY_LEVELS,
     max_iter: int = 10,
     all_entities: DataFrame | None = None,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """G2 — hierarchical LPA → (u, communities array<string> length=levels).
 
     Level k>0 runs LPA on the contracted graph of level k-1 communities
     (weights summed, self-loops dropped). Output community ids are the
     representative node keys at each level (content-derived → deterministic).
+
+    Size gate: when the symmetric projected graph has ≤ ``driver_max_edges``
+    edges (tens of MB; the count runs distributed on the materialized frame),
+    the whole hierarchy runs as a one-pass driver replica (``_hierarchy_py``)
+    instead of levels × rounds of multi-job LPA iterations — identical output
+    by construction (same integer votes, same md5 coin; randomized equality
+    test in tests/test_read_surfaces.py). Above the gate the distributed loop
+    runs unchanged — a 10^12-file corpus's entity graph never touches the
+    driver.
     """
     from ..functions.iterutils import materialize
 
     graph, _ = materialize(community_projection(entity_edges_df))
+    if driver_max_edges and graph.count() <= driver_max_edges:
+        per_node = _hierarchy_py(
+            [(r.u, r.v, r.weight) for r in graph.collect()], levels, max_iter
+        )
+        out = entity_edges_df.sparkSession.createDataFrame(
+            sorted(per_node.items()), "u string, communities array<string>"
+        )
+        return _fill_isolated(out, all_entities, levels)
     assignments = []
     current = label_propagation(graph, max_iter)  # (u, community)
     assignments.append(current)
@@ -160,23 +247,29 @@ def community_hierarchy(
     out = out.select(
         "u", F.array(*[F.col(f"c{k}") for k in range(levels)]).alias("communities")
     )
-    if all_entities is not None:
-        # isolated entities (no entity-entity edge) form singleton communities
-        # at every level (reference: GDS projects all entities; minCommunitySize=1)
-        everyone = all_entities.select(
-            F.concat_ws("\x01", "id", "label").alias("u")
-        ).distinct()
-        out = (
-            everyone.join(out, on="u", how="left")
-            .select(
-                "u",
-                F.coalesce(
-                    "communities",
-                    F.array(*[F.col("u") for _ in range(levels)]),
-                ).alias("communities"),
-            )
+    return _fill_isolated(out, all_entities, levels)
+
+
+def _fill_isolated(
+    out: DataFrame, all_entities: DataFrame | None, levels: int
+) -> DataFrame:
+    """Isolated entities (no entity-entity edge) form singleton communities
+    at every level (reference: GDS projects all entities; minCommunitySize=1)."""
+    if all_entities is None:
+        return out
+    everyone = all_entities.select(
+        F.concat_ws("\x01", "id", "label").alias("u")
+    ).distinct()
+    return (
+        everyone.join(out, on="u", how="left")
+        .select(
+            "u",
+            F.coalesce(
+                "communities",
+                F.array(*[F.col("u") for _ in range(levels)]),
+            ).alias("communities"),
         )
-    return out
+    )
 
 
 def community_tables(

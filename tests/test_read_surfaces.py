@@ -180,6 +180,47 @@ def test_retrieval_context_hit_without_context(spark):
 
 
 # ---------------------------------------------------------------------------
+# LPA hierarchy: driver replica vs distributed loop
+# ---------------------------------------------------------------------------
+
+def test_lpa_schedule_coin_parity(spark):
+    from llm_graph_builder_spark.operators.communities import _coin_expr, _coin_py
+
+    us = [f"node\x01L{i}" for i in range(50)]
+    df = spark.createDataFrame([(u,) for u in us], "u string")
+    for it in (0, 1, 7):
+        got = {
+            r.u: r.coin
+            for r in df.select("u", _coin_expr("u", it).alias("coin")).collect()
+        }
+        assert got == {u: _coin_py(u, it) for u in us}
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_community_hierarchy_driver_matches_distributed(spark, seed):
+    """The size-gated driver replica and the distributed LPA loop must be
+    byte-identical (same integer votes, same md5 coin)."""
+    from llm_graph_builder_spark.operators.communities import community_hierarchy
+
+    rng = random.Random(seed)
+    nodes = [f"e{i:02d}" for i in range(24)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+    edges = spark.createDataFrame(
+        [(a, "E", "REL", b, "E", rng.randint(1, 5)) for a, b in pairs],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    via_driver = {
+        r.u: list(r.communities) for r in community_hierarchy(edges).collect()
+    }
+    via_spark = {
+        r.u: list(r.communities)
+        for r in community_hierarchy(edges, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_spark
+
+
+# ---------------------------------------------------------------------------
 # connected components vs union-find reference
 # ---------------------------------------------------------------------------
 
