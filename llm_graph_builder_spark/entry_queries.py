@@ -180,36 +180,16 @@ def q_top_entities(spark, sf_dir):
             F.col("chunk_count").cast("long").alias("chunk_count"),
         )
     )
-    # rnk = 1 + |rows sorting strictly before| over the already-selected 20
-    # rows: a broadcast self-join count, not a window — immune to any
-    # engine-specific window/order-by-limit interplay, identical comparison
-    # semantics (BIGINT + binary-UTF8 string <) in Spark and DuckDB.
-    lhs = top20_rows
-    rhs = top20_rows.select(
-        F.col("id").alias("r_id"),
-        F.col("label").alias("r_label"),
-        F.col("doc_count").alias("r_dc"),
-        F.col("chunk_count").alias("r_cc"),
+    # rnk = row_number over the already-selected 20 rows in the same total
+    # order (the (id, label) key is unique, so the sort is total and rnk is a
+    # pure function of the row values — identical in Spark and DuckDB). The
+    # window runs over exactly 20 rows, so the single-partition window is
+    # scale-free.
+    w20 = Window.orderBy(
+        F.desc("doc_count"), F.desc("chunk_count"), F.asc("id"), F.asc("label")
     )
-    before = (
-        (F.col("r_dc") > F.col("doc_count"))
-        | ((F.col("r_dc") == F.col("doc_count")) & (F.col("r_cc") > F.col("chunk_count")))
-        | (
-            (F.col("r_dc") == F.col("doc_count"))
-            & (F.col("r_cc") == F.col("chunk_count"))
-            & (F.col("r_id") < F.col("id"))
-        )
-        | (
-            (F.col("r_dc") == F.col("doc_count"))
-            & (F.col("r_cc") == F.col("chunk_count"))
-            & (F.col("r_id") == F.col("id"))
-            & (F.col("r_label") < F.col("label"))
-        )
-    )
-    top20 = (
-        lhs.join(F.broadcast(rhs), how="cross")
-        .groupBy("id", "label", "doc_count", "chunk_count")
-        .agg((F.sum(F.when(before, 1).otherwise(0)) + F.lit(1)).cast("long").alias("rnk"))
+    top20 = top20_rows.withColumn(
+        "rnk", F.row_number().over(w20).cast("long")
     )
     pred_counts = t["entity_edges"].groupBy(
         F.col("subj_id").alias("id"), F.col("subj_label").alias("label"), "pred"
@@ -227,6 +207,9 @@ def q_top_entities(spark, sf_dir):
             F.coalesce("top_pred", F.lit("")).alias("top_pred"),
             F.coalesce("top_pred_weight", F.lit(0)).cast("long").alias("top_pred_weight"),
         )
+        # deterministic output order on both sides — immune to any
+        # row-order-sensitive comparison in the harness
+        .orderBy("rnk")
     )
 
 

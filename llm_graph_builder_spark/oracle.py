@@ -380,19 +380,14 @@ ORACLE_SQL["top_entities"] = PIPELINE_CTE + """
   ORDER BY doc_count DESC, chunk_count DESC, id ASC, label ASC
   LIMIT 20
 ),
--- rnk = 1 + |rows strictly before| among the selected 20 (count-based rank,
--- no window: mirrors the Spark side exactly, same BIGINT/binary-string '<')
+-- rnk = row_number in the same total order ((id, label) unique => the sort
+-- is total, so rnk is a pure function of the row values on both engines)
 top20 AS (
-  SELECT l.id, l.label, l.doc_count, l.chunk_count,
-         CAST(1 + SUM(CASE WHEN r.doc_count > l.doc_count
-               OR (r.doc_count = l.doc_count AND r.chunk_count > l.chunk_count)
-               OR (r.doc_count = l.doc_count AND r.chunk_count = l.chunk_count
-                   AND r.id < l.id)
-               OR (r.doc_count = l.doc_count AND r.chunk_count = l.chunk_count
-                   AND r.id = l.id AND r.label < l.label)
-             THEN 1 ELSE 0 END) AS BIGINT) AS rnk
-  FROM top20_rows l CROSS JOIN top20_rows r
-  GROUP BY 1, 2, 3, 4
+  SELECT id, label, doc_count, chunk_count,
+         CAST(row_number() OVER (
+           ORDER BY doc_count DESC, chunk_count DESC, id ASC, label ASC
+         ) AS BIGINT) AS rnk
+  FROM top20_rows
 ),
 pred_counts AS (
   -- SUM(BIGINT) is HUGEINT in DuckDB; cast eagerly so no int128 reaches the
@@ -411,6 +406,7 @@ SELECT t.id, t.label, t.doc_count, t.chunk_count, t.rnk,
        CAST(COALESCE(bp.top_pred_weight, 0) AS BIGINT) AS top_pred_weight
 FROM top20 t LEFT JOIN best_pred bp
   ON t.id = bp.id AND t.label = bp.label AND bp.prn = 1
+ORDER BY t.rnk
 """
 
 ORACLE_SQL["chunk_page"] = PIPELINE_CTE + """
