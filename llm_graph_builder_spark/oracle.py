@@ -704,6 +704,343 @@ SELECT CAST(sum(chunk_count) AS BIGINT) AS sum_chunk_count,
 FROM entities
 """
 
+# ---------------------------------------------------------------------------
+# Full value oracle for the LPA community hierarchy. The engine's LPA is
+# deterministic (integer weights, min-label tie-break, md5 schedule coin), and
+# running EXACTLY max_iter rounds is label-identical to the engine's
+# early-stopped loop (post-fixpoint rounds are the identity: desired == old
+# for every node, so the coin-gated update changes nothing). That makes the
+# whole hierarchy a pure function of the edge table, expressible as three
+# recursive CTEs (one per level) + contraction joins. Parity with
+# _lpa_py/_hierarchy_py (themselves byte-identical to the distributed loop)
+# is covered by a randomized test in tests/test_graph_ops.py.
+# MATERIALIZED hints matter: without them DuckDB re-inlines each upstream CTE
+# into every recursive iteration (lab2 would re-run lab0/lab1 per round).
+# ---------------------------------------------------------------------------
+
+
+def _lpa_sql(name: str, graph: str, max_iter: int) -> str:
+    """Recursive-CTE mirror of ``label_propagation`` over ``graph``(u,v,w).
+
+    Per round: desired label = max total neighbor weight, min-label tiebreak
+    (first_value window); only nodes whose md5("u|it") 32-bit prefix is even
+    update (parity of the 8th hex char). Runs exactly ``max_iter`` rounds.
+    """
+    return f"""
+{name}(it, u, community) AS (
+  SELECT 0, u, u FROM (SELECT DISTINCT u FROM {graph})
+  UNION ALL
+  SELECT l.it + 1, l.u,
+    CASE WHEN substr(md5(l.u || '|' || l.it), 8, 1) IN ('0','2','4','6','8','a','c','e')
+         THEN coalesce(p.pick, l.community) ELSE l.community END
+  FROM {name} l LEFT JOIN (
+    SELECT u, pick FROM (
+      SELECT g.u,
+             first_value(l2.community) OVER (
+               PARTITION BY g.u ORDER BY SUM(g.w) DESC, l2.community ASC
+             ) AS pick
+      FROM {graph} g JOIN {name} l2 ON g.v = l2.u
+      GROUP BY g.u, l2.community
+    ) GROUP BY u, pick
+  ) p ON p.u = l.u
+  WHERE l.it < {max_iter}
+)"""
+
+
+def _hierarchy_sql(max_iter: int = 10) -> str:
+    """3-level hierarchy over ``proj``(u,v,w) → per_node(u, l0, l1, l2).
+
+    Level-k>0 contraction maps the previous contracted graph's nodes through
+    the COMPOSED per-original-node assignment (community ids are node keys),
+    exactly like the engine's mapping join — NOT through the raw level-k LPA
+    labels, which differ whenever a community's namesake node carries a
+    different label itself.
+    """
+    return f"""
+{_lpa_sql('lab0', 'proj', max_iter)},
+c0 AS MATERIALIZED (SELECT u, community AS c FROM lab0 WHERE it = {max_iter}),
+con1 AS MATERIALIZED (
+  SELECT cu AS u, cv AS v, SUM(w) AS w FROM (
+    SELECT m1.c AS cu, m2.c AS cv, g.w
+    FROM proj g JOIN c0 m1 ON m1.u = g.u JOIN c0 m2 ON m2.u = g.v
+  ) WHERE cu <> cv GROUP BY cu, cv
+),
+{_lpa_sql('lab1', 'con1', max_iter)},
+c1 AS MATERIALIZED (SELECT u, community AS c FROM lab1 WHERE it = {max_iter}),
+comp1 AS MATERIALIZED (
+  SELECT n.u, coalesce(m1.c, n.c) AS c FROM c0 n LEFT JOIN c1 m1 ON m1.u = n.c
+),
+con2 AS MATERIALIZED (
+  SELECT cu AS u, cv AS v, SUM(w) AS w FROM (
+    SELECT m1.c AS cu, m2.c AS cv, g.w
+    FROM con1 g JOIN comp1 m1 ON m1.u = g.u JOIN comp1 m2 ON m2.u = g.v
+  ) WHERE cu <> cv GROUP BY cu, cv
+),
+{_lpa_sql('lab2', 'con2', max_iter)},
+c2 AS MATERIALIZED (SELECT u, community AS c FROM lab2 WHERE it = {max_iter}),
+per_node AS (
+  SELECT n.u, n.c AS l0, p1.c AS l1, coalesce(m2.c, p1.c) AS l2
+  FROM c0 n
+  JOIN comp1 p1 ON p1.u = n.u
+  LEFT JOIN c2 m2 ON m2.u = p1.c
+)"""
+
+
+# proj + 3-level hierarchy + isolated-singleton fill, per-original-node
+# assignment (u, l0, l1, l2) — shared by the communities /
+# community_summaries oracles
+_COMMUNITY_BASE = f"""
+, proj AS MATERIALIZED (
+  SELECT u, v, SUM(weight) AS w FROM (
+    SELECT subj_id || chr(1) || subj_label AS u,
+           obj_id || chr(1) || obj_label AS v, weight FROM entity_edges
+    UNION ALL
+    SELECT obj_id || chr(1) || obj_label,
+           subj_id || chr(1) || subj_label, weight FROM entity_edges
+  ) WHERE u <> v GROUP BY u, v
+),
+{_hierarchy_sql(10)},
+everyone AS (SELECT DISTINCT id || chr(1) || label AS u FROM entities),
+assigned AS MATERIALIZED (
+  SELECT e.u, coalesce(p.l0, e.u) AS l0, coalesce(p.l1, e.u) AS l1,
+         coalesce(p.l2, e.u) AS l2
+  FROM everyone e LEFT JOIN per_node p ON p.u = e.u
+)"""
+
+ORACLE_SQL["communities"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _COMMUNITY_BASE + """
+, member AS (
+  SELECT u, 0 AS level, l0 AS cid FROM assigned
+  UNION ALL SELECT u, 1, l1 FROM assigned
+  UNION ALL SELECT u, 2, l2 FROM assigned
+),
+memb AS (
+  SELECT u, level, CAST(level AS VARCHAR) || '-' || cid AS community_id,
+         string_split(u, chr(1))[1] AS id, string_split(u, chr(1))[2] AS label
+  FROM member
+),
+cprov AS (
+  SELECT m.community_id, m.level, m.u, mm.chunk_id, mm.doc_id
+  FROM memb m LEFT JOIN mentions mm
+    ON mm.entity_id = m.id AND mm.entity_label = m.label
+)
+SELECT community_id, CAST(level AS INT) AS level,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS member_count,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS community_rank,
+       CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS weight
+FROM cprov GROUP BY 1, 2
+"""
+
+# Full value oracle for summarize_hierarchy: level 0 from community_info
+# (members capped at 25 sorted ids, rel kinds by weight desc), parent levels
+# composed from child titles (count over ALL children, titles capped at the
+# 10 lexicographically-smallest). Deterministic-formatter path only (the
+# pluggable LLM UDF is model-backed by definition).
+ORACLE_SQL["community_summaries"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _COMMUNITY_BASE + """
+, mem0 AS (
+  SELECT u, l0 AS cid, string_split(u, chr(1))[1] AS id FROM assigned
+),
+members0 AS (
+  SELECT cid, COUNT(DISTINCT u) AS member_count FROM mem0
+  GROUP BY cid HAVING COUNT(DISTINCT u) >= 2
+),
+top_ids0 AS (
+  SELECT cid, string_agg(id, ', ' ORDER BY id) AS members_text
+  FROM (
+    SELECT cid, id, row_number() OVER (PARTITION BY cid ORDER BY id) AS rn
+    FROM (SELECT DISTINCT cid, id FROM mem0)
+  ) WHERE rn <= 25 GROUP BY cid
+),
+internal0 AS (
+  SELECT ms.cid, e.pred, SUM(e.weight) AS w
+  FROM entity_edges e
+  JOIN mem0 ms ON ms.u = e.subj_id || chr(1) || e.subj_label
+  JOIN mem0 mo ON mo.u = e.obj_id || chr(1) || e.obj_label
+  WHERE ms.cid = mo.cid
+  GROUP BY ms.cid, e.pred
+),
+rels0 AS (
+  SELECT cid, string_agg(pred, ', ' ORDER BY w DESC, pred ASC) AS rels_text
+  FROM internal0 GROUP BY cid
+),
+sum0 AS (
+  SELECT '0-' || m.cid AS community_id, CAST(0 AS INT) AS level,
+         'Community 0-' || m.cid AS title,
+         'Members (' || CAST(m.member_count AS VARCHAR) || '): ' || t.members_text ||
+         CASE WHEN length(coalesce(r.rels_text, '')) > 0
+              THEN '; relations: ' || r.rels_text ELSE '' END AS summary
+  FROM members0 m JOIN top_ids0 t ON t.cid = m.cid
+  LEFT JOIN rels0 r ON r.cid = m.cid
+),
+pc1 AS (
+  SELECT DISTINCT l1 AS pid, '0-' || l0 AS child_id FROM assigned
+),
+kids1 AS (
+  SELECT p.pid, s.title AS child_title,
+         row_number() OVER (PARTITION BY p.pid ORDER BY s.title) AS rn
+  FROM pc1 p JOIN sum0 s ON s.community_id = p.child_id
+),
+sum1 AS (
+  SELECT '1-' || pid AS community_id, CAST(1 AS INT) AS level,
+         'Community 1-' || pid AS title,
+         'Contains ' || CAST(COUNT(*) AS VARCHAR) || ' sub-communities: ' ||
+         string_agg(CASE WHEN rn <= 10 THEN child_title END, '; ' ORDER BY child_title)
+           AS summary
+  FROM kids1 GROUP BY pid
+),
+pc2 AS (
+  SELECT DISTINCT l2 AS pid, '1-' || l1 AS child_id FROM assigned
+),
+kids2 AS (
+  SELECT p.pid, s.title AS child_title,
+         row_number() OVER (PARTITION BY p.pid ORDER BY s.title) AS rn
+  FROM pc2 p JOIN sum1 s ON s.community_id = p.child_id
+),
+sum2 AS (
+  SELECT '2-' || pid AS community_id, CAST(2 AS INT) AS level,
+         'Community 2-' || pid AS title,
+         'Contains ' || CAST(COUNT(*) AS VARCHAR) || ' sub-communities: ' ||
+         string_agg(CASE WHEN rn <= 10 THEN child_title END, '; ' ORDER BY child_title)
+           AS summary
+  FROM kids2 GROUP BY pid
+)
+SELECT * FROM sum0
+UNION ALL SELECT * FROM sum1
+UNION ALL SELECT * FROM sum2
+"""
+
+# Full value oracle for the code-graph north-star slice: code-rule
+# extraction → entities/edges → exact candidates → CC (recursive reach) →
+# canonical merge → level-0 LPA communities. Mirrors q_code_graph_communities
+# (doc_id < 250 subset) end-to-end; every stage is the deterministic twin of
+# the engine path (same candidate predicates as linked_entities, same rep
+# rule, same LPA coin/tiebreak via _lpa_sql).
+ORACLE_SQL["code_graph_communities"] = f"""
+WITH RECURSIVE code AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+  WHERE CAST(doc_id AS BIGINT) < 250
+),
+cmention AS (
+  SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR) AS id, 'Module' AS label FROM code
+  UNION ALL SELECT doc_id, lang, 'Language' FROM code
+  UNION ALL SELECT doc_id, 'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class' FROM code
+  UNION ALL SELECT doc_id, 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function' FROM code
+  UNION ALL SELECT doc_id, 'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM code
+  UNION ALL SELECT doc_id, 'setup', 'Function' FROM code
+),
+cents AS (
+  SELECT id, label, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+  FROM cmention GROUP BY 1, 2
+),
+ctriple AS (
+  SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR) AS subj_id, 'Module' AS subj_label,
+         'WRITTEN_IN' AS pred, lang AS obj_id, 'Language' AS obj_label FROM code
+  UNION ALL SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM code
+  UNION ALL SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM code
+  UNION ALL SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'setup', 'Function' FROM code
+),
+cedges AS (
+  SELECT subj_id, subj_label, pred, obj_id, obj_label,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM ctriple GROUP BY 1, 2, 3, 4, 5
+),
+ccand AS (
+  SELECT a.label AS label, a.id AS id_a, b.id AS id_b
+  FROM cents a JOIN cents b ON a.label = b.label AND a.id < b.id
+  WHERE ((length(b.id) > 2 AND contains(lower(a.id), lower(b.id)))
+      OR (length(a.id) > 2 AND contains(lower(b.id), lower(a.id)))
+      OR (length(a.id) > 5 AND length(b.id) > 5
+          AND levenshtein(lower(a.id), lower(b.id)) < 3))
+),
+csym AS (
+  SELECT label, id_a AS u, id_b AS v FROM ccand
+  UNION SELECT label, id_b AS u, id_a AS v FROM ccand
+),
+creach(label, node, lab) AS (
+  SELECT label, u, u FROM csym
+  UNION
+  SELECT e.label, e.v, r.lab
+  FROM creach r JOIN csym e ON e.label = r.label AND e.u = r.node
+),
+ccomp AS MATERIALIZED (
+  SELECT label, node AS id, min(lab) AS component FROM creach GROUP BY 1, 2
+),
+cdeg AS (
+  SELECT id, label, count(*) AS degree FROM (
+    SELECT subj_id AS id, subj_label AS label FROM cedges
+    UNION ALL SELECT obj_id, obj_label FROM cedges
+  ) GROUP BY 1, 2
+),
+creps AS (
+  SELECT label, component, id AS canonical_id FROM (
+    SELECT c.label, c.component, c.id,
+           row_number() OVER (
+             PARTITION BY c.label, c.component
+             ORDER BY coalesce(d.degree, 0) DESC, length(c.id) DESC, c.id ASC
+           ) AS rn
+    FROM ccomp c LEFT JOIN cdeg d ON d.id = c.id AND d.label = c.label
+  ) WHERE rn = 1
+),
+ccmap AS MATERIALIZED (
+  SELECT c.label, c.id, r.canonical_id
+  FROM ccomp c JOIN creps r ON r.label = c.label AND r.component = c.component
+),
+m_ents AS (
+  SELECT coalesce(m.canonical_id, e.id) AS id, e.label,
+         CAST(sum(e.doc_count) AS BIGINT) AS doc_count
+  FROM cents e LEFT JOIN ccmap m ON m.id = e.id AND m.label = e.label
+  GROUP BY 1, 2
+),
+m_edges AS (
+  SELECT subj_id, subj_label, pred, obj_id, obj_label,
+         CAST(SUM(weight) AS BIGINT) AS weight
+  FROM (
+    SELECT coalesce(ms.canonical_id, e.subj_id) AS subj_id, e.subj_label,
+           e.pred,
+           coalesce(mo.canonical_id, e.obj_id) AS obj_id, e.obj_label, e.weight
+    FROM cedges e
+    LEFT JOIN ccmap ms ON ms.id = e.subj_id AND ms.label = e.subj_label
+    LEFT JOIN ccmap mo ON mo.id = e.obj_id AND mo.label = e.obj_label
+  )
+  WHERE NOT (subj_id = obj_id AND subj_label = obj_label)
+  GROUP BY 1, 2, 3, 4, 5
+),
+proj AS MATERIALIZED (
+  SELECT u, v, SUM(weight) AS w FROM (
+    SELECT subj_id || chr(1) || subj_label AS u,
+           obj_id || chr(1) || obj_label AS v, weight FROM m_edges
+    UNION ALL
+    SELECT obj_id || chr(1) || obj_label,
+           subj_id || chr(1) || subj_label, weight FROM m_edges
+  ) WHERE u <> v GROUP BY u, v
+),
+{_lpa_sql('lab0', 'proj', 10)},
+c0 AS MATERIALIZED (SELECT u, community AS c FROM lab0 WHERE it = 10),
+everyone AS (SELECT DISTINCT id || chr(1) || label AS u FROM m_ents),
+level0 AS (
+  SELECT e.u, coalesce(m.c, e.u) AS cid
+  FROM everyone e LEFT JOIN c0 m ON m.u = e.u
+)
+SELECT cid, CAST(COUNT(DISTINCT u) AS BIGINT) AS member_count,
+       MAX(string_split(u, chr(1))[2]) AS top_label
+FROM level0 GROUP BY cid
+HAVING COUNT(DISTINCT u) >= 3
+"""
+
 ORACLE_SQL["community_invariants"] = PIPELINE_CTE + """
 SELECT CAST(l AS BIGINT) AS level,
        (SELECT CAST(count(*) AS BIGINT) FROM entities) AS members

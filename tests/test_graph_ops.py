@@ -268,3 +268,41 @@ def test_summarize_hierarchy_parent_levels(spark):
             assert r.community_id.startswith(f"{lvl}-")
     # composition: a level-1 parent's summary cites level-0 child titles
     assert any("Community 0-" in r.summary for r in by_level[1])
+
+
+def test_lpa_hierarchy_sql_mirror_parity():
+    """The DuckDB recursive-CTE LPA mirror (oracle._lpa_sql/_hierarchy_sql,
+    backing the `communities` / `community_summaries` / `code_graph_communities`
+    value oracles) is label-identical to _hierarchy_py — itself byte-identical
+    to the distributed loop (test_read_surfaces randomized parity). Key
+    property under test: running EXACTLY max_iter rounds (the SQL mirror has
+    no early stop) equals the engine's early-stopped fixpoint, and the level-2
+    contraction maps through the COMPOSED per-node assignment."""
+    import random
+
+    import duckdb
+
+    from llm_graph_builder_spark.operators.communities import _hierarchy_py
+    from llm_graph_builder_spark.oracle import _hierarchy_sql
+
+    rng = random.Random(1234)
+    for _ in range(12):
+        n = rng.randint(2, 16)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        agg = {}
+        for _ in range(rng.randint(1, 40)):
+            u, v = rng.sample(nodes, 2)
+            w = rng.randint(1, 5)
+            agg[(u, v)] = agg.get((u, v), 0) + w
+            agg[(v, u)] = agg.get((v, u), 0) + w
+        edges = [(u, v, w) for (u, v), w in agg.items()]
+        mi = rng.choice([2, 3, 10])
+        py = _hierarchy_py(edges, 3, mi)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE proj(u VARCHAR, v VARCHAR, w BIGINT)")
+        con.executemany("INSERT INTO proj VALUES (?,?,?)", edges)
+        sql_rows = con.sql(
+            f"WITH RECURSIVE {_hierarchy_sql(mi)} SELECT u, l0, l1, l2 FROM per_node"
+        ).fetchall()
+        got = {r[0]: [r[1], r[2], r[3]] for r in sql_rows}
+        assert got == py, f"mi={mi} edges={edges}"
