@@ -485,6 +485,63 @@ def q_keyword_search(spark, sf_dir):
     return keyword_search(build_entity_index(ents), "merge join stream data")
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Chat-mode read surface — hybrid vector + fulltext retrieval (reference
+    ``fulltext`` chat mode: Neo4jVector hybrid over the vector index plus the
+    ``keyword`` Lucene index, CHAT_MODE_CONFIG_MAP shared/constants.py:730-737).
+    Both legs and the max-normalized fusion are mirrored in the DuckDB
+    oracle."""
+    from .operators.embeddings import hash_embed_py
+    from .operators.fulltext import build_chunk_index, keyword_chunk_search
+    from .operators.retrieval import hybrid_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    chunks = t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    emb = embed_chunks(chunks).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    kw = keyword_chunk_search(build_chunk_index(chunks), "join merge data", limit=10)
+    return hybrid_retrieve(emb, kw, hash_embed_py("join merge data"), k=5, leg_top=10)
+
+
+def q_local_community_retrieval(spark, sf_dir):
+    """Chat-mode read surface — local community search, chunk leg (reference
+    ``entity_vector`` mode: vector top-10 over entity embeddings, then chunks
+    ranked by count of distinct matched entities, top 3 —
+    LOCAL_COMMUNITY_SEARCH_QUERY, shared/constants.py:515-560). Entity
+    embeddings use the real extracted descriptions; fully oracle-mirrored."""
+    from .operators.embeddings import embed_entities, hash_embed_py
+    from .operators.retrieval import local_community_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    ents = t["entities"].join(
+        entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
+    )
+    emb = embed_entities(ents)
+    return local_community_retrieve(
+        emb, t["mentions"], hash_embed_py("merge join stream data"),
+        top_entities=10, top_chunks=3,
+    )
+
+
+def q_global_community_retrieval(spark, sf_dir):
+    """Chat-mode read surface — global community search (reference
+    ``global_vector`` mode: vector top-k over community-summary embeddings,
+    GLOBAL_VECTOR_SEARCH_QUERY / GLOBAL_SEARCH_TOP_K=10,
+    shared/constants.py:679-694). Summary text → hash embedding → cosine
+    top-k; the DuckDB oracle recomputes the whole chain (LPA mirror →
+    summary composition → hash embed → rank)."""
+    from .operators.communities import summarize_hierarchy
+    from .operators.embeddings import embed_communities, hash_embed_py
+    from .operators.retrieval import global_community_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
+    summaries = summarize_hierarchy(h, t["entity_edges"])
+    emb = embed_communities(summaries)
+    return global_community_retrieve(emb, hash_embed_py("data stream merge"), k=10)
+
+
 def q_entity_descriptions(spark, sf_dir):
     """Entity description property end-to-end (reference: LLM node
     description, llm.py:211-215; embedded as E3 text, post_processing.py:132).
@@ -821,6 +878,9 @@ QUERIES = {
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
     "keyword_search": q_keyword_search,
+    "hybrid_retrieval": q_hybrid_retrieval,
+    "local_community_retrieval": q_local_community_retrieval,
+    "global_community_retrieval": q_global_community_retrieval,
     "entity_descriptions": q_entity_descriptions,
     "corpus_curation": q_corpus_curation,
     "dedup_exact": q_dedup_exact,

@@ -59,6 +59,32 @@ def build_chunk_index(chunks: DataFrame) -> DataFrame:
     )
 
 
+def keyword_chunk_search(
+    index: DataFrame, query: str, limit: int = 20
+) -> DataFrame:
+    """Rank chunks by distinct query-term matches against the ``keyword``
+    chunk index (the fulltext leg of the reference's hybrid chat mode,
+    CHAT_MODE_CONFIG_MAP['fulltext'] with keyword_index='keyword',
+    shared/constants.py:730-737). Same shape as :func:`keyword_search` but
+    keyed on chunk_id. Output: (chunk_id, matched), ordered by
+    (matched desc, chunk_id), LIMIT-ed (TakeOrderedAndProject — no global
+    sort; the index-side join is term-partitioned)."""
+    spark = index.sparkSession
+    qterms = sorted(
+        {t for t in __import__("re").split(_TERM_SPLIT, (query or "").lower()) if t}
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in qterms], "term string")
+    )
+    return (
+        index.join(qdf, on="term")
+        .groupBy("chunk_id")
+        .agg(F.countDistinct("term").cast("long").alias("matched"))
+        .orderBy(F.desc("matched"), F.asc("chunk_id"))
+        .limit(limit)
+    )
+
+
 def keyword_search(
     index: DataFrame, query: str, limit: int = 20
 ) -> DataFrame:

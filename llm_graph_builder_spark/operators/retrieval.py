@@ -111,3 +111,183 @@ def retrieval_context(
             F.coalesce("entities_csv", F.lit("")).alias("entities_csv"),
         )
     )
+
+
+def hybrid_retrieve(
+    chunk_emb: DataFrame,
+    keyword_hits: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    leg_top: int = 10,
+    id_col: str = "chunk_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid vector + fulltext retrieval (the reference's ``fulltext`` /
+    ``graph_vector_fulltext`` chat modes: Neo4jVector hybrid search over the
+    vector index plus the ``keyword`` Lucene index,
+    CHAT_MODE_CONFIG_MAP at shared/constants.py:718-780).
+
+    Deterministic analog of LangChain's hybrid fusion: each leg is truncated
+    to its own top-``leg_top``, scores are normalized by the LEG's max
+    (vector: cosine_e4 / max_e4; keyword: matched / max_matched), and a
+    full-outer union keeps the per-chunk MAX of the two normalized scores.
+    Both legs are driver-tiny after truncation, so the fusion join and the
+    final rank cost nothing; the heavy lifting (corpus scan + inverted-index
+    join) stays in the scale-safe legs (`vector_retrieve` pre-reduces
+    per-partition; the keyword leg is a term-partitioned index join +
+    TakeOrdered).
+
+    Output: (chunk_id, vscore_e4, matched, combined_e4, rnk).
+    """
+    vleg = vector_retrieve(chunk_emb, query_vec, k=leg_top, id_col=id_col, vec_col=vec_col)
+    vmax = vleg.agg(F.max("score_e4").alias("vmax"))
+    v = (
+        vleg.crossJoin(F.broadcast(vmax))
+        .select(
+            "chunk_id",
+            F.col("score_e4").alias("vscore_e4"),
+            F.when(F.col("vmax") > 0, F.col("score_e4") / F.col("vmax"))
+            .otherwise(F.lit(0.0))
+            .alias("vnorm"),
+        )
+    )
+    kmax = keyword_hits.agg(F.max("matched").alias("kmax"))
+    kn = (
+        keyword_hits.crossJoin(F.broadcast(kmax))
+        .select(
+            "chunk_id",
+            "matched",
+            F.when(F.col("kmax") > 0, F.col("matched") / F.col("kmax"))
+            .otherwise(F.lit(0.0))
+            .alias("knorm"),
+        )
+    )
+    fused = (
+        v.join(kn, on="chunk_id", how="full")
+        .select(
+            "chunk_id",
+            F.coalesce("vscore_e4", F.lit(0)).cast("long").alias("vscore_e4"),
+            F.coalesce("matched", F.lit(0)).cast("long").alias("matched"),
+            F.round(
+                F.greatest(
+                    F.coalesce("vnorm", F.lit(0.0)), F.coalesce("knorm", F.lit(0.0))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("combined_e4"),
+        )
+    )
+    w = Window.orderBy(F.desc("combined_e4"), F.asc("chunk_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def local_community_retrieve(
+    entity_emb: DataFrame,
+    mentions: DataFrame,
+    query_vec: list[float],
+    top_entities: int = 10,
+    top_chunks: int = 3,
+) -> DataFrame:
+    """Local community search, chunk leg (the reference's ``entity_vector``
+    chat mode: vector top-k over the `entities` index, then chunks ranked by
+    how many of those entities they mention —
+    LOCAL_COMMUNITY_SEARCH_QUERY, shared/constants.py:515-560,
+    LOCAL_COMMUNITY_TOP_K=10 / TOP_CHUNKS=3).
+
+    Phase 1 scores every entity against the broadcast query vector with a
+    per-partition top-k pre-reduction (no single-reducer window over the
+    entity table). Phase 2 semi-joins mentions against the ≤``top_entities``
+    winners (broadcast), aggregates per chunk (one shuffle on chunk_id:
+    freq = COUNT(DISTINCT matched entity), like the reference's
+    ``count(distinct n) AS freq``), and keeps the ``top_chunks`` most
+    entity-dense chunks (TakeOrdered). Matched entities render as a sorted
+    csv (same convention as chunk_entities).
+
+    Output: (chunk_id, freq, rnk, entities_csv).
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = entity_emb.select(
+        "id",
+        "label",
+        F.round(cosine(qv, F.col("embedding").cast("array<double>")) * 10000)
+        .cast("long")
+        .alias("escore_e4"),
+    )
+    w_part = Window.partitionBy("part").orderBy(
+        F.desc("escore_e4"), F.asc("id"), F.asc("label")
+    )
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= top_entities)
+    )
+    w = Window.orderBy(F.desc("escore_e4"), F.asc("id"), F.asc("label"))
+    top_e = (
+        partial.withColumn("ernk", F.row_number().over(w))
+        .filter(F.col("ernk") <= top_entities)
+        .select("id", "label")
+    )
+    m = (
+        mentions.join(
+            F.broadcast(top_e),
+            on=(mentions.entity_id == top_e.id)
+            & (mentions.entity_label == top_e.label),
+        )
+        .select(
+            "chunk_id", F.concat_ws("\x02", "entity_id", "entity_label").alias("ent")
+        )
+        .distinct()
+    )
+    freq = m.groupBy("chunk_id").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.concat_ws("|", F.array_sort(F.collect_list("ent"))).alias("entities_csv"),
+    )
+    w_c = Window.orderBy(F.desc("freq"), F.asc("chunk_id"))
+    return (
+        freq.orderBy(F.desc("freq"), F.asc("chunk_id"))
+        .limit(top_chunks)
+        .withColumn("rnk", F.row_number().over(w_c).cast("long"))
+        .select("chunk_id", "freq", "rnk", "entities_csv")
+    )
+
+
+def global_community_retrieve(
+    summaries_emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Global community search (the reference's ``global_vector`` chat mode:
+    vector top-k over community-summary embeddings,
+    GLOBAL_VECTOR_SEARCH_QUERY / GLOBAL_SEARCH_TOP_K=10,
+    shared/constants.py:679-694).
+
+    Input: (community_id, level, summary, embedding) — the output of
+    ``summarize_hierarchy`` → ``embed_communities``. The community table is
+    orders of magnitude smaller than the corpus but still distributed; the
+    same per-partition pre-reduction bounds the final rank input to
+    ≤ k × partitions rows. Output: (community_id, level, score_e4, rnk).
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = summaries_emb.select(
+        "community_id",
+        F.col("level").cast("int").alias("level"),
+        F.round(cosine(qv, F.col("embedding").cast("array<double>")) * 10000)
+        .cast("long")
+        .alias("score_e4"),
+    )
+    w_part = Window.partitionBy("part").orderBy(F.desc("score_e4"), F.asc("community_id"))
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= k)
+    )
+    w = Window.orderBy(F.desc("score_e4"), F.asc("community_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("community_id", "level", "score_e4", "rnk")
+    )

@@ -837,7 +837,7 @@ FROM cprov GROUP BY 1, 2
 # composed from child titles (count over ALL children, titles capped at the
 # 10 lexicographically-smallest). Deterministic-formatter path only (the
 # pluggable LLM UDF is model-backed by definition).
-ORACLE_SQL["community_summaries"] = PIPELINE_CTE.replace(
+_SUMMARY_CTES = PIPELINE_CTE.replace(
     "WITH ", "WITH RECURSIVE ", 1
 ) + _COMMUNITY_BASE + """
 , mem0 AS (
@@ -906,10 +906,15 @@ sum2 AS (
          string_agg(CASE WHEN rn <= 10 THEN child_title END, '; ' ORDER BY child_title)
            AS summary
   FROM kids2 GROUP BY pid
-)
-SELECT * FROM sum0
-UNION ALL SELECT * FROM sum1
-UNION ALL SELECT * FROM sum2
+),
+allsums AS (
+  SELECT * FROM sum0
+  UNION ALL SELECT * FROM sum1
+  UNION ALL SELECT * FROM sum2
+)"""
+
+ORACLE_SQL["community_summaries"] = _SUMMARY_CTES + """
+SELECT * FROM allsums
 """
 
 # Full value oracle for the code-graph north-star slice: code-rule
@@ -1518,6 +1523,198 @@ FROM hits h
 LEFT JOIN docs_of d USING (chunk_id)
 LEFT JOIN es e USING (chunk_id)
 """.replace("{QCOS}", _cosine_sql("q.qv", "c.embedding"))
+
+def _hash_vec_cte(prefix: str, src: str, key: str, text: str) -> str:
+    """CTE chain mirroring ``HashingEmbedder`` over ``src(key, text)`` →
+    ``{prefix}vecs(k, embedding)`` with float32-rounded components cast back
+    to double (ArrayType(FloatType) storage parity — same convention as
+    ``_CHUNK_VEC_CTE``). Rows whose text yields zero tokens drop out (their
+    Python-side vector is all-zeros → cosine 0, never a top-k winner over
+    any positive score)."""
+    return f"""
+, {prefix}toks AS (
+  SELECT {key} AS k, unnest(string_split({text}, ' ')) AS tok FROM {src}
+),
+{prefix}sums AS (
+  SELECT k, CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM {prefix}toks WHERE len(tok) > 0 GROUP BY 1, 2
+),
+{prefix}norm AS (SELECT k, sqrt(sum(s * s)) AS nrm FROM {prefix}sums GROUP BY 1),
+{prefix}grid AS (
+  SELECT c.k, b.i AS bucket, coalesce(cs.s, 0.0) AS s, cn.nrm
+  FROM (SELECT DISTINCT k FROM {prefix}sums) c
+  CROSS JOIN range(64) b(i)
+  LEFT JOIN {prefix}sums cs ON cs.k = c.k AND cs.bucket = b.i
+  JOIN {prefix}norm cn ON cn.k = c.k
+),
+{prefix}vecs AS (
+  SELECT k,
+         list(CAST(CAST(CASE WHEN nrm > 0 THEN s / nrm ELSE s END AS FLOAT) AS DOUBLE)
+              ORDER BY bucket) AS embedding
+  FROM {prefix}grid GROUP BY k
+)"""
+
+
+def _qvec_cte(terms: list[str]) -> str:
+    """Query-vector CTE → ``qvec(qv)``: hash_embed_py over the given tokens,
+    float64 (query vectors are passed as literal doubles, not stored as
+    float32 — same convention as the vector_retrieval oracle)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+, qsum AS (
+  SELECT CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM (SELECT unnest([{tl}]) AS tok) GROUP BY 1
+),
+qnorm AS (SELECT sqrt(sum(s * s)) AS nrm FROM qsum),
+qgrid AS (
+  SELECT b.i AS bucket, coalesce(q.s, 0.0) AS s
+  FROM range(64) b(i) LEFT JOIN qsum q ON q.bucket = b.i
+),
+qvec AS (
+  SELECT list(CASE WHEN n.nrm > 0 THEN g.s / n.nrm ELSE g.s END ORDER BY g.bucket) AS qv
+  FROM qgrid g, qnorm n GROUP BY n.nrm
+)"""
+
+
+# hybrid vector + fulltext retrieval (reference `fulltext` chat mode):
+# vector leg = exact cosine top-10 over the hash-embedded chunks; keyword
+# leg = distinct-query-term match count over the lowercase-alnum chunk
+# inverted index, top-10; fusion = per-leg max-normalization, per-chunk
+# greatest, rank top-5 — mirroring operators/retrieval.py::hybrid_retrieve
+ORACLE_SQL["hybrid_retrieval"] = PIPELINE_CTE + _CHUNK_VEC_CTE.rstrip() + _qvec_cte(
+    ["join", "merge", "data"]
+) + """,
+vscored AS (
+  SELECT c.chunk_id, CAST(round(({QCOS}) * 10000) AS BIGINT) AS score_e4
+  FROM cvecs c, qvec q
+),
+vleg AS (
+  SELECT chunk_id, score_e4 FROM (
+    SELECT chunk_id, score_e4,
+           row_number() OVER (ORDER BY score_e4 DESC, chunk_id ASC) AS vr
+    FROM vscored
+  ) WHERE vr <= 10
+),
+vmax AS (SELECT max(score_e4) AS m FROM vleg),
+cterm AS (
+  SELECT DISTINCT chunk_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> len(t) > 0)) AS term
+  FROM cdist
+),
+qk AS (SELECT unnest(['data', 'join', 'merge']) AS term),
+kscored AS (
+  SELECT chunk_id, CAST(count(DISTINCT c.term) AS BIGINT) AS matched
+  FROM cterm c JOIN qk q ON c.term = q.term GROUP BY 1
+),
+kleg AS (
+  SELECT chunk_id, matched FROM (
+    SELECT chunk_id, matched,
+           row_number() OVER (ORDER BY matched DESC, chunk_id ASC) AS kr
+    FROM kscored
+  ) WHERE kr <= 10
+),
+kmax AS (SELECT max(matched) AS m FROM kleg),
+fused AS (
+  SELECT coalesce(v.chunk_id, k.chunk_id) AS chunk_id,
+         CAST(coalesce(v.score_e4, 0) AS BIGINT) AS vscore_e4,
+         CAST(coalesce(k.matched, 0) AS BIGINT) AS matched,
+         CAST(round(greatest(
+           coalesce(CASE WHEN vm.m > 0 THEN v.score_e4 / vm.m END, 0.0),
+           coalesce(CASE WHEN km.m > 0 THEN k.matched / km.m END, 0.0)
+         ) * 10000) AS BIGINT) AS combined_e4
+  FROM vleg v
+  FULL JOIN kleg k ON v.chunk_id = k.chunk_id
+  CROSS JOIN vmax vm CROSS JOIN kmax km
+)
+SELECT chunk_id, vscore_e4, matched, combined_e4, rnk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY combined_e4 DESC, chunk_id ASC) AS BIGINT) AS rnk
+  FROM fused
+) WHERE rnk <= 5
+""".replace("{QCOS}", _cosine_sql("q.qv", "c.embedding"))
+
+# local community search, chunk leg (reference `entity_vector` chat mode):
+# entity text = id + ' ' + description (same ±2-token description contract
+# as entity_descriptions), hash-embedded float32; cosine top-10 entities;
+# chunks ranked by COUNT(DISTINCT matched entity) — mirrors
+# operators/retrieval.py::local_community_retrieve
+ORACLE_SQL["local_community_retrieval"] = PIPELINE_CTE + """
+, cft AS (SELECT DISTINCT chunk_id, text FROM chunks),
+cfl AS (
+  SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) >= 4) AS ft
+  FROM cft
+),
+me AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
+dw AS (
+  SELECT me.entity_id AS id, me.entity_label AS label, cfl.ft,
+         list_position(cfl.ft, me.entity_id) AS p
+  FROM me JOIN cfl USING (chunk_id)
+),
+edesc AS (
+  SELECT id, label,
+         min(array_to_string(ft[greatest(p - 2, 1) : p + 2], ' ')) AS description
+  FROM dw GROUP BY 1, 2
+),
+etext AS (
+  SELECT e.id || chr(1) || e.label AS k,
+         e.id || ' ' || coalesce(d.description, '') AS text
+  FROM entities e LEFT JOIN edesc d ON e.id = d.id AND e.label = d.label
+)""" + _hash_vec_cte("ev", "etext", "k", "text") + _qvec_cte(
+    ["merge", "join", "stream", "data"]
+) + """,
+escored AS (
+  SELECT string_split(v.k, chr(1))[1] AS id, string_split(v.k, chr(1))[2] AS label,
+         CAST(round(({QCOS}) * 10000) AS BIGINT) AS escore_e4
+  FROM evvecs v, qvec q
+),
+etop AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (ORDER BY escore_e4 DESC, id ASC, label ASC) AS r
+    FROM escored
+  ) WHERE r <= 10
+),
+ments AS (
+  SELECT DISTINCT m.chunk_id, m.entity_id || chr(2) || m.entity_label AS ent
+  FROM mentions m JOIN etop t ON m.entity_id = t.id AND m.entity_label = t.label
+),
+cfreq AS (
+  SELECT chunk_id, CAST(count(*) AS BIGINT) AS freq,
+         array_to_string(list_sort(list(ent)), '|') AS entities_csv
+  FROM ments GROUP BY 1
+)
+SELECT chunk_id, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, chunk_id ASC) AS BIGINT) AS rnk,
+       entities_csv
+FROM (SELECT * FROM cfreq ORDER BY freq DESC, chunk_id ASC LIMIT 3)
+""".replace("{QCOS}", _cosine_sql("q.qv", "v.embedding"))
+
+# global community search (reference `global_vector` chat mode): community
+# summaries (full LPA-mirror + composition chain) → hash-embed the summary
+# text → cosine top-10 — mirrors
+# operators/retrieval.py::global_community_retrieve
+ORACLE_SQL["global_community_retrieval"] = _SUMMARY_CTES + """
+, stext AS (
+  -- community_id is unique across levels (it starts with '<level>-'; the
+  -- node-key tail may contain chr(1), so no composite key is needed)
+  SELECT community_id AS k, summary AS text FROM allsums
+)""" + _hash_vec_cte("sv", "stext", "k", "text") + _qvec_cte(
+    ["data", "stream", "merge"]
+) + """,
+gscored AS (
+  SELECT v.k AS community_id,
+         CAST(string_split(v.k, '-')[1] AS INT) AS level,
+         CAST(round(({QCOS}) * 10000) AS BIGINT) AS score_e4
+  FROM svvecs v, qvec q
+)
+SELECT community_id, level, score_e4, rnk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score_e4 DESC, community_id ASC) AS BIGINT) AS rnk
+  FROM gscored
+) WHERE rnk <= 10
+""".replace("{QCOS}", _cosine_sql("q.qv", "v.embedding"))
+
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
 _SW = {

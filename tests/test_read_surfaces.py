@@ -271,3 +271,125 @@ def test_connected_components_matches_union_find(spark, seed, driver_max_edges):
         ).collect()
     }
     assert got == _uf_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# chat-mode retrieval surfaces (hybrid / local-community / global-community)
+# ---------------------------------------------------------------------------
+
+def test_keyword_chunk_search_ranking(spark):
+    from llm_graph_builder_spark.operators.fulltext import keyword_chunk_search
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "merge join data pipeline"),
+            ("c2", "join the queue"),
+            ("c3", "nothing relevant here"),
+        ],
+        "chunk_id string, text string",
+    )
+    hits = keyword_chunk_search(build_chunk_index(chunks), "merge join data").collect()
+    assert [(r.chunk_id, r.matched) for r in hits] == [("c1", 3), ("c2", 1)]
+
+
+def test_hybrid_retrieve_fusion(spark):
+    """A chunk present in both legs gets the MAX of its normalized scores;
+    leg-only chunks coalesce the missing leg to 0 (LangChain hybrid-fusion
+    contract, CHAT_MODE_CONFIG_MAP['fulltext'])."""
+    from llm_graph_builder_spark.operators.embeddings import hash_embed_py
+    from llm_graph_builder_spark.operators.fulltext import (
+        build_chunk_index,
+        keyword_chunk_search,
+    )
+    from llm_graph_builder_spark.operators.retrieval import hybrid_retrieve
+    from llm_graph_builder_spark.operators.embeddings import embed_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "merge join data"),       # exact query text → vector max
+            ("c2", "merge join data extra"), # strong on both legs
+            ("c3", "unrelated words only"),  # keyword miss, weak vector
+        ],
+        "chunk_id string, text string",
+    )
+    emb = embed_chunks(chunks).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    kw = keyword_chunk_search(build_chunk_index(chunks), "merge join data", limit=10)
+    out = hybrid_retrieve(emb, kw, hash_embed_py("merge join data"), k=3).collect()
+    by_id = {r.chunk_id: r for r in out}
+    # c1 embeds identically to the query → vscore 10000, and matches all 3
+    # terms → both normalized scores are 1.0 → combined 10000, rank 1
+    assert by_id["c1"].vscore_e4 == 10000
+    assert by_id["c1"].combined_e4 == 10000
+    assert by_id["c1"].rnk == 1
+    # c2 matches all keyword terms → knorm = 1.0 → combined 10000 despite a
+    # lower vector score (max-fusion, not sum)
+    assert by_id["c2"].matched == 3
+    assert by_id["c2"].combined_e4 == 10000
+    # c3: no keyword match → matched coalesced to 0; combined from vector only
+    assert by_id["c3"].matched == 0
+    assert by_id["c3"].combined_e4 < 10000
+    # ranks are 1..3, deterministic tiebreak by chunk_id
+    assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2, 3]
+
+
+def test_local_community_retrieve_freq_rank(spark):
+    """Chunks rank by COUNT(DISTINCT matched top entity) — the reference's
+    `count(distinct n) AS freq` (LOCAL_COMMUNITY_SEARCH_QUERY)."""
+    from llm_graph_builder_spark.operators.embeddings import (
+        embed_entities,
+        hash_embed_py,
+    )
+    from llm_graph_builder_spark.operators.retrieval import local_community_retrieve
+
+    ents = spark.createDataFrame(
+        [
+            ("merge", "Operation", "merge sorted runs"),
+            ("join", "Operation", "hash join build"),
+            ("scan", "Operation", "table scan"),
+        ],
+        "id string, label string, description string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("ch1", "merge", "Operation"),
+            ("ch1", "join", "Operation"),
+            ("ch1", "scan", "Operation"),
+            ("ch2", "merge", "Operation"),
+            ("ch2", "merge", "Operation"),  # duplicate mention — counted once
+            ("ch3", "scan", "Operation"),
+        ],
+        "chunk_id string, entity_id string, entity_label string",
+    )
+    out = local_community_retrieve(
+        embed_entities(ents), mentions, hash_embed_py("merge join"),
+        top_entities=3, top_chunks=3,
+    ).collect()
+    assert [(r.chunk_id, r.freq) for r in out] == [("ch1", 3), ("ch2", 1), ("ch3", 1)]
+    assert out[0].entities_csv.count("|") == 2  # three sorted entities
+    assert [r.rnk for r in out] == [1, 2, 3]
+
+
+def test_global_community_retrieve_topk(spark):
+    from llm_graph_builder_spark.operators.embeddings import (
+        embed_communities,
+        hash_embed_py,
+    )
+    from llm_graph_builder_spark.operators.retrieval import global_community_retrieve
+
+    sums = spark.createDataFrame(
+        [
+            ("0-a", 0, "t", "stream processing community"),
+            ("0-b", 0, "t", "storage layout community"),
+            ("1-a", 1, "t", "stream processing"),
+        ],
+        "community_id string, level int, title string, summary string",
+    )
+    out = global_community_retrieve(
+        embed_communities(sums), hash_embed_py("stream processing"), k=2
+    ).collect()
+    assert len(out) == 2
+    # the two stream-y summaries outrank the storage one; ranks dense 1..2
+    assert {r.community_id for r in out} == {"0-a", "1-a"}
+    assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2]
