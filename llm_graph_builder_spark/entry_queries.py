@@ -542,6 +542,49 @@ def q_global_community_retrieval(spark, sf_dir):
     return global_community_retrieve(emb, hash_embed_py("data stream merge"), k=10)
 
 
+def q_qa_eval(spark, sf_dir):
+    """Eval surface — RAGAS-analog metrics batch-shaped (reference /metric +
+    /additional_metrics, ragas_eval.py:23-91): ROUGE-1 P/R/F1 (clipped
+    unigram overlap), embedding-cosine semantic similarity, and
+    context-entity recall, one row per QA sample. Samples are deterministic:
+    the 5 smallest docs with ≥2 chunks; response = chunk 1, reference =
+    chunk 2. Fully oracle-mirrored."""
+    from .eval.metrics import entity_recall, rouge1_scores, semantic_scores
+
+    t = pipeline_tables(spark, sf_dir)
+    sel = t["docs"].orderBy("doc_id").limit(5).select("doc_id")
+    ch = t["chunks"].join(F.broadcast(sel), on="doc_id").filter(F.col("position") <= 2)
+    samples = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("position") == 1, F.col("text"))).alias("response"),
+            F.max(F.when(F.col("position") == 2, F.col("text"))).alias("reference"),
+            F.max(F.when(F.col("position") == 1, F.col("chunk_id"))).alias("rchunk"),
+            F.max(F.when(F.col("position") == 2, F.col("chunk_id"))).alias("nchunk"),
+        )
+        .filter(F.col("reference").isNotNull())
+        .withColumnRenamed("doc_id", "sample_id")
+    )
+    m = t["mentions"]
+    ent = F.concat_ws("\x02", "entity_id", "entity_label").alias("ent")
+    ref_ents = samples.select("sample_id", "nchunk").join(
+        m, on=(m.chunk_id == F.col("nchunk")) & (m.doc_id == F.col("sample_id"))
+    ).select("sample_id", ent)
+    ctx_ents = samples.select("sample_id", "rchunk").join(
+        m, on=(m.chunk_id == F.col("rchunk")) & (m.doc_id == F.col("sample_id"))
+    ).select("sample_id", ent)
+    return (
+        samples.select("sample_id")
+        .join(rouge1_scores(samples), on="sample_id")
+        .join(semantic_scores(samples), on="sample_id")
+        .join(entity_recall(ref_ents, ctx_ents), on="sample_id", how="left")
+        .withColumn(
+            "entity_recall_e4",
+            F.coalesce("entity_recall_e4", F.lit(0)).cast("long"),
+        )
+    )
+
+
 def q_entity_descriptions(spark, sf_dir):
     """Entity description property end-to-end (reference: LLM node
     description, llm.py:211-215; embedded as E3 text, post_processing.py:132).
@@ -879,6 +922,7 @@ QUERIES = {
     "entity_paths": q_entity_paths,
     "keyword_search": q_keyword_search,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "qa_eval": q_qa_eval,
     "local_community_retrieval": q_local_community_retrieval,
     "global_community_retrieval": q_global_community_retrieval,
     "entity_descriptions": q_entity_descriptions,

@@ -1,0 +1,156 @@
+"""RAGAS-analog QA evaluation metrics, batch-shaped (SURVEY §3.4 /metric,
+/additional_metrics).
+
+Reference parity: the reference scores each (answer, context, reference)
+sample with ragas ``faithfulness`` / ``answer_relevancy`` /
+``context_entity_recall`` (LLM+embedding-backed,
+/root/reference/backend/src/ragas_eval.py:23-63) and per-sample
+``RougeScore`` + ``SemanticSimilarity``
+(/root/reference/backend/src/ragas_eval.py:66-91). Those run one sample at a
+time on the driver; here each metric is a distributed DataFrame operator over
+a SAMPLES table — millions of QA pairs score in one pass:
+
+  * ``rouge1_scores`` — ROUGE-1 precision/recall/F1 as clipped-multiset
+    unigram overlap (join + agg, pure JVM expressions; the deterministic
+    stand-in for ragas RougeScore).
+  * ``semantic_scores`` — embedding cosine between response and reference
+    (the SemanticSimilarity analog; pluggable model, HashingEmbedder
+    deterministic stand-in — same seam as every other embedding operator).
+  * ``entity_recall`` — |entities(context) ∩ entities(reference)| /
+    |entities(reference)| (the context_entity_recall analog with the
+    pipeline's OWN extracted entities instead of an LLM pass).
+
+All scores are ``*_e4`` fixed-point BIGINT for engine-portable comparison.
+At 100 TB each metric is one token/entity explode + one shuffle on
+(sample_id, token) and one on sample_id — no driver loops, no UDF in the
+ROUGE/recall paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.embeddings import make_embedder_udf
+
+#: lowercase alnum tokenization (same analyzer as the fulltext index)
+_TERM_SPLIT = "[^a-z0-9]+"
+
+
+def _toks(col) -> "F.Column":
+    """Multiset of lowercase alnum tokens (NOT distinct — ROUGE counts are
+    clipped multiset counts)."""
+    return F.filter(F.split(F.lower(col), _TERM_SPLIT), lambda t: F.length(t) > 0)
+
+
+def rouge1_scores(
+    samples: DataFrame,
+    id_col: str = "sample_id",
+    response_col: str = "response",
+    reference_col: str = "reference",
+) -> DataFrame:
+    """ROUGE-1 P/R/F1 per sample as clipped unigram-multiset overlap.
+
+    overlap = Σ_tok min(count_response(tok), count_reference(tok));
+    P = overlap/|response|, R = overlap/|reference|, F1 = 2PR/(P+R).
+    Zero-token or zero-overlap sides score 0. One shuffle on
+    (sample_id, tok) for the clipped join, one on sample_id for the rollup.
+    Output: (sample_id, rouge1_p_e4, rouge1_r_e4, rouge1_f_e4).
+    """
+    base = samples.select(
+        F.col(id_col).alias("sample_id"),
+        _toks(F.col(response_col)).alias("rts"),
+        _toks(F.col(reference_col)).alias("nts"),
+    )
+    rc = (
+        base.select("sample_id", F.explode("rts").alias("tok"))
+        .groupBy("sample_id", "tok")
+        .agg(F.count("*").alias("rc"))
+    )
+    nc = (
+        base.select("sample_id", F.explode("nts").alias("tok"))
+        .groupBy("sample_id", "tok")
+        .agg(F.count("*").alias("nc"))
+    )
+    ov = (
+        rc.join(nc, on=["sample_id", "tok"])
+        .groupBy("sample_id")
+        .agg(F.sum(F.least("rc", "nc")).alias("overlap"))
+    )
+    totals = base.select(
+        "sample_id",
+        F.size("rts").cast("long").alias("rn"),
+        F.size("nts").cast("long").alias("nn"),
+    )
+    p = F.when(F.col("rn") > 0, F.col("overlap") / F.col("rn")).otherwise(F.lit(0.0))
+    r = F.when(F.col("nn") > 0, F.col("overlap") / F.col("nn")).otherwise(F.lit(0.0))
+    return (
+        totals.join(ov, on="sample_id", how="left")
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)).cast("long"))
+        .withColumn("p", p)
+        .withColumn("r", r)
+        .withColumn(
+            "f",
+            F.when(
+                (F.col("p") + F.col("r")) > 0,
+                2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "sample_id",
+            F.round(F.col("p") * 10000).cast("long").alias("rouge1_p_e4"),
+            F.round(F.col("r") * 10000).cast("long").alias("rouge1_r_e4"),
+            F.round(F.col("f") * 10000).cast("long").alias("rouge1_f_e4"),
+        )
+    )
+
+
+def semantic_scores(
+    samples: DataFrame,
+    model_factory=None,
+    id_col: str = "sample_id",
+    response_col: str = "response",
+    reference_col: str = "reference",
+) -> DataFrame:
+    """Embedding-cosine similarity per sample (SemanticSimilarity analog).
+    Two Arrow-batched embed passes + JVM fold cosine; no shuffle at all.
+    Output: (sample_id, semantic_e4)."""
+    embed = make_embedder_udf(model_factory)
+    return samples.select(
+        F.col(id_col).alias("sample_id"),
+        F.round(
+            cosine(
+                embed(F.col(response_col)).cast("array<double>"),
+                embed(F.col(reference_col)).cast("array<double>"),
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("semantic_e4"),
+    )
+
+
+def entity_recall(ref_ents: DataFrame, ctx_ents: DataFrame) -> DataFrame:
+    """context_entity_recall analog: per sample,
+    |ents(context) ∩ ents(reference)| / |ents(reference)|.
+
+    Inputs: (sample_id, ent) posting rows (dup-safe — both sides distinct
+    first). Samples with zero reference entities score 0 (ragas NaN→0
+    convention). Output: (sample_id, entity_recall_e4).
+    """
+    ref = ref_ents.select("sample_id", "ent").distinct()
+    ctx = ctx_ents.select("sample_id", "ent").distinct()
+    refn = ref.groupBy("sample_id").agg(F.count("*").alias("refn"))
+    inter = ref.join(ctx, on=["sample_id", "ent"]).groupBy("sample_id").agg(
+        F.count("*").alias("hit")
+    )
+    return (
+        refn.join(inter, on="sample_id", how="left")
+        .select(
+            "sample_id",
+            F.round(F.coalesce("hit", F.lit(0)) / F.col("refn") * 10000)
+            .cast("long")
+            .alias("entity_recall_e4"),
+        )
+    )

@@ -1716,6 +1716,89 @@ SELECT community_id, level, score_e4, rnk FROM (
 """.replace("{QCOS}", _cosine_sql("q.qv", "v.embedding"))
 
 
+# RAGAS-analog eval metrics (reference /metric + /additional_metrics,
+# ragas_eval.py:23-91): ROUGE-1 clipped unigram overlap, hash-embedding
+# cosine, context-entity recall — mirrors eval/metrics.py over the
+# deterministic 5-doc chunk-pair sample set
+ORACLE_SQL["qa_eval"] = PIPELINE_CTE + """
+, sel AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM docs) ORDER BY doc_id LIMIT 5),
+pair AS (
+  SELECT c.doc_id AS sample_id,
+         max(CASE WHEN position = 1 THEN text END) AS response,
+         max(CASE WHEN position = 2 THEN text END) AS reference,
+         max(CASE WHEN position = 1 THEN chunk_id END) AS rchunk,
+         max(CASE WHEN position = 2 THEN chunk_id END) AS nchunk
+  FROM chunks c JOIN sel USING (doc_id)
+  WHERE position <= 2 GROUP BY 1
+),
+samples AS (SELECT * FROM pair WHERE reference IS NOT NULL),
+rtok AS (
+  SELECT sample_id,
+         unnest(list_filter(string_split_regex(lower(response), '[^a-z0-9]+'),
+                            t -> len(t) > 0)) AS tok
+  FROM samples
+),
+ntok AS (
+  SELECT sample_id,
+         unnest(list_filter(string_split_regex(lower(reference), '[^a-z0-9]+'),
+                            t -> len(t) > 0)) AS tok
+  FROM samples
+),
+rcnt AS (SELECT sample_id, tok, count(*) AS rc FROM rtok GROUP BY 1, 2),
+ncnt AS (SELECT sample_id, tok, count(*) AS nc FROM ntok GROUP BY 1, 2),
+ov AS (
+  SELECT sample_id, sum(least(rc, nc)) AS overlap
+  FROM rcnt JOIN ncnt USING (sample_id, tok) GROUP BY 1
+),
+rtot AS (SELECT sample_id, count(*) AS rn FROM rtok GROUP BY 1),
+ntot AS (SELECT sample_id, count(*) AS nn FROM ntok GROUP BY 1),
+prf AS (
+  SELECT s.sample_id,
+         CASE WHEN coalesce(rt.rn, 0) > 0
+              THEN coalesce(o.overlap, 0) / rt.rn ELSE 0.0 END AS p,
+         CASE WHEN coalesce(nt.nn, 0) > 0
+              THEN coalesce(o.overlap, 0) / nt.nn ELSE 0.0 END AS r
+  FROM samples s
+  LEFT JOIN rtot rt USING (sample_id)
+  LEFT JOIN ntot nt USING (sample_id)
+  LEFT JOIN ov o USING (sample_id)
+),
+refents AS (
+  SELECT DISTINCT s.sample_id, m.entity_id || chr(2) || m.entity_label AS ent
+  FROM samples s JOIN mentions m ON m.chunk_id = s.nchunk AND m.doc_id = s.sample_id
+),
+ctxents AS (
+  SELECT DISTINCT s.sample_id, m.entity_id || chr(2) || m.entity_label AS ent
+  FROM samples s JOIN mentions m ON m.chunk_id = s.rchunk AND m.doc_id = s.sample_id
+),
+refn AS (SELECT sample_id, count(*) AS refn FROM refents GROUP BY 1),
+hits AS (
+  SELECT r.sample_id, count(*) AS hit
+  FROM refents r JOIN ctxents c ON c.sample_id = r.sample_id AND c.ent = r.ent
+  GROUP BY 1
+),
+rec AS (
+  SELECT f.sample_id,
+         CAST(round(coalesce(h.hit, 0) / f.refn * 10000) AS BIGINT) AS entity_recall_e4
+  FROM refn f LEFT JOIN hits h USING (sample_id)
+)""" + _hash_vec_cte("rv", "samples", "sample_id", "response") + _hash_vec_cte(
+    "nv", "samples", "sample_id", "reference"
+) + """
+SELECT s.sample_id,
+       CAST(round(p * 10000) AS BIGINT) AS rouge1_p_e4,
+       CAST(round(r * 10000) AS BIGINT) AS rouge1_r_e4,
+       CAST(round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END * 10000)
+            AS BIGINT) AS rouge1_f_e4,
+       coalesce(CAST(round(({SCOS}) * 10000) AS BIGINT), 0) AS semantic_e4,
+       coalesce(rec.entity_recall_e4, 0) AS entity_recall_e4
+FROM samples s
+JOIN prf USING (sample_id)
+LEFT JOIN rvvecs rv ON rv.k = s.sample_id
+LEFT JOIN nvvecs nv ON nv.k = s.sample_id
+LEFT JOIN rec USING (sample_id)
+""".replace("{SCOS}", _cosine_sql("rv.embedding", "nv.embedding"))
+
+
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
 _SW = {
     "de": "('der','die','das','und','ist')",

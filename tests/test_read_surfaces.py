@@ -393,3 +393,53 @@ def test_global_community_retrieve_topk(spark):
     # the two stream-y summaries outrank the storage one; ranks dense 1..2
     assert {r.community_id for r in out} == {"0-a", "1-a"}
     assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# eval metrics (RAGAS analog — /metric, /additional_metrics)
+# ---------------------------------------------------------------------------
+
+def test_rouge1_clipped_overlap(spark):
+    from llm_graph_builder_spark.eval.metrics import rouge1_scores
+
+    samples = spark.createDataFrame(
+        [
+            ("s1", "the cat sat", "the cat sat"),          # identical → P=R=F=1
+            ("s2", "a a a b", "a c"),                       # clipped: min(3,1)=1 overlap
+            ("s3", "xyz", "completely different words"),    # zero overlap
+        ],
+        "sample_id string, response string, reference string",
+    )
+    out = {r.sample_id: r for r in rouge1_scores(samples).collect()}
+    assert (out["s1"].rouge1_p_e4, out["s1"].rouge1_r_e4, out["s1"].rouge1_f_e4) == (
+        10000, 10000, 10000,
+    )
+    # s2: overlap = min(count_resp('a')=3, count_ref('a')=1) = 1;
+    # P = 1/4, R = 1/2, F = 2*(1/4)*(1/2)/(3/4) = 1/3
+    assert out["s2"].rouge1_p_e4 == 2500
+    assert out["s2"].rouge1_r_e4 == 5000
+    assert out["s2"].rouge1_f_e4 == 3333
+    assert (out["s3"].rouge1_p_e4, out["s3"].rouge1_f_e4) == (0, 0)
+
+
+def test_semantic_and_entity_recall(spark):
+    from llm_graph_builder_spark.eval.metrics import entity_recall, semantic_scores
+
+    samples = spark.createDataFrame(
+        [("s1", "merge join", "merge join"), ("s2", "merge join", "scan filter")],
+        "sample_id string, response string, reference string",
+    )
+    sem = {r.sample_id: r.semantic_e4 for r in semantic_scores(samples).collect()}
+    assert sem["s1"] == 10000        # identical text → cosine 1
+    assert sem["s2"] < 10000         # disjoint token sets → below 1
+
+    ref = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "b"), ("s2", "x")],  # dup ent deduped
+        "sample_id string, ent string",
+    )
+    ctx = spark.createDataFrame(
+        [("s1", "b"), ("s1", "z")], "sample_id string, ent string"
+    )
+    rec = {r.sample_id: r.entity_recall_e4 for r in entity_recall(ref, ctx).collect()}
+    assert rec["s1"] == 5000         # 1 of 2 distinct ref entities found
+    assert rec["s2"] == 0            # nothing found
