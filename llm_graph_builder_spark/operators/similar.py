@@ -247,15 +247,20 @@ def similar_edges(
     )
     w_node = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("other"))
     ranked = incident.withColumn("rk", F.row_number().over(w_node))
-    r_src = ranked.select(
-        F.col("node").alias("src"), F.col("other").alias("dst"), F.col("rk").alias("rk_src")
-    )
-    r_dst = ranked.select(
-        F.col("other").alias("src"), F.col("node").alias("dst"), F.col("rk").alias("rk_dst")
-    )
+    # each undirected edge appears EXACTLY twice in `incident` (once per
+    # endpoint), so "top-max_degree at BOTH endpoints" is one aggregation on
+    # the canonical pair — max(rk) ≤ max_degree — instead of two self-joins
+    # of the edge table back onto the ranked view (two shuffles saved; at
+    # corpus scale the edge table is the big side of those joins).
     capped = (
-        und.join(r_src, on=["src", "dst"])
-        .join(r_dst, on=["src", "dst"])
-        .filter((F.col("rk_src") <= max_degree) & (F.col("rk_dst") <= max_degree))
+        ranked.select(
+            F.least("node", "other").alias("src"),
+            F.greatest("node", "other").alias("dst"),
+            "score",
+            "rk",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("rk").alias("_mrk"), F.min("score").alias("score"))
+        .filter(F.col("_mrk") <= max_degree)
     )
     return capped.select("src", F.lit("SIMILAR").alias("rel_type"), "dst", "score")
