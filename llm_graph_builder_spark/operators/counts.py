@@ -53,8 +53,12 @@ def doc_counts(
         .groupBy("doc_id")
         .agg(F.countDistinct("src", "dst").alias("n_next"))
     )
-    has_entity = mentions.groupBy("doc_id").agg(
-        F.countDistinct("chunk_id", "entity_id", "entity_label").alias("n_has_entity")
+    # one pass over mentions for BOTH mention-derived counts (a single
+    # shuffle with Catalyst's expand-based multi-countDistinct, instead of
+    # two full scans + two joins of the biggest input)
+    mention_counts = mentions.groupBy("doc_id").agg(
+        F.countDistinct("chunk_id", "entity_id", "entity_label").alias("n_has_entity"),
+        F.countDistinct("entity_id", "entity_label").alias("entityNodeCount"),
     )
     similar_cnt = None
     if similar_edges_df is not None:
@@ -63,9 +67,6 @@ def doc_counts(
             .groupBy("doc_id")
             .agg(F.countDistinct("src", "dst").alias("n_similar"))
         )
-    entity_nodes = mentions.groupBy("doc_id").agg(
-        F.countDistinct("entity_id", "entity_label").alias("entityNodeCount")
-    )
     # entity-entity rels among this doc's entity set = its triples, distinct
     ee_rels = triples.groupBy("doc_id").agg(
         F.countDistinct("subj_id", "subj_label", "pred", "obj_id", "obj_label").alias(
@@ -77,8 +78,7 @@ def doc_counts(
         .join(chunk_nodes, "doc_id", "left")
         .join(part_of, "doc_id", "left")
         .join(next_chunks, "doc_id", "left")
-        .join(has_entity, "doc_id", "left")
-        .join(entity_nodes, "doc_id", "left")
+        .join(mention_counts, "doc_id", "left")
         .join(ee_rels, "doc_id", "left")
     )
     if similar_cnt is not None:
