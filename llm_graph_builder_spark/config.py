@@ -109,6 +109,12 @@ class PipelineConfig:
     code_extraction: bool = False
     #: salt factor for skewed repos (hash(path) % salt joins the repo key)
     repo_salt: int = 8
+    #: hash buckets for the physical table layout (Iceberg-style BUCKET
+    #: transform on each stage's access key — north rule: "partitioned
+    #: Iceberg outputs", "pre-partitions by repo hash"). 0 disables
+    #: partitioned writes. At 100 TB raise toward 1024; 16 keeps the
+    #: test-scale file count sane.
+    partition_buckets: int = 16
     #: allowed entity labels (reference allowedNodes, src/llm.py:257-276); None = all
     allowed_labels: tuple[str, ...] | None = None
     #: allowed (subj_label, pred, obj_label) triples; None = all

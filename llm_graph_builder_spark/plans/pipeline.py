@@ -62,6 +62,36 @@ class StageResult:
     skipped: bool
 
 
+#: physical layout (north rule: "final partitioned Iceberg outputs",
+#: "pre-partitions by repo hash"): per-stage BUCKET-transform key. Every
+#: stage table is written partitioned by ``_pbucket = pmod(xxhash64(key),
+#: config.partition_buckets)`` — the exact analog of Iceberg's
+#: ``bucket(N, key)`` partition transform. Hash buckets (never identity
+#: partitions on data values) keep directory cardinality bounded, stay
+#: type-safe under partition-column inference, and give point-lookup
+#: pruning: a reader can compute the bucket of its key and scan 1/N of the
+#: files. ``PipelineRunner.read`` drops the bucket column, so the logical
+#: schema is unchanged.
+PARTITION_KEYS: dict[str, str] = {
+    "documents": "repo",
+    "chunks": "doc_id",
+    "chunk_edges": "src",
+    "chunk_embeddings": "chunk_id",
+    "code_extractions": "doc_id",
+    "extractions": "doc_id",
+    "mentions": "doc_id",
+    "triples": "doc_id",
+    "entities": "id",
+    "entity_edges": "subj_id",
+    "has_entity": "src",
+    "linked_entities": "id",
+    "linked_edges": "subj_id",
+    "similar": "src",
+    "communities": "u",
+    "doc_counts": "doc_id",
+}
+
+
 class PipelineRunner:
     """Runs the stage DAG of SURVEY §7.1 over a ``repos`` DataFrame."""
 
@@ -90,11 +120,28 @@ class PipelineRunner:
         warehouse: str,
         config: PipelineConfig = DEFAULT_CONFIG,
         extractor=None,
+        table_format: str = "parquet",
     ):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.config = config
         self.extractor = extractor
+        #: "parquet" (default) or "iceberg". The stage logic is identical;
+        #: only the writer differs. Iceberg needs the runtime jar + a
+        #: catalog conf (spark.sql.catalog.<name>) on the cluster — absent
+        #: here, so the branch validates eagerly instead of failing mid-DAG.
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format: {table_format!r}")
+        if table_format == "iceberg" and not any(
+            k.startswith("spark.sql.catalog.")
+            for k, _ in spark.sparkContext.getConf().getAll()
+        ):
+            raise RuntimeError(
+                "table_format='iceberg' requires an Iceberg catalog "
+                "(spark.sql.catalog.<name> + iceberg-spark-runtime jar); "
+                "none configured on this session"
+            )
+        self.table_format = table_format
         #: stamped on every manifest/lineage record of a run() invocation so
         #: overwrite/resume re-runs are distinguishable: the LIVE partition
         #: set of a stage is the records carrying its latest run_id (stale
@@ -132,7 +179,12 @@ class PipelineRunner:
         return f"{self.warehouse}/{name}"
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._table(name))
+        """Read a stage table at its logical schema (the physical `_pbucket`
+        partition column is layout, not data — dropped here; a reader that
+        wants bucket pruning filters on it BEFORE this drop by computing
+        ``pmod(xxhash64(lit(key)), partition_buckets)`` for its lookup key)."""
+        df = self.spark.read.parquet(self._table(name))
+        return df.drop("_pbucket") if "_pbucket" in df.columns else df
 
     def _partition_lineage(self, name: str, path: str) -> int:
         """Per-partition lineage/metrics for a written stage (north rule:
@@ -161,7 +213,10 @@ class PipelineRunner:
         with open(f"{self.warehouse}/_manifest_partitions.jsonl", "a") as f:
             for r in per_file:
                 total += r["rows"]
-                fname = r["file"].rsplit("/", 1)[-1]
+                # path RELATIVE to the stage root: with partitioned writes a
+                # file lives under its `_pbucket=NN/` directory, which the
+                # lineage row must keep to identify the partition
+                fname = r["file"].split("://", 1)[-1].split(f"{path}/", 1)[-1]
                 try:
                     nbytes = os.path.getsize(os.path.join(path, fname))
                 except OSError:
@@ -178,7 +233,27 @@ class PipelineRunner:
         if resume and name in done and os.path.exists(f"{path}/_SUCCESS"):
             return StageResult(name, done[name]["rows_out"], 0, skipped=True)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(path)
+        key = PARTITION_KEYS.get(name)
+        buckets = self.config.partition_buckets
+        if key is not None and buckets > 0 and key in df.columns:
+            part = df.withColumn(
+                "_pbucket", F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+            )
+            if self.table_format == "iceberg":
+                # Iceberg path: same bucket layout via the native transform;
+                # the atomic snapshot commit replaces the _SUCCESS check and
+                # Iceberg's own manifests carry the per-file rows/bytes that
+                # _partition_lineage collects for parquet
+                part.drop("_pbucket").writeTo(name).using("iceberg").partitionedBy(
+                    F.bucket(buckets, key)
+                ).createOrReplace()
+                rows = self.spark.table(name).count()
+                ms = int((time.time() - t0) * 1000)
+                self._record(name, rows, ms, **extra)
+                return StageResult(name, rows, ms, skipped=False)
+            part.write.mode("overwrite").partitionBy("_pbucket").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
         rows = self._partition_lineage(name, path)
         ms = int((time.time() - t0) * 1000)
         self._record(name, rows, ms, **extra)

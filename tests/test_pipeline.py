@@ -105,3 +105,61 @@ def test_pipeline_combine_k(spark, sf_dir, tmp_path):
     m = spark.read.parquet(f"{wh}/mentions").select("doc_id", "chunk_id").distinct()
     c = spark.read.parquet(f"{wh}/chunks").select("doc_id", "chunk_id").distinct()
     assert m.join(c, on=["doc_id", "chunk_id"], how="left_anti").count() == 0
+
+
+def test_partitioned_layout_and_bucket_pruning(spark, sf_dir, tmp_path):
+    """North rule: stage tables are written partitioned (Iceberg-style
+    bucket(N, key) transform). Asserts the physical layout, that read()
+    presents the logical schema (no _pbucket), and that a point lookup can
+    prune to 1/N of the files by computing its key's bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "whp")
+    runner = PipelineRunner(spark, wh)
+    runner.run(_repos(spark, sf_dir))
+
+    # physical layout: bucket directories under each partitioned stage
+    subdirs = [d for d in os.listdir(f"{wh}/documents") if d.startswith("_pbucket=")]
+    assert len(subdirs) > 1
+    # logical schema: read() hides the layout column
+    docs = runner.read("documents")
+    assert "_pbucket" not in docs.columns
+    assert docs.count() == 60
+
+    # bucket pruning: one repo's bucket touches a strict subset of the files
+    buckets = runner.config.partition_buckets
+    one_repo = docs.select("repo").first().repo
+    raw = spark.read.parquet(f"{wh}/documents")
+    pruned = raw.filter(
+        F.col("_pbucket")
+        == F.pmod(F.xxhash64(F.lit(one_repo)), F.lit(buckets)).cast("int")
+    )
+    # inputFiles() ignores filters — count the files the pruned scan
+    # actually touches at execution time
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    n_all = raw.select(F.input_file_name()).distinct().count()
+    assert n_pruned < n_all
+    # and the pruned scan still contains every row of that repo
+    assert (
+        pruned.filter(F.col("repo") == one_repo).count()
+        == docs.filter(F.col("repo") == one_repo).count()
+    )
+
+    # per-partition lineage rows carry the bucket directory
+    lineage = [json.loads(l) for l in open(f"{wh}/_manifest_partitions.jsonl")]
+    doc_rows = [m for m in lineage if m["stage"] == "documents"]
+    assert doc_rows and all("_pbucket=" in m["partition_file"] for m in doc_rows)
+    assert all(m["bytes"] for m in doc_rows)
+
+
+def test_iceberg_seam_validates_eagerly(spark, tmp_path):
+    """table_format='iceberg' without a catalog must fail at construction
+    with a clear message, not mid-DAG."""
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="catalog"):
+        PipelineRunner(spark, str(tmp_path / "whi"), table_format="iceberg")
+    with _pytest.raises(ValueError, match="table_format"):
+        PipelineRunner(spark, str(tmp_path / "whx"), table_format="orc")
