@@ -252,6 +252,11 @@ class PipelineRunner:
                 self._record(name, rows, ms, **extra)
                 return StageResult(name, rows, ms, skipped=False)
             part.write.mode("overwrite").partitionBy("_pbucket").parquet(path)
+            # an EMPTY partitioned write leaves only _SUCCESS (no bucket
+            # dirs, no schema footer) and the read-back cannot infer a
+            # schema — rewrite flat so empty stages stay readable
+            if not any(d.startswith("_pbucket=") for d in os.listdir(path)):
+                df.write.mode("overwrite").parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
         rows = self._partition_lineage(name, path)

@@ -282,3 +282,59 @@ def test_corpus_curation(spark):
     assert not out2["2"]["kept"]
     # the near_dup drop_reason branch actually fires: 7 is NOT an exact dup
     assert out2["7"]["drop_reason"] == "near_dup" and not out2["7"]["kept"]
+
+
+def test_streaming_windowed_ingest_rates(spark, tmp_path):
+    """Event-time windowed throughput with a watermark: windows finalize in
+    append mode (exactly one row per window×lang), chunk estimate matches
+    the chunker's closed form, and late-beyond-watermark rows are dropped."""
+    from datetime import datetime
+
+    from llm_graph_builder_spark.streaming.rates import ingest_rates
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "rin"), str(tmp_path / "rout"), str(tmp_path / "rck"),
+    )
+    cols = "event_time timestamp, doc_id string, lang string, content string"
+    t = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+    batch1 = [
+        (t(0, 10), "d1", "en", "one two three"),
+        (t(0, 40), "d2", "en", " ".join(f"w{i}" for i in range(120))),  # 3 chunks
+        (t(1, 10), "d3", "de", "eins zwei"),
+        (t(5, 0), "d4", "en", "advance the watermark far past window 0"),
+    ]
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(cols).parquet(in_dir)
+        q = (
+            ingest_rates(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out = {
+        (r.window_start.minute, r.lang): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 10:00 en window finalized (watermark passed 10:05 - 2min): 2 files,
+    # 1 + 3 estimated chunks, 3 + 120 tokens
+    w0 = out[(0, "en")]
+    assert (w0.files, w0.chunks_est, w0.tokens) == (2, 4, 123)
+    assert (0, "de") not in out or out[(0, "de")].files == 1  # de window at 10:01
+
+    # a row FAR behind the watermark is dropped, not re-emitted
+    late = [(t(0, 50), "d9", "en", "too late for window zero")]
+    spark.createDataFrame(late, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    rows_after = [
+        r for r in spark.read.parquet(out_dir).collect()
+        if r.window_start.minute == 0 and r.lang == "en"
+    ]
+    assert len(rows_after) == 1 and rows_after[0].files == 2
