@@ -547,8 +547,9 @@ def q_qa_eval(spark, sf_dir):
     /additional_metrics, ragas_eval.py:23-91): ROUGE-1 P/R/F1 (clipped
     unigram overlap), embedding-cosine semantic similarity, and
     context-entity recall, one row per QA sample. Samples are deterministic:
-    the 5 smallest docs with ≥2 chunks; response = chunk 1, reference =
-    chunk 2. Fully oracle-mirrored."""
+    of the 5 smallest doc_ids (content-addressed hashes — an arbitrary but
+    stable pick), those with ≥2 chunks (possibly fewer than 5 rows);
+    response = chunk 1, reference = chunk 2. Fully oracle-mirrored."""
     from .eval.metrics import entity_recall, rouge1_scores, semantic_scores
 
     t = pipeline_tables(spark, sf_dir)

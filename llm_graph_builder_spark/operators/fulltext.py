@@ -59,46 +59,20 @@ def build_chunk_index(chunks: DataFrame) -> DataFrame:
     )
 
 
-def keyword_chunk_search(
-    index: DataFrame, query: str, limit: int = 20
+def _keyword_rank(
+    index: DataFrame, query: str, keys: list[str], limit: int, matched_type: str
 ) -> DataFrame:
-    """Rank chunks by distinct query-term matches against the ``keyword``
-    chunk index (the fulltext leg of the reference's hybrid chat mode,
-    CHAT_MODE_CONFIG_MAP['fulltext'] with keyword_index='keyword',
-    shared/constants.py:730-737). Same shape as :func:`keyword_search` but
-    keyed on chunk_id. Output: (chunk_id, matched), ordered by
-    (matched desc, chunk_id), LIMIT-ed (TakeOrderedAndProject — no global
-    sort; the index-side join is term-partitioned)."""
-    spark = index.sparkSession
-    qterms = sorted(
-        {t for t in __import__("re").split(_TERM_SPLIT, (query or "").lower()) if t}
-    )
-    qdf = F.broadcast(
-        spark.createDataFrame([(t,) for t in qterms], "term string")
-    )
-    return (
-        index.join(qdf, on="term")
-        .groupBy("chunk_id")
-        .agg(F.countDistinct("term").cast("long").alias("matched"))
-        .orderBy(F.desc("matched"), F.asc("chunk_id"))
-        .limit(limit)
-    )
-
-
-def keyword_search(
-    index: DataFrame, query: str, limit: int = 20
-) -> DataFrame:
-    """Rank entities by how many distinct query terms they match.
+    """Shared search core: broadcast the query-term set against a posting
+    index and rank the keyed documents by distinct-term match count.
 
     The query-term set is driver-tiny → broadcast semi-side of the join; the
-    index never moves beyond its term partitioning. Output:
-    (id, label, matched) ordered by (matched desc, id, label), LIMIT-ed
-    (TakeOrderedAndProject).
-    """
+    index never moves beyond its term partitioning. Output: keys + matched,
+    ordered by (matched desc, *keys), LIMIT-ed (TakeOrderedAndProject — no
+    global sort)."""
+    import re
+
     spark = index.sparkSession
-    qterms = sorted(
-        {t for t in __import__("re").split(_TERM_SPLIT, (query or "").lower()) if t}
-    )
+    qterms = sorted({t for t in re.split(_TERM_SPLIT, (query or "").lower()) if t})
     # explicit schema: an all-punctuation query yields zero terms, and an
     # empty dataset cannot infer one (must return empty results, not raise)
     qdf = F.broadcast(
@@ -106,8 +80,27 @@ def keyword_search(
     )
     return (
         index.join(qdf, on="term")
-        .groupBy("id", "label")
-        .agg(F.countDistinct("term").alias("matched"))
-        .orderBy(F.desc("matched"), F.asc("id"), F.asc("label"))
+        .groupBy(*keys)
+        .agg(F.countDistinct("term").cast(matched_type).alias("matched"))
+        .orderBy(F.desc("matched"), *[F.asc(k) for k in keys])
         .limit(limit)
     )
+
+
+def keyword_chunk_search(
+    index: DataFrame, query: str, limit: int = 20
+) -> DataFrame:
+    """Rank chunks by distinct query-term matches against the ``keyword``
+    chunk index (the fulltext leg of the reference's hybrid chat mode,
+    CHAT_MODE_CONFIG_MAP['fulltext'] with keyword_index='keyword',
+    shared/constants.py:730-737). Output: (chunk_id, matched)."""
+    return _keyword_rank(index, query, ["chunk_id"], limit, "long")
+
+
+def keyword_search(
+    index: DataFrame, query: str, limit: int = 20
+) -> DataFrame:
+    """Rank entities by distinct query-term matches against the ``entities``
+    fulltext index (post_processing.py:12-16).
+    Output: (id, label, matched)."""
+    return _keyword_rank(index, query, ["id", "label"], limit, "bigint")

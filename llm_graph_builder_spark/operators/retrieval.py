@@ -140,27 +140,24 @@ def hybrid_retrieve(
     Output: (chunk_id, vscore_e4, matched, combined_e4, rnk).
     """
     vleg = vector_retrieve(chunk_emb, query_vec, k=leg_top, id_col=id_col, vec_col=vec_col)
-    vmax = vleg.agg(F.max("score_e4").alias("vmax"))
-    v = (
-        vleg.crossJoin(F.broadcast(vmax))
-        .select(
-            "chunk_id",
-            F.col("score_e4").alias("vscore_e4"),
-            F.when(F.col("vmax") > 0, F.col("score_e4") / F.col("vmax"))
-            .otherwise(F.lit(0.0))
-            .alias("vnorm"),
-        )
+    # per-leg max via an unpartitioned window over the ALREADY-truncated leg
+    # (≤ leg_top rows — the single-partition window is trivially bounded);
+    # a separate .agg() + crossJoin would reference the whole leg subtree
+    # (corpus scan included) twice in the plan
+    w_all = Window.partitionBy()
+    v = vleg.withColumn("vmax", F.max("score_e4").over(w_all)).select(
+        "chunk_id",
+        F.col("score_e4").alias("vscore_e4"),
+        F.when(F.col("vmax") > 0, F.col("score_e4") / F.col("vmax"))
+        .otherwise(F.lit(0.0))
+        .alias("vnorm"),
     )
-    kmax = keyword_hits.agg(F.max("matched").alias("kmax"))
-    kn = (
-        keyword_hits.crossJoin(F.broadcast(kmax))
-        .select(
-            "chunk_id",
-            "matched",
-            F.when(F.col("kmax") > 0, F.col("matched") / F.col("kmax"))
-            .otherwise(F.lit(0.0))
-            .alias("knorm"),
-        )
+    kn = keyword_hits.withColumn("kmax", F.max("matched").over(w_all)).select(
+        "chunk_id",
+        "matched",
+        F.when(F.col("kmax") > 0, F.col("matched") / F.col("kmax"))
+        .otherwise(F.lit(0.0))
+        .alias("knorm"),
     )
     fused = (
         v.join(kn, on="chunk_id", how="full")

@@ -548,7 +548,9 @@ ORDER BY mid_id, mid_label, pred1, dir1, pred2, dir2, dst_id, dst_label
 LIMIT 40
 """
 
-ORACLE_SQL["keyword_search"] = PIPELINE_CTE + """
+# shared entity-description contract (±2-token window, min across chunks)
+# — used by keyword_search / entity_descriptions / local_community_retrieval
+_EDESC_CTES = """
 , cft AS (SELECT DISTINCT chunk_id, text FROM chunks),
 cfl AS (
   SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) >= 4) AS ft
@@ -564,7 +566,9 @@ edesc AS (
   SELECT id, label,
          min(array_to_string(ft[greatest(p - 2, 1) : p + 2], ' ')) AS description
   FROM dw GROUP BY 1, 2
-),
+)"""
+
+ORACLE_SQL["keyword_search"] = PIPELINE_CTE + _EDESC_CTES + """,
 posts AS (
   SELECT DISTINCT e.id, e.label,
          unnest(list_filter(
@@ -581,21 +585,8 @@ ORDER BY matched DESC, id, label
 LIMIT 20
 """
 
-ORACLE_SQL["entity_descriptions"] = PIPELINE_CTE + """
-, cft AS (SELECT DISTINCT chunk_id, text FROM chunks),
-cfl AS (
-  SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) >= 4) AS ft
-  FROM cft
-),
-me AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
-w AS (
-  SELECT me.entity_id AS id, me.entity_label AS label, cfl.ft,
-         list_position(cfl.ft, me.entity_id) AS p
-  FROM me JOIN cfl USING (chunk_id)
-)
-SELECT id, label,
-       min(array_to_string(ft[greatest(p - 2, 1) : p + 2], ' ')) AS description
-FROM w GROUP BY 1, 2
+ORACLE_SQL["entity_descriptions"] = PIPELINE_CTE + _EDESC_CTES + """
+SELECT id, label, description FROM edesc
 """
 
 # E3: dimension contract of the entity-embedding pass (id + description text)
@@ -1640,23 +1631,7 @@ SELECT chunk_id, vscore_e4, matched, combined_e4, rnk FROM (
 # as entity_descriptions), hash-embedded float32; cosine top-10 entities;
 # chunks ranked by COUNT(DISTINCT matched entity) — mirrors
 # operators/retrieval.py::local_community_retrieve
-ORACLE_SQL["local_community_retrieval"] = PIPELINE_CTE + """
-, cft AS (SELECT DISTINCT chunk_id, text FROM chunks),
-cfl AS (
-  SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) >= 4) AS ft
-  FROM cft
-),
-me AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
-dw AS (
-  SELECT me.entity_id AS id, me.entity_label AS label, cfl.ft,
-         list_position(cfl.ft, me.entity_id) AS p
-  FROM me JOIN cfl USING (chunk_id)
-),
-edesc AS (
-  SELECT id, label,
-         min(array_to_string(ft[greatest(p - 2, 1) : p + 2], ' ')) AS description
-  FROM dw GROUP BY 1, 2
-),
+ORACLE_SQL["local_community_retrieval"] = PIPELINE_CTE + _EDESC_CTES + """,
 etext AS (
   SELECT e.id || chr(1) || e.label AS k,
          e.id || ' ' || coalesce(d.description, '') AS text

@@ -121,27 +121,34 @@ class PipelineRunner:
         config: PipelineConfig = DEFAULT_CONFIG,
         extractor=None,
         table_format: str = "parquet",
+        catalog: str | None = None,
+        namespace: str = "kg",
     ):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.config = config
         self.extractor = extractor
         #: "parquet" (default) or "iceberg". The stage logic is identical;
-        #: only the writer differs. Iceberg needs the runtime jar + a
-        #: catalog conf (spark.sql.catalog.<name>) on the cluster — absent
-        #: here, so the branch validates eagerly instead of failing mid-DAG.
+        #: only the writer/reader pair differs (write/read stay symmetric:
+        #: iceberg stages write to AND read from ``<catalog>.<namespace>.
+        #: <stage>``; resume checks catalog-table existence instead of the
+        #: _SUCCESS file). Iceberg needs the runtime jar + the named catalog
+        #: conf on the cluster — absent here, so the branch validates
+        #: eagerly (against the RUNTIME SQL conf, which sees catalogs
+        #: registered after session start) instead of failing mid-DAG.
         if table_format not in ("parquet", "iceberg"):
             raise ValueError(f"unknown table_format: {table_format!r}")
-        if table_format == "iceberg" and not any(
-            k.startswith("spark.sql.catalog.")
-            for k, _ in spark.sparkContext.getConf().getAll()
-        ):
-            raise RuntimeError(
-                "table_format='iceberg' requires an Iceberg catalog "
-                "(spark.sql.catalog.<name> + iceberg-spark-runtime jar); "
-                "none configured on this session"
-            )
+        if table_format == "iceberg":
+            if not catalog:
+                raise ValueError("table_format='iceberg' requires catalog=<name>")
+            if self.spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+                raise RuntimeError(
+                    f"table_format='iceberg' requires spark.sql.catalog."
+                    f"{catalog} (+ iceberg-spark-runtime jar) on this session"
+                )
         self.table_format = table_format
+        self.catalog = catalog
+        self.namespace = namespace
         #: stamped on every manifest/lineage record of a run() invocation so
         #: overwrite/resume re-runs are distinguishable: the LIVE partition
         #: set of a stage is the records carrying its latest run_id (stale
@@ -178,13 +185,25 @@ class PipelineRunner:
     def _table(self, name: str) -> str:
         return f"{self.warehouse}/{name}"
 
+    def _catalog_table(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
     def read(self, name: str) -> DataFrame:
         """Read a stage table at its logical schema (the physical `_pbucket`
         partition column is layout, not data — dropped here; a reader that
         wants bucket pruning filters on it BEFORE this drop by computing
-        ``pmod(xxhash64(lit(key)), partition_buckets)`` for its lookup key)."""
+        ``pmod(xxhash64(lit(key)), partition_buckets)`` for its lookup key).
+        Iceberg mode reads the catalog table the writer committed — Iceberg's
+        own bucket-transform metadata drives pruning there."""
+        if self.table_format == "iceberg":
+            return self.spark.table(self._catalog_table(name))
         df = self.spark.read.parquet(self._table(name))
         return df.drop("_pbucket") if "_pbucket" in df.columns else df
+
+    def _stage_output_exists(self, name: str) -> bool:
+        if self.table_format == "iceberg":
+            return self.spark.catalog.tableExists(self._catalog_table(name))
+        return os.path.exists(f"{self._table(name)}/_SUCCESS")
 
     def _partition_lineage(self, name: str, path: str) -> int:
         """Per-partition lineage/metrics for a written stage (north rule:
@@ -230,7 +249,7 @@ class PipelineRunner:
 
     def _write_stage(self, name: str, df: DataFrame, resume: bool, done: dict, **extra) -> StageResult:
         path = self._table(name)
-        if resume and name in done and os.path.exists(f"{path}/_SUCCESS"):
+        if resume and name in done and self._stage_output_exists(name):
             return StageResult(name, done[name]["rows_out"], 0, skipped=True)
         t0 = time.time()
         key = PARTITION_KEYS.get(name)
@@ -244,20 +263,38 @@ class PipelineRunner:
                 # the atomic snapshot commit replaces the _SUCCESS check and
                 # Iceberg's own manifests carry the per-file rows/bytes that
                 # _partition_lineage collects for parquet
-                part.drop("_pbucket").writeTo(name).using("iceberg").partitionedBy(
+                # (distribution to one file per bucket is Iceberg's own
+                # write.distribution-mode=hash — no manual repartition here)
+                part.drop("_pbucket").writeTo(
+                    self._catalog_table(name)
+                ).using("iceberg").partitionedBy(
                     F.bucket(buckets, key)
                 ).createOrReplace()
-                rows = self.spark.table(name).count()
+                rows = self.spark.table(self._catalog_table(name)).count()
                 ms = int((time.time() - t0) * 1000)
                 self._record(name, rows, ms, **extra)
                 return StageResult(name, rows, ms, skipped=False)
-            part.write.mode("overwrite").partitionBy("_pbucket").parquet(path)
+            # cluster rows by bucket before the write: without this every
+            # write task spans up to `buckets` directories → T×N small files
+            # (and N× lineage rows); clustered, each bucket is one file. At
+            # scale set partition_buckets ≥ cluster parallelism so the write
+            # stage stays fully parallel (Iceberg's write.distribution-mode=
+            # hash is this exact shuffle).
+            part.repartition(buckets, "_pbucket").write.mode("overwrite").partitionBy(
+                "_pbucket"
+            ).parquet(path)
             # an EMPTY partitioned write leaves only _SUCCESS (no bucket
             # dirs, no schema footer) and the read-back cannot infer a
             # schema — rewrite flat so empty stages stay readable
             if not any(d.startswith("_pbucket=") for d in os.listdir(path)):
                 df.write.mode("overwrite").parquet(path)
         else:
+            if self.table_format == "iceberg":
+                df.writeTo(self._catalog_table(name)).using("iceberg").createOrReplace()
+                rows = self.spark.table(self._catalog_table(name)).count()
+                ms = int((time.time() - t0) * 1000)
+                self._record(name, rows, ms, **extra)
+                return StageResult(name, rows, ms, skipped=False)
             df.write.mode("overwrite").parquet(path)
         rows = self._partition_lineage(name, path)
         ms = int((time.time() - t0) * 1000)
@@ -416,7 +453,7 @@ class PipelineRunner:
             return me, med
 
         if resume and "linked_entities" in done and "linked_edges" in done \
-                and os.path.exists(f"{self._table('linked_edges')}/_SUCCESS"):
+                and self._stage_output_exists('linked_edges'):
             results.append(StageResult("linked_entities", done["linked_entities"]["rows_out"], 0, True))
             results.append(StageResult("linked_edges", done["linked_edges"]["rows_out"], 0, True))
         else:

@@ -46,15 +46,23 @@ def ingest_rates(
     runs the chunker; the estimate is EXACT for the token-window splitter.
     """
     toks = F.size(
-        F.filter(F.split(F.col("content"), r"\s+"), lambda t: F.length(t) > 0)
+        F.filter(
+            F.split(F.coalesce(F.col("content"), F.lit("")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
     )
     enriched = stream.withColumn("_toks", toks).withColumn(
         "_chunks",
-        F.lit(1)
-        + F.ceil(
-            F.greatest(F.col("_toks") - F.lit(CHUNK_SIZE_TOKENS), F.lit(0))
-            / F.lit(float(CHUNK_STRIDE_TOKENS))
-        ).cast("long"),
+        # zero-token content (empty/whitespace/null) produces ZERO chunks in
+        # the chunker, not one — mirror that so the estimate stays exact
+        F.when(
+            F.col("_toks") > 0,
+            F.lit(1)
+            + F.ceil(
+                F.greatest(F.col("_toks") - F.lit(CHUNK_SIZE_TOKENS), F.lit(0))
+                / F.lit(float(CHUNK_STRIDE_TOKENS))
+            ).cast("long"),
+        ).otherwise(F.lit(0)),
     )
     return (
         enriched.withWatermark(event_time_col, watermark_delay)

@@ -159,7 +159,11 @@ def test_iceberg_seam_validates_eagerly(spark, tmp_path):
     with a clear message, not mid-DAG."""
     import pytest as _pytest
 
-    with _pytest.raises(RuntimeError, match="catalog"):
+    with _pytest.raises(ValueError, match="catalog"):
         PipelineRunner(spark, str(tmp_path / "whi"), table_format="iceberg")
+    with _pytest.raises(RuntimeError, match="spark.sql.catalog.ice"):
+        PipelineRunner(
+            spark, str(tmp_path / "whi"), table_format="iceberg", catalog="ice"
+        )
     with _pytest.raises(ValueError, match="table_format"):
         PipelineRunner(spark, str(tmp_path / "whx"), table_format="orc")
