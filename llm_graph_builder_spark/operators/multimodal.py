@@ -89,5 +89,117 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
     for i in range(n):
         media = ["image", "audio", "video"][i % 3]
         payload = bytes(((i * 7 + j * 13) % 251) for j in range(64 + (i % 5) * 16))
-        rows.append((f"asset-{i}", media, payload, {"w": str(64 + i), "codec": "fake"}))
+        meta = {"w": str(64 + i), "codec": "fake"}
+        if media == "video":
+            meta["duration_ms"] = str(2000 + (i % 4) * 1000)
+        rows.append((f"asset-{i}", media, payload, meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+#: one row per sampled video frame — payload stays binary, provenance typed
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def fake_sample_frames(
+    payload: bytes, meta: dict, fps_out: float
+) -> list[tuple[int, int, bytes]]:
+    """Deterministic frame-sampling stand-in: one "frame" per 1000/fps_out ms
+    of ``meta['duration_ms']``, payload = a rotating 16-byte slice of the
+    container bytes. A real implementation (pyav/ffmpeg) returns decoded
+    frame buffers through the identical contract."""
+    if payload is None or not meta:
+        return []
+    duration = int(meta.get("duration_ms", "0"))
+    if duration <= 0 or fps_out <= 0:
+        return []
+    step = int(1000 / fps_out)
+    out = []
+    for i, ts in enumerate(range(0, duration, step)):
+        lo = (i * 16) % max(len(payload) - 16, 1)
+        out.append((i, ts, payload[lo : lo + 16]))
+    return out
+
+
+def sample_frames(
+    assets: DataFrame,
+    fps_out: float = 1.0,
+    frame_fn: Callable[[bytes, dict, float], list[tuple[int, int, bytes]]] | None = None,
+) -> DataFrame:
+    """Frame sampling: video assets → one row PER SAMPLED FRAME.
+
+    The row-multiplying explode happens INSIDE ``mapInPandas`` (a decoder
+    emits its frames into the same Arrow batch — no driver involvement, no
+    separate explode shuffle); non-video assets pass through with zero rows.
+    Downstream, frames feed ``extract_features`` like any asset batch.
+    """
+    fn = frame_fn or fake_sample_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "frame_index", "ts_ms", "payload", "meta")}
+            for aid, mt, payload, meta in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                if mt != "video":
+                    continue
+                for idx, ts, frame in fn(payload, meta or {}, fps_out):
+                    rows["asset_id"].append(aid)
+                    rows["frame_index"].append(idx)
+                    rows["ts_ms"].append(ts)
+                    rows["payload"].append(frame)
+                    rows["meta"].append({**(meta or {}), "frame_of": aid})
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: truncate/cycle the byte stream to
+    ``w*h`` bytes (a real implementation decodes, resizes via Pillow, and
+    re-encodes through the identical contract)."""
+    if payload is None:
+        return b""
+    need = max(w * h, 1)
+    reps = (need // max(len(payload), 1)) + 1
+    return (payload * reps)[:need]
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize: image assets → same schema with transformed payload and
+    updated ``meta['w']``/``meta['h']``; non-image rows pass through
+    untouched. One Arrow round-trip, no shuffle."""
+    fn = resize_fn or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mt, payload, meta in zip(pdf["media_type"], pdf["payload"], pdf["meta"]):
+                if mt == "image":
+                    payloads.append(fn(payload, width, height))
+                    metas.append({**(meta or {}), "w": str(width), "h": str(height)})
+                else:
+                    payloads.append(payload)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)

@@ -338,3 +338,46 @@ def test_streaming_windowed_ingest_rates(spark, tmp_path):
         if r.window_start.minute == 0 and r.lang == "en"
     ]
     assert len(rows_after) == 1 and rows_after[0].files == 2
+
+
+def test_multimodal_frame_sampling_and_resize(spark):
+    """Frame sampling multiplies rows inside mapInPandas (one row per
+    sampled frame, videos only); resize transforms image payloads + meta in
+    place. Both are the stubbed-decode plumbing contract."""
+    from llm_graph_builder_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=12)
+    frames = sample_frames(assets, fps_out=1.0)
+    got = frames.collect()
+    # every video contributes duration_ms/1000 frames; non-videos none
+    vids = {
+        r.asset_id: int(r.meta["duration_ms"])
+        for r in assets.filter("media_type = 'video'").collect()
+    }
+    from collections import Counter
+
+    per_asset = Counter(r.asset_id for r in got)
+    assert per_asset == {aid: dur // 1000 for aid, dur in vids.items()}
+    one = got[0]
+    assert one.ts_ms % 1000 == 0 and len(one.payload) == 16
+    assert one.meta["frame_of"] == one.asset_id
+    # frames feed the feature extractor like any asset batch
+    feats = extract_features(
+        frames.select(
+            "asset_id", F.lit("image").alias("media_type"), "payload", "meta"
+        )
+    )
+    assert feats.count() == len(got)
+
+    resized = resize_images(assets, width=8, height=4).collect()
+    for r in resized:
+        if r.media_type == "image":
+            assert len(r.payload) == 32
+            assert (r.meta["w"], r.meta["h"]) == ("8", "4")
+        else:
+            assert "h" not in r.meta  # non-images untouched
