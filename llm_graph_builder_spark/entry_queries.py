@@ -798,6 +798,22 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Multimodal frame sampling end-to-end: deterministic synthetic assets →
+    mapInPandas per-video frame explode (1 fps). The stubbed decoder is
+    deterministic byte math, so the DuckDB oracle reproduces every frame row
+    (index, timestamp, slice length) exactly."""
+    from .operators.multimodal import sample_frames, synthesize_assets
+
+    frames = sample_frames(synthesize_assets(spark, n=64), fps_out=1.0)
+    return frames.select(
+        "asset_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "ts_ms",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def q_code_graph_communities(spark, sf_dir):
     """North-star slice on actual code semantics: synthetic code corpus →
     code-rule extraction → entity/edge tables → entity linking → LPA
@@ -952,5 +968,6 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "code_graph_communities": q_code_graph_communities,
 }

@@ -156,7 +156,11 @@ def sample_frames(
                     rows["ts_ms"].append(ts)
                     rows["payload"].append(frame)
                     rows["meta"].append({**(meta or {}), "frame_of": aid})
-            yield pd.DataFrame(rows)
+            # skip video-less batches: Arrow cannot infer a map<str,str>
+            # column from an EMPTY object array (the declared schema covers
+            # the zero-row case by itself)
+            if rows["asset_id"]:
+                yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, FRAME_SCHEMA)
 

@@ -1852,3 +1852,20 @@ SELECT CAST(doc_id AS VARCHAR) AS doc,
        list_min(list_transform({_FP_SHINGLES}, g -> md5(g))) AS fingerprint
 FROM documents
 """
+
+# multimodal frame sampling: the synthetic asset table and the stubbed
+# decoder are pure integer byte math (operators/multimodal.py
+# synthesize_assets / fake_sample_frames), so the per-frame rows are fully
+# SQL-reproducible: videos are i%3==2 with duration 2000+(i%4)*1000 ms,
+# 1 fps sampling → duration/1000 frames of 16 bytes at k*1000 ms
+ORACLE_SQL["multimodal_frames"] = """
+WITH ids AS (SELECT unnest(range(64)) AS i),
+vids AS (
+  SELECT i, 2000 + (i % 4) * 1000 AS dur FROM ids WHERE i % 3 = 2
+)
+SELECT 'asset-' || CAST(i AS VARCHAR) AS asset_id,
+       CAST(unnest(range(dur // 1000)) AS BIGINT) AS frame_index,
+       CAST(unnest(range(dur // 1000)) * 1000 AS BIGINT) AS ts_ms,
+       CAST(16 AS BIGINT) AS n_bytes
+FROM vids
+"""
