@@ -115,16 +115,19 @@ def fake_sample_frames(
     of ``meta['duration_ms']``, payload = a rotating 16-byte slice of the
     container bytes. A real implementation (pyav/ffmpeg) returns decoded
     frame buffers through the identical contract."""
-    if payload is None or not meta:
+    if not payload or not meta:
         return []
     duration = int(meta.get("duration_ms", "0"))
     if duration <= 0 or fps_out <= 0:
         return []
-    step = int(1000 / fps_out)
+    step = max(int(1000 / fps_out), 1)  # fps_out > 1000 → sample every ms
     out = []
     for i, ts in enumerate(range(0, duration, step)):
         lo = (i * 16) % max(len(payload) - 16, 1)
-        out.append((i, ts, payload[lo : lo + 16]))
+        # cycle short payloads so every frame is exactly 16 bytes (the
+        # contract the oracle mirrors), regardless of container size
+        buf = payload * ((lo + 16) // len(payload) + 1) if len(payload) < lo + 16 else payload
+        out.append((i, ts, buf[lo : lo + 16]))
     return out
 
 
@@ -150,12 +153,13 @@ def sample_frames(
             ):
                 if mt != "video":
                     continue
+                out_meta = {**(meta or {}), "frame_of": aid}
                 for idx, ts, frame in fn(payload, meta or {}, fps_out):
                     rows["asset_id"].append(aid)
                     rows["frame_index"].append(idx)
                     rows["ts_ms"].append(ts)
                     rows["payload"].append(frame)
-                    rows["meta"].append({**(meta or {}), "frame_of": aid})
+                    rows["meta"].append(out_meta)
             # skip video-less batches: Arrow cannot infer a map<str,str>
             # column from an EMPTY object array (the declared schema covers
             # the zero-row case by itself)
@@ -169,10 +173,10 @@ def fake_resize(payload: bytes, w: int, h: int) -> bytes:
     """Deterministic resize stand-in: truncate/cycle the byte stream to
     ``w*h`` bytes (a real implementation decodes, resizes via Pillow, and
     re-encodes through the identical contract)."""
-    if payload is None:
-        return b""
     need = max(w * h, 1)
-    reps = (need // max(len(payload), 1)) + 1
+    if not payload:
+        return bytes(need)  # keep the w*h-bytes contract for empty payloads
+    reps = (need // len(payload)) + 1
     return (payload * reps)[:need]
 
 
