@@ -443,3 +443,53 @@ def test_semantic_and_entity_recall(spark):
     rec = {r.sample_id: r.entity_recall_e4 for r in entity_recall(ref, ctx).collect()}
     assert rec["s1"] == 5000         # 1 of 2 distinct ref entities found
     assert rec["s2"] == 0            # nothing found
+
+
+def test_retrieval_modes_empty_inputs(spark):
+    """Edge guards: empty keyword leg, entity set, and summary table must
+    yield well-formed (possibly empty) results, not raise."""
+    from llm_graph_builder_spark.operators.embeddings import (
+        embed_chunks,
+        embed_entities,
+        hash_embed_py,
+    )
+    from llm_graph_builder_spark.operators.fulltext import (
+        build_chunk_index,
+        keyword_chunk_search,
+    )
+    from llm_graph_builder_spark.operators.retrieval import (
+        global_community_retrieve,
+        hybrid_retrieve,
+        local_community_retrieve,
+    )
+
+    chunks = spark.createDataFrame(
+        [("c1", "alpha beta"), ("c2", "gamma delta")], "chunk_id string, text string"
+    )
+    emb = embed_chunks(chunks).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # query shares no keyword terms → empty keyword leg; fusion = vector only
+    kw = keyword_chunk_search(build_chunk_index(chunks), "zzz qqq", limit=10)
+    out = hybrid_retrieve(emb, kw, hash_embed_py("alpha"), k=5).collect()
+    assert len(out) == 2 and all(r.matched == 0 for r in out)
+
+    # no mentions at all → empty chunk leg
+    ents = spark.createDataFrame(
+        [("merge", "Operation", "m")], "id string, label string, description string"
+    )
+    empty_mentions = spark.createDataFrame(
+        [], "chunk_id string, entity_id string, entity_label string"
+    )
+    assert (
+        local_community_retrieve(
+            embed_entities(ents), empty_mentions, hash_embed_py("merge")
+        ).count()
+        == 0
+    )
+
+    # empty summaries → empty global result
+    empty_sums = spark.createDataFrame(
+        [], "community_id string, level int, summary string, embedding array<double>"
+    )
+    assert global_community_retrieve(empty_sums, hash_embed_py("x")).count() == 0
