@@ -125,9 +125,14 @@ def ann_ivf_topk(
     Train: deterministic centroid seeding (the ``n_centroids`` corpus vectors
     with the smallest ``md5(id)`` hex — a seedless uniform sample, portable
     across engines so the DuckDB oracle reproduces the exact seed set) plus
-    ``lloyd_iters`` k-means rounds (assignment = one numpy GEMM per Arrow
-    batch on executors; centroid means = JVM per-(bucket, dim) partial sums;
-    only the driver-tiny n_centroids × dim matrix ever leaves the cluster).
+    ``lloyd_iters`` k-means rounds. Each round is ONE mapInArrow pass over the
+    corpus: every task assigns its vectors to centroids (numpy GEMM, stable
+    argsort) and accumulates a local (n_centroids × dim) sum matrix + count
+    vector, emitting a single partial row per partition — the shuffle is
+    n_partitions × n_centroids × dim, with zero row amplification (the
+    posexplode formulation shuffled n_rows × dim rows per round, a 768×
+    amplifier at real embedding dims). Only the driver-tiny reduced matrix
+    ever leaves the cluster.
     Search: each query probes its ``n_probe`` nearest centroids and scores
     only those buckets — at 100 TB the corpus is scanned once to bucket, and
     each query touches ~n_probe/n_centroids of it.
@@ -176,28 +181,69 @@ def ann_ivf_topk(
 
         return topc
 
+    def _partial_sums_kernel(cents: np.ndarray):
+        """mapInArrow kernel: assign each vector to its nearest centroid
+        (same GEMM + stable-argsort rule as ``_topc_udf``) and accumulate a
+        local per-centroid sum matrix + count vector; emit ONE flattened
+        partial row per non-empty partition. Skew-immune: the accumulator is
+        O(n_centroids × dim) regardless of how lopsided the buckets are (a
+        per-bucket applyInPandas would materialize an entire bucket —
+        ~corpus/n_centroids vectors — in one task and OOM on skewed buckets).
+        """
+        import pyarrow as pa
+
+        cn = _normed(cents)
+        kc, dim = cents.shape
+
+        def kernel(batches):
+            sums = np.zeros((kc, dim), dtype=np.float64)
+            counts = np.zeros(kc, dtype=np.int64)
+            seen = False
+            for b in batches:
+                col = b.column(0).to_pylist()
+                if not col:
+                    continue
+                seen = True
+                X = np.asarray(col, dtype=np.float64)
+                vn = np.linalg.norm(X, axis=1)
+                vn[vn == 0.0] = 1.0
+                S = (X / vn[:, None]) @ cn.T
+                # stable argsort top-1 == _topc_udf's tie-break (lowest index)
+                assign = np.argsort(-S, axis=1, kind="stable")[:, 0]
+                np.add.at(sums, assign, X)
+                counts += np.bincount(assign, minlength=kc)
+            if seen:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "sums": [sums.reshape(-1).tolist()],
+                        "counts": [counts.tolist()],
+                    },
+                    schema=pa.schema(
+                        [
+                            pa.field("sums", pa.list_(pa.float64())),
+                            pa.field("counts", pa.list_(pa.int64())),
+                        ]
+                    ),
+                )
+
+        return kernel
+
     for _ in range(lloyd_iters):
-        assign = _topc_udf(centroids, 1)
-        assigned = c.withColumn("bucket", assign(F.col("cv"))[0])
-        # new centroid = mean of member vectors, computed as per-(bucket, dim)
-        # partial sums with JVM aggregation (posexplode + groupBy → map-side
-        # combine). Only n_centroids × dim tiny rows ever reach the driver —
-        # a per-bucket applyInPandas would materialize an entire bucket
-        # (~corpus/n_centroids vectors) in ONE task and OOM on skewed buckets.
-        sums = (
-            assigned.select("bucket", F.posexplode("cv").alias("dim", "val"))
-            .groupBy("bucket", "dim")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        # ONE corpus pass per round: assignment + partial means fused in a
+        # single mapInArrow task; the reduce is n_partitions skinny rows.
+        partials = c.select("cv").mapInArrow(
+            _partial_sums_kernel(centroids),
+            "sums array<double>, counts array<bigint>",
+        ).collect()
+        kc, dim = centroids.shape
+        sums = np.zeros((kc, dim), dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for r in partials:
+            sums += np.asarray(r.sums, dtype=np.float64).reshape(kc, dim)
+            counts += np.asarray(r.counts, dtype=np.int64)
         new_c = centroids.copy()
-        acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r.bucket, np.zeros(centroids.shape[1]))[r.dim] = r.s
-            cnt[r.bucket] = r.n
-        for b, vec in acc.items():
-            new_c[b] = vec / max(cnt[b], 1)
+        nonempty = counts > 0
+        new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
         centroids = new_c
 
     bucketed = c.withColumn("bucket", _topc_udf(centroids, 1)(F.col("cv"))[0])
