@@ -59,7 +59,14 @@ def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict:
         return _CACHE[key]
     docs = ingest(synth_repos(spark, sf_dir)).cache()
     chunks = chunk_documents(docs).cache()
-    units = extract_units(chunks).cache()
+    # the sweep context is small-SF by construction — size the extraction
+    # exchange to the (already-cached) chunk count instead of scheduling
+    # defaultParallelism near-empty CPU-bound tasks
+    dp = spark.sparkContext.defaultParallelism
+    n_chunks = chunks.count()
+    units = extract_units(
+        chunks, partitions=max(2, min(dp, (n_chunks + 63) // 64))
+    ).cache()
     mentions = mentions_from_units(units).cache()
     triples = triples_from_units(units).cache()
     tables = {
@@ -74,6 +81,89 @@ def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict:
     }
     _CACHE[key] = tables
     return tables
+
+
+def _memo(spark: SparkSession, sf_dir: str, name: str, build):
+    """Memoize a derived DataFrame per (session, sf_dir).
+
+    Several sweep queries share expensive intermediates (chunk embeddings,
+    the LPA hierarchy, the linking fixpoint, the dedup clustering); without
+    this each query would recompute them from the cached stage tables. The
+    driver runs all queries in one session, so a .cache()d result is computed
+    exactly once. Sessions that run a single query pay nothing extra."""
+    key = (id(spark), sf_dir, name)
+    if key not in _CACHE:
+        _CACHE[key] = build().cache()
+    return _CACHE[key]
+
+
+def _chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash embeddings over distinct chunks, vector upcast to double —
+    shared by vector/hybrid retrieval and the SIMILAR-edges queries."""
+    t = pipeline_tables(spark, sf_dir)
+    return _memo(
+        spark, sf_dir, "chunk_emb",
+        lambda: embed_chunks(
+            t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"])
+        ).withColumn("embedding", F.col("embedding").cast("array<double>")),
+    )
+
+
+def _entities_with_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = pipeline_tables(spark, sf_dir)
+    return _memo(
+        spark, sf_dir, "ents_desc",
+        lambda: t["entities"].join(
+            entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
+        ),
+    )
+
+
+def _hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA community hierarchy — shared by communities / invariants /
+    summaries / global retrieval (the fixpoint runs once per session)."""
+    t = pipeline_tables(spark, sf_dir)
+    return _memo(
+        spark, sf_dir, "hierarchy",
+        lambda: community_hierarchy(t["entity_edges"], all_entities=t["entities"]),
+    )
+
+
+def _hierarchy_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.communities import summarize_hierarchy
+
+    t = pipeline_tables(spark, sf_dir)
+    return _memo(
+        spark, sf_dir, "summaries",
+        lambda: summarize_hierarchy(_hierarchy(spark, sf_dir), t["entity_edges"]),
+    )
+
+
+def _linking_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Entity-linking chain (CC fixpoint → canonical map → merged tables),
+    computed once per session."""
+    key = (id(spark), sf_dir, "linking")
+    if key not in _CACHE:
+        t = pipeline_tables(spark, sf_dir)
+        ents = t["entities"]
+        pairs = candidate_pairs_exact(ents.select("id", "label"))
+        comp = connected_components(pairs, spark)
+        cmap = canonical_map(comp, ents, entity_degrees(t["entity_edges"]))
+        merged_entities, merged_edges = merge_entities(ents, t["entity_edges"], cmap)
+        _CACHE[key] = {
+            "comp": comp.cache(),
+            "cmap": cmap.cache(),
+            "merged_entities": merged_entities.cache(),
+            "merged_edges": merged_edges.cache(),
+        }
+    return _CACHE[key]
+
+
+def _dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo(
+        spark, sf_dir, "dedup_clusters",
+        lambda: dedup.near_dup_clusters(read_documents(spark, sf_dir)),
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,9 +519,7 @@ def q_vector_retrieval(spark, sf_dir):
     from .operators.retrieval import retrieval_context, vector_retrieve
 
     t = pipeline_tables(spark, sf_dir)
-    emb = embed_chunks(
-        t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"])
-    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    emb = _chunk_embeddings(spark, sf_dir)
     hits = vector_retrieve(emb, hash_embed_py("join merge data"), k=5)
     return retrieval_context(hits, t["chunks"], t["mentions"])
 
@@ -478,10 +566,7 @@ def q_keyword_search(spark, sf_dir):
     broadcast query-term join, match-count rank."""
     from .operators.fulltext import build_entity_index, keyword_search
 
-    t = pipeline_tables(spark, sf_dir)
-    ents = t["entities"].join(
-        entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
-    )
+    ents = _entities_with_descriptions(spark, sf_dir)
     return keyword_search(build_entity_index(ents), "merge join stream data")
 
 
@@ -497,9 +582,7 @@ def q_hybrid_retrieval(spark, sf_dir):
 
     t = pipeline_tables(spark, sf_dir)
     chunks = t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"])
-    emb = embed_chunks(chunks).withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = _chunk_embeddings(spark, sf_dir)
     kw = keyword_chunk_search(build_chunk_index(chunks), "join merge data", limit=10)
     return hybrid_retrieve(emb, kw, hash_embed_py("join merge data"), k=5, leg_top=10)
 
@@ -514,10 +597,7 @@ def q_local_community_retrieval(spark, sf_dir):
     from .operators.retrieval import local_community_retrieve
 
     t = pipeline_tables(spark, sf_dir)
-    ents = t["entities"].join(
-        entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
-    )
-    emb = embed_entities(ents)
+    emb = embed_entities(_entities_with_descriptions(spark, sf_dir))
     return local_community_retrieve(
         emb, t["mentions"], hash_embed_py("merge join stream data"),
         top_entities=10, top_chunks=3,
@@ -531,14 +611,10 @@ def q_global_community_retrieval(spark, sf_dir):
     shared/constants.py:679-694). Summary text → hash embedding → cosine
     top-k; the DuckDB oracle recomputes the whole chain (LPA mirror →
     summary composition → hash embed → rank)."""
-    from .operators.communities import summarize_hierarchy
     from .operators.embeddings import embed_communities, hash_embed_py
     from .operators.retrieval import global_community_retrieve
 
-    t = pipeline_tables(spark, sf_dir)
-    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
-    summaries = summarize_hierarchy(h, t["entity_edges"])
-    emb = embed_communities(summaries)
+    emb = embed_communities(_hierarchy_summaries(spark, sf_dir))
     return global_community_retrieve(emb, hash_embed_py("data stream merge"), k=10)
 
 
@@ -677,12 +753,7 @@ def q_linking_invariants(spark, sf_dir):
     through the canonical map must conserve the chunk/doc count mass
     (sums aggregate, never drop) — SQL-predictable even though the CC
     fixpoint itself is not."""
-    t = pipeline_tables(spark, sf_dir)
-    ents = t["entities"]
-    pairs = candidate_pairs_exact(ents.select("id", "label"))
-    comp = connected_components(pairs, spark)
-    cmap = canonical_map(comp, ents, entity_degrees(t["entity_edges"]))
-    merged, _ = merge_entities(ents, t["entity_edges"], cmap)
+    merged = _linking_tables(spark, sf_dir)["merged_entities"]
     return merged.select(
         F.sum("chunk_count").cast("long").alias("sum_chunk_count"),
         F.sum("doc_count").cast("long").alias("sum_doc_count"),
@@ -693,8 +764,7 @@ def q_community_invariants(spark, sf_dir):
     """Oracle-checked invariants of the ITERATIVE LPA hierarchy: every level
     is a partition of the full entity set (each entity in exactly one
     community per level)."""
-    t = pipeline_tables(spark, sf_dir)
-    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
+    h = _hierarchy(spark, sf_dir)
     return (
         h.select("u", F.posexplode("communities").alias("level", "cid"))
         .groupBy(F.col("level").cast("long").alias("level"))
@@ -705,7 +775,7 @@ def q_community_invariants(spark, sf_dir):
 def q_dedup_cluster_invariants(spark, sf_dir):
     """Oracle-checked invariants of the ITERATIVE dedup clustering: one row
     per doc, and exactly one keeper per cluster."""
-    out = dedup.near_dup_clusters(read_documents(spark, sf_dir))
+    out = _dedup_clusters_df(spark, sf_dir)
     per_cluster = out.groupBy("cluster").agg(
         F.sum(F.col("keeper").cast("long")).alias("n_keepers")
     )
@@ -724,19 +794,12 @@ def q_dedup_cluster_invariants(spark, sf_dir):
 def q_linked_entities(spark, sf_dir):
     """Full entity-linking stage: candidates → CC → canonical map → merged
     entities (iterative; no SQL oracle — driver records rows-only)."""
-    t = pipeline_tables(spark, sf_dir)
-    ents = t["entities"]
-    pairs = candidate_pairs_exact(ents.select("id", "label"))
-    comp = connected_components(pairs, spark)
-    cmap = canonical_map(comp, ents, entity_degrees(t["entity_edges"]))
-    merged_entities, merged_edges = merge_entities(ents, t["entity_edges"], cmap)
-    return merged_entities
+    return _linking_tables(spark, sf_dir)["merged_entities"]
 
 
 def q_communities(spark, sf_dir):
     t = pipeline_tables(spark, sf_dir)
-    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
-    comms, _ = community_tables(h, t["mentions"], t["chunks"])
+    comms, _ = community_tables(_hierarchy(spark, sf_dir), t["mentions"], t["chunks"])
     return comms
 
 
@@ -749,11 +812,7 @@ def q_similar_chunks(spark, sf_dir):
     pipeline bit-for-bit."""
     from .operators.similar import lsh_block_chunks
 
-    t = pipeline_tables(spark, sf_dir)
-    emb = embed_chunks(t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"]))
-    blocked = lsh_block_chunks(
-        emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    )
+    blocked = lsh_block_chunks(_chunk_embeddings(spark, sf_dir))
     out = similar_edges(blocked, block_col="block", max_block_rows=100_000)
     return out.select(
         "src", "rel_type", "dst",
@@ -771,11 +830,7 @@ def q_community_summaries(spark, sf_dir):
     subgraphs, parent levels composed from child summaries (reference:
     communities.py:299-372). Deterministic formatter; pluggable LLM UDF.
     Rows-only: depends on iterative LPA."""
-    from .operators.communities import summarize_hierarchy
-
-    t = pipeline_tables(spark, sf_dir)
-    h = community_hierarchy(t["entity_edges"], all_entities=t["entities"])
-    return summarize_hierarchy(h, t["entity_edges"])
+    return _hierarchy_summaries(spark, sf_dir)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -878,7 +933,7 @@ def q_ann_ivf(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """End-to-end corpus dedup: exact+near-dup pairs → connected components →
     keeper per cluster (iterative CC → rows-only)."""
-    return dedup.near_dup_clusters(read_documents(spark, sf_dir))
+    return _dedup_clusters_df(spark, sf_dir)
 
 
 def q_entity_embeddings(spark, sf_dir):
@@ -888,11 +943,7 @@ def q_entity_embeddings(spark, sf_dir):
     projection."""
     from .operators.embeddings import embed_entities
 
-    t = pipeline_tables(spark, sf_dir)
-    ents = t["entities"].join(
-        entity_descriptions_from_units(t["units"]), on=["id", "label"], how="left"
-    )
-    out = embed_entities(ents)
+    out = embed_entities(_entities_with_descriptions(spark, sf_dir))
     return out.select("id", "label", F.size("embedding").cast("long").alias("dim"))
 
 
@@ -905,8 +956,13 @@ def q_ann_lsh(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").withColumn("rnk", F.col("rnk").cast("long"))
 
 
-#: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists
+#: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
+#: Order matters: the driver sweeps in dict order under a wall-clock budget,
+#: so the stage tables are seeded first, then the iterative/heavy queries run
+#: while the budget is fresh (they were the ones a loaded r2 sweep dropped),
+#: then the cheap projections.
 QUERIES = {
+    # seed the memoized stage tables
     "ingest_docs": q_ingest_docs,
     "chunks": q_chunks,
     "chunk_graph": q_chunk_graph,
@@ -915,6 +971,35 @@ QUERIES = {
     "entities": q_entities,
     "has_entity": q_has_entity,
     "entity_edges": q_entity_edges,
+    # iterative / heavy queries next (fresh budget; shared memos seed here)
+    "linked_entities": q_linked_entities,
+    "linking_invariants": q_linking_invariants,
+    "communities": q_communities,
+    "community_invariants": q_community_invariants,
+    "community_summaries": q_community_summaries,
+    "global_community_retrieval": q_global_community_retrieval,
+    "similar_chunks": q_similar_chunks,
+    "vector_retrieval": q_vector_retrieval,
+    "hybrid_retrieval": q_hybrid_retrieval,
+    "local_community_retrieval": q_local_community_retrieval,
+    "entity_embeddings": q_entity_embeddings,
+    "entity_descriptions": q_entity_descriptions,
+    "keyword_search": q_keyword_search,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_invariants": q_dedup_cluster_invariants,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "similar_knn": q_similar_knn,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "code_graph_communities": q_code_graph_communities,
+    "qa_eval": q_qa_eval,
+    # cheap projections / read surfaces
     "link_candidates": q_link_candidates,
     "orphan_entities": q_orphan_entities,
     "chunk_counts": q_chunk_counts,
@@ -933,41 +1018,13 @@ QUERIES = {
     "token_usage": q_token_usage,
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
-    "vector_retrieval": q_vector_retrieval,
     "graph_view": q_graph_view,
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
-    "keyword_search": q_keyword_search,
-    "hybrid_retrieval": q_hybrid_retrieval,
-    "qa_eval": q_qa_eval,
-    "local_community_retrieval": q_local_community_retrieval,
-    "global_community_retrieval": q_global_community_retrieval,
-    "entity_descriptions": q_entity_descriptions,
     "corpus_curation": q_corpus_curation,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_ngram": q_dedup_ngram,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_topk": q_ann_topk,
-    "similar_knn": q_similar_knn,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
-    # rows-only (no oracle): iterative / LSH-approximate / model-backed
-    "linking_invariants": q_linking_invariants,
-    "community_invariants": q_community_invariants,
-    "dedup_cluster_invariants": q_dedup_cluster_invariants,
-    "linked_entities": q_linked_entities,
-    "communities": q_communities,
-    "similar_chunks": q_similar_chunks,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_lsh": q_ann_lsh,
-    "community_summaries": q_community_summaries,
-    "entity_embeddings": q_entity_embeddings,
-    "dedup_clusters": q_dedup_clusters,
-    "ann_ivf": q_ann_ivf,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "code_graph_communities": q_code_graph_communities,
 }

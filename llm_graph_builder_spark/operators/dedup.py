@@ -116,8 +116,12 @@ def _minhash_banded(
     # Explicit repartition first: AQE coalesces the small-byte groupBy output
     # to ~1 partition, which would serialize the md5 pass (CPU-bound work
     # whose input bytes are small — exactly the case AQE's byte-based
-    # coalescing misjudges).
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # coalescing misjudges). Sized to the distinct-text count (groups is
+    # already checkpointed, so the count is one trivial job): ~64 texts per
+    # task keeps the md5 pass parallel at corpus scale without scheduling
+    # defaultParallelism near-empty tasks on small inputs.
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    par = max(2, min(dp, (groups.count() + 63) // 64))
     sigs = minhash_signatures(
         groups.select(F.col("rep").alias("doc"), "t").repartition(par),
         "t", "doc", n_hashes, k,

@@ -551,6 +551,7 @@ def extract_units(
     chunks: DataFrame,
     extractor=None,
     combine_k: int = 1,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Run the extractor over (combined) chunks; one row per (doc, unit).
 
@@ -580,8 +581,10 @@ def extract_units(
     # one partition (linear, spillable), never one giant array. Explicit
     # partition count: AQE's byte-based coalescing would otherwise shrink
     # the exchange and serialize the CPU-bound Python extraction running on
-    # top of it.
-    par = chunks.sparkSession.sparkContext.defaultParallelism
+    # top of it. ``partitions`` lets callers that already know the input is
+    # small (e.g. the driver's small-SF query sweep) right-size the exchange
+    # without the operator paying a count job at corpus scale.
+    par = partitions or chunks.sparkSession.sparkContext.defaultParallelism
     if combine_k <= 1:
         co = chunks.select(
             F.col("chunk_id").alias("unit_id"), "doc_id", "text"
