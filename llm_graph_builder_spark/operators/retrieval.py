@@ -152,7 +152,11 @@ def hybrid_retrieve(
         .otherwise(F.lit(0.0))
         .alias("vnorm"),
     )
-    kn = keyword_hits.withColumn("kmax", F.max("matched").over(w_all)).select(
+    # enforce the keyword leg's truncation here (not just at the caller):
+    # orderBy+limit compiles to TakeOrderedAndProject, so an untruncated
+    # keyword_hits can never flood the single-partition normalization window
+    kleg = keyword_hits.orderBy(F.desc("matched"), F.asc("chunk_id")).limit(leg_top)
+    kn = kleg.withColumn("kmax", F.max("matched").over(w_all)).select(
         "chunk_id",
         "matched",
         F.when(F.col("kmax") > 0, F.col("matched") / F.col("kmax"))

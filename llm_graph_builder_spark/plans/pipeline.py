@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,12 @@ class StageResult:
     rows_out: int
     wall_ms: int
     skipped: bool
+
+
+class PipelineCancelled(RuntimeError):
+    """Raised when a run observes the warehouse cancel flag between stage
+    submissions (reference: is_cancelled per-batch check, main.py:531-537).
+    A later ``run(..., resume=True)`` continues from the cancelled stage."""
 
 
 #: physical layout (north rule: "final partitioned Iceberg outputs",
@@ -156,6 +163,61 @@ class PipelineRunner:
         self.run_id: str | None = None
         os.makedirs(self.warehouse, exist_ok=True)
 
+    # -- cancellation (reference: is_cancelled checked every 20-chunk batch,
+    # src/main.py:531-537; SSE status stream, score.py:664-709) --------------
+    def _cancel_path(self) -> str:
+        return f"{self.warehouse}/_cancel"
+
+    def cancel(self) -> None:
+        """Request cancellation: the run stops BEFORE submitting its next
+        stage (stage writes are atomic-by-overwrite, so the in-flight stage
+        either completes or leaves a re-runnable table). File-based so any
+        process sharing the warehouse — the reference's UI '/cancelled_job'
+        POST analog — can set it without holding the runner object."""
+        with open(self._cancel_path(), "w") as f:
+            f.write(str(time.time()))
+
+    def clear_cancel(self) -> None:
+        if os.path.exists(self._cancel_path()):
+            os.remove(self._cancel_path())
+
+    def is_cancelled(self) -> bool:
+        return os.path.exists(self._cancel_path())
+
+    def status(self) -> DataFrame:
+        """Current run status — the SSE '/update_extract_status' analog
+        (reference score.py:664-709): one row per manifest stage with its
+        LATEST status/rows/wall. Poll this between (or during) runs; the
+        manifest is append-only JSONL so readers never block the writer."""
+        rows = []
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                for line in f:
+                    rows.append(json.loads(line))
+        latest: dict[str, dict] = {}
+        order: list[str] = []
+        for r in rows:
+            if r["stage"] not in latest:
+                order.append(r["stage"])
+            latest[r["stage"]] = r
+        data = [
+            (
+                i,
+                s,
+                latest[s].get("status"),
+                int(latest[s].get("rows_out") or 0),
+                int(latest[s].get("wall_ms") or 0),
+                latest[s].get("run_id"),
+            )
+            for i, s in enumerate(order)
+        ]
+        return self.spark.createDataFrame(
+            data,
+            "seq int, stage string, status string, rows_out bigint, "
+            "wall_ms bigint, run_id string",
+        )
+
     # -- manifest -----------------------------------------------------------
     def _manifest_path(self) -> str:
         return f"{self.warehouse}/_manifest.jsonl"
@@ -234,8 +296,11 @@ class PipelineRunner:
                 total += r["rows"]
                 # path RELATIVE to the stage root: with partitioned writes a
                 # file lives under its `_pbucket=NN/` directory, which the
-                # lineage row must keep to identify the partition
-                fname = r["file"].split("://", 1)[-1].split(f"{path}/", 1)[-1]
+                # lineage row must keep to identify the partition. Spark
+                # returns a URI — unquote it (spaces → %20 etc.) before the
+                # suffix split, or the match silently fails on encoded paths
+                furi = urllib.parse.unquote(r["file"].split("://", 1)[-1])
+                fname = furi.split(f"{path}/", 1)[-1]
                 try:
                     nbytes = os.path.getsize(os.path.join(path, fname))
                 except OSError:
@@ -255,17 +320,17 @@ class PipelineRunner:
         key = PARTITION_KEYS.get(name)
         buckets = self.config.partition_buckets
         if key is not None and buckets > 0 and key in df.columns:
-            part = df.withColumn(
-                "_pbucket", F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
-            )
             if self.table_format == "iceberg":
-                # Iceberg path: same bucket layout via the native transform;
-                # the atomic snapshot commit replaces the _SUCCESS check and
+                # Iceberg path: bucket layout via the native transform — note
+                # Iceberg's bucket() is murmur3, so its bucket ids differ from
+                # the parquet path's xxhash64 `_pbucket` for the same key; the
+                # raw df is written (no dead `_pbucket` projection here).
+                # The atomic snapshot commit replaces the _SUCCESS check and
                 # Iceberg's own manifests carry the per-file rows/bytes that
                 # _partition_lineage collects for parquet
                 # (distribution to one file per bucket is Iceberg's own
                 # write.distribution-mode=hash — no manual repartition here)
-                part.drop("_pbucket").writeTo(
+                df.writeTo(
                     self._catalog_table(name)
                 ).using("iceberg").partitionedBy(
                     F.bucket(buckets, key)
@@ -274,6 +339,9 @@ class PipelineRunner:
                 ms = int((time.time() - t0) * 1000)
                 self._record(name, rows, ms, **extra)
                 return StageResult(name, rows, ms, skipped=False)
+            part = df.withColumn(
+                "_pbucket", F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+            )
             # cluster rows by bucket before the write: without this every
             # write task spans up to `buckets` directories → T×N small files
             # (and N× lineage rows); clustered, each bucket is one file. At
@@ -359,6 +427,18 @@ class PipelineRunner:
         results: list[StageResult] = []
 
         def stage(name, build, **extra):
+            # cancellation gate between stage submissions (the reference's
+            # per-batch is_cancelled check, main.py:531-537): cancellation
+            # halts NEW work only — resume-skips of completed stages pass
+            # through — so the cancelled stage gets a manifest row, the run
+            # raises, and a later resume=True re-enters exactly here
+            if self.is_cancelled() and not (
+                resume and name in done and self._stage_output_exists(name)
+            ):
+                self._record(name, 0, 0, status="CANCELLED")
+                raise PipelineCancelled(
+                    f"run cancelled before stage {name!r} (resume=True continues it)"
+                )
             res = self._write_stage(name, build(), resume, done, **extra)
             results.append(res)
             return res

@@ -167,3 +167,57 @@ def test_iceberg_seam_validates_eagerly(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="table_format"):
         PipelineRunner(spark, str(tmp_path / "whx"), table_format="orc")
+
+
+def test_cancel_mid_run_then_resume(spark, sf_dir, tmp_path):
+    """T7/SSE analog: a cancel flag set mid-run stops the DAG before the next
+    stage submission (manifest records CANCELLED), status() reads the run
+    state, and resume=True finishes from exactly where it stopped."""
+    import pytest as _pytest
+
+    from llm_graph_builder_spark.plans.pipeline import PipelineCancelled
+
+    wh = str(tmp_path / "whc")
+    runner = PipelineRunner(spark, wh)
+
+    # cancel after the 3rd completed stage by hooking the manifest recorder
+    orig_record = runner._record
+    seen = {"n": 0}
+
+    def counting_record(stage, rows_out, wall_ms, status="COMPLETED", **extra):
+        orig_record(stage, rows_out, wall_ms, status=status, **extra)
+        if status == "COMPLETED" and stage in PipelineRunner.STAGES:
+            seen["n"] += 1
+            if seen["n"] == 3:
+                runner.cancel()
+
+    runner._record = counting_record
+    with _pytest.raises(PipelineCancelled, match="resume=True"):
+        runner.run(_repos(spark, sf_dir))
+    runner._record = orig_record
+
+    st = {r["stage"]: r for r in (row.asDict() for row in runner.status().collect())}
+    cancelled = [s for s, r in st.items() if r["status"] == "CANCELLED"]
+    completed = [s for s, r in st.items() if r["status"] == "COMPLETED" and s in PipelineRunner.STAGES]
+    assert len(cancelled) == 1
+    assert len(completed) == 3
+    # nothing after the cancelled stage ran
+    stages = list(PipelineRunner.STAGES)
+    cut = stages.index(cancelled[0])
+    assert all(stages.index(s) < cut for s in completed)
+
+    # flag still set → resume refuses immediately at the first stage gate
+    with _pytest.raises(PipelineCancelled):
+        runner.run(_repos(spark, sf_dir), resume=True)
+
+    runner.clear_cancel()
+    results = runner.run(_repos(spark, sf_dir), resume=True)
+    by_stage = {r.stage: r for r in results}
+    assert set(by_stage) == set(PipelineRunner.STAGES) - {"code_extractions"}
+    # the 3 pre-cancel stages were skipped (resume), the rest ran
+    assert sum(1 for r in results if r.skipped) == 3
+    st2 = {r["stage"]: r for r in (row.asDict() for row in runner.status().collect())}
+    assert all(
+        st2[s]["status"] == "COMPLETED"
+        for s in set(PipelineRunner.STAGES) - {"code_extractions"}
+    )
