@@ -618,6 +618,23 @@ def q_global_community_retrieval(spark, sf_dir):
     return global_community_retrieve(emb, hash_embed_py("data stream merge"), k=10)
 
 
+def q_text2sql_retrieval(spark, sf_dir):
+    """Chat-mode read surface — the ``graph_cypher`` (text2cypher) mode
+    analog (reference GraphCypherQAChain, QA_integration.py:562-606): the
+    question is turned into ONE validated Spark-SQL SELECT over the
+    materialized KG views and executed; the template generator is the
+    deterministic sandbox default behind the injected-LLM seam."""
+    from .operators.text2query import text2query_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    return text2query_retrieve(
+        spark,
+        {"entities": t["entities"], "entity_edges": t["entity_edges"],
+         "mentions": t["mentions"], "chunks": t["chunks"]},
+        "what is related to merge?",
+    )
+
+
 def q_qa_eval(spark, sf_dir):
     """Eval surface — RAGAS-analog metrics batch-shaped (reference /metric +
     /additional_metrics, ragas_eval.py:23-91): ROUGE-1 P/R/F1 (clipped
@@ -982,6 +999,7 @@ QUERIES = {
     "vector_retrieval": q_vector_retrieval,
     "hybrid_retrieval": q_hybrid_retrieval,
     "local_community_retrieval": q_local_community_retrieval,
+    "text2sql_retrieval": q_text2sql_retrieval,
     "entity_embeddings": q_entity_embeddings,
     "entity_descriptions": q_entity_descriptions,
     "keyword_search": q_keyword_search,

@@ -1,0 +1,153 @@
+"""NL question → engine query over the materialized KG tables.
+
+Analog of the reference's ``graph_cypher`` chat mode (GraphCypherQAChain:
+the LLM turns the question into a Cypher query over the graph schema, the
+engine executes it, and the rows ground the answer —
+/root/reference/backend/src/QA_integration.py:562-606, mode registry at
+shared/constants.py:718-780). Spark restatement:
+
+  * the question becomes ONE Spark-SQL ``SELECT`` over the materialized KG
+    tables, registered as ``kg_*`` temp views (entities / entity_edges /
+    mentions / chunks) — the declarative plan goes straight to Catalyst, so
+    pushdown/pruning/broadcast apply to generated queries exactly as to
+    hand-written ones;
+  * generation is pluggable: inject an LLM callable (prompt → SQL text) the
+    way the reference injects its chat model; the sandbox default is a
+    deterministic template parser over the reference-shaped question forms
+    (entity neighbors / documents-mentioning / label counts / top entities);
+  * every generated query — template or LLM — passes ``validate_sql`` before
+    execution: single SELECT statement, only the registered ``kg_*`` views,
+    no DDL/DML keywords. This is the Cypher-cleaning / injection-guard
+    analog of QA_integration.py:571-580.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: logical name → temp-view name exposed to generated SQL
+KG_VIEWS = ("entities", "entity_edges", "mentions", "chunks")
+
+_FORBIDDEN = re.compile(
+    r"\b(insert|update|delete|drop|create|alter|merge|truncate|grant|set|call)\b",
+    re.IGNORECASE,
+)
+_TABLE_REF = re.compile(r"\b(?:from|join)\s+([a-zA-Z_][\w.]*)", re.IGNORECASE)
+
+
+def schema_prompt(question: str) -> str:
+    """The generation prompt an injected LLM receives — table schemas plus
+    the question (reference: CYPHER_GENERATION prompt with the graph schema,
+    QA_integration.py:562-606)."""
+    return (
+        "Translate the question into ONE Spark SQL SELECT over these views:\n"
+        "kg_entities(id, label, chunk_count, doc_count)\n"
+        "kg_entity_edges(subj_id, subj_label, pred, obj_id, obj_label, weight)\n"
+        "kg_mentions(chunk_id, doc_id, entity_id, entity_label)\n"
+        "kg_chunks(chunk_id, doc_id, text, position, content_offset, length)\n"
+        "Rules: SELECT only; deterministic ORDER BY; LIMIT <= 100.\n"
+        f"Question: {question}\n"
+    )
+
+
+def validate_sql(sql: str) -> str:
+    """Reject anything but a single SELECT over the registered ``kg_*``
+    views. Returns the stripped statement; raises ``ValueError`` otherwise."""
+    stmt = sql.strip().rstrip(";").strip()
+    if ";" in stmt:
+        raise ValueError("generated query must be a single statement")
+    head = stmt.split(None, 1)[0].lower() if stmt else ""
+    if head not in ("select", "with"):
+        raise ValueError(f"generated query must be a SELECT, got {head!r}")
+    # keyword/table scans run on the statement with string literals blanked —
+    # a literal like 'merge' is data, not a MERGE statement
+    scrubbed = re.sub(r"'(?:[^']|'')*'", "''", stmt)
+    if _FORBIDDEN.search(scrubbed):
+        raise ValueError("generated query contains a forbidden keyword")
+    # CTE names introduced by WITH are legal table refs inside the statement
+    cte_names = {
+        m.group(1).lower()
+        for m in re.finditer(r"(?:with|,)\s*([a-zA-Z_]\w*)\s+as\s*\(", scrubbed, re.IGNORECASE)
+    }
+    for ref in _TABLE_REF.findall(scrubbed):
+        r = ref.lower()
+        if r in cte_names:
+            continue
+        if not (r.startswith("kg_") and r[3:] in KG_VIEWS):
+            raise ValueError(f"generated query references unknown table {ref!r}")
+    return stmt
+
+
+def generate_sql(question: str, llm=None) -> str:
+    """Question → Spark SQL text. ``llm`` is the injected generator callable
+    (prompt → SQL); absent, the deterministic template parser covers the
+    reference chat-mode question shapes. Output is NOT yet validated —
+    callers go through ``validate_sql`` (text2query_retrieve does)."""
+    if llm is not None:
+        return llm(schema_prompt(question))
+    q = question.strip().lower().rstrip("?")
+    m = re.match(r"(?:what is|what's) related to (\S+)", q) or re.match(
+        r"(?:list the |show )?neighbou?rs of (\S+)", q
+    )
+    if m:
+        e = _lit(m.group(1))
+        return f"""
+            SELECT direction, pred, neighbor_id, neighbor_label, weight FROM (
+              SELECT 'out' AS direction, pred, obj_id AS neighbor_id,
+                     obj_label AS neighbor_label, weight
+              FROM kg_entity_edges WHERE subj_id = '{e}'
+              UNION ALL
+              SELECT 'in' AS direction, pred, subj_id AS neighbor_id,
+                     subj_label AS neighbor_label, weight
+              FROM kg_entity_edges WHERE obj_id = '{e}'
+            )
+            ORDER BY weight DESC, direction, pred, neighbor_id LIMIT 40
+        """
+    m = re.match(r"how many documents mention (\S+)", q)
+    if m:
+        e = _lit(m.group(1))
+        return (
+            "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            f"FROM kg_mentions WHERE entity_id = '{e}'"
+        )
+    m = re.match(r"how many (\w+) entities(?: are there)?", q)
+    if m:
+        lbl = _lit(m.group(1).capitalize())
+        return (
+            "SELECT CAST(count(*) AS BIGINT) AS n_entities "
+            f"FROM kg_entities WHERE label = '{lbl}'"
+        )
+    m = re.match(r"(?:what are the |list the |show )?top (\d+) entities", q)
+    if m:
+        n = min(int(m.group(1)), 100)
+        return (
+            "SELECT id, label, CAST(doc_count AS BIGINT) AS doc_count "
+            "FROM kg_entities "
+            f"ORDER BY doc_count DESC, chunk_count DESC, id, label LIMIT {n}"
+        )
+    raise ValueError(f"no template matches question: {question!r}")
+
+
+def _lit(v: str) -> str:
+    """Single-quote-escape a parsed literal before splicing it into the
+    generated SQL (the template path's injection guard; LLM output is
+    instead gated by validate_sql)."""
+    return v.replace("'", "''")
+
+
+def text2query_retrieve(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    question: str,
+    llm=None,
+) -> DataFrame:
+    """End-to-end text2cypher-mode analog: register the KG views, generate
+    SQL (injected LLM or template parser), validate, execute. Returns the
+    grounding rows exactly as the reference returns the Cypher result set."""
+    for name in KG_VIEWS:
+        if name in tables:
+            tables[name].createOrReplaceTempView(f"kg_{name}")
+    stmt = validate_sql(generate_sql(question, llm=llm))
+    return spark.sql(stmt)

@@ -446,6 +446,22 @@ SELECT 'in', pred, subj_id, subj_label, weight
 FROM entity_edges, anchor WHERE obj_id = aid
 """
 
+# text2cypher chat-mode analog: the template generator's output for
+# "what is related to merge?" — neighbors of 'merge' with a total ORDER BY
+# and LIMIT 40, mirrored from the pipeline CTEs
+ORACLE_SQL["text2sql_retrieval"] = PIPELINE_CTE + """
+SELECT direction, pred, neighbor_id, neighbor_label, weight FROM (
+  SELECT 'out' AS direction, pred, obj_id AS neighbor_id,
+         obj_label AS neighbor_label, weight
+  FROM entity_edges WHERE subj_id = 'merge'
+  UNION ALL
+  SELECT 'in' AS direction, pred, subj_id AS neighbor_id,
+         subj_label AS neighbor_label, weight
+  FROM entity_edges WHERE obj_id = 'merge'
+)
+ORDER BY weight DESC, direction, pred, neighbor_id LIMIT 40
+"""
+
 ORACLE_SQL["chunk_entities"] = PIPELINE_CTE + """
 , the_doc AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT 1),
 ch AS (SELECT c.chunk_id, c.position FROM chunks c JOIN the_doc d ON c.doc_id = d.doc_id),

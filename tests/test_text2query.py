@@ -1,0 +1,99 @@
+"""text2cypher chat-mode analog: template shapes, LLM seam, injection guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_graph_builder_spark.operators.text2query import (
+    generate_sql,
+    schema_prompt,
+    text2query_retrieve,
+    validate_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    ents = spark.createDataFrame(
+        [("merge", "Operation", 3, 2), ("data", "Artifact", 5, 4),
+         ("join", "Operation", 2, 2)],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+    edges = spark.createDataFrame(
+        [("merge", "Operation", "USES", "data", "Artifact", 7),
+         ("join", "Operation", "THEN", "merge", "Operation", 2)],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    ments = spark.createDataFrame(
+        [("c1", "d1", "merge", "Operation"), ("c2", "d2", "merge", "Operation"),
+         ("c1", "d1", "data", "Artifact")],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    return {"entities": ents, "entity_edges": edges, "mentions": ments}
+
+
+def test_neighbors_shape(spark, kg):
+    out = text2query_retrieve(spark, kg, "what is related to merge?").collect()
+    assert [(r.direction, r.pred, r.neighbor_id) for r in out] == [
+        ("out", "USES", "data"), ("in", "THEN", "join"),
+    ]
+
+
+def test_count_docs_shape(spark, kg):
+    out = text2query_retrieve(spark, kg, "how many documents mention merge?").collect()
+    assert out[0].n_docs == 2
+
+
+def test_label_count_and_topn(spark, kg):
+    out = text2query_retrieve(spark, kg, "how many operation entities?").collect()
+    assert out[0].n_entities == 2
+    out = text2query_retrieve(spark, kg, "top 2 entities").collect()
+    assert [r.id for r in out] == ["data", "merge"]
+
+
+def test_unknown_shape_raises(spark, kg):
+    with pytest.raises(ValueError, match="no template"):
+        text2query_retrieve(spark, kg, "translate this to french")
+
+
+def test_llm_seam_and_injection_guard(spark, kg):
+    # the injected generator receives the schema prompt and its output runs
+    seen = {}
+
+    def fake_llm(prompt):
+        seen["prompt"] = prompt
+        return "SELECT id FROM kg_entities ORDER BY id LIMIT 1"
+
+    out = text2query_retrieve(spark, kg, "anything", llm=fake_llm).collect()
+    assert out[0].id == "data"
+    assert "kg_entity_edges" in seen["prompt"]
+
+    # malicious / malformed generations are rejected before execution
+    for bad in (
+        "DROP TABLE kg_entities",
+        "SELECT * FROM secrets",
+        "SELECT 1; SELECT 2",
+        "SELECT * FROM kg_entities; --",
+        "INSERT INTO kg_entities VALUES (1)",
+    ):
+        with pytest.raises(ValueError):
+            text2query_retrieve(spark, kg, "q", llm=lambda _p, b=bad: b)
+
+
+def test_literal_escape():
+    sql = generate_sql("what is related to o'brien?")
+    assert "o''brien" in sql
+    validate_sql(sql)  # still a clean single SELECT
+
+
+def test_validate_allows_cte():
+    validate_sql(
+        "WITH t AS (SELECT id FROM kg_entities) SELECT * FROM t ORDER BY id"
+    )
+
+
+def test_prompt_mentions_all_views():
+    p = schema_prompt("q")
+    for v in ("kg_entities", "kg_entity_edges", "kg_mentions", "kg_chunks"):
+        assert v in p
