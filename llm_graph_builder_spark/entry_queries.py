@@ -679,6 +679,40 @@ def q_qa_eval(spark, sf_dir):
     )
 
 
+def q_qa_eval_judged(spark, sf_dir):
+    """Eval surface — the LLM-judged RAGAS pair (reference /metric:
+    faithfulness + answer_relevancy, ragas_eval.py:23-63) through the
+    deterministic judge stand-ins: claim-window support overlap for
+    faithfulness, question↔answer embedding cosine for relevancy. Samples:
+    the 5 smallest docs with ≥2 chunks; question = 'summarize <file>',
+    response = chunk 1, context = chunk 2. Fully oracle-mirrored; an
+    injected LLM judge replaces the overlap rule via judge_factory."""
+    from .eval.metrics import answer_relevancy_scores, faithfulness_scores
+
+    t = pipeline_tables(spark, sf_dir)
+    sel = t["docs"].orderBy("doc_id").limit(5).select("doc_id", "file_name")
+    ch = t["chunks"].join(F.broadcast(sel), on="doc_id").filter(F.col("position") <= 2)
+    samples = (
+        ch.groupBy("doc_id", "file_name")
+        .agg(
+            F.max(F.when(F.col("position") == 1, F.col("text"))).alias("response"),
+            F.max(F.when(F.col("position") == 2, F.col("text"))).alias("context"),
+        )
+        .filter(F.col("context").isNotNull())
+        .select(
+            F.col("doc_id").alias("sample_id"),
+            F.concat(F.lit("summarize "), "file_name").alias("question"),
+            "response",
+            "context",
+        )
+    )
+    return (
+        samples.select("sample_id")
+        .join(faithfulness_scores(samples), on="sample_id")
+        .join(answer_relevancy_scores(samples), on="sample_id")
+    )
+
+
 def q_entity_descriptions(spark, sf_dir):
     """Entity description property end-to-end (reference: LLM node
     description, llm.py:211-215; embedded as E3 text, post_processing.py:132).
@@ -1017,6 +1051,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "code_graph_communities": q_code_graph_communities,
     "qa_eval": q_qa_eval,
+    "qa_eval_judged": q_qa_eval_judged,
     # cheap projections / read surfaces
     "link_candidates": q_link_candidates,
     "orphan_entities": q_orphan_entities,

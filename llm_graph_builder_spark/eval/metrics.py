@@ -131,6 +131,121 @@ def semantic_scores(
     )
 
 
+def faithfulness_scores(
+    samples: DataFrame,
+    judge_factory=None,
+    claim_tokens: int = 12,
+    support_threshold: float = 0.5,
+    id_col: str = "sample_id",
+    response_col: str = "response",
+    context_col: str = "context",
+) -> DataFrame:
+    """ragas ``faithfulness`` analog with a pluggable LLM judge
+    (reference: /metric scoring, ragas_eval.py:23-63).
+
+    The reference's judge decomposes the answer into claims and asks an LLM
+    whether each claim is supported by the retrieval context; the score is
+    supported/total. Deterministic stand-in (the oracle-checked path):
+    claims = consecutive ``claim_tokens``-token windows of the response
+    (the corpus is a token stream — sentence punctuation isn't guaranteed);
+    a claim is supported when ≥ ``support_threshold`` of its DISTINCT tokens
+    occur in the context. ``judge_factory`` → pandas-UDF verdict
+    (claim_text, context) → bool replaces the overlap rule, Arrow-batched
+    like every other model seam. Shuffle shape: one explode on
+    (sample, claim, token), one posting join, two rollups — all JVM when no
+    judge is injected. Output: (sample_id, n_claims, faithfulness_e4).
+    """
+    toks = _toks(F.col(response_col))
+    claims = (
+        samples.select(
+            F.col(id_col).alias("sample_id"),
+            F.col(context_col).alias("ctx"),
+            F.posexplode(toks).alias("pos", "tok"),
+        )
+        .withColumn("claim", (F.col("pos") / F.lit(claim_tokens)).cast("long"))
+    )
+    n_claims = claims.groupBy("sample_id").agg(
+        (F.max("claim") + 1).cast("long").alias("n_claims")
+    )
+    if judge_factory is not None:
+        from pyspark.sql import types as T
+
+        judge = judge_factory()
+
+        @F.pandas_udf(T.BooleanType())
+        def judge_udf(claim_text, ctx):
+            import pandas as pd
+
+            return pd.Series(
+                [bool(judge(c, x)) for c, x in zip(claim_text, ctx)]
+            )
+
+        claim_rows = (
+            claims.groupBy("sample_id", "claim")
+            .agg(
+                F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                            .getField("tok")).alias("claim_text"),
+                F.first("ctx").alias("ctx"),
+            )
+            .withColumn("supported", judge_udf("claim_text", "ctx"))
+        )
+        verdicts = claim_rows.select("sample_id", "claim", "supported")
+    else:
+        ctx_toks = samples.select(
+            F.col(id_col).alias("sample_id"),
+            F.explode(F.array_distinct(_toks(F.col(context_col)))).alias("tok"),
+        ).withColumn("in_ctx", F.lit(1))
+        verdicts = (
+            claims.select("sample_id", "claim", "tok")
+            .distinct()
+            .join(ctx_toks, on=["sample_id", "tok"], how="left")
+            .groupBy("sample_id", "claim")
+            .agg(
+                (
+                    F.sum(F.coalesce("in_ctx", F.lit(0))) / F.count("*")
+                    >= F.lit(support_threshold)
+                ).alias("supported")
+            )
+        )
+    scored = verdicts.groupBy("sample_id").agg(
+        F.round(
+            F.sum(F.col("supported").cast("int")) / F.count("*") * 10000
+        ).cast("long").alias("faithfulness_e4")
+    )
+    return n_claims.join(scored, on="sample_id", how="left").select(
+        "sample_id",
+        "n_claims",
+        F.coalesce("faithfulness_e4", F.lit(0)).cast("long").alias("faithfulness_e4"),
+    )
+
+
+def answer_relevancy_scores(
+    samples: DataFrame,
+    model_factory=None,
+    id_col: str = "sample_id",
+    question_col: str = "question",
+    response_col: str = "response",
+) -> DataFrame:
+    """ragas ``answer_relevancy`` analog: embedding cosine between the
+    question and the answer (the reference scores the question against
+    LLM-regenerated questions; the deterministic stand-in scores it against
+    the answer directly through the same pluggable embedder seam).
+    Output: (sample_id, answer_relevancy_e4)."""
+    embed = make_embedder_udf(model_factory)
+    return samples.select(
+        F.col(id_col).alias("sample_id"),
+        F.round(
+            cosine(
+                embed(F.col(question_col)).cast("array<double>"),
+                embed(F.col(response_col)).cast("array<double>"),
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("answer_relevancy_e4"),
+    )
+
+
 def entity_recall(ref_ents: DataFrame, ctx_ents: DataFrame) -> DataFrame:
     """context_entity_recall analog: per sample,
     |ents(context) ∩ ents(reference)| / |ents(reference)|.

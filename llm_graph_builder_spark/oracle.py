@@ -1790,7 +1790,66 @@ LEFT JOIN rec USING (sample_id)
 """.replace("{SCOS}", _cosine_sql("rv.embedding", "nv.embedding"))
 
 
-_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+# LLM-judged RAGAS pair (deterministic stand-ins): faithfulness = fraction of
+# 12-token claim windows of the response with >=50% distinct-token support in
+# the context; answer_relevancy = hash-embedding cosine(question, response)
+ORACLE_SQL["qa_eval_judged"] = PIPELINE_CTE + """
+, selj AS (SELECT doc_id, file_name FROM docs ORDER BY doc_id LIMIT 5),
+pairj AS (
+  SELECT c.doc_id AS sample_id, max(s.file_name) AS file_name,
+         max(CASE WHEN position = 1 THEN text END) AS response,
+         max(CASE WHEN position = 2 THEN text END) AS context
+  FROM chunks c JOIN selj s USING (doc_id)
+  WHERE position <= 2 GROUP BY 1
+),
+samples AS (
+  SELECT sample_id, 'summarize ' || file_name AS question, response, context
+  FROM pairj WHERE context IS NOT NULL
+),
+jrt AS (
+  SELECT sample_id,
+         unnest(list_filter(string_split_regex(lower(response), '[^a-z0-9]+'),
+                            t -> len(t) > 0)) AS tok,
+         unnest(range(0, len(list_filter(string_split_regex(lower(response), '[^a-z0-9]+'),
+                                         t -> len(t) > 0)))) AS pos
+  FROM samples
+),
+jclaims AS (SELECT sample_id, tok, pos // 12 AS claim FROM jrt),
+jn AS (SELECT sample_id, CAST(max(claim) + 1 AS BIGINT) AS n_claims FROM jclaims GROUP BY 1),
+jctx AS (
+  SELECT DISTINCT sample_id,
+         unnest(list_distinct(list_filter(string_split_regex(lower(context), '[^a-z0-9]+'),
+                                          t -> len(t) > 0))) AS tok
+  FROM samples
+),
+jdist AS (SELECT DISTINCT sample_id, claim, tok FROM jclaims),
+jverd AS (
+  SELECT d.sample_id, d.claim,
+         (sum(CASE WHEN x.tok IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)) >= 0.5
+           AS supported
+  FROM jdist d LEFT JOIN jctx x ON x.sample_id = d.sample_id AND x.tok = d.tok
+  GROUP BY 1, 2
+),
+jf AS (
+  SELECT sample_id,
+         CAST(round(sum(CASE WHEN supported THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000)
+              AS BIGINT) AS faithfulness_e4
+  FROM jverd GROUP BY 1
+)""" + _hash_vec_cte("jq", "samples", "sample_id", "question") + _hash_vec_cte(
+    "ja", "samples", "sample_id", "response"
+) + """
+SELECT s.sample_id, n.n_claims,
+       coalesce(f.faithfulness_e4, 0) AS faithfulness_e4,
+       coalesce(CAST(round(({JCOS}) * 10000) AS BIGINT), 0) AS answer_relevancy_e4
+FROM samples s
+JOIN jn n USING (sample_id)
+LEFT JOIN jf f USING (sample_id)
+LEFT JOIN jqvecs jq ON jq.k = s.sample_id
+LEFT JOIN javecs ja ON ja.k = s.sample_id
+""".replace("{JCOS}", _cosine_sql("jq.embedding", "ja.embedding"))
+
+
+_TOKS ="list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
 _SW = {
     "de": "('der','die','das','und','ist')",
     "en": "('the','a','of','and','to')",

@@ -493,3 +493,46 @@ def test_retrieval_modes_empty_inputs(spark):
         [], "community_id string, level int, summary string, embedding array<double>"
     )
     assert global_community_retrieve(empty_sums, hash_embed_py("x")).count() == 0
+
+
+def test_faithfulness_and_relevancy_judged(spark):
+    """LLM-judged RAGAS pair: deterministic claim-window stand-in scores
+    supported/total; an injected judge replaces the overlap rule entirely."""
+    from llm_graph_builder_spark.eval.metrics import (
+        answer_relevancy_scores,
+        faithfulness_scores,
+    )
+
+    samples = spark.createDataFrame(
+        [
+            # 2 claims of 3 tokens: first fully supported, second not
+            ("s1", "what is a b c", "a b c x y z", "a b c only here"),
+            # 1 claim, unsupported
+            ("s2", "why", "foo bar baz", "completely different words"),
+        ],
+        "sample_id string, question string, response string, context string",
+    )
+    out = {
+        r.sample_id: r
+        for r in faithfulness_scores(samples, claim_tokens=3).collect()
+    }
+    assert out["s1"].n_claims == 2 and out["s1"].faithfulness_e4 == 5000
+    assert out["s2"].n_claims == 1 and out["s2"].faithfulness_e4 == 0
+
+    # injected judge: everything is supported → 1.0 regardless of overlap
+    out2 = {
+        r.sample_id: r
+        for r in faithfulness_scores(
+            samples, claim_tokens=3, judge_factory=lambda: (lambda c, x: True)
+        ).collect()
+    }
+    assert out2["s1"].faithfulness_e4 == 10000
+    assert out2["s2"].faithfulness_e4 == 10000
+
+    # relevancy: identical question/response → cosine 1.0
+    same = spark.createDataFrame(
+        [("s3", "a b c", "a b c")],
+        "sample_id string, question string, response string",
+    )
+    rel = answer_relevancy_scores(same).collect()[0]
+    assert rel.answer_relevancy_e4 == 10000
