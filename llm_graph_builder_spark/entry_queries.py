@@ -722,6 +722,24 @@ def q_entity_descriptions(spark, sf_dir):
     return entity_descriptions_from_units(t["units"])
 
 
+def q_transcript_chunks(spark, sf_dir):
+    """S6 — YouTube transcript 60-s windowing (reference
+    get_documents_from_youtube, youtube.py:63-117): deterministic synthetic
+    transcript (16 videos, entries every 37.5 s — exercises the
+    counter-lag case where a page spans more than one window), split with
+    the faithful sequential-counter kernel. Oracle: recursive-CTE mirror of
+    the same recurrence."""
+    from .sources.web import transcript_pages
+
+    docs = read_documents(spark, sf_dir)
+    tr = docs.select(
+        F.concat(F.lit("v"), (F.col("doc_id") % 16).cast("string")).alias("video_id"),
+        (F.floor(F.col("doc_id") / 16) * 37.5).alias("start"),
+        F.substring("text", 1, 20).alias("text"),
+    )
+    return transcript_pages(tr)
+
+
 def q_corpus_curation(spark, sf_dir):
     """Training-data curation verdicts: heuristic quality gates + exact-dedup
     keeper election in one pass (C4/Gopher-style filtering recipe shape)."""
@@ -1052,6 +1070,7 @@ QUERIES = {
     "code_graph_communities": q_code_graph_communities,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
+    "transcript_chunks": q_transcript_chunks,
     # cheap projections / read surfaces
     "link_candidates": q_link_candidates,
     "orphan_entities": q_orphan_entities,

@@ -1790,6 +1790,69 @@ LEFT JOIN rec USING (sample_id)
 """.replace("{SCOS}", _cosine_sql("rv.embedding", "nv.embedding"))
 
 
+def _ts_fmt_sql(expr: str) -> str:
+    """str(timedelta(seconds=x)).split('.')[0] — 'H:MM:SS', hours unpadded."""
+    s = f"CAST(floor({expr}) AS BIGINT)"
+    return (
+        f"CAST(({s}) // 3600 AS VARCHAR) || ':' || "
+        f"lpad(CAST((({s}) % 3600) // 60 AS VARCHAR), 2, '0') || ':' || "
+        f"lpad(CAST(({s}) % 60 AS VARCHAR), 2, '0')"
+    )
+
+
+# YouTube transcript 60-s windowing: recursive-CTE mirror of the reference's
+# sequential counter loop (one cut per entry; the counter lags on sparse
+# transcripts, so pages can span more than one window — youtube.py:63-117)
+ORACLE_SQL["transcript_chunks"] = """
+WITH RECURSIVE raw AS (
+  SELECT 'v' || CAST(doc_id % 16 AS VARCHAR) AS video_id,
+         CAST((doc_id // 16) * 37.5 AS DOUBLE) AS start,
+         substr(text, 1, 20) AS text
+  FROM documents
+),
+entries AS (
+  SELECT video_id, start, text,
+         row_number() OVER (PARTITION BY video_id ORDER BY start, text) AS ord
+  FROM raw
+),
+state AS (
+  SELECT video_id, CAST(0 AS BIGINT) AS ord, CAST(0 AS BIGINT) AS cuts
+  FROM (SELECT DISTINCT video_id FROM entries)
+  UNION ALL
+  SELECT s.video_id, s.ord + 1,
+         s.cuts + CASE WHEN e.start >= 60.0 * (s.cuts + 1) THEN 1 ELSE 0 END
+  FROM state s JOIN entries e ON e.video_id = s.video_id AND e.ord = s.ord + 1
+),
+pageof AS (
+  SELECT e.video_id, e.ord, e.start, e.text, s.cuts AS page,
+         CASE WHEN e.start >= 60.0 * (s.cuts + 1) THEN 1 ELSE 0 END AS closes
+  FROM entries e JOIN state s ON s.video_id = e.video_id AND s.ord = e.ord - 1
+),
+npages AS (
+  SELECT video_id, max(page + closes) AS maxp, max(start) AS last_start
+  FROM pageof GROUP BY 1
+),
+grid AS (
+  SELECT video_id, unnest(range(0, maxp + 1)) AS page, last_start FROM npages
+),
+agg AS (
+  SELECT video_id, page,
+         count(*) AS n_entries,
+         trim(string_agg(text, ' ' ORDER BY ord)) AS content,
+         max(CASE WHEN closes = 1 THEN start END) AS close_start
+  FROM pageof GROUP BY 1, 2
+)
+SELECT g.video_id, CAST(g.page AS BIGINT) AS page,
+       {FMT_START} AS start_time,
+       {FMT_END} AS end_time,
+       CAST(coalesce(a.n_entries, 0) AS BIGINT) AS n_entries,
+       coalesce(a.content, '') AS content
+FROM grid g LEFT JOIN agg a ON a.video_id = g.video_id AND a.page = g.page
+""".replace("{FMT_START}", _ts_fmt_sql("g.page * 60.0")).replace(
+    "{FMT_END}", _ts_fmt_sql("coalesce(a.close_start, g.last_start)")
+)
+
+
 # LLM-judged RAGAS pair (deterministic stand-ins): faithfulness = fraction of
 # 12-token claim windows of the response with >=50% distinct-token support in
 # the context; answer_relevancy = hash-embedding cosine(question, response)

@@ -109,6 +109,109 @@ def fetch_url(url: str, fetcher=None) -> str:
     return fetcher(url)
 
 
+#: the reference's YOUTUBE_CHUNK_SIZE_SECONDS (shared/constants.py)
+YOUTUBE_CHUNK_SIZE_SECONDS = 60
+
+
+def _fmt_ts(seconds: float) -> str:
+    """``str(timedelta(seconds=x)).split('.')[0]`` for x < 24h — the
+    reference's timestamp format ('0:01:00', hours unpadded)."""
+    s = int(seconds)
+    return f"{s // 3600}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+
+
+def transcript_pages(
+    transcripts: DataFrame,
+    window_seconds: int = YOUTUBE_CHUNK_SIZE_SECONDS,
+) -> DataFrame:
+    """S6 — split transcript entries into ~``window_seconds`` pages with
+    start/end timestamps (reference get_documents_from_youtube,
+    src/document_sources/youtube.py:63-117; the timestamps land on chunks as
+    ``start_time``/``end_time`` properties, make_relationships.py:96-98).
+
+    Faithful restatement of the reference loop: entries accumulate in
+    transcript order; the first entry whose ``start`` reaches the running
+    counter CLOSES the page (that entry included), the counter advances by
+    one window, and a final page is always emitted. The counter only
+    advances on a cut, so a sparse transcript can produce pages spanning
+    more than one window — exactly like the reference. One applyInPandas
+    group per video: a transcript is small (hours of video ≈ thousands of
+    entries), so per-video sequential state is the natural grouped-map
+    kernel, and videos parallelize across the cluster.
+
+    Input: ``transcripts(video_id, start double, text)``.
+    Output: one row per page — (video_id, page, start_time, end_time,
+    n_entries, content).
+    """
+    import pandas as pd
+
+    def _pages(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["start", "text"], kind="stable")
+        vid = pdf["video_id"].iloc[0]
+        counter = float(window_seconds)
+        parts: list[str] = []
+        rows = []
+        n_in_page = 0
+        for start, text in zip(pdf["start"], pdf["text"]):
+            parts.append(text or "")
+            n_in_page += 1
+            if start >= counter:
+                rows.append(
+                    (
+                        vid,
+                        len(rows),
+                        _fmt_ts(counter - window_seconds),
+                        _fmt_ts(start),
+                        n_in_page,
+                        " ".join(parts).strip(),
+                    )
+                )
+                counter += window_seconds
+                parts = []
+                n_in_page = 0
+        last_start = float(pdf["start"].iloc[-1]) if len(pdf) else counter
+        rows.append(
+            (
+                vid,
+                len(rows),
+                _fmt_ts(counter - window_seconds),
+                _fmt_ts(last_start),
+                n_in_page,
+                " ".join(parts).strip(),
+            )
+        )
+        return pd.DataFrame(
+            rows,
+            columns=["video_id", "page", "start_time", "end_time", "n_entries", "content"],
+        )
+
+    return transcripts.groupBy("video_id").applyInPandas(
+        _pages,
+        "video_id string, page bigint, start_time string, end_time string, "
+        "n_entries bigint, content string",
+    )
+
+
+def transcript_documents(
+    pages: DataFrame, repo_salt: int = 8
+) -> DataFrame:
+    """Transcript pages → the standard document dimension (repo = 'youtube',
+    path = /watch?v=<id>#<page>, commit = start_time) so the chunker and
+    everything downstream treat transcripts like any other source. The
+    page-grain start/end timestamps ride along for chunk-property
+    propagation."""
+    repos = pages.select(
+        F.lit("youtube").alias("repo"),
+        F.concat(
+            F.lit("/watch?v="), "video_id", F.lit("#"), F.col("page").cast("string")
+        ).alias("path"),
+        F.col("start_time").alias("commit"),
+        F.lit("und").alias("lang"),
+        F.col("content").alias("content"),
+    )
+    return ingest(repos, repo_salt)
+
+
 def fetch_youtube_transcript(video_id: str, client=None) -> str:
     """S6 seam (reference: youtube transcript via youtube-transcript-api,
     src/document_sources/youtube.py). Inject ``client(video_id) -> text``."""

@@ -210,3 +210,51 @@ def test_clean_path_dedups_mentions_on_id_label(spark):
     ms = units.collect()[0]["mentions"]
     assert len(ms) == 1  # '`spark`' cleans to 'spark' → one mention survives
     assert ms[0]["id"] == "spark" and ms[0]["description"] == "first ctx"
+
+
+def test_transcript_pages_counter_semantics(spark):
+    """Faithful mirror of the reference loop (youtube.py:63-117): the entry
+    that reaches the counter closes the page (included), the counter
+    advances one window per cut, sparse transcripts make the counter lag,
+    and a final page is always emitted."""
+    from llm_graph_builder_spark.sources.web import (
+        transcript_documents,
+        transcript_pages,
+    )
+
+    tr = spark.createDataFrame(
+        [
+            # video a: entries at 0, 30, 65, 70, 130 (window 60)
+            ("a", 0.0, "w0"), ("a", 30.0, "w1"), ("a", 65.5, "w2"),
+            ("a", 70.0, "w3"), ("a", 130.0, "w4"),
+            # video b: one entry far past the first window — ONE cut only
+            # (one cut per entry), so the page spans several windows
+            ("b", 500.0, "x0"),
+        ],
+        "video_id string, start double, text string",
+    )
+    out = {(r.video_id, r.page): r for r in transcript_pages(tr).collect()}
+    # a/page0: w0 w1 w2 — closed by the 65.5 entry, end = floor(65.5)
+    assert out[("a", 0)].content == "w0 w1 w2"
+    assert out[("a", 0)].start_time == "0:00:00"
+    assert out[("a", 0)].end_time == "0:01:05"
+    # a/page1: w3 w4 — closed by 130 (>= counter 120)
+    assert out[("a", 1)].content == "w3 w4"
+    assert out[("a", 1)].start_time == "0:01:00"
+    assert out[("a", 1)].end_time == "0:02:10"
+    # a/page2: final empty page, end = last entry start
+    assert out[("a", 2)].content == "" and out[("a", 2)].n_entries == 0
+    assert out[("a", 2)].start_time == "0:02:00"
+    assert out[("a", 2)].end_time == "0:02:10"
+    # b: entry at 500 closes page0 (one cut), final page starts at 120
+    assert out[("b", 0)].content == "x0"
+    assert out[("b", 0)].start_time == "0:00:00"
+    assert out[("b", 0)].end_time == "0:08:20"
+    # the counter advanced once (one cut), so the final page starts at 60 s
+    assert out[("b", 1)].start_time == "0:01:00"
+    assert len(out) == 5
+
+    # document projection: standard dimension, chunker-ready
+    docs = transcript_documents(transcript_pages(tr)).collect()
+    assert {r.repo for r in docs} == {"youtube"}
+    assert any("/watch?v=a#0" in r.path for r in docs)
