@@ -32,6 +32,64 @@ def tokenize_py(text: str) -> list[str]:
     return sanitize_py(text).split()
 
 
+class WhitespaceTokenizer:
+    """Default window tokenizer: sanitized whitespace tokens, space-joined
+    chunk text (the oracle-checked contract)."""
+
+    sep = " "
+
+    def encode(self, text: str) -> list[str]:
+        return tokenize_py(text)
+
+
+class TiktokenTokenizer:
+    """BPE window tokenizer (reference: TokenTextSplitter windows tiktoken
+    cl100k tokens, create_chunks.py:42). Tokens are the DECODED piece
+    strings, so ``''.join(window)`` reconstructs the exact substring the
+    reference's decode produces; available only where tiktoken is installed
+    (import-gated — the sandbox default stays the whitespace contract)."""
+
+    sep = ""
+
+    def __init__(self, encoding: str = "cl100k_base"):
+        import tiktoken  # noqa: F401 — deliberate seam; absent in-sandbox
+
+        self._enc = tiktoken.get_encoding(encoding)
+
+    def encode(self, text: str) -> list[str]:
+        enc = self._enc
+        return [
+            enc.decode_single_token_bytes(t).decode("utf-8", "replace")
+            for t in enc.encode(sanitize_py(text))
+        ]
+
+
+_TOKENIZER_CACHE: dict = {}
+
+
+def get_tokenizer(spec=None):
+    """Resolve a tokenizer spec → tokenizer object, memoized PER PROCESS so
+    executor-side kernels construct the (potentially heavy) BPE table once.
+
+    ``None``/'whitespace' → WhitespaceTokenizer; 'tiktoken' or
+    'tiktoken:<encoding>' → TiktokenTokenizer (raises ImportError where the
+    library is absent); a non-string spec is assumed to BE a tokenizer
+    object (encode + sep) and passes through — the injected-client pattern.
+    """
+    if spec is not None and not isinstance(spec, str):
+        return spec
+    key = spec or "whitespace"
+    if key not in _TOKENIZER_CACHE:
+        if key == "whitespace":
+            _TOKENIZER_CACHE[key] = WhitespaceTokenizer()
+        elif key.startswith("tiktoken"):
+            enc = key.split(":", 1)[1] if ":" in key else "cl100k_base"
+            _TOKENIZER_CACHE[key] = TiktokenTokenizer(enc)
+        else:
+            raise ValueError(f"unknown tokenizer spec: {spec!r}")
+    return _TOKENIZER_CACHE[key]
+
+
 def sanitize_col(col: Column) -> Column:
     return F.translate(col, "\"'", "")
 

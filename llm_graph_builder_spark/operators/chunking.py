@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import CHUNK_OVERLAP_TOKENS, CHUNK_SIZE_TOKENS
-from ..functions.text import tokenize_py
+from ..functions.text import get_tokenizer, tokenize_py  # noqa: F401 (tokenize_py re-exported for tests)
 
 _CHUNK_STRUCT = T.ArrayType(
     T.StructType(
@@ -50,10 +50,14 @@ _CHUNK_STRUCT = T.ArrayType(
 
 
 def split_tokens(
-    tokens: list[str], size: int, overlap: int, max_chunks: int | None = None
+    tokens: list[str], size: int, overlap: int, max_chunks: int | None = None,
+    sep: str = " ",
 ) -> list[tuple[str, int, int]]:
     """Pure-Python window logic shared by the UDF and unit tests.
 
+    ``sep`` is the tokenizer's join separator: ' ' for whitespace tokens
+    (the oracle-checked default), '' for BPE piece strings whose
+    concatenation reconstructs the decoded window (tiktoken seam).
     Returns [(chunk_text, position(1-based), char_offset_in_normalized_text)].
     """
     stride = size - overlap
@@ -67,27 +71,29 @@ def split_tokens(
         n_chunks = min(n_chunks, max_chunks)
     out = []
     offset = 0
-    # offset of chunk i = len(' '.join(tokens[:i*stride])) + 1 for i>0
+    w = len(sep)
+    # offset of chunk i = len(sep.join(tokens[:i*stride])) + len(sep) for i>0
     for i in range(n_chunks):
         start = i * stride
         window = tokens[start : start + size]
         if i > 0:
-            offset = sum(len(t) + 1 for t in tokens[:start])
-        out.append((" ".join(window), i + 1, offset))
+            offset = sum(len(t) + w for t in tokens[:start])
+        out.append((sep.join(window), i + 1, offset))
     return out
 
 
-def make_chunker_udf(size: int, overlap: int, max_chunks: int | None):
+def make_chunker_udf(size: int, overlap: int, max_chunks: int | None, tokenizer=None):
     @F.pandas_udf(_CHUNK_STRUCT)
     def chunk_content(content: pd.Series) -> pd.Series:
+        tk = get_tokenizer(tokenizer)
         return content.map(
-            lambda c: split_tokens(tokenize_py(c or ""), size, overlap, max_chunks)
+            lambda c: split_tokens(tk.encode(c or ""), size, overlap, max_chunks, tk.sep)
         )
 
     return chunk_content
 
 
-def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None):
+def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None, tokenizer=None):
     """mapInArrow kernel: (doc_id, content) batches → exploded chunk-row
     batches built columnar-native (flat value arrays, no nested structs).
 
@@ -102,6 +108,7 @@ def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None):
     """
 
     def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tk = get_tokenizer(tokenizer)
         for rb in batches:
             contents = rb.column(1).to_pylist()
             take_idx: list[int] = []
@@ -110,7 +117,7 @@ def _make_chunk_batches(size: int, overlap: int, max_chunks: int | None):
             o_off: list[int] = []
             for row_i, content in enumerate(contents):
                 for text, pos, off in split_tokens(
-                    tokenize_py(content or ""), size, overlap, max_chunks
+                    tk.encode(content or ""), size, overlap, max_chunks, tk.sep
                 ):
                     take_idx.append(row_i)
                     o_text.append(text)
@@ -134,6 +141,7 @@ def chunk_documents(
     size: int = CHUNK_SIZE_TOKENS,
     overlap: int = CHUNK_OVERLAP_TOKENS,
     max_chunks: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """documents(doc_id, content, ...) → chunks table.
 
@@ -141,10 +149,15 @@ def chunk_documents(
     chunk_id is global/content-addressed — identical vendored files across
     repos share chunk ids, which is what makes pre-extraction chunk dedup the
     biggest cost saver at 10^12 files (SURVEY §7.4.4).
+
+    ``tokenizer``: window-tokenizer spec (functions/text.get_tokenizer) —
+    default whitespace (oracle contract); 'tiktoken[:encoding]' windows BPE
+    tokens like the reference's TokenTextSplitter where tiktoken is
+    installed; resolved lazily per executor process.
     """
     doc_id_type = documents.schema["doc_id"].dataType.simpleString()
     exploded = documents.select("doc_id", "content").mapInArrow(
-        _make_chunk_batches(size, overlap, max_chunks),
+        _make_chunk_batches(size, overlap, max_chunks, tokenizer),
         f"doc_id {doc_id_type}, text string, position int, content_offset long",
     )
     return exploded.select(

@@ -172,3 +172,62 @@ def test_extract_text_properties(text):
         assert (t["subj_id"], t["subj_label"]) in ids
         assert (t["obj_id"], t["obj_label"]) in ids
         assert t["subj_id"] != t["obj_id"] or t["subj_label"] != t["obj_label"]
+
+
+def test_tokenizer_seam_custom_bpe(spark):
+    """The tokenizer seam accepts an injected object (encode + sep); a
+    fake-BPE tokenizer (4-char pieces, sep='') must produce exact
+    concatenation-reconstructed windows and piece-grain offsets."""
+    from llm_graph_builder_spark.operators.chunking import (
+        chunk_documents,
+        split_tokens,
+    )
+
+    class FourCharBPE:
+        sep = ""
+
+        def encode(self, text):
+            return [text[i : i + 4] for i in range(0, len(text), 4)]
+
+    text = "abcdefghijklmnopqrstuvwxyz"  # 7 pieces: 6x4 + 'yz'
+    pieces = FourCharBPE().encode(text)
+    wins = split_tokens(pieces, size=4, overlap=1, max_chunks=None, sep="")
+    # stride 3, n=7 → 2 windows (pieces 0-3 and 3-6); texts reconstruct
+    # exact substrings, offsets are character positions of the piece starts
+    assert [w[0] for w in wins] == [text[0:16], text[12:26]]
+    assert [w[2] for w in wins] == [0, 12]
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, content string")
+    out = chunk_documents(docs, size=4, overlap=1, tokenizer=FourCharBPE()).collect()
+    assert [r.text for r in sorted(out, key=lambda r: r.position)] == [
+        text[0:16], text[12:26]
+    ]
+
+
+def test_tokenizer_seam_tiktoken_parity():
+    """Gated on tiktoken availability (absent in-sandbox): piece strings
+    must concatenate back to the sanitized input."""
+    import pytest as _pytest
+
+    _pytest.importorskip("tiktoken")
+    from llm_graph_builder_spark.functions.text import get_tokenizer, sanitize_py
+
+    tk = get_tokenizer("tiktoken:cl100k_base")
+    s = 'hello "quoted" world\nnew line'
+    assert "".join(tk.encode(s)) == sanitize_py(s)
+
+
+def test_get_tokenizer_specs():
+    import pytest as _pytest
+
+    from llm_graph_builder_spark.functions.text import (
+        WhitespaceTokenizer,
+        get_tokenizer,
+    )
+
+    assert isinstance(get_tokenizer(None), WhitespaceTokenizer)
+    assert get_tokenizer(None) is get_tokenizer("whitespace")  # memoized
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        get_tokenizer("bpe9000")
+    obj = WhitespaceTokenizer()
+    assert get_tokenizer(obj) is obj  # injected object passes through
