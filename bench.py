@@ -80,6 +80,8 @@ def main():
     # protocol (iteration 2 would read its own cache and measure less work).
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
 
+    stage_load: dict[str, float] = {}
+
     def timed(name):
         class _T:
             def __enter__(self):
@@ -89,7 +91,14 @@ def main():
             def __exit__(self, *a):
                 wall = round(time.time() - self.t0, 3)
                 prev = timings.get(name)
-                timings[name] = wall if prev is None else min(prev, wall)
+                if prev is None or wall < prev:
+                    timings[name] = wall
+                    # load1 observed at the winning (min-wall) iteration —
+                    # separates genuine regressions from co-tenant noise
+                    try:
+                        stage_load[name] = round(os.getloadavg()[0], 2)
+                    except OSError:
+                        pass
 
         return _T()
 
@@ -229,6 +238,7 @@ def main():
             extra["scaling"] = json.load(f)
 
     extra["bench_iters"] = iters
+    extra["stage_load1"] = stage_load
     try:
         extra["load1"] = round(os.getloadavg()[0], 2)
     except OSError:
