@@ -534,6 +534,23 @@ def q_graph_view(spark, sf_dir):
     return document_graph_view(t["chunks"], t["mentions"], t["triples"], sel)
 
 
+def q_graph_view_full(spark, sf_dir):
+    """T5 complete — the /graph_query viz surface with the full reference
+    element inventory that is SQL-expressible: document nodes, per-doc
+    chunk nodes (GRAPH_CHUNK_LIMIT), HAS_ENTITY, both-endpoint entity rels,
+    and NEXT_CHUNK rels between selected chunks (GRAPH_QUERY,
+    shared/constants.py:4-75). The IN_COMMUNITY/PARENT_COMMUNITY branch
+    rides the oracle-checked LPA hierarchy and is pytest-covered."""
+    from .operators.paths import document_graph_view
+
+    t = pipeline_tables(spark, sf_dir)
+    sel = t["docs"].orderBy("doc_id").limit(2).select("doc_id")
+    return document_graph_view(
+        t["chunks"], t["mentions"], t["triples"], sel,
+        docs=t["docs"], chunk_edges=t["chunk_edges"],
+    )
+
+
 def q_extraction_token_usage(spark, sf_dir):
     """X8 — per-doc extraction token accounting (units, prompt/completion
     sums; provider counts flow through the same columns when an LLM client
@@ -1091,6 +1108,7 @@ QUERIES = {
     "entity_neighbors": q_entity_neighbors,
     "chunk_entities": q_chunk_entities,
     "graph_view": q_graph_view,
+    "graph_view_full": q_graph_view_full,
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
     "corpus_curation": q_corpus_curation,

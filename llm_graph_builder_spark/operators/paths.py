@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 #: shared/constants.py:40-62)
 PATH_LIMIT = 40
 
+#: reference per-document chunk cap in the viz query (GRAPH_CHUNK_LIMIT,
+#: shared/constants.py:1, applied at graph_query.py:212)
+GRAPH_CHUNK_LIMIT = 50
+
 
 def document_graph_view(
     chunks: DataFrame,
@@ -26,26 +30,58 @@ def document_graph_view(
     triples: DataFrame,
     doc_ids: DataFrame,
     limit: int = 200,
+    chunk_limit: int = GRAPH_CHUNK_LIMIT,
+    docs: DataFrame | None = None,
+    chunk_edges: DataFrame | None = None,
+    similar: DataFrame | None = None,
+    entity_communities: DataFrame | None = None,
 ) -> DataFrame:
     """T5 — the /graph_query viz surface: the bounded subgraph of selected
-    documents (reference: backend/src/graph_query.py — per-document chunk
-    nodes, entities, HAS_ENTITY and entity-entity relationships, with result
-    caps; shared/constants.py GRAPH_QUERY limits).
+    documents (reference GRAPH_QUERY, shared/constants.py:4-75, served by
+    backend/src/graph_query.py:197-231).
+
+    Reference element inventory, all mirrored here:
+      * document nodes (``docs`` given) and per-document chunk nodes capped
+        at ``chunk_limit`` (GRAPH_CHUNK_LIMIT=50 — a row_number window per
+        doc ordered by position, the "LIMIT inside the per-doc subquery");
+      * NEXT_CHUNK / SIMILAR relationships between SELECTED chunks only
+        (``chunk_edges`` / ``similar`` given);
+      * HAS_ENTITY from selected chunks, and entity↔entity relationships
+        whose BOTH endpoints are entities of selected chunks;
+      * IN_COMMUNITY / PARENT_COMMUNITY chains for those entities
+        (``entity_communities`` = the hierarchy table (u, communities)).
 
     ``doc_ids`` = small frame (doc_id) of the selected documents, broadcast
     into every branch so the big tables are each scanned once with a
     broadcast semi-join. Output: one row per graph element,
-    (kind ∈ chunk|entity|has_entity|rel, a, b, label), deterministically
-    ordered and LIMIT-ed (TakeOrderedAndProject).
+    (kind, a, b, label), deterministically ordered and LIMIT-ed
+    (TakeOrderedAndProject). The 4-arg form (docs/edges/similar/communities
+    omitted) keeps the original chunk/entity/has_entity/rel projection.
     """
+    from pyspark.sql.window import Window
+
     sel = F.broadcast(doc_ids.select("doc_id"))
-    chunk_nodes = chunks.join(sel, on="doc_id", how="leftsemi").select(
+    sel_chunks = (
+        chunks.join(sel, on="doc_id", how="leftsemi")
+        .withColumn(
+            "_crn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("position", "chunk_id")
+            ),
+        )
+        .filter(F.col("_crn") <= chunk_limit)
+        .drop("_crn")
+    )
+    chunk_nodes = sel_chunks.select(
         F.lit("chunk").alias("kind"),
         F.col("chunk_id").alias("a"),
         F.col("doc_id").alias("b"),
         F.lit("Chunk").alias("label"),
     ).dropDuplicates(["a", "b"])
-    doc_mentions = mentions.join(sel, on="doc_id", how="leftsemi")
+    chunk_key = F.broadcast(
+        sel_chunks.select("chunk_id", "doc_id").dropDuplicates()
+    )
+    doc_mentions = mentions.join(chunk_key, on=["chunk_id", "doc_id"], how="leftsemi")
     entity_nodes = doc_mentions.select(
         F.lit("entity").alias("kind"),
         F.col("entity_id").alias("a"),
@@ -58,19 +94,90 @@ def document_graph_view(
         F.col("entity_id").alias("b"),
         F.col("entity_label").alias("label"),
     ).dropDuplicates(["a", "b", "label"])
-    rels = triples.join(sel, on="doc_id", how="leftsemi").select(
-        F.lit("rel").alias("kind"),
-        F.col("subj_id").alias("a"),
-        F.col("obj_id").alias("b"),
-        F.col("pred").alias("label"),
-    ).dropDuplicates(["a", "b", "label"])
-    return (
-        chunk_nodes.unionByName(entity_nodes)
-        .unionByName(has_entity)
-        .unionByName(rels)
-        .orderBy("kind", "a", "b", "label")
-        .limit(limit)
+    # entity↔entity rels: sourced from selected chunks; both endpoints are
+    # selected-chunk entities by the extraction contract (subject and object
+    # of a triple are labeled tokens of the same chunk), mirroring the
+    # reference's exists{(e2)<-[:HAS_ENTITY]-(other)} guard
+    ent_ids = F.broadcast(
+        doc_mentions.select(F.col("entity_id").alias("obj_id")).dropDuplicates()
     )
+    rels = (
+        triples.join(chunk_key, on=["chunk_id", "doc_id"], how="leftsemi")
+        .join(ent_ids, on="obj_id", how="leftsemi")
+        .select(
+            F.lit("rel").alias("kind"),
+            F.col("subj_id").alias("a"),
+            F.col("obj_id").alias("b"),
+            F.col("pred").alias("label"),
+        )
+        .dropDuplicates(["a", "b", "label"])
+    )
+    out = chunk_nodes.unionByName(entity_nodes).unionByName(has_entity).unionByName(rels)
+    if docs is not None:
+        doc_nodes = docs.join(sel, on="doc_id", how="leftsemi").select(
+            F.lit("document").alias("kind"),
+            F.col("doc_id").alias("a"),
+            F.lit("").alias("b"),
+            F.lit("Document").alias("label"),
+        ).dropDuplicates(["a"])
+        out = out.unionByName(doc_nodes)
+    sel_ids = sel_chunks.select("chunk_id").dropDuplicates()
+    if chunk_edges is not None:
+        # NEXT_CHUNK (and FIRST_CHUNK/PART_OF) rels where BOTH endpoints are
+        # selected elements — the reference keeps only rels between
+        # selectedChunks
+        ce = (
+            chunk_edges.filter(F.col("rel_type") == "NEXT_CHUNK")
+            .join(F.broadcast(sel_ids.withColumnRenamed("chunk_id", "src")), on="src", how="leftsemi")
+            .join(F.broadcast(sel_ids.withColumnRenamed("chunk_id", "dst")), on="dst", how="leftsemi")
+            .select(
+                F.lit("chunk_rel").alias("kind"),
+                F.col("src").alias("a"),
+                F.col("dst").alias("b"),
+                F.col("rel_type").alias("label"),
+            )
+            .dropDuplicates(["a", "b", "label"])
+        )
+        out = out.unionByName(ce)
+    if similar is not None:
+        sim = (
+            similar.join(F.broadcast(sel_ids.withColumnRenamed("chunk_id", "src")), on="src", how="leftsemi")
+            .join(F.broadcast(sel_ids.withColumnRenamed("chunk_id", "dst")), on="dst", how="leftsemi")
+            .select(
+                F.lit("chunk_rel").alias("kind"),
+                F.col("src").alias("a"),
+                F.col("dst").alias("b"),
+                F.lit("SIMILAR").alias("label"),
+            )
+            .dropDuplicates(["a", "b", "label"])
+        )
+        out = out.unionByName(sim)
+    if entity_communities is not None:
+        # IN_COMMUNITY (entity → level-0 community) + PARENT_COMMUNITY chain
+        # for the selected entities (reference GRAPH_QUERY community CALL)
+        ekeys = F.broadcast(
+            doc_mentions.select(
+                F.concat_ws("\x01", "entity_id", "entity_label").alias("u")
+            ).dropDuplicates()
+        )
+        h = entity_communities.join(ekeys, on="u", how="leftsemi")
+        in_comm = h.select(
+            F.lit("in_community").alias("kind"),
+            F.col("u").alias("a"),
+            F.col("communities")[0].alias("b"),
+            F.lit("IN_COMMUNITY").alias("label"),
+        ).dropDuplicates(["a", "b"])
+        out = out.unionByName(in_comm)
+        n_levels = h.select(F.max(F.size("communities")).alias("n")).first()
+        for lvl in range((n_levels.n or 1) - 1):
+            parent = h.select(
+                F.lit("community_rel").alias("kind"),
+                F.col("communities")[lvl].alias("a"),
+                F.col("communities")[lvl + 1].alias("b"),
+                F.lit("PARENT_COMMUNITY").alias("label"),
+            ).dropDuplicates(["a", "b"])
+            out = out.unionByName(parent)
+    return out.orderBy("kind", "a", "b", "label").limit(limit)
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:

@@ -501,6 +501,51 @@ SELECT * FROM (
 ORDER BY kind, a, b, label LIMIT 200
 """
 
+# T5 full viz surface: graph_view plus document nodes and NEXT_CHUNK rels
+# between selected chunks (edge list is GLOBAL — content-addressed chunk ids
+# shared across docs — then both endpoints filtered to selected chunks,
+# matching the Spark operator exactly)
+ORACLE_SQL["graph_view_full"] = PIPELINE_CTE + """
+, sel AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT 2),
+selc AS (SELECT DISTINCT chunk_id FROM chunks JOIN sel USING (doc_id)),
+cn AS (
+  SELECT DISTINCT 'chunk' AS kind, chunk_id AS a, doc_id AS b, 'Chunk' AS label
+  FROM chunks JOIN sel USING (doc_id)
+),
+dn AS (
+  SELECT DISTINCT 'document', doc_id, '', 'Document' FROM docs JOIN sel USING (doc_id)
+),
+en AS (
+  SELECT DISTINCT 'entity', entity_id, '', entity_label
+  FROM mentions JOIN sel USING (doc_id)
+),
+he AS (
+  SELECT DISTINCT 'has_entity', chunk_id, entity_id, entity_label
+  FROM mentions JOIN sel USING (doc_id)
+),
+rl AS (
+  SELECT DISTINCT 'rel', subj_id, obj_id, pred
+  FROM triples JOIN sel USING (doc_id)
+),
+nxt AS (
+  SELECT DISTINCT prev AS src, chunk_id AS dst FROM (
+    SELECT doc_id, chunk_id, lag(chunk_id) OVER (PARTITION BY doc_id ORDER BY position) AS prev
+    FROM chunks
+  ) WHERE prev IS NOT NULL
+),
+cr AS (
+  SELECT DISTINCT 'chunk_rel', src, dst, 'NEXT_CHUNK'
+  FROM nxt
+  JOIN selc s1 ON s1.chunk_id = nxt.src
+  JOIN selc s2 ON s2.chunk_id = nxt.dst
+)
+SELECT * FROM (
+  SELECT * FROM cn UNION ALL SELECT * FROM dn UNION ALL SELECT * FROM en
+  UNION ALL SELECT * FROM he UNION ALL SELECT * FROM rl UNION ALL SELECT * FROM cr
+)
+ORDER BY kind, a, b, label LIMIT 200
+"""
+
 # X8 rollup: one unit per (doc, chunk); prompt = ALL whitespace tokens of
 # the unit text, completion = distinct mentions + distinct triples emitted
 ORACLE_SQL["extraction_token_usage"] = PIPELINE_CTE + """

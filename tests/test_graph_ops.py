@@ -306,3 +306,70 @@ def test_lpa_hierarchy_sql_mirror_parity():
         ).fetchall()
         got = {r[0]: [r[1], r[2], r[3]] for r in sql_rows}
         assert got == py, f"mi={mi} edges={edges}"
+
+
+def test_document_graph_view_full_surface(spark):
+    """T5 full inventory: per-doc GRAPH_CHUNK_LIMIT cap, document nodes,
+    NEXT_CHUNK/SIMILAR rels between selected chunks only, and the
+    IN_COMMUNITY/PARENT_COMMUNITY chain for selected entities."""
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.paths import document_graph_view
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1", "t1", 1, 0, 2), ("c2", "d1", "t2", 2, 3, 2),
+         ("c3", "d1", "t3", 3, 6, 2), ("c9", "d9", "t9", 1, 0, 2)],
+        "chunk_id string, doc_id string, text string, position int, "
+        "content_offset long, length long",
+    )
+    mentions = spark.createDataFrame(
+        [("c1", "d1", "merge", "Operation"), ("c2", "d1", "data", "Artifact"),
+         ("c3", "d1", "drop", "Operation"), ("c9", "d9", "other", "Artifact")],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    triples = spark.createDataFrame(
+        [("c1", "d1", "merge", "Operation", "USES", "data", "Artifact")],
+        "chunk_id string, doc_id string, subj_id string, subj_label string, "
+        "pred string, obj_id string, obj_label string",
+    )
+    docs = spark.createDataFrame([("d1",), ("d9",)], "doc_id string")
+    sel = spark.createDataFrame([("d1",)], "doc_id string")
+    chunk_edges = spark.createDataFrame(
+        [("c1", "NEXT_CHUNK", "c2"), ("c2", "NEXT_CHUNK", "c3"),
+         ("c3", "NEXT_CHUNK", "c9")],  # c9 not selected → dropped
+        "src string, rel_type string, dst string",
+    )
+    similar = spark.createDataFrame(
+        [("c1", "SIMILAR", "c3", 0.9), ("c1", "SIMILAR", "c9", 0.9)],
+        "src string, rel_type string, dst string, score double",
+    )
+    hier = spark.createDataFrame(
+        [("merge\x01Operation", ["0-x", "1-y", "2-z"]),
+         ("data\x01Artifact", ["0-x", "1-y", "2-z"]),
+         ("other\x01Artifact", ["0-q", "1-q", "2-q"])],  # not selected
+        "u string, communities array<string>",
+    )
+    out = document_graph_view(
+        chunks, mentions, triples, sel,
+        chunk_limit=2,  # cap binds: c3 (position 3) excluded
+        docs=docs, chunk_edges=chunk_edges, similar=similar,
+        entity_communities=hier,
+    ).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r.kind, set()).add((r.a, r.b, r.label))
+    # chunk cap: only c1, c2 selected
+    assert {a for a, _, _ in by_kind["chunk"]} == {"c1", "c2"}
+    assert by_kind["document"] == {("d1", "", "Document")}
+    # c2→c3 dropped (c3 over cap), c3→c9 dropped (both out)
+    assert by_kind["chunk_rel"] == {("c1", "c2", "NEXT_CHUNK")}
+    # entities/has_entity restricted to selected chunks (no 'drop' from c3)
+    assert {a for a, _, _ in by_kind["entity"]} == {"merge", "data"}
+    assert by_kind["in_community"] == {
+        ("merge\x01Operation", "0-x", "IN_COMMUNITY"),
+        ("data\x01Artifact", "0-x", "IN_COMMUNITY"),
+    }
+    assert by_kind["community_rel"] == {
+        ("0-x", "1-y", "PARENT_COMMUNITY"), ("1-y", "2-z", "PARENT_COMMUNITY"),
+    }
+    assert by_kind["rel"] == {("merge", "data", "USES")}
