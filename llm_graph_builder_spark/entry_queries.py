@@ -874,7 +874,8 @@ def q_dedup_cluster_invariants(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: iterative algorithms / LSH internals)
+# iterative / LSH queries (all oracle-checked too — recursive-CTE CC/LPA
+# mirrors, unrolled Lloyd, md5-parity LSH replicas in oracle.py)
 # ---------------------------------------------------------------------------
 
 def q_linked_entities(spark, sf_dir):
