@@ -125,6 +125,42 @@ def main() -> None:
         q["linked_entities"](spark, SF),
     )
 
+    from llm_graph_builder_spark.operators.ann import ann_ivf_topk
+
+    snap(
+        "ANN IVF search (probe-bucket join; Lloyd rounds are mapInArrow "
+        "partial sums)",
+        "The search plan joins the bucketed corpus against the BROADCAST "
+        "probed query set on the bucket key — each query touches "
+        "~n_probe/n_centroids of the corpus. Training (not in this plan — "
+        "it is a driver loop) runs ONE mapInArrow pass per Lloyd round: "
+        "every task emits a single (n_centroids × dim) partial-sum row, so "
+        "the per-round shuffle is n_partitions rows with zero row "
+        "amplification (the r2 posexplode shape shuffled n_rows × dim rows "
+        "per round).",
+        ann_ivf_topk(emb, qs, k=5),
+    )
+
+    snap(
+        "text2query generated SQL (NL → Catalyst)",
+        "The generated SELECT goes through the same optimizer as "
+        "hand-written queries: the `subj_id = 'merge'` predicate is pushed "
+        "into the scan of the (in-memory) kg_entity_edges view and the "
+        "per-direction branches union above it — generation does not "
+        "bypass pushdown.",
+        q["text2sql_retrieval"](spark, SF),
+    )
+
+    snap(
+        "Viz subgraph (graph_view_full: broadcast semi-joins)",
+        "Every element branch semi-joins its big table against the "
+        "broadcast selected-doc/chunk set (BroadcastHashJoin LeftSemi) — "
+        "each big table is scanned once; the per-doc chunk cap is a "
+        "row_number window INSIDE the doc partition (no global sort); the "
+        "final order+limit is TakeOrderedAndProject.",
+        q["graph_view_full"](spark, SF),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",
