@@ -61,12 +61,18 @@ def document_graph_view(
     from pyspark.sql.window import Window
 
     sel = F.broadcast(doc_ids.select("doc_id"))
+    # per-doc cap ordered by position when the caller supplies it (the real
+    # chunks table always does); a bare (chunk_id, doc_id) frame still gets a
+    # deterministic cap by chunk_id
+    order_cols = (
+        ["position", "chunk_id"] if "position" in chunks.columns else ["chunk_id"]
+    )
     sel_chunks = (
         chunks.join(sel, on="doc_id", how="leftsemi")
         .withColumn(
             "_crn",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("position", "chunk_id")
+                Window.partitionBy("doc_id").orderBy(*order_cols)
             ),
         )
         .filter(F.col("_crn") <= chunk_limit)
@@ -101,8 +107,13 @@ def document_graph_view(
     ent_ids = F.broadcast(
         doc_mentions.select(F.col("entity_id").alias("obj_id")).dropDuplicates()
     )
+    rel_keys = (
+        ["chunk_id", "doc_id"] if "chunk_id" in triples.columns else ["doc_id"]
+    )
     rels = (
-        triples.join(chunk_key, on=["chunk_id", "doc_id"], how="leftsemi")
+        triples.join(
+            chunk_key.select(*rel_keys).dropDuplicates(), on=rel_keys, how="leftsemi"
+        )
         .join(ent_ids, on="obj_id", how="leftsemi")
         .select(
             F.lit("rel").alias("kind"),

@@ -209,13 +209,22 @@ def similar_edges(
         (F.col(block_col) if block_col else F.lit("all")).alias("block"),
     ).dropDuplicates(["id", "block"])
     if max_block_rows is not None:
-        sizes = dedup.groupBy("block").agg(F.count("*").alias("_bn"))
+        # only the OVERSIZED blocks need a rewrite, and there are at most
+        # n_rows / max_block_rows of them — broadcast that (tiny) set and
+        # left-join, instead of shuffling the whole table against the full
+        # size map. The sizes aggregation itself is one skinny map-side-
+        # combined pass over (block) keys.
+        over = F.broadcast(
+            dedup.groupBy("block")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_block_rows)
+        )
         dedup = (
-            dedup.join(sizes, on="block")
+            dedup.join(over, on="block", how="left")
             .withColumn(
                 "block",
                 F.when(
-                    F.col("_bn") > max_block_rows,
+                    F.col("_bn").isNotNull(),
                     F.concat_ws(
                         "#",
                         "block",

@@ -30,6 +30,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing (not parallelism-first): a reduce stage gets
+        # bytes/advisorySize partitions, so kilobyte shuffles collapse to one
+        # task instead of fanning defaultParallelism near-empty tasks; at
+        # 100 TB bytes/64MB >> cores, so full parallelism is unaffected.
+        # Explicit repartition() calls (the CPU-bound Python stages) are
+        # exempt from AQE coalescing either way.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # Arrow: the chunker/extractor/embedder pandas UDFs move data in Arrow
         # batches; 10k rows/batch ≈ one provider batch call in the LLM path
         # (SURVEY.md §4 "LLM batching").

@@ -115,11 +115,14 @@ def test_document_graph_view_kinds_and_cap(spark):
         [("c1", "d1"), ("c2", "d2")], "chunk_id string, doc_id string"
     )
     mentions = spark.createDataFrame(
-        [("d1", "c1", "e1", "L")],
+        [("d1", "c1", "e1", "L"), ("d1", "c1", "e2", "L")],
         "doc_id string, chunk_id string, entity_id string, entity_label string",
     )
+    # e3 is never mentioned by a selected chunk → the e1→e3 rel must be
+    # excluded (reference GRAPH_QUERY's exists{(e2)<-[:HAS_ENTITY]-(other)
+    # WHERE other IN selectedChunks} guard)
     triples = spark.createDataFrame(
-        [("d1", "e1", "REL", "e2")],
+        [("d1", "e1", "REL", "e2"), ("d1", "e1", "REL", "e3")],
         "doc_id string, subj_id string, pred string, obj_id string",
     )
     sel = spark.createDataFrame([("d1",)], "doc_id string")
@@ -128,6 +131,7 @@ def test_document_graph_view_kinds_and_cap(spark):
     assert kinds == {"chunk", "entity", "has_entity", "rel"}
     # only d1's chunk is present (d2 filtered by the broadcast semi-join)
     assert {r.a for r in rows if r.kind == "chunk"} == {"c1"}
+    assert {(r.a, r.b) for r in rows if r.kind == "rel"} == {("e1", "e2")}
     assert document_graph_view(chunks, mentions, triples, sel, limit=2).count() == 2
 
 
