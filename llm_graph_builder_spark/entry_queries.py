@@ -765,6 +765,25 @@ def q_corpus_curation(spark, sf_dir):
     return curate_corpus(read_documents(spark, sf_dir))
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs whose md5 hex-prefix mod 20 == 0 form
+    the held-out eval set; every remaining doc gets a distinct-8-gram overlap
+    count against that set (broadcast gram join — see operators/decontam.py)."""
+    from .operators.decontam import decontaminate
+
+    docs = read_documents(spark, sf_dir)
+    is_bench = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    )
+    tagged = docs.withColumn("_bench", is_bench)
+    return decontaminate(
+        tagged.filter(~F.col("_bench")), tagged.filter(F.col("_bench"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -1113,6 +1132,7 @@ QUERIES = {
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
     "corpus_curation": q_corpus_curation,
+    "decontamination": q_decontamination,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

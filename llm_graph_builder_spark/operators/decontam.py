@@ -1,0 +1,90 @@
+"""Benchmark decontamination — flag corpus documents that share word
+n-grams with a held-out benchmark/eval set.
+
+This is the standard pretraining-corpus hygiene pass (the GPT-3/PaLM-style
+"13-gram overlap" rule): any training document that contains an n-gram also
+present in an evaluation benchmark is marked contaminated so it can be
+dropped or down-weighted before training. The reference pipeline has no
+analog (it builds KGs, not training corpora); this operator belongs to the
+training-data family alongside `operators/dedup.py` / `operators/curation.py`.
+
+Scale shape (100 TB corpus, MB-scale benchmark):
+- The benchmark n-gram set is tiny by construction (eval suites are a few
+  MB), so it is **broadcast**; the corpus-side explode → join is map-side
+  only — no shuffle of the exploded corpus grams.
+- Rows surviving the join are only the *matches* (rare), so the per-doc
+  aggregation shuffles a near-empty relation.
+- The final left join re-attaching zero-hit docs broadcasts the (small)
+  hit table against the corpus projection: one corpus scan, zero wide
+  shuffles end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _word_shingles
+
+#: word n-gram width for overlap checks. Classic decontamination uses 13;
+#: 8 keeps the check meaningful on short synthetic docs while remaining a
+#: strict-phrase (not bag-of-words) rule.
+DECONTAM_K = 8
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", k: int = DECONTAM_K
+) -> DataFrame:
+    """Distinct word ``k``-grams over the benchmark set → one `gram` column.
+
+    The result is expected to be broadcast-sized (eval sets are small
+    relative to any training corpus); callers join it with
+    ``F.broadcast``."""
+    return (
+        bench.select(F.explode(_word_shingles(F.col(text_col), k)).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_K,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document benchmark-overlap verdicts.
+
+    Output: (doc_id, matched_grams, contaminated) for EVERY row of ``docs``
+    — ``matched_grams`` = number of distinct ``k``-grams of the doc that
+    appear anywhere in ``bench``; ``contaminated`` = 1 iff
+    ``matched_grams >= min_hits``.
+
+    ``bench`` n-grams are deduplicated and broadcast, so the corpus explode
+    never shuffles; only matched (doc, gram) rows reach the aggregation.
+    """
+    grams = benchmark_ngrams(bench, text_col=text_col, k=k)
+    corpus = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(text_col).alias("_t"),
+    )
+    exploded = corpus.select(
+        "doc", F.explode(_word_shingles(F.col("_t"), k)).alias("gram")
+    ).filter(F.length("gram") > 0)
+    hits = (
+        exploded.join(F.broadcast(grams), on="gram")
+        .groupBy("doc")
+        .agg(F.countDistinct("gram").alias("matched_grams"))
+    )
+    return (
+        corpus.select("doc")
+        .join(F.broadcast(hits), on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("matched_grams", F.lit(0)).cast("long").alias("matched_grams"),
+            (F.coalesce("matched_grams", F.lit(0)) >= min_hits)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -1210,6 +1210,38 @@ SELECT node AS doc, min(lab) AS cluster, (node = min(lab)) AS keeper
 FROM reach GROUP BY node
 """
 
+# mirrors q_decontamination / operators/decontam.py: bench split by md5
+# hex-prefix mod 20 (same '0x'-parse value as Spark's conv(substr(md5,1,8),
+# 16,10)), distinct word 8-grams, per-doc distinct matched-gram counts,
+# zero-hit docs kept with matched_grams = 0.
+_DECONTAM_SHINGLES = _shingles_sql("text", 8)
+ORACLE_SQL["decontamination"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 20 = 0 AS is_bench,
+         {_DECONTAM_SHINGLES} AS sh
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT unnest(sh) AS g FROM d WHERE is_bench
+),
+cg AS (
+  SELECT doc, unnest(sh) AS g FROM d WHERE NOT is_bench
+),
+hits AS (
+  SELECT doc, count(DISTINCT cg.g) AS n
+  FROM cg JOIN bg ON cg.g = bg.g AND len(cg.g) > 0
+  GROUP BY doc
+)
+SELECT d.doc AS doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS matched_grams,
+       CAST(CASE WHEN coalesce(h.n, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM d LEFT JOIN hits h ON h.doc = d.doc
+WHERE NOT d.is_bench
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents

@@ -381,3 +381,32 @@ def test_multimodal_frame_sampling_and_resize(spark):
             assert (r.meta["w"], r.meta["h"]) == ("8", "4")
         else:
             assert "h" not in r.meta  # non-images untouched
+
+
+def test_decontamination(spark):
+    from llm_graph_builder_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta AND more tail"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "prefix alpha beta gamma delta epsilon zeta eta theta suffix")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, bench)
+    got = {r.doc_id: (r.matched_grams, r.contaminated) for r in out.collect()}
+    # doc 1 shares the 8-gram "alpha..theta"; doc 3 shares the same 8-gram
+    # (it is the doc's first 8 tokens); doc 2 shares nothing.
+    assert got["1"] == (1, 1)
+    assert got["3"] == (1, 1)
+    assert got["2"] == (0, 0)
+    # every doc is present even with zero hits
+    assert set(got) == {"1", "2", "3"}
+    # the benchmark gram set must join broadcast (no corpus-side shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
