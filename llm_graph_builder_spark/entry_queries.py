@@ -1036,6 +1036,15 @@ def q_ann_ivf(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_topic_clusters(spark, sf_dir):
+    """Topic clustering over the embeddings table: deterministic cosine
+    k-means (same md5-seeded fused-Lloyd fit as ann_ivf) surfaced as
+    (vec_id, cluster, cluster_size)."""
+    from .operators.ann import kmeans_clusters
+
+    return kmeans_clusters(_emb(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """End-to-end corpus dedup: exact+near-dup pairs → connected components →
     keeper per cluster (iterative CC → rows-only)."""
@@ -1101,6 +1110,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "topic_clusters": q_topic_clusters,
     "similar_knn": q_similar_knn,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,

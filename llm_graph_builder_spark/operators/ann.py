@@ -109,6 +109,154 @@ def ann_lsh_topk(
     )
 
 
+def _normed(cents: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0.0] = 1.0
+    return cents / norms[:, None]
+
+
+def _topc_udf(cents: np.ndarray, top: int):
+    """pandas UDF: per-vector indices of the `top` nearest centroids by
+    cosine — one numpy GEMM per Arrow batch (the per-centroid expression
+    array needs n_centroids interpreted folds per row). np.argsort is
+    stable ⇒ ties break by centroid index, deterministically."""
+    cn = _normed(cents)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def topc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="object")
+                continue
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(X, axis=1)
+            vn[vn == 0.0] = 1.0
+            S = (X / vn[:, None]) @ cn.T
+            order = np.argsort(-S, axis=1, kind="stable")[:, :top]
+            yield pd.Series([row.tolist() for row in order])
+
+    return topc
+
+
+def _partial_sums_kernel(cents: np.ndarray):
+    """mapInArrow kernel: assign each vector to its nearest centroid
+    (same GEMM + stable-argsort rule as ``_topc_udf``) and accumulate a
+    local per-centroid sum matrix + count vector; emit ONE flattened
+    partial row per non-empty partition. Skew-immune: the accumulator is
+    O(n_centroids × dim) regardless of how lopsided the buckets are (a
+    per-bucket applyInPandas would materialize an entire bucket —
+    ~corpus/n_centroids vectors — in one task and OOM on skewed buckets).
+    """
+    import pyarrow as pa
+
+    cn = _normed(cents)
+    kc, dim = cents.shape
+
+    def kernel(batches):
+        sums = np.zeros((kc, dim), dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        seen = False
+        for b in batches:
+            col = b.column(0).to_pylist()
+            if not col:
+                continue
+            seen = True
+            X = np.asarray(col, dtype=np.float64)
+            vn = np.linalg.norm(X, axis=1)
+            vn[vn == 0.0] = 1.0
+            S = (X / vn[:, None]) @ cn.T
+            # stable argsort top-1 == _topc_udf's tie-break (lowest index)
+            assign = np.argsort(-S, axis=1, kind="stable")[:, 0]
+            np.add.at(sums, assign, X)
+            counts += np.bincount(assign, minlength=kc)
+        if seen:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "sums": [sums.reshape(-1).tolist()],
+                    "counts": [counts.tolist()],
+                },
+                schema=pa.schema(
+                    [
+                        pa.field("sums", pa.list_(pa.float64())),
+                        pa.field("counts", pa.list_(pa.int64())),
+                    ]
+                ),
+            )
+
+    return kernel
+
+
+def fit_kmeans_centroids(
+    c: DataFrame, n_centroids: int, lloyd_iters: int
+) -> np.ndarray:
+    """Deterministic cosine k-means over ``c(cid string, cv array<double>)``.
+
+    Seeding: the ``n_centroids`` vectors with the smallest ``md5(cid)`` hex —
+    a seedless uniform sample, portable across engines so the DuckDB oracle
+    reproduces the exact seed set. Each Lloyd round is ONE mapInArrow pass
+    (per-partition partial sum matrix + count vector — see
+    ``_partial_sums_kernel``); only the driver-tiny reduced matrix leaves the
+    cluster, and empty buckets keep their previous centroid.
+    """
+    seeds = (
+        c.withColumn("h", F.md5("cid"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("cv")
+        .collect()
+    )
+    centroids = np.array([r.cv for r in seeds], dtype=np.float64)
+
+    for _ in range(lloyd_iters):
+        # ONE corpus pass per round: assignment + partial means fused in a
+        # single mapInArrow task; the reduce is n_partitions skinny rows.
+        partials = c.select("cv").mapInArrow(
+            _partial_sums_kernel(centroids),
+            "sums array<double>, counts array<bigint>",
+        ).collect()
+        kc, dim = centroids.shape
+        sums = np.zeros((kc, dim), dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for r in partials:
+            sums += np.asarray(r.sums, dtype=np.float64).reshape(kc, dim)
+            counts += np.asarray(r.counts, dtype=np.int64)
+        new_c = centroids.copy()
+        nonempty = counts > 0
+        new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = new_c
+    return centroids
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic clustering over an embedding column — the training-data-pipeline
+    companion to ``ann_ivf_topk`` (same deterministic Lloyd fit, exposed as
+    cluster assignments instead of an index).
+
+    Output: (vec_id, cluster, cluster_size) — ``cluster`` is the centroid
+    index the vector assigns to (cosine argmax, stable tie-break),
+    ``cluster_size`` the member count of that cluster. One corpus pass per
+    Lloyd round + one assignment pass; the size aggregation shuffles only
+    (cluster, count) partials."""
+    c = corpus.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    centroids = fit_kmeans_centroids(c, n_centroids, lloyd_iters)
+    assigned = c.withColumn(
+        "cluster", _topc_udf(centroids, 1)(F.col("cv"))[0].cast("long")
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(F.broadcast(sizes), on="cluster").select(
+        F.col("cid").alias(id_col), "cluster", "cluster_size"
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,106 +293,7 @@ def ann_ivf_topk(
         F.col(id_col).cast("string").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    seeds = (
-        c.withColumn("h", F.md5("cid"))
-        .orderBy("h")
-        .limit(n_centroids)
-        .select("cv")
-        .collect()
-    )
-    centroids = np.array([r.cv for r in seeds], dtype=np.float64)
-
-    def _normed(cents: np.ndarray) -> np.ndarray:
-        norms = np.linalg.norm(cents, axis=1)
-        norms[norms == 0.0] = 1.0
-        return cents / norms[:, None]
-
-    def _topc_udf(cents: np.ndarray, top: int):
-        """pandas UDF: per-vector indices of the `top` nearest centroids by
-        cosine — one numpy GEMM per Arrow batch (the per-centroid expression
-        array needs n_centroids interpreted folds per row). np.argsort is
-        stable ⇒ ties break by centroid index, deterministically."""
-        cn = _normed(cents)
-
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def topc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for vecs in batches:
-                if len(vecs) == 0:
-                    yield pd.Series([], dtype="object")
-                    continue
-                X = np.stack(vecs.to_numpy()).astype(np.float64)
-                vn = np.linalg.norm(X, axis=1)
-                vn[vn == 0.0] = 1.0
-                S = (X / vn[:, None]) @ cn.T
-                order = np.argsort(-S, axis=1, kind="stable")[:, :top]
-                yield pd.Series([row.tolist() for row in order])
-
-        return topc
-
-    def _partial_sums_kernel(cents: np.ndarray):
-        """mapInArrow kernel: assign each vector to its nearest centroid
-        (same GEMM + stable-argsort rule as ``_topc_udf``) and accumulate a
-        local per-centroid sum matrix + count vector; emit ONE flattened
-        partial row per non-empty partition. Skew-immune: the accumulator is
-        O(n_centroids × dim) regardless of how lopsided the buckets are (a
-        per-bucket applyInPandas would materialize an entire bucket —
-        ~corpus/n_centroids vectors — in one task and OOM on skewed buckets).
-        """
-        import pyarrow as pa
-
-        cn = _normed(cents)
-        kc, dim = cents.shape
-
-        def kernel(batches):
-            sums = np.zeros((kc, dim), dtype=np.float64)
-            counts = np.zeros(kc, dtype=np.int64)
-            seen = False
-            for b in batches:
-                col = b.column(0).to_pylist()
-                if not col:
-                    continue
-                seen = True
-                X = np.asarray(col, dtype=np.float64)
-                vn = np.linalg.norm(X, axis=1)
-                vn[vn == 0.0] = 1.0
-                S = (X / vn[:, None]) @ cn.T
-                # stable argsort top-1 == _topc_udf's tie-break (lowest index)
-                assign = np.argsort(-S, axis=1, kind="stable")[:, 0]
-                np.add.at(sums, assign, X)
-                counts += np.bincount(assign, minlength=kc)
-            if seen:
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "sums": [sums.reshape(-1).tolist()],
-                        "counts": [counts.tolist()],
-                    },
-                    schema=pa.schema(
-                        [
-                            pa.field("sums", pa.list_(pa.float64())),
-                            pa.field("counts", pa.list_(pa.int64())),
-                        ]
-                    ),
-                )
-
-        return kernel
-
-    for _ in range(lloyd_iters):
-        # ONE corpus pass per round: assignment + partial means fused in a
-        # single mapInArrow task; the reduce is n_partitions skinny rows.
-        partials = c.select("cv").mapInArrow(
-            _partial_sums_kernel(centroids),
-            "sums array<double>, counts array<bigint>",
-        ).collect()
-        kc, dim = centroids.shape
-        sums = np.zeros((kc, dim), dtype=np.float64)
-        counts = np.zeros(kc, dtype=np.int64)
-        for r in partials:
-            sums += np.asarray(r.sums, dtype=np.float64).reshape(kc, dim)
-            counts += np.asarray(r.counts, dtype=np.int64)
-        new_c = centroids.copy()
-        nonempty = counts > 0
-        new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
-        centroids = new_c
+    centroids = fit_kmeans_centroids(c, n_centroids, lloyd_iters)
 
     bucketed = c.withColumn("bucket", _topc_udf(centroids, 1)(F.col("cv"))[0])
 

@@ -1273,21 +1273,13 @@ JOIN embeddings b ON b.vec_id = c.id_b AND a.label = b.label
 WHERE CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) >= 3500
 """
 
-def _ivf_sql(n_centroids: int = 16, n_probe: int = 3, lloyd_iters: int = 2,
-             k: int = 5, dim: int = 64) -> str:
-    """Unrolled mirror of ann_ivf_topk (operators/ann.py): md5-ordered seed
-    set, ``lloyd_iters`` Lloyd rounds (assign = argmax cosine with stable
-    centroid-index tiebreak; new centroid = per-dim mean, empty buckets keep
-    the old centroid), then bucket + probe + exact-cosine rank. Seeding and
-    tiebreaks are integer/string-deterministic; the only FP divergence vs
-    Spark's numpy GEMM is sum order inside Lloyd means (~1e-15), far below
-    any assignment margin, and the output cos_e4 uses the proven bit-exact
-    fold-cosine mirror."""
-
-    def _assign(src: str, cent: str, out: str, top: int) -> str:
-        cos = _cosine_sql(f"{src[0]}.cv", "c.cv_c")
-        keep = "rn = 1" if top == 1 else f"rn <= {top}"
-        return f"""
+def _lloyd_assign_sql(src: str, cent: str, out: str, top: int) -> str:
+    """One k-means assignment CTE: each ``src`` vector's ``top`` nearest
+    centroids by cosine, stable centroid-index tiebreak (mirrors
+    ``_topc_udf`` in operators/ann.py)."""
+    cos = _cosine_sql(f"{src[0]}.cv", "c.cv_c")
+    keep = "rn = 1" if top == 1 else f"rn <= {top}"
+    return f"""
 {out} AS (
   SELECT cid, cv, cidx FROM (
     SELECT {src[0]}.cid, {src[0]}.cv, c.cidx,
@@ -1297,6 +1289,14 @@ def _ivf_sql(n_centroids: int = 16, n_probe: int = 3, lloyd_iters: int = 2,
   ) WHERE {keep}
 )"""
 
+
+def _lloyd_parts(
+    n_centroids: int, lloyd_iters: int, dim: int
+) -> tuple[list[str], str]:
+    """Shared CTE prefix for the k-means mirrors: seed set (``n_centroids``
+    smallest ``md5(cid)``), ``lloyd_iters`` assignment+mean rounds, then a
+    final full-corpus assignment CTE ``bucketed(cid, cv, bucket)``. Returns
+    (parts, final_centroid_cte_name)."""
     parts = [
         """
 e AS (
@@ -1313,7 +1313,7 @@ cent0 AS (
 )""" % n_centroids
     ]
     for i in range(lloyd_iters):
-        parts.append("," + _assign("e", f"cent{i}", f"a{i}", 1))
+        parts.append("," + _lloyd_assign_sql("e", f"cent{i}", f"a{i}", 1))
         parts.append(f""",
 m{i} AS (
   SELECT cidx AS bucket, j.j AS dim, sum(cv[j.j + 1]) AS s, count(*) AS n
@@ -1327,9 +1327,24 @@ cent{i + 1} AS (
   ) m ON m.cidx = c.cidx
 )""")
     final = f"cent{lloyd_iters}"
-    parts.append("," + _assign("e", final, "bucketed", 1).replace(
+    parts.append("," + _lloyd_assign_sql("e", final, "bucketed", 1).replace(
         "SELECT cid, cv, cidx FROM (", "SELECT cid, cv, cidx AS bucket FROM ("
     ))
+    return parts, final
+
+
+def _ivf_sql(n_centroids: int = 16, n_probe: int = 3, lloyd_iters: int = 2,
+             k: int = 5, dim: int = 64) -> str:
+    """Unrolled mirror of ann_ivf_topk (operators/ann.py): md5-ordered seed
+    set, ``lloyd_iters`` Lloyd rounds (assign = argmax cosine with stable
+    centroid-index tiebreak; new centroid = per-dim mean, empty buckets keep
+    the old centroid), then bucket + probe + exact-cosine rank. Seeding and
+    tiebreaks are integer/string-deterministic; the only FP divergence vs
+    Spark's numpy GEMM is sum order inside Lloyd means (~1e-15), far below
+    any assignment margin, and the output cos_e4 uses the proven bit-exact
+    fold-cosine mirror."""
+
+    parts, final = _lloyd_parts(n_centroids, lloyd_iters, dim)
     qcos = _cosine_sql("q.cv", "c.cv_c")
     parts.append(f""",
 q AS (
@@ -1363,6 +1378,24 @@ FROM (
 
 
 ORACLE_SQL["ann_ivf"] = _ivf_sql()
+
+
+def _kmeans_sql(n_centroids: int = 16, lloyd_iters: int = 2, dim: int = 64) -> str:
+    """Mirror of kmeans_clusters (operators/ann.py): the same unrolled Lloyd
+    fit as ``_ivf_sql`` (shared ``_lloyd_parts``), surfaced as cluster
+    assignments + member counts instead of an IVF probe."""
+    parts, _ = _lloyd_parts(n_centroids, lloyd_iters, dim)
+    parts.append("""
+SELECT b.cid AS vec_id, CAST(b.bucket AS BIGINT) AS cluster,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM bucketed b
+JOIN (SELECT bucket, count(*) AS n FROM bucketed GROUP BY 1) s
+  ON s.bucket = b.bucket
+""")
+    return "WITH " + "".join(parts)
+
+
+ORACLE_SQL["topic_clusters"] = _kmeans_sql()
 
 # full bit mirror of simhash_pairs: token hash = md5_number_upper (first 8
 # digest bytes little-endian, same as simhash_py), 64 per-bit sign votes,

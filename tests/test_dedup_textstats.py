@@ -410,3 +410,32 @@ def test_decontamination(spark):
     # the benchmark gram set must join broadcast (no corpus-side shuffle)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_clusters(spark):
+    from llm_graph_builder_spark.operators.ann import kmeans_clusters
+
+    # two tight groups on orthogonal axes + a lone outlier
+    rows = (
+        [(i, [1.0, 0.0, 0.01 * i, 0.0]) for i in range(10)]
+        + [(100 + i, [0.0, 1.0, 0.0, 0.01 * i]) for i in range(10)]
+        + [(999, [0.0, 0.0, 0.0, -1.0])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_clusters(emb, n_centroids=3, lloyd_iters=2).collect()
+    assert len(out) == 21
+    by_id = {r.vec_id: r.cluster for r in out}
+    # the orthogonal groups never share a cluster (g2 may split across the
+    # two md5-seeds that landed inside it; g1 has one seed → one cluster)
+    g1 = {by_id[str(i)] for i in range(10)}
+    g2 = {by_id[str(100 + i)] for i in range(10)}
+    assert len(g1) == 1 and not (g1 & g2)
+    # cluster_size is consistent with the assignment multiset
+    sizes = {(r.cluster, r.cluster_size) for r in out}
+    from collections import Counter
+
+    counts = Counter(r.cluster for r in out)
+    assert sizes == {(c, n) for c, n in counts.items()}
+    # determinism: same input → identical assignment
+    again = {r.vec_id: r.cluster for r in kmeans_clusters(emb, n_centroids=3, lloyd_iters=2).collect()}
+    assert again == by_id
