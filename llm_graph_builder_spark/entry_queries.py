@@ -784,6 +784,18 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified sampling: down-weight the dominant language
+    (en 20%), keep half of everything else — hash-bucket decision per doc,
+    no RNG (see operators/curation.py::stratified_sample)."""
+    from .operators.curation import stratified_sample
+
+    return stratified_sample(
+        read_documents(spark, sf_dir),
+        rate_e4={"en": 2000, "de": 5000, "es": 5000, "fr": 5000, "zh": 5000},
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -1143,6 +1155,7 @@ QUERIES = {
     "entity_paths": q_entity_paths,
     "corpus_curation": q_corpus_curation,
     "decontamination": q_decontamination,
+    "corpus_sample": q_corpus_sample,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

@@ -99,3 +99,52 @@ def curate_corpus(
         "doc", "n_tokens", "alpha_ratio_e4", "unique_ratio_e4", "exact_keeper",
         drop_reason.alias("drop_reason"),
     ).withColumn("kept", F.col("drop_reason") == "")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rate_e4: int | dict[str, int] = 2000,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified corpus sampling — keep ≈rate/10000 of each
+    stratum by hashing (salt, doc_id), never by RNG.
+
+    ``rate_e4`` is either one global rate or a per-stratum dict (missing
+    strata keep nothing) — the usual rebalancing move when one language /
+    source dominates the corpus. The decision is a pure JVM expression on
+    the row (md5 hex-prefix mod 10000 < rate), so the sample is reproducible
+    across runs/engines, stable under repartitioning, and pushes down as a
+    filter — the standard way to cut a training-data subset without
+    materializing a shuffle. Changing ``salt`` draws an independent sample
+    (held-out splits).
+
+    Output: every input row tagged (doc_id, stratum, bucket_e4, sampled) —
+    callers filter ``sampled = 1``; keeping the tag column makes the
+    query side-by-side checkable against the SQL oracle.
+    """
+    if isinstance(rate_e4, dict):
+        rate = F.lit(0)
+        for stratum, r in sorted(rate_e4.items()):
+            rate = F.when(F.col(strata_col) == stratum, F.lit(int(r))).otherwise(rate)
+    else:
+        rate = F.lit(int(rate_e4))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(strata_col).alias("stratum"),
+        bucket.alias("bucket_e4"),
+        (bucket < rate).cast("long").alias("sampled"),
+    )

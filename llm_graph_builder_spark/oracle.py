@@ -1242,6 +1242,26 @@ FROM d LEFT JOIN hits h ON h.doc = d.doc
 WHERE NOT d.is_bench
 """
 
+# mirrors q_corpus_sample / curation.stratified_sample: bucket =
+# md5('sample:' || doc_id) hex-prefix mod 10000 (same '0x'-parse value as
+# Spark's conv(substr(md5,1,8),16,10)); per-lang keep rates, en down-weighted.
+ORACLE_SQL["corpus_sample"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bucket_e4
+  FROM documents
+)
+SELECT doc_id, lang AS stratum, bucket_e4,
+       CAST(CASE WHEN bucket_e4 <
+                 CASE lang WHEN 'en' THEN 2000
+                           WHEN 'de' THEN 5000 WHEN 'es' THEN 5000
+                           WHEN 'fr' THEN 5000 WHEN 'zh' THEN 5000
+                           ELSE 0 END
+            THEN 1 ELSE 0 END AS BIGINT) AS sampled
+FROM d
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents

@@ -439,3 +439,29 @@ def test_kmeans_clusters(spark):
     # determinism: same input → identical assignment
     again = {r.vec_id: r.cluster for r in kmeans_clusters(emb, n_centroids=3, lloyd_iters=2).collect()}
     assert again == by_id
+
+
+def test_stratified_sample(spark):
+    from llm_graph_builder_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "text", "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(docs, rate_e4={"en": 2500, "de": 7500}).collect()
+    assert len(out) == 400  # every row tagged, none dropped
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    en_rate = sum(r.sampled for r in by["en"]) / len(by["en"])
+    de_rate = sum(r.sampled for r in by["de"]) / len(by["de"])
+    # hash buckets approximate the target rates
+    assert 0.15 < en_rate < 0.35 and 0.65 < de_rate < 0.85
+    # decision is (salt, doc_id)-determined: rerun identical, new salt differs
+    again = {r.doc_id: r.sampled for r in stratified_sample(docs, rate_e4={"en": 2500, "de": 7500}).collect()}
+    assert again == {r.doc_id: r.sampled for r in out}
+    other = {r.doc_id: r.sampled for r in stratified_sample(docs, rate_e4={"en": 2500, "de": 7500}, salt="heldout").collect()}
+    assert other != again
+    # unknown stratum keeps nothing under a dict rate
+    extra = spark.createDataFrame([(9999, "t", "xx")], "doc_id long, text string, lang string")
+    assert stratified_sample(extra, rate_e4={"en": 2500}).collect()[0].sampled == 0
