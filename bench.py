@@ -230,6 +230,30 @@ def main():
         "code_extract",
     )
 
+    from llm_graph_builder_spark.operators.ann import kmeans_clusters
+    from llm_graph_builder_spark.operators.decontam import decontaminate
+
+    bench_split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    )
+    best_of(
+        lambda: decontaminate(
+            raw_docs.filter(~bench_split), raw_docs.filter(bench_split)
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/decontam"),
+        "decontamination",
+    )
+    best_of(
+        lambda: kmeans_clusters(emb).write.mode("overwrite").parquet(
+            f"{out_dir}/topics"
+        ),
+        "topic_clusters",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
