@@ -161,6 +161,36 @@ def main() -> None:
         q["graph_view_full"](spark, SF),
     )
 
+    from llm_graph_builder_spark.operators.decontam import decontaminate
+
+    d = read_documents(spark, SF).limit(400)
+    bench_split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    )
+    snap(
+        "Decontamination (broadcast benchmark grams)",
+        "Both joins are BroadcastHashJoin: the corpus-side n-gram explode "
+        "joins the BROADCAST distinct benchmark-gram set (map-side — the "
+        "exploded corpus never shuffles), and the zero-hit re-attachment "
+        "broadcasts the tiny hit table back onto the corpus projection. The "
+        "only aggregation runs over match rows alone.",
+        decontaminate(d.filter(~bench_split), d.filter(bench_split)),
+    )
+
+    from llm_graph_builder_spark.operators.ann import kmeans_clusters
+
+    snap(
+        "Topic clustering (k-means assignment + broadcast sizes)",
+        "The assignment pass is one ArrowEvalPython (pandas UDF GEMM) over "
+        "the corpus scan; cluster sizes re-attach via BroadcastHashJoin. "
+        "Training (a driver loop, not in this plan) reuses the IVF fused "
+        "mapInArrow partial-sum rounds — one corpus pass per Lloyd round.",
+        kmeans_clusters(emb),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",
