@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship KG-construction query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
-training-data ops); ``oracle_sql()`` provides the DuckDB equivalents where the
-operator is SQL-expressible (iterative ops — connected components, LPA,
-LSH-approximate paths — are rows-only by design).
+training-data ops); ``oracle_sql()`` provides a DuckDB equivalent for EVERY
+query (iterative ops — connected components, LPA, Lloyd — are mirrored via
+recursive CTEs / unrolled SQL; 0 rows-only).
 """
 
 from __future__ import annotations

@@ -784,6 +784,14 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_bigram_novelty(spark, sf_dir):
+    """LM-rarity curation signal: per-doc rare-bigram stats under the
+    corpus's own bigram counts (integer-exact CCNet-perplexity stand-in)."""
+    from .functions.textstats import bigram_novelty
+
+    return bigram_novelty(read_documents(spark, sf_dir))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified sampling: down-weight the dominant language
     (en 20%), keep half of everything else — hash-bucket decision per doc,
@@ -1156,6 +1164,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "decontamination": q_decontamination,
     "corpus_sample": q_corpus_sample,
+    "bigram_novelty": q_bigram_novelty,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

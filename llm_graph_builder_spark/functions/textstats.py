@@ -107,3 +107,66 @@ def fingerprints(
         F.col(id_col).cast("string").alias("doc"),
         F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
     )
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Language-model-style rarity signal for curation (the deterministic
+    stand-in for CCNet's KenLM perplexity gate): score each document by how
+    unusual its word bigrams are under the corpus's own bigram counts.
+
+    Two passes, both integer-exact (no FP logs, so the DuckDB oracle hash-
+    matches bit-for-bit):
+      1. corpus bigram LM — one groupBy(bigram) count over all doc bigrams
+         (distinct per doc NOT applied: frequency means token frequency);
+      2. per-doc join on bigram + aggregation: n_bigrams, rare_bigrams
+         (corpus count <= ``rare_max_count``), rare_ratio_e4, and
+         min_bigram_count (the doc's most unusual transition).
+
+    Scale shape: the LM table is vocabulary²-bounded (far smaller than the
+    corpus but too big to broadcast at web scale), so the re-join is a
+    shuffle hash join on the bigram key with map-side partial counts — the
+    same two-shuffle recipe at any corpus size. Docs with <2 tokens emit
+    n_bigrams = 0 with NULL min count and 0 ratio.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).cast("string").alias("doc"), grams.alias("bg"))
+    exploded = base.select("doc", F.explode("bg").alias("bigram"))
+    lm = exploded.groupBy("bigram").agg(F.count("*").alias("c"))
+    joined = exploded.join(lm, on="bigram")
+    scored = joined.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum((F.col("c") <= rare_max_count).cast("long")).alias("rare_bigrams"),
+        F.min("c").cast("long").alias("min_bigram_count"),
+    )
+    # doc_id is the documents table's key — no distinct needed (and no
+    # extra exchange) before re-attaching zero-bigram docs
+    return (
+        base.select("doc")
+        .join(scored, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("rare_bigrams", F.lit(0)).cast("long").alias("rare_bigrams"),
+            F.round(
+                F.coalesce("rare_bigrams", F.lit(0))
+                * 10000.0
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1))
+            )
+            .cast("long")
+            .alias("rare_ratio_e4"),
+            F.col("min_bigram_count"),
+        )
+    )

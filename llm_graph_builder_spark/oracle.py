@@ -1242,6 +1242,38 @@ FROM d LEFT JOIN hits h ON h.doc = d.doc
 WHERE NOT d.is_bench
 """
 
+# mirrors q_bigram_novelty / textstats.bigram_novelty: corpus bigram counts
+# (token frequency, NOT per-doc distinct), per-doc rare-bigram stats; all
+# integers except the single-division e4 ratio (IEEE-exact both engines).
+ORACLE_SQL["bigram_novelty"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc, array_to_string(toks[i : i + 1], ' ') AS bigram
+  FROM base, unnest(range(1, greatest(len(toks), 1))) r(i)
+  WHERE len(toks) >= 2
+),
+lm AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+scored AS (
+  SELECT bg.doc, count(*) AS n_bigrams,
+         sum(CASE WHEN lm.c <= 2 THEN 1 ELSE 0 END) AS rare_bigrams,
+         min(lm.c) AS min_bigram_count
+  FROM bg JOIN lm ON lm.bigram = bg.bigram
+  GROUP BY 1
+)
+SELECT b.doc AS doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.rare_bigrams, 0) AS BIGINT) AS rare_bigrams,
+       CAST(round(coalesce(s.rare_bigrams, 0) * 10000.0
+                  / greatest(coalesce(s.n_bigrams, 0), 1)) AS BIGINT)
+         AS rare_ratio_e4,
+       CAST(s.min_bigram_count AS BIGINT) AS min_bigram_count
+FROM base b LEFT JOIN scored s ON s.doc = b.doc
+"""
+
 # mirrors q_corpus_sample / curation.stratified_sample: bucket =
 # md5('sample:' || doc_id) hex-prefix mod 10000 (same '0x'-parse value as
 # Spark's conv(substr(md5,1,8),16,10)); per-lang keep rates, en down-weighted.

@@ -465,3 +465,29 @@ def test_stratified_sample(spark):
     # unknown stratum keeps nothing under a dict rate
     extra = spark.createDataFrame([(9999, "t", "xx")], "doc_id long, text string, lang string")
     assert stratified_sample(extra, rate_e4={"en": 2500}).collect()[0].sampled == 0
+
+
+def test_bigram_novelty(spark):
+    from llm_graph_builder_spark.functions.textstats import bigram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),      # bigrams: "a b"(x2 here), "b c", "c a"
+            (2, "a b d"),          # "a b", "b d"
+            (3, "x"),              # single token → 0 bigrams
+            (4, ""),               # empty → 0 bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_novelty(docs, rare_max_count=1).collect()}
+    assert set(out) == {"1", "2", "3", "4"}
+    # corpus counts: "a b"=3, "b c"=1, "c a"=1, "b d"=1
+    r1 = out["1"]
+    assert r1.n_bigrams == 4 and r1.rare_bigrams == 2 and r1.min_bigram_count == 1
+    assert r1.rare_ratio_e4 == 5000
+    r2 = out["2"]
+    assert r2.n_bigrams == 2 and r2.rare_bigrams == 1 and r2.min_bigram_count == 1
+    for d in ("3", "4"):
+        r = out[d]
+        assert r.n_bigrams == 0 and r.rare_bigrams == 0 and r.rare_ratio_e4 == 0
+        assert r.min_bigram_count is None
