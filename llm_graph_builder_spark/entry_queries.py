@@ -784,6 +784,25 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based clickstream sessions over the events table (30-min gap;
+    one user-keyed shuffle — see operators/sessions.py)."""
+    from .operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    return sessionize(ev)
+
+
+def q_event_rates(spark, sf_dir):
+    """Tumbling 60-min event-time windows per event type (batch mirror of
+    the streaming rates operator; e2 fixed-point value sums)."""
+    from .operators.sessions import event_rates
+
+    return event_rates(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_bigram_novelty(spark, sf_dir):
     """LM-rarity curation signal: per-doc rare-bigram stats under the
     corpus's own bigram counts (integer-exact CCNet-perplexity stand-in)."""
@@ -1165,6 +1184,8 @@ QUERIES = {
     "decontamination": q_decontamination,
     "corpus_sample": q_corpus_sample,
     "bigram_novelty": q_bigram_novelty,
+    "sessionization": q_sessionization,
+    "event_rates": q_event_rates,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

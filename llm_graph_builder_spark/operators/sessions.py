@@ -1,0 +1,109 @@
+"""Event sessionization + windowed rate rollups over the events table.
+
+The classic clickstream pair every web-scale pipeline needs (and the batch
+complement to ``streaming/rates.py``'s watermarked live windows):
+
+  * ``sessionize`` — gap-based sessions: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. One shuffle total: the lag/flag
+    window hash-partitions by user, and the per-(user, session) aggregation
+    reuses that partitioning (grouping on a superset of the partition key
+    satisfies the clustered distribution — no second Exchange).
+  * ``event_rates`` — tumbling event-time windows per event type: one
+    partial-aggregated groupBy shuffle at any input size.
+
+Determinism: timestamps are compared as epoch microseconds (BIGINT) and the
+value metric as e2 fixed-point, so the DuckDB oracles value-hash-match
+without float-sum order sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+GAP_MINUTES = 30
+
+
+def _ntz_micros(col):
+    """Epoch microseconds of a TIMESTAMP_NTZ column WITHOUT a timezone cast
+    (``unix_micros`` rejects NTZ, and casting NTZ→TIMESTAMP would interpret
+    the wall time in the session zone — non-deterministic across configs).
+    Pure field arithmetic instead: day number × 86400e6 + intra-day micros;
+    ``date_part('SECOND')`` is an exact decimal(8,6) carrying the stored
+    fractional seconds, so the result equals DuckDB's ``epoch_us`` on the
+    same NTZ value bit-for-bit."""
+    days = F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("long")
+    secs = days * 86400 + F.hour(col).cast("long") * 3600 + F.minute(col).cast("long") * 60
+    frac_us = (F.date_part(F.lit("SECOND"), col) * 1_000_000).cast("long")
+    return secs * 1_000_000 + frac_us
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = GAP_MINUTES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization.
+
+    Output: one row per (user, session) —
+    (user_id, session_seq, n_events, n_types, start_us, end_us, duration_us)
+    where ``session_seq`` numbers a user's sessions from 1 in time order.
+    Ordering ties break on ``order_tiebreak`` so the flag pass is
+    deterministic for same-timestamp events.
+    """
+    gap_us = int(gap_minutes) * 60_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ev_us").asc(), F.col(order_tiebreak).asc()
+    )
+    flagged = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        _ntz_micros(F.col(ts_col)).alias("ev_us"),
+        F.col("event_type"),
+        F.col(order_tiebreak),
+    ).withColumn(
+        "new_session",
+        (F.coalesce(F.col("ev_us") - F.lag("ev_us").over(w), F.lit(gap_us + 1)) > gap_us)
+        .cast("long"),
+    )
+    sessioned = flagged.withColumn("session_seq", F.sum("new_session").over(w))
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.min("ev_us").alias("start_us"),
+        F.max("ev_us").alias("end_us"),
+        (F.max("ev_us") - F.min("ev_us")).alias("duration_us"),
+    )
+
+
+def event_rates(
+    events: DataFrame,
+    window_minutes: int = 60,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time windows per event type (batch mirror of the
+    streaming rates operator).
+
+    Output: (window_start_us, event_type, n_events, n_users, value_e2_sum) —
+    the value metric is summed as e2 fixed-point BIGINT (exact at any
+    aggregation order)."""
+    win_us = int(window_minutes) * 60_000_000
+    us = _ntz_micros(F.col(ts_col))
+    bucket = (us - (us % win_us)).alias("window_start_us")
+    return (
+        events.select(
+            bucket,
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.col(value_col) * 100).cast("long").alias("value_e2"),
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("value_e2").cast("long").alias("value_e2_sum"),
+        )
+    )

@@ -1242,6 +1242,54 @@ FROM d LEFT JOIN hits h ON h.doc = d.doc
 WHERE NOT d.is_bench
 """
 
+# mirrors q_sessionization / sessions.sessionize: 30-min gap flag via lag
+# over (user, ts, event_id), cumulative-sum session numbering, per-session
+# rollup; all epoch-microsecond BIGINTs.
+ORACLE_SQL["sessionization"] = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ev_us,
+         event_type, event_id
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN coalesce(
+                ev_us - lag(ev_us) OVER (PARTITION BY user_id
+                                         ORDER BY ev_us, event_id),
+                1800000001) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ev_us, event_id) AS session_seq
+  FROM f
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       min(ev_us) AS start_us, max(ev_us) AS end_us,
+       max(ev_us) - min(ev_us) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+# mirrors q_event_rates / sessions.event_rates: tumbling 60-min buckets on
+# epoch micros; value summed as e2 fixed-point (round() of value*100 is the
+# same IEEE product + half-away rounding in both engines).
+ORACLE_SQL["event_rates"] = """
+WITH e AS (
+  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+         event_type, CAST(user_id AS BIGINT) AS user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_e2
+  FROM events
+)
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(value_e2) AS BIGINT) AS value_e2_sum
+FROM e GROUP BY 1, 2
+"""
+
 # mirrors q_bigram_novelty / textstats.bigram_novelty: corpus bigram counts
 # (token frequency, NOT per-doc distinct), per-doc rare-bigram stats; all
 # integers except the single-division e4 ratio (IEEE-exact both engines).

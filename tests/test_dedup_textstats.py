@@ -491,3 +491,45 @@ def test_bigram_novelty(spark):
         r = out[d]
         assert r.n_bigrams == 0 and r.rare_bigrams == 0 and r.rare_ratio_e4 == 0
         assert r.min_bigram_count is None
+
+
+def test_sessionize_and_event_rates(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.sessions import event_rates, sessionize
+
+    T = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(mins, secs=0.0):
+        from datetime import timedelta
+
+        return T + timedelta(minutes=mins, seconds=secs)
+
+    rows = [
+        # user 1: events at 0, 10, 55 min → gap 45 min splits into 2 sessions
+        (1, at(0), 1, "view", 1.0),
+        (2, at(10), 1, "click", 2.5),
+        (3, at(55), 1, "view", 0.5),
+        # user 2: single event
+        (4, at(5, 0.25), 2, "error", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = {(r.user_id, r.session_seq): r for r in sessionize(ev).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11.n_events == 2 and s11.n_types == 2
+    assert s11.duration_us == 10 * 60 * 1_000_000
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].duration_us == 0
+    # fractional seconds survive the NTZ-safe micros conversion
+    assert out[(2, 1)].start_us == (5 * 60) * 1_000_000 + 250_000 + 1704067200 * 1_000_000
+    # ONE exchange end-to-end: the session rollup reuses the window's
+    # user-hash partitioning (grouping keys ⊇ partition key)
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    rates = {(r.window_start_us, r.event_type): r for r in event_rates(ev).collect()}
+    base = 1704067200 * 1_000_000
+    assert rates[(base, "view")].n_events == 2  # 0 and 55 min in hour 0
+    assert rates[(base, "click")].value_e2_sum == 250
+    assert rates[(base, "error")].n_users == 1
