@@ -784,6 +784,15 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Greedy sequence packing into 256-token budgets per (lang, md5-bucket)
+    group — deterministic md5 order, one applyInPandas task per group
+    (see operators/packing.py)."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(read_documents(spark, sf_dir))
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -1186,6 +1195,7 @@ QUERIES = {
     "bigram_novelty": q_bigram_novelty,
     "sessionization": q_sessionization,
     "event_rates": q_event_rates,
+    "sequence_packing": q_sequence_packing,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

@@ -1,0 +1,95 @@
+"""Greedy sequence packing — batch documents into fixed token budgets.
+
+The last mile of a pretraining-data pipeline: after dedup / curation /
+decontamination / sampling, documents are packed into training sequences of
+at most ``token_budget`` tokens (concatenation order must be deterministic
+so the dataset is reproducible).
+
+Distributed shape: packing is a sequential fold, so it cannot be a global
+window — instead the corpus is split into (stratum, hash-bucket) groups and
+each group is packed independently by one ``applyInPandas`` task (this is
+how production packers work too: per-shard greedy packing, never a global
+scan). ``n_buckets`` bounds the group size — at web scale pick
+``corpus_rows / n_buckets`` small enough that one group fits an executor;
+groups are embarrassingly parallel. Order within a group is
+``md5('pack:' || doc_id)`` (then doc_id), so the pack assignment is
+engine-portable and repartition-stable; the DuckDB oracle replays the same
+fold with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import _tokens
+
+TOKEN_BUDGET = 256
+
+_PACK_SCHEMA = (
+    "doc_id string, stratum string, bucket long, pack_seq long, "
+    "pack_pos long, n_tokens long"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = TOKEN_BUDGET,
+    strata_col: str = "lang",
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy first-fit-in-order packing per (stratum, bucket) group.
+
+    Output: (doc_id, stratum, bucket, pack_seq, pack_pos, n_tokens) —
+    ``pack_seq`` numbers packs within the group from 1, ``pack_pos`` the
+    document's slot within its pack. A document longer than the budget gets
+    a pack of its own (pos 1); token counts are whitespace tokens (the same
+    ``_tokens`` rule as the quality/curation operators).
+    """
+    budget = int(token_budget)
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+        F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))).alias("okey"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["okey", "doc_id"], kind="mergesort").reset_index(drop=True)
+        pack_seq, pack_pos, running = [], [], 0
+        seq = 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if seq == 0 or running + t > budget:
+                seq += 1
+                running = t
+                pos = 1
+            else:
+                running += t
+                pos += 1
+            pack_seq.append(seq)
+            pack_pos.append(pos)
+        out = pdf[["doc_id", "stratum", "bucket", "n_tokens"]].copy()
+        out["pack_seq"] = pack_seq
+        out["pack_pos"] = pack_pos
+        return out[["doc_id", "stratum", "bucket", "pack_seq", "pack_pos", "n_tokens"]]
+
+    return base.groupBy("stratum", "bucket").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def _order_key(doc_id: str) -> str:
+    """Python mirror of the packing order key (tests)."""
+    return hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()

@@ -1242,6 +1242,45 @@ FROM d LEFT JOIN hits h ON h.doc = d.doc
 WHERE NOT d.is_bench
 """
 
+# mirrors q_sequence_packing / packing.pack_sequences: per-(lang, md5-bucket)
+# greedy fold replayed as a recursive CTE over md5-ordered rows (depth = max
+# group size; budget 256 whitespace tokens; oversized docs get their own pack).
+ORACLE_SQL["sequence_packing"] = """
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS stratum,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS bucket,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS okey,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY stratum, bucket
+                               ORDER BY okey, doc_id) AS rn
+  FROM base
+),
+walk AS (
+  SELECT stratum, bucket, rn, doc_id, n_tokens,
+         1 AS pack_seq, 1 AS pack_pos, n_tokens AS running
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.stratum, o.bucket, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.running + o.n_tokens > 256
+              THEN w.pack_seq + 1 ELSE w.pack_seq END,
+         CASE WHEN w.running + o.n_tokens > 256
+              THEN 1 ELSE w.pack_pos + 1 END,
+         CASE WHEN w.running + o.n_tokens > 256
+              THEN o.n_tokens ELSE w.running + o.n_tokens END
+  FROM walk w
+  JOIN ordered o ON o.stratum = w.stratum AND o.bucket = w.bucket
+                AND o.rn = w.rn + 1
+)
+SELECT doc_id, stratum, bucket, CAST(pack_seq AS BIGINT) AS pack_seq,
+       CAST(pack_pos AS BIGINT) AS pack_pos, n_tokens
+FROM walk
+"""
+
 # mirrors q_sessionization / sessions.sessionize: 30-min gap flag via lag
 # over (user, ts, event_id), cumulative-sum session numbering, per-session
 # rollup; all epoch-microsecond BIGINTs.

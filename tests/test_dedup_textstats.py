@@ -533,3 +533,48 @@ def test_sessionize_and_event_rates(spark):
     assert rates[(base, "view")].n_events == 2  # 0 and 55 min in hour 0
     assert rates[(base, "click")].value_e2_sum == 250
     assert rates[(base, "error")].n_users == 1
+
+
+def test_sequence_packing(spark):
+    from llm_graph_builder_spark.operators.packing import _order_key, pack_sequences
+
+    # one stratum, one bucket (n_buckets=1): pure greedy-fold semantics
+    docs = spark.createDataFrame(
+        [
+            (1, "a " * 100, "en"),   # 100 tokens
+            (2, "b " * 100, "en"),
+            (3, "c " * 100, "en"),
+            (4, "d " * 300, "en"),   # oversized: own pack
+            (5, "e " * 10, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = pack_sequences(docs, token_budget=256, n_buckets=1).collect()
+    assert len(out) == 5
+    by_doc = {r.doc_id: r for r in out}
+    # replay the greedy fold in python over the same md5 order
+    order = sorted((str(i) for i in range(1, 6)), key=lambda d: (_order_key(d), d))
+    toks = {"1": 100, "2": 100, "3": 100, "4": 300, "5": 10}
+    seq = pos = 0
+    running = 0
+    expect = {}
+    for d in order:
+        t = toks[d]
+        if seq == 0 or running + t > 256:
+            seq, running, pos = seq + 1, t, 1
+        else:
+            running, pos = running + t, pos + 1
+        expect[d] = (seq, pos)
+    got = {d: (r.pack_seq, r.pack_pos) for d, r in by_doc.items()}
+    assert got == expect
+    # no pack exceeds the budget unless it is a single oversized doc
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in out:
+        packs[r.pack_seq].append(r.n_tokens)
+    for members in packs.values():
+        assert sum(members) <= 256 or len(members) == 1
+    # determinism across runs
+    again = {r.doc_id: (r.pack_seq, r.pack_pos) for r in pack_sequences(docs, token_budget=256, n_buckets=1).collect()}
+    assert again == got
