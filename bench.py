@@ -254,6 +254,22 @@ def main():
         "topic_clusters",
     )
 
+    from llm_graph_builder_spark.operators.packing import pack_sequences
+    from llm_graph_builder_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus, "user_id").cache()
+    ev.count()
+    best_of(
+        lambda: sessionize(ev).write.mode("overwrite").parquet(f"{out_dir}/sessions"),
+        "sessionization",
+    )
+    best_of(
+        lambda: pack_sequences(raw_docs).write.mode("overwrite").parquet(
+            f"{out_dir}/packs"
+        ),
+        "sequence_packing",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

@@ -191,6 +191,29 @@ def main() -> None:
         kmeans_clusters(emb),
     )
 
+    from llm_graph_builder_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    snap(
+        "Sessionization (one user-hash exchange)",
+        "ONE Exchange hashpartitioning(user_id) feeds both the lag/flag "
+        "window and the per-(user, session) HashAggregate — the rollup's "
+        "grouping keys are a superset of the window's partition key, so "
+        "Catalyst reuses the partitioning instead of shuffling again.",
+        sessionize(ev),
+    )
+
+    from llm_graph_builder_spark.operators.packing import pack_sequences
+
+    snap(
+        "Sequence packing (bounded-group applyInPandas fold)",
+        "One Exchange on (stratum, bucket) then FlatMapGroupsInPandas — the "
+        "greedy fold runs once per bounded hash-bucket group (production "
+        "per-shard packing), never as a global sequential scan; the token "
+        "count and bucket key are codegen'd JVM expressions below it.",
+        pack_sequences(read_documents(spark, SF)),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",
