@@ -68,26 +68,34 @@ def pack_sequences(
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["okey", "doc_id"], kind="mergesort").reset_index(drop=True)
-        pack_seq, pack_pos, running = [], [], 0
-        seq = 0
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if seq == 0 or running + t > budget:
-                seq += 1
-                running = t
-                pos = 1
-            else:
-                running += t
-                pos += 1
-            pack_seq.append(seq)
-            pack_pos.append(pos)
-        out = pdf[["doc_id", "stratum", "bucket", "n_tokens"]].copy()
-        out["pack_seq"] = pack_seq
-        out["pack_pos"] = pack_pos
-        return out[["doc_id", "stratum", "bucket", "pack_seq", "pack_pos", "n_tokens"]]
+        return greedy_pack_group(pdf, budget)
 
     return base.groupBy("stratum", "bucket").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def greedy_pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """The per-group greedy fold (module-level so the property tests can
+    drive it without Spark): sort by (okey, doc_id), open a new pack when
+    the running total would exceed ``budget`` (an oversized doc therefore
+    gets a pack of its own)."""
+    pdf = pdf.sort_values(["okey", "doc_id"], kind="mergesort").reset_index(drop=True)
+    pack_seq, pack_pos, running = [], [], 0
+    seq = pos = 0
+    for t in pdf["n_tokens"]:
+        t = int(t)
+        if seq == 0 or running + t > budget:
+            seq += 1
+            running = t
+            pos = 1
+        else:
+            running += t
+            pos += 1
+        pack_seq.append(seq)
+        pack_pos.append(pos)
+    out = pdf[["doc_id", "stratum", "bucket", "n_tokens"]].copy()
+    out["pack_seq"] = pack_seq
+    out["pack_pos"] = pack_pos
+    return out[["doc_id", "stratum", "bucket", "pack_seq", "pack_pos", "n_tokens"]]
 
 
 def _order_key(doc_id: str) -> str:

@@ -578,3 +578,51 @@ def test_sequence_packing(spark):
     # determinism across runs
     again = {r.doc_id: (r.pack_seq, r.pack_pos) for r in pack_sequences(docs, token_budget=256, n_buckets=1).collect()}
     assert again == got
+
+
+# property-based invariants (pure-pandas fold — no Spark session)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=80),
+    st.integers(min_value=1, max_value=300),
+)
+def test_greedy_pack_properties(token_counts, budget):
+    import pandas as pd
+
+    from llm_graph_builder_spark.operators.packing import greedy_pack_group
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(len(token_counts))],
+            "stratum": "en",
+            "bucket": 0,
+            "okey": [f"{i:04d}" for i in range(len(token_counts))],
+            "n_tokens": token_counts,
+        }
+    )
+    out = greedy_pack_group(pdf, budget)
+    assert len(out) == len(token_counts)
+    if not token_counts:
+        return
+    # pack_seq is non-decreasing over the fold order, starts at 1, steps by ≤1
+    seqs = out["pack_seq"].tolist()
+    assert seqs[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+    # pack_pos restarts at 1 on every new pack and increments within a pack
+    pos = out["pack_pos"].tolist()
+    for i in range(1, len(out)):
+        assert pos[i] == (1 if seqs[i] != seqs[i - 1] else pos[i - 1] + 1)
+    # budget invariant: a pack exceeds the budget only as a singleton
+    sums = out.groupby("pack_seq")["n_tokens"].agg(["sum", "count"])
+    for _, row in sums.iterrows():
+        assert row["sum"] <= budget or row["count"] == 1
+    # greedy maximality: the first doc of pack k+1 would NOT have fit in pack k
+    by_seq = out.groupby("pack_seq")
+    pack_sum = by_seq["n_tokens"].sum()
+    first_tok = by_seq["n_tokens"].first()
+    for k in range(1, len(pack_sum)):
+        assert pack_sum.iloc[k - 1] + first_tok.iloc[k] > budget
