@@ -127,6 +127,54 @@ def generate_sql(question: str, llm=None) -> str:
             "FROM kg_entities "
             f"ORDER BY doc_count DESC, chunk_count DESC, id, label LIMIT {n}"
         )
+    m = re.match(r"which documents mention (\S+)", q)
+    if m:
+        e = _lit(m.group(1))
+        return (
+            "SELECT DISTINCT doc_id FROM kg_mentions "
+            f"WHERE entity_id = '{e}' ORDER BY doc_id LIMIT 100"
+        )
+    m = re.match(r"(?:what are the |list the |show )?top (\d+) relation(?:ship)? types", q)
+    if m:
+        n = min(int(m.group(1)), 100)
+        return (
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(weight) AS BIGINT) AS total_weight "
+            "FROM kg_entity_edges GROUP BY pred "
+            f"ORDER BY n_edges DESC, pred LIMIT {n}"
+        )
+    m = re.match(r"how (?:is|are) (\S+) connected to (\S+)", q)
+    if m:
+        a, b = _lit(m.group(1)), _lit(m.group(2))
+        # direct edges either way, then 2-hop paths through a shared neighbor
+        return f"""
+            SELECT hops, via, pred1, pred2 FROM (
+              SELECT CAST(1 AS BIGINT) AS hops, CAST(NULL AS STRING) AS via,
+                     pred AS pred1, CAST(NULL AS STRING) AS pred2
+              FROM kg_entity_edges
+              WHERE (subj_id = '{a}' AND obj_id = '{b}')
+                 OR (subj_id = '{b}' AND obj_id = '{a}')
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), x.other, x.pred, y.pred
+              FROM (SELECT obj_id AS other, pred FROM kg_entity_edges WHERE subj_id = '{a}'
+                    UNION ALL
+                    SELECT subj_id AS other, pred FROM kg_entity_edges WHERE obj_id = '{a}') x
+              JOIN (SELECT obj_id AS other, pred FROM kg_entity_edges WHERE subj_id = '{b}'
+                    UNION ALL
+                    SELECT subj_id AS other, pred FROM kg_entity_edges WHERE obj_id = '{b}') y
+                ON x.other = y.other
+              WHERE x.other NOT IN ('{a}', '{b}')
+            )
+            ORDER BY hops, via NULLS FIRST, pred1, pred2 LIMIT 40
+        """
+    m = re.match(r"which chunks (?:contain|mention) (?:the word )?(\S+)", q)
+    if m:
+        w = _lit(m.group(1))
+        return (
+            "SELECT chunk_id, doc_id, CAST(position AS BIGINT) AS position "
+            f"FROM kg_chunks WHERE text LIKE '%{w}%' "
+            "ORDER BY doc_id, position, chunk_id LIMIT 100"
+        )
     raise ValueError(f"no template matches question: {question!r}")
 
 

@@ -97,3 +97,30 @@ def test_prompt_mentions_all_views():
     p = schema_prompt("q")
     for v in ("kg_entities", "kg_entity_edges", "kg_mentions", "kg_chunks"):
         assert v in p
+
+
+def test_docs_listing_and_relation_types(spark, kg):
+    out = text2query_retrieve(spark, kg, "which documents mention merge?").collect()
+    assert [r.doc_id for r in out] == ["d1", "d2"]
+    out = text2query_retrieve(spark, kg, "top 5 relation types").collect()
+    assert [(r.pred, r.n_edges) for r in out] == [("THEN", 1), ("USES", 1)]
+
+
+def test_connection_shape(spark, kg):
+    # join -THEN-> merge: direct 1-hop; join and data share neighbor merge → 2-hop
+    out = text2query_retrieve(spark, kg, "how is join connected to merge?").collect()
+    assert (out[0].hops, out[0].pred1) == (1, "THEN")
+    out2 = text2query_retrieve(spark, kg, "how is join connected to data?").collect()
+    assert [(r.hops, r.via, r.pred1, r.pred2) for r in out2] == [(2, "merge", "THEN", "USES")]
+
+
+def test_chunk_keyword_shape(spark, kg):
+    chunks = spark.createDataFrame(
+        [("c1", "d1", "merge the tables", 1, 0, 16),
+         ("c2", "d2", "unrelated text", 1, 0, 14)],
+        "chunk_id string, doc_id string, text string, position long, "
+        "content_offset long, length long",
+    )
+    tables = dict(kg, chunks=chunks)
+    out = text2query_retrieve(spark, tables, "which chunks contain merge?").collect()
+    assert [r.chunk_id for r in out] == ["c1"]
