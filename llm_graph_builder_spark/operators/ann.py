@@ -322,3 +322,83 @@ def ann_ivf_topk(
             "rank",
         )
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the build-once / search-many shape of the
+    reference's Neo4j vector index (graphDB_dataAccess.py:551-582), Spark-
+    native. Layout under ``path``:
+
+      * ``centroids/`` — n_centroids tiny rows (cidx, cv);
+      * ``corpus/``    — the corpus **partitioned by bucket directory**, so a
+        probe-time filter on ``bucket`` becomes PARTITION PRUNING: each query
+        physically reads only its n_probe/n_centroids share of the files.
+
+    Training is the shared deterministic fused-Lloyd fit (same md5 seed
+    protocol as ``ann_ivf_topk``/``kmeans_clusters``)."""
+    c = corpus.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cents = fit_kmeans_centroids(c, n_centroids, lloyd_iters)
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(v) for v in cents[i]]) for i in range(len(cents))]
+    spark.createDataFrame(cent_rows, "cidx int, cv array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    c.withColumn("bucket", _topc_udf(cents, 1)(F.col("cv"))[0]).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/corpus")
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index. The probed bucket set is computed from
+    the (small) query side on the driver and applied as an ``isin`` filter
+    on the partition column — the scan plan prunes to the probed bucket
+    directories before any row is read; scoring then matches
+    ``ann_ivf_topk`` (broadcast probed queries, bucket-local join, exact
+    cosine rank)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    cents = np.array([r.cv for r in cent_rows], dtype=np.float64)
+    q = queries.select(
+        F.col(query_id_col).cast("string").alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q_probed = q.withColumn(
+        "bucket", F.explode(_topc_udf(cents, n_probe)(F.col("qv")))
+    ).localCheckpoint()
+    probe_buckets = [r.bucket for r in q_probed.select("bucket").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("bucket").isin(probe_buckets)
+    )
+    scored = (
+        corpus.join(F.broadcast(q_probed), on="bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos_e4", F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e4"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "cos_e4",
+            "rank",
+        )
+    )

@@ -626,3 +626,31 @@ def test_greedy_pack_properties(token_counts, budget):
     first_tok = by_seq["n_tokens"].first()
     for k in range(1, len(pack_sum)):
         assert pack_sum.iloc[k - 1] + first_tok.iloc[k] > budget
+
+
+def test_ivf_index_build_and_search(spark, tmp_path):
+    from llm_graph_builder_spark.operators.ann import (
+        ann_ivf_topk,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, lloyd_iters=2)
+    got = search_ivf_index(spark, path, queries, k=5, n_probe=3)
+    # identical protocol (md5 seeds, fused Lloyd, probe join) → identical
+    # results to the in-memory IVF path
+    want = ann_ivf_topk(emb, queries, k=5, n_centroids=8, lloyd_iters=2, n_probe=3)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(got) == rows(want)
+    # the probe filter must prune bucket partitions at the SCAN, not post-read
+    plan = search_ivf_index(spark, path, queries, k=5, n_probe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:120]
