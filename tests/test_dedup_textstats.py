@@ -654,3 +654,27 @@ def test_ivf_index_build_and_search(spark, tmp_path):
     plan = search_ivf_index(spark, path, queries, k=5, n_probe=3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_new_op_edge_cases(spark):
+    from llm_graph_builder_spark.operators.ann import kmeans_clusters
+    from llm_graph_builder_spark.operators.decontam import decontaminate
+    from llm_graph_builder_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # empty benchmark set → every doc clean, still one row per doc
+    empty_bench = docs.filter("doc_id < 0")
+    out = decontaminate(docs, empty_bench).collect()
+    assert len(out) == 2 and all(r.contaminated == 0 for r in out)
+    # empty-text doc packs as a zero-token member, never crashes the fold
+    packed = {r.doc_id: r for r in pack_sequences(docs, token_budget=2, n_buckets=1).collect()}
+    assert packed["2"].n_tokens == 0 and len(packed) == 2
+    # more centroids than vectors: every vector still gets a cluster
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = kmeans_clusters(emb, n_centroids=8, lloyd_iters=1).collect()
+    assert len(got) == 2 and all(r.cluster_size >= 1 for r in got)
