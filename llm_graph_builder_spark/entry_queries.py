@@ -812,6 +812,14 @@ def q_event_rates(spark, sf_dir):
     return event_rates(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile: doc counts, token totals, exact token
+    percentiles (dataset-card stage; see functions/textstats.py)."""
+    from .functions.textstats import corpus_profile
+
+    return corpus_profile(read_documents(spark, sf_dir))
+
+
 def q_bigram_novelty(spark, sf_dir):
     """LM-rarity curation signal: per-doc rare-bigram stats under the
     corpus's own bigram counts (integer-exact CCNet-perplexity stand-in)."""
@@ -1193,6 +1201,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "corpus_sample": q_corpus_sample,
     "bigram_novelty": q_bigram_novelty,
+    "corpus_profile": q_corpus_profile,
     "sessionization": q_sessionization,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,

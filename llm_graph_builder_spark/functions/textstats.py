@@ -170,3 +170,28 @@ def bigram_novelty(
             F.col("min_bigram_count"),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus profile — the dataset card / sanity-report stage
+    of a training-data pipeline: document counts, token totals, and exact
+    token-count percentiles per stratum.
+
+    Uses EXACT interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` bit-for-bit, verified) because strata counts are
+    bounded; on an unbounded grouping swap in ``approx_percentile`` (the
+    exact aggregate buffers each group's values). One groupBy shuffle;
+    percentile outputs are e2 fixed-point for hash-stable comparison."""
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    base = docs.select(F.col(strata_col).alias("stratum"), toks.alias("n_tokens"))
+    return base.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.percentile("n_tokens", 0.5) * 100).cast("long").alias("median_tokens_e2"),
+        F.round(F.percentile("n_tokens", 0.9) * 100).cast("long").alias("p90_tokens_e2"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

@@ -1329,6 +1329,24 @@ SELECT window_start_us, event_type,
 FROM e GROUP BY 1, 2
 """
 
+# mirrors q_corpus_profile / textstats.corpus_profile: exact interpolated
+# percentiles (Spark percentile == DuckDB quantile_cont bit-for-bit), e2
+# fixed-point.
+ORACLE_SQL["corpus_profile"] = """
+WITH base AS (
+  SELECT lang AS stratum,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(round(quantile_cont(n_tokens, 0.5) * 100) AS BIGINT) AS median_tokens_e2,
+       CAST(round(quantile_cont(n_tokens, 0.9) * 100) AS BIGINT) AS p90_tokens_e2,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM base GROUP BY 1
+"""
+
 # mirrors q_bigram_novelty / textstats.bigram_novelty: corpus bigram counts
 # (token frequency, NOT per-doc distinct), per-doc rare-bigram stats; all
 # integers except the single-division e4 ratio (IEEE-exact both engines).

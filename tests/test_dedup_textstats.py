@@ -678,3 +678,13 @@ def test_new_op_edge_cases(spark):
     )
     got = kmeans_clusters(emb, n_centroids=8, lloyd_iters=1).collect()
     assert len(got) == 2 and all(r.cluster_size >= 1 for r in got)
+
+
+def test_corpus_profile(docs):
+    from llm_graph_builder_spark.functions.textstats import corpus_profile
+
+    out = {r.stratum: r for r in corpus_profile(docs).collect()}
+    # en docs have 12,12,12,7 tokens; de has 5
+    assert out["en"].n_docs == 4 and out["en"].total_tokens == 43
+    assert out["en"].max_tokens == 12 and out["en"].median_tokens_e2 == 1200
+    assert out["de"].n_docs == 1 and out["de"].median_tokens_e2 == 500
