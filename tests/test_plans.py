@@ -1,0 +1,85 @@
+"""Physical-plan regression tests — pin the plan shapes the 100 TB design
+depends on (the runnable complement of PLANS.md): pushdown, broadcast,
+TakeOrderedAndProject, single-exchange aggregations. A change that silently
+degrades one of these passes row-level tests but fails here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.sources.repos import read_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_column_pruning_and_pushdown(spark):
+    df = read_documents(spark, SF).filter(F.col("lang") == "en").select("doc_id")
+    plan = _plan(df)
+    # the filter reaches the parquet scan...
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+    # ...and the scan reads only the two referenced columns
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in rs and "lang" in rs and "text" not in rs
+
+
+def test_top_entities_is_take_ordered(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["top_entities"](spark, SF))
+    # global top-k must be distributed per-partition heaps, never a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extraction_single_unit_exchange(spark):
+    from llm_graph_builder_spark.entry_queries import pipeline_tables
+    from llm_graph_builder_spark.operators.extraction import extract_units
+
+    chunks = pipeline_tables(spark, SF)["chunks"]
+    plan = _plan(extract_units(chunks))
+    # ONE hash exchange keyed on unit_id feeds dedup + kernel; a second
+    # unit_id exchange (or any SortAggregate on text) is the r1 scale hazard
+    assert plan.count("Exchange hashpartitioning(unit_id") == 1
+    assert "SortAggregate" not in plan
+
+
+def test_ann_bruteforce_partial_topk_shape(spark):
+    from llm_graph_builder_spark.operators.ann import ann_bruteforce_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ann_bruteforce_topk(emb, q, k=5))
+    # query side broadcast (corpus never shuffles for the join)...
+    assert "BroadcastNestedLoopJoin" in plan
+    # ...and the pre-reduce window runs on (qid, partition) BEFORE the
+    # per-query rank, so no per-query single-reducer sees the whole corpus
+    assert "spark_partition_id" in plan.lower()
+
+
+def test_canonical_map_broadcasts(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["linked_entities"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_schema_enforcement_broadcast_semi_join(spark):
+    from llm_graph_builder_spark.entry_queries import pipeline_tables
+    from llm_graph_builder_spark.operators.extraction import (
+        enforce_allowed_schema,
+        parse_allowed_schema,
+    )
+
+    t = pipeline_tables(spark, SF)
+    labels, rels = parse_allowed_schema("Function,Class", "Function,CALLS,Function")
+    _, triples = enforce_allowed_schema(t["mentions"], t["triples"], labels, rels)
+    plan = _plan(triples)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
