@@ -812,6 +812,36 @@ def q_event_rates(spark, sf_dir):
     return event_rates(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff: a deterministic 'previous' corpus version (md5%7
+    classes: 0 = not yet present → added, 1 = legacy text → changed,
+    2 = also had a retired doc → removed) vs the current documents table."""
+    from .operators.maintenance import corpus_diff
+
+    docs = read_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long") % 7
+    )
+    tagged = docs.withColumn("_h", h)
+    old = (
+        tagged.filter(F.col("_h") != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("_h") == 1, F.concat(F.col("text"), F.lit(" legacy")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            tagged.filter(F.col("_h") == 2).select(
+                F.concat(F.col("doc_id"), F.lit("-retired")).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(old, docs)
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-language corpus profile: doc counts, token totals, exact token
     percentiles (dataset-card stage; see functions/textstats.py)."""
@@ -1202,6 +1232,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "bigram_novelty": q_bigram_novelty,
     "corpus_profile": q_corpus_profile,
+    "corpus_diff": q_corpus_diff,
     "sessionization": q_sessionization,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,

@@ -134,3 +134,44 @@ def resume_positions(chunks: DataFrame, processed_mentions: DataFrame) -> DataFr
         .groupBy("doc_id")
         .agg(F.min("position").cast("long").alias("resume_position"))
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the driver of incremental
+    re-processing: only ``added``/``changed`` docs re-enter the pipeline and
+    ``removed`` docs trigger the delete cascade (the batch analog of the
+    streaming ingest path, and the scale answer to "the corpus moved under
+    us" — at 100 TB you never reprocess the unchanged 99%).
+
+    One full-outer shuffle join on the id key, comparing ``sha2(text, 256)``
+    (the pipeline's content identity): unchanged rows are dropped, the rest
+    are labeled. Output: (doc_id, change ∈ added|removed|changed).
+    """
+    o = old.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("old_sha"),
+    )
+    n = new.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("new_sha"),
+    )
+    joined = o.join(n, on="doc_id", how="full")
+    return (
+        joined.filter(
+            F.col("old_sha").isNull()
+            | F.col("new_sha").isNull()
+            | (F.col("old_sha") != F.col("new_sha"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("old_sha").isNull(), F.lit("added"))
+            .when(F.col("new_sha").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )

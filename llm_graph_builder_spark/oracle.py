@@ -1329,6 +1329,32 @@ SELECT window_start_us, event_type,
 FROM e GROUP BY 1, 2
 """
 
+# mirrors q_corpus_diff / maintenance.corpus_diff: synthetic previous
+# snapshot (md5%7 classes), full-outer sha256 comparison, unchanged dropped.
+ORACLE_SQL["corpus_diff"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 7 AS h
+  FROM documents
+),
+old AS (
+  SELECT doc_id,
+         CASE WHEN h = 1 THEN text || ' legacy' ELSE text END AS text
+  FROM d WHERE h <> 0
+  UNION ALL
+  SELECT doc_id || '-retired' AS doc_id, text FROM d WHERE h = 2
+),
+o AS (SELECT doc_id, sha256(text) AS old_sha FROM old),
+n AS (SELECT doc_id, sha256(text) AS new_sha FROM d)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_sha IS NULL THEN 'added'
+            WHEN n.new_sha IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.old_sha IS NULL OR n.new_sha IS NULL OR o.old_sha <> n.new_sha
+"""
+
 # mirrors q_corpus_profile / textstats.corpus_profile: exact interpolated
 # percentiles (Spark percentile == DuckDB quantile_cont bit-for-bit), e2
 # fixed-point.

@@ -67,3 +67,19 @@ def test_schema_from_text():
     assert schema_from_text("") == {
         "labels": [], "relationship_types": [], "relationships": [],
     }
+
+
+def test_corpus_diff(spark):
+    from llm_graph_builder_spark.operators.maintenance import corpus_diff
+
+    old = spark.createDataFrame(
+        [("a", "same text"), ("b", "old text"), ("c", "gone")],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "same text"), ("b", "new text"), ("d", "fresh")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    # unchanged doc 'a' is dropped; the rest are labeled
+    assert got == {"b": "changed", "c": "removed", "d": "added"}
