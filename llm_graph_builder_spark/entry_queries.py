@@ -870,6 +870,34 @@ def q_corpus_sample(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over the corpus (emails → phones → IPv4, counts + redacted
+    sha256). Testdata has no real PII, so a deterministic doc_id-derived
+    augmentation is applied first — mirrored exactly in the oracle — making
+    the redaction path observable (see functions/pii.py)."""
+    from .functions.pii import pii_scrub, synth_pii
+
+    return pii_scrub(synth_pii(read_documents(spark, sf_dir)))
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-word ratio, top word /
+    bigram mass) — row-local array expressions, zero shuffle (see
+    functions/textstats.py::repetition_signals)."""
+    from .functions.textstats import repetition_signals
+
+    return repetition_signals(read_documents(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-0.5 domain-mixture weights per language: token totals →
+    sqrt-scaled sampling weights, token allocations, and implied epochs
+    (see operators/curation.py::mixture_weights)."""
+    from .operators.curation import mixture_weights
+
+    return mixture_weights(read_documents(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -1236,6 +1264,9 @@ QUERIES = {
     "sessionization": q_sessionization,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
+    "pii_scrub": q_pii_scrub,
+    "repetition_signals": q_repetition_signals,
+    "mixture_weights": q_mixture_weights,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

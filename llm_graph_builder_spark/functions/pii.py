@@ -1,0 +1,97 @@
+"""PII detection + redaction for training-data curation.
+
+A 100-TB corpus scrub must be a single map-only pass: every document is
+independent, so the whole operator is pure ``pyspark.sql.functions`` regex
+expressions — zero shuffle, whole-stage codegen, filters/pruning push to the
+scan. The regexes use only the portable subset (character classes, bounded
+repetition) so the DuckDB oracle (RE2) and the JVM (java.util.regex) agree
+byte-for-byte.
+
+Categories mirror the usual curation recipes (C4 / Dolma-style scrubbing):
+email addresses, North-American phone numbers, IPv4 addresses. Detection
+counts are taken on the text as it stood *before* that category's own
+redaction but *after* all earlier categories were replaced (email → phone →
+ipv4), so overlapping matches are attributed to exactly one category in a
+deterministic order.
+
+The synthetic testdata corpus contains no real PII, so the driver query
+(``entry_queries.q_pii_scrub``) first augments a deterministic subset of
+documents with synthetic contact strings derived from ``doc_id`` — the same
+arithmetic runs in the DuckDB oracle, making the end-to-end redaction
+observable rather than vacuously zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: portable regexes — identical semantics under java.util.regex and RE2
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+#: (category, regex, replacement) in redaction order
+PII_RULES = (
+    ("emails", EMAIL_RE, "[EMAIL]"),
+    ("phones", PHONE_RE, "[PHONE]"),
+    ("ipv4", IPV4_RE, "[IP]"),
+)
+
+
+def synth_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministically append synthetic PII to a subset of documents
+    (``doc_id % 5 == 0`` → email, ``% 7 == 0`` → phone, ``% 11 == 0`` → IPv4).
+
+    Pure integer/string arithmetic on ``doc_id`` so the DuckDB oracle
+    reproduces the exact same augmented text. Used only by the driver query /
+    tests; production callers run :func:`pii_scrub` on their real corpus.
+    """
+    d = F.col(id_col).cast("long")
+    s = F.col(id_col).cast("string")
+    text = F.col(text_col)
+    text = F.when(
+        d % 5 == 0, F.concat(text, F.lit(" contact user"), s, F.lit("@example.com"))
+    ).otherwise(text)
+    text = F.when(
+        d % 7 == 0,
+        F.concat(text, F.lit(" call 555-123-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(text)
+    text = F.when(
+        d % 11 == 0,
+        F.concat(
+            text,
+            F.lit(" host 10."),
+            (d % 256).cast("string"),
+            F.lit(".0."),
+            (d % 200).cast("string"),
+        ),
+    ).otherwise(text)
+    return docs.withColumn(text_col, text)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count and redact PII per document — map-only, no shuffle.
+
+    Returns one row per document: ``doc``, ``n_emails``, ``n_phones``,
+    ``n_ipv4``, ``pii_total``, ``redacted_sha`` (sha256 of the fully
+    redacted text, so the gate checks the actual replacement output without
+    hauling full text through the comparison).
+
+    Reference parity: the reference pipeline has no scrub stage (it ingests
+    trusted documents), but any pre-training corpus pass needs one; the
+    category set follows public curation recipes (C4, Dolma).
+    """
+    cur: Column = F.col(text_col)
+    counts = {}
+    for name, regex, token in PII_RULES:
+        counts[name] = F.regexp_count(cur, F.lit(regex))
+        cur = F.regexp_replace(cur, regex, token)
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        counts["emails"].cast("long").alias("n_emails"),
+        counts["phones"].cast("long").alias("n_phones"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        (counts["emails"] + counts["phones"] + counts["ipv4"]).cast("long").alias("pii_total"),
+        F.sha2(cur, 256).alias("redacted_sha"),
+    )

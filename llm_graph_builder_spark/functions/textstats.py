@@ -195,3 +195,66 @@ def corpus_profile(
         F.round(F.percentile("n_tokens", 0.9) * 100).cast("long").alias("p90_tokens_e2"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array == the top
+    element frequency. Single ``F.aggregate`` pass with a (prev, run, best)
+    struct accumulator — row-local, no shuffle, no explode."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("int").alias("run"), F.lit(0).cast("int").alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition quality signals.
+
+    Emits, per document: token totals, distinct-token count, the duplicate
+    ratio (1 - distinct/total), and the fraction of mass taken by the single
+    most frequent token and by the most frequent bigram — the classic
+    "repetitive boilerplate" gates from the Gopher / MassiveText curation
+    recipe (Rae et al. 2021, table A1 analog).
+
+    Scale shape: every signal is computed row-locally with array expressions
+    (``array_sort`` + a single ``F.aggregate`` run-length pass instead of an
+    explode → groupBy), so the operator is a map-only pass with ZERO
+    shuffles at any corpus size; per-row cost is O(n log n) in the document's
+    token count. Ratios are e4 fixed-point (single integer division, exact in
+    both engines). The DuckDB oracle mirrors the *values* via explode SQL —
+    same results, different (non-distributed) plan.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_words = n.cast("long")
+    distinct_words = F.size(F.array_distinct(toks)).cast("long")
+    top_word = _top_run(F.array_sort(toks)).cast("long")
+    n_bigrams = F.size(grams).cast("long")
+    top_bigram = F.when(n_bigrams > 0, _top_run(F.array_sort(grams))).otherwise(F.lit(0)).cast("long")
+    denom_w = F.greatest(n_words, F.lit(1).cast("long"))
+    denom_b = F.greatest(n_bigrams, F.lit(1).cast("long"))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        n_words.alias("n_words"),
+        distinct_words.alias("distinct_words"),
+        F.round((n_words - distinct_words) * 10000.0 / denom_w).cast("long").alias("dup_word_ratio_e4"),
+        F.round(top_word * 10000.0 / denom_w).cast("long").alias("top_word_ratio_e4"),
+        n_bigrams.alias("n_bigrams"),
+        F.round(top_bigram * 10000.0 / denom_b).cast("long").alias("top_bigram_ratio_e4"),
+    )

@@ -148,3 +148,62 @@ def stratified_sample(
         bucket.alias("bucket_e4"),
         (bucket < rate).cast("long").alias("sampled"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled domain-mixture weights — the "how much of each
+    source goes into the training mix" stage (the alpha-sampling recipe from
+    multilingual pretraining: weight_i ∝ tokens_i^alpha with alpha = 0.5).
+
+    alpha is fixed at 0.5 because ``sqrt`` is IEEE correctly-rounded in both
+    the JVM and DuckDB — the ONLY floating-point step; everything after is
+    BIGINT arithmetic (``div``), so the result is bit-stable across engines
+    and partitionings. Per stratum: token total, sqrt-scaled share
+    ``weight_e6``, the token allocation under ``budget_tokens`` (defaults to
+    one corpus-size budget), and ``epochs_e4`` — how many passes over the
+    stratum that allocation implies (the up-sampling factor small domains
+    get, >1.0 means repetition).
+
+    Scale shape: one groupBy(stratum) shuffle with map-side partial sums;
+    the normalisation window runs over n_strata rows (bounded — domain
+    vocabularies are small by construction), so the single-partition window
+    is a few-row driver-sized step, not a data-sized one.
+    """
+    toks = F.size(_toks(F.col(text_col))).cast("long")
+    per = (
+        docs.select(F.col(strata_col).alias("stratum"), toks.alias("n_tokens"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    # sqrt is the lone FP op (exactly rounded everywhere); e3 fixed-point
+    # keeps scaled * 1e6 far inside BIGINT even at 100-TB token counts.
+    scaled = F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1000.0).cast("long")
+    w = Window.partitionBy()
+    per = per.withColumn("_scaled", scaled).withColumn(
+        "_tot_scaled", F.sum("_scaled").over(w)
+    ).withColumn("_tot_tokens", F.sum("total_tokens").over(w))
+    budget = F.lit(int(budget_tokens)).cast("long") if budget_tokens else F.col("_tot_tokens")
+    weight_e6 = F.expr("_scaled * 1000000L div _tot_scaled")
+    per = per.withColumn("weight_e6", weight_e6)
+    # overflow-safe weight_e6 * budget / 1e6 in pure integer arithmetic
+    alloc = (
+        F.col("weight_e6") * F.expr("_budget div 1000000L")
+        + F.expr("weight_e6 * (_budget % 1000000L) div 1000000L")
+    ).cast("long")
+    per = per.withColumn("_budget", budget).withColumn("alloc_tokens", alloc)
+    return per.select(
+        "stratum",
+        "n_docs",
+        "total_tokens",
+        "weight_e6",
+        "alloc_tokens",
+        F.expr("alloc_tokens * 10000L div greatest(total_tokens, 1L)").alias("epochs_e4"),
+    )

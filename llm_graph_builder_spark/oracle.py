@@ -1425,6 +1425,128 @@ SELECT doc_id, lang AS stratum, bucket_e4,
 FROM d
 """
 
+
+# mirrors q_pii_scrub / functions/pii.py: deterministic doc_id-derived PII
+# augmentation, then count+redact email -> phone -> ipv4 (counts taken after
+# earlier categories' redaction, exactly as the Spark chain does).
+ORACLE_SQL["pii_scrub"] = """
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         (CASE WHEN doc_id % 11 = 0
+               THEN (CASE WHEN doc_id % 7 = 0
+                          THEN (CASE WHEN doc_id % 5 = 0
+                                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                                     ELSE text END)
+                               || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE (CASE WHEN doc_id % 5 = 0
+                                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                                     ELSE text END) END)
+                    || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+               WHEN doc_id % 7 = 0
+               THEN (CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE text END)
+                    || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN doc_id % 5 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE text END) AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc, n_emails,
+         len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+         regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc, n_emails, n_phones,
+         len(regexp_extract_all(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ipv4,
+         regexp_replace(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g') AS t3
+  FROM s2
+)
+SELECT doc, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_emails + n_phones + n_ipv4 AS BIGINT) AS pii_total,
+       sha256(t3) AS redacted_sha
+FROM s3
+"""
+
+# mirrors q_repetition_signals / textstats.repetition_signals: Spark computes
+# the signals row-locally (array_sort + run-length aggregate, zero shuffle);
+# this mirror replays the VALUES via explode SQL - same results, different plan.
+ORACLE_SQL["repetition_signals"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+words AS (SELECT doc, unnest(toks) AS w FROM base),
+wc AS (SELECT doc, w, count(*) AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc, sum(c) AS n_words, count(*) AS distinct_words, max(c) AS top_word
+       FROM wc GROUP BY 1),
+bg AS (
+  SELECT doc, array_to_string(toks[i : i + 1], ' ') AS b
+  FROM base, unnest(range(1, greatest(len(toks), 1))) r(i)
+  WHERE len(toks) >= 2
+),
+bc AS (SELECT doc, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc, sum(c) AS n_bigrams, max(c) AS top_bigram FROM bc GROUP BY 1)
+SELECT base.doc AS doc,
+       CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(ws.distinct_words, 0) AS BIGINT) AS distinct_words,
+       CAST(round((coalesce(ws.n_words, 0) - coalesce(ws.distinct_words, 0)) * 10000.0
+                  / greatest(coalesce(ws.n_words, 0), 1)) AS BIGINT) AS dup_word_ratio_e4,
+       CAST(round(coalesce(ws.top_word, 0) * 10000.0
+                  / greatest(coalesce(ws.n_words, 0), 1)) AS BIGINT) AS top_word_ratio_e4,
+       CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(round(coalesce(bs.top_bigram, 0) * 10000.0
+                  / greatest(coalesce(bs.n_bigrams, 0), 1)) AS BIGINT) AS top_bigram_ratio_e4
+FROM base LEFT JOIN ws ON ws.doc = base.doc LEFT JOIN bs ON bs.doc = base.doc
+"""
+
+# mirrors q_mixture_weights / curation.mixture_weights: sqrt (the lone FP op,
+# correctly rounded in both engines) -> e3 fixed-point -> pure BIGINT div
+# chain; budget defaults to the corpus token total.
+ORACLE_SQL["mixture_weights"] = """
+WITH base AS (
+  SELECT lang AS stratum,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM base GROUP BY 1
+),
+sc AS (
+  SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS scaled
+  FROM per
+),
+tot AS (
+  SELECT *, CAST(sum(scaled) OVER () AS BIGINT) AS tot_scaled,
+         CAST(sum(total_tokens) OVER () AS BIGINT) AS tot_tokens
+  FROM sc
+),
+w AS (SELECT *, scaled * 1000000 // tot_scaled AS weight_e6 FROM tot),
+a AS (
+  SELECT *, weight_e6 * (tot_tokens // 1000000)
+            + (weight_e6 * (tot_tokens % 1000000)) // 1000000 AS alloc_tokens
+  FROM w
+)
+SELECT stratum, n_docs, total_tokens,
+       CAST(weight_e6 AS BIGINT) AS weight_e6,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(alloc_tokens * 10000 // greatest(total_tokens, 1) AS BIGINT) AS epochs_e4
+FROM a
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents

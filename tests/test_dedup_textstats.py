@@ -688,3 +688,104 @@ def test_corpus_profile(docs):
     assert out["en"].n_docs == 4 and out["en"].total_tokens == 43
     assert out["en"].max_tokens == 12 and out["en"].median_tokens_e2 == 1200
     assert out["de"].n_docs == 1 and out["de"].median_tokens_e2 == 500
+
+
+def test_pii_scrub(spark):
+    from llm_graph_builder_spark.functions.pii import pii_scrub, synth_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to bob@corp.io or alice.smith@mail.example.org today"),
+            (2, "call 555-867-5309 from 192.168.1.100 please"),
+            (3, "clean document, nothing sensitive"),
+            # phone-like digits inside an IP must not double-count: redaction
+            # order is email -> phone -> ipv4 and counts follow the chain
+            (4, "mixed bob@x.io 10.0.0.1 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in pii_scrub(docs).collect()}
+    assert (out["1"].n_emails, out["1"].n_phones, out["1"].n_ipv4) == (2, 0, 0)
+    assert (out["2"].n_emails, out["2"].n_phones, out["2"].n_ipv4) == (0, 1, 1)
+    assert out["3"].pii_total == 0
+    assert (out["4"].n_emails, out["4"].n_phones, out["4"].n_ipv4) == (1, 1, 1)
+    # redacted text carries no residual matches: re-scrubbing is a fixpoint
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    redacted = pii_scrub(
+        docs.select("doc_id", F.col("text").alias("t0")).selectExpr(
+            "doc_id",
+            "regexp_replace(regexp_replace(regexp_replace(t0,"
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', '[EMAIL]'),"
+            " '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]'),"
+            " '([0-9]{1,3}\\\\.){3}[0-9]{1,3}', '[IP]') AS text",
+        )
+    ).collect()
+    assert all(r.pii_total == 0 for r in redacted)
+    # map-only: no Exchange anywhere in the plan
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # the synthetic augmentation is deterministic and hits the expected docs
+    aug = {r.doc_id: r.text for r in synth_pii(docs).collect()}
+    assert "user1@example.com" not in aug[1] and "@example.com" not in aug[1]
+    assert aug[3] == "clean document, nothing sensitive"
+    aug35 = {
+        r.doc_id: r.text
+        for r in synth_pii(
+            spark.createDataFrame([(35, "x"), (55, "y")], "doc_id long, text string")
+        ).collect()
+    }
+    assert aug35[35] == "x contact user35@example.com call 555-123-0035"
+    assert aug35[55] == "y contact user55@example.com host 10.55.0.55"
+    del hashlib
+
+
+def test_repetition_signals(spark):
+    from llm_graph_builder_spark.functions.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # words: a=3,b=1; bigrams: "a a"x2, "a b"
+            (2, "x y z"),     # all distinct
+            (3, "w"),         # one token, no bigrams
+            (4, ""),          # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in repetition_signals(docs).collect()}
+    r1 = out["1"]
+    assert (r1.n_words, r1.distinct_words) == (4, 2)
+    assert r1.dup_word_ratio_e4 == 5000 and r1.top_word_ratio_e4 == 7500
+    assert r1.n_bigrams == 3 and r1.top_bigram_ratio_e4 == 6667
+    r2 = out["2"]
+    assert r2.dup_word_ratio_e4 == 0 and r2.top_word_ratio_e4 == 3333
+    assert out["3"].n_bigrams == 0 and out["3"].top_bigram_ratio_e4 == 0
+    assert out["4"].n_words == 0 and out["4"].dup_word_ratio_e4 == 0
+    # the whole operator is row-local: zero shuffles at any corpus size
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_weights(spark):
+    from llm_graph_builder_spark.operators.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 100), "en") for i in range(4)]
+        + [(10, " ".join(["t"] * 100), "de")],
+        "doc_id long, text string, lang string",
+    )
+    # en: 400 tokens, de: 100 → sqrt 20 vs 10 → weights 2/3, 1/3
+    out = {r.stratum: r for r in mixture_weights(docs).collect()}
+    assert out["en"].total_tokens == 400 and out["de"].total_tokens == 100
+    assert out["en"].weight_e6 == 666666 and out["de"].weight_e6 == 333333
+    # default budget = corpus total (500): alloc follows the weights
+    assert out["en"].alloc_tokens == 666666 * 500 // 1_000_000  # 333
+    assert out["de"].alloc_tokens == 333333 * 500 // 1_000_000  # 166
+    # de is up-sampled (alloc > its own tokens → epochs > 1.0)
+    assert out["de"].epochs_e4 > 10000 > out["en"].epochs_e4
+    # explicit budget scales allocations linearly
+    big = {r.stratum: r for r in mixture_weights(docs, budget_tokens=1_000_000).collect()}
+    assert big["de"].alloc_tokens == 333333
+    assert sum(r.weight_e6 for r in big.values()) <= 1_000_000
