@@ -270,6 +270,24 @@ def main():
         "sequence_packing",
     )
 
+    from llm_graph_builder_spark.functions.pii import pii_scrub, synth_pii
+    from llm_graph_builder_spark.functions.textstats import repetition_signals
+
+    # map-only curation passes: these two stages are the pure-scan throughput
+    # story (zero shuffle, whole-stage codegen end-to-end)
+    best_of(
+        lambda: pii_scrub(synth_pii(raw_docs)).write.mode("overwrite").parquet(
+            f"{out_dir}/pii"
+        ),
+        "pii_scrub",
+    )
+    best_of(
+        lambda: repetition_signals(raw_docs).write.mode("overwrite").parquet(
+            f"{out_dir}/repsig"
+        ),
+        "repetition_signals",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

@@ -898,6 +898,25 @@ def q_mixture_weights(spark, sf_dir):
     return mixture_weights(read_documents(spark, sf_dir))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality filter with the deterministic hashed
+    weight table (row-local fold, zero shuffle; see
+    functions/textstats.py::quality_classifier)."""
+    from .functions.textstats import quality_classifier
+
+    return quality_classifier(read_documents(spark, sf_dir))
+
+
+def q_mixture_materialize(spark, sf_dir):
+    """Execute the mixture: expand each doc into the (full + fractional)
+    epochs its stratum allocation implies — broadcast weights join +
+    map-side explode (see operators/curation.py::materialize_mixture)."""
+    from .operators.curation import materialize_mixture, mixture_weights
+
+    docs = read_documents(spark, sf_dir)
+    return materialize_mixture(docs, mixture_weights(docs))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -1267,6 +1286,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
     "mixture_weights": q_mixture_weights,
+    "quality_classifier": q_quality_classifier,
+    "mixture_materialize": q_mixture_materialize,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

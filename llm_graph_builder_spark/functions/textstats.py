@@ -258,3 +258,52 @@ def repetition_signals(
         n_bigrams.alias("n_bigrams"),
         F.round(top_bigram * 10000.0 / denom_b).cast("long").alias("top_bigram_ratio_e4"),
     )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_e4: int = 0,
+) -> DataFrame:
+    """Linear text-quality classifier — the fastText/CCNet/FineWeb-Edu
+    "model-based quality filter" stage, with a deterministic stand-in model.
+
+    Score = mean token weight, where each token's weight comes from a hashed
+    weight table: ``(md5int(token) % 2001) - 1000`` (range [-1000, 1000]).
+    That is the sandbox-portable stand-in for a learned classifier's weight
+    vector — a real deployment replaces the hash with a broadcast-joined
+    weight table of the same shape; everything else (the row-local fold, the
+    e4 threshold gate) is production code.
+
+    Scale shape: ZERO shuffle — the per-token fold is a single row-local
+    ``F.aggregate`` over the token array (hashed-feature lookup is pure JVM
+    md5/conv arithmetic), so the operator is a map-only scan pass like
+    :func:`repetition_signals`. Integer-exact: one division at the end.
+    """
+    toks = _tokens(F.col(text_col))
+
+    def w(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 2001 - 1000
+        )
+
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t))
+    n = F.size(toks).cast("long")
+    score = F.expr(
+        "_qc_total * 10 div greatest(_qc_n, 1L)"
+    )  # mean weight in e4 (weights are e3 of [-1,1]); div == DuckDB // on
+    # negatives too (both truncate toward zero — verified)
+    return (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc"),
+            n.alias("_qc_n"),
+            total.alias("_qc_total"),
+        )
+        .select(
+            "doc",
+            F.col("_qc_n").alias("n_tokens"),
+            score.alias("score_e4"),
+            (score >= F.lit(int(threshold_e4))).cast("long").alias("keep"),
+        )
+    )

@@ -207,3 +207,47 @@ def mixture_weights(
         "alloc_tokens",
         F.expr("alloc_tokens * 10000L div greatest(total_tokens, 1L)").alias("epochs_e4"),
     )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    weights: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a domain mixture: expand each document into the epochs its
+    stratum's allocation implies (the data-mixing stage that turns
+    :func:`mixture_weights` into an actual training set).
+
+    ``weights`` is the output of :func:`mixture_weights` (only ``stratum`` +
+    ``epochs_e4`` are read). A stratum with ``epochs_e4 = 23456`` emits every
+    document twice (full epochs 1..2) plus a 0.3456-rate hash-sampled third
+    epoch — deterministic per (salt, doc): the fractional pass reuses the
+    md5-bucket decision from :func:`stratified_sample`, so re-runs and
+    repartitions reproduce the identical mix.
+
+    Scale shape: the weights side is n_strata rows → BROADCAST join (no
+    corpus shuffle); the epoch expansion is a map-side ``explode`` of a
+    per-row integer sequence. Output grain: (doc, epoch).
+    """
+    w = F.broadcast(weights.select("stratum", "epochs_e4"))
+    d = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(strata_col).alias("stratum"),
+    ).join(w, "stratum", "left")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("doc"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    e = F.coalesce(F.col("epochs_e4"), F.lit(0).cast("long"))
+    full = (e / 10000).cast("long")  # trunc toward zero, e >= 0
+    frac = e % 10000
+    epochs = F.concat(
+        F.when(full >= 1, F.sequence(F.lit(1).cast("long"), full)).otherwise(
+            F.array().cast("array<long>")
+        ),
+        F.when(bucket < frac, F.array(full + 1)).otherwise(F.array().cast("array<long>")),
+    )
+    return d.select("doc", "stratum", F.explode(epochs).alias("epoch"))

@@ -1547,6 +1547,80 @@ SELECT stratum, n_docs, total_tokens,
 FROM a
 """
 
+
+# mirrors q_quality_classifier / textstats.quality_classifier: hashed weight
+# table (md5 % 2001 - 1000), row-local mean; Spark `div` == DuckDB `//` on
+# negatives (both truncate toward zero - verified).
+ORACLE_SQL["quality_classifier"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks,
+              t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2001 - 1000)), 0)
+              AS BIGINT) AS total
+  FROM base
+)
+SELECT doc, n_tokens,
+       CAST(total * 10 // greatest(n_tokens, 1) AS BIGINT) AS score_e4,
+       CAST(CASE WHEN total * 10 // greatest(n_tokens, 1) >= 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM s
+"""
+
+# mirrors q_mixture_materialize / curation.materialize_mixture: recompute the
+# mixture_weights chain, then expand each doc into full epochs 1..k plus a
+# bucket-gated fractional epoch k+1 (bucket = md5('mix:'||doc) % 10000).
+ORACLE_SQL["mixture_materialize"] = """
+WITH base AS (
+  SELECT lang AS stratum,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM base GROUP BY 1
+),
+sc AS (
+  SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS scaled
+  FROM per
+),
+tot AS (
+  SELECT *, CAST(sum(scaled) OVER () AS BIGINT) AS tot_scaled,
+         CAST(sum(total_tokens) OVER () AS BIGINT) AS tot_tokens
+  FROM sc
+),
+w AS (SELECT *, scaled * 1000000 // tot_scaled AS weight_e6 FROM tot),
+a AS (
+  SELECT *, weight_e6 * (tot_tokens // 1000000)
+            + (weight_e6 * (tot_tokens % 1000000)) // 1000000 AS alloc_tokens
+  FROM w
+),
+mw AS (
+  SELECT stratum,
+         CAST(alloc_tokens * 10000 // greatest(total_tokens, 1) AS BIGINT) AS epochs_e4
+  FROM a
+),
+d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang AS stratum,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+j AS (
+  SELECT d.doc, d.stratum, d.bucket, coalesce(mw.epochs_e4, 0) AS e
+  FROM d LEFT JOIN mw USING (stratum)
+)
+SELECT doc, stratum, CAST(i AS BIGINT) AS epoch
+FROM j, unnest(range(1, e // 10000 + 1)) r(i)
+UNION ALL
+SELECT doc, stratum, CAST(e // 10000 + 1 AS BIGINT) AS epoch
+FROM j WHERE bucket < e % 10000
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents

@@ -789,3 +789,74 @@ def test_mixture_weights(spark):
     big = {r.stratum: r for r in mixture_weights(docs, budget_tokens=1_000_000).collect()}
     assert big["de"].alloc_tokens == 333333
     assert sum(r.weight_e6 for r in big.values()) <= 1_000_000
+
+
+def test_quality_classifier(spark):
+    from llm_graph_builder_spark.functions.textstats import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in quality_classifier(docs).collect()}
+
+    # replicate the hashed weight table: (md5int(token) % 2001) - 1000
+    import hashlib
+
+    def w(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    exp1 = (w("alpha") + w("beta") + w("gamma")) * 10 // 3
+    # Spark `div` truncates toward zero (unlike floor) — mirror that
+    tot = (w("alpha") + w("beta") + w("gamma")) * 10
+    if tot < 0 and tot % 3 != 0:
+        exp1 = -((-tot) // 3)
+    assert out["1"].n_tokens == 3 and out["1"].score_e4 == exp1
+    assert out["2"].score_e4 == w("alpha") * 10
+    assert out["3"].n_tokens == 0 and out["3"].score_e4 == 0
+    for r in out.values():
+        assert r.keep == (1 if r.score_e4 >= 0 else 0)
+    # row-local fold: zero shuffles at any corpus size
+    plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_materialize_mixture(spark):
+    from llm_graph_builder_spark.operators.curation import (
+        materialize_mixture,
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 100), "en") for i in range(4)]
+        + [(10, " ".join(["t"] * 100), "de")],
+        "doc_id long, text string, lang string",
+    )
+    weights = mixture_weights(docs)
+    w = {r.stratum: r.epochs_e4 for r in weights.collect()}
+    rows = materialize_mixture(docs, weights).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc, []).append(r.epoch)
+    # every doc appears at least floor(epochs) times, at most ceil(epochs),
+    # with epoch numbers 1..k contiguous
+    for doc, epochs in per_doc.items():
+        stratum = "de" if doc == "10" else "en"
+        full = w[stratum] // 10000
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+        assert full <= len(epochs) <= full + 1
+    # de up-sampled (epochs_e4 > 10000) → its doc appears >= 2 times
+    assert len(per_doc["10"]) >= 2
+    # deterministic: re-run produces the identical multiset
+    rows2 = materialize_mixture(docs, weights).collect()
+    assert sorted((r.doc, r.epoch) for r in rows) == sorted(
+        (r.doc, r.epoch) for r in rows2
+    )
+    # plan: weights side broadcast, no corpus-side shuffle before the explode
+    plan = (
+        materialize_mixture(docs, weights)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
