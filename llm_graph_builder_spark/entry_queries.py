@@ -917,6 +917,16 @@ def q_mixture_materialize(spark, sf_dir):
     return materialize_mixture(docs, mixture_weights(docs))
 
 
+def q_importance_resampling(spark, sf_dir):
+    """DSIR-style importance resampling: hashed unigram+bigram ratios vs the
+    English slice as the target domain, deterministic probability-∝-score
+    keep gate (see operators/curation.py::importance_weights)."""
+    from .operators.curation import importance_weights
+
+    docs = read_documents(spark, sf_dir)
+    return importance_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -1178,6 +1188,14 @@ def q_topic_clusters(spark, sf_dir):
     return kmeans_clusters(_emb(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means clusters (shared fused-Lloyd fit) → within-cluster
+    cosine pruning with a min-id keeper. 0.30 demo threshold — the synthetic
+    vectors are near-orthogonal, so the operator's 0.95 default would be
+    vacuously empty here (same convention as dedup_embedding)."""
+    return dedup.semantic_dedup(_emb(spark, sf_dir), min_cosine=0.30)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """End-to-end corpus dedup: exact+near-dup pairs → connected components →
     keeper per cluster (iterative CC → rows-only)."""
@@ -1244,6 +1262,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "topic_clusters": q_topic_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "similar_knn": q_similar_knn,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -1288,6 +1307,7 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "quality_classifier": q_quality_classifier,
     "mixture_materialize": q_mixture_materialize,
+    "importance_resampling": q_importance_resampling,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

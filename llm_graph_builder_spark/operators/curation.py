@@ -251,3 +251,93 @@ def materialize_mixture(
         F.when(bucket < frac, F.array(full + 1)).otherwise(F.array().cast("array<long>")),
     )
     return d.select("doc", "stratum", F.explode(epochs).alias("epoch"))
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10007,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al. 2023):
+    score every corpus document by how much its hashed n-gram profile looks
+    like a TARGET domain, then hash-sample with probability proportional to
+    the (capped) score.
+
+    Features are unigrams + space-joined bigrams hashed into ``n_buckets``
+    via md5 (the hashed-feature trick that keeps the model size fixed no
+    matter the vocabulary). Per-bucket importance ratio is add-1 smoothed:
+    ``ratio_e6 = (target_count + 1) * 1e6 // (raw_count + 1)``; a document's
+    score is the ARITHMETIC mean of its occurrences' ratios — the
+    integer-exact stand-in for the paper's log-likelihood-ratio (geometric
+    mean), chosen so the DuckDB oracle matches bit-for-bit (no FP logs).
+    Selection is a deterministic Bernoulli gate:
+    ``md5(salt:doc) % 1e6 < least(score_e6, 1e6)`` — probability ∝ score,
+    capped at 1, reproducible across reruns and repartitions.
+
+    Scale shape: two bucket-grain count aggregations (map-side combined,
+    output ≤ ``n_buckets`` rows each), the ratio table BROADCAST onto the
+    exploded corpus features, and ONE doc-grain sum — no join ever carries
+    more than the feature explosion, and the model (the ratio table) is
+    ~10k rows regardless of corpus size.
+
+    Output: (doc, n_feats, score_e6, keep).
+    """
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = _toks(F.col(text_col))
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(id_col).cast("string").alias("doc"),
+            F.explode(F.concat(toks, bi)).alias("feat"),
+        ).select(
+            "doc",
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+
+    corpus_f = feats(docs)
+    raw = corpus_f.groupBy("bucket").agg(F.count("*").alias("rn"))
+    tgt = feats(target).groupBy("bucket").agg(F.count("*").alias("tn"))
+    ratio = raw.join(tgt, on="bucket", how="left").select(
+        "bucket",
+        F.expr("(coalesce(tn, 0L) + 1L) * 1000000L div (rn + 1L)").alias("ratio_e6"),
+    )
+    scored = (
+        corpus_f.join(F.broadcast(ratio), on="bucket")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_feats"), F.sum("ratio_e6").alias("tot"))
+    )
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("doc"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        docs.select(F.col(id_col).cast("string").alias("doc"))
+        .join(scored, on="doc", how="left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(
+                F.expr("tot div greatest(n_feats, 1L)"), F.lit(0)
+            ).cast("long").alias("score_e6"),
+        )
+        .withColumn(
+            "keep",
+            (gate < F.least(F.col("score_e6"), F.lit(1_000_000))).cast("long"),
+        )
+    )

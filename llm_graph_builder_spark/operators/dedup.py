@@ -479,3 +479,84 @@ def near_dup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("keeper"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    embedding space with k-means, then prune near-duplicates WITHIN each
+    cluster — the clustering bounds the quadratic so the pairwise step never
+    sees the whole corpus.
+
+    Fit reuses :func:`~..operators.ann.fit_kmeans_centroids` (deterministic
+    md5-seeded cosine k-means, ONE fused mapInArrow pass per Lloyd round), so
+    the DuckDB oracle reproduces the exact clustering via the shared unrolled
+    Lloyd mirror. Within a cluster, every pair with cosine ≥ ``min_cosine``
+    is a duplicate relation; the kept representative is the
+    lexicographically-smallest id in each relation (the paper keeps the
+    member farthest from the centroid — any deterministic choice preserves
+    the dedup semantics, and min-id needs no extra centroid-distance pass).
+
+    Scale shape: the fit is ``lloyd_iters`` single-pass rounds; assignment is
+    one map pass; the pairwise step is a self-join keyed on ``cluster`` —
+    each task sees ONE cluster's members (corpus/n_centroids rows when
+    clusters are balanced; at 100 TB you scale ``n_centroids`` ∝ corpus size
+    to hold cluster sizes constant, exactly as the paper does with 50k
+    clusters). For degenerate mega-clusters, compose with
+    :func:`embedding_dup_pairs` (``block_col="cluster"``, ``lsh=True``) to
+    band inside the cluster instead.
+
+    Output: (vec_id, cluster, n_dups, keep) — ``n_dups`` = same-cluster
+    neighbors above threshold, ``keep`` = 1 unless a smaller-id neighbor
+    dominates this row.
+    """
+    from .ann import _topc_udf, fit_kmeans_centroids
+
+    c = vectors.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    centroids = fit_kmeans_centroids(c, n_centroids, lloyd_iters)
+    bucketed = c.withColumn(
+        "cluster", _topc_udf(centroids, 1)(F.col("cv"))[0].cast("long")
+    )
+
+    a = bucketed.select(
+        F.col("cid").alias("id_a"), F.col("cv").alias("v_a"), "cluster"
+    )
+    b = bucketed.select(
+        F.col("cid").alias("id_b"), F.col("cv").alias("v_b"), "cluster"
+    )
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_e4",
+            F.round(cosine(F.col("v_a"), F.col("v_b")) * 10000).cast("long"),
+        )
+        .filter(F.col("cos_e4") >= int(round(min_cosine * 10000)))
+        .select("id_a", "id_b")
+    )
+    # per-vector stats from both orientations of each undirected pair: the
+    # larger-id side is dominated (its smaller-id twin is the keeper)
+    nbrs = pairs.select(F.col("id_a").alias("vid"), F.lit(0).alias("dom")).unionByName(
+        pairs.select(F.col("id_b").alias("vid"), F.lit(1).alias("dom"))
+    )
+    stats = nbrs.groupBy("vid").agg(
+        F.count("*").alias("n_dups"), F.max("dom").alias("dominated")
+    )
+    return (
+        bucketed.join(stats, bucketed.cid == stats.vid, "left")
+        .select(
+            F.col("cid").alias(id_col),
+            "cluster",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce(F.col("dominated"), F.lit(0)) == 0).cast("long").alias("keep"),
+        )
+    )

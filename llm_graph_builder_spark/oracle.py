@@ -1621,6 +1621,49 @@ SELECT doc, stratum, CAST(e // 10000 + 1 AS BIGINT) AS epoch
 FROM j WHERE bucket < e % 10000
 """
 
+# mirrors q_importance_resampling / curation.importance_weights: hashed
+# unigram+bigram buckets (md5 % 10007), add-1 smoothed target/raw ratio in
+# e6 fixed point, per-doc arithmetic-mean score, md5-gated Bernoulli keep.
+ORACLE_SQL["importance_resampling"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc, lang,
+         unnest(list_concat(toks,
+           list_transform(range(greatest(len(toks) - 1, 0)),
+                          i -> toks[i + 1] || ' ' || toks[i + 2]))) AS feat
+  FROM d
+),
+fb AS (
+  SELECT doc, lang,
+         CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 10007 AS bucket
+  FROM f
+),
+raw AS (SELECT bucket, count(*) AS rn FROM fb GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS tn FROM fb WHERE lang = 'en' GROUP BY 1),
+ratio AS (
+  SELECT r.bucket, (coalesce(t.tn, 0) + 1) * 1000000 // (r.rn + 1) AS ratio_e6
+  FROM raw r LEFT JOIN tgt t USING (bucket)
+),
+s AS (
+  SELECT fb.doc, count(*) AS n_feats, sum(ratio_e6) AS tot
+  FROM fb JOIN ratio USING (bucket) GROUP BY 1
+),
+a AS (
+  SELECT d.doc, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(s.tot // greatest(s.n_feats, 1), 0) AS BIGINT) AS score_e6
+  FROM d LEFT JOIN s USING (doc)
+)
+SELECT doc, n_feats, score_e6,
+       CAST(CASE WHEN CAST(('0x' || substr(md5('dsir:' || doc), 1, 8)) AS BIGINT)
+                      % 1000000 < least(score_e6, 1000000)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents
@@ -1775,6 +1818,40 @@ JOIN (SELECT bucket, count(*) AS n FROM bucketed GROUP BY 1) s
 
 
 ORACLE_SQL["topic_clusters"] = _kmeans_sql()
+
+
+def _semantic_dedup_sql(
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    thr_e4: int = 3000,
+    dim: int = 64,
+) -> str:
+    """Mirror of dedup.semantic_dedup: the shared unrolled-Lloyd clustering
+    (``_lloyd_parts``), then within-cluster pairwise fold-cosine ≥ thr and
+    the min-id keeper rule."""
+    parts, _ = _lloyd_parts(n_centroids, lloyd_iters, dim)
+    parts.append(f""",
+p AS (
+  SELECT a.cid AS id_a, b.cid AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.cid < b.cid
+  WHERE CAST(round(({_cosine_sql('a.cv', 'b.cv')}) * 10000) AS BIGINT) >= {thr_e4}
+),
+nb AS (
+  SELECT id_a AS vid, 0 AS dom FROM p
+  UNION ALL
+  SELECT id_b AS vid, 1 AS dom FROM p
+),
+s AS (SELECT vid, count(*) AS n_dups, max(dom) AS dominated FROM nb GROUP BY 1)
+SELECT b.cid AS vec_id, CAST(b.bucket AS BIGINT) AS cluster,
+       CAST(coalesce(s.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(CASE WHEN coalesce(s.dominated, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM bucketed b LEFT JOIN s ON s.vid = b.cid
+""")
+    return "WITH " + "".join(parts)
+
+
+ORACLE_SQL["semantic_dedup"] = _semantic_dedup_sql()
 
 # full bit mirror of simhash_pairs: token hash = md5_number_upper (first 8
 # digest bytes little-endian, same as simhash_py), 64 per-bit sign votes,

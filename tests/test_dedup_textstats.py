@@ -860,3 +860,77 @@ def test_materialize_mixture(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup(spark):
+    from llm_graph_builder_spark.operators.dedup import semantic_dedup
+
+    # three same-direction vectors (1,2,3 — cosine exactly 1, norms differ)
+    # and two orthogonal singletons — clusters must isolate the quadratic,
+    # and the min-id keeper must win inside each duplicate relation
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [2.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            vecs, n_centroids=3, lloyd_iters=1, min_cosine=0.95
+        ).collect()
+    }
+    assert len(out) == 5
+    # 1-2-3 are mutual dups (cos >= 0.95); "1" is the min-id keeper
+    assert out["1"].keep == 1 and out["1"].n_dups == 2
+    assert out["2"].keep == 0 and out["3"].keep == 0
+    # the orthogonal vectors have no dups and survive
+    assert out["4"].keep == 1 and out["4"].n_dups == 0
+    assert out["5"].keep == 1 and out["5"].n_dups == 0
+    # dup relations never cross clusters
+    assert out["1"].cluster == out["2"].cluster == out["3"].cluster
+
+
+def test_importance_weights(spark):
+    from llm_graph_builder_spark.operators.curation import importance_weights
+
+    # target = docs that look like doc 1/2; doc 3 shares no n-grams with the
+    # target, so its buckets carry only the add-1 smoothing mass
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown dog"),
+            (3, "zzz qqq www vvv"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id <= 2")
+    out = {r.doc: r for r in importance_weights(docs, target).collect()}
+    assert len(out) == 4
+    # 4 unigrams + 3 bigrams per non-empty doc
+    assert out["1"].n_feats == 7 and out["3"].n_feats == 7
+    # target-domain docs score far above the out-of-domain doc
+    assert out["1"].score_e6 > out["3"].score_e6
+    assert out["2"].score_e6 > out["3"].score_e6
+    # every feature of doc 1 occurs in the target: each occurrence's ratio
+    # is (tn+1)*1e6//(rn+1) with tn >= 1; doc 3's are all (0+1)*1e6//(1+1)
+    assert out["3"].score_e6 == 500_000
+    assert out["4"].n_feats == 0 and out["4"].score_e6 == 0 and out["4"].keep == 0
+    # the keep gate is probability-proportional and deterministic
+    import hashlib
+
+    for r in out.values():
+        g = int(hashlib.md5(f"dsir:{r.doc}".encode()).hexdigest()[:8], 16) % 1_000_000
+        assert r.keep == (1 if g < min(r.score_e6, 1_000_000) else 0)
+    # plan: the ratio model joins the exploded corpus via BROADCAST — the
+    # 10k-row model never forces a corpus-side shuffle
+    plan = (
+        importance_weights(docs, target)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
