@@ -927,6 +927,39 @@ def q_importance_resampling(spark, sf_dir):
     return importance_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph dedup. The single-line testdata is first
+    restructured into paragraphs (16-token breaks + shared boilerplate on
+    doc_id % 3 / % 5 — the synth_pii convention, mirrored exactly in the
+    oracle) so the global first-occurrence keeper rule is observable."""
+    return dedup.paragraph_dedup(dedup.synth_paragraphs(read_documents(spark, sf_dir)))
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Duplicated k-token span statistics (Lee et al. 2022 analog) — the
+    testdata's generator repeats phrases naturally, so ~9% of 8-token
+    windows are corpus-duplicated with no synthesis needed."""
+    return dedup.duplicate_spans(read_documents(spark, sf_dir))
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Incremental Bloom-filter dedup: the filter is built over the whole
+    corpus; the 'next ingest batch' is doc_id % 4 == 0 re-submitted unchanged
+    (must flag as dup) plus doc_id % 4 == 1 with ' v2' appended (new content
+    — flagged only on a genuine Bloom false positive)."""
+    docs = read_documents(spark, sf_dir)
+    newb = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+            .select("doc_id", "text")
+        )
+    )
+    return dedup.bloom_dedup(newb, dedup.bloom_build(docs))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -1308,6 +1341,9 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "mixture_materialize": q_mixture_materialize,
     "importance_resampling": q_importance_resampling,
+    "paragraph_dedup": q_paragraph_dedup,
+    "duplicate_spans": q_duplicate_spans,
+    "bloom_dedup": q_bloom_dedup,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

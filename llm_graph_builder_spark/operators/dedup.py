@@ -560,3 +560,224 @@ def semantic_dedup(
             (F.coalesce(F.col("dominated"), F.lit(0)) == 0).cast("long").alias("keep"),
         )
     )
+
+
+def synth_paragraphs(
+    docs: DataFrame,
+    para_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically restructure single-line testdata into multi-paragraph
+    documents so :func:`paragraph_dedup` is observable (the ``synth_pii``
+    convention): newline breaks every ``para_tokens`` tokens, plus shared
+    boilerplate paragraphs appended to ``doc_id % 3 == 0`` (newsletter) and
+    ``doc_id % 5 == 0`` (cookie notice). Integer arithmetic only — the DuckDB
+    oracle rebuilds the identical text. Production corpora already carry
+    newline paragraph structure and skip this step."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    n_paras = F.floor((n + (para_tokens - 1)) / para_tokens).cast("int")
+    paras = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_paras, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * para_tokens + 1, para_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = F.col(id_col).cast("long")
+    text = F.array_join(paras, "\n")
+    text = F.when(
+        d % 3 == 0, F.concat(text, F.lit("\nsubscribe to the data digest newsletter"))
+    ).otherwise(text)
+    text = F.when(
+        d % 5 == 0, F.concat(text, F.lit("\nthis site uses cookies accept to continue"))
+    ).otherwise(text)
+    return docs.withColumn(text_col, text)
+
+
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020): hash
+    every normalized (lowercased, trimmed) newline-delimited paragraph and
+    keep only the globally FIRST occurrence — ordered by (doc, paragraph
+    index) so the keeper is deterministic across reruns and repartitions,
+    where CCNet's shard-order tie-break is not.
+
+    Scale shape: one paragraph-grain explode, ONE shuffle on the paragraph
+    hash (the ``row_number`` window — partial data per hash, never per doc),
+    then one doc-grain aggregation that rebuilds the cleaned text in
+    paragraph order. Both shuffles carry paragraph rows, which is the floor
+    for this semantics; nothing is quadratic and no state outlives a task.
+
+    Output: (doc, n_paras, n_kept, cleaned_sha) — ``cleaned_sha`` is the
+    sha256 of the surviving paragraphs re-joined with newlines, so the gate
+    value-checks the actual cleaned text without hauling it around.
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "para"),
+        )
+        .withColumn("para", F.trim(F.col("para")))
+        .filter(F.length("para") > 0)
+        .withColumn("ph", F.sha2(F.lower(F.col("para")), 256))
+    )
+    ranked = paras.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("ph").orderBy("doc", "idx"))
+    )
+    kept_struct = F.when(F.col("rk") == 1, F.struct("idx", "para"))
+    agg = ranked.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum((F.col("rk") == 1).cast("long")).alias("n_kept"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+                ),
+                "\n",
+            ),
+            256,
+        ).alias("cleaned_sha"),
+    )
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    return (
+        docs.select(F.col(id_col).cast("string").alias("doc"))
+        .join(agg, on="doc", how="left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("cleaned_sha"), F.lit(empty_sha)).alias("cleaned_sha"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicated-span statistics — the distributed analog of suffix-array
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every k-token rolling window is hashed;
+    a window whose hash occurs more than once ANYWHERE in the corpus
+    (including elsewhere in the same document) is a duplicated span.
+
+    The suffix array is inherently sequential; the standard distributed
+    reformulation is fixed-k window counting, which upper-bounds the paper's
+    "duplicate substring of length >= k" relation exactly. Windows travel as
+    48-bit md5 prefixes (grams never shuffle as strings); the explicit
+    ``repartition(gh)`` is the ONE gram-grain exchange — both the
+    per-(gram, doc) count and the global-gram-total window sum are computed
+    inside that partitioning without further shuffles, so the whole operator
+    is one gram-grain shuffle plus one doc-grain aggregation at any corpus
+    size.
+
+    Output: (doc, n_windows, n_dup_windows, dup_frac_e6).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col(id_col).cast("string").alias("doc"), F.explode(grams).alias("gram")
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long").alias("gh"),
+    )
+    from pyspark.sql import Window
+
+    # ONE gram-grain exchange: hashpartitioning(gh) satisfies both the
+    # (gh, doc) aggregation's clustering AND the window's, so neither adds
+    # its own shuffle (asserted in tests). Map-side combine would save
+    # nothing here — per-(gram, doc) counts are almost always 1.
+    per = (
+        g.repartition(F.col("gh"))
+        .groupBy("gh", "doc")
+        .agg(F.count("*").alias("c"))
+        .withColumn("t", F.sum("c").over(Window.partitionBy("gh")))
+    )
+    stats = per.groupBy("doc").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("t") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    return (
+        docs.select(F.col(id_col).cast("string").alias("doc"))
+        .join(stats, on="doc", how="left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.expr(
+                "coalesce(n_dup_windows, 0L) * 1000000L div greatest(coalesce(n_windows, 0L), 1L)"
+            ).alias("dup_frac_e6"),
+        )
+    )
+
+
+def _bloom_pos(text: Column, i: int, m_bits: int) -> Column:
+    """Bit position i for a text under the k-hash md5 family (48-bit prefix
+    mod m) — the same arithmetic the DuckDB oracle replays."""
+    h = F.md5(F.concat(F.lit(f"bloom{i}:"), text))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % m_bits).alias("pos")
+
+
+def bloom_build(
+    docs: DataFrame, m_bits: int = 1 << 16, k_hashes: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Build a Bloom filter over a seen corpus as a table of set bit
+    positions (<= ``m_bits`` rows no matter the corpus size — the filter IS
+    the distinct-position table, so it broadcasts for any practical ``m``
+    and unions monotonically across ingest batches)."""
+    bits = None
+    for i in range(k_hashes):
+        b = docs.select(_bloom_pos(F.col(text_col), i, m_bits))
+        bits = b if bits is None else bits.unionByName(b)
+    return bits.distinct()
+
+
+def bloom_dedup(
+    new_docs: DataFrame,
+    bloom_bits: DataFrame,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact-dedup membership test for a NEW ingest batch against
+    a Bloom filter built from everything already seen (:func:`bloom_build`).
+    This is how a 100 TB pipeline avoids re-shuffling the historical corpus
+    on every increment: the filter is a <= ``m_bits``-row position table,
+    BROADCAST onto the new batch's k exploded probe positions; a document
+    whose k positions are all set is flagged ``bloom_dup`` (definitely-new
+    docs are never flagged — one-sided error only, standard Bloom semantics).
+
+    Output: (doc, n_hits, bloom_dup).
+    """
+    probes = new_docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.explode(
+            F.array(*[_bloom_pos(F.col(text_col), i, m_bits) for i in range(k_hashes)])
+        ).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom_bits.withColumn("hit", F.lit(1))), on="pos", how="left")
+        .groupBy("doc")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "doc", "n_hits", (F.col("n_hits") == k_hashes).cast("long").alias("bloom_dup")
+    )

@@ -1664,6 +1664,116 @@ SELECT doc, n_feats, score_e6,
 FROM a
 """
 
+# mirrors q_paragraph_dedup: synth_paragraphs (16-token newline breaks +
+# boilerplate on doc_id % 3 / % 5) then CCNet paragraph dedup — sha256 of the
+# lowercased paragraph, global first occurrence by (doc, idx) kept, cleaned
+# text rebuilt in paragraph order and sha256'd.
+ORACLE_SQL["paragraph_dedup"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+synth AS (
+  SELECT doc,
+         array_to_string(
+           list_transform(range((len(toks) + 15) // 16),
+                          i -> array_to_string(toks[i * 16 + 1 : (i + 1) * 16], ' ')),
+           chr(10))
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'subscribe to the data digest newsletter' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'this site uses cookies accept to continue' ELSE '' END
+         AS text
+  FROM d
+),
+p AS (
+  SELECT doc, i AS idx, trim(parts[i + 1]) AS para
+  FROM (SELECT doc, string_split(text, chr(10)) AS parts FROM synth),
+       unnest(range(len(parts))) AS t(i)
+),
+h AS (
+  SELECT doc, idx, para, sha256(lower(para)) AS ph
+  FROM p WHERE len(para) > 0
+),
+r AS (
+  SELECT doc, idx, para,
+         row_number() OVER (PARTITION BY ph ORDER BY doc, idx) AS rk
+  FROM h
+),
+agg AS (
+  SELECT doc, count(*) AS n_paras,
+         sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept,
+         sha256(coalesce(string_agg(para, chr(10) ORDER BY idx)
+                         FILTER (WHERE rk = 1), '')) AS cleaned_sha
+  FROM r GROUP BY 1
+)
+SELECT d.doc, CAST(coalesce(a.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.cleaned_sha, sha256('')) AS cleaned_sha
+FROM d LEFT JOIN agg a USING (doc)
+"""
+
+# mirrors q_duplicate_spans / dedup.duplicate_spans: 8-token rolling windows
+# as 48-bit md5 prefixes; a window hash occurring > 1 time corpus-wide marks
+# every occurrence as a duplicated span.
+ORACLE_SQL["duplicate_spans"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc,
+         CAST(('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')), 1, 12))
+              AS BIGINT) AS gh
+  FROM d, unnest(range(greatest(len(toks) - 7, 0))) AS t(i)
+),
+per AS (SELECT gh, doc, count(*) AS c FROM g GROUP BY 1, 2),
+w AS (SELECT gh, doc, c, sum(c) OVER (PARTITION BY gh) AS t FROM per),
+s AS (
+  SELECT doc, sum(c) AS n_windows,
+         sum(CASE WHEN t > 1 THEN c ELSE 0 END) AS n_dup_windows
+  FROM w GROUP BY 1
+)
+SELECT d.doc, CAST(coalesce(s.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(s.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(s.n_dup_windows, 0) * 1000000
+            // greatest(coalesce(s.n_windows, 0), 1) AS BIGINT) AS dup_frac_e6
+FROM d LEFT JOIN s USING (doc)
+"""
+
+# mirrors q_bloom_dedup: filter = distinct md5-48bit positions (k=3,
+# m=65536) over every seen text; new batch = doc_id % 4 = 0 unchanged +
+# doc_id % 4 = 1 with ' v2'; dup iff all 3 probe positions are set.
+ORACLE_SQL["bloom_dedup"] = """
+WITH bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('bloom' || i || ':' || text), 1, 12)) AS BIGINT)
+           % 65536 AS pos, 1 AS hit
+  FROM documents, unnest([0, 1, 2]) AS t(i)
+),
+newb AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS doc, text || ' v2' FROM documents
+  WHERE doc_id % 4 = 1
+),
+probes AS (
+  SELECT doc,
+         CAST(('0x' || substr(md5('bloom' || i || ':' || text), 1, 12)) AS BIGINT)
+           % 65536 AS pos
+  FROM newb, unnest([0, 1, 2]) AS t(i)
+),
+h AS (
+  SELECT doc, sum(coalesce(b.hit, 0)) AS n_hits
+  FROM probes p LEFT JOIN bits b USING (pos) GROUP BY 1
+)
+SELECT doc, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_hits = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_dup
+FROM h
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents

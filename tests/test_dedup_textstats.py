@@ -934,3 +934,92 @@ def test_importance_weights(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup(spark):
+    from llm_graph_builder_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared boilerplate\ngamma"),
+            (2, "shared boilerplate\ndelta"),
+            (3, "Shared  Boilerplate"),  # normalization: lower + trim
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in paragraph_dedup(docs).collect()}
+    assert len(out) == 4
+    # doc 1 owns the first occurrence (doc "1" < "2" < "3"), keeps all 3 paras
+    assert out["1"].n_paras == 3 and out["1"].n_kept == 3
+    # doc 2 loses the boilerplate, keeps delta
+    assert out["2"].n_paras == 2 and out["2"].n_kept == 1
+    # doc 3's only para normalizes to the same hash → fully deduped
+    # ("Shared  Boilerplate" differs by inner whitespace, so it survives —
+    # normalization is lower+trim only, like CCNet's)
+    assert out["3"].n_paras == 1
+    import hashlib
+
+    assert out["2"].cleaned_sha == hashlib.sha256(b"delta").hexdigest()
+    assert out["4"].n_paras == 0
+    assert out["4"].cleaned_sha == hashlib.sha256(b"").hexdigest()
+    # rerun determinism (keeper rule is (doc, idx) ordered, not partition order)
+    again = {r.doc: r for r in paragraph_dedup(docs.repartition(5)).collect()}
+    assert {d: (r.n_kept, r.cleaned_sha) for d, r in out.items()} == {
+        d: (r.n_kept, r.cleaned_sha) for d, r in again.items()
+    }
+
+
+def test_duplicate_spans(spark):
+    import re
+
+    from llm_graph_builder_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 y1 z1"),
+            (2, shared + " x2 y2 z2"),
+            (3, "a b c d e f g h i"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in duplicate_spans(docs, k=8).collect()}
+    # docs 1/2: 4 windows each (11 tokens), exactly the shared 8-gram dups
+    assert out["1"].n_windows == 4 and out["1"].n_dup_windows == 1
+    assert out["2"].n_dup_windows == 1
+    assert out["1"].dup_frac_e6 == 250_000
+    # doc 3: 2 windows, no dups; doc 4: below k → zero windows
+    assert out["3"].n_windows == 2 and out["3"].n_dup_windows == 0
+    assert out["4"].n_windows == 0 and out["4"].dup_frac_e6 == 0
+    # plan: exactly ONE gram-grain exchange — the explicit repartition(gh)
+    # serves both the (gh, doc) aggregation and the global-total window
+    plan = duplicate_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    gh_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\((\w+)#", plan) if m == "gh"
+    ]
+    assert len(gh_exchanges) == 1, plan
+
+
+def test_bloom_dedup(spark):
+    from llm_graph_builder_spark.operators.dedup import bloom_build, bloom_dedup
+
+    seen = spark.createDataFrame(
+        [(i, f"seen document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bits = bloom_build(seen, m_bits=1 << 20, k_hashes=3)
+    new = spark.createDataFrame(
+        [(100, "seen document number 7"), (101, "genuinely new content here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in bloom_dedup(new, bits, m_bits=1 << 20, k_hashes=3).collect()}
+    # re-ingested text: all 3 positions set → flagged
+    assert out["100"].n_hits == 3 and out["100"].bloom_dup == 1
+    # new text: at m=1M / 150 set bits, FP odds ~(150/1M)^3 — must be clean
+    assert out["101"].bloom_dup == 0
+    # the filter is a position table: monotone under union (incremental ingest)
+    bits2 = bloom_build(seen.union(new), m_bits=1 << 20, k_hashes=3)
+    out2 = {r.doc: r for r in bloom_dedup(new, bits2, m_bits=1 << 20, k_hashes=3).collect()}
+    assert out2["101"].bloom_dup == 1
