@@ -270,6 +270,19 @@ def main():
         "sequence_packing",
     )
 
+    best_of(
+        lambda: dedup.duplicate_spans(raw_docs).write.mode("overwrite").parquet(
+            f"{out_dir}/spans"
+        ),
+        "duplicate_spans",
+    )
+    best_of(
+        lambda: dedup.paragraph_dedup(dedup.synth_paragraphs(raw_docs))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/paradedup"),
+        "paragraph_dedup",
+    )
+
     from llm_graph_builder_spark.functions.pii import pii_scrub, synth_pii
     from llm_graph_builder_spark.functions.textstats import repetition_signals
 

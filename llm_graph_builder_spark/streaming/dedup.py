@@ -1,0 +1,89 @@
+"""Incremental corpus deduplication via Structured Streaming.
+
+The batch operators (:mod:`..operators.dedup`) dedup a corpus in place; a
+production crawl ingests continuously, and re-shuffling 100 TB of history on
+every increment is the classic scale failure. This stream composes the
+Bloom-filter membership operators into the foreachBatch pattern used by
+:mod:`.ingest`: each micro-batch is tested against the filter built from
+everything seen so far, then contributes its own bit positions — the
+historical corpus itself is never re-read.
+
+State is the Bloom position table (<= ``m_bits`` rows regardless of corpus
+size), persisted as an append-only parquet log under
+``{output_dir}/bloom_bits``; positions are distinct-ed on read, so appends
+are idempotent under at-least-once foreachBatch retries (set-bit union is
+monotone — re-adding a position is a no-op). Flags for each batch land in
+``{output_dir}/dup_flags`` with the batch id for lineage.
+
+Extension beyond the reference (which has no streaming semantics — SURVEY
+§2.13); the dedup semantics mirror ``operators/dedup.py::bloom_dedup``
+exactly, so the batch oracle (`bloom_dedup` driver query) value-checks the
+same arithmetic this stream applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import bloom_build, bloom_dedup
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    max_files_per_trigger: int = 1,
+):
+    """documents parquet drops → per-batch dup flags + monotone Bloom state.
+
+    Each micro-batch: (1) read the accumulated position log (empty on the
+    first batch), (2) flag the batch's docs whose ``k_hashes`` probe
+    positions are all set (``bloom_dup`` — one-sided error, new docs are
+    never flagged), (3) append the batch's own positions. Batches within a
+    query run sequentially, so a doc re-submitted in a LATER drop is always
+    flagged; duplicates within one micro-batch are the batch operators' job
+    (run :func:`~..operators.dedup.exact_dedup_groups` inside the batch if
+    intra-drop dups matter).
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    bits_dir = f"{output_dir}/bloom_bits"
+    flags_dir = f"{output_dir}/dup_flags"
+
+    def process(batch_df: DataFrame, batch_id: int):
+        try:
+            seen_bits = spark.read.parquet(bits_dir).distinct()
+        except Exception:  # first batch: no state yet
+            seen_bits = spark.createDataFrame([], "pos long")
+        flags = bloom_dedup(batch_df, seen_bits, m_bits=m_bits, k_hashes=k_hashes)
+        flags.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            flags_dir
+        )
+        bloom_build(batch_df, m_bits=m_bits, k_hashes=k_hashes).write.mode(
+            "append"
+        ).parquet(bits_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -214,6 +214,31 @@ def main() -> None:
         pack_sequences(read_documents(spark, SF)),
     )
 
+    from llm_graph_builder_spark.operators.dedup import (
+        bloom_build,
+        bloom_dedup,
+        duplicate_spans,
+    )
+
+    snap(
+        "Duplicated-span stats (one gram-grain exchange)",
+        "The explicit `repartition(gh)` is the ONLY gram-grain Exchange: "
+        "hashpartitioning(gh) satisfies both the (gh, doc) HashAggregate's "
+        "clustering and the global-total Window's, so neither adds a "
+        "shuffle; windows travel as 48-bit md5 prefixes, never strings.",
+        duplicate_spans(read_documents(spark, SF, repartition=False)),
+    )
+
+    _seen = read_documents(spark, SF, repartition=False)
+    snap(
+        "Bloom incremental dedup (broadcast filter, no historical re-shuffle)",
+        "The filter is a <= m-row position table: the only exchange over "
+        "history builds it (distinct on pos); membership for the new batch "
+        "is a BroadcastHashJoin on pos plus one doc-grain aggregation — the "
+        "seen corpus is never re-shuffled on later increments.",
+        bloom_dedup(_seen.limit(100), bloom_build(_seen)),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",

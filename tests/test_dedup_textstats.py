@@ -1023,3 +1023,43 @@ def test_bloom_dedup(spark):
     bits2 = bloom_build(seen.union(new), m_bits=1 << 20, k_hashes=3)
     out2 = {r.doc: r for r in bloom_dedup(new, bits2, m_bits=1 << 20, k_hashes=3).collect()}
     assert out2["101"].bloom_dup == 1
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Two document drops processed as sequential micro-batches: a doc
+    re-submitted in the second drop is flagged against the Bloom state the
+    first drop contributed; genuinely new content is not."""
+    from llm_graph_builder_spark.streaming.dedup import start_incremental_dedup
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(1, "first drop document one", "en", "s", 23),
+         (2, "first drop document two", "en", "s", 23)],
+        schema,
+    ).coalesce(1).write.parquet(inp)
+    q = start_incremental_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    # second drop: doc 1's text re-submitted + new content
+    spark.createDataFrame(
+        [(3, "first drop document one", "en", "s", 23),
+         (4, "brand new second drop text", "en", "s", 26)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = start_incremental_dedup(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    flags = {r.doc: r for r in spark.read.parquet(f"{out}/dup_flags").collect()}
+    assert len(flags) == 4
+    # first drop saw an empty filter: nothing flagged
+    assert flags["1"].bloom_dup == 0 and flags["2"].bloom_dup == 0
+    # re-submitted text flagged, new text clean
+    assert flags["3"].bloom_dup == 1 and flags["3"].n_hits == 3
+    assert flags["4"].bloom_dup == 0
+    # state is the distinct position log: 3 texts * 3 hashes (no collisions
+    # at m=1M) regardless of how many batches appended
+    bits = spark.read.parquet(f"{out}/bloom_bits").distinct().count()
+    assert bits == 9
+    # exactly-once: re-running with no new files appends nothing
+    q3 = start_incremental_dedup(spark, inp, out, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/dup_flags").count() == 4
