@@ -174,6 +174,31 @@ def main():
         "communities",
     )
 
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        node_similarity,
+        pagerank,
+        triangle_counts,
+    )
+
+    best_of(
+        lambda: pagerank(eedges, ents)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/pagerank"),
+        "pagerank",
+    )
+    best_of(
+        lambda: triangle_counts(eedges)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/triangles"),
+        "triangle_counts",
+    )
+    best_of(
+        lambda: node_similarity(mentions)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/nodesim"),
+        "node_similarity",
+    )
+
     best_of(
         lambda: doc_counts(
             docs, chunks, spark.read.parquet(f"{out_dir}/chunk_edges"), mentions, triples

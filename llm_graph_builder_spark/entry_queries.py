@@ -1255,6 +1255,81 @@ def q_ann_lsh(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_pagerank(spark, sf_dir):
+    """GDS-analog weighted PageRank over the symmetric entity graph (fixed
+    6 rounds, no early stop) — the oracle unrolls the identical rounds as
+    chained SQL CTEs, so the iterative operator is value-checked, not
+    rows-only."""
+    from .operators.graph_analytics import pagerank
+
+    t = pipeline_tables(spark, sf_dir)
+    out = pagerank(t["entity_edges"], t["entities"], iterations=6)
+    return out.select(
+        "id", "label",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
+    )
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (degree-ordered orientation on the Spark
+    side; the oracle enumerates canonical x<y<z triangles — same set)."""
+    from .operators.graph_analytics import triangle_counts
+
+    t = pipeline_tables(spark, sf_dir)
+    out = triangle_counts(t["entity_edges"])
+    return out.withColumn("triangles", F.col("triangles").cast("long"))
+
+
+def q_node_similarity(spark, sf_dir):
+    """Jaccard node similarity over the entity–chunk bipartite graph
+    (gds.nodeSimilarity analog); pair fan-out bounded per chunk."""
+    from .operators.graph_analytics import node_similarity
+
+    t = pipeline_tables(spark, sf_dir)
+    out = node_similarity(t["mentions"])
+    return out.select(
+        "id_a", "label_a", "id_b", "label_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_n").cast("long").alias("union_n"),
+        F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"),
+    )
+
+
+def q_degree_distribution(spark, sf_dir):
+    """Degree histogram of the undirected simple entity graph
+    (gds.graph.list degreeDistribution analog)."""
+    from .operators.graph_analytics import degree_distribution
+
+    t = pipeline_tables(spark, sf_dir)
+    return degree_distribution(t["entity_edges"]).select(
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    )
+
+
+def q_wcc(spark, sf_dir):
+    """GDS-analog weakly-connected components over the entity graph
+    (iterative CC; oracle = recursive-CTE reachability min-label mirror,
+    same as linked_entities)."""
+    from .operators.graph_analytics import wcc
+
+    t = pipeline_tables(spark, sf_dir)
+    return wcc(t["entity_edges"], t["entities"])
+
+
+def q_bfs_distances(spark, sf_dir):
+    """GDS-analog multi-source BFS hop distances from the 3 smallest entity
+    keys, bounded to 4 hops (oracle unrolls the identical frontier rounds)."""
+    from .operators.graph_analytics import _node_key, bfs_distances
+
+    t = pipeline_tables(spark, sf_dir)
+    srcs = (
+        t["entities"].select(_node_key("id", "label").alias("u"))
+        .dropDuplicates(["u"]).orderBy("u").limit(3)
+    )
+    return bfs_distances(t["entity_edges"], srcs, max_hops=4)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1300,6 +1375,11 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "code_graph_communities": q_code_graph_communities,
+    "pagerank": q_pagerank,
+    "triangle_counts": q_triangle_counts,
+    "node_similarity": q_node_similarity,
+    "wcc": q_wcc,
+    "bfs_distances": q_bfs_distances,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,
@@ -1324,6 +1404,7 @@ QUERIES = {
     "chunk_entities": q_chunk_entities,
     "graph_view": q_graph_view,
     "graph_view_full": q_graph_view_full,
+    "degree_distribution": q_degree_distribution,
     "extraction_token_usage": q_extraction_token_usage,
     "entity_paths": q_entity_paths,
     "corpus_curation": q_corpus_curation,

@@ -1,0 +1,486 @@
+"""Graph analytics over the materialized entity graph (GDS-analog family).
+
+The reference delegates graph algorithms to the Neo4j Graph Data Science
+library over its projected entity graph (communities via
+``graph_create_query`` + ``gds.leiden``, backend/src/communities.py:20-88).
+This module restates the rest of the standard GDS analytics toolbox —
+PageRank centrality, triangle counting, bipartite node similarity, degree
+distribution, weakly-connected components, bounded multi-source BFS — as
+pure DataFrame programs over the same aggregated
+entity-edge table, so a reference user who ran GDS algorithms next to
+community detection can run them here at corpus scale.
+
+Node key convention matches ``communities.community_projection``:
+``id ‖ chr(1) ‖ label`` (the oracle splits it back).
+
+Scale design
+------------
+* The undirected simple projection is ONE symmetric union + groupBy —
+  identical shuffle shape to the community projection (reuses its key).
+* PageRank iterates join(ranks, edges on u) → groupBy(v): both sides are
+  hash-partitioned on the SAME key family, so with the edge table cached and
+  pre-partitioned by ``u`` each round reuses one exchange; the dangling-mass
+  scalar is a 1-row aggregate broadcast via crossJoin (never a driver
+  collect inside the lineage). Plans/stats are truncated per round with
+  ``iterutils.materialize`` (same rationale as LPA/CC).
+* Triangle counting uses degree-ordered orientation (each undirected edge
+  kept only low-(deg,id) → high-(deg,id)): every triangle is counted exactly
+  once, and the wedge join fan-out is bounded by the graph's degeneracy
+  rather than the max degree — the standard trick that survives skewed hub
+  nodes at web scale.
+* Node similarity works the entity–chunk bipartite grain: pairs are
+  generated per chunk (entities-per-chunk is bounded by the chunk token
+  budget, so the per-group pair blowup is capped by construction), then one
+  groupBy(pair) shuffle; Jaccard denominators join from a per-entity degree
+  table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.iterutils import materialize
+
+
+def _node_key(id_col: str, label_col: str):
+    return F.concat_ws("\x01", id_col, label_col)
+
+
+def simple_undirected(entity_edges: DataFrame) -> DataFrame:
+    """Distinct undirected simple edges (u < v) from the aggregated
+    entity-edge table — predicates and parallel-edge weights collapsed,
+    self-loops dropped. One shuffle (the dropDuplicates)."""
+    u = _node_key("subj_id", "subj_label")
+    v = _node_key("obj_id", "obj_label")
+    pairs = entity_edges.select(
+        F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    return pairs.dropDuplicates(["u", "v"])
+
+
+def degree_table(und: DataFrame) -> DataFrame:
+    """(node, degree) over the undirected simple graph — one groupBy on the
+    exploded endpoint column (map-side combined)."""
+    ends = und.select(F.col("u").alias("node")).unionByName(
+        und.select(F.col("v").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def degree_distribution(entity_edges: DataFrame) -> DataFrame:
+    """Degree histogram of the entity graph: (degree, n_nodes).
+
+    GDS exposes this as ``gds.graph.list`` degreeDistribution; it is the
+    first sanity read after any projection. Two shuffles total (degree
+    groupBy, histogram groupBy), both map-side combined."""
+    return (
+        degree_table(simple_undirected(entity_edges))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def _pagerank_py(
+    nodes: list[str],
+    edges: list[tuple[str, str, int]],
+    iterations: int,
+    damping: float,
+) -> dict[str, float]:
+    """Driver replica of the distributed PageRank loop over a collected
+    symmetric weighted edge list — same share normalization, dangling rule,
+    and per-round expression shape; summation order differs only within the
+    e6 fixed-point tolerance the oracle already accepts."""
+    wdeg: dict[str, int] = {}
+    for a, _, w in edges:
+        wdeg[a] = wdeg.get(a, 0) + w
+    shares: dict[str, list[tuple[str, float]]] = {}
+    for a, b, w in edges:
+        shares.setdefault(a, []).append((b, w / wdeg[a]))
+    n = len(nodes)
+    base = (1.0 - damping) / n
+    ranks = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        dmass = sum(r for u, r in ranks.items() if u not in shares)
+        inflow: dict[str, float] = {}
+        for a, outs in shares.items():
+            ra = ranks[a]
+            for b, share in outs:
+                inflow[b] = inflow.get(b, 0.0) + ra * share
+        ranks = {
+            u: base + damping * (inflow.get(u, 0.0) + dmass / float(n))
+            for u in nodes
+        }
+    return ranks
+
+
+def pagerank(
+    entity_edges: DataFrame,
+    entities: DataFrame,
+    iterations: int = 6,
+    damping: float = 0.85,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Weighted PageRank on the symmetric entity graph (GDS
+    ``gds.pageRank`` analog; fixed ``iterations`` rounds, no early stop —
+    the oracle unrolls the identical rounds in SQL).
+
+    All entities participate: isolated nodes (no edges) are dangling — their
+    damped mass is redistributed uniformly each round, mirroring GDS. With a
+    symmetric projection every connected node has out-edges, so dangling
+    mass comes only from isolated entities.
+
+    Size gate (same convention as the LPA/CC fixpoints): when the symmetric
+    weighted graph fits the driver (≤ ``driver_max_edges`` edges and nodes),
+    the whole loop runs as ``_pagerank_py`` — equal up to double summation
+    order (parity-tested at e6 in tests). Above the gate the distributed
+    loop runs unchanged; a web-scale entity graph never touches the driver.
+
+    Returns (id, label, rank) with rank as DOUBLE; callers fix-point it for
+    hashing. Each distributed round is: ranks ⋈ shares (hash-partitioned on
+    u) → groupBy(v) partial-sum → 1-row dangling aggregate broadcast in.
+    Edge shares are computed ONCE and cached; plan growth is truncated per
+    round.
+    """
+    nodes = entities.select(
+        _node_key("id", "label").alias("u")
+    ).dropDuplicates(["u"])
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return entities.select(
+            "id", "label", F.lit(0.0).alias("rank")
+        ).limit(0)
+
+    # symmetric weighted edges + per-source normalized share, built once
+    u = _node_key("subj_id", "subj_label")
+    v = _node_key("obj_id", "obj_label")
+    directed = entity_edges.select(u.alias("u"), v.alias("v"), "weight")
+    sym = (
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "weight")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").alias("w"))
+    )
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_nodes <= driver_max_edges:
+        sym, n_edges = materialize(sym)
+        if n_edges <= driver_max_edges:
+            ranks = _pagerank_py(
+                [r.u for r in nodes.collect()],
+                [(r.u, r.v, r.w) for r in sym.collect()],
+                iterations,
+                damping,
+            )
+            out = entities.sparkSession.createDataFrame(
+                sorted(ranks.items()), "u string, rank double"
+            )
+            return out.select(
+                split.getItem(0).alias("id"),
+                split.getItem(1).alias("label"),
+                "rank",
+            )
+    wdeg = sym.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    shares = (
+        sym.join(wdeg, on="u")
+        .select("u", "v", (F.col("w") / F.col("wdeg")).alias("share"))
+        .repartition("u")  # partitioning reused by every round's join
+        .cache()
+    )
+    shares.count()
+
+    connected = shares.select("u").distinct()
+    init = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(init))
+    ranks, _ = materialize(ranks)
+
+    for it in range(iterations):
+        # mass of dangling (isolated) nodes this round — 1-row aggregate,
+        # broadcast into every partition via crossJoin (stays in the plan)
+        dangling = (
+            ranks.join(connected, on="u", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        contrib = (
+            ranks.join(shares, on="u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contrib, on="u", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.col("dmass") / F.lit(float(n_nodes)))
+                ).alias("rank"),
+            )
+        )
+        if it < iterations - 1:
+            ranks, _ = materialize(new_ranks, previous=ranks)
+        else:
+            # leave the final round lazy: nothing iterates on it, the plan
+            # stays one round deep, and the caller's action computes it —
+            # one cache+count+checkpoint saved per call
+            ranks = new_ranks
+
+    split = F.split(F.col("u"), "\x01")
+    return ranks.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "rank",
+    )
+
+
+def triangle_counts(entity_edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts (GDS ``gds.triangleCount`` analog).
+
+    Degree-ordered orientation: keep each undirected edge only as
+    (lower (deg, node)) → (higher (deg, node)). Wedges are pairs of oriented
+    out-edges from one source; a wedge closes into a triangle iff its two
+    endpoints are themselves an oriented edge. Each triangle appears exactly
+    once (at its lowest-ordered apex), then explodes back to its 3 corners
+    for per-node counts. Nodes in no triangle are omitted (join back against
+    the node inventory if zeros are needed).
+    """
+    # und feeds the degree table AND both sides of the ranked join; oriented
+    # feeds two wedge legs and the closing-edge probe — materialize each once
+    # (computed a single time, tiny frames coalesced, plan truncated) instead
+    # of re-deriving the projection per join branch
+    und, _ = materialize(simple_undirected(entity_edges))
+    deg = degree_table(und)
+
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ranked = und.join(du, on="u").join(dv, on="v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented, _ = materialize(
+        ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+
+    e1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("y"))
+    wedges = e1.join(e2, on="apex").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).dropDuplicates(["x", "y"])
+    tris = wedges.join(closing, on=["x", "y"])
+
+    corners = (
+        tris.select(F.col("apex").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    split = F.split(F.col("node"), "\x01")
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+        .select(
+            split.getItem(0).alias("id"),
+            split.getItem(1).alias("label"),
+            "triangles",
+        )
+    )
+
+
+def node_similarity(
+    mentions: DataFrame, min_jaccard: float = 0.0, top_k: int | None = None
+) -> DataFrame:
+    """Jaccard node similarity over the entity–chunk bipartite graph (GDS
+    ``gds.nodeSimilarity`` analog; the reference's duplicate-entity surface
+    is the thresholded version of exactly this signal).
+
+    Pairs are generated per chunk — the per-group fan-out is bounded by
+    entities-per-chunk (capped by the chunk token budget), not by entity
+    frequency, so hub entities do not quadratically explode. One
+    groupBy(pair) shuffle for intersections; denominators come from a
+    per-entity chunk-degree table joined twice.
+
+    Returns (id_a, label_a, id_b, label_b, inter, union_n, jaccard) with the
+    pair ordered a < b; ``top_k`` keeps the strongest k per left node
+    (row_number window — per-node heap, no global sort).
+    """
+    # me feeds the degree table and both legs of the per-chunk pair join —
+    # materialize once (see triangle_counts rationale)
+    me, _ = materialize(
+        mentions.select(
+            "chunk_id", _node_key("entity_id", "entity_label").alias("e")
+        ).dropDuplicates(["chunk_id", "e"])
+    )
+    edeg = me.groupBy("e").agg(F.count("*").alias("n_chunks"))
+
+    left = me.select("chunk_id", F.col("e").alias("ea"))
+    right = me.select("chunk_id", F.col("e").alias("eb"))
+    inter = (
+        left.join(right, on="chunk_id")
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.count("*").alias("inter"))
+    )
+    sim = (
+        inter.join(edeg.select(F.col("e").alias("ea"), F.col("n_chunks").alias("na")), on="ea")
+        .join(edeg.select(F.col("e").alias("eb"), F.col("n_chunks").alias("nb")), on="eb")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_n"))
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    if top_k is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("ea").orderBy(
+            F.desc("jaccard"), F.asc("eb")
+        )
+        sim = sim.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= top_k
+        ).drop("rn")
+    sa = F.split(F.col("ea"), "\x01")
+    sb = F.split(F.col("eb"), "\x01")
+    return sim.select(
+        sa.getItem(0).alias("id_a"),
+        sa.getItem(1).alias("label_a"),
+        sb.getItem(0).alias("id_b"),
+        sb.getItem(1).alias("label_b"),
+        "inter",
+        "union_n",
+        "jaccard",
+    )
+
+
+def wcc(entity_edges: DataFrame, entities: DataFrame | None = None) -> DataFrame:
+    """Weakly-connected components over the undirected simple entity graph
+    (GDS ``gds.wcc`` analog; the reference runs WCC-shaped dedup via its
+    duplicate-merge flow — this is the standalone analytics surface).
+
+    Reuses the linking module's min-label CC (pointer-jumping fixpoint with
+    the 500k size-gated driver union-find) by mapping node keys into its
+    (label, id_a, id_b) contract with a single '' label. Component id = the
+    lexicographically smallest member key — content-derived, deterministic.
+
+    ``entities`` (optional) adds isolated nodes as singleton components,
+    mirroring GDS projecting every node. Output: (id, label, comp_id,
+    comp_label).
+    """
+    from .linking import connected_components
+
+    und = simple_undirected(entity_edges)
+    pairs = und.select(
+        F.lit("").alias("label"),
+        F.col("u").alias("id_a"),
+        F.col("v").alias("id_b"),
+    )
+    comp = connected_components(pairs, entity_edges.sparkSession).select(
+        F.col("id").alias("u"), "component"
+    )
+    if entities is not None:
+        everyone = entities.select(
+            _node_key("id", "label").alias("u")
+        ).dropDuplicates(["u"])
+        comp = comp.unionByName(
+            everyone.join(comp.select("u"), on="u", how="left_anti")
+            .select("u", F.col("u").alias("component"))
+        )
+    sn = F.split(F.col("u"), "\x01")
+    sc = F.split(F.col("component"), "\x01")
+    return comp.select(
+        sn.getItem(0).alias("id"),
+        sn.getItem(1).alias("label"),
+        sc.getItem(0).alias("comp_id"),
+        sc.getItem(1).alias("comp_label"),
+    )
+
+
+def _bfs_py(
+    sources: list[str], edges: list[tuple[str, str]], max_hops: int
+) -> dict[str, int]:
+    """Driver replica of the frontier BFS (same rounds, same dedup rule)."""
+    adj: dict[str, list[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    dist = {u: 0 for u in sources}
+    frontier = list(dist)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def bfs_distances(
+    entity_edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Multi-source unweighted BFS hop distances (GDS ``gds.bfs`` /
+    shortest-path analog), bounded to ``max_hops`` relaxation rounds so the
+    oracle can unroll the identical rounds in SQL.
+
+    ``sources`` is a 1-column DataFrame of node keys (``u``) — callers build
+    keys with id‖chr(1)‖label. Frontier-based: round h expands ONLY nodes
+    first reached at h-1 (anti-join against the settled set), so each edge
+    is traversed at most twice overall — the textbook distributed BFS that
+    survives web scale, not a full re-relaxation per round. Nodes not
+    reached within ``max_hops`` are omitted.
+
+    Size gate: same convention as pagerank/CC/LPA — a small symmetric edge
+    list runs the parity-equal driver replica (integer hops: byte-identical).
+
+    Output: (id, label, hops).
+    """
+    und, n_edges = materialize(simple_undirected(entity_edges))
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_edges <= driver_max_edges:
+        dist = _bfs_py(
+            [r.u for r in sources.select("u").collect()],
+            [(r.u, r.v) for r in und.collect()],
+            max_hops,
+        )
+        out = entity_edges.sparkSession.createDataFrame(
+            sorted(dist.items()), "u string, hops long"
+        )
+        return out.select(
+            split.getItem(0).alias("id"),
+            split.getItem(1).alias("label"),
+            "hops",
+        )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sym, _ = materialize(sym)
+    dist = sources.select("u", F.lit(0).cast("long").alias("hops"))
+    dist, _ = materialize(dist)
+    frontier = dist.select("u")
+    for h in range(1, max_hops + 1):
+        candidates = frontier.join(sym, on="u").select(
+            F.col("v").alias("u")
+        ).dropDuplicates(["u"])
+        new = candidates.join(dist.select("u"), on="u", how="left_anti").select(
+            "u", F.lit(h).cast("long").alias("hops")
+        )
+        new, n_new = materialize(new)
+        if n_new == 0:
+            break
+        dist, _ = materialize(dist.unionByName(new), previous=dist)
+        frontier = new.select("u")
+    return dist.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "hops",
+    )

@@ -2683,3 +2683,203 @@ SELECT 'asset-' || CAST(i AS VARCHAR) AS asset_id,
        CAST(16 AS BIGINT) AS n_bytes
 FROM vids
 """
+
+# ---------------------------------------------------------------------------
+# graph analytics (GDS-analog family, operators/graph_analytics.py)
+# ---------------------------------------------------------------------------
+
+# undirected simple projection of the aggregated entity graph; node keys use
+# the same id‖chr(1)‖label convention as the Spark operators (binary string
+# compare on both engines)
+_UND_CTE = """
+, gkeys AS (
+  SELECT subj_id || chr(1) || subj_label AS ka,
+         obj_id || chr(1) || obj_label AS kb
+  FROM entity_edges
+),
+und AS (
+  SELECT DISTINCT least(ka, kb) AS u, greatest(ka, kb) AS v
+  FROM gkeys WHERE ka <> kb
+)"""
+
+ORACLE_SQL["degree_distribution"] = PIPELINE_CTE + _UND_CTE + """,
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+# each triangle appears exactly once as canonical x < y < z with edges
+# (x,y), (y,z), (x,z) — orientation-free ground truth for the Spark side's
+# degree-ordered wedge algorithm
+ORACLE_SQL["triangle_counts"] = PIPELINE_CTE + _UND_CTE + """,
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+)
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY 1, 2
+"""
+
+ORACLE_SQL["node_similarity"] = PIPELINE_CTE + """
+, me AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
+edeg AS (
+  SELECT entity_id, entity_label, count(*) AS n_chunks
+  FROM me GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.entity_id AS id_a, a.entity_label AS label_a,
+         b.entity_id AS id_b, b.entity_label AS label_b,
+         count(*) AS inter
+  FROM me a JOIN me b
+    ON a.chunk_id = b.chunk_id
+   AND (a.entity_id || chr(1) || a.entity_label)
+     < (b.entity_id || chr(1) || b.entity_label)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p.id_a, p.label_a, p.id_b, p.label_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(da.n_chunks + db.n_chunks - p.inter AS BIGINT) AS union_n,
+       CAST(round((p.inter / (da.n_chunks + db.n_chunks - p.inter)) * 10000)
+            AS BIGINT) AS jaccard_e4
+FROM pairs p
+JOIN edeg da ON da.entity_id = p.id_a AND da.entity_label = p.label_a
+JOIN edeg db ON db.entity_id = p.id_b AND db.entity_label = p.label_b
+"""
+
+
+def _pagerank_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled PageRank mirror: one (dangling-mass, inflow, rank) CTE triple
+    per round, expressions shaped exactly like the Spark operator's
+    (same literal ops → bit-identical doubles up to summation order).
+
+    Every CTE is MATERIALIZED: each round references the previous rank CTE
+    twice (dangling + inflow), so DuckDB's default inlining would double the
+    plan per round — 2^iterations re-evaluations of the whole pipeline CTE
+    (measured: 218 s → 0.2 s at sf0.01 with the hint)."""
+    parts = ["""
+, nodes AS MATERIALIZED (SELECT DISTINCT id, label FROM entities),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+sd AS (
+  SELECT subj_id AS uid, subj_label AS ulab,
+         obj_id AS vid, obj_label AS vlab, weight
+  FROM entity_edges
+  UNION ALL
+  SELECT obj_id, obj_label, subj_id, subj_label, weight FROM entity_edges
+),
+sym0 AS MATERIALIZED (
+  SELECT uid, ulab, vid, vlab, CAST(sum(weight) AS BIGINT) AS w
+  FROM sd WHERE NOT (uid = vid AND ulab = vlab)
+  GROUP BY 1, 2, 3, 4
+),
+wdeg AS (SELECT uid, ulab, CAST(sum(w) AS BIGINT) AS wd FROM sym0 GROUP BY 1, 2),
+shares AS MATERIALIZED (
+  SELECT s.uid, s.ulab, s.vid, s.vlab, s.w / d.wd AS share
+  FROM sym0 s JOIN wdeg d ON d.uid = s.uid AND d.ulab = s.ulab
+),
+r0 AS MATERIALIZED (SELECT id, label, 1.0 / nn.n AS pr FROM nodes, nn)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.pr), 0.0) AS dmass FROM r{i - 1} r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM shares s WHERE s.uid = r.id AND s.ulab = r.label)
+),
+c{i} AS MATERIALIZED (
+  SELECT s.vid AS id, s.vlab AS label, sum(r.pr * s.share) AS inflow
+  FROM r{i - 1} r JOIN shares s ON s.uid = r.id AND s.ulab = r.label
+  GROUP BY 1, 2
+),
+r{i} AS MATERIALIZED (
+  SELECT n.id, n.label,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (coalesce(c.inflow, 0.0) + d.dmass / nn.n) AS pr
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d
+  LEFT JOIN c{i} c ON c.id = n.id AND c.label = n.label
+)""")
+    parts.append(f"""
+SELECT id, label, CAST(round(pr * 1000000) AS BIGINT) AS rank_e6
+FROM r{iterations}
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql()
+
+# WCC over the entity graph: recursive-CTE reachability on symmetric node
+# keys, min member key = component (same protocol as linked_entities);
+# isolated entities are singleton components
+ORACLE_SQL["wcc"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _UND_CTE + """,
+gsym AS (
+  SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und
+),
+reach(node, lab) AS (
+  SELECT u, u FROM gsym
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN gsym e ON e.u = r.node
+),
+gcomp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+allcomp AS (
+  SELECT node, component FROM gcomp
+  UNION ALL
+  SELECT k, k FROM (
+    SELECT DISTINCT id || chr(1) || label AS k FROM entities
+  ) WHERE k NOT IN (SELECT node FROM gcomp)
+)
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       split_part(component, chr(1), 1) AS comp_id,
+       split_part(component, chr(1), 2) AS comp_label
+FROM allcomp
+"""
+
+
+def _bfs_sql(max_hops: int = 4) -> str:
+    """Unrolled frontier BFS mirror: round h adds nodes first reached at h
+    (anti-join against the settled set) — identical rounds to the Spark
+    operator; all CTEs MATERIALIZED (each is referenced twice downstream)."""
+    parts = [_UND_CTE + """,
+gsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+srcs AS MATERIALIZED (
+  SELECT DISTINCT id || chr(1) || label AS u FROM entities
+  ORDER BY u LIMIT 3
+),
+b0 AS MATERIALIZED (SELECT u, CAST(0 AS BIGINT) AS hops FROM srcs)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+f{h} AS MATERIALIZED (
+  SELECT DISTINCT s.v AS u FROM b{h - 1} d JOIN gsym s ON s.u = d.u
+  WHERE d.hops = {h - 1}
+),
+b{h} AS MATERIALIZED (
+  SELECT u, hops FROM b{h - 1}
+  UNION ALL
+  SELECT f.u, CAST({h} AS BIGINT) AS hops FROM f{h} f
+  WHERE f.u NOT IN (SELECT u FROM b{h - 1})
+)""")
+    parts.append(f"""
+SELECT split_part(u, chr(1), 1) AS id,
+       split_part(u, chr(1), 2) AS label,
+       hops
+FROM b{max_hops}
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["bfs_distances"] = _bfs_sql()

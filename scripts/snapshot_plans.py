@@ -239,6 +239,47 @@ def main() -> None:
         bloom_dedup(_seen.limit(100), bloom_build(_seen)),
     )
 
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        node_similarity,
+        pagerank,
+        triangle_counts,
+    )
+
+    _ee = q["entity_edges"](spark, SF)
+    _en = spark.createDataFrame(
+        [(r.id, r.label, r.chunk_count, r.doc_count)
+         for r in q["entities"](spark, SF).collect()],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+    snap(
+        "PageRank round (ranks ⋈ shares partial-sum; broadcast dangling)",
+        "The final round's plan (earlier rounds are truncated LogicalRDD "
+        "leaves): ranks join the cached share table hash-partitioned on u, "
+        "aggregate partial-sums into groupBy(v), and the 1-row dangling "
+        "mass enters via BroadcastNestedLoopJoin — no driver collect inside "
+        "the lineage, no full-graph re-derivation per round. (Below the "
+        "500k size gate the whole loop runs as a parity-tested driver "
+        "replica instead.)",
+        pagerank(_ee, _en, driver_max_edges=0),
+    )
+    snap(
+        "Triangle counting (degree-ordered wedge join)",
+        "Both wedge legs and the closing-edge probe read the ONE "
+        "materialized oriented-edge table (LogicalRDD leaves — the "
+        "projection is not re-derived per branch); orientation by (degree, "
+        "id) bounds the per-apex fan-out by the graph degeneracy, so hub "
+        "nodes cannot explode the wedge join at web scale.",
+        triangle_counts(_ee),
+    )
+    snap(
+        "Node similarity (per-chunk bounded pair join)",
+        "Pairs are generated by self-joining the materialized entity-chunk "
+        "table ON chunk_id — fan-out bounded by entities-per-chunk (chunk "
+        "token budget), not entity frequency; one groupBy(pair) aggregation "
+        "and two broadcast degree joins follow.",
+        node_similarity(q["mentions"](spark, SF)),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",

@@ -1,0 +1,160 @@
+"""Graph-analytics operators (GDS-analog family): PageRank, triangles,
+node similarity, degree distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.graph_analytics import (
+    bfs_distances,
+    degree_distribution,
+    node_similarity,
+    pagerank,
+    simple_undirected,
+    triangle_counts,
+    wcc,
+)
+
+
+def _edges(spark, pairs):
+    """entity_edges-shaped frame from (subj, obj[, weight]) tuples."""
+    rows = [
+        (a, "E", "REL", b, "E", (p[2] if len(p) > 2 else 1))
+        for p in pairs
+        for a, b in [(p[0], p[1])]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+
+
+def _entities(spark, ids):
+    return spark.createDataFrame(
+        [(i, "E", 1, 1) for i in ids],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+
+
+def test_simple_undirected_collapses_parallel_and_self_edges(spark):
+    und = simple_undirected(
+        _edges(spark, [("a", "b"), ("b", "a"), ("a", "b"), ("c", "c")])
+    )
+    assert [(r.u.split("\x01")[0], r.v.split("\x01")[0]) for r in und.collect()] == [
+        ("a", "b")
+    ]
+
+
+def test_degree_distribution_star(spark):
+    # star: hub degree 3, three leaves degree 1
+    out = degree_distribution(
+        _edges(spark, [("hub", "x"), ("hub", "y"), ("hub", "z")])
+    )
+    got = {r.degree: r.n_nodes for r in out.collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_triangle_counts_k4_with_pendant(spark):
+    # K4 → every node in C(3,2)=3 triangles; pendant node in none
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    out = triangle_counts(_edges(spark, pairs + [("d", "pendant")]))
+    got = {r.id: r.triangles for r in out.collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    edges = _edges(spark, [("hub", "x"), ("hub", "y"), ("hub", "z"), ("x", "y")])
+    ents = _entities(spark, ["hub", "x", "y", "z", "iso"])
+    out = pagerank(edges, ents, iterations=6).collect()
+    ranks = {r.id: r.rank for r in out}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # stochastic invariant
+    assert max(ranks, key=ranks.get) == "hub"
+    # isolated node keeps (roughly) only teleport + dangling share
+    assert ranks["iso"] < ranks["z"]
+
+
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    edges = _edges(
+        spark,
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("c", "d", 1), ("d", "a", 1)],
+    )
+    ents = _entities(spark, ["a", "b", "c", "d", "e"])
+    via_driver = pagerank(edges, ents, iterations=4)
+    via_cluster = pagerank(edges, ents, iterations=4, driver_max_edges=0)
+    d = {r.id: round(r.rank * 1_000_000) for r in via_driver.collect()}
+    c = {r.id: round(r.rank * 1_000_000) for r in via_cluster.collect()}
+    assert d == c
+
+
+def test_node_similarity_exact_jaccard(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "d1", "apple", "E"),
+            ("c1", "d1", "banana", "E"),
+            ("c2", "d1", "apple", "E"),
+            ("c2", "d1", "banana", "E"),
+            ("c3", "d2", "apple", "E"),
+        ],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    out = node_similarity(mentions).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == ("apple", "banana")
+    assert (r.inter, r.union_n) == (2, 3)
+    assert abs(r.jaccard - 2 / 3) < 1e-12
+
+
+def test_node_similarity_top_k(spark):
+    mentions = spark.createDataFrame(
+        [("c%d" % i, "d", "x", "E") for i in range(4)]
+        + [("c0", "d", "y", "E"), ("c1", "d", "y", "E")]
+        + [("c0", "d", "z", "E")],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    out = node_similarity(mentions, top_k=1)
+    per_left = out.groupBy("id_a").agg(F.count("*").alias("n")).collect()
+    assert all(r.n == 1 for r in per_left)
+
+
+def test_wcc_two_components_and_isolated_singleton(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    ents = _entities(spark, ["a", "b", "c", "x", "y", "lonely"])
+    out = wcc(edges, ents).collect()
+    comp = {r.id: r.comp_id for r in out}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["lonely"] == "lonely"
+    assert all(r.comp_label == "E" for r in out)
+
+
+def test_bfs_distances_hop_layers_and_cap(spark):
+    # path a-b-c-d-e-f: from {a}, hops cap 3 reaches through d only
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")])
+    srcs = spark.createDataFrame([("a\x01E",)], "u string")
+    out = bfs_distances(edges, srcs, max_hops=3).collect()
+    got = {r.id: r.hops for r in out}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_multi_source_min_distance(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    srcs = spark.createDataFrame([("a\x01E",), ("d\x01E",)], "u string")
+    out = bfs_distances(edges, srcs, max_hops=4).collect()
+    got = {r.id: r.hops for r in out}
+    assert got == {"a": 0, "d": 0, "b": 1, "c": 1}
+
+
+def test_bfs_driver_and_distributed_paths_agree(spark):
+    edges = _edges(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"), ("e", "f"), ("x", "y")]
+    )
+    srcs = spark.createDataFrame([("a\x01E",)], "u string")
+    d = {(r.id, r.hops) for r in bfs_distances(edges, srcs, max_hops=4).collect()}
+    c = {
+        (r.id, r.hops)
+        for r in bfs_distances(edges, srcs, max_hops=4, driver_max_edges=0).collect()
+    }
+    assert d == c
