@@ -1330,6 +1330,32 @@ def q_bfs_distances(spark, sf_dir):
     return bfs_distances(t["entity_edges"], srcs, max_hops=4)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the 3 smallest entity keys (GraphRAG-style
+    local relevance ranking; oracle unrolls the identical rounds)."""
+    from .operators.graph_analytics import _node_key, personalized_pagerank
+
+    t = pipeline_tables(spark, sf_dir)
+    srcs = (
+        t["entities"].select(_node_key("id", "label").alias("u"))
+        .dropDuplicates(["u"]).orderBy("u").limit(3)
+    )
+    out = personalized_pagerank(t["entity_edges"], t["entities"], srcs, iterations=6)
+    return out.select(
+        "id", "label",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """k-core membership (bounded-round peel; both engines run identical
+    rounds, so the value check holds whether or not the peel converged)."""
+    from .operators.graph_analytics import kcore
+
+    t = pipeline_tables(spark, sf_dir)
+    return kcore(t["entity_edges"], k=2, rounds=8)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1380,6 +1406,8 @@ QUERIES = {
     "node_similarity": q_node_similarity,
     "wcc": q_wcc,
     "bfs_distances": q_bfs_distances,
+    "personalized_pagerank": q_personalized_pagerank,
+    "kcore": q_kcore,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

@@ -5,7 +5,8 @@ library over its projected entity graph (communities via
 ``graph_create_query`` + ``gds.leiden``, backend/src/communities.py:20-88).
 This module restates the rest of the standard GDS analytics toolbox —
 PageRank centrality, triangle counting, bipartite node similarity, degree
-distribution, weakly-connected components, bounded multi-source BFS — as
+distribution, weakly-connected components, bounded multi-source BFS,
+personalized PageRank (source-set teleport), k-core membership — as
 pure DataFrame programs over the same aggregated
 entity-edge table, so a reference user who ran GDS algorithms next to
 community detection can run them here at corpus scale.
@@ -483,4 +484,226 @@ def bfs_distances(
         split.getItem(0).alias("id"),
         split.getItem(1).alias("label"),
         "hops",
+    )
+
+
+def _ppr_py(
+    nodes: list[str],
+    sources: list[str],
+    edges: list[tuple[str, str, int]],
+    iterations: int,
+    damping: float,
+) -> dict[str, float]:
+    """Driver replica of personalized PageRank: teleport and dangling mass
+    return to the source set (uniform 1/|S|) instead of all nodes."""
+    wdeg: dict[str, int] = {}
+    for a, _, w in edges:
+        wdeg[a] = wdeg.get(a, 0) + w
+    shares: dict[str, list[tuple[str, float]]] = {}
+    for a, b, w in edges:
+        shares.setdefault(a, []).append((b, w / wdeg[a]))
+    ns = len(sources)
+    p = {u: 1.0 / ns for u in sources}
+    ranks = {u: p.get(u, 0.0) for u in nodes}
+    for _ in range(iterations):
+        dmass = sum(r for u, r in ranks.items() if u not in shares)
+        inflow: dict[str, float] = {}
+        for a, outs in shares.items():
+            ra = ranks[a]
+            for b, share in outs:
+                inflow[b] = inflow.get(b, 0.0) + ra * share
+        ranks = {
+            u: (1.0 - damping) * p.get(u, 0.0)
+            + damping * (inflow.get(u, 0.0) + dmass * p.get(u, 0.0))
+            for u in nodes
+        }
+    return ranks
+
+
+def personalized_pagerank(
+    entity_edges: DataFrame,
+    entities: DataFrame,
+    sources: DataFrame,
+    iterations: int = 6,
+    damping: float = 0.85,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Personalized PageRank from a source node set (GDS ``gds.pageRank``
+    with sourceNodes; the GraphRAG-style local relevance ranking: given the
+    entities a question mentions, rank the rest of the graph by proximity).
+
+    Teleport vector p = uniform over ``sources`` (a 1-column ``u`` frame of
+    node keys); rank = (1-d)·p + d·(inflow + danglingMass·p). Fixed
+    ``iterations`` rounds; same size-gated driver replica / distributed-loop
+    split, share table, and materialize-per-round protocol as ``pagerank``.
+    Distributed rounds join p in as a broadcast column (sources are a
+    question's entity set — always tiny next to the graph).
+
+    Returns (id, label, rank); nodes unreachable from the sources hold 0.
+    """
+    nodes = entities.select(
+        _node_key("id", "label").alias("u")
+    ).dropDuplicates(["u"])
+    n_nodes = nodes.count()
+    src = sources.select("u").dropDuplicates(["u"])
+    n_src = src.count()
+    if n_nodes == 0 or n_src == 0:
+        return entities.select(
+            "id", "label", F.lit(0.0).alias("rank")
+        ).limit(0)
+
+    u = _node_key("subj_id", "subj_label")
+    v = _node_key("obj_id", "obj_label")
+    directed = entity_edges.select(u.alias("u"), v.alias("v"), "weight")
+    sym = (
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "weight")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").alias("w"))
+    )
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_nodes <= driver_max_edges:
+        sym, n_edges = materialize(sym)
+        if n_edges <= driver_max_edges:
+            ranks = _ppr_py(
+                [r.u for r in nodes.collect()],
+                [r.u for r in src.collect()],
+                [(r.u, r.v, r.w) for r in sym.collect()],
+                iterations,
+                damping,
+            )
+            out = entities.sparkSession.createDataFrame(
+                sorted(ranks.items()), "u string, rank double"
+            )
+            return out.select(
+                split.getItem(0).alias("id"),
+                split.getItem(1).alias("label"),
+                "rank",
+            )
+    wdeg = sym.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    shares = (
+        sym.join(wdeg, on="u")
+        .select("u", "v", (F.col("w") / F.col("wdeg")).alias("share"))
+        .repartition("u")
+        .cache()
+    )
+    shares.count()
+    connected = shares.select("u").distinct()
+
+    # p column: 1/|S| on sources else 0 — broadcast-joined once onto nodes
+    pnodes = nodes.join(
+        F.broadcast(src.withColumn("p", F.lit(1.0 / n_src))), on="u", how="left"
+    ).select("u", F.coalesce("p", F.lit(0.0)).alias("p"))
+    pnodes, _ = materialize(pnodes)
+
+    ranks = pnodes.select("u", F.col("p").alias("rank"))
+    ranks, _ = materialize(ranks)
+    for it in range(iterations):
+        dangling = (
+            ranks.join(connected, on="u", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        contrib = (
+            ranks.join(shares, on="u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        new_ranks = (
+            pnodes.join(contrib, on="u", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "u",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.col("dmass") * F.col("p"))
+                ).alias("rank"),
+            )
+        )
+        if it < iterations - 1:
+            ranks, _ = materialize(new_ranks, previous=ranks)
+        else:
+            ranks = new_ranks
+    return ranks.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "rank",
+    )
+
+
+def _kcore_py(
+    edges: list[tuple[str, str]], k: int, rounds: int
+) -> set[str]:
+    """Driver replica of the bounded-round peel (identical rounds)."""
+    cur = set(edges)
+    for _ in range(rounds):
+        deg: dict[str, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    out: set[str] = set()
+    for a, b in cur:
+        out.add(a)
+        out.add(b)
+    return out
+
+
+def kcore(
+    entity_edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """k-core membership via bounded-round peeling (GDS ``gds.kcore``
+    analog): each round drops nodes with degree < k from the undirected
+    simple graph and their incident edges. Exact k-core once the peel
+    converges within ``rounds``; because BOTH the Spark loop and the SQL
+    oracle run the identical fixed rounds (post-fixpoint rounds are
+    identity), the value check holds at any rounds setting — same argument
+    as the LPA mirror.
+
+    Scale shape per round: one degree aggregation + two semi-joins against
+    the (small, shrinking) keep set; early-stops distributed when an edge
+    count is stable. Size gate as elsewhere. Output: (id, label) of core
+    members.
+    """
+    und, n_edges = materialize(simple_undirected(entity_edges))
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_edges <= driver_max_edges:
+        members = _kcore_py(
+            [(r.u, r.v) for r in und.collect()], k, rounds
+        )
+        out = entity_edges.sparkSession.createDataFrame(
+            sorted((m,) for m in members), "u string"
+        )
+        return out.select(
+            split.getItem(0).alias("id"), split.getItem(1).alias("label")
+        )
+    cur, n_cur = und, n_edges
+    for _ in range(rounds):
+        deg = degree_table(cur)
+        keep = deg.filter(F.col("degree") >= k).select(F.col("node"))
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), on="u", how="left_semi")
+            .join(keep.withColumnRenamed("node", "v"), on="v", how="left_semi")
+            .select("u", "v")
+        )
+        nxt, n_nxt = materialize(nxt, previous=cur)
+        if n_nxt == n_cur:
+            cur, n_cur = nxt, n_nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    ends = cur.select(F.col("u")).unionByName(
+        cur.select(F.col("v").alias("u"))
+    ).dropDuplicates(["u"])
+    return ends.select(
+        split.getItem(0).alias("id"), split.getItem(1).alias("label")
     )

@@ -2883,3 +2883,94 @@ FROM b{max_hops}
 
 
 ORACLE_SQL["bfs_distances"] = _bfs_sql()
+
+
+def _ppr_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank mirror: teleport/dangling mass return
+    to the 3-smallest-key source set; expression shapes match the Spark
+    operator literally. All CTEs MATERIALIZED (see _pagerank_sql)."""
+    parts = ["""
+, nodes AS MATERIALIZED (SELECT DISTINCT id || chr(1) || label AS u FROM entities),
+srcs AS MATERIALIZED (SELECT u FROM nodes ORDER BY u LIMIT 3),
+ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+psd AS (
+  SELECT subj_id || chr(1) || subj_label AS u,
+         obj_id || chr(1) || obj_label AS v, weight
+  FROM entity_edges
+  UNION ALL
+  SELECT obj_id || chr(1) || obj_label,
+         subj_id || chr(1) || subj_label, weight
+  FROM entity_edges
+),
+psym AS MATERIALIZED (
+  SELECT u, v, CAST(sum(weight) AS BIGINT) AS w
+  FROM psd WHERE u <> v GROUP BY 1, 2
+),
+pwdeg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM psym GROUP BY 1),
+pshares AS MATERIALIZED (
+  SELECT s.u, s.v, s.w / d.wd AS share
+  FROM psym s JOIN pwdeg d ON d.u = s.u
+),
+pn AS MATERIALIZED (
+  SELECT n.u, coalesce(s.p, 0.0) AS p
+  FROM nodes n LEFT JOIN (
+    SELECT u, 1.0 / ns.n AS p FROM srcs, ns
+  ) s ON s.u = n.u
+),
+pr0 AS MATERIALIZED (SELECT u, p AS pr FROM pn)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+pd{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.pr), 0.0) AS dmass FROM pr{i - 1} r
+  WHERE NOT EXISTS (SELECT 1 FROM pshares s WHERE s.u = r.u)
+),
+pc{i} AS MATERIALIZED (
+  SELECT s.v AS u, sum(r.pr * s.share) AS inflow
+  FROM pr{i - 1} r JOIN pshares s ON s.u = r.u
+  GROUP BY 1
+),
+pr{i} AS MATERIALIZED (
+  SELECT n.u,
+         (1.0 - {damping}) * n.p
+           + {damping} * (coalesce(c.inflow, 0.0) + d.dmass * n.p) AS pr
+  FROM pn n CROSS JOIN pd{i} d
+  LEFT JOIN pc{i} c ON c.u = n.u
+)""")
+    parts.append(f"""
+SELECT split_part(u, chr(1), 1) AS id,
+       split_part(u, chr(1), 2) AS label,
+       CAST(round(pr * 1000000) AS BIGINT) AS rank_e6
+FROM pr{iterations}
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["personalized_pagerank"] = _ppr_sql()
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled bounded-round peel mirror: identical rounds to the Spark
+    loop (post-fixpoint rounds are identity), MATERIALIZED per round."""
+    parts = [_UND_CTE + """,
+ke0 AS MATERIALIZED (SELECT u, v FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+kd{i} AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM ke{i - 1} UNION ALL SELECT v AS node FROM ke{i - 1}
+  ) GROUP BY node
+),
+ke{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ke{i - 1} e
+  JOIN kd{i} a ON a.node = e.u AND a.degree >= {k}
+  JOIN kd{i} b ON b.node = e.v AND b.degree >= {k}
+)""")
+    parts.append(f"""
+SELECT DISTINCT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label
+FROM (SELECT u AS node FROM ke{rounds} UNION ALL SELECT v AS node FROM ke{rounds})
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["kcore"] = _kcore_sql()

@@ -10,6 +10,8 @@ from llm_graph_builder_spark.operators.graph_analytics import (
     degree_distribution,
     node_similarity,
     pagerank,
+    kcore,
+    personalized_pagerank,
     simple_undirected,
     triangle_counts,
     wcc,
@@ -158,3 +160,49 @@ def test_bfs_driver_and_distributed_paths_agree(spark):
         for r in bfs_distances(edges, srcs, max_hops=4, driver_max_edges=0).collect()
     }
     assert d == c
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    # two cliques bridged by one edge; teleport into clique 1 only
+    c1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    c2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = _edges(spark, c1 + c2 + [("c", "x")])
+    ents = _entities(spark, ["a", "b", "c", "x", "y", "z"])
+    srcs = spark.createDataFrame([("a\x01E",)], "u string")
+    out = personalized_pagerank(edges, ents, srcs, iterations=8).collect()
+    ranks = {r.id: r.rank for r in out}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+    assert ranks["a"] > ranks["c"] > ranks["x"] > ranks["z"]
+
+
+def test_personalized_pagerank_paths_agree(spark):
+    edges = _edges(spark, [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("c", "d", 1)])
+    ents = _entities(spark, ["a", "b", "c", "d", "iso"])
+    srcs = spark.createDataFrame([("a\x01E",), ("d\x01E",)], "u string")
+    via_driver = personalized_pagerank(edges, ents, srcs, iterations=4)
+    via_cluster = personalized_pagerank(
+        edges, ents, srcs, iterations=4, driver_max_edges=0
+    )
+    d = {r.id: round(r.rank * 1_000_000) for r in via_driver.collect()}
+    c = {r.id: round(r.rank * 1_000_000) for r in via_cluster.collect()}
+    assert d == c
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    # triangle + tail: 2-core = the triangle; a pure path peels to nothing
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")])
+    got = sorted(r.id for r in kcore(edges, k=2).collect())
+    assert got == ["a", "b", "c"]
+    path = _edges(spark, [("p", "q"), ("q", "r"), ("r", "s")])
+    assert kcore(path, k=2).count() == 0
+
+
+def test_kcore_paths_agree(spark):
+    edges = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "c"),
+         ("f", "g")],
+    )
+    d = sorted(r.id for r in kcore(edges, k=2).collect())
+    c = sorted(r.id for r in kcore(edges, k=2, driver_max_edges=0).collect())
+    assert d == c == ["a", "b", "c", "d", "e"]
