@@ -1356,6 +1356,15 @@ def q_kcore(spark, sf_dir):
     return kcore(t["entity_edges"], k=2, rounds=8)
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-coherent train/val split over the near-dup clustering (no
+    near-duplicate straddles the split; oracle wraps the dedup_clusters
+    recursive-CTE mirror with the same md5 bucket rule)."""
+    from .operators.curation import leakage_safe_split
+
+    return leakage_safe_split(_dedup_clusters_df(spark, sf_dir), val_rate_e4=1000)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1408,6 +1417,7 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "personalized_pagerank": q_personalized_pagerank,
     "kcore": q_kcore,
+    "leakage_safe_split": q_leakage_safe_split,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

@@ -341,3 +341,37 @@ def importance_weights(
             (gate < F.least(F.col("score_e6"), F.lit(1_000_000))).cast("long"),
         )
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame, val_rate_e4: int = 1000, salt: str = "split"
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates: the split
+    coin is thrown per near-dup CLUSTER, not per document, so every member
+    of a cluster lands on the same side — validation never contains a
+    near-duplicate of a training document (decontamination by construction;
+    the standard failure mode of doc-grain random splits on web corpora).
+
+    ``clusters`` is the (doc, cluster, keeper) output of
+    ``dedup.near_dup_clusters``. Deterministic md5 bucket on
+    ``salt:cluster`` (same portable convention as ``stratified_sample``):
+    bucket_e4 < ``val_rate_e4`` → validation. Map-only over the clusters
+    frame — ZERO additional shuffles at any corpus size, and re-running
+    with the same salt reproduces the split exactly (resumable pipelines
+    re-derive rather than persist it).
+
+    Output: (doc, cluster, keeper, bucket_e4, is_val).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("cluster"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    return clusters.select(
+        "doc", "cluster", "keeper",
+        bucket.alias("bucket_e4"),
+        (bucket < F.lit(val_rate_e4)).alias("is_val"),
+    )

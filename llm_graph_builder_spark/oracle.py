@@ -2974,3 +2974,14 @@ FROM (SELECT u AS node FROM ke{rounds} UNION ALL SELECT v AS node FROM ke{rounds
 
 
 ORACLE_SQL["kcore"] = _kcore_sql()
+
+# leakage-safe split: the dedup_clusters mirror wrapped with the portable
+# md5 bucket rule ('0x'-parse == Spark conv(substring(md5,1,8),16,10))
+ORACLE_SQL["leakage_safe_split"] = f"""
+SELECT doc, cluster, keeper,
+       CAST(('0x' || substr(md5('split:' || cluster), 1, 8)) AS BIGINT)
+         % 10000 AS bucket_e4,
+       (CAST(('0x' || substr(md5('split:' || cluster), 1, 8)) AS BIGINT)
+         % 10000 < 1000) AS is_val
+FROM ({ORACLE_SQL["dedup_clusters"]})
+"""

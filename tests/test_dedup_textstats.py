@@ -1063,3 +1063,23 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     q3 = start_incremental_dedup(spark, inp, out, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(f"{out}/dup_flags").count() == 4
+
+
+def test_leakage_safe_split_cluster_coherent_and_deterministic(spark):
+    from llm_graph_builder_spark.operators.curation import leakage_safe_split
+
+    clusters = spark.createDataFrame(
+        [("d%02d" % i, "c%d" % (i % 7), i % 7 == i // 7) for i in range(49)],
+        "doc string, cluster string, keeper boolean",
+    )
+    out = leakage_safe_split(clusters, val_rate_e4=3000).collect()
+    # every member of a cluster lands on the same side
+    sides = {}
+    for r in out:
+        assert sides.setdefault(r.cluster, r.is_val) == r.is_val
+    # deterministic under re-run and repartitioning
+    again = leakage_safe_split(clusters.repartition(5), val_rate_e4=3000).collect()
+    assert {(r.doc, r.is_val) for r in again} == {(r.doc, r.is_val) for r in out}
+    # different salt reshuffles at least one cluster at this rate
+    other = leakage_safe_split(clusters, val_rate_e4=3000, salt="other").collect()
+    assert {(r.doc, r.is_val) for r in other} != {(r.doc, r.is_val) for r in out}
