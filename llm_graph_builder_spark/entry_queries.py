@@ -1365,6 +1365,12 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(_dedup_clusters_df(spark, sf_dir), val_rate_e4=1000)
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Per-language vocabulary heavy hitters over the documents table
+    (two-phase top-k; integer-exact coverage shares)."""
+    return textstats.vocab_stats(read_documents(spark, sf_dir), top_k=20)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1418,6 +1424,7 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "kcore": q_kcore,
     "leakage_safe_split": q_leakage_safe_split,
+    "vocab_stats": q_vocab_stats,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny per-language stopword lexicons for the n-gram/stopword langid heuristic
 STOPWORDS = {
@@ -306,4 +307,51 @@ def quality_classifier(
             score.alias("score_e4"),
             (score >= F.lit(int(threshold_e4))).cast("long").alias("keep"),
         )
+    )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum vocabulary heavy hitters: the top-``top_k`` tokens by
+    corpus frequency with integer-exact coverage shares — the standard
+    first look at a pretraining mixture (tokenizer fit, boilerplate
+    detection, stratum drift between snapshots).
+
+    Scale shape: ONE (stratum, token) count shuffle (map-side combined,
+    vocabulary-bounded output), then the ann_topk two-phase trick for the
+    ranking — a per-(stratum, scan-partition) row_number pre-filter keeps
+    ≤ top_k rows per partition, so the final per-stratum window ranks
+    ≤ top_k × n_partitions rows instead of the whole vocabulary through one
+    reducer per stratum. share_e6 = cnt·10⁶ // stratum total (integer
+    division — hash-identical across engines).
+
+    Output: (stratum, token, cnt, rnk, share_e6), rnk 1..top_k per stratum.
+    """
+    toks = _tokens(F.col(text_col))
+    tok = docs.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.explode(toks).alias("token"),
+    )
+    counts = tok.groupBy("stratum", "token").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("stratum").agg(F.sum("cnt").alias("total"))
+    pre = Window.partitionBy("stratum", F.spark_partition_id()).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    final = Window.partitionBy("stratum").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (
+        counts.withColumn("prnk", F.row_number().over(pre))
+        .filter(F.col("prnk") <= top_k)
+        .drop("prnk")
+        .withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= top_k)
+    )
+    return ranked.join(totals, on="stratum").select(
+        "stratum", "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.expr("cnt * 1000000L div total").alias("share_e6"),
     )

@@ -2985,3 +2985,26 @@ SELECT doc, cluster, keeper,
          % 10000 < 1000) AS is_val
 FROM ({ORACLE_SQL["dedup_clusters"]})
 """
+
+# vocab heavy hitters: same whitespace token law as token_counts (_TOKS);
+# integer-exact shares (cnt*1e6 // stratum total); ties broken token ASC —
+# binary collation on both engines
+ORACLE_SQL["vocab_stats"] = f"""
+WITH vtok AS (
+  SELECT lang AS stratum, unnest({_TOKS}) AS token FROM documents
+),
+vcnt AS (SELECT stratum, token, count(*) AS cnt FROM vtok GROUP BY 1, 2),
+vtot AS (SELECT stratum, sum(cnt) AS total FROM vcnt GROUP BY 1),
+vrk AS (
+  SELECT stratum, token, cnt,
+         row_number() OVER (
+           PARTITION BY stratum ORDER BY cnt DESC, token ASC
+         ) AS rnk
+  FROM vcnt
+)
+SELECT r.stratum, r.token, CAST(r.cnt AS BIGINT) AS cnt,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(r.cnt * 1000000 // t.total AS BIGINT) AS share_e6
+FROM vrk r JOIN vtot t USING (stratum)
+WHERE r.rnk <= 20
+"""

@@ -1083,3 +1083,30 @@ def test_leakage_safe_split_cluster_coherent_and_deterministic(spark):
     # different salt reshuffles at least one cluster at this rate
     other = leakage_safe_split(clusters, val_rate_e4=3000, salt="other").collect()
     assert {(r.doc, r.is_val) for r in other} != {(r.doc, r.is_val) for r in out}
+
+
+def test_vocab_stats_counts_ranks_and_two_phase_losslessness(spark):
+    from llm_graph_builder_spark.functions.textstats import vocab_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat the cat"),
+            (2, "en", "the dog sat"),
+            (3, "fr", "le chat le chat le"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = vocab_stats(docs, top_k=3).collect()
+    en = {r.token: (r.cnt, r.rnk) for r in out if r.stratum == "en"}
+    # en totals: the=4, sat=2, cat=2, on=1, mat=1, dog=1 → top3 the,cat,sat
+    assert en == {"the": (4, 1), "cat": (2, 2), "sat": (2, 3)}
+    fr = {r.token: (r.cnt, r.rnk) for r in out if r.stratum == "fr"}
+    assert fr == {"le": (3, 1), "chat": (2, 2)}
+    # share_e6 integer-exact: en total 11 tokens → the = 4_000_000 // 11
+    the = [r for r in out if r.stratum == "en" and r.token == "the"][0]
+    assert the.share_e6 == 4_000_000 // 11
+    # two-phase pre-filter is lossless vs a repartitioned run
+    again = vocab_stats(docs.repartition(7), top_k=3).collect()
+    assert {(r.stratum, r.token, r.cnt, r.rnk, r.share_e6) for r in again} == {
+        (r.stratum, r.token, r.cnt, r.rnk, r.share_e6) for r in out
+    }
