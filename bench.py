@@ -199,6 +199,36 @@ def main():
         "node_similarity",
     )
 
+    # distributed-path PageRank: the pipeline's entity graph is tiny (the
+    # deterministic extractor has a bounded vocabulary), so the pagerank
+    # stage above exercises the size-gated driver replica. This stage forces
+    # the distributed loop (driver_max_edges=0) on a deterministic synthetic
+    # graph — 100k nodes, ~400k symmetric edges — so the per-round
+    # join+aggregate shuffle shape is actually measured.
+    ng = 100_000
+    gnodes = spark.range(ng).select(
+        F.col("id").cast("string").alias("id"), F.lit("N").alias("label")
+    )
+    gedges = None
+    for a, b in ((7, 1), (13, 5)):
+        leg = spark.range(ng).select(
+            F.col("id").cast("string").alias("subj_id"),
+            F.lit("N").alias("subj_label"),
+            F.lit("R").alias("pred"),
+            ((F.col("id") * a + b) % ng).cast("string").alias("obj_id"),
+            F.lit("N").alias("obj_label"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+        gedges = leg if gedges is None else gedges.unionByName(leg)
+    gedges = gedges.cache()
+    gedges.count()
+    best_of(
+        lambda: pagerank(gedges, gnodes, driver_max_edges=0)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/pagerank_dist"),
+        "pagerank_distributed",
+    )
+
     best_of(
         lambda: doc_counts(
             docs, chunks, spark.read.parquet(f"{out_dir}/chunk_edges"), mentions, triples

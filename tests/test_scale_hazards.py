@@ -105,3 +105,53 @@ def test_similar_edges_block_cap_splits_degenerate_bucket(spark):
     assert len(edges) > 0
     for e in edges:
         assert e["rel_type"] == "SIMILAR" and e["src"] < e["dst"]
+
+
+def test_triangle_counts_star_hub_is_bounded(spark):
+    """Degree-ordered orientation on a 5k-leaf star: all edges orient
+    leaf→hub (leaves rank lower), so no apex has 2 out-edges — zero wedges
+    are generated, instead of C(5k,2) ≈ 12.5M hub wedges an unoriented
+    wedge join would build. The assert is on output (a star has no
+    triangles) and on the run completing in one quick pass."""
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.graph_analytics import triangle_counts
+
+    n = 5000
+    edges = spark.range(n).select(
+        F.lit("hub").alias("subj_id"), F.lit("E").alias("subj_label"),
+        F.lit("R").alias("pred"),
+        F.concat(F.lit("leaf"), F.col("id")).alias("obj_id"),
+        F.lit("E").alias("obj_label"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_node_similarity_hub_entity_no_quadratic_blowup(spark):
+    """An entity appearing in 3k chunks (hub) must NOT pair with itself
+    across chunks: pairs are generated per chunk, so a chunk with 2
+    entities yields 1 pair regardless of entity frequency. Row count stays
+    linear in chunks, never C(3k,2)."""
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.graph_analytics import node_similarity
+
+    n = 3000
+    mentions = spark.range(n).select(
+        F.concat(F.lit("c"), F.col("id")).alias("chunk_id"),
+        F.lit("d").alias("doc_id"),
+        F.lit("hub").alias("entity_id"),
+        F.lit("E").alias("entity_label"),
+    ).unionByName(
+        spark.range(n).select(
+            F.concat(F.lit("c"), F.col("id")).alias("chunk_id"),
+            F.lit("d").alias("doc_id"),
+            F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+            F.lit("E").alias("entity_label"),
+        )
+    )
+    out = node_similarity(mentions)
+    # exactly one pair row per rare entity (hub, e_i); jaccard = 1/n each
+    assert out.count() == n
+    assert out.agg(F.max("inter")).first()[0] == 1
