@@ -191,36 +191,44 @@ def pagerank(
     )
     shares.count()
 
+    # the DANGLING SET is static (nodes with no outgoing share — here,
+    # isolated entities); only its rank MASS changes per round. Compute the
+    # set once instead of an anti-join per round; when it is empty, skip the
+    # per-round mass aggregate entirely (inflow + 0.0 is bit-identical to
+    # the oracle's coalesce(...)+dmass/n with dmass = 0).
     connected = shares.select("u").distinct()
+    dang_nodes, n_dangling = materialize(
+        nodes.join(connected, on="u", how="left_anti")
+    )
     init = 1.0 / n_nodes
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(init))
     ranks, _ = materialize(ranks)
 
     for it in range(iterations):
-        # mass of dangling (isolated) nodes this round — 1-row aggregate,
-        # broadcast into every partition via crossJoin (stays in the plan)
-        dangling = (
-            ranks.join(connected, on="u", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
         contrib = (
             ranks.join(shares, on="u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
         )
-        new_ranks = (
-            nodes.join(contrib, on="u", how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "u",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                       + F.col("dmass") / F.lit(float(n_nodes)))
-                ).alias("rank"),
+        new_ranks = nodes.join(contrib, on="u", how="left")
+        if n_dangling:
+            # 1-row dangling-mass aggregate broadcast in via crossJoin
+            # (stays in the plan — never a driver collect)
+            dangling = ranks.join(dang_nodes, on="u", how="left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dmass_term = F.col("dmass") / F.lit(float(n_nodes))
+        else:
+            dmass_term = F.lit(0.0)
+        new_ranks = new_ranks.select(
+            "u",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dmass_term)
+            ).alias("rank"),
         )
         if it < iterations - 1:
             ranks, _ = materialize(new_ranks, previous=ranks)
@@ -590,7 +598,12 @@ def personalized_pagerank(
         .cache()
     )
     shares.count()
+    # static dangling SET hoisted out of the loop (see pagerank); empty set
+    # → the dmass·p term is exactly 0.0 and the aggregate is skipped
     connected = shares.select("u").distinct()
+    dang_nodes, n_dangling = materialize(
+        nodes.join(connected, on="u", how="left_anti")
+    )
 
     # p column: 1/|S| on sources else 0 — broadcast-joined once onto nodes
     pnodes = nodes.join(
@@ -601,27 +614,27 @@ def personalized_pagerank(
     ranks = pnodes.select("u", F.col("p").alias("rank"))
     ranks, _ = materialize(ranks)
     for it in range(iterations):
-        dangling = (
-            ranks.join(connected, on="u", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
         contrib = (
             ranks.join(shares, on="u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
         )
-        new_ranks = (
-            pnodes.join(contrib, on="u", how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "u",
-                (
-                    F.lit(1.0 - damping) * F.col("p")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                       + F.col("dmass") * F.col("p"))
-                ).alias("rank"),
+        new_ranks = pnodes.join(contrib, on="u", how="left")
+        if n_dangling:
+            dangling = ranks.join(dang_nodes, on="u", how="left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dmass_term = F.col("dmass") * F.col("p")
+        else:
+            dmass_term = F.lit(0.0)
+        new_ranks = new_ranks.select(
+            "u",
+            (
+                F.lit(1.0 - damping) * F.col("p")
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dmass_term)
+            ).alias("rank"),
         )
         if it < iterations - 1:
             ranks, _ = materialize(new_ranks, previous=ranks)

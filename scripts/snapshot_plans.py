@@ -252,14 +252,16 @@ def main() -> None:
         "id string, label string, chunk_count long, doc_count long",
     )
     snap(
-        "PageRank round (ranks ⋈ shares partial-sum; broadcast dangling)",
+        "PageRank round (ranks ⋈ shares partial-sum)",
         "The final round's plan (earlier rounds are truncated LogicalRDD "
-        "leaves): ranks join the cached share table hash-partitioned on u, "
-        "aggregate partial-sums into groupBy(v), and the 1-row dangling "
-        "mass enters via BroadcastNestedLoopJoin — no driver collect inside "
-        "the lineage, no full-graph re-derivation per round. (Below the "
-        "500k size gate the whole loop runs as a parity-tested driver "
-        "replica instead.)",
+        "leaves): ranks join the cached share table hash-partitioned on u "
+        "and aggregate partial-sums into groupBy(v) — no driver collect "
+        "inside the lineage, no full-graph re-derivation per round. The "
+        "dangling SET is static and hoisted out of the loop: this graph "
+        "has no isolated nodes, so NO dangling aggregate appears in the "
+        "plan at all (with isolated nodes it enters as a 1-row broadcast "
+        "crossJoin per round). (Below the 500k size gate the whole loop "
+        "runs as a parity-tested driver replica instead.)",
         pagerank(_ee, _en, driver_max_edges=0),
     )
     snap(
