@@ -1371,6 +1371,14 @@ def q_vocab_stats(spark, sf_dir):
     return textstats.vocab_stats(read_documents(spark, sf_dir), top_k=20)
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per entity (integer-exact e6)."""
+    from .operators.graph_analytics import clustering_coefficient
+
+    t = pipeline_tables(spark, sf_dir)
+    return clustering_coefficient(t["entity_edges"])
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1425,6 +1433,7 @@ QUERIES = {
     "kcore": q_kcore,
     "leakage_safe_split": q_leakage_safe_split,
     "vocab_stats": q_vocab_stats,
+    "clustering_coefficient": q_clustering_coefficient,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

@@ -720,3 +720,41 @@ def kcore(
     return ends.select(
         split.getItem(0).alias("id"), split.getItem(1).alias("label")
     )
+
+
+def clustering_coefficient(entity_edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node (GDS
+    ``gds.localClusteringCoefficient`` analog): 2·triangles / (deg·(deg−1)),
+    with nodes of degree < 2 at 0. Integer-exact e6 fixed-point
+    (``2·T·10⁶ div deg·(deg−1)``) so the oracle hash-matches bit-for-bit —
+    no float division. Builds on the same degree-ordered triangle counts
+    and degree table; one broadcast-size join between the two aggregates.
+
+    Output: (id, label, degree, triangles, coeff_e6) — one row per node of
+    the undirected simple graph (isolated entities are not in it, matching
+    ``degree_distribution``'s universe).
+    """
+    deg = degree_table(simple_undirected(entity_edges)).select(
+        F.col("node"), F.col("degree").cast("long").alias("degree")
+    )
+    tri = triangle_counts(entity_edges).select(
+        F.concat_ws("\x01", "id", "label").alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
+    out = (
+        deg.join(tri, on="node", how="left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .withColumn(
+            "coeff_e6",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("2L * triangles * 1000000L div (degree * (degree - 1L))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    split = F.split(F.col("node"), "\x01")
+    return out.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "degree", "triangles", "coeff_e6",
+    )

@@ -3008,3 +3008,35 @@ SELECT r.stratum, r.token, CAST(r.cnt AS BIGINT) AS cnt,
 FROM vrk r JOIN vtot t USING (stratum)
 WHERE r.rnk <= 20
 """
+
+# local clustering coefficient: triangles (canonical x<y<z enumeration) +
+# degrees over the same undirected projection; integer-exact e6 div
+ORACLE_SQL["clustering_coefficient"] = PIPELINE_CTE + _UND_CTE + """,
+cdeg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+ctri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+ctn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM ctri
+    UNION ALL SELECT y AS node FROM ctri
+    UNION ALL SELECT z AS node FROM ctri
+  ) GROUP BY node
+)
+SELECT split_part(d.node, chr(1), 1) AS id,
+       split_part(d.node, chr(1), 2) AS label,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN 2 * coalesce(t.triangles, 0) * 1000000
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_e6
+FROM cdeg d LEFT JOIN ctn t ON t.node = d.node
+"""

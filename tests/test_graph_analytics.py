@@ -206,3 +206,22 @@ def test_kcore_paths_agree(spark):
     d = sorted(r.id for r in kcore(edges, k=2).collect())
     c = sorted(r.id for r in kcore(edges, k=2, driver_max_edges=0).collect())
     assert d == c == ["a", "b", "c", "d", "e"]
+
+
+def test_clustering_coefficient_exact_values(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        clustering_coefficient,
+    )
+
+    # triangle a-b-c plus pendant d on c:
+    #   a,b: deg 2, 1 triangle → coeff 1.0; c: deg 3, 1 tri → 2/6 = 1/3
+    #   d: deg 1 → 0 by convention
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {r.id: (r.degree, r.triangles, r.coeff_e6) for r in
+           clustering_coefficient(edges).collect()}
+    assert got == {
+        "a": (2, 1, 1_000_000),
+        "b": (2, 1, 1_000_000),
+        "c": (3, 1, 2_000_000 // 6),
+        "d": (1, 0, 0),
+    }
