@@ -144,7 +144,12 @@ def bigram_novelty(
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = docs.select(F.col(id_col).cast("string").alias("doc"), grams.alias("bg"))
-    exploded = base.select("doc", F.explode("bg").alias("bigram"))
+    # the exploded gram table feeds BOTH the LM count and the re-join —
+    # materialize it once (tokenize/explode run a single time; tiny frames
+    # coalesce) instead of re-deriving the explode per branch
+    from .iterutils import materialize
+
+    exploded, _ = materialize(base.select("doc", F.explode("bg").alias("bigram")))
     lm = exploded.groupBy("bigram").agg(F.count("*").alias("c"))
     joined = exploded.join(lm, on="bigram")
     scored = joined.groupBy("doc").agg(
