@@ -1379,6 +1379,24 @@ def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(t["entity_edges"])
 
 
+def q_curation_curve(spark, sf_dir):
+    """Quality-gate operating curve (docs/tokens surviving each candidate
+    threshold per signal)."""
+    from .operators.curation import curation_curve
+
+    return curation_curve(read_documents(spark, sf_dir))
+
+
+def q_link_prediction(spark, sf_dir):
+    """Resource-Allocation link scores over the entity graph (adjacent
+    pairs included — the synthetic entity graph is near-complete, so the
+    exclude-existing setting is exercised in unit tests instead)."""
+    from .operators.graph_analytics import link_prediction
+
+    t = pipeline_tables(spark, sf_dir)
+    return link_prediction(t["entity_edges"], exclude_existing=False)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1434,6 +1452,8 @@ QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "vocab_stats": q_vocab_stats,
     "clustering_coefficient": q_clustering_coefficient,
+    "curation_curve": q_curation_curve,
+    "link_prediction": q_link_prediction,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

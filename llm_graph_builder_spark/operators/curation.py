@@ -375,3 +375,54 @@ def leakage_safe_split(
         bucket.alias("bucket_e4"),
         (bucket < F.lit(val_rate_e4)).alias("is_val"),
     )
+
+
+def curation_curve(
+    docs: DataFrame,
+    thresholds_e4: tuple = (1000, 2000, 3000, 4000, 5000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate-calibration operating curve: for every quality signal and every
+    candidate threshold, how many documents and tokens would survive
+    ``signal >= threshold`` — the table an engineer reads before picking
+    ``curate_corpus`` gates (tokens-surviving is the number that matters
+    for a training budget, not doc count).
+
+    Same signal law as ``curate_corpus`` (alpha ratio, unique-token ratio,
+    e4 fixed-point). Scale shape: per-doc signals are one map pass; the
+    stack + threshold explode amplifies only the SKINNY stats rows
+    (2 signals × |grid|), then ONE groupBy over ~2·|grid| groups — no
+    per-threshold rescan of the corpus.
+
+    Output: (signal, threshold_e4, surviving_docs, surviving_tokens).
+    """
+    toks = _toks(F.col(text_col))
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(F.length(text_col), F.lit(1))
+    unique_ratio = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double")
+    )
+    base = docs.select(
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio * 10000).cast("long").alias("alpha_ratio_e4"),
+        F.round(unique_ratio * 10000).cast("long").alias("unique_ratio_e4"),
+    )
+    long = base.selectExpr(
+        "n_tokens",
+        "stack(2, 'alpha_ratio', alpha_ratio_e4,"
+        " 'unique_ratio', unique_ratio_e4) AS (signal, value_e4)",
+    )
+    grid = F.array(*[F.lit(int(t)).cast("long") for t in thresholds_e4])
+    survives = F.col("value_e4") >= F.col("threshold_e4")
+    return (
+        long.withColumn("threshold_e4", F.explode(grid))
+        .groupBy("signal", "threshold_e4")
+        .agg(
+            F.sum(survives.cast("long")).alias("surviving_docs"),
+            F.sum(F.when(survives, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long").alias("surviving_tokens"),
+        )
+    )

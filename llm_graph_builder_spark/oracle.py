@@ -3040,3 +3040,60 @@ SELECT split_part(d.node, chr(1), 1) AS id,
                  ELSE 0 END AS BIGINT) AS coeff_e6
 FROM cdeg d LEFT JOIN ctn t ON t.node = d.node
 """
+
+# curation operating curve: same signal law as corpus_curation, stacked and
+# cross-joined with the literal threshold grid (skinny stats only)
+ORACLE_SQL["curation_curve"] = f"""
+WITH qbase AS (
+  SELECT CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) * 10000) AS BIGINT) AS alpha_ratio_e4,
+         CAST(round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                    / greatest(len({_TOKS}), 1) * 10000) AS BIGINT) AS unique_ratio_e4
+  FROM documents
+),
+qlong AS (
+  SELECT n_tokens, 'alpha_ratio' AS signal, alpha_ratio_e4 AS value_e4 FROM qbase
+  UNION ALL
+  SELECT n_tokens, 'unique_ratio', unique_ratio_e4 FROM qbase
+),
+qgrid AS (SELECT CAST(unnest([1000, 2000, 3000, 4000, 5000]) AS BIGINT) AS threshold_e4)
+SELECT signal, threshold_e4,
+       CAST(sum(CASE WHEN value_e4 >= threshold_e4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS surviving_docs,
+       CAST(sum(CASE WHEN value_e4 >= threshold_e4 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS surviving_tokens
+FROM qlong CROSS JOIN qgrid
+GROUP BY 1, 2
+"""
+
+# Resource-Allocation link prediction: wedges per center (degree-capped at
+# 64 — identical cap both engines), score = sum(1.0/center degree)
+ORACLE_SQL["link_prediction"] = PIPELINE_CTE + _UND_CTE + """,
+lpsym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+lpdeg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+lpcent AS (
+  SELECT s.u AS center, d.degree AS cdeg, s.v AS nbr
+  FROM lpsym s JOIN lpdeg d ON d.node = s.u
+  WHERE d.degree <= 64
+),
+lpw AS (
+  SELECT l.center, l.cdeg, l.nbr AS a, r.nbr AS b
+  FROM lpcent l JOIN lpcent r ON r.center = l.center AND l.nbr < r.nbr
+),
+lps AS (
+  SELECT a, b, count(*) AS common, sum(1.0 / cdeg) AS score
+  FROM lpw GROUP BY 1, 2
+)
+SELECT split_part(a, chr(1), 1) AS id_a,
+       split_part(a, chr(1), 2) AS label_a,
+       split_part(b, chr(1), 1) AS id_b,
+       split_part(b, chr(1), 2) AS label_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM lps
+"""

@@ -1110,3 +1110,24 @@ def test_vocab_stats_counts_ranks_and_two_phase_losslessness(spark):
     assert {(r.stratum, r.token, r.cnt, r.rnk, r.share_e6) for r in again} == {
         (r.stratum, r.token, r.cnt, r.rnk, r.share_e6) for r in out
     }
+
+
+def test_curation_curve_monotone_and_exact(spark):
+    from llm_graph_builder_spark.operators.curation import curation_curve
+
+    docs = spark.createDataFrame(
+        [(1, "abcde fghij"), (2, "aa aa aa aa"), (3, "!!! ???")],
+        "doc_id long, text string",
+    )
+    out = curation_curve(docs, thresholds_e4=(2000, 9000)).collect()
+    got = {(r.signal, r.threshold_e4): (r.surviving_docs, r.surviving_tokens)
+           for r in out}
+    # alpha ratios: doc1 10/11≈0.909, doc2 8/11≈0.727, doc3 0 → ≥0.2: 2 docs
+    assert got[("alpha_ratio", 2000)][0] == 2
+    assert got[("alpha_ratio", 9000)][0] == 1
+    # unique ratios: doc1 1.0 (2 toks), doc2 0.25 (4 toks), doc3 1.0 (2 toks)
+    assert got[("unique_ratio", 2000)] == (3, 8)
+    assert got[("unique_ratio", 9000)] == (2, 4)
+    # monotone: higher threshold never increases survivors
+    for sig in ("alpha_ratio", "unique_ratio"):
+        assert got[(sig, 9000)][0] <= got[(sig, 2000)][0]

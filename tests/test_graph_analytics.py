@@ -225,3 +225,33 @@ def test_clustering_coefficient_exact_values(spark):
         "c": (3, 1, 2_000_000 // 6),
         "d": (1, 0, 0),
     }
+
+
+def test_link_prediction_ra_scores_and_exclusion(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import link_prediction
+
+    # path a-c-b plus edge a-d: candidates via common neighbors
+    edges = _edges(spark, [("a", "c"), ("c", "b"), ("a", "d")])
+    out = link_prediction(edges).collect()
+    got = {(r.id_a, r.id_b): (r.common, r.score_e6) for r in out}
+    # a-b share center c (deg 2) → 1/2; c-d share center a (deg 2) → 1/2
+    assert got == {("a", "b"): (1, 500_000), ("c", "d"): (1, 500_000)}
+    # with exclude_existing=False, existing pairs with common neighbors score too
+    all_pairs = link_prediction(edges, exclude_existing=False).count()
+    assert all_pairs == 2  # no adjacent pair has a common neighbor here
+
+
+def test_link_prediction_hub_center_capped(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import link_prediction
+
+    from pyspark.sql import functions as F
+
+    n = 300
+    star = spark.range(n).select(
+        F.lit("hub").alias("subj_id"), F.lit("E").alias("subj_label"),
+        F.lit("R").alias("pred"),
+        F.concat(F.lit("leaf"), F.col("id")).alias("obj_id"),
+        F.lit("E").alias("obj_label"), F.lit(1).cast("long").alias("weight"),
+    )
+    # hub degree 300 > cap 64 → contributes no wedges; leaves have degree 1
+    assert link_prediction(star, max_center_degree=64).count() == 0
