@@ -1,0 +1,118 @@
+"""Stateful streaming sessionization — the live complement to the batch
+``operators/sessions.py::sessionize`` (same gap rule, same output grain).
+
+One ``applyInPandasWithState`` state cell per user holds the OPEN session
+only — (seq, start_us, last_us, n_events, bounded type set) — and a session
+row is emitted the moment a later event closes it (inter-event gap >
+``gap_minutes``). Closed sessions therefore match the batch operator's
+output exactly; each user's still-open tail session lives in state until a
+future event (or nothing) closes it, which is the honest streaming answer —
+a live pipeline cannot know a session ended until the gap has provably
+elapsed.
+
+State is bounded per user by construction: five scalars plus a type set
+capped at ``MAX_TYPES`` (event types are a small enum; the cap only guards
+against adversarial cardinality). Ordering caveat (documented, standard for
+this operator class): events are sorted (ts, event_id) WITHIN each
+micro-batch; an event arriving in a later batch with an earlier timestamp
+than the open session's last event extends that session rather than
+rewriting history — feed the stream through a watermarked sort (or accept
+batch re-runs via ``operators.sessions.sessionize``) when cross-batch
+disorder matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+MAX_TYPES = 64
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_types", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("duration_us", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("types", StringType()),  # \x1f-joined, capped
+    ]
+)
+
+
+def _session_updater(gap_us: int):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.exists:
+            seq, start, last, n, types_s = state.get
+            types = set(types_s.split("\x1f")) if types_s else set()
+        else:
+            seq = start = last = n = 0
+            types = set()
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        us_col = batch["ts"].astype("int64") // 1000  # ns → µs, NTZ-as-UTC
+        for us, etype in zip(us_col, batch["event_type"].astype(str)):
+            us = int(us)
+            if n == 0:
+                seq, start, last, n, types = 1, us, us, 1, {etype}
+            elif us - last > gap_us:
+                closed.append((user, seq, n, len(types), start, last, last - start))
+                seq, start, last, n, types = seq + 1, us, us, 1, {etype}
+            else:
+                n += 1
+                last = max(last, us)
+                if len(types) < MAX_TYPES:
+                    types.add(etype)
+        state.update((seq, start, last, n, "\x1f".join(sorted(types))))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_seq", "n_events", "n_types",
+                "start_us", "end_us", "duration_us",
+            ],
+        )
+
+    return update
+
+
+def session_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """events stream (user_id, ts, event_type, event_id, …) → CLOSED session
+    rows, same schema/grain as the batch ``sessionize`` (a batch run's
+    output equals this stream's closed rows plus one open tail per user).
+    """
+    gap_us = int(gap_minutes) * 60_000_000
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "ts", "event_type", "event_id",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_updater(gap_us),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1131,3 +1131,66 @@ def test_curation_curve_monotone_and_exact(spark):
     # monotone: higher threshold never increases survivors
     for sig in ("alpha_ratio", "unique_ratio"):
         assert got[(sig, 9000)][0] <= got[(sig, 2000)][0]
+
+
+def test_streaming_stateful_sessionization(spark, tmp_path):
+    """Closed sessions emitted by the stateful stream equal the batch
+    sessionize output minus each user's open tail session; state persists
+    across micro-batch runs via the checkpoint."""
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.sessions import sessionize
+    from llm_graph_builder_spark.streaming.sessions import session_stream
+
+    cols = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    t = lambda m: datetime(2026, 1, 1, 10 + m // 60, m % 60)
+    batch1 = [
+        (1, 7, t(0), "view"), (2, 7, t(5), "click"),  # user 7 session 1
+        (3, 7, t(50), "view"),                        # opens s2, closes s1
+        (4, 9, t(0), "view"),                         # user 9 s1 (open)
+    ]
+    batch2 = [
+        (5, 7, t(120), "buy"),    # closes user 7 session 2
+        (6, 9, t(10), "click"),   # extends user 9 session 1 (still open)
+    ]
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "sin"), str(tmp_path / "sout"), str(tmp_path / "sck"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(cols).parquet(in_dir)
+        q = (
+            session_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    streamed = {
+        (r.user_id, r.session_seq): (r.n_events, r.n_types, r.start_us, r.end_us,
+                                     r.duration_us)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch reference over ALL events; drop each user's open tail (max seq)
+    all_events = spark.createDataFrame(batch1 + batch2, cols)
+    batch_rows = sessionize(all_events, gap_minutes=30).collect()
+    open_tail = {}
+    for r in batch_rows:
+        open_tail[r.user_id] = max(open_tail.get(r.user_id, 0), r.session_seq)
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, r.n_types, r.start_us, r.end_us,
+                                     r.duration_us)
+        for r in batch_rows if r.session_seq != open_tail[r.user_id]
+    }
+    assert streamed == expected
+    assert (7, 1) in streamed and (7, 2) in streamed  # both closed for user 7
+    assert not any(u == 9 for u, _ in streamed)       # user 9 still open
