@@ -1397,6 +1397,19 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction(t["entity_edges"], exclude_existing=False)
 
 
+def q_ppr_retrieval(spark, sf_dir):
+    """Sixth chat-mode analog: GraphRAG local search — question-named
+    entities seed a personalized PageRank; chunks ranked by summed entity
+    rank (graph proximity, not embedding distance)."""
+    from .operators.retrieval import ppr_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    return ppr_retrieve(
+        t["entity_edges"], t["entities"], t["mentions"],
+        ["join", "merge", "data"], k=5,
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1424,6 +1437,7 @@ QUERIES = {
     "hybrid_retrieval": q_hybrid_retrieval,
     "local_community_retrieval": q_local_community_retrieval,
     "text2sql_retrieval": q_text2sql_retrieval,
+    "ppr_retrieval": q_ppr_retrieval,
     "entity_embeddings": q_entity_embeddings,
     "entity_descriptions": q_entity_descriptions,
     "keyword_search": q_keyword_search,

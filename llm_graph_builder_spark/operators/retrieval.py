@@ -292,3 +292,56 @@ def global_community_retrieve(
         .filter(F.col("rnk") <= k)
         .select("community_id", "level", "score_e4", "rnk")
     )
+
+
+def ppr_retrieve(
+    entity_edges: DataFrame,
+    entities: DataFrame,
+    mentions: DataFrame,
+    question_terms: list[str],
+    k: int = 5,
+    iterations: int = 6,
+) -> DataFrame:
+    """GraphRAG-style local retrieval over the entity graph: seed the walk
+    at the entities the question names, localize relevance with
+    personalized PageRank, rank chunks by the summed rank of the entities
+    they mention. This is the graph-native sixth chat mode next to the
+    vector / fulltext / hybrid / local / global analogs — proximity in the
+    KG, not embedding distance, drives the ranking (the reference's
+    LOCAL_COMMUNITY_SEARCH_QUERY approximates the same idea through
+    community membership).
+
+    Scale shape: seed match is a map-side filter; PPR is the shared
+    operator (size-gated driver replica / distributed loop); chunk scoring
+    is ONE join of the |V|-row rank table onto distinct (chunk, entity)
+    mentions + one chunk-grain aggregation; the final top-k compiles to
+    TakeOrderedAndProject. Ordering is on the e6-ROUNDED score with a
+    chunk_id tiebreak, so the cut is deterministic across engines.
+
+    Output: (chunk_id, score_e6, rnk), rnk 1..k.
+    """
+    from .graph_analytics import _node_key, personalized_pagerank
+
+    terms = [t.lower() for t in question_terms]
+    srcs = entities.filter(F.lower(F.col("id")).isin(terms)).select(
+        _node_key("id", "label").alias("u")
+    )
+    ranks = personalized_pagerank(
+        entity_edges, entities, srcs, iterations=iterations
+    )
+    me = mentions.select(
+        "chunk_id", "entity_id", "entity_label"
+    ).dropDuplicates(["chunk_id", "entity_id", "entity_label"])
+    scored = (
+        me.join(
+            ranks,
+            (me.entity_id == ranks.id) & (me.entity_label == ranks.label),
+        )
+        .groupBy("chunk_id")
+        .agg(F.round(F.sum("rank") * 1000000).cast("long").alias("score_e6"))
+        .filter(F.col("score_e6") > 0)
+        .orderBy(F.desc("score_e6"), F.asc("chunk_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score_e6"), F.asc("chunk_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -2885,13 +2885,22 @@ FROM b{max_hops}
 ORACLE_SQL["bfs_distances"] = _bfs_sql()
 
 
-def _ppr_sql(iterations: int = 6, damping: float = 0.85) -> str:
+def _ppr_sql(
+    iterations: int = 6,
+    damping: float = 0.85,
+    srcs_sql: str = "SELECT u FROM nodes ORDER BY u LIMIT 3",
+    tail_sql: str | None = None,
+) -> str:
     """Unrolled personalized-PageRank mirror: teleport/dangling mass return
-    to the 3-smallest-key source set; expression shapes match the Spark
-    operator literally. All CTEs MATERIALIZED (see _pagerank_sql)."""
-    parts = ["""
+    to the source set (``srcs_sql`` over the ``nodes`` CTE; default = the
+    3-smallest-key protocol of q_personalized_pagerank); expression shapes
+    match the Spark operator literally. All CTEs MATERIALIZED (see
+    _pagerank_sql). ``tail_sql`` overrides the final SELECT (it sees pr{N}
+    and every pipeline CTE) — used by the ppr_retrieval chunk-scoring
+    oracle."""
+    parts = [f"""
 , nodes AS MATERIALIZED (SELECT DISTINCT id || chr(1) || label AS u FROM entities),
-srcs AS MATERIALIZED (SELECT u FROM nodes ORDER BY u LIMIT 3),
+srcs AS MATERIALIZED ({srcs_sql}),
 ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
 psd AS (
   SELECT subj_id || chr(1) || subj_label AS u,
@@ -2936,7 +2945,7 @@ pr{i} AS MATERIALIZED (
   FROM pn n CROSS JOIN pd{i} d
   LEFT JOIN pc{i} c ON c.u = n.u
 )""")
-    parts.append(f"""
+    parts.append(tail_sql if tail_sql is not None else f"""
 SELECT split_part(u, chr(1), 1) AS id,
        split_part(u, chr(1), 2) AS label,
        CAST(round(pr * 1000000) AS BIGINT) AS rank_e6
@@ -3097,3 +3106,31 @@ SELECT split_part(a, chr(1), 1) AS id_a,
        CAST(round(score * 1000000) AS BIGINT) AS score_e6
 FROM lps
 """
+
+# GraphRAG-style PPR retrieval: seed = entities named in the fixed question,
+# shared unrolled-PPR rounds, chunk scores = sum of entity ranks over
+# DISTINCT (chunk, entity) mentions; ordering on the ROUNDED score with a
+# chunk_id tiebreak makes the top-k cut engine-deterministic
+ORACLE_SQL["ppr_retrieval"] = _ppr_sql(
+    srcs_sql=(
+        "SELECT u FROM nodes "
+        "WHERE lower(split_part(u, chr(1), 1)) IN ('join', 'merge', 'data')"
+    ),
+    tail_sql="""
+, pme AS (SELECT DISTINCT chunk_id, entity_id, entity_label FROM mentions),
+pscore AS (
+  SELECT m.chunk_id,
+         CAST(round(sum(r.pr) * 1000000) AS BIGINT) AS score_e6
+  FROM pme m
+  JOIN pr6 r ON r.u = m.entity_id || chr(1) || m.entity_label
+  GROUP BY 1
+),
+ptop AS (
+  SELECT chunk_id, score_e6,
+         row_number() OVER (ORDER BY score_e6 DESC, chunk_id ASC) AS rnk
+  FROM pscore WHERE score_e6 > 0
+)
+SELECT chunk_id, score_e6, CAST(rnk AS BIGINT) AS rnk
+FROM ptop WHERE rnk <= 5
+""",
+)

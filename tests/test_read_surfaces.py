@@ -540,3 +540,35 @@ def test_faithfulness_and_relevancy_judged(spark):
     )
     rel = answer_relevancy_scores(same).collect()[0]
     assert rel.answer_relevancy_e4 == 10000
+
+
+def test_ppr_retrieval_ranks_seeded_neighborhood_first(spark):
+    """Chunks mentioning the seed entities (and their graph neighborhood)
+    outrank chunks whose entities are far from the seeds."""
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.retrieval import ppr_retrieve
+
+    ents = spark.createDataFrame(
+        [(e, "E", 1, 1) for e in ["seed", "near", "far1", "far2"]],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+    edges = spark.createDataFrame(
+        [("seed", "E", "R", "near", "E", 1), ("far1", "E", "R", "far2", "E", 1)],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    mentions = spark.createDataFrame(
+        [("c_seed", "d", "seed", "E"), ("c_near", "d", "near", "E"),
+         ("c_far", "d", "far1", "E"),
+         # duplicate mention rows must not double-count
+         ("c_seed", "d2", "seed", "E")],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    out = ppr_retrieve(edges, ents, mentions, ["SEED"], k=5).collect()
+    by_rank = [r.chunk_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert by_rank[0] == "c_seed"            # the seed chunk wins
+    assert by_rank[1] == "c_near"            # 1-hop neighborhood second
+    scores = {r.chunk_id: r.score_e6 for r in out}
+    # far component gets no walk mass (teleport returns to the seed set)
+    assert "c_far" not in scores or scores["c_far"] < scores["c_near"]
