@@ -1410,6 +1410,14 @@ def q_ppr_retrieval(spark, sf_dir):
     )
 
 
+def q_shard_plan(spark, sf_dir):
+    """Training-shard manifest via distributed prefix sum (oracle = one
+    global cumulative window — bit-identical by construction)."""
+    from .operators.packing import shard_plan
+
+    return shard_plan(read_documents(spark, sf_dir), shard_tokens=10_000)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1504,6 +1512,7 @@ QUERIES = {
     "sessionization": q_sessionization,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
+    "shard_plan": q_shard_plan,
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
     "mixture_weights": q_mixture_weights,

@@ -24,6 +24,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.textstats import _tokens
 
@@ -101,3 +102,66 @@ def greedy_pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
 def _order_key(doc_id: str) -> str:
     """Python mirror of the packing order key (tests)."""
     return hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()
+
+
+def shard_plan(
+    docs: DataFrame,
+    shard_tokens: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Training-shard manifest: assign every document to a fixed-token-budget
+    output shard, per stratum, in a deterministic md5 order — the write plan
+    a dataloader consumes (shard k of stratum s holds a contiguous token
+    range). Documents are never split; a shard may overflow by at most one
+    document (first-fit by prefix sum — the standard manifest semantics).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: the naive
+    formulation is one cumulative-sum window per stratum = one reducer
+    scanning the whole stratum. Instead: (1) bucket docs by the first md5
+    byte — ordering by (bucket, k) equals ordering by k since the bucket IS
+    k's prefix; (2) per-(stratum, bucket) token totals (tiny: ≤256 rows per
+    stratum) get their running offsets via a window over that SMALL frame;
+    (3) the intra-bucket cumulative sum runs as 256-way-parallel windows,
+    and offset + intra-sum reproduces the global prefix sum exactly —
+    integer arithmetic end-to-end, so the DuckDB oracle's single global
+    window hash-matches bit-for-bit.
+
+    Output: (doc, stratum, n_tokens, shard).
+    """
+    k = F.md5(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        k.alias("k"),
+        F.substring(k, 1, 2).alias("bucket"),
+    )
+    btot = base.groupBy("stratum", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        "stratum", "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = (
+        Window.partitionBy("stratum", "bucket")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "before_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offs), on=["stratum", "bucket"])
+        .select(
+            "doc", "stratum", "n_tokens",
+            F.expr(f"(offset + before_in) div {int(shard_tokens)}L").alias("shard"),
+        )
+    )

@@ -3134,3 +3134,21 @@ SELECT chunk_id, score_e6, CAST(rnk AS BIGINT) AS rnk
 FROM ptop WHERE rnk <= 5
 """,
 )
+
+# shard manifest: the engine's two-level distributed prefix sum equals one
+# global cumulative window (bucket = md5 prefix, so (bucket, k) order == k
+# order); integer token law shared with token_counts
+ORACLE_SQL["shard_plan"] = f"""
+WITH sbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang AS stratum,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT doc, stratum, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY stratum ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) // 10000 AS BIGINT) AS shard
+FROM sbase
+"""

@@ -1194,3 +1194,52 @@ def test_streaming_stateful_sessionization(spark, tmp_path):
     assert streamed == expected
     assert (7, 1) in streamed and (7, 2) in streamed  # both closed for user 7
     assert not any(u == 9 for u, _ in streamed)       # user 9 still open
+
+
+def test_shard_plan_prefix_sum_parity_and_budget(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from llm_graph_builder_spark.operators.packing import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", " ".join(f"w{j}" for j in range(i % 40 + 1)))
+         for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    out = shard_plan(docs, shard_tokens=100)
+    rows = out.collect()
+    # parity with the naive single global window per stratum
+    naive = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc"),
+            F.col("lang").alias("stratum"),
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+            .cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+        )
+        .withColumn(
+            "shard",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.partitionBy("stratum").orderBy("k")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long") / 100,
+        )
+        .selectExpr("doc", "stratum", "n_tokens", "CAST(floor(shard) AS LONG) AS shard")
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in naive.collect()}
+    # budget: every shard holds <= 100 tokens + at most one overflowing doc
+    per_shard = (
+        out.groupBy("stratum", "shard").agg(F.sum("n_tokens").alias("tot"),
+                                            F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert all(r.tot - r.mx < 100 for r in per_shard)
+    # shards are contiguous 0..max per stratum
+    for srow in out.groupBy("stratum").agg(
+        F.countDistinct("shard").alias("n"), F.max("shard").alias("mx")
+    ).collect():
+        assert srow.n == srow.mx + 1
