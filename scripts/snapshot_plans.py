@@ -274,6 +274,15 @@ def main() -> None:
         triangle_counts(_ee),
     )
     snap(
+        "Link prediction (degree-capped wedge join, RA scores)",
+        "Wedge legs read the capped center table (centers with degree > 64 "
+        "are filtered BEFORE the self-join — the cap must appear below the "
+        "join, not above it); the existing-edge exclusion is an anti-join "
+        "against the materialized projection.",
+        __import__("llm_graph_builder_spark.operators.graph_analytics",
+                   fromlist=["link_prediction"]).link_prediction(_ee),
+    )
+    snap(
         "Node similarity (per-chunk bounded pair join)",
         "Pairs are generated by self-joining the materialized entity-chunk "
         "table ON chunk_id — fan-out bounded by entities-per-chunk (chunk "
