@@ -1418,6 +1418,15 @@ def q_shard_plan(spark, sf_dir):
     return shard_plan(read_documents(spark, sf_dir), shard_tokens=10_000)
 
 
+def q_random_walks(spark, sf_dir):
+    """node2vec-style deterministic walk corpus over the entity graph
+    (md5 coin per step — value-checked, not statistical)."""
+    from .operators.graph_analytics import random_walks
+
+    t = pipeline_tables(spark, sf_dir)
+    return random_walks(t["entity_edges"], walk_length=4, walks_per_node=2)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1474,6 +1483,7 @@ QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "vocab_stats": q_vocab_stats,
     "clustering_coefficient": q_clustering_coefficient,
+    "random_walks": q_random_walks,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
     "qa_eval": q_qa_eval,

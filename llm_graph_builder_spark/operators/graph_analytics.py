@@ -830,3 +830,93 @@ def link_prediction(
         F.col("common").cast("long").alias("common"),
         F.round(F.col("score") * 1000000).cast("long").alias("score_e6"),
     )
+
+
+def random_walks(
+    entity_edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    seed: str = "walk",
+) -> DataFrame:
+    """Deterministic uniform random walks over the undirected simple entity
+    graph — the node2vec/DeepWalk corpus generator (graph-embedding training
+    data; the p/q second-order biases are out of scope). The "coin" at step
+    t of walk w from start s at node c is ``md5(seed:s:w:t:c) % deg(c)`` —
+    an engine-portable choice, so the DuckDB oracle unrolls the identical
+    steps and the output is value-checked, not statistical.
+
+    Scale shape: the adjacency gets a per-source neighbor index ONCE
+    (row_number within u — one shuffle); each step is then one hash join of
+    the |starts|·walks_per_node frontier against (cur, idx) — no
+    per-partition RNG state, no driver involvement, reproducible under any
+    partitioning. Walks start at every connected node; in a symmetric graph
+    every reached node has an out-edge, so walks never dead-end.
+
+    Output: (start_id, start_label, wid, step, node_id, node_label) — one
+    row per visited node, step 0..walk_length.
+    """
+    und, _ = materialize(simple_undirected(entity_edges))
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    from pyspark.sql.window import Window
+
+    adj, _ = materialize(
+        sym.withColumn(
+            "idx", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+        )
+    )
+    deg = adj.groupBy("u").agg(F.max("idx").alias("deg"))
+
+    starts = (
+        und.select("u").unionByName(und.select(F.col("v").alias("u")))
+        .distinct()
+        .select(
+            F.col("u").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+            ).alias("wid"),
+        )
+        .withColumn("wid", F.col("wid").cast("long"))
+    )
+    frontier, _ = materialize(starts.withColumn("cur", F.col("start")))
+    rows = [frontier.select("start", "wid", F.lit(0).cast("long").alias("step"),
+                            F.col("cur").alias("node"))]
+    for t in range(1, int(walk_length) + 1):
+        coin = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(seed), F.col("start"),
+                    F.col("wid").cast("string"), F.lit(str(t)), F.col("cur"),
+                )), 1, 8,
+            ), 16, 10,
+        ).cast("long")
+        nxt = (
+            frontier.join(deg, frontier.cur == deg.u)
+            .withColumn("pick", coin % F.col("deg") + 1)
+            .join(
+                adj.select(
+                    F.col("u").alias("_au"), F.col("v").alias("_av"),
+                    F.col("idx").alias("_aidx"),
+                ),
+                (F.col("cur") == F.col("_au")) & (F.col("pick") == F.col("_aidx")),
+            )
+            .select("start", "wid", F.col("_av").alias("cur"))
+        )
+        frontier, _ = materialize(nxt, previous=frontier)
+        rows.append(
+            frontier.select("start", "wid", F.lit(t).cast("long").alias("step"),
+                            F.col("cur").alias("node"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    ss = F.split(F.col("start"), "\x01")
+    sn = F.split(F.col("node"), "\x01")
+    return out.select(
+        ss.getItem(0).alias("start_id"),
+        ss.getItem(1).alias("start_label"),
+        "wid", "step",
+        sn.getItem(0).alias("node_id"),
+        sn.getItem(1).alias("node_label"),
+    )

@@ -3152,3 +3152,50 @@ SELECT doc, stratum, n_tokens,
             ), 0) // 10000 AS BIGINT) AS shard
 FROM sbase
 """
+
+
+def _random_walks_sql(walk_length: int = 4, walks_per_node: int = 2,
+                      seed: str = "walk") -> str:
+    """Unrolled random-walk mirror: identical md5 coin per step
+    (CAST('0x'||substr(md5(...),1,8)) == Spark conv(substring(md5,1,8),16,10));
+    neighbor index = row_number within source ordered by v (binary collation
+    both engines). MATERIALIZED per step (each w{t} feeds w{t+1} AND the
+    final union)."""
+    parts = [_UND_CTE + f""",
+rwsym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+rwadj AS MATERIALIZED (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS idx FROM rwsym
+),
+rwdeg AS MATERIALIZED (SELECT u, CAST(max(idx) AS BIGINT) AS deg FROM rwadj GROUP BY u),
+rw0 AS MATERIALIZED (
+  SELECT s.u AS start, CAST(g.wid AS BIGINT) AS wid, s.u AS cur
+  FROM (SELECT DISTINCT u FROM rwsym) s
+  CROSS JOIN (SELECT unnest(range({walks_per_node})) AS wid) g
+)"""]
+    for t in range(1, walk_length + 1):
+        parts.append(f""",
+rw{t} AS MATERIALIZED (
+  SELECT w.start, w.wid, a.v AS cur
+  FROM rw{t - 1} w
+  JOIN rwdeg d ON d.u = w.cur
+  JOIN rwadj a ON a.u = w.cur
+   AND a.idx = CAST(('0x' || substr(md5('{seed}:' || w.start || ':'
+                 || CAST(w.wid AS VARCHAR) || ':{t}:' || w.cur), 1, 8))
+               AS BIGINT) % d.deg + 1
+)""")
+    steps = "\n  UNION ALL ".join(
+        f"SELECT start, wid, CAST({t} AS BIGINT) AS step, cur FROM rw{t}"
+        for t in range(walk_length + 1)
+    )
+    parts.append(f"""
+SELECT split_part(start, chr(1), 1) AS start_id,
+       split_part(start, chr(1), 2) AS start_label,
+       wid, step,
+       split_part(cur, chr(1), 1) AS node_id,
+       split_part(cur, chr(1), 2) AS node_label
+FROM ({steps})
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["random_walks"] = _random_walks_sql()

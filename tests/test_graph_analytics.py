@@ -255,3 +255,90 @@ def test_link_prediction_hub_center_capped(spark):
     )
     # hub degree 300 > cap 64 → contributes no wedges; leaves have degree 1
     assert link_prediction(star, max_center_degree=64).count() == 0
+
+
+def test_graph_ops_random_bruteforce_parity(spark):
+    """Seeded random graphs vs pure-python brute force: triangles per node,
+    WCC membership, clustering coefficient, degree histogram."""
+    import itertools
+    import random
+
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        clustering_coefficient,
+        wcc,
+    )
+
+    rnd = random.Random(7)
+    for _ in range(5):
+        names = [f"n{i}" for i in range(rnd.randint(4, 9))]
+        pairs = sorted(
+            {tuple(sorted(rnd.sample(names, 2)))
+             for _ in range(rnd.randint(3, 14))}
+        )
+        edges = _edges(spark, pairs)
+        adj = {x: set() for x in names}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        in_graph = [x for x in names if adj[x]]
+        # brute-force triangles per node
+        tri = {x: 0 for x in in_graph}
+        for a, b, c in itertools.combinations(sorted(in_graph), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                tri[a] += 1; tri[b] += 1; tri[c] += 1
+        got_t = {r.id: r.triangles for r in triangle_counts(edges).collect()}
+        assert got_t == {x: t for x, t in tri.items() if t > 0}
+        # clustering coefficient
+        got_c = {r.id: (r.degree, r.triangles, r.coeff_e6)
+                 for r in clustering_coefficient(edges).collect()}
+        exp_c = {}
+        for x in in_graph:
+            d = len(adj[x])
+            exp_c[x] = (d, tri[x],
+                        (2 * tri[x] * 1_000_000) // (d * (d - 1)) if d >= 2 else 0)
+        assert got_c == exp_c
+        # WCC: brute-force flood fill
+        comp = {}
+        for x in sorted(in_graph):
+            if x in comp:
+                continue
+            stack, seen = [x], {x}
+            while stack:
+                y = stack.pop()
+                for z in adj[y]:
+                    if z not in seen:
+                        seen.add(z); stack.append(z)
+            for y in seen:
+                comp[y] = min(seen)
+        ents = _entities(spark, names)
+        got_w = {r.id: r.comp_id for r in wcc(edges, ents).collect()}
+        exp_w = {x: comp.get(x, x) for x in names}
+        assert got_w == exp_w
+        # degree histogram
+        from collections import Counter
+
+        exp_h = Counter(len(adj[x]) for x in in_graph)
+        got_h = {r.degree: r.n_nodes
+                 for r in degree_distribution(edges).collect()}
+        assert got_h == dict(exp_h)
+
+
+def test_random_walks_are_valid_paths_and_deterministic(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import random_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")]
+    edges = _edges(spark, pairs)
+    out = random_walks(edges, walk_length=3, walks_per_node=2).collect()
+    # 4 connected nodes × 2 walks × 4 steps
+    assert len(out) == 4 * 2 * 4
+    und = {frozenset(p) for p in pairs}
+    walks = {}
+    for r in out:
+        walks.setdefault((r.start_id, r.wid), {})[r.step] = r.node_id
+    for (s, _), path in walks.items():
+        assert path[0] == s  # step 0 is the start node
+        for t in range(1, 4):
+            assert frozenset((path[t - 1], path[t])) in und  # edge exists
+    # deterministic under repartitioning
+    again = random_walks(edges.repartition(7), walk_length=3, walks_per_node=2)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out}
