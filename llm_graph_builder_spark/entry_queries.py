@@ -1427,6 +1427,14 @@ def q_random_walks(spark, sf_dir):
     return random_walks(t["entity_edges"], walk_length=4, walks_per_node=2)
 
 
+def q_graph_summary(spark, sf_dir):
+    """One-row entity-graph dataset card (gds.graph.list stats analog)."""
+    from .operators.graph_analytics import graph_summary
+
+    t = pipeline_tables(spark, sf_dir)
+    return graph_summary(t["entity_edges"], t["entities"])
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1484,6 +1492,7 @@ QUERIES = {
     "vocab_stats": q_vocab_stats,
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
+    "graph_summary": q_graph_summary,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
     "qa_eval": q_qa_eval,

@@ -920,3 +920,44 @@ def random_walks(
         sn.getItem(0).alias("node_id"),
         sn.getItem(1).alias("node_label"),
     )
+
+
+def graph_summary(entity_edges: DataFrame, entities: DataFrame) -> DataFrame:
+    """One-row dataset card for the entity graph (the ``gds.graph.list``
+    stats surface): node/edge counts, isolated nodes, component count
+    (singletons included), degree extremes, total triangles.
+
+    Composes the existing aggregates — degree table, WCC, triangle counts —
+    each already scale-shaped; the final assembly is 1-row crossJoins.
+    avg_degree is integer-exact e4 (2·|E|·10⁴ div |V_connected|); triangle
+    total is Σ per-node / 3 (every triangle has 3 corners — exact integer).
+    """
+    und, n_edges = materialize(simple_undirected(entity_edges))
+    deg = degree_table(und)
+    nodes_total = entities.select(
+        _node_key("id", "label").alias("u")
+    ).dropDuplicates(["u"])
+    comp = wcc(entity_edges, entities)
+    tri = triangle_counts(entity_edges)
+    a = nodes_total.agg(F.count("*").cast("long").alias("n_nodes"))
+    b = deg.agg(
+        F.count("*").cast("long").alias("n_connected_nodes"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    c = comp.select("comp_id", "comp_label").distinct().agg(
+        F.count("*").cast("long").alias("n_components")
+    )
+    d = tri.agg(
+        F.coalesce(F.sum("triangles"), F.lit(0)).cast("long").alias("_tri3")
+    )
+    out = (
+        a.crossJoin(b).crossJoin(c).crossJoin(d)
+        .withColumn("n_edges", F.lit(n_edges).cast("long"))
+    )
+    return out.select(
+        "n_nodes", "n_connected_nodes", "n_edges", "n_components",
+        "max_degree",
+        F.expr("2L * n_edges * 10000L div greatest(n_connected_nodes, 1L)")
+        .alias("avg_degree_e4"),
+        F.expr("_tri3 div 3L").alias("n_triangles"),
+    )

@@ -3199,3 +3199,53 @@ FROM ({steps})
 
 
 ORACLE_SQL["random_walks"] = _random_walks_sql()
+
+# one-row graph dataset card: composes the und/deg/reach/triangle mirrors
+ORACLE_SQL["graph_summary"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _UND_CTE + """,
+gsdeg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+gsn AS (SELECT DISTINCT id || chr(1) || label AS u FROM entities),
+gssym AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+gsreach(node, lab) AS (
+  SELECT u, u FROM gssym
+  UNION
+  SELECT e.v, r.lab FROM gsreach r JOIN gssym e ON e.u = r.node
+),
+gscomp AS (
+  SELECT count(DISTINCT component) AS n FROM (
+    SELECT node, min(lab) AS component FROM gsreach GROUP BY node
+    UNION ALL
+    SELECT u, u FROM gsn WHERE u NOT IN (SELECT node FROM gsreach)
+  )
+),
+gstri AS (
+  SELECT count(*) AS n FROM (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.v
+    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+  )
+),
+gsagg AS (
+  SELECT (SELECT count(*) FROM gsn) AS n_nodes,
+         (SELECT count(*) FROM gsdeg) AS n_connected_nodes,
+         (SELECT count(*) FROM und) AS n_edges,
+         (SELECT n FROM gscomp) AS n_components,
+         (SELECT max(degree) FROM gsdeg) AS max_degree,
+         (SELECT n FROM gstri) AS n_tri
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_connected_nodes AS BIGINT) AS n_connected_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_components AS BIGINT) AS n_components,
+       CAST(max_degree AS BIGINT) AS max_degree,
+       CAST(2 * n_edges * 10000 // greatest(n_connected_nodes, 1) AS BIGINT)
+         AS avg_degree_e4,
+       CAST(n_tri AS BIGINT) AS n_triangles
+FROM gsagg
+"""

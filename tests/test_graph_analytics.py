@@ -342,3 +342,17 @@ def test_random_walks_are_valid_paths_and_deterministic(spark):
     # deterministic under repartitioning
     again = random_walks(edges.repartition(7), walk_length=3, walks_per_node=2)
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out}
+
+
+def test_graph_summary_card(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import graph_summary
+
+    # triangle a-b-c + isolated pair x-y + fully isolated entity "solo"
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")])
+    ents = _entities(spark, ["a", "b", "c", "x", "y", "solo"])
+    row = graph_summary(edges, ents).collect()[0]
+    assert (row.n_nodes, row.n_connected_nodes, row.n_edges) == (6, 5, 4)
+    assert row.n_components == 3      # triangle, pair, singleton
+    assert row.max_degree == 2
+    assert row.n_triangles == 1
+    assert row.avg_degree_e4 == (2 * 4 * 10000) // 5
