@@ -1435,6 +1435,20 @@ def q_graph_summary(spark, sf_dir):
     return graph_summary(t["entity_edges"], t["entities"])
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities on the directed entity graph (fixed 6
+    sum-normalized rounds; oracle unrolls the identical rounds)."""
+    from .operators.graph_analytics import hits
+
+    t = pipeline_tables(spark, sf_dir)
+    out = hits(t["entity_edges"], iterations=6)
+    return out.select(
+        "id", "label",
+        F.round(F.col("hub") * 1000000).cast("long").alias("hub_e6"),
+        F.round(F.col("authority") * 1000000).cast("long").alias("authority_e6"),
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1493,6 +1507,7 @@ QUERIES = {
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
     "graph_summary": q_graph_summary,
+    "hits": q_hits,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
     "qa_eval": q_qa_eval,

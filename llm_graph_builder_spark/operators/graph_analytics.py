@@ -961,3 +961,120 @@ def graph_summary(entity_edges: DataFrame, entities: DataFrame) -> DataFrame:
         .alias("avg_degree_e4"),
         F.expr("_tri3 div 3L").alias("n_triangles"),
     )
+
+
+def _hits_py(
+    edges: list[tuple[str, str]], iterations: int
+) -> dict[str, tuple[float, float]]:
+    """Driver replica of the HITS loop (sum-normalized; identical rounds)."""
+    outs: dict[str, list[str]] = {}
+    ins: dict[str, list[str]] = {}
+    nodes = set()
+    for a, b in edges:
+        outs.setdefault(a, []).append(b)
+        ins.setdefault(b, []).append(a)
+        nodes.add(a)
+        nodes.add(b)
+    hub = {x: 1.0 for x in nodes}
+    auth = {x: 1.0 for x in nodes}
+    for _ in range(iterations):
+        auth = {x: sum(hub[u] for u in ins.get(x, ())) for x in nodes}
+        s = sum(auth.values())
+        auth = {x: (v / s if s else 0.0) for x, v in auth.items()}
+        hub = {x: sum(auth[v] for v in outs.get(x, ())) for x in nodes}
+        s = sum(hub.values())
+        hub = {x: (v / s if s else 0.0) for x, v in hub.items()}
+    return {x: (hub[x], auth[x]) for x in nodes}
+
+
+def hits(
+    entity_edges: DataFrame,
+    iterations: int = 6,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """HITS hubs & authorities on the DIRECTED entity graph (GDS
+    ``gds.alpha.hits`` analog) — PageRank's companion eigenvector pair:
+    subjects that point at many strong objects are hubs, objects cited by
+    many strong subjects are authorities. Parallel predicates collapse to
+    one directed edge; self-loops dropped.
+
+    Sum normalization per half-round instead of Kleinberg's L2: the ranking
+    is identical (normalization only rescales) and it keeps every operation
+    linear — no sqrt — so the unrolled DuckDB mirror matches at e6 without
+    FP-function parity caveats. Fixed ``iterations`` rounds; same size-gated
+    driver replica / per-round materialize protocol as pagerank. Nodes in
+    the directed graph only (isolated entities carry no HITS signal).
+
+    Output: (id, label, hub, authority) as DOUBLEs; callers fix-point.
+    """
+    u = _node_key("subj_id", "subj_label")
+    v = _node_key("obj_id", "obj_label")
+    dedges, n_edges = materialize(
+        entity_edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_edges <= driver_max_edges:
+        scores = _hits_py([(r.u, r.v) for r in dedges.collect()], iterations)
+        out = entity_edges.sparkSession.createDataFrame(
+            sorted((k, h, a) for k, (h, a) in scores.items()),
+            "u string, hub double, authority double",
+        )
+        return out.select(
+            split.getItem(0).alias("id"),
+            split.getItem(1).alias("label"),
+            "hub", "authority",
+        )
+    nodes = (
+        dedges.select("u")
+        .unionByName(dedges.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    nodes, _ = materialize(nodes)
+    state = nodes.select(
+        "u", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+    state, _ = materialize(state)
+    for it in range(iterations):
+        ain = (
+            state.join(dedges, on="u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("hub").alias("raw_auth"))
+        )
+        auth = (
+            nodes.join(ain, on="u", how="left")
+            .select("u", F.coalesce("raw_auth", F.lit(0.0)).alias("raw_auth"))
+        )
+        asum = auth.agg(F.sum("raw_auth").alias("s"))
+        auth = auth.crossJoin(F.broadcast(asum)).select(
+            "u",
+            F.when(F.col("s") != 0.0, F.col("raw_auth") / F.col("s"))
+            .otherwise(F.lit(0.0)).alias("authority"),
+        )
+        auth, _ = materialize(auth)
+        hin = (
+            auth.join(dedges.select(F.col("u").alias("src"), F.col("v").alias("u")), on="u")
+            .groupBy(F.col("src").alias("u"))
+            .agg(F.sum("authority").alias("raw_hub"))
+        )
+        hub = (
+            nodes.join(hin, on="u", how="left")
+            .select("u", F.coalesce("raw_hub", F.lit(0.0)).alias("raw_hub"))
+        )
+        hsum = hub.agg(F.sum("raw_hub").alias("s"))
+        hub = hub.crossJoin(F.broadcast(hsum)).select(
+            "u",
+            F.when(F.col("s") != 0.0, F.col("raw_hub") / F.col("s"))
+            .otherwise(F.lit(0.0)).alias("hub"),
+        )
+        new_state = hub.join(auth, on="u")
+        if it < iterations - 1:
+            state, _ = materialize(new_state, previous=state)
+        else:
+            state = new_state
+    return state.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "hub", "authority",
+    )

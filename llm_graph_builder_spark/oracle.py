@@ -3249,3 +3249,58 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(n_tri AS BIGINT) AS n_triangles
 FROM gsagg
 """
+
+
+def _hits_sql(iterations: int = 6) -> str:
+    """Unrolled HITS mirror: sum-normalized half-rounds (no sqrt — every op
+    linear), MATERIALIZED per CTE (each feeds two downstream reads)."""
+    parts = ["""
+, hedges AS MATERIALIZED (
+  SELECT DISTINCT subj_id || chr(1) || subj_label AS u,
+                  obj_id || chr(1) || obj_label AS v
+  FROM entity_edges
+  WHERE NOT (subj_id = obj_id AND subj_label = obj_label)
+),
+hnodes AS MATERIALIZED (
+  SELECT DISTINCT u FROM (SELECT u FROM hedges UNION ALL SELECT v AS u FROM hedges)
+),
+h0 AS MATERIALIZED (SELECT u, 1.0 AS hub, 1.0 AS auth FROM hnodes)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT n.u, coalesce(x.s, 0.0) AS raw
+  FROM hnodes n LEFT JOIN (
+    SELECT e.v AS u, sum(h.hub) AS s
+    FROM h{i - 1} h JOIN hedges e ON e.u = h.u GROUP BY 1
+  ) x ON x.u = n.u
+),
+a{i} AS MATERIALIZED (
+  SELECT r.u, CASE WHEN t.s <> 0.0 THEN r.raw / t.s ELSE 0.0 END AS auth
+  FROM ar{i} r CROSS JOIN (SELECT sum(raw) AS s FROM ar{i}) t
+),
+hr{i} AS MATERIALIZED (
+  SELECT n.u, coalesce(x.s, 0.0) AS raw
+  FROM hnodes n LEFT JOIN (
+    SELECT e.u, sum(a.auth) AS s
+    FROM a{i} a JOIN hedges e ON e.v = a.u GROUP BY 1
+  ) x ON x.u = n.u
+),
+h{i} AS MATERIALIZED (
+  SELECT r.u,
+         CASE WHEN t.s <> 0.0 THEN r.raw / t.s ELSE 0.0 END AS hub,
+         a.auth
+  FROM hr{i} r
+  CROSS JOIN (SELECT sum(raw) AS s FROM hr{i}) t
+  JOIN a{i} a ON a.u = r.u
+)""")
+    parts.append(f"""
+SELECT split_part(u, chr(1), 1) AS id,
+       split_part(u, chr(1), 2) AS label,
+       CAST(round(hub * 1000000) AS BIGINT) AS hub_e6,
+       CAST(round(auth * 1000000) AS BIGINT) AS authority_e6
+FROM h{iterations}
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["hits"] = _hits_sql()

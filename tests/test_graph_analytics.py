@@ -356,3 +356,23 @@ def test_graph_summary_card(spark):
     assert row.max_degree == 2
     assert row.n_triangles == 1
     assert row.avg_degree_e4 == (2 * 4 * 10000) // 5
+
+
+def test_hits_hub_authority_separation_and_parity(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import hits
+
+    # pure hub h points at a1..a3; a1 also cited by h2 → a1 top authority
+    edges = _edges(
+        spark,
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("h2", "a1")],
+    )
+    out = {r.id: (r.hub, r.authority) for r in hits(edges, iterations=6).collect()}
+    assert out["h"][0] > out["h2"][0] > 0          # h the stronger hub
+    assert out["a1"][1] > out["a2"][1] > 0         # a1 the stronger authority
+    assert out["h"][1] == 0.0 and out["a1"][0] == 0.0  # pure roles
+    # driver replica == distributed loop at e6
+    d = {r.id: (round(r.hub * 1e6), round(r.authority * 1e6))
+         for r in hits(edges, iterations=4).collect()}
+    c = {r.id: (round(r.hub * 1e6), round(r.authority * 1e6))
+         for r in hits(edges, iterations=4, driver_max_edges=0).collect()}
+    assert d == c
