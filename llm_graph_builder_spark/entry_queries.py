@@ -858,6 +858,15 @@ def q_bigram_novelty(spark, sf_dir):
     return bigram_novelty(read_documents(spark, sf_dir))
 
 
+def q_surprisal_bits(spark, sf_dir):
+    """Quantized perplexity gate: per-doc floor-log2 surprisal bits under
+    the corpus's own unigram LM (integer-exact KenLM stand-in; complements
+    bigram_novelty's transition-rarity signal)."""
+    from .functions.textstats import surprisal_bits
+
+    return surprisal_bits(read_documents(spark, sf_dir))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified sampling: down-weight the dominant language
     (en 20%), keep half of everything else — hash-bucket decision per doc,
@@ -1449,6 +1458,45 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Entity co-occurrence association edges with integer-quantized PMI
+    (SPPMI graph over chunk-grain co-mentions; hot-chunk guard mirrored by
+    the oracle)."""
+    from .operators.graph_analytics import cooccurrence_pmi
+
+    t = pipeline_tables(spark, sf_dir)
+    return cooccurrence_pmi(t["mentions"])
+
+
+def q_closeness_centrality(spark, sf_dir):
+    """Harmonic closeness centrality from ALL entity keys (exact at this
+    scale; the operator takes a sampled source frame at web scale —
+    Eppstein-Wang). Integer-exact ×LCM(1..4) contributions; oracle unrolls
+    the identical pair-frontier rounds."""
+    from .operators.graph_analytics import _node_key, closeness_centrality
+
+    t = pipeline_tables(spark, sf_dir)
+    srcs = (
+        t["entities"].select(_node_key("id", "label").alias("u"))
+        .dropDuplicates(["u"])
+    )
+    return closeness_centrality(t["entity_edges"], srcs, max_hops=4)
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Multi-source weighted shortest paths (frontier Bellman-Ford, 6
+    bounded rounds) from the 3 smallest entity keys; integer co-mention
+    weights — oracle unrolls the identical rounds."""
+    from .operators.graph_analytics import _node_key, sssp_weighted
+
+    t = pipeline_tables(spark, sf_dir)
+    srcs = (
+        t["entities"].select(_node_key("id", "label").alias("u"))
+        .dropDuplicates(["u"]).orderBy("u").limit(3)
+    )
+    return sssp_weighted(t["entity_edges"], srcs, rounds=6)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -1508,6 +1556,9 @@ QUERIES = {
     "random_walks": q_random_walks,
     "graph_summary": q_graph_summary,
     "hits": q_hits,
+    "closeness_centrality": q_closeness_centrality,
+    "sssp_weighted": q_sssp_weighted,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
     "qa_eval": q_qa_eval,
@@ -1541,6 +1592,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "corpus_sample": q_corpus_sample,
     "bigram_novelty": q_bigram_novelty,
+    "surprisal_bits": q_surprisal_bits,
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
     "sessionization": q_sessionization,

@@ -360,3 +360,54 @@ def vocab_stats(
         F.col("rnk").cast("long").alias("rnk"),
         F.expr("cnt * 1000000L div total").alias("share_e6"),
     )
+
+
+def surprisal_bits(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Integer-quantized unigram surprisal per document — the deterministic
+    perplexity-gate stand-in (CCNet/KenLM filter family; complements
+    :func:`bigram_novelty`, which scores transition rarity): a token with
+    corpus probability p = c/total contributes ``floor(log2(total // c))``
+    bits, computed integer-exactly as ``length(bin(total div c)) - 1`` —
+    no FP logs, so the DuckDB oracle hash-matches bit-for-bit (Spark and
+    DuckDB ``bin()`` agree on positive BIGINTs).
+
+    ``mean_bits_x100`` (= 100 × bits/token, integer div) is the quantized
+    cross-entropy: the per-doc quality gate threshold. ``max_bits`` flags
+    the single rarest token (OOV-ish spike detector).
+
+    Scale shape: same two-shuffle recipe as :func:`bigram_novelty` — one
+    groupBy(token) LM count over the exploded token table (materialized
+    once, feeds both the LM and the re-join), one shuffle join back on the
+    token key; the corpus total is a one-row aggregate broadcast into the
+    join (no corpus-wide shuffle). Zero-token docs emit 0/0/0 with NULL
+    ``max_bits``.
+    """
+    from .iterutils import materialize
+
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).cast("string").alias("doc"), toks.alias("tk"))
+    exploded, _ = materialize(base.select("doc", F.explode("tk").alias("tok")))
+    lm = exploded.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    total = lm.agg(F.sum("c").cast("long").alias("total"))
+    joined = exploded.join(lm, on="tok").crossJoin(F.broadcast(total))
+    bits = (F.length(F.bin(F.expr("total div c"))) - 1).cast("long")
+    scored = joined.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(bits).cast("long").alias("sum_bits"),
+        F.max(bits).cast("long").alias("max_bits"),
+    )
+    return (
+        base.select("doc")
+        .join(scored, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
+            F.expr(
+                "coalesce(sum_bits, 0L) * 100L div greatest(coalesce(n_tokens, 0L), 1L)"
+            ).cast("long").alias("mean_bits_x100"),
+            F.col("max_bits"),
+        )
+    )

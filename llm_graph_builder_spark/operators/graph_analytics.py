@@ -1078,3 +1078,312 @@ def hits(
         split.getItem(1).alias("label"),
         "hub", "authority",
     )
+
+
+def _closeness_py(
+    sources: list[str],
+    edges: list[tuple[str, str]],
+    max_hops: int,
+    lcm: int,
+) -> dict[str, list[int]]:
+    """Driver replica of the multi-source harmonic sweep (same rounds,
+    same pair-dedup rule as the distributed pair-frontier BFS)."""
+    adj: dict[str, list[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    agg: dict[str, list[int]] = {}
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+            if not frontier:
+                break
+        for u, d in dist.items():
+            a = agg.setdefault(u, [0, 0, 0])
+            if d > 0:
+                a[0] += lcm // d
+                a[1] += 1
+                a[2] = max(a[2], d)
+    return agg
+
+
+def closeness_centrality(
+    entity_edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Harmonic closeness centrality w.r.t. a source set (GDS
+    ``gds.closeness.harmonic`` analog; reference projects the entity graph
+    into GDS for exactly this family of centralities,
+    /root/reference/backend/src/communities.py graph-projection flow).
+
+    Pass ALL node keys as ``sources`` for the exact centrality on small
+    graphs; at web scale pass a deterministic sample — the Eppstein-Wang
+    estimator: per-node sums over s sampled sources, scaled by n/s by the
+    caller. Undirected d(s,u) = d(u,s), so aggregating arrivals per target
+    node is the same sum.
+
+    Integer-exact: harmonic contributions are summed as ``LCM(1..max_hops)
+    div hops`` (every term an exact integer, no FP accumulation order
+    hazard), so the DuckDB oracle hash-matches bit-for-bit. Also emits
+    ``reached`` (sources that reach the node) and ``ecc`` (max observed
+    hops = eccentricity lower bound w.r.t. the source set).
+
+    Distributed shape: pair-frontier BFS on (source, node) keys — round h
+    expands only pairs first reached at h-1 and anti-joins the settled pair
+    set, so each (source, edge) is traversed at most twice; the settled set
+    is the output grain, never collected. Size gate as elsewhere.
+
+    Output: (id, label, harmonic_xlcm, reached, ecc).
+    """
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    und, n_edges = materialize(simple_undirected(entity_edges))
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_edges <= driver_max_edges:
+        agg = _closeness_py(
+            [r.u for r in sources.select("u").collect()],
+            [(r.u, r.v) for r in und.collect()],
+            max_hops,
+            lcm,
+        )
+        out = entity_edges.sparkSession.createDataFrame(
+            sorted((u, *v) for u, v in agg.items()),
+            "u string, harmonic_xlcm long, reached long, ecc long",
+        )
+        return out.select(
+            split.getItem(0).alias("id"),
+            split.getItem(1).alias("label"),
+            "harmonic_xlcm", "reached", "ecc",
+        )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sym, _ = materialize(sym)
+    pairs = sources.select(
+        F.col("u").alias("s"), "u", F.lit(0).cast("long").alias("hops")
+    )
+    pairs, _ = materialize(pairs)
+    frontier = pairs.select("s", "u")
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(sym, on="u")
+            .select("s", F.col("v").alias("u"))
+            .dropDuplicates(["s", "u"])
+        )
+        new = cand.join(
+            pairs.select("s", "u"), on=["s", "u"], how="left_anti"
+        ).select("s", "u", F.lit(h).cast("long").alias("hops"))
+        new, n_new = materialize(new)
+        if n_new == 0:
+            break
+        pairs, _ = materialize(pairs.unionByName(new), previous=pairs)
+        frontier = new.select("s", "u")
+    hot = F.col("hops") > 0
+    agg = pairs.groupBy("u").agg(
+        F.coalesce(
+            F.sum(F.when(hot, F.expr(f"{lcm}L div hops"))), F.lit(0).cast("long")
+        ).alias("harmonic_xlcm"),
+        F.sum(hot.cast("long")).cast("long").alias("reached"),
+        F.max("hops").cast("long").alias("ecc"),
+    )
+    return agg.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "harmonic_xlcm", "reached", "ecc",
+    )
+
+
+def _sssp_py(
+    sources: list[str],
+    wedges: list[tuple[str, str, int]],
+    rounds: int,
+) -> dict[str, int]:
+    """Driver replica of the frontier Bellman-Ford (identical rounds:
+    relax only from nodes improved last round, min per target, keep only
+    strict improvements)."""
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for a, b, w in wedges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {s: 0 for s in sources}
+    frontier = set(dist)
+    for _ in range(rounds):
+        upd: dict[str, int] = {}
+        for u in frontier:
+            du = dist[u]
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < upd.get(v, nd + 1):
+                    upd[v] = nd
+        upd = {v: d for v, d in upd.items() if v not in dist or d < dist[v]}
+        if not upd:
+            break
+        dist.update(upd)
+        frontier = set(upd)
+    return dist
+
+
+def sssp_weighted(
+    entity_edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 6,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Multi-source weighted shortest paths via frontier Bellman-Ford (GDS
+    ``gds.allShortestPaths.dijkstra`` / delta-stepping analog) on the
+    symmetric weighted entity graph (parallel-edge weights summed, the same
+    ``psym`` construction as PageRank). Weights are the BIGINT co-mention
+    counts, so distances are integer-exact — the oracle hash-matches
+    bit-for-bit.
+
+    Bounded to ``rounds`` relaxation rounds so the oracle can unroll the
+    identical rounds; post-fixpoint rounds are identity (same argument as
+    kcore), and the distributed loop early-stops when a round improves
+    nothing. Frontier discipline: round i relaxes ONLY nodes improved at
+    round i-1 (min per target, strict-improvement filter) — each edge is
+    re-examined only when its source improves, the textbook distributed
+    SSSP that survives web scale, not a full re-relaxation per round.
+
+    Output: (id, label, dist) for nodes reached within ``rounds``.
+    """
+    u = _node_key("subj_id", "subj_label")
+    v = _node_key("obj_id", "obj_label")
+    directed = entity_edges.select(u.alias("u"), v.alias("v"), "weight")
+    wsym = (
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "weight")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    wsym, n_edges = materialize(wsym)
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_edges <= driver_max_edges:
+        dist = _sssp_py(
+            [r.u for r in sources.select("u").collect()],
+            [(r.u, r.v, r.w) for r in wsym.collect()],
+            rounds,
+        )
+        out = entity_edges.sparkSession.createDataFrame(
+            sorted(dist.items()), "u string, dist long"
+        )
+        return out.select(
+            split.getItem(0).alias("id"),
+            split.getItem(1).alias("label"),
+            "dist",
+        )
+    dist = sources.select("u", F.lit(0).cast("long").alias("dist"))
+    dist, _ = materialize(dist)
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(wsym, on="u")
+            .select(F.col("v").alias("u"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("u")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, on="u", how="left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("u", F.col("nd").cast("long").alias("dist"))
+        )
+        improved, n_imp = materialize(improved)
+        if n_imp == 0:
+            break
+        dist, _ = materialize(
+            dist.join(improved.select("u"), on="u", how="left_anti")
+            .unionByName(improved),
+            previous=dist,
+        )
+        frontier = improved
+    return dist.select(
+        split.getItem(0).alias("id"),
+        split.getItem(1).alias("label"),
+        "dist",
+    )
+
+
+def cooccurrence_pmi(
+    mentions: DataFrame,
+    max_entities_per_chunk: int = 1000,
+) -> DataFrame:
+    """Entity co-occurrence association edges with integer-quantized PMI
+    (the SPPMI word-embedding graph over chunk-grain entity co-mentions;
+    reference derives entity-pair weights from chunk co-occurrence in its
+    graph viz / Leiden projection, /root/reference/backend/src/communities.py).
+
+    Counts are chunk-distinct: c_a = chunks mentioning a, c_ab = chunks
+    mentioning both. ``lift_e6`` is the e6 fixed-point association lift
+    N·c_ab / (c_a·c_b), computed with STAGED integer division
+    ``((c_ab·10⁶) div c_a) · N div c_b`` so every intermediate stays under
+    BIGINT even at trillion-chunk scale (c_ab ≤ 9.2e12 before the first
+    product saturates; document-scale counts are far below); the staged
+    floor is deterministic and mirrored literally by the oracle.
+    ``pmi_bits`` = floor(log2(lift)) via ``length(bin(x)) - 1`` — the
+    positive-PMI magnitude in bits, 0 for negatively-associated pairs.
+
+    Scale shape: the pair generation is a chunk-key self-join whose blowup
+    is quadratic in per-chunk entity count, so chunks with more than
+    ``max_entities_per_chunk`` distinct entities are dropped up front (the
+    standard hot-document guard in co-occurrence mining); everything else
+    is two groupBys + two broadcast-size count joins + a one-row N
+    broadcast. Output grain: unordered entity pair (key_a < key_b).
+    """
+    me = mentions.select(
+        "chunk_id", _node_key("entity_id", "entity_label").alias("u")
+    ).dropDuplicates(["chunk_id", "u"])
+    me, _ = materialize(me)
+    ok = (
+        me.groupBy("chunk_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") <= max_entities_per_chunk)
+        .select("chunk_id")
+    )
+    mk, _ = materialize(me.join(ok, on="chunk_id", how="left_semi"))
+    nc = mk.select("chunk_id").distinct().agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    cu = mk.groupBy("u").agg(F.count("*").cast("long").alias("c"))
+    a = mk.alias("a")
+    b = mk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.u") < F.col("b.u")],
+        )
+        .groupBy(F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    out = (
+        pairs.join(cu.select(F.col("u").alias("ua"), F.col("c").alias("c_a")), on="ua")
+        .join(cu.select(F.col("u").alias("ub"), F.col("c").alias("c_b")), on="ub")
+        .crossJoin(F.broadcast(nc))
+        .withColumn(
+            "lift_e6",
+            F.expr("((c_ab * 1000000L) div c_a) * n_chunks div c_b").cast("long"),
+        )
+        .withColumn(
+            "pmi_bits",
+            (F.length(F.bin(F.expr("greatest(lift_e6 div 1000000L, 1L)"))) - 1)
+            .cast("long"),
+        )
+    )
+    sa = F.split(F.col("ua"), "\x01")
+    sb = F.split(F.col("ub"), "\x01")
+    return out.select(
+        sa.getItem(0).alias("id_a"), sa.getItem(1).alias("label_a"),
+        sb.getItem(0).alias("id_b"), sb.getItem(1).alias("label_b"),
+        "c_ab", "c_a", "c_b", "n_chunks", "lift_e6", "pmi_bits",
+    )

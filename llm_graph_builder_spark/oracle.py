@@ -3304,3 +3304,172 @@ FROM h{iterations}
 
 
 ORACLE_SQL["hits"] = _hits_sql()
+
+
+def _closeness_sql(max_hops: int = 4) -> str:
+    """Unrolled pair-frontier multi-source BFS mirror for harmonic
+    closeness: identical rounds to the Spark operator (round h adds (s, u)
+    pairs first reached at h, anti-joined against the settled pair set);
+    harmonic contributions are integer LCM(1..max_hops) // hops — no FP.
+    All CTEs MATERIALIZED (each referenced twice downstream)."""
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    parts = [_UND_CTE + """,
+gsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+csrcs AS MATERIALIZED (
+  SELECT DISTINCT id || chr(1) || label AS u FROM entities
+),
+p0 AS MATERIALIZED (
+  SELECT u AS s, u, CAST(0 AS BIGINT) AS hops FROM csrcs
+)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+cf{h} AS MATERIALIZED (
+  SELECT DISTINCT d.s, e.v AS u FROM p{h - 1} d JOIN gsym e ON e.u = d.u
+  WHERE d.hops = {h - 1}
+),
+p{h} AS MATERIALIZED (
+  SELECT s, u, hops FROM p{h - 1}
+  UNION ALL
+  SELECT f.s, f.u, CAST({h} AS BIGINT) AS hops FROM cf{h} f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p{h - 1} p WHERE p.s = f.s AND p.u = f.u
+  )
+)""")
+    parts.append(f"""
+SELECT split_part(u, chr(1), 1) AS id,
+       split_part(u, chr(1), 2) AS label,
+       CAST(coalesce(sum(CASE WHEN hops > 0 THEN {lcm} // hops END), 0)
+            AS BIGINT) AS harmonic_xlcm,
+       CAST(sum(CASE WHEN hops > 0 THEN 1 ELSE 0 END) AS BIGINT) AS reached,
+       CAST(max(hops) AS BIGINT) AS ecc
+FROM p{max_hops}
+GROUP BY 1, 2
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["closeness_centrality"] = _closeness_sql()
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Unrolled frontier Bellman-Ford mirror: round i relaxes only nodes
+    improved at round i-1 (min per target, strict-improvement filter) —
+    identical rounds to the Spark loop; integer BIGINT distances, no FP.
+    All CTEs MATERIALIZED."""
+    parts = ["""
+, wsd AS (
+  SELECT subj_id || chr(1) || subj_label AS u,
+         obj_id || chr(1) || obj_label AS v, weight
+  FROM entity_edges
+  UNION ALL
+  SELECT obj_id || chr(1) || obj_label,
+         subj_id || chr(1) || subj_label, weight
+  FROM entity_edges
+),
+wsym AS MATERIALIZED (
+  SELECT u, v, CAST(sum(weight) AS BIGINT) AS w
+  FROM wsd WHERE u <> v GROUP BY 1, 2
+),
+ssrcs AS MATERIALIZED (
+  SELECT DISTINCT id || chr(1) || label AS u FROM entities
+  ORDER BY u LIMIT 3
+),
+sd0 AS MATERIALIZED (SELECT u, CAST(0 AS BIGINT) AS dist FROM ssrcs),
+sf0 AS MATERIALIZED (SELECT u, dist FROM sd0)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+sc{i} AS MATERIALIZED (
+  SELECT s.v AS u, min(f.dist + s.w) AS nd
+  FROM sf{i - 1} f JOIN wsym s ON s.u = f.u GROUP BY 1
+),
+sf{i} AS MATERIALIZED (
+  SELECT c.u, CAST(c.nd AS BIGINT) AS dist
+  FROM sc{i} c LEFT JOIN sd{i - 1} d ON d.u = c.u
+  WHERE d.u IS NULL OR c.nd < d.dist
+),
+sd{i} AS MATERIALIZED (
+  SELECT u, dist FROM sd{i - 1} WHERE u NOT IN (SELECT u FROM sf{i})
+  UNION ALL
+  SELECT u, dist FROM sf{i}
+)""")
+    parts.append(f"""
+SELECT split_part(u, chr(1), 1) AS id,
+       split_part(u, chr(1), 2) AS label,
+       dist
+FROM sd{rounds}
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["sssp_weighted"] = _sssp_sql()
+
+
+# mirrors q_surprisal_bits / textstats.surprisal_bits: corpus unigram LM,
+# per-token floor-log2 surprisal bits = length(bin(total // c)) - 1 (Spark
+# bin() and DuckDB bin() agree on positive BIGINTs) — all integer, no FP.
+ORACLE_SQL["surprisal_bits"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc, unnest(toks) AS tok FROM base
+),
+lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM lm),
+scored AS (
+  SELECT t.doc, count(*) AS n_tokens,
+         sum(length(bin(tot.total // lm.c)) - 1) AS sum_bits,
+         max(length(bin(tot.total // lm.c)) - 1) AS max_bits
+  FROM tok t JOIN lm ON lm.tok = t.tok CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT b.doc AS doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.sum_bits, 0) AS BIGINT) AS sum_bits,
+       CAST(coalesce(s.sum_bits, 0) * 100 // greatest(coalesce(s.n_tokens, 0), 1)
+            AS BIGINT) AS mean_bits_x100,
+       CAST(s.max_bits AS BIGINT) AS max_bits
+FROM base b LEFT JOIN scored s ON s.doc = b.doc
+"""
+
+
+# mirrors q_cooccurrence_pmi / graph_analytics.cooccurrence_pmi: chunk-grain
+# co-mention counts, staged-integer-division lift (identical stage order and
+# floors), floor-log2 PMI bits — all integer, no FP.
+ORACLE_SQL["cooccurrence_pmi"] = PIPELINE_CTE + """
+, cme AS MATERIALIZED (
+  SELECT DISTINCT chunk_id, entity_id || chr(1) || entity_label AS u
+  FROM mentions
+),
+okc AS MATERIALIZED (
+  SELECT chunk_id FROM cme GROUP BY 1 HAVING count(*) <= 1000
+),
+cmk AS MATERIALIZED (
+  SELECT m.chunk_id, m.u FROM cme m JOIN okc USING (chunk_id)
+),
+nch AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks FROM okc),
+ccu AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS c FROM cmk GROUP BY 1),
+cpairs AS (
+  SELECT a.u AS ua, b.u AS ub, CAST(count(*) AS BIGINT) AS c_ab
+  FROM cmk a JOIN cmk b ON a.chunk_id = b.chunk_id AND a.u < b.u
+  GROUP BY 1, 2
+)
+SELECT split_part(ua, chr(1), 1) AS id_a, split_part(ua, chr(1), 2) AS label_a,
+       split_part(ub, chr(1), 1) AS id_b, split_part(ub, chr(1), 2) AS label_b,
+       c_ab, ca.c AS c_a, cb.c AS c_b, nch.n_chunks,
+       CAST(((c_ab * 1000000) // ca.c) * nch.n_chunks // cb.c AS BIGINT)
+         AS lift_e6,
+       CAST(length(bin(greatest(
+              ((c_ab * 1000000) // ca.c) * nch.n_chunks // cb.c // 1000000,
+              1))) - 1 AS BIGINT) AS pmi_bits
+FROM cpairs
+JOIN ccu ca ON ca.u = ua
+JOIN ccu cb ON cb.u = ub
+CROSS JOIN nch
+"""

@@ -1243,3 +1243,25 @@ def test_shard_plan_prefix_sum_parity_and_budget(spark):
         F.countDistinct("shard").alias("n"), F.max("shard").alias("mx")
     ).collect():
         assert srow.n == srow.mx + 1
+
+
+def test_surprisal_bits_integer_lm(spark):
+    from llm_graph_builder_spark.functions.textstats import surprisal_bits
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in surprisal_bits(docs).collect()}
+    assert set(out) == {"1", "2", "3"}
+    # corpus: a=3, b=1, c=1, total=5 → bits(a)=floor(log2(5//3))=0, bits(b)=bits(c)=2
+    r1 = out["1"]
+    assert (r1.n_tokens, r1.sum_bits, r1.mean_bits_x100, r1.max_bits) == (3, 2, 66, 2)
+    r2 = out["2"]
+    assert (r2.n_tokens, r2.sum_bits, r2.mean_bits_x100, r2.max_bits) == (2, 2, 100, 2)
+    r3 = out["3"]
+    assert (r3.n_tokens, r3.sum_bits, r3.mean_bits_x100) == (0, 0, 0)
+    assert r3.max_bits is None
+    # partitioning-invariant (corpus LM is a global aggregate)
+    again = {r.doc_id: r.sum_bits for r in surprisal_bits(docs.repartition(5)).collect()}
+    assert again == {d: r.sum_bits for d, r in out.items()}

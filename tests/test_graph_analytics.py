@@ -376,3 +376,112 @@ def test_hits_hub_authority_separation_and_parity(spark):
     c = {r.id: (round(r.hub * 1e6), round(r.authority * 1e6))
          for r in hits(edges, iterations=4, driver_max_edges=0).collect()}
     assert d == c
+
+
+def test_closeness_centrality_path_graph_exact(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        closeness_centrality,
+    )
+
+    # path a - b - c; sources = all nodes; LCM(1..4) = 12
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    srcs = spark.createDataFrame(
+        [("a\x01E",), ("b\x01E",), ("c\x01E",)], "u string"
+    )
+    out = {r.id: r for r in closeness_centrality(edges, srcs, max_hops=4).collect()}
+    # a: from b at 1 (12) + from c at 2 (6) = 18; ecc 2
+    assert (out["a"].harmonic_xlcm, out["a"].reached, out["a"].ecc) == (18, 2, 2)
+    assert (out["b"].harmonic_xlcm, out["b"].reached, out["b"].ecc) == (24, 2, 1)
+    assert (out["c"].harmonic_xlcm, out["c"].reached, out["c"].ecc) == (18, 2, 2)
+
+
+def test_closeness_paths_agree_and_hop_cap(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        closeness_centrality,
+    )
+
+    # 6-node path: with max_hops=2 far nodes are unreached
+    pairs = [("n%d" % i, "n%d" % (i + 1)) for i in range(5)]
+    edges = _edges(spark, pairs)
+    srcs = spark.createDataFrame(
+        [("n%d\x01E" % i,) for i in range(6)], "u string"
+    )
+    drv = closeness_centrality(edges, srcs, max_hops=2)
+    dist = closeness_centrality(edges, srcs, max_hops=2, driver_max_edges=0)
+    key = lambda r: (r.id, r.label)
+    a = {key(r): (r.harmonic_xlcm, r.reached, r.ecc) for r in drv.collect()}
+    b = {key(r): (r.harmonic_xlcm, r.reached, r.ecc) for r in dist.collect()}
+    assert a == b
+    # endpoint n0 reaches only n1 (hop 1) and n2 (hop 2): 2+1=3 halves → x2=3
+    assert a[("n0", "E")][1] == 2
+
+
+def test_sssp_weighted_prefers_cheap_detour(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import sssp_weighted
+
+    # direct a-c costs 5; detour a-b-c costs 2 — Bellman-Ford must improve
+    edges = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)])
+    srcs = spark.createDataFrame([("a\x01E",)], "u string")
+    out = {r.id: r.dist for r in sssp_weighted(edges, srcs, rounds=6).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_sssp_parallel_edge_weights_sum_and_paths_agree(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import sssp_weighted
+
+    # parallel a-b edges sum to weight 3; multi-source min over {a, d}
+    edges = _edges(
+        spark,
+        [("a", "b", 1), ("a", "b", 2), ("b", "c", 1), ("d", "c", 1)],
+    )
+    srcs = spark.createDataFrame([("a\x01E",), ("d\x01E",)], "u string")
+    drv = {r.id: r.dist for r in sssp_weighted(edges, srcs, rounds=6).collect()}
+    dist = {
+        r.id: r.dist
+        for r in sssp_weighted(edges, srcs, rounds=6, driver_max_edges=0).collect()
+    }
+    assert drv == dist
+    # b: min(a→b summed parallel 1+2=3, d→c→b = 1+1=2) = 2
+    assert drv == {"a": 0, "d": 0, "b": 2, "c": 1}
+
+
+def test_cooccurrence_pmi_counts_lift_and_hot_chunk_guard(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import cooccurrence_pmi
+
+    rows = [
+        ("c1", "A"), ("c1", "B"),
+        ("c2", "A"), ("c2", "B"),
+        ("c3", "C"), ("c3", "D"),
+        ("c4", "C"), ("c4", "E"),
+        # duplicate mention in the same chunk must not double-count
+        ("c1", "A"),
+    ]
+    mentions = spark.createDataFrame(
+        [(c, e, "E") for c, e in rows],
+        "chunk_id string, entity_id string, entity_label string",
+    )
+    out = {
+        (r.id_a, r.id_b): r for r in cooccurrence_pmi(mentions).collect()
+    }
+    assert set(out) == {("A", "B"), ("C", "D"), ("C", "E")}
+    ab = out[("A", "B")]
+    # n_chunks=4, c_A=c_B=2, c_ab=2 → lift = ((2e6)//2)*4//2 = 2e6 → 1 bit
+    assert (ab.c_ab, ab.c_a, ab.c_b, ab.n_chunks) == (2, 2, 2, 4)
+    assert (ab.lift_e6, ab.pmi_bits) == (2_000_000, 1)
+    cd = out[("C", "D")]
+    assert (cd.c_ab, cd.c_a, cd.c_b) == (1, 2, 1)
+    assert (cd.lift_e6, cd.pmi_bits) == (2_000_000, 1)
+
+    # hot-chunk guard: cap 2 drops c_hot (3 entities) from pairs AND n_chunks
+    hot = mentions.unionByName(
+        spark.createDataFrame(
+            [("c_hot", e, "E") for e in ("A", "B", "C")],
+            "chunk_id string, entity_id string, entity_label string",
+        )
+    )
+    guarded = {
+        (r.id_a, r.id_b): r
+        for r in cooccurrence_pmi(hot, max_entities_per_chunk=2).collect()
+    }
+    assert set(guarded) == {("A", "B"), ("C", "D"), ("C", "E")}
+    assert guarded[("A", "B")].n_chunks == 4
