@@ -587,6 +587,16 @@ def q_keyword_search(spark, sf_dir):
     return keyword_search(build_entity_index(ents), "merge join stream data")
 
 
+def q_bm25_retrieval(spark, sf_dir):
+    """Scored fulltext analog: integer-quantized BM25 over chunk text
+    (Neo4j fulltext = Lucene BM25; keyword_search is the match-count leg,
+    this is the scored rank). Every stage integer-exact and mirrored."""
+    from .operators.fulltext import bm25_search
+
+    t = pipeline_tables(spark, sf_dir)
+    return bm25_search(t["chunks"], "merge join stream data")
+
+
 def q_hybrid_retrieval(spark, sf_dir):
     """Chat-mode read surface — hybrid vector + fulltext retrieval (reference
     ``fulltext`` chat mode: Neo4jVector hybrid over the vector index plus the
@@ -1528,6 +1538,7 @@ QUERIES = {
     "entity_embeddings": q_entity_embeddings,
     "entity_descriptions": q_entity_descriptions,
     "keyword_search": q_keyword_search,
+    "bm25_retrieval": q_bm25_retrieval,
     "dedup_clusters": q_dedup_clusters,
     "dedup_cluster_invariants": q_dedup_cluster_invariants,
     "dedup_minhash": q_dedup_minhash,

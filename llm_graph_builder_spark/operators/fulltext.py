@@ -104,3 +104,102 @@ def keyword_search(
     fulltext index (post_processing.py:12-16).
     Output: (id, label, matched)."""
     return _keyword_rank(index, query, ["id", "label"], limit, "bigint")
+
+
+def _all_terms(col) -> "F.Column":
+    """Non-distinct analyzer terms (BM25 needs term frequency, not just
+    presence — contrast :func:`_terms`)."""
+    return F.filter(
+        F.split(F.lower(col), _TERM_SPLIT), lambda t: F.length(t) > 0
+    )
+
+
+def bm25_search(
+    chunks: DataFrame,
+    query: str,
+    k1_e3: int = 1200,
+    b_e3: int = 750,
+    limit: int = 20,
+) -> DataFrame:
+    """Integer-quantized BM25 over chunk text — the scored analog of the
+    reference's Lucene ``keyword`` fulltext index (Neo4j fulltext search is
+    Lucene BM25 under the hood; the reference queries it for the fulltext
+    chat-mode leg, /root/reference/backend/src/post_processing.py:149-186,
+    shared/constants.py CHAT_MODE_CONFIG_MAP['fulltext']). Where
+    :func:`keyword_chunk_search` ranks by raw distinct-term matches, this
+    ranks by BM25(k1, b) with every stage integer-exact so the DuckDB oracle
+    hash-matches bit-for-bit:
+
+    - ``idf_bits`` = floor(log2(N // df)) via ``length(bin(N div df)) - 1``
+      (the positive-idf magnitude in bits; corpus-ubiquitous terms with
+      df = N contribute 0, the standard BM25+ floor behaviour);
+    - length norm at e3 fixed point against a one-row pre-floored
+      ``avgdl_e3`` so no intermediate exceeds BIGINT at any corpus size
+      (b_e3·dl·1000 stays < 2^63 for dl < 1.2e16 — per-chunk, not
+      corpus-dependent);
+    - tf saturation ``tf·(k1+1) / (tf + k1·norm)`` at e6 fixed point with
+      staged floors mirrored literally by the oracle.
+
+    Scale shape: one exploded-term shuffle into (chunk_id, term) tf grain;
+    dl/df/totals all derive from that one tf table (no second scan of the
+    text); the query-term set and per-term df are driver-tiny broadcasts;
+    the final rank is TakeOrderedAndProject. At 100 TB the tf/dl tables are
+    the persisted index — build once, search many.
+
+    BM25 universe = chunks with ≥1 analyzer term (empty chunks can match
+    nothing and are excluded from N/avgdl, mirrored by the oracle).
+
+    Output: (chunk_id, score_e6, matched) ordered by (score desc, chunk_id).
+    """
+    import re
+
+    from ..functions.iterutils import materialize
+
+    spark = chunks.sparkSession
+    uniq = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    tf = (
+        uniq.select(
+            "chunk_id", F.explode(_all_terms(F.col("text"))).alias("term")
+        )
+        .groupBy("chunk_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tf, _ = materialize(tf)  # feeds dl, df, and the scoring join
+    dl = tf.groupBy("chunk_id").agg(F.sum("tf").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.expr("sum(dl) * 1000L div count(*)").cast("long").alias("avgdl_e3"),
+    )
+    qterms = sorted({t for t in re.split(_TERM_SPLIT, (query or "").lower()) if t})
+    qdf = F.broadcast(spark.createDataFrame([(t,) for t in qterms], "term string"))
+    matched = tf.join(qdf, on="term")
+    dfreq = matched.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), on="term")
+        .join(dl, on="chunk_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_bits",
+            (F.length(F.bin(F.expr("n_chunks div df"))) - 1).cast("long"),
+        )
+        .withColumn(
+            "norm_e3",
+            F.expr(f"1000L - {b_e3}L + ({b_e3}L * dl * 1000L) div avgdl_e3"),
+        )
+        .withColumn(
+            "denom_e3", F.expr(f"tf * 1000L + ({k1_e3}L * norm_e3) div 1000L")
+        )
+        .withColumn(
+            "tfsat_e6",
+            F.expr(f"(tf * {1000 + k1_e3}L * 1000000L) div denom_e3"),
+        )
+    )
+    return (
+        scored.groupBy("chunk_id")
+        .agg(
+            F.sum(F.expr("idf_bits * tfsat_e6")).cast("long").alias("score_e6"),
+            F.count("*").cast("long").alias("matched"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("chunk_id"))
+        .limit(limit)
+    )

@@ -3473,3 +3473,54 @@ JOIN ccu ca ON ca.u = ua
 JOIN ccu cb ON cb.u = ub
 CROSS JOIN nch
 """
+
+
+# mirrors q_bm25_retrieval / fulltext.bm25_search (k1_e3=1200, b_e3=750,
+# query "merge join stream data"): one tf grain feeds dl/df/totals; idf =
+# floor-log2 bits; length norm against pre-floored avgdl_e3; staged integer
+# divisions identical to the Spark expressions — no FP anywhere.
+ORACLE_SQL["bm25_retrieval"] = PIPELINE_CTE + """
+, buniq AS (SELECT DISTINCT chunk_id, text FROM chunks),
+btf AS MATERIALIZED (
+  SELECT chunk_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT chunk_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS term
+    FROM buniq
+  )
+  GROUP BY 1, 2
+),
+bdl AS MATERIALIZED (
+  SELECT chunk_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1
+),
+btot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_e3
+  FROM bdl
+),
+bq AS (SELECT unnest(['data', 'join', 'merge', 'stream']) AS term),
+bm AS MATERIALIZED (
+  SELECT f.chunk_id, f.term, f.tf FROM btf f JOIN bq USING (term)
+),
+bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm GROUP BY 1),
+bsc AS (
+  SELECT m.chunk_id,
+         (length(bin(t.n_chunks // d.df)) - 1) AS idf_bits,
+         (m.tf * 2200 * 1000000)
+           // (m.tf * 1000
+               + (1200 * (1000 - 750 + (750 * l.dl * 1000) // t.avgdl_e3))
+                 // 1000) AS tfsat_e6
+  FROM bm m
+  JOIN bdf d USING (term)
+  JOIN bdl l USING (chunk_id)
+  CROSS JOIN btot t
+)
+SELECT chunk_id,
+       CAST(sum(idf_bits * tfsat_e6) AS BIGINT) AS score_e6,
+       CAST(count(*) AS BIGINT) AS matched
+FROM bsc
+GROUP BY 1
+ORDER BY score_e6 DESC, chunk_id
+LIMIT 20
+"""

@@ -572,3 +572,26 @@ def test_ppr_retrieval_ranks_seeded_neighborhood_first(spark):
     scores = {r.chunk_id: r.score_e6 for r in out}
     # far component gets no walk mass (teleport returns to the seed set)
     assert "c_far" not in scores or scores["c_far"] < scores["c_near"]
+
+
+def test_bm25_search_hand_computed_and_empty_excluded(spark):
+    from llm_graph_builder_spark.operators.fulltext import bm25_search
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "spark spark join"),
+            ("c2", "join merge"),
+            ("c3", "filter scan"),
+            ("c4", ""),  # no analyzer terms → excluded from N and avgdl
+        ],
+        "chunk_id string, text string",
+    )
+    out = bm25_search(chunks, "join merge").collect()
+    got = {r.chunk_id: (r.score_e6, r.matched) for r in out}
+    # N=3, total_dl=7, avgdl_e3=2333; df(join)=2 → idf_bits=len(bin(1))-1=0;
+    # df(merge)=1 → idf_bits=len(bin(3))-1=1. c2 merge leg: norm_e3 =
+    # 250 + (750*2*1000)//2333 = 892; denom_e3 = 1000 + (1200*892)//1000 =
+    # 2070; tfsat_e6 = 2200000000//2070 = 1062801.
+    assert got == {"c2": (1_062_801, 2), "c1": (0, 1)}
+    # ranked: positive score first, ties by chunk_id
+    assert [r.chunk_id for r in out] == ["c2", "c1"]
