@@ -1493,6 +1493,30 @@ def q_closeness_centrality(spark, sf_dir):
     return closeness_centrality(t["entity_edges"], srcs, max_hops=4)
 
 
+def q_stress_centrality(spark, sf_dir):
+    """Stress centrality (integer betweenness-family member) over the
+    NEXT_CHUNK chain graph — chains have real middle vertices, unlike the
+    near-clique entity graph at small SF, so the values are non-trivial.
+    Sigma-augmented pair-frontier BFS + middle-vertex join; oracle unrolls
+    the identical rounds."""
+    from .operators.graph_analytics import _node_key, stress_centrality
+
+    t = pipeline_tables(spark, sf_dir)
+    nxt = t["chunk_edges"].filter(F.col("rel_type") == "NEXT_CHUNK")
+    edges = nxt.select(
+        F.col("src").alias("subj_id"), F.lit("Chunk").alias("subj_label"),
+        F.col("rel_type").alias("pred"),
+        F.col("dst").alias("obj_id"), F.lit("Chunk").alias("obj_label"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    srcs = (
+        edges.select(_node_key("subj_id", "subj_label").alias("u"))
+        .unionByName(edges.select(_node_key("obj_id", "obj_label").alias("u")))
+        .dropDuplicates(["u"])
+    )
+    return stress_centrality(edges, srcs, max_hops=4)
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Multi-source weighted shortest paths (frontier Bellman-Ford, 6
     bounded rounds) from the 3 smallest entity keys; integer co-mention
@@ -1569,6 +1593,7 @@ QUERIES = {
     "hits": q_hits,
     "closeness_centrality": q_closeness_centrality,
     "sssp_weighted": q_sssp_weighted,
+    "stress_centrality": q_stress_centrality,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,

@@ -1387,3 +1387,149 @@ def cooccurrence_pmi(
         sb.getItem(0).alias("id_b"), sb.getItem(1).alias("label_b"),
         "c_ab", "c_a", "c_b", "n_chunks", "lift_e6", "pmi_bits",
     )
+
+
+def _path_counts_py(
+    sources: list[str],
+    edges: list[tuple[str, str]],
+    max_hops: int,
+) -> dict[tuple[str, str], tuple[int, int]]:
+    """Driver replica of the sigma-augmented pair-frontier BFS: returns
+    (s, u) → (hops, sigma) with sigma = number of distinct shortest s→u
+    paths (identical rounds to the distributed loop)."""
+    adj: dict[str, list[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    out: dict[tuple[str, str], tuple[int, int]] = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt: dict[str, int] = {}
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            for v, sg in nxt.items():
+                dist[v] = h
+                sigma[v] = sg
+            frontier = sorted(nxt)
+            if not frontier:
+                break
+        for u, d in dist.items():
+            out[(s, u)] = (d, sigma[u])
+    return out
+
+
+def stress_centrality(
+    entity_edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Stress centrality — the integer member of the betweenness family
+    (GDS ``gds.betweenness`` analog; reference projects the entity graph
+    into GDS for centralities, /root/reference/backend/src/communities.py
+    graph-projection flow): stress(v) = number of shortest s-t paths that
+    pass through v, summed over unordered source pairs {s, t} ⊆ sources,
+    s ≠ v ≠ t. Betweenness divides each term by σ_st (fractional);
+    stress keeps the raw path COUNT, so every value is an exact BIGINT and
+    the DuckDB oracle hash-matches bit-for-bit — same ranking family,
+    no FP accumulation hazard.
+
+    Two stages, both mirrored by the oracle:
+
+    1. sigma-augmented pair-frontier BFS (the :func:`closeness_centrality`
+       loop plus path counting): round h settles (s, u) pairs first reached
+       at h with σ(s,u) = Σ σ(s,p) over neighbors p settled at h-1 — the
+       grouped sum IS the σ recurrence, one groupBy + anti-join per round;
+    2. middle-vertex join: stress(v) = Σ_{s<t} σ(s,v)·σ(t,v) over pairs
+       with d(s,v) + d(t,v) = d(s,t) (undirected σ(v,t) = σ(t,v), so both
+       legs come from the same pair table).
+
+    Exact stress is inherently quadratic in reachability — at web scale
+    pass a deterministic source SAMPLE (the same Eppstein-Wang estimator
+    argument as closeness; both s and t range over the sample) and scale by
+    (n/s)² caller-side. Paths are counted within ``max_hops`` (exact when
+    max_hops ≥ diameter). Size gate as elsewhere.
+
+    Output: (id, label, stress) for middle vertices with stress > 0.
+    """
+    und, n_edges = materialize(simple_undirected(entity_edges))
+    split = F.split(F.col("u"), "\x01")
+    if driver_max_edges and n_edges <= driver_max_edges:
+        src = [r.u for r in sources.select("u").collect()]
+        pc = _path_counts_py(src, [(r.u, r.v) for r in und.collect()], max_hops)
+        # group arrivals by middle vertex: cost is sum over v of
+        # (sources reaching v)^2, not |pairs| x |sources|
+        by_v: dict[str, list[tuple[str, int, int]]] = {}
+        for (s, v), (d, sg) in pc.items():
+            if d > 0:
+                by_v.setdefault(v, []).append((s, d, sg))
+        stress: dict[str, int] = {}
+        for v, arr in by_v.items():
+            for s, da, sa in arr:
+                for t, db, sb in arr:
+                    if s < t and t != v:
+                        st = pc.get((s, t))
+                        if st and da + db == st[0]:
+                            stress[v] = stress.get(v, 0) + sa * sb
+        out = entity_edges.sparkSession.createDataFrame(
+            sorted(stress.items()), "u string, stress long"
+        )
+        return out.select(
+            split.getItem(0).alias("id"),
+            split.getItem(1).alias("label"),
+            "stress",
+        )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sym, _ = materialize(sym)
+    pairs = sources.select(
+        F.col("u").alias("s"), "u",
+        F.lit(0).cast("long").alias("hops"), F.lit(1).cast("long").alias("sigma"),
+    )
+    pairs, _ = materialize(pairs)
+    frontier = pairs.select("s", "u", "sigma")
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(sym, on="u")
+            .groupBy("s", F.col("v").alias("u"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        new = cand.join(
+            pairs.select("s", "u"), on=["s", "u"], how="left_anti"
+        ).select("s", "u", F.lit(h).cast("long").alias("hops"), "sigma")
+        new, n_new = materialize(new)
+        if n_new == 0:
+            break
+        pairs, _ = materialize(pairs.unionByName(new), previous=pairs)
+        frontier = new.select("s", "u", "sigma")
+    hot = pairs.filter(F.col("hops") > 0)
+    a = hot.select(
+        F.col("s"), F.col("u").alias("v"),
+        F.col("hops").alias("da"), F.col("sigma").alias("sa"),
+    )
+    b = hot.select(
+        F.col("s").alias("t"), F.col("u").alias("v"),
+        F.col("hops").alias("db"), F.col("sigma").alias("sb"),
+    )
+    st = hot.select("s", F.col("u").alias("t"), F.col("hops").alias("dst"))
+    agg = (
+        a.join(b, on="v")
+        .filter((F.col("s") < F.col("t")) & (F.col("v") != F.col("s"))
+                & (F.col("v") != F.col("t")))
+        .join(st, on=["s", "t"])
+        .filter(F.col("da") + F.col("db") == F.col("dst"))
+        .groupBy("v")
+        .agg(F.sum(F.expr("sa * sb")).cast("long").alias("stress"))
+    )
+    split_v = F.split(F.col("v"), "\x01")
+    return agg.select(
+        split_v.getItem(0).alias("id"),
+        split_v.getItem(1).alias("label"),
+        "stress",
+    )

@@ -3524,3 +3524,69 @@ GROUP BY 1
 ORDER BY score_e6 DESC, chunk_id
 LIMIT 20
 """
+
+
+def _stress_sql(max_hops: int = 4) -> str:
+    """Unrolled sigma-augmented pair-frontier BFS mirror for stress
+    centrality: identical rounds to the Spark operator (round h settles
+    (s, u) pairs with sigma = grouped sum over frontier predecessors), then
+    the middle-vertex join sum(sa*sb) over s<t with da+db = d(s,t) — all
+    BIGINT, no FP. All loop CTEs MATERIALIZED."""
+    parts = [""",
+znext AS MATERIALIZED (
+  SELECT DISTINCT least(prev, chunk_id) AS u, greatest(prev, chunk_id) AS v
+  FROM (
+    SELECT chunk_id,
+           lag(chunk_id) OVER (PARTITION BY doc_id ORDER BY position) AS prev
+    FROM chunks
+  )
+  WHERE prev IS NOT NULL AND prev <> chunk_id
+),
+zund AS MATERIALIZED (
+  SELECT u || chr(1) || 'Chunk' AS u, v || chr(1) || 'Chunk' AS v FROM znext
+),
+zsym AS MATERIALIZED (
+  SELECT u, v FROM zund UNION ALL SELECT v AS u, u AS v FROM zund
+),
+zsrcs AS MATERIALIZED (
+  SELECT DISTINCT u FROM zsym
+),
+z0 AS MATERIALIZED (
+  SELECT u AS s, u, CAST(0 AS BIGINT) AS hops, CAST(1 AS BIGINT) AS sigma
+  FROM zsrcs
+)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+zf{h} AS MATERIALIZED (
+  SELECT d.s, e.v AS u, CAST(sum(d.sigma) AS BIGINT) AS sigma
+  FROM z{h - 1} d JOIN zsym e ON e.u = d.u
+  WHERE d.hops = {h - 1}
+  GROUP BY 1, 2
+),
+z{h} AS MATERIALIZED (
+  SELECT s, u, hops, sigma FROM z{h - 1}
+  UNION ALL
+  SELECT f.s, f.u, CAST({h} AS BIGINT) AS hops, f.sigma FROM zf{h} f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM z{h - 1} p WHERE p.s = f.s AND p.u = f.u
+  )
+)""")
+    parts.append(f""",
+zhot AS MATERIALIZED (
+  SELECT s, u, hops, sigma FROM z{max_hops} WHERE hops > 0
+)
+SELECT split_part(a.v, chr(1), 1) AS id,
+       split_part(a.v, chr(1), 2) AS label,
+       CAST(sum(a.sa * b.sb) AS BIGINT) AS stress
+FROM (SELECT s, u AS v, hops AS da, sigma AS sa FROM zhot) a
+JOIN (SELECT s AS t, u AS v, hops AS db, sigma AS sb FROM zhot) b
+  ON a.v = b.v
+JOIN (SELECT s, u AS t, hops AS dst FROM zhot) p
+  ON p.s = a.s AND p.t = b.t
+WHERE a.s < b.t AND a.v <> a.s AND a.v <> b.t AND a.da + b.db = p.dst
+GROUP BY 1, 2
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["stress_centrality"] = _stress_sql()

@@ -485,3 +485,51 @@ def test_cooccurrence_pmi_counts_lift_and_hot_chunk_guard(spark):
     }
     assert set(guarded) == {("A", "B"), ("C", "D"), ("C", "E")}
     assert guarded[("A", "B")].n_chunks == 4
+
+
+def _all_srcs(spark, ids):
+    return spark.createDataFrame([(f"{i}\x01E",) for i in ids], "u string")
+
+
+def test_stress_centrality_path_and_star(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        stress_centrality,
+    )
+
+    # path a-b-c-d: b carries (a,c) and (a,d); c carries (a,d) and (b,d)
+    path = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = {
+        r.id: r.stress
+        for r in stress_centrality(path, _all_srcs(spark, "abcd")).collect()
+    }
+    assert out == {"b": 2, "c": 2}
+    # star: hub carries all C(3,2) leaf pairs; leaves carry nothing
+    star = _edges(spark, [("hub", "x"), ("hub", "y"), ("hub", "z")])
+    got = {
+        r.id: r.stress
+        for r in stress_centrality(
+            star, _all_srcs(spark, ["hub", "x", "y", "z"])
+        ).collect()
+    }
+    assert got == {"hub": 3}
+
+
+def test_stress_centrality_diamond_sigma_and_parity(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        stress_centrality,
+    )
+
+    # diamond a-b-d, a-c-d: sigma(b,c)=2 so each of a/d carries one of the
+    # two b-c geodesics; b/c each carry the single a-d geodesic through them
+    dia = _edges(spark, [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d")])
+    srcs = _all_srcs(spark, "abcd")
+    drv = {r.id: r.stress for r in stress_centrality(dia, srcs).collect()}
+    dist = {
+        r.id: r.stress
+        for r in stress_centrality(dia, srcs, driver_max_edges=0).collect()
+    }
+    assert drv == dist
+    assert drv == {"a": 1, "b": 1, "c": 1, "d": 1}
+    # clique: every pair adjacent, no geodesic has a middle vertex
+    k3 = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert stress_centrality(k3, _all_srcs(spark, "abc")).count() == 0
