@@ -877,6 +877,14 @@ def q_surprisal_bits(spark, sf_dir):
     return surprisal_bits(read_documents(spark, sf_dir))
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-doc salient terms: integer TF-IDF (floor-log2 idf bits), per-doc
+    window top-5, deterministic tie-break."""
+    from .functions.textstats import tfidf_terms
+
+    return tfidf_terms(read_documents(spark, sf_dir))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified sampling: down-weight the dominant language
     (en 20%), keep half of everything else — hash-bucket decision per doc,
@@ -1629,6 +1637,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "bigram_novelty": q_bigram_novelty,
     "surprisal_bits": q_surprisal_bits,
+    "tfidf_terms": q_tfidf_terms,
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
     "sessionization": q_sessionization,

@@ -411,3 +411,59 @@ def surprisal_bits(
             F.col("max_bits"),
         )
     )
+
+
+def tfidf_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document salient-term extraction: integer-exact TF-IDF top-k
+    (the keyword-labeling step of a training-data pipeline — doc tagging,
+    index hints, weak topic labels). ``idf_bits`` = floor(log2(N // df))
+    via ``length(bin(N div df)) - 1`` (corpus-ubiquitous terms with df = N
+    score 0, the standard idf floor); ``score`` = tf · idf_bits. All
+    BIGINT, so the DuckDB oracle hash-matches bit-for-bit.
+
+    Scale shape: one exploded-token shuffle to (doc, term) tf grain; df and
+    N derive from that same table (df = count of tf rows per term — a
+    skinny groupBy; N = one-row broadcast); the per-doc top-k is a window
+    partitioned BY DOC (no global single-partition sort). Ties rank by
+    (score desc, term asc) — deterministic.
+
+    Output: (doc_id, term, tf, df, idf_bits, score, rnk), rnk ≤ top_k,
+    score > 0 (zero-idf terms are never salient).
+    """
+    from pyspark.sql.window import Window
+
+    from .iterutils import materialize
+
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).cast("string").alias("doc"), toks.alias("tk"))
+    tf, _ = materialize(
+        base.select("doc", F.explode("tk").alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = tf.select("doc").distinct().agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_bits",
+            (F.length(F.bin(F.expr("n_docs div df"))) - 1).cast("long"),
+        )
+        .withColumn("score", F.expr("tf * idf_bits").cast("long"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("doc").alias(id_col), "term", "tf", "df",
+            "idf_bits", "score", "rnk",
+        )
+    )

@@ -3590,3 +3590,36 @@ GROUP BY 1, 2
 
 
 ORACLE_SQL["stress_centrality"] = _stress_sql()
+
+
+# mirrors q_tfidf_terms / textstats.tfidf_terms: (doc, term) tf grain feeds
+# df and N; idf = floor-log2 bits; per-doc row_number top-5 with
+# (score desc, term asc) tie-break — all integer, no FP.
+ORACLE_SQL["tfidf_terms"] = '''
+WITH tbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+ttf AS MATERIALIZED (
+  SELECT doc, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc, unnest(toks) AS tok FROM tbase)
+  GROUP BY 1, 2
+),
+tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ttf GROUP BY 1),
+tn AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM ttf),
+tscored AS (
+  SELECT f.doc, f.term, f.tf, d.df,
+         CAST(length(bin(n.n_docs // d.df)) - 1 AS BIGINT) AS idf_bits,
+         CAST(f.tf * (length(bin(n.n_docs // d.df)) - 1) AS BIGINT) AS score
+  FROM ttf f JOIN tdf d USING (term) CROSS JOIN tn n
+),
+tranked AS (
+  SELECT doc, term, tf, df, idf_bits, score,
+         CAST(row_number() OVER (PARTITION BY doc ORDER BY score DESC, term)
+              AS BIGINT) AS rnk
+  FROM tscored WHERE score > 0
+)
+SELECT doc AS doc_id, term, tf, df, idf_bits, score, rnk
+FROM tranked WHERE rnk <= 5
+'''

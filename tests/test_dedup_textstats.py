@@ -1265,3 +1265,29 @@ def test_surprisal_bits_integer_lm(spark):
     # partitioning-invariant (corpus LM is a global aggregate)
     again = {r.doc_id: r.sum_bits for r in surprisal_bits(docs.repartition(5)).collect()}
     assert again == {d: r.sum_bits for d, r in out.items()}
+
+
+def test_tfidf_terms_scores_ranks_and_ubiquitous_floor(spark):
+    from llm_graph_builder_spark.functions.textstats import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y z common common"),
+            (2, "common y"),
+            (3, "common z"),
+            (4, "common q"),
+        ],
+        "doc_id long, text string",
+    )
+    # N=4; df: x=1(2 bits), y=2(1), z=2(1), q=1(2), common=4(0 → dropped)
+    out = tfidf_terms(docs, top_k=2).collect()
+    got = {(r.doc_id, r.rnk): (r.term, r.tf, r.df, r.idf_bits, r.score) for r in out}
+    assert got == {
+        ("1", 1): ("x", 3, 1, 2, 6),
+        ("1", 2): ("y", 1, 2, 1, 1),  # y-z score tie broken by term asc
+        ("2", 1): ("y", 1, 2, 1, 1),
+        ("3", 1): ("z", 1, 2, 1, 1),
+        ("4", 1): ("q", 1, 1, 2, 2),
+    }
+    # ubiquitous term never appears
+    assert all(r.term != "common" for r in out)
