@@ -803,6 +803,14 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(read_documents(spark, sf_dir))
 
 
+def q_burst_windows(spark, sf_dir):
+    """Trailing-baseline burst detection on the hourly per-type rate grain
+    (integer cross-multiplied predicate; warm-up windows never flagged)."""
+    from .operators.sessions import burst_windows
+
+    return burst_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -1501,6 +1509,42 @@ def q_closeness_centrality(spark, sf_dir):
     return closeness_centrality(t["entity_edges"], srcs, max_hops=4)
 
 
+def q_repo_skew_plan(spark, sf_dir):
+    """Measured salting plan for Zipfian repos: per-repo bytes/share and
+    ceil-div salt-bucket counts (64 KiB target at small SF)."""
+    from .sources.repos import repo_skew_plan
+
+    t = pipeline_tables(spark, sf_dir)
+    return repo_skew_plan(t["docs"], target_bytes=65536)
+
+
+def q_retrieval_metrics(spark, sf_dir):
+    """Retriever-side IR eval: self-gold truncated-query recall@k / MRR over
+    the chunk corpus (integer metrics, no self-exclusion leak)."""
+    from .operators.retrieval import retrieval_metrics
+
+    return retrieval_metrics(_chunk_embeddings(spark, sf_dir))
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (IVF-PQ compression half): 4 subspaces x
+    8 centroids, per-subspace deterministic Lloyd fit, m codes per vector."""
+    from .operators.ann import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb, m=4, n_centroids=8, lloyd_iters=2, dim=64)
+
+
+def q_feature_propagation(spark, sf_dir):
+    """GNN-prep k-hop feature diffusion: f ← f + W·f for 3 rounds over the
+    weighted symmetric entity graph — exact BIGINTs, oracle unrolls the
+    identical rounds."""
+    from .operators.graph_analytics import feature_propagation
+
+    t = pipeline_tables(spark, sf_dir)
+    return feature_propagation(t["entity_edges"], t["entities"], rounds=3)
+
+
 def q_stress_centrality(spark, sf_dir):
     """Stress centrality (integer betweenness-family member) over the
     NEXT_CHUNK chain graph — chains have real middle vertices, unlike the
@@ -1602,6 +1646,10 @@ QUERIES = {
     "closeness_centrality": q_closeness_centrality,
     "sssp_weighted": q_sssp_weighted,
     "stress_centrality": q_stress_centrality,
+    "feature_propagation": q_feature_propagation,
+    "pq_codes": q_pq_codes,
+    "retrieval_metrics": q_retrieval_metrics,
+    "repo_skew_plan": q_repo_skew_plan,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
@@ -1641,6 +1689,7 @@ QUERIES = {
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
     "sessionization": q_sessionization,
+    "burst_windows": q_burst_windows,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

@@ -345,3 +345,76 @@ def ppr_retrieve(
     )
     w = Window.orderBy(F.desc("score_e6"), F.asc("chunk_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def retrieval_metrics(
+    chunk_emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Deterministic retrieval-quality metrics — the IR-eval companion to
+    the RAGAS answer metrics (reference scores retrieval quality through
+    its eval seam, /root/reference/backend/src/ragas_eval.py; this is the
+    retriever-side recall@k / MRR battery a pipeline runs before trusting a
+    chat mode). Gold labels are self-derived, no external data: each of
+    the ``n_queries`` smallest chunk_ids (≥2 tokens) becomes a query whose
+    text is the chunk text MINUS its last whitespace token; the gold answer
+    is the source chunk. A correct retriever ranks the gold chunk at or
+    near 1; the truncation makes the match non-exact so ranks are earned,
+    not degenerate.
+
+    Metrics are integer-exact (``mrr_e6`` = 1000000 div rank, 0 on miss —
+    staged div mirrored by the oracle); ranking reuses
+    :func:`~..operators.ann.ann_bruteforce_topk` (broadcast queries,
+    per-partition partial top-k — the corpus never shuffles). Query ids are
+    ``q:``-prefixed so the engine's self-exclusion never drops the gold row.
+
+    Output: (chunk_id, gold_rank, hit_at_1, hit_at_5, mrr_e6) —
+    gold_rank = 0 when the gold chunk missed the top-``k``.
+    """
+    from .ann import ann_bruteforce_topk
+    from .embeddings import make_embedder_udf
+
+    base = chunk_emb.select("chunk_id", "text", "embedding").dropDuplicates(
+        ["chunk_id"]
+    )
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    qsel = (
+        base.withColumn("tk", toks)
+        .filter(F.size("tk") >= 2)
+        .orderBy("chunk_id")
+        .limit(n_queries)
+        .select(
+            "chunk_id",
+            F.array_join(F.expr("slice(tk, 1, size(tk) - 1)"), " ").alias("qtext"),
+        )
+    )
+    embed = make_embedder_udf()
+    q = qsel.select(
+        F.concat(F.lit("q:"), "chunk_id").alias("query_id"),
+        embed("qtext").cast("array<double>").alias("embedding"),
+    )
+    corpus = base.select(F.col("chunk_id").alias("vec_id"), "embedding")
+    hits = ann_bruteforce_topk(corpus, q, k=k)
+    gold = hits.filter(
+        F.expr("neighbor_id = substring(query_id, 3)")
+    ).select(
+        F.expr("substring(query_id, 3)").alias("chunk_id"),
+        F.col("rank").cast("long").alias("gold_rank"),
+    )
+    return (
+        qsel.select("chunk_id")
+        .join(gold, on="chunk_id", how="left")
+        .select(
+            "chunk_id",
+            F.coalesce("gold_rank", F.lit(0)).cast("long").alias("gold_rank"),
+            F.expr("CASE WHEN gold_rank = 1 THEN 1L ELSE 0L END").alias("hit_at_1"),
+            F.expr(
+                "CASE WHEN gold_rank BETWEEN 1 AND 5 THEN 1L ELSE 0L END"
+            ).alias("hit_at_5"),
+            F.expr(
+                "CASE WHEN gold_rank IS NULL THEN 0L"
+                " ELSE 1000000L div gold_rank END"
+            ).alias("mrr_e6"),
+        )
+    )

@@ -107,3 +107,60 @@ def event_rates(
             F.sum("value_e2").cast("long").alias("value_e2_sum"),
         )
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    window_minutes: int = 60,
+    trail: int = 3,
+    mult_e3: int = 1500,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-type burst detection over the tumbling-window rate grain: flag
+    windows whose event count is ≥ ``mult_e3``/1000 × the mean of the
+    previous ``trail`` OBSERVED windows (the trailing-baseline anomaly
+    gate of an ingest/monitoring pipeline). Integer-exact: the comparison
+    is cross-multiplied (n·trail_n·1000 ≥ mult_e3·trail_sum — no division
+    in the predicate) and ``ratio_e3`` is a staged integer div, so the
+    DuckDB oracle hash-matches bit-for-bit.
+
+    Baseline is over observed windows only (ROWS BETWEEN trail PRECEDING
+    AND 1 PRECEDING on the per-type time-ordered rate rows); windows with
+    fewer than ``trail`` predecessors are warm-up and never flagged.
+    Densifying silent windows to zero is a different (calendar-join) op.
+
+    Scale shape: the rate grain is one groupBy shuffle (event_rates); the
+    trailing window partitions BY EVENT TYPE — embarrassingly parallel
+    across types, sequential only within a type's window axis (bounded:
+    windows per type = time range / window size, not data volume). At very
+    long ranges, range-partition the time axis with a ``trail``-row overlap.
+
+    Output: (window_start_us, event_type, n_events, trail_sum, trail_n,
+    ratio_e3) — flagged bursts only.
+    """
+    from pyspark.sql.window import Window
+
+    rates = event_rates(
+        events, window_minutes=window_minutes, ts_col=ts_col, value_col=value_col
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_us")
+        .rowsBetween(-trail, -1)
+    )
+    trailed = rates.select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long").alias("trail_sum"),
+        F.count("n_events").over(w).cast("long").alias("trail_n"),
+    )
+    return trailed.filter(
+        (F.col("trail_n") == trail)
+        & (F.expr(f"n_events * trail_n * 1000L >= {mult_e3}L * trail_sum"))
+    ).select(
+        "window_start_us", "event_type", "n_events", "trail_sum", "trail_n",
+        F.expr("n_events * trail_n * 1000L div greatest(trail_sum, 1L)")
+        .cast("long").alias("ratio_e3"),
+    )

@@ -1823,43 +1823,53 @@ def _lloyd_assign_sql(src: str, cent: str, out: str, top: int) -> str:
 
 
 def _lloyd_parts(
-    n_centroids: int, lloyd_iters: int, dim: int
+    n_centroids: int,
+    lloyd_iters: int,
+    dim: int,
+    prefix: str = "",
+    src_body: str | None = None,
 ) -> tuple[list[str], str]:
     """Shared CTE prefix for the k-means mirrors: seed set (``n_centroids``
     smallest ``md5(cid)``), ``lloyd_iters`` assignment+mean rounds, then a
-    final full-corpus assignment CTE ``bucketed(cid, cv, bucket)``. Returns
-    (parts, final_centroid_cte_name)."""
-    parts = [
-        """
-e AS (
+    final full-corpus assignment CTE ``{prefix}bucketed(cid, cv, bucket)``.
+    ``prefix`` namespaces every CTE so several fits can coexist in one query
+    (the PQ mirror runs one per subspace); ``src_body`` overrides the source
+    SELECT (e.g. a subvector slice). Returns (parts,
+    final_centroid_cte_name)."""
+    if src_body is None:
+        src_body = """
   SELECT CAST(vec_id AS VARCHAR) AS cid,
          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
   FROM embeddings
-),
-cent0 AS (
+"""
+    p = prefix
+    parts = [
+        f"""
+{p}e AS ({src_body}),
+{p}cent0 AS (
   SELECT cidx, cv_c FROM (
     SELECT row_number() OVER (ORDER BY md5(cid)) - 1 AS cidx, cv AS cv_c,
            row_number() OVER (ORDER BY md5(cid)) AS rn
-    FROM e
-  ) WHERE rn <= %d
-)""" % n_centroids
+    FROM {p}e
+  ) WHERE rn <= {n_centroids}
+)"""
     ]
     for i in range(lloyd_iters):
-        parts.append("," + _lloyd_assign_sql("e", f"cent{i}", f"a{i}", 1))
+        parts.append("," + _lloyd_assign_sql(f"{p}e", f"{p}cent{i}", f"{p}a{i}", 1))
         parts.append(f""",
-m{i} AS (
+{p}m{i} AS (
   SELECT cidx AS bucket, j.j AS dim, sum(cv[j.j + 1]) AS s, count(*) AS n
-  FROM a{i}, range({dim}) j(j) GROUP BY 1, 2
+  FROM {p}a{i}, range({dim}) j(j) GROUP BY 1, 2
 ),
-cent{i + 1} AS (
+{p}cent{i + 1} AS (
   SELECT c.cidx, coalesce(m.vec, c.cv_c) AS cv_c
-  FROM cent{i} c LEFT JOIN (
+  FROM {p}cent{i} c LEFT JOIN (
     SELECT bucket AS cidx, list(s / greatest(n, 1) ORDER BY dim) AS vec
-    FROM m{i} GROUP BY 1
+    FROM {p}m{i} GROUP BY 1
   ) m ON m.cidx = c.cidx
 )""")
-    final = f"cent{lloyd_iters}"
-    parts.append("," + _lloyd_assign_sql("e", final, "bucketed", 1).replace(
+    final = f"{p}cent{lloyd_iters}"
+    parts.append("," + _lloyd_assign_sql(f"{p}e", final, f"{p}bucketed", 1).replace(
         "SELECT cid, cv, cidx FROM (", "SELECT cid, cv, cidx AS bucket FROM ("
     ))
     return parts, final
@@ -3623,3 +3633,175 @@ tranked AS (
 SELECT doc AS doc_id, term, tf, df, idf_bits, score, rnk
 FROM tranked WHERE rnk <= 5
 '''
+
+
+def _featprop_sql(rounds: int = 3) -> str:
+    """Unrolled (I + W)^k diffusion mirror: identical rounds to the Spark
+    message-passing loop — weighted symmetric graph, per-round grouped sum
+    joined back with coalesce(0). All BIGINT; loop CTEs MATERIALIZED."""
+    parts = ["""
+, fpd AS (
+  SELECT subj_id || chr(1) || subj_label AS u,
+         obj_id || chr(1) || obj_label AS v, weight
+  FROM entity_edges
+  UNION ALL
+  SELECT obj_id || chr(1) || obj_label,
+         subj_id || chr(1) || subj_label, weight
+  FROM entity_edges
+),
+fpsym AS MATERIALIZED (
+  SELECT u, v, CAST(sum(weight) AS BIGINT) AS w
+  FROM fpd WHERE u <> v GROUP BY 1, 2
+),
+fp0 AS MATERIALIZED (
+  SELECT DISTINCT id || chr(1) || label AS u,
+         CAST(coalesce(chunk_count, 0) AS BIGINT) AS f
+  FROM entities
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+fpm{i} AS MATERIALIZED (
+  SELECT s.v AS u, CAST(sum(s.w * c.f) AS BIGINT) AS m
+  FROM fp{i - 1} c JOIN fpsym s ON s.u = c.u GROUP BY 1
+),
+fp{i} AS MATERIALIZED (
+  SELECT c.u, CAST(c.f + coalesce(m.m, 0) AS BIGINT) AS f
+  FROM fp{i - 1} c LEFT JOIN fpm{i} m ON m.u = c.u
+)""")
+    parts.append(f"""
+SELECT split_part(z.u, chr(1), 1) AS id,
+       split_part(z.u, chr(1), 2) AS label,
+       fp0.f AS f0, z.f AS fk
+FROM fp{rounds} z JOIN fp0 ON fp0.u = z.u
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["feature_propagation"] = _featprop_sql()
+
+
+# mirrors q_burst_windows / sessions.burst_windows (60-min windows, trail=3,
+# mult_e3=1500): trailing ROWS frame over observed per-type windows,
+# cross-multiplied predicate, staged integer ratio — no FP.
+ORACLE_SQL["burst_windows"] = """
+WITH be AS (
+  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+         event_type
+  FROM events
+),
+brates AS (
+  SELECT window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM be GROUP BY 1, 2
+),
+btrail AS (
+  SELECT window_start_us, event_type, n_events,
+         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+         CAST(count(n_events) OVER w AS BIGINT) AS trail_n
+  FROM brates
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT window_start_us, event_type, n_events, trail_sum, trail_n,
+       CAST(n_events * trail_n * 1000 // greatest(trail_sum, 1) AS BIGINT)
+         AS ratio_e3
+FROM btrail
+WHERE trail_n = 3 AND n_events * trail_n * 1000 >= 1500 * trail_sum
+"""
+
+
+def _pq_sql(m: int = 4, n_centroids: int = 8, lloyd_iters: int = 2,
+            dim: int = 64) -> str:
+    """Mirror of pq_codes (operators/ann.py): one namespaced unrolled Lloyd
+    fit per subvector slice (identical seeding/assignment rules to the
+    ann_ivf mirror), codes unioned across subspaces."""
+    sub = dim // m
+    all_parts: list[str] = []
+    for j in range(m):
+        src_body = f"""
+  SELECT CAST(vec_id AS VARCHAR) AS cid,
+         list_transform(embedding[{j * sub + 1}:{(j + 1) * sub}],
+                        v -> CAST(v AS DOUBLE)) AS cv
+  FROM embeddings
+"""
+        parts, _ = _lloyd_parts(
+            n_centroids, lloyd_iters, sub, prefix=f"pq{j}", src_body=src_body
+        )
+        if j > 0:
+            all_parts.append(",")
+        all_parts.extend(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT cid AS vec_id, CAST({j} AS BIGINT) AS subspace, "
+        f"CAST(bucket AS BIGINT) AS code FROM pq{j}bucketed"
+        for j in range(m)
+    )
+    return "WITH " + "".join(all_parts) + "\n" + union
+
+
+ORACLE_SQL["pq_codes"] = _pq_sql()
+
+
+# mirrors q_retrieval_metrics / retrieval.retrieval_metrics: self-gold
+# truncated-query eval — 5 smallest >=2-token chunks, query = text minus
+# last token (float32 hash embedding via _hash_vec_cte), exact-cosine rank
+# over the chunk corpus WITHOUT self-exclusion (Spark prefixes query ids),
+# integer recall/MRR.
+ORACLE_SQL["retrieval_metrics"] = (
+    PIPELINE_CTE
+    + _CHUNK_VEC_CTE.rstrip()
+    + """,
+rqsel AS (
+  SELECT chunk_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM cdist
+  WHERE len(list_filter(string_split(text, ' '), t -> len(t) > 0)) >= 2
+  ORDER BY chunk_id LIMIT 5
+),
+rqsrc AS (
+  SELECT chunk_id, array_to_string(tk[1:len(tk) - 1], ' ') AS qtext FROM rqsel
+)"""
+    + _hash_vec_cte("rq", "rqsrc", "chunk_id", "qtext")
+    + f""",
+rscored AS (
+  SELECT q.k AS qid, c.chunk_id AS neighbor_id,
+         CAST(round(({_cosine_sql('q.embedding', 'c.embedding')}) * 10000)
+              AS BIGINT) AS cos_e4
+  FROM cvecs c CROSS JOIN rqvecs q
+),
+rranked AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cos_e4 DESC, neighbor_id ASC) AS rnk
+  FROM rscored
+),
+rgold AS (
+  SELECT qid AS chunk_id, CAST(rnk AS BIGINT) AS gold_rank
+  FROM rranked WHERE neighbor_id = qid AND rnk <= 10
+)
+SELECT s.chunk_id,
+       CAST(coalesce(g.gold_rank, 0) AS BIGINT) AS gold_rank,
+       CAST(CASE WHEN g.gold_rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_1,
+       CAST(CASE WHEN g.gold_rank BETWEEN 1 AND 5 THEN 1 ELSE 0 END
+            AS BIGINT) AS hit_at_5,
+       CAST(CASE WHEN g.gold_rank IS NULL THEN 0
+                 ELSE 1000000 // g.gold_rank END AS BIGINT) AS mrr_e6
+FROM rqsel s LEFT JOIN rgold g USING (chunk_id)
+"""
+)
+
+
+# mirrors q_repo_skew_plan / repos.repo_skew_plan (target_bytes=65536 at
+# small SF so the ceil-div is exercised): one repo rollup + one-row grand
+# total; integer ceil and staged e6 share — no FP.
+ORACLE_SQL["repo_skew_plan"] = PIPELINE_CTE + """
+, rsp AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(content_length) AS BIGINT) AS total_bytes,
+         CAST(max(content_length) AS BIGINT) AS max_file_bytes
+  FROM docs GROUP BY 1
+),
+rsg AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS grand_bytes FROM rsp)
+SELECT repo, n_files, total_bytes, max_file_bytes,
+       CAST(total_bytes * 1000000 // grand_bytes AS BIGINT) AS share_e6,
+       CAST(greatest((total_bytes + 65536 - 1) // 65536, 1) AS BIGINT)
+         AS n_salts
+FROM rsp CROSS JOIN rsg
+"""

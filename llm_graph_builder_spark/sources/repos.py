@@ -113,3 +113,41 @@ def ingest(
         F.length("content").cast("long").alias("content_length"),
         F.pmod(F.xxhash64("path"), F.lit(repo_salt)).alias("salt"),
     )
+
+
+def repo_skew_plan(
+    docs: DataFrame,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Data-driven salting plan for Zipfian repos — the measured companion
+    to :func:`ingest`'s static ``repo_salt`` (SURVEY §4 skew rule; the
+    north rule's "salts skewed repos" made quantitative). Per repo:
+    ``n_salts`` = ceil(total_bytes / target_bytes) — the number of salt
+    buckets that keeps every (repo, salt) partition under the target — and
+    ``share_e6``, the repo's corpus-byte share (the skew report a 10^12-file
+    run reads before choosing its partitioning). All integer: the ceil is
+    ``(b + t - 1) div t``, the share a staged e6 div, so the DuckDB oracle
+    hash-matches bit-for-bit.
+
+    One groupBy(repo) shuffle; the corpus total is a one-row broadcast.
+
+    Output: (repo, n_files, total_bytes, max_file_bytes, share_e6, n_salts).
+    """
+    per = docs.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("content_length").cast("long").alias("total_bytes"),
+        F.max("content_length").cast("long").alias("max_file_bytes"),
+    )
+    grand = per.agg(F.sum("total_bytes").cast("long").alias("grand_bytes"))
+    return (
+        per.crossJoin(F.broadcast(grand))
+        .select(
+            "repo", "n_files", "total_bytes", "max_file_bytes",
+            F.expr("total_bytes * 1000000L div grand_bytes").cast("long")
+            .alias("share_e6"),
+            F.expr(
+                f"greatest((total_bytes + {target_bytes}L - 1L) div"
+                f" {target_bytes}L, 1L)"
+            ).cast("long").alias("n_salts"),
+        )
+    )

@@ -1291,3 +1291,69 @@ def test_tfidf_terms_scores_ranks_and_ubiquitous_floor(spark):
     }
     # ubiquitous term never appears
     assert all(r.term != "common" for r in out)
+
+
+def test_burst_windows_trailing_baseline(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import burst_windows
+
+    def ev(h, n, typ="click"):
+        base = dt.datetime(2026, 1, 1, h, 0, 0)
+        return [
+            (i, base + dt.timedelta(minutes=i % 50), 1, typ, 1.0, "{}")
+            for i in range(n)
+        ]
+
+    # click: hours 0-2 quiet (2 each), hour 3 bursts (6 = 3x mean), hour 4
+    # back to 2 (2*3*1000 < 1500*10 → not flagged)
+    rows = ev(0, 2) + ev(1, 2) + ev(2, 2) + ev(3, 6) + ev(4, 2)
+    # view: constant rate → never flagged; only 2 windows → warm-up anyway
+    rows += ev(0, 5, "view") + ev(1, 5, "view")
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = burst_windows(events, trail=3, mult_e3=1500).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_type == "click"
+    assert (r.n_events, r.trail_sum, r.trail_n, r.ratio_e3) == (6, 6, 3, 3000)
+
+
+def test_pq_codes_shape_separation_and_determinism(spark):
+    from llm_graph_builder_spark.operators.ann import pq_codes
+
+    # dim=8, m=2 subspaces of 4; subspace 0 separates g1/g2, subspace 1
+    # separates odd/even within both groups
+    rows = []
+    for i in range(8):
+        s0 = [1.0, 0.0, 0.01 * i, 0.0]
+        s1 = [0.0, 1.0, 0.0, 0.01 * i]
+        sub1 = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 0.0, 1.0, 0.0]
+        rows.append((i, (s0 + sub1)))
+        rows.append((100 + i, (s1 + sub1)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_codes(emb, m=2, n_centroids=4, lloyd_iters=2, dim=8).collect()
+    # m rows per vector, codes in range
+    assert len(out) == 2 * len(rows)
+    assert all(0 <= r.code < 4 for r in out)
+    codes = {(r.vec_id, r.subspace): r.code for r in out}
+    # subspace 0: the two orthogonal groups never share a code
+    c1 = {codes[(str(i), 0)] for i in range(8)}
+    c2 = {codes[(str(100 + i), 0)] for i in range(8)}
+    assert not (c1 & c2)
+    # subspace 1: odd and even never share a code, and grouping ignores
+    # the subspace-0 split (odd rows of BOTH groups quantize together)
+    odd = {codes[(str(i), 1)] for i in (1, 3, 5, 7, 101, 103, 105, 107)}
+    even = {codes[(str(i), 1)] for i in (0, 2, 4, 6, 100, 102, 104, 106)}
+    assert not (odd & even)
+    # deterministic under repartitioning (md5 seeding, order-free kernel)
+    again = {
+        (r.vec_id, r.subspace): r.code
+        for r in pq_codes(
+            emb.repartition(7), m=2, n_centroids=4, lloyd_iters=2, dim=8
+        ).collect()
+    }
+    assert again == codes

@@ -533,3 +533,47 @@ def test_stress_centrality_diamond_sigma_and_parity(spark):
     # clique: every pair adjacent, no geodesic has a middle vertex
     k3 = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
     assert stress_centrality(k3, _all_srcs(spark, "abc")).count() == 0
+
+
+def test_feature_propagation_weighted_rounds_exact(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        feature_propagation,
+    )
+
+    edges = _edges(spark, [("a", "b", 2)])
+    ents = spark.createDataFrame(
+        [("a", "E", 1, 1), ("b", "E", 10, 1), ("iso", "E", 5, 1)],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+    one = {
+        r.id: (r.f0, r.fk)
+        for r in feature_propagation(edges, ents, rounds=1).collect()
+    }
+    # f ← f + 2·f(neighbor): a = 1+20, b = 10+2, iso untouched
+    assert one == {"a": (1, 21), "b": (10, 12), "iso": (5, 5)}
+    two = {
+        r.id: r.fk for r in feature_propagation(edges, ents, rounds=2).collect()
+    }
+    assert two == {"a": 21 + 2 * 12, "b": 12 + 2 * 21, "iso": 5}
+
+
+def test_feature_propagation_paths_agree(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        feature_propagation,
+    )
+
+    edges = _edges(
+        spark, [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("c", "d", 1)]
+    )
+    ents = _entities(spark, ["a", "b", "c", "d", "iso"])
+    drv = {
+        r.id: (r.f0, r.fk)
+        for r in feature_propagation(edges, ents, rounds=3).collect()
+    }
+    dist = {
+        r.id: (r.f0, r.fk)
+        for r in feature_propagation(
+            edges, ents, rounds=3, driver_max_edges=0
+        ).collect()
+    }
+    assert drv == dist

@@ -595,3 +595,25 @@ def test_bm25_search_hand_computed_and_empty_excluded(spark):
     assert got == {"c2": (1_062_801, 2), "c1": (0, 1)}
     # ranked: positive score first, ties by chunk_id
     assert [r.chunk_id for r in out] == ["c2", "c1"]
+
+
+def test_retrieval_metrics_self_gold_ranks(spark):
+    from llm_graph_builder_spark.operators.embeddings import hash_embed_py
+    from llm_graph_builder_spark.operators.retrieval import retrieval_metrics
+
+    texts = {"a1": "p q", "a2": "p q r", "a3": "x y z w"}
+    chunk_emb = spark.createDataFrame(
+        [(cid, t, hash_embed_py(t)) for cid, t in texts.items()],
+        "chunk_id string, text string, embedding array<double>",
+    )
+    out = {r.chunk_id: r for r in retrieval_metrics(chunk_emb).collect()}
+    assert set(out) == {"a1", "a2", "a3"}
+    # a2's truncated query "p q" matches a1 EXACTLY (cos 1.0) and only
+    # approximately itself (2/sqrt(6)) → gold at rank 2; the other two
+    # queries keep their own chunk on top
+    assert (out["a1"].gold_rank, out["a1"].hit_at_1, out["a1"].mrr_e6) == (
+        1, 1, 1_000_000,
+    )
+    assert (out["a2"].gold_rank, out["a2"].hit_at_1, out["a2"].hit_at_5,
+            out["a2"].mrr_e6) == (2, 0, 1, 500_000)
+    assert (out["a3"].gold_rank, out["a3"].mrr_e6) == (1, 1_000_000)

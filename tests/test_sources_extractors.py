@@ -258,3 +258,25 @@ def test_transcript_pages_counter_semantics(spark):
     docs = transcript_documents(transcript_pages(tr)).collect()
     assert {r.repo for r in docs} == {"youtube"}
     assert any("/watch?v=a#0" in r.path for r in docs)
+
+
+def test_repo_skew_plan_ceil_salts_and_shares(spark):
+    from llm_graph_builder_spark.sources.repos import repo_skew_plan
+
+    docs = spark.createDataFrame(
+        [
+            ("big", "a", 700), ("big", "b", 500),     # 1200 → 2 salts @1000
+            ("hot", "c", 2100),                        # 2100 → 3 salts
+            ("tiny", "d", 1),                          # 1 → 1 salt (floor)
+        ],
+        "repo string, path string, content_length long",
+    )
+    out = {r.repo: r for r in repo_skew_plan(docs, target_bytes=1000).collect()}
+    assert (out["big"].n_files, out["big"].total_bytes, out["big"].n_salts) == (
+        2, 1200, 2,
+    )
+    assert out["big"].max_file_bytes == 700
+    assert (out["hot"].n_salts, out["tiny"].n_salts) == (3, 1)
+    # shares: grand 3301 → integer e6 floors
+    assert out["big"].share_e6 == 1200 * 1_000_000 // 3301
+    assert out["hot"].share_e6 == 2100 * 1_000_000 // 3301
