@@ -803,6 +803,22 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(read_documents(spark, sf_dir))
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table (integer epoch
+    periods, broadcast cohort sizes, e4 retained shares)."""
+    from .operators.sessions import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered view→click→purchase funnel (strictly-after sequential
+    semantics via per-step earliest-qualifying times)."""
+    from .operators.sessions import funnel_steps
+
+    return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_burst_windows(spark, sf_dir):
     """Trailing-baseline burst detection on the hourly per-type rate grain
     (integer cross-multiplied predicate; warm-up windows never flagged)."""
@@ -1690,6 +1706,8 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "sessionization": q_sessionization,
     "burst_windows": q_burst_windows,
+    "cohort_retention": q_cohort_retention,
+    "funnel_steps": q_funnel_steps,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

@@ -164,3 +164,110 @@ def burst_windows(
         F.expr("n_events * trail_n * 1000L div greatest(trail_sum, 1L)")
         .cast("long").alias("ratio_e3"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_days: int = 7,
+    max_offset: int = 12,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen period, counted
+    in each later activity period (the standard growth/engagement rollup of
+    an event warehouse). Periods are integer epoch buckets
+    (``epoch_us div (period_days·86400e6)``), so everything is BIGINT and
+    the DuckDB oracle hash-matches bit-for-bit. ``retained_e4`` is the
+    per-cell share of its cohort at e4 fixed point (staged div).
+
+    Scale shape: one groupBy(user) for the cohort assignment (min period —
+    map-side combined), one distinct (user, period) reduction, then one
+    groupBy(cohort, offset). Cohort sizes re-join broadcast (periods are
+    driver-tiny: corpus time range / period). No windows, no skew hazard —
+    the user key is the natural uniform partitioner.
+
+    Output: (cohort_period, week_offset, n_users, cohort_size, retained_e4)
+    for offsets 0..``max_offset``.
+    """
+    period_us = period_days * 86_400_000_000
+    ue = (
+        events.select(
+            F.col(user_col).cast("long").alias("u"),
+            _ntz_micros(F.col(ts_col)).alias("ev_us"),
+        )
+        # integer div, not FP division-then-cast: epoch micros sit near the
+        # double mantissa edge and the oracle floors exactly
+        .select("u", F.expr(f"ev_us div {period_us}L").alias("p"))
+        .dropDuplicates(["u", "p"])
+    )
+    first = ue.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    cells = (
+        ue.join(first, on="u")
+        .select("u", "cohort_period", (F.col("p") - F.col("cohort_period")).alias("week_offset"))
+        .filter(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_period", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    sizes = first.groupBy("cohort_period").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), on="cohort_period").select(
+        "cohort_period", "week_offset", "n_users", "cohort_size",
+        F.expr("n_users * 10000L div cohort_size").cast("long")
+        .alias("retained_e4"),
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered funnel conversion — per user, step i counts only if it
+    occurs strictly AFTER the user's earliest qualifying step i-1 (the
+    classic sequential-funnel semantics, not mere set membership). Step
+    times are earliest-qualifying (min ts after the previous step's time),
+    so the result is deterministic and integer (epoch micros).
+
+    Scale shape: one conditional-aggregation pass per step — each is a
+    groupBy(user) with a filtered min, joined user-to-user (co-partitioned
+    hash joins on the same key, no broadcast needed at any scale); no
+    per-user sequence materialization, no window over event history.
+
+    Output: one row per step — (step_idx, step, n_users, conv_from_prev_e4,
+    conv_from_first_e4) with staged-integer e4 shares.
+    """
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col("event_type").alias("et"),
+        _ntz_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    cur = ev.filter(F.col("et") == steps[0]).groupBy("u").agg(
+        F.min("ts_us").alias("t")
+    )
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (
+            ev.filter(F.col("et") == step)
+            .join(cur, on="u")
+            .filter(F.col("ts_us") > F.col("t"))
+            .groupBy("u")
+            .agg(F.min("ts_us").alias("t"))
+        )
+        counts.append(nxt.count())
+        cur = nxt
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else counts[0]
+        rows.append((
+            i, step, n,
+            (n * 10000) // prev if prev else 0,
+            (n * 10000) // counts[0] if counts[0] else 0,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "step_idx long, step string, n_users long, "
+        "conv_from_prev_e4 long, conv_from_first_e4 long",
+    )

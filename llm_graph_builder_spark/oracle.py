@@ -3805,3 +3805,78 @@ SELECT repo, n_files, total_bytes, max_file_bytes,
          AS n_salts
 FROM rsp CROSS JOIN rsg
 """
+
+
+# mirrors q_cohort_retention / sessions.cohort_retention (7-day periods,
+# max_offset 12): distinct (user, period) grain, min-period cohorts,
+# broadcast cohort sizes, staged e4 share — all integer.
+ORACLE_SQL["cohort_retention"] = """
+WITH cue AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+         epoch_us(ts) // 604800000000 AS p
+  FROM events
+),
+cfirst AS (SELECT u, min(p) AS cohort_period FROM cue GROUP BY 1),
+ccells AS (
+  SELECT f.cohort_period, e.p - f.cohort_period AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM cue e JOIN cfirst f USING (u)
+  WHERE e.p - f.cohort_period <= 12
+  GROUP BY 1, 2
+),
+csizes AS (
+  SELECT cohort_period, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cfirst GROUP BY 1
+)
+SELECT CAST(c.cohort_period AS BIGINT) AS cohort_period,
+       CAST(c.week_offset AS BIGINT) AS week_offset,
+       c.n_users, s.cohort_size,
+       CAST(c.n_users * 10000 // s.cohort_size AS BIGINT) AS retained_e4
+FROM ccells c JOIN csizes s USING (cohort_period)
+"""
+
+
+# mirrors q_funnel_steps / sessions.funnel_steps (view -> click -> purchase):
+# per-step earliest-qualifying times (strictly after the previous step's
+# time), step-level counts, staged e4 conversions.
+ORACLE_SQL["funnel_steps"] = """
+WITH fe AS (
+  SELECT CAST(user_id AS BIGINT) AS u, event_type AS et, epoch_us(ts) AS ts_us
+  FROM events
+),
+f0 AS (SELECT u, min(ts_us) AS t FROM fe WHERE et = 'view' GROUP BY 1),
+f1 AS (
+  SELECT e.u, min(e.ts_us) AS t
+  FROM fe e JOIN f0 ON f0.u = e.u
+  WHERE e.et = 'click' AND e.ts_us > f0.t GROUP BY 1
+),
+f2 AS (
+  SELECT e.u, min(e.ts_us) AS t
+  FROM fe e JOIN f1 ON f1.u = e.u
+  WHERE e.et = 'purchase' AND e.ts_us > f1.t GROUP BY 1
+),
+cn AS (
+  SELECT (SELECT count(*) FROM f0) AS n0,
+         (SELECT count(*) FROM f1) AS n1,
+         (SELECT count(*) FROM f2) AS n2
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST(n0 AS BIGINT) AS n_users,
+         CAST(CASE WHEN n0 > 0 THEN n0 * 10000 // n0 ELSE 0 END AS BIGINT)
+           AS conv_from_prev_e4,
+         CAST(CASE WHEN n0 > 0 THEN n0 * 10000 // n0 ELSE 0 END AS BIGINT)
+           AS conv_from_first_e4
+  FROM cn
+  UNION ALL
+  SELECT 1, 'click', CAST(n1 AS BIGINT),
+         CAST(CASE WHEN n0 > 0 THEN n1 * 10000 // n0 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN n0 > 0 THEN n1 * 10000 // n0 ELSE 0 END AS BIGINT)
+  FROM cn
+  UNION ALL
+  SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+         CAST(CASE WHEN n1 > 0 THEN n2 * 10000 // n1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN n0 > 0 THEN n2 * 10000 // n0 ELSE 0 END AS BIGINT)
+  FROM cn
+)
+"""

@@ -1357,3 +1357,69 @@ def test_pq_codes_shape_separation_and_determinism(spark):
         ).collect()
     }
     assert again == codes
+
+
+def test_cohort_retention_offsets_and_shares(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import cohort_retention
+
+    w0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(uid, week, i=0):
+        return (uid * 100 + week * 10 + i, w0 + dt.timedelta(weeks=week),
+                uid, "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 0), ev(1, 1), ev(1, 2),      # u1: weeks 0,1,2
+        ev(2, 0), ev(2, 2), ev(2, 2, 1),   # u2: weeks 0,2 (dup event in 2)
+        ev(3, 1),                          # u3: first seen week 1
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = cohort_retention(events).collect()
+    cohorts = sorted({r.cohort_period for r in out})
+    a, b = cohorts  # week-0 cohort {u1, u2}, week-1 cohort {u3}
+    got = {(r.cohort_period, r.week_offset): (r.n_users, r.cohort_size,
+                                              r.retained_e4) for r in out}
+    assert got == {
+        (a, 0): (2, 2, 10000),
+        (a, 1): (1, 2, 5000),
+        (a, 2): (2, 2, 10000),
+        (b, 0): (1, 1, 10000),
+    }
+
+
+def test_funnel_steps_sequential_semantics(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import funnel_steps
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(i, uid, minute, typ):
+        return (i, t0 + dt.timedelta(minutes=minute), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1 completes in order
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        # u2: click BEFORE its view → click must not count
+        ev(4, 2, 0, "click"), ev(5, 2, 1, "view"),
+        # u3: view then purchase with no click → purchase must not count
+        ev(6, 3, 0, "view"), ev(7, 3, 1, "purchase"),
+        # u4: view + click, no purchase
+        ev(8, 4, 0, "view"), ev(9, 4, 1, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.step_idx: r for r in funnel_steps(events).collect()}
+    assert (out[0].n_users, out[1].n_users, out[2].n_users) == (4, 2, 1)
+    assert (out[1].conv_from_prev_e4, out[2].conv_from_prev_e4) == (5000, 5000)
+    assert out[2].conv_from_first_e4 == 2500
+    assert [out[i].step for i in range(3)] == ["view", "click", "purchase"]
