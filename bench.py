@@ -356,6 +356,24 @@ def main():
         "repetition_signals",
     )
 
+    from llm_graph_builder_spark.operators.ann import pq_codes
+    from llm_graph_builder_spark.operators.fulltext import bm25_search
+
+    # scored-fulltext story: inverted-index tf build (one exploded-term
+    # shuffle) + broadcast query rank
+    best_of(
+        lambda: bm25_search(chunks, "merge join stream data")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/bm25"),
+        "bm25_retrieval",
+    )
+    # vector-compression story: m sub-space Lloyd fits, each round ONE
+    # mapInArrow partial-sum pass over the narrow slice
+    best_of(
+        lambda: pq_codes(emb).write.mode("overwrite").parquet(f"{out_dir}/pq"),
+        "pq_codes",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

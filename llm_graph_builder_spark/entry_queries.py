@@ -358,6 +358,20 @@ def _synth_code(spark, sf_dir):
     )
 
 
+def q_repo_dependencies(spark, sf_dir):
+    """Repo-grain module dependency graph: IMPORTS edges from the code-rule
+    extractor rolled up per (repo, imported module)."""
+    from .operators.code_extract import repo_dependencies
+
+    docs = read_documents(spark, sf_dir)
+    repo_map = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 37).cast("string"))
+        .alias("repo"),
+    )
+    return repo_dependencies(q_code_triples(spark, sf_dir), repo_map)
+
+
 def q_schema_consolidation(spark, sf_dir):
     """P2 — deterministic synonym-grouping over a label set with case/plural
     variants (lang, UPPER(lang), lang||'s'); output the mapping table."""
@@ -874,6 +888,14 @@ def q_corpus_diff(spark, sf_dir):
         )
     )
     return corpus_diff(old, docs)
+
+
+def q_length_deciles(spark, sf_dir):
+    """Exact doc-length deciles via the distributed two-level prefix-sum CDF
+    (curation-threshold calibration; percentile_approx made exact)."""
+    from .functions.textstats import exact_quantiles
+
+    return exact_quantiles(read_documents(spark, sf_dir), F.length("text"))
 
 
 def q_corpus_profile(spark, sf_dir):
@@ -1682,6 +1704,7 @@ QUERIES = {
     "top_entities": q_top_entities,
     "chunk_page": q_chunk_page,
     "code_triples": q_code_triples,
+    "repo_dependencies": q_repo_dependencies,
     "schema_consolidation": q_schema_consolidation,
     "delete_cascade": q_delete_cascade,
     "resume_position": q_resume_position,
@@ -1702,6 +1725,7 @@ QUERIES = {
     "bigram_novelty": q_bigram_novelty,
     "surprisal_bits": q_surprisal_bits,
     "tfidf_terms": q_tfidf_terms,
+    "length_deciles": q_length_deciles,
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
     "sessionization": q_sessionization,

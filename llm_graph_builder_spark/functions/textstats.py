@@ -467,3 +467,73 @@ def tfidf_terms(
             "idf_bits", "score", "rnk",
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_expr: Column,
+    n_quantiles: int = 10,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """EXACT quantiles of an integer metric at corpus scale — the
+    calibration table a curation pipeline thresholds against
+    (percentile_approx trades accuracy for one pass; this stays exact AND
+    distributed). Quantile q's value is the smallest v whose cumulative
+    count reaches ceil(N·q/n) — all integer, so the DuckDB oracle (a naive
+    single global window) hash-matches bit-for-bit.
+
+    Scale shape — the :func:`~..operators.packing.shard_plan` two-level
+    prefix sum over the DISTINCT-VALUE frame, never the row frame:
+    (1) groupBy(value) count (the only row-grain shuffle; map-side
+    combined); (2) fixed-width value buckets (``v div bucket_width``) get
+    their running offsets via a window over the tiny bucket-total frame;
+    (3) intra-bucket cumulative counts run as parallel per-bucket windows;
+    offset + intra = exact global CDF. Quantile targets are a broadcast
+    n-row frame joined against the CDF with a min-value aggregate.
+
+    Output: (quantile, target_rank, value, n_rows) for q = 1..n-1.
+    """
+    from pyspark.sql.window import Window
+
+    vals = df.select(value_expr.cast("long").alias("v"))
+    counts = (
+        vals.groupBy("v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("bucket", F.expr(f"v div {int(bucket_width)}L"))
+    )
+    btot = counts.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bucket", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        counts.withColumn("cin", F.sum("c").over(w_in))
+        .join(F.broadcast(offs), on="bucket")
+        .select("v", F.expr("offset + cin").cast("long").alias("cum"))
+    )
+    total = vals.agg(F.count("*").cast("long").alias("n_rows"))
+    targets = F.broadcast(
+        total.select(
+            F.explode(F.array(*[F.lit(q) for q in range(1, n_quantiles)]))
+            .alias("quantile"),
+            "n_rows",
+        ).select(
+            F.col("quantile").cast("long").alias("quantile"), "n_rows"
+        ).select(
+            "quantile", "n_rows",
+            F.expr(f"(n_rows * quantile + {n_quantiles - 1}L) div {n_quantiles}L")
+            .cast("long").alias("target_rank"),
+        )
+    )
+    return (
+        cdf.crossJoin(targets)
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("quantile", "target_rank", "n_rows")
+        .agg(F.min("v").cast("long").alias("value"))
+        .select("quantile", "target_rank", "value", "n_rows")
+    )

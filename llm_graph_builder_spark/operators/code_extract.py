@@ -264,3 +264,25 @@ def code_triples(extracted: DataFrame) -> DataFrame:
         F.col("t.obj_id").alias("obj_id"),
         F.col("t.obj_label").alias("obj_label"),
     )
+
+
+def repo_dependencies(triples: DataFrame, repo_map: DataFrame) -> DataFrame:
+    """Repo-grain module dependency rollup over the code-rule IMPORTS edges
+    — the cross-repo dependency graph a 10^12-file corpus is navigated by
+    (which repos pull which modules, how broadly, how often). Pure
+    aggregation: one filter + one hash join on doc_id (co-partitioned with
+    the extraction output) + one groupBy(repo, module); ``n_files`` is the
+    distinct importing modules, ``n_imports`` the raw edge count.
+
+    Inputs: ``triples`` = :func:`code_triples` rows; ``repo_map`` =
+    (doc_id, repo). Output: (repo, module, n_files, n_imports).
+    """
+    imp = triples.filter(F.col("pred") == "IMPORTS")
+    return (
+        imp.join(repo_map, on="doc_id")
+        .groupBy("repo", F.col("obj_id").alias("module"))
+        .agg(
+            F.countDistinct("subj_id").cast("long").alias("n_files"),
+            F.count("*").cast("long").alias("n_imports"),
+        )
+    )

@@ -3880,3 +3880,43 @@ SELECT * FROM (
   FROM cn
 )
 """
+
+
+# mirrors q_length_deciles / textstats.exact_quantiles over doc text length:
+# naive single-window CDF (the distributed two-level prefix sum reproduces
+# it exactly — integer counts), ceil targets via (n*q + 9) // 10.
+ORACLE_SQL["length_deciles"] = """
+WITH qv AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+qc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM qv GROUP BY 1),
+qcum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM qc
+),
+qtot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM qv),
+qtgt AS (
+  SELECT CAST(t.q AS BIGINT) AS quantile, n_rows,
+         CAST((n_rows * t.q + 9) // 10 AS BIGINT) AS target_rank
+  FROM qtot, range(1, 10) t(q)
+)
+SELECT g.quantile, g.target_rank, CAST(min(c.v) AS BIGINT) AS value, g.n_rows
+FROM qcum c JOIN qtgt g ON c.cum >= g.target_rank
+GROUP BY 1, 2, 4
+"""
+
+
+# mirrors q_repo_dependencies: the code_triples direct construction (2
+# IMPORTS per doc: util_{d%7}, pkg_{d%5}) aggregated per (repo-{d%37},
+# module) — distinct importing modules + raw edge count.
+ORACLE_SQL["repo_dependencies"] = """
+WITH rdep AS (
+  SELECT CAST(doc_id AS BIGINT) AS d,
+         'repo-' || CAST(doc_id % 37 AS VARCHAR) AS repo,
+         'f' || CAST(doc_id AS VARCHAR) AS subj,
+         unnest(['util_' || CAST(doc_id % 7 AS VARCHAR),
+                 'pkg_' || CAST(doc_id % 5 AS VARCHAR)]) AS module
+  FROM documents
+)
+SELECT repo, module,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_imports
+FROM rdep GROUP BY 1, 2
+"""

@@ -1,0 +1,117 @@
+"""Incremental burst monitoring via Structured Streaming.
+
+The batch operator (:func:`..operators.sessions.burst_windows`) flags
+rate anomalies over a complete events table; a production monitor ingests
+event drops continuously and must NOT rescan history per increment. This
+stream composes the same trailing-baseline arithmetic into the foreachBatch
+pattern of :mod:`.dedup`: per micro-batch, (1) merge the batch's
+(window, event_type) counts into a persistent rate-state parquet — counts
+are additive, so the merge is an idempotent-under-distinct-batch grouped
+sum — then (2) re-evaluate the trailing predicate ONLY for event types the
+batch touched (the state table is window-grain, corpus-size-independent:
+rows = time range / window size × types).
+
+State grain and flag semantics mirror ``burst_windows`` exactly, so the
+batch oracle (`burst_windows` driver query) value-checks the same
+arithmetic this stream applies incrementally. Extension beyond the
+reference (no streaming semantics — SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.sessions import _ntz_micros
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def start_burst_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_minutes: int = 60,
+    trail: int = 3,
+    mult_e3: int = 1500,
+    max_files_per_trigger: int = 1,
+):
+    """events parquet drops → merged rate state + per-batch burst flags.
+
+    Each micro-batch appends its per-(window, type) counts to the rate log;
+    the CURRENT state is the grouped sum over the log (append-only →
+    at-least-once-safe with the batch id recorded per append: retried
+    appends of the same batch_id are collapsed by the distinct-on
+    (batch_id, window, type) read). Bursts are evaluated over the merged
+    state with the exact ``burst_windows`` predicate and land in
+    ``{output_dir}/burst_flags`` with the batch id for lineage.
+    """
+    from pyspark.sql.window import Window
+
+    win_us = int(window_minutes) * 60_000_000
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    rates_dir = f"{output_dir}/rate_log"
+    flags_dir = f"{output_dir}/burst_flags"
+
+    def process(batch_df: DataFrame, batch_id: int):
+        us = _ntz_micros(F.col("ts"))
+        batch_rates = (
+            batch_df.select(
+                (us - (us % win_us)).alias("window_start_us"), "event_type"
+            )
+            .groupBy("window_start_us", "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        batch_rates.write.mode("append").parquet(rates_dir)
+        state = (
+            spark.read.parquet(rates_dir)
+            .dropDuplicates(["batch_id", "window_start_us", "event_type"])
+            .groupBy("window_start_us", "event_type")
+            .agg(F.sum("n_events").cast("long").alias("n_events"))
+        )
+        touched = batch_rates.select("event_type").distinct()
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("window_start_us")
+            .rowsBetween(-trail, -1)
+        )
+        trailed = state.join(F.broadcast(touched), on="event_type").select(
+            "window_start_us", "event_type", "n_events",
+            F.coalesce(F.sum("n_events").over(w), F.lit(0))
+            .cast("long").alias("trail_sum"),
+            F.count("n_events").over(w).cast("long").alias("trail_n"),
+        )
+        flags = trailed.filter(
+            (F.col("trail_n") == trail)
+            & (F.expr(f"n_events * trail_n * 1000L >= {mult_e3}L * trail_sum"))
+        ).select(
+            "window_start_us", "event_type", "n_events", "trail_sum",
+            "trail_n",
+            F.expr("n_events * trail_n * 1000L div greatest(trail_sum, 1L)")
+            .cast("long").alias("ratio_e3"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        flags.write.mode("append").parquet(flags_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

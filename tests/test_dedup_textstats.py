@@ -1423,3 +1423,73 @@ def test_funnel_steps_sequential_semantics(spark):
     assert (out[1].conv_from_prev_e4, out[2].conv_from_prev_e4) == (5000, 5000)
     assert out[2].conv_from_first_e4 == 2500
     assert [out[i].step for i in range(3)] == ["view", "click", "purchase"]
+
+
+def test_exact_quantiles_matches_naive_cdf(spark):
+    from llm_graph_builder_spark.functions.textstats import exact_quantiles
+
+    # values 1..100 each once → decile q's value = smallest v with
+    # cum >= ceil(100q/10) = 10q
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "x long")
+    out = {r.quantile: r for r in exact_quantiles(df, F.col("x")).collect()}
+    assert {q: r.value for q, r in out.items()} == {q: 10 * q for q in range(1, 10)}
+    assert all(r.n_rows == 100 and r.target_rank == 10 * r.quantile
+               for r in out.values())
+    # skewed multiset with ties: 90x value 5, 10x value 1000 → p90 boundary
+    sk = spark.createDataFrame(
+        [(5,)] * 90 + [(1000,)] * 10, "x long"
+    )
+    got = {r.quantile: r.value for r in exact_quantiles(sk, F.col("x")).collect()}
+    assert got == {**{q: 5 for q in range(1, 10)}}
+    # quartiles of 1..8 with bucket_width forcing multi-bucket paths
+    qt = {r.quantile: r.value
+          for r in exact_quantiles(
+              spark.createDataFrame([(i,) for i in range(1, 9)], "x long"),
+              F.col("x"), n_quantiles=4, bucket_width=2,
+          ).collect()}
+    assert qt == {1: 2, 2: 4, 3: 6}
+
+
+def test_streaming_burst_monitor(spark, tmp_path):
+    """Two event drops as sequential micro-batches: the burst window is only
+    flagged once the merged state carries a full trailing baseline, and
+    counts for a window split across drops merge additively."""
+    import datetime as dt
+
+    from llm_graph_builder_spark.streaming.bursts import start_burst_monitor
+
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev(h, n, base_id):
+        t = dt.datetime(2026, 1, 1, h, 0, 0)
+        return [
+            (base_id + i, t + dt.timedelta(minutes=i % 50), 1, "click", 1.0, "{}")
+            for i in range(n)
+        ]
+
+    # drop 1: hours 0,1 quiet (2 each) + HALF of hour 2 (1 event)
+    spark.createDataFrame(
+        ev(0, 2, 0) + ev(1, 2, 100) + ev(2, 1, 200), schema
+    ).coalesce(1).write.parquet(inp)
+    q = start_burst_monitor(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    # no window has 3 predecessors yet → nothing flagged
+    assert spark.read.parquet(f"{out}/burst_flags").count() == 0
+    # drop 2: the other half of hour 2 + the hour-3 burst (6 = 3x mean)
+    spark.createDataFrame(
+        ev(2, 1, 300) + ev(3, 6, 400), schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = start_burst_monitor(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    flags = spark.read.parquet(f"{out}/burst_flags").collect()
+    assert len(flags) == 1
+    r = flags[0]
+    # hour-2 counts merged across drops: trailing sum = 2 + 2 + 2
+    assert (r.n_events, r.trail_sum, r.trail_n, r.ratio_e3) == (6, 6, 3, 3000)
+    assert r.batch_id == 1
