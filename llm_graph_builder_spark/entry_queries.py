@@ -825,6 +825,14 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (last-touch attribution): latest click at-or-before each
+    purchase, single per-user ordered carry — no inequality join."""
+    from .operators.sessions import asof_attribution
+
+    return asof_attribution(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered view→click→purchase funnel (strictly-after sequential
     semantics via per-step earliest-qualifying times)."""
@@ -1732,6 +1740,7 @@ QUERIES = {
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
+    "asof_attribution": q_asof_attribution,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

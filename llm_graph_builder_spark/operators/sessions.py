@@ -271,3 +271,57 @@ def funnel_steps(
         "step_idx long, step string, n_users long, "
         "conv_from_prev_e4 long, conv_from_first_e4 long",
     )
+
+
+def asof_attribution(
+    events: DataFrame,
+    target: str = "purchase",
+    source: str = "click",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """AS-OF JOIN over the event stream — for every ``target`` event, the
+    user's latest ``source`` event at-or-before it (last-touch attribution;
+    the canonical as-of/temporal-join Spark lacks as a built-in). Expressed
+    as a single per-user ordered pass, NOT an inequality join: both event
+    kinds union into one frame and a running conditional max over
+    (ts, kind, id) carries the latest source timestamp forward — the
+    same-instant source sorts BEFORE its target so ``<=`` semantics hold
+    exactly. One shuffle on the user key; per-user ordering is the
+    event-stream grain (bounded per user — the uniform partitioner), no
+    range join, no broadcast of either side.
+
+    All integer (epoch micros), so the DuckDB oracle (a correlated max —
+    the naive quadratic formulation) hash-matches bit-for-bit.
+
+    Output: one row per target event — (event_id, user_id, ts_us,
+    src_ts_us, gap_us); src/gap NULL when the user has no prior source.
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.filter(F.col("event_type").isin([target, source])).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col(user_col).cast("long").alias("u"),
+        F.col("event_type").alias("et"),
+        _ntz_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy(
+            "ts_us",
+            F.when(F.col("et") == source, F.lit(0)).otherwise(F.lit(1)),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ev.withColumn(
+        "src_ts_us",
+        F.max(F.when(F.col("et") == source, F.col("ts_us"))).over(w),
+    )
+    return carried.filter(F.col("et") == target).select(
+        "event_id",
+        F.col("u").alias("user_id"),
+        "ts_us",
+        F.col("src_ts_us").cast("long").alias("src_ts_us"),
+        (F.col("ts_us") - F.col("src_ts_us")).cast("long").alias("gap_us"),
+    )

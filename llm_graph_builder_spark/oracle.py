@@ -3920,3 +3920,28 @@ SELECT repo, module,
        CAST(count(*) AS BIGINT) AS n_imports
 FROM rdep GROUP BY 1, 2
 """
+
+
+# mirrors q_asof_attribution / sessions.asof_attribution (purchase <- click):
+# naive correlated max per target event — the ordered-carry formulation
+# reproduces it exactly (same-instant source counts; integer micros).
+ORACLE_SQL["asof_attribution"] = """
+WITH ae AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type AS et, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('purchase', 'click')
+)
+SELECT t.event_id, t.user_id, CAST(t.ts_us AS BIGINT) AS ts_us,
+       CAST(s.src AS BIGINT) AS src_ts_us,
+       CAST(t.ts_us - s.src AS BIGINT) AS gap_us
+FROM ae t
+LEFT JOIN (
+  SELECT t2.event_id, max(s2.ts_us) AS src
+  FROM ae t2 JOIN ae s2
+    ON s2.user_id = t2.user_id AND s2.et = 'click' AND s2.ts_us <= t2.ts_us
+  WHERE t2.et = 'purchase'
+  GROUP BY 1
+) s ON s.event_id = t.event_id
+WHERE t.et = 'purchase'
+"""

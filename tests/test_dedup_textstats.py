@@ -1493,3 +1493,34 @@ def test_streaming_burst_monitor(spark, tmp_path):
     # hour-2 counts merged across drops: trailing sum = 2 + 2 + 2
     assert (r.n_events, r.trail_sum, r.trail_n, r.ratio_e3) == (6, 6, 3, 3000)
     assert r.batch_id == 1
+
+
+def test_asof_attribution_last_touch_and_same_instant(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import asof_attribution
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(i, uid, minute, typ):
+        return (i, t0 + dt.timedelta(minutes=minute), uid, typ, 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            # u1: click@0 then purchase@5 (click@10 is later — irrelevant)
+            ev(1, 1, 0, "click"), ev(2, 1, 5, "purchase"), ev(3, 1, 10, "click"),
+            # u2: purchase@3 before any click → NULL attribution
+            ev(4, 2, 3, "purchase"), ev(5, 2, 7, "click"),
+            # u3: clicks@2,@4 and purchase AT minute 4 → same-instant click
+            ev(6, 3, 2, "click"), ev(7, 3, 4, "click"), ev(8, 3, 4, "purchase"),
+            # noise the operator must ignore
+            ev(9, 1, 1, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_id: r for r in asof_attribution(events).collect()}
+    assert set(out) == {2, 4, 8}
+    assert out[2].gap_us == 5 * 60_000_000
+    assert out[4].src_ts_us is None and out[4].gap_us is None
+    assert out[8].gap_us == 0  # <= semantics: same-instant click attributes
