@@ -825,6 +825,17 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_session_range_join(spark, sf_dir):
+    """Range (interval) join: error events assigned to the gap-session
+    interval containing them — bucketized equi-join, not an inequality
+    join."""
+    from .operators.sessions import range_join_events, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = sessionize(ev).select("user_id", "session_seq", "start_us", "end_us")
+    return range_join_events(ev, iv)
+
+
 def q_asof_attribution(spark, sf_dir):
     """As-of join (last-touch attribution): latest click at-or-before each
     purchase, single per-user ordered carry — no inequality join."""
@@ -1741,6 +1752,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
     "asof_attribution": q_asof_attribution,
+    "session_range_join": q_session_range_join,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

@@ -325,3 +325,55 @@ def asof_attribution(
         F.col("src_ts_us").cast("long").alias("src_ts_us"),
         (F.col("ts_us") - F.col("src_ts_us")).cast("long").alias("gap_us"),
     )
+
+
+def range_join_events(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_type: str = "error",
+    bucket_minutes: int = 60,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """RANGE (interval) JOIN — assign point events to the per-user time
+    interval containing them (here: which session does each ``event_type``
+    event fall in), the second temporal join Spark lacks as a built-in.
+    Expressed as a BUCKETIZED equi-join, not an inequality join: intervals
+    explode into the coarse time buckets they overlap (sequence over
+    ``start div B .. end div B``), points carry their single bucket, the
+    join runs on (user, bucket) and the exact containment predicate refines
+    — a point lives in exactly one bucket, so matches are exact with NO
+    post-join dedup. Catalyst gets an equi-join it can hash-partition;
+    the inequality form would degenerate to a broadcast-nested-loop.
+
+    Bucket amplification = interval span / bucket size (sessions: a few
+    buckets at 60 min); all integer micros, oracle = the naive inequality
+    join.
+
+    Output: (event_id, user_id, ts_us, session_seq, start_us, end_us).
+    """
+    b_us = int(bucket_minutes) * 60_000_000
+    pts = events.filter(F.col("event_type") == event_type).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col(user_col).cast("long").alias("user_id"),
+        _ntz_micros(F.col(ts_col)).alias("ts_us"),
+    ).withColumn("bucket", F.expr(f"ts_us div {b_us}L"))
+    iv = intervals.select(
+        "user_id", "session_seq", "start_us", "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {b_us}L"), F.expr(f"end_us div {b_us}L")
+            )
+        ).alias("bucket"),
+    )
+    return (
+        pts.join(iv, on=["user_id", "bucket"])
+        .filter(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") <= F.col("end_us"))
+        )
+        .select(
+            "event_id", "user_id", "ts_us", "session_seq",
+            "start_us", "end_us",
+        )
+    )

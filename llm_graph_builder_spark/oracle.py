@@ -3945,3 +3945,46 @@ LEFT JOIN (
 ) s ON s.event_id = t.event_id
 WHERE t.et = 'purchase'
 """
+
+
+# mirrors q_session_range_join / sessions.range_join_events: naive
+# inequality containment join of error events against the gap-session
+# intervals (the bucketized equi-join reproduces it exactly). Session
+# intervals replicate the sessionization oracle's window arithmetic.
+ORACLE_SQL["session_range_join"] = """
+WITH rse AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type, epoch_us(ts) AS ev_us
+  FROM events
+),
+rsflag AS (
+  SELECT user_id, ev_us, event_id,
+         CASE WHEN coalesce(
+                ev_us - lag(ev_us) OVER (PARTITION BY user_id
+                                         ORDER BY ev_us, event_id),
+                1800000001) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM rse
+),
+rssess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ev_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq,
+         ev_us
+  FROM rsflag
+),
+rsiv AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(min(ev_us) AS BIGINT) AS start_us,
+         CAST(max(ev_us) AS BIGINT) AS end_us
+  FROM rssess GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, CAST(p.ev_us AS BIGINT) AS ts_us,
+       i.session_seq, i.start_us, i.end_us
+FROM rse p JOIN rsiv i
+  ON i.user_id = p.user_id
+ AND p.ev_us >= i.start_us AND p.ev_us <= i.end_us
+WHERE p.event_type = 'error'
+"""

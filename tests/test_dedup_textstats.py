@@ -1524,3 +1524,36 @@ def test_asof_attribution_last_touch_and_same_instant(spark):
     assert out[2].gap_us == 5 * 60_000_000
     assert out[4].src_ts_us is None and out[4].gap_us is None
     assert out[8].gap_us == 0  # <= semantics: same-instant click attributes
+
+
+def test_range_join_events_bucket_edges(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import range_join_events
+
+    t0 = dt.datetime(2026, 1, 1)
+    us0 = int((t0 - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+
+    def ev(i, uid, minute, typ):
+        return (i, t0 + dt.timedelta(minutes=minute), uid, typ, 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 0, "error"),     # exactly at interval start → in
+            ev(2, 1, 90, "error"),    # inside, crosses a 60-min bucket edge
+            ev(3, 1, 121, "error"),   # one minute past end → out
+            ev(4, 2, 30, "error"),    # other user: not in u1's interval
+            ev(5, 1, 30, "click"),    # wrong type → ignored
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    mn = 60_000_000
+    intervals = spark.createDataFrame(
+        [(1, 1, us0, us0 + 120 * mn)],
+        "user_id long, session_seq long, start_us long, end_us long",
+    )
+    out = {r.event_id: r for r in range_join_events(events, intervals).collect()}
+    # exact containment incl. boundaries, bucket-edge crossing, no dups
+    assert set(out) == {1, 2}
+    assert out[2].session_seq == 1 and out[2].ts_us == us0 + 90 * mn
