@@ -825,6 +825,14 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_kmv_sketch(spark, sf_dir):
+    """KMV distinct-count sketch (k=64) per event type with exact-count
+    accuracy probe — integer estimator, two-phase partial top-k."""
+    from .operators.sessions import kmv_distinct_sketch
+
+    return kmv_distinct_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_session_range_join(spark, sf_dir):
     """Range (interval) join: error events assigned to the gap-session
     interval containing them — bucketized equi-join, not an inequality
@@ -1753,6 +1761,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "asof_attribution": q_asof_attribution,
     "session_range_join": q_session_range_join,
+    "kmv_sketch": q_kmv_sketch,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

@@ -377,3 +377,76 @@ def range_join_events(
             "start_us", "end_us",
         )
     )
+
+
+def kmv_distinct_sketch(
+    events: DataFrame,
+    k: int = 64,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group, with the
+    exact count alongside as the accuracy probe — the mergeable
+    cardinality sketch of a 100 TB warehouse (union of two sketches = k
+    smallest of the merged minima; unlike HLL the estimator here is pure
+    integer division, so the DuckDB oracle hash-matches bit-for-bit).
+
+    Estimator: h = first 15 md5 hex digits of the key (uniform in
+    [0, 2^60)); with the k-th smallest distinct hash h_k, distinct ≈
+    (2^60 div h_k) · (k-1); groups with fewer than k distinct keys report
+    exactly. ``err_e4`` is the staged-integer relative error vs the exact
+    count (the probe a pipeline reads before trusting the sketch at scale).
+
+    Scale shape: distinct (group, hash) reduction, then the same two-phase
+    top-k as ``ann_bruteforce_topk`` — per-(group, scan-partition) partial
+    top-k first, so the per-group rank sees ≤ k rows per partition, never
+    the full distinct set in one reducer. (The exact count rides the same
+    distinct reduction; drop it in production and the sketch alone never
+    materializes more than k rows per group anywhere.)
+
+    Output: (group, exact_distinct, kth_hash, est_distinct, err_e4);
+    kth_hash NULL for exactly-counted groups.
+    """
+    from pyspark.sql.window import Window
+
+    space = 1 << 60
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    kh = (
+        events.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .dropDuplicates(["grp", "h"])
+    )
+    w_part = Window.partitionBy("grp", "part").orderBy("h")
+    partial = (
+        kh.withColumn("part", F.spark_partition_id())
+        .withColumn("prn", F.row_number().over(w_part))
+        .filter(F.col("prn") <= k)
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("grp", F.col("h").alias("kth_hash"))
+    )
+    exact = kh.groupBy("grp").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    est = F.expr(
+        f"CASE WHEN kth_hash IS NULL THEN exact_distinct"
+        f" ELSE ({space}L div kth_hash) * {k - 1}L END"
+    ).cast("long")
+    return (
+        exact.join(kth, on="grp", how="left")
+        .withColumn("est_distinct", est)
+        .select(
+            F.col("grp").alias(group_col),
+            "exact_distinct",
+            "kth_hash",
+            "est_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 10000L"
+                " div greatest(exact_distinct, 1L)"
+            ).cast("long").alias("err_e4"),
+        )
+    )

@@ -3988,3 +3988,35 @@ FROM rse p JOIN rsiv i
  AND p.ev_us >= i.start_us AND p.ev_us <= i.end_us
 WHERE p.event_type = 'error'
 """
+
+
+# mirrors q_kmv_sketch / sessions.kmv_distinct_sketch (k=64 over users per
+# event type): 60-bit md5-prefix hashes, k-th smallest distinct hash,
+# integer estimator (2^60 // h_k) * (k-1), exact count as the probe.
+ORACLE_SQL["kmv_sketch"] = """
+WITH kvh AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+kvr AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM kvh
+),
+kvg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct,
+         CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_hash
+  FROM kvr GROUP BY 1
+)
+SELECT grp AS event_type, exact_distinct, kth_hash,
+       CAST(CASE WHEN kth_hash IS NULL THEN exact_distinct
+                 ELSE (1152921504606846976 // kth_hash) * 63 END
+            AS BIGINT) AS est_distinct,
+       CAST(abs(CASE WHEN kth_hash IS NULL THEN exact_distinct
+                     ELSE (1152921504606846976 // kth_hash) * 63 END
+                - exact_distinct) * 10000
+            // greatest(exact_distinct, 1) AS BIGINT) AS err_e4
+FROM kvg
+"""

@@ -1557,3 +1557,39 @@ def test_range_join_events_bucket_edges(spark):
     # exact containment incl. boundaries, bucket-edge crossing, no dups
     assert set(out) == {1, 2}
     assert out[2].session_seq == 1 and out[2].ts_us == us0 + 90 * mn
+
+
+def test_kmv_sketch_exact_small_groups_and_estimator_sanity(spark):
+    from llm_graph_builder_spark.operators.sessions import kmv_distinct_sketch
+
+    rows = []
+    # "small": 10 distinct users (< k=16) → exact path, kth NULL
+    rows += [(i, None, uid, "small", 1.0, "{}") for i, uid in enumerate(range(10))]
+    # "big": 500 distinct users (> k) → estimator path
+    rows += [
+        (1000 + i, None, 10_000 + i, "big", 1.0, "{}") for i in range(500)
+    ]
+    # duplicates must not change distinct counts
+    rows += [(9000 + i, None, 10_000, "big", 1.0, "{}") for i in range(5)]
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1)
+    rows = [(e, t, u, g, v, p) for (e, _, u, g, v, p) in rows]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in kmv_distinct_sketch(events, k=16).collect()}
+    small = out["small"]
+    assert (small.exact_distinct, small.kth_hash, small.est_distinct,
+            small.err_e4) == (10, None, 10, 0)
+    big = out["big"]
+    assert big.exact_distinct == 500 and big.kth_hash is not None
+    # KMV with k=16 on 500 uniform keys: within ~3/sqrt(k) (75%) bounds —
+    # a sanity envelope, not a statistical assertion (hashes are fixed)
+    assert 125 <= big.est_distinct <= 2000
+    # deterministic under repartitioning (two-phase top-k is exact)
+    again = {r.event_type: (r.kth_hash, r.est_distinct)
+             for r in kmv_distinct_sketch(events.repartition(13), k=16).collect()}
+    assert again == {g: (r.kth_hash, r.est_distinct) for g, r in out.items()}
