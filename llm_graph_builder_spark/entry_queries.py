@@ -1471,6 +1471,15 @@ def q_vocab_stats(spark, sf_dir):
     return textstats.vocab_stats(read_documents(spark, sf_dir), top_k=20)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning: first 8 merge rules from corpus pair
+    statistics over the distinct-word table (vocab-bounded rounds, one
+    map-side-combined shuffle + TakeOrdered top-1 per round)."""
+    from .operators.bpe import bpe_merge_learner
+
+    return bpe_merge_learner(read_documents(spark, sf_dir), n_merges=8)
+
+
 def q_clustering_coefficient(spark, sf_dir):
     """Local clustering coefficient per entity (integer-exact e6)."""
     from .operators.graph_analytics import clustering_coefficient
@@ -1704,6 +1713,7 @@ QUERIES = {
     "kcore": q_kcore,
     "leakage_safe_split": q_leakage_safe_split,
     "vocab_stats": q_vocab_stats,
+    "bpe_merges": q_bpe_merges,
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
     "graph_summary": q_graph_summary,

@@ -1,0 +1,163 @@
+"""Distributed BPE merge learning over the document corpus.
+
+The tokenizer-induction step of a pretraining pipeline: learn the byte-pair
+-encoding merge table from corpus statistics. The reference pipeline consumes
+a fixed tokenizer (tiktoken cl100k, ``/root/reference/backend/src/
+create_chunks.py:42``); at 100 TB the tokenizer itself is *fit* on the corpus,
+and that fit is a textbook distributed aggregation problem — this operator is
+the Spark-native version.
+
+Scale shape (the part that matters at 10^12 files):
+
+- The corpus is collapsed to the **distinct-word table** first (one
+  vocabulary-bounded count shuffle). All subsequent rounds run over the
+  vocabulary — millions of rows — never the corpus again. This is the
+  standard trick that makes BPE learning tractable: pair statistics within a
+  word are ``weight × pairs(word)``, so distinct words with counts carry the
+  full corpus signal.
+- Each merge round is ONE map-side-combined pair-count shuffle plus a
+  ``TakeOrdered`` top-1 (no full sort), plus a map-only merge pass. Driver
+  state is exactly one row per round (the winning pair) — bounded by
+  ``n_merges``, never by data size.
+- Symbol sequences are carried as a single *wrapped string* — each symbol
+  individually fenced as ``\\x01sym\\x01`` — so applying a merge is a pure
+  JVM literal ``replace`` (non-overlapping, left-to-right, exactly greedy
+  BPE application semantics), not a Python UDF. The fencing makes adjacent
+  merge sites non-overlapping at the character level, so ``a b a b`` merges
+  both ``ab`` occurrences while ``a a a`` merges only the leftmost pair —
+  byte-identical to the DuckDB oracle's ``replace``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.iterutils import materialize
+
+#: symbol fence (wraps every symbol in the carried string)
+SEP = "\x01"
+#: pair-key separator (between left and right symbol in the count key)
+PSEP = "\x02"
+
+_MERGE_SCHEMA = (
+    "round INT, left_sym STRING, right_sym STRING, "
+    "merged STRING, pair_count BIGINT"
+)
+
+
+def _wrapped_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct alphabetic words with corpus counts, each carried as the
+    wrapped single-character symbol string (``\\x01c\\x01`` per char)."""
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    wrapped = F.regexp_replace(F.col("word"), "(.)", SEP + "$1" + SEP)
+    return words.select(wrapped.alias("s"), "w")
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts for the current merge state."""
+    syms = F.split(
+        F.col("s").substr(F.lit(2), F.length("s") - 2), SEP + SEP
+    )
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.concat(
+                F.element_at(syms, i + 1),
+                F.lit(PSEP),
+                F.element_at(syms, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        cur.select(F.explode(pairs).alias("pair"), "w")
+        .groupBy("pair")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def bpe_merge_learner(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+
+    Classic Sennrich-style BPE on lowercase alphabetic words: start from
+    single characters; each round merges the globally most frequent adjacent
+    symbol pair (ties broken by pair key ascending — deterministic across
+    engines). Stops early when no pair remains.
+
+    Output: (round, left_sym, right_sym, merged, pair_count), round 1-based
+    in learning order; ``pair_count`` is the corpus frequency the pair had
+    when it won its round.
+    """
+    spark = docs.sparkSession
+    cur, _ = materialize(_wrapped_words(docs, text_col))
+    rows: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        left, right = pair.split(PSEP)
+        rows.append((rnd, left, right, left + right, cnt))
+        pat = SEP + left + SEP + SEP + right + SEP
+        rep = SEP + left + right + SEP
+        cur, _ = materialize(
+            cur.withColumn(
+                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+            ),
+            cur,
+        )
+    cur.unpersist()
+    return spark.createDataFrame(rows, _MERGE_SCHEMA)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to segment each document's words — the
+    *apply* half of the tokenizer (what runs over the other 100 TB once the
+    merge table is learned). Map-only: one chained literal ``replace`` per
+    merge rule over the wrapped-symbol string, then a split back to tokens.
+
+    Output: (id, token, cnt) — per-document BPE token counts.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    s = F.regexp_replace(F.col("word"), "(.)", SEP + "$1" + SEP)
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        )
+    pieces = F.split(
+        s.substr(F.lit(2), F.length(s) - 2), SEP + SEP
+    )
+    return (
+        toks.select(F.col(id_col), F.explode(pieces).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

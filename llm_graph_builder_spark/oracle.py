@@ -4020,3 +4020,65 @@ SELECT grp AS event_type, exact_distinct, kth_hash,
             // greatest(exact_distinct, 1) AS BIGINT) AS err_e4
 FROM kvg
 """
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Unrolled BPE merge-learning mirror (operators/bpe.py): distinct
+    lowercase-alpha words with counts, each carried as a wrapped-symbol
+    string (chr(1)-fenced symbols); per round the max-count adjacent pair
+    (ties → pair key asc) wins and is applied via literal ``replace`` —
+    identical non-overlapping left-to-right semantics to Spark's.
+
+    m{i} is referenced twice (merge + final union) and r{i} feeds the next
+    round's two readers → MATERIALIZED throughout (see _pagerank_sql note).
+    """
+    parts = [r"""
+WITH bw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS s, w
+  FROM bw
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms,
+         w
+  FROM r{i - 1}
+),
+p{i} AS (
+  SELECT pr, CAST(sum(w) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                  j -> syms[j] || chr(2) || syms[j + 1])) AS pr, w
+    FROM a{i} WHERE len(syms) >= 2)
+  GROUP BY 1
+),
+m{i} AS MATERIALIZED (
+  SELECT {i} AS round,
+         split_part(pr, chr(2), 1) AS left_sym,
+         split_part(pr, chr(2), 2) AS right_sym,
+         split_part(pr, chr(2), 1) || split_part(pr, chr(2), 2) AS merged,
+         cnt AS pair_count
+  FROM p{i} ORDER BY cnt DESC, pr ASC LIMIT 1
+),
+r{i} AS MATERIALIZED (
+  SELECT CASE WHEN m.left_sym IS NULL THEN r.s
+         ELSE replace(r.s,
+                      chr(1) || m.left_sym || chr(1) || chr(1)
+                             || m.right_sym || chr(1),
+                      chr(1) || m.merged || chr(1)) END AS s,
+         r.w
+  FROM r{i - 1} r LEFT JOIN m{i} m ON TRUE
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{union}\n")
+    return "".join(parts)
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_sql()

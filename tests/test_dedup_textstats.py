@@ -1593,3 +1593,51 @@ def test_kmv_sketch_exact_small_groups_and_estimator_sanity(spark):
     again = {r.event_type: (r.kth_hash, r.est_distinct)
              for r in kmv_distinct_sketch(events.repartition(13), k=16).collect()}
     assert again == {g: (r.kth_hash, r.est_distinct) for g, r in out.items()}
+
+
+def test_bpe_merge_learner_hand_computed(spark):
+    from llm_graph_builder_spark.operators.bpe import bpe_merge_learner
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "abc")], "doc_id long, text string"
+    )
+    out = bpe_merge_learner(docs, n_merges=5).orderBy("round").collect()
+    # words: ab×3, abc×1 → (a,b)=4 wins; round 2: abc → (ab,c)=1; then dry
+    assert [(r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in out] == [
+        (1, "a", "b", "ab", 4),
+        (2, "ab", "c", "abc", 1),
+    ]
+
+
+def test_bpe_merge_learner_tiebreak_and_greedy_overlap(spark):
+    from llm_graph_builder_spark.operators.bpe import bpe_merge_learner
+
+    # tie (x,y)=2 vs (y,z)=2 → pair-key asc picks (x,y)
+    docs = spark.createDataFrame(
+        [(1, "xy yz xy yz")], "doc_id long, text string"
+    )
+    out = bpe_merge_learner(docs, n_merges=1).collect()
+    assert (out[0].left_sym, out[0].right_sym) == ("x", "y")
+
+    # "aaa": greedy left-to-right merges only the leftmost (a,a), so round 2
+    # sees (aa,a)=1 — the wrapped-string replace must not double-merge
+    docs2 = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    out2 = bpe_merge_learner(docs2, n_merges=3).orderBy("round").collect()
+    assert [(r.round, r.merged, r.pair_count) for r in out2] == [
+        (1, "aa", 2), (2, "aaa", 1),
+    ]
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    from llm_graph_builder_spark.operators.bpe import bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, "abab ac"), (2, "b")], "doc_id long, text string"
+    )
+    out = bpe_segment(docs, [("a", "b"), ("ab", "ab")]).collect()
+    got = {(r.doc_id, r.token): r.cnt for r in out}
+    # "abab" → ab,ab → abab; "ac" stays a,c; "b" single char untouched
+    assert got == {
+        (1, "abab"): 1, (1, "a"): 1, (1, "c"): 1, (2, "b"): 1,
+    }
