@@ -1471,13 +1471,33 @@ def q_vocab_stats(spark, sf_dir):
     return textstats.vocab_stats(read_documents(spark, sf_dir), top_k=20)
 
 
+def _bpe_merge_table(spark, sf_dir):
+    from .operators.bpe import bpe_merge_learner
+
+    return _memo(
+        spark, sf_dir, "bpe_merges",
+        lambda: bpe_merge_learner(read_documents(spark, sf_dir), n_merges=8),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning: first 8 merge rules from corpus pair
     statistics over the distinct-word table (vocab-bounded rounds, one
     map-side-combined shuffle + TakeOrdered top-1 per round)."""
-    from .operators.bpe import bpe_merge_learner
+    return _bpe_merge_table(spark, sf_dir)
 
-    return bpe_merge_learner(read_documents(spark, sf_dir), n_merges=8)
+
+def q_bpe_tokens(spark, sf_dir):
+    """Apply the learned BPE merge table to the corpus: per-document token
+    counts after 8 merges — map-only chained literal replaces (the shape
+    that tokenizes the other 100 TB once the rules are learned)."""
+    from .operators.bpe import bpe_segment
+
+    rules = [
+        (r.left_sym, r.right_sym)
+        for r in _bpe_merge_table(spark, sf_dir).orderBy("round").collect()
+    ]
+    return bpe_segment(read_documents(spark, sf_dir), rules)
 
 
 def q_clustering_coefficient(spark, sf_dir):
@@ -1714,6 +1734,7 @@ QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "vocab_stats": q_vocab_stats,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokens": q_bpe_tokens,
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
     "graph_summary": q_graph_summary,

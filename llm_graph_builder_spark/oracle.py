@@ -4082,3 +4082,43 @@ r{i} AS MATERIALIZED (
 
 
 ORACLE_SQL["bpe_merges"] = _bpe_sql()
+
+
+def _bpe_tokens_sql(n_merges: int = 8) -> str:
+    """Apply-half mirror (operators/bpe.py::bpe_segment): the same m{i}
+    merge chain as _bpe_sql, then the rules applied round-by-round to the
+    per-document word table (LEFT JOIN ON TRUE → a dry round is a no-op,
+    matching Spark's shorter collected rule list)."""
+    learn = _bpe_sql(n_merges)
+    head, _ = learn.rsplit("\nSELECT * FROM m1", 1)
+    parts = [head, r""",
+t0 AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS s
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+t{i} AS MATERIALIZED (
+  SELECT t.doc_id,
+         CASE WHEN m.left_sym IS NULL THEN t.s
+         ELSE replace(t.s,
+                      chr(1) || m.left_sym || chr(1) || chr(1)
+                             || m.right_sym || chr(1),
+                      chr(1) || m.merged || chr(1)) END AS s
+  FROM t{i - 1} t LEFT JOIN m{i} m ON TRUE
+)""")
+    parts.append(f"""
+SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT doc_id,
+         unnest(string_split(substr(s, 2, length(s) - 2),
+                             chr(1) || chr(1))) AS token
+  FROM t{n_merges})
+GROUP BY 1, 2
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["bpe_tokens"] = _bpe_tokens_sql()
