@@ -1185,6 +1185,15 @@ def q_communities(spark, sf_dir):
     return comms
 
 
+def q_community_quality(spark, sf_dir):
+    """Per-community modularity contribution + conductance at level 0
+    (integer-e6; one edge→assignment join, one community-grain agg)."""
+    from .operators.communities import community_quality
+
+    t = pipeline_tables(spark, sf_dir)
+    return community_quality(t["entity_edges"], _hierarchy(spark, sf_dir))
+
+
 def q_similar_chunks(spark, sf_dir):
     """Pipeline SIMILAR edges over hash-embedded chunks, LSH-blocked like the
     pipeline's own similar stage — never one global applyInPandas group.
@@ -1251,11 +1260,10 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-def q_code_graph_communities(spark, sf_dir):
-    """North-star slice on actual code semantics: synthetic code corpus →
-    code-rule extraction → entity/edge tables → entity linking → LPA
-    communities. Rows-only (iterative CC + LPA). Output: one row per
-    community with member count and dominant entity label."""
+def _code_graph(spark, sf_dir):
+    """Linked+merged code dependency graph and its LPA hierarchy — shared
+    by code_graph_communities / code_community_quality (the CC + LPA
+    fixpoints run once per session)."""
     from .operators.code_extract import (
         code_mentions,
         code_triples,
@@ -1270,6 +1278,9 @@ def q_code_graph_communities(spark, sf_dir):
         merge_entities,
     )
 
+    key = (id(spark), sf_dir, "code_graph")
+    if key in _CACHE:
+        return _CACHE[key]
     # deterministic subset: the iterative CC+LPA tail dominates this query's
     # cost; 250 docs exercise the same path at half the driver budget
     code = _synth_code(spark, sf_dir).filter(F.col("doc_id") < 250)
@@ -1285,7 +1296,18 @@ def q_code_graph_communities(spark, sf_dir):
     comp = connected_components(pairs, spark)
     cmap = canonical_map(comp, ents, entity_degrees(edges))
     merged_ents, merged_edges = merge_entities(ents, edges, cmap)
-    h = community_hierarchy(merged_edges, all_entities=merged_ents)
+    merged_edges = merged_edges.cache()
+    h = community_hierarchy(merged_edges, all_entities=merged_ents).cache()
+    _CACHE[key] = (merged_ents, merged_edges, h)
+    return _CACHE[key]
+
+
+def q_code_graph_communities(spark, sf_dir):
+    """North-star slice on actual code semantics: synthetic code corpus →
+    code-rule extraction → entity/edge tables → entity linking → LPA
+    communities. Output: one row per community with member count and
+    dominant entity label."""
+    _, _, h = _code_graph(spark, sf_dir)
     level0 = h.select("u", F.col("communities")[0].alias("cid"))
     label_of = F.split_part(F.col("u"), F.lit("\x01"), F.lit(2))
     return (
@@ -1297,6 +1319,16 @@ def q_code_graph_communities(spark, sf_dir):
         )
         .filter(F.col("member_count") >= 3)
     )
+
+
+def q_code_community_quality(spark, sf_dir):
+    """Modularity contribution + conductance per level-0 community of the
+    code dependency graph (many communities — the metrics vary per row,
+    unlike the small entity graph's single component)."""
+    from .operators.communities import community_quality
+
+    _, merged_edges, h = _code_graph(spark, sf_dir)
+    return community_quality(merged_edges, h)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1697,6 +1729,7 @@ QUERIES = {
     "linking_invariants": q_linking_invariants,
     "communities": q_communities,
     "community_invariants": q_community_invariants,
+    "community_quality": q_community_quality,
     "community_summaries": q_community_summaries,
     "global_community_retrieval": q_global_community_retrieval,
     "similar_chunks": q_similar_chunks,
@@ -1724,6 +1757,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "code_graph_communities": q_code_graph_communities,
+    "code_community_quality": q_code_community_quality,
     "pagerank": q_pagerank,
     "triangle_counts": q_triangle_counts,
     "node_similarity": q_node_similarity,

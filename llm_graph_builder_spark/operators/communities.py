@@ -502,3 +502,76 @@ def summarize_hierarchy(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def community_quality(
+    entity_edges_df: DataFrame,
+    hierarchy: DataFrame,
+    level: int = 0,
+) -> DataFrame:
+    """Partition-quality metrics for one hierarchy level: per-community
+    modularity contribution and conductance — the numbers GDS reports next
+    to a community detection result (reference surfaces community rank and
+    weight, src/communities.py; quality is the missing scorecard).
+
+    All integer-exact (e6 fixed point; Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero, so negative modularity terms hash-match):
+      modularity_e6  = (in2·2m − vol²)·10⁶ div (2m)²  — sums to graph
+                        modularity across rows
+      conductance_e6 = cut·10⁶ div min(vol, 2m − vol), NULL for isolated or
+                        whole-graph communities
+
+    Scale shape: one edge→assignment join (two label lookups) and ONE
+    aggregation at community grain; the 2m total is a broadcast one-row
+    frame. Volumes/internal weights come from the symmetrized edge list, so
+    in2 is already the doubled internal weight. At 10^12-file scale the
+    inputs are the already-materialized projection and assignment tables —
+    nothing here rescans the corpus.
+    """
+    proj = community_projection(entity_edges_df)
+    assign = hierarchy.select(
+        "u", F.element_at("communities", level + 1).alias("c")
+    )
+    e = (
+        proj.join(assign.select(F.col("u"), F.col("c").alias("cu")), on="u")
+        .join(
+            assign.select(F.col("u").alias("v"), F.col("c").alias("cv")),
+            on="v",
+        )
+    )
+    stats = e.groupBy(F.col("cu").alias("c")).agg(
+        F.sum("weight").cast("long").alias("volume"),
+        F.sum(
+            F.when(F.col("cu") == F.col("cv"), F.col("weight")).otherwise(0)
+        ).cast("long").alias("internal_w2"),
+    )
+    members = assign.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    two_m = proj.agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("two_m")
+    )
+    out = (
+        members.join(stats, on="c", how="left")
+        .na.fill({"volume": 0, "internal_w2": 0})
+        .crossJoin(F.broadcast(two_m))
+        .withColumn("cut", F.col("volume") - F.col("internal_w2"))
+    )
+    return out.select(
+        F.split_part(F.col("c"), F.lit("\x01"), F.lit(1)).alias("comp_id"),
+        F.split_part(F.col("c"), F.lit("\x01"), F.lit(2)).alias("comp_label"),
+        "n_nodes",
+        "internal_w2",
+        "volume",
+        "cut",
+        F.expr(
+            "(internal_w2 * two_m - volume * volume) * 1000000"
+            " div greatest(two_m * two_m, 1L)"
+        ).cast("long").alias("modularity_e6"),
+        F.when(
+            F.least(F.col("volume"), F.col("two_m") - F.col("volume")) > 0,
+            F.expr(
+                "cut * 1000000 div least(volume, two_m - volume)"
+            ),
+        ).cast("long").alias("conductance_e6"),
+    )

@@ -975,7 +975,7 @@ SELECT * FROM allsums
 # (doc_id < 250 subset) end-to-end; every stage is the deterministic twin of
 # the engine path (same candidate predicates as linked_entities, same rep
 # rule, same LPA coin/tiebreak via _lpa_sql).
-ORACLE_SQL["code_graph_communities"] = f"""
+_CODE_GRAPH_BASE = f"""
 WITH RECURSIVE code AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
   WHERE CAST(doc_id AS BIGINT) < 250
@@ -1091,11 +1091,52 @@ everyone AS (SELECT DISTINCT id || chr(1) || label AS u FROM m_ents),
 level0 AS (
   SELECT e.u, coalesce(m.c, e.u) AS cid
   FROM everyone e LEFT JOIN c0 m ON m.u = e.u
-)
+)"""
+
+ORACLE_SQL["code_graph_communities"] = _CODE_GRAPH_BASE + """
 SELECT cid, CAST(COUNT(DISTINCT u) AS BIGINT) AS member_count,
        MAX(string_split(u, chr(1))[2]) AS top_label
 FROM level0 GROUP BY cid
 HAVING COUNT(DISTINCT u) >= 3
+"""
+
+# mirrors q_code_community_quality: same metrics as community_quality but
+# over the code dependency graph's level-0 LPA partition (many communities,
+# so modularity/conductance actually vary across rows)
+ORACLE_SQL["code_community_quality"] = _CODE_GRAPH_BASE + """
+, xq_e AS MATERIALIZED (
+  SELECT a1.cid AS cu, a2.cid AS cv, g.w
+  FROM proj g JOIN level0 a1 ON a1.u = g.u JOIN level0 a2 ON a2.u = g.v
+),
+xq_m AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS two_m FROM proj
+),
+xq_s AS (
+  SELECT cu AS c, CAST(sum(w) AS BIGINT) AS volume,
+         CAST(sum(CASE WHEN cu = cv THEN w ELSE 0 END) AS BIGINT)
+           AS internal_w2
+  FROM xq_e GROUP BY 1
+),
+xq_n AS (
+  SELECT cid AS c, CAST(count(*) AS BIGINT) AS n_nodes FROM level0 GROUP BY 1
+),
+xq AS (
+  SELECT n.c, n.n_nodes,
+         coalesce(s.internal_w2, 0) AS internal_w2,
+         coalesce(s.volume, 0) AS volume,
+         coalesce(s.volume, 0) - coalesce(s.internal_w2, 0) AS cut,
+         m.two_m
+  FROM xq_n n LEFT JOIN xq_s s ON s.c = n.c CROSS JOIN xq_m m
+)
+SELECT split_part(c, chr(1), 1) AS comp_id,
+       split_part(c, chr(1), 2) AS comp_label,
+       n_nodes, internal_w2, volume, cut,
+       CAST((internal_w2 * two_m - volume * volume) * 1000000
+            // greatest(two_m * two_m, 1) AS BIGINT) AS modularity_e6,
+       CAST(CASE WHEN least(volume, two_m - volume) > 0
+                 THEN cut * 1000000 // least(volume, two_m - volume)
+            END AS BIGINT) AS conductance_e6
+FROM xq
 """
 
 ORACLE_SQL["community_invariants"] = PIPELINE_CTE + """
@@ -4122,3 +4163,46 @@ GROUP BY 1, 2
 
 
 ORACLE_SQL["bpe_tokens"] = _bpe_tokens_sql()
+
+
+# mirrors q_community_quality / communities.community_quality (level 0):
+# per-community modularity contribution and conductance over the symmetrized
+# projection; both engines truncate integer division toward zero, so the
+# negative modularity terms hash-match exactly
+ORACLE_SQL["community_quality"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _COMMUNITY_BASE + """
+, cq_e AS MATERIALIZED (
+  SELECT a1.l0 AS cu, a2.l0 AS cv, g.w
+  FROM proj g JOIN assigned a1 ON a1.u = g.u JOIN assigned a2 ON a2.u = g.v
+),
+cq_m AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS two_m FROM proj
+),
+cq_s AS (
+  SELECT cu AS c, CAST(sum(w) AS BIGINT) AS volume,
+         CAST(sum(CASE WHEN cu = cv THEN w ELSE 0 END) AS BIGINT)
+           AS internal_w2
+  FROM cq_e GROUP BY 1
+),
+cq_n AS (
+  SELECT l0 AS c, CAST(count(*) AS BIGINT) AS n_nodes FROM assigned GROUP BY 1
+),
+cq AS (
+  SELECT n.c, n.n_nodes,
+         coalesce(s.internal_w2, 0) AS internal_w2,
+         coalesce(s.volume, 0) AS volume,
+         coalesce(s.volume, 0) - coalesce(s.internal_w2, 0) AS cut,
+         m.two_m
+  FROM cq_n n LEFT JOIN cq_s s ON s.c = n.c CROSS JOIN cq_m m
+)
+SELECT split_part(c, chr(1), 1) AS comp_id,
+       split_part(c, chr(1), 2) AS comp_label,
+       n_nodes, internal_w2, volume, cut,
+       CAST((internal_w2 * two_m - volume * volume) * 1000000
+            // greatest(two_m * two_m, 1) AS BIGINT) AS modularity_e6,
+       CAST(CASE WHEN least(volume, two_m - volume) > 0
+                 THEN cut * 1000000 // least(volume, two_m - volume)
+            END AS BIGINT) AS conductance_e6
+FROM cq
+"""

@@ -577,3 +577,51 @@ def test_feature_propagation_paths_agree(spark):
         ).collect()
     }
     assert drv == dist
+
+
+def _hierarchy_df(spark, assign):
+    """(u → level0 community) pairs as a community_hierarchy-shaped frame."""
+    return spark.createDataFrame(
+        [(u, [c, c, c]) for u, c in assign.items()],
+        "u string, communities array<string>",
+    )
+
+
+def test_community_quality_hand_computed(spark):
+    from llm_graph_builder_spark.operators.communities import community_quality
+
+    # a-b(2), b-c(1), c-d(3), e isolated; communities A={a,b}, C={c,d}, {e}
+    edges = _edges(spark, [("a", "b", 2), ("b", "c", 1), ("c", "d", 3)])
+    h = _hierarchy_df(spark, {
+        "a\x01E": "A\x01E", "b\x01E": "A\x01E",
+        "c\x01E": "C\x01E", "d\x01E": "C\x01E", "e\x01E": "e\x01E",
+    })
+    out = {r.comp_id: r for r in community_quality(edges, h).collect()}
+    # two_m = 2*(2+1+3) = 12
+    a = out["A"]
+    assert (a.n_nodes, a.internal_w2, a.volume, a.cut) == (2, 4, 5, 1)
+    assert a.modularity_e6 == (4 * 12 - 25) * 1_000_000 // 144  # 159722
+    assert a.conductance_e6 == 1_000_000 // 5  # min(5, 7) = 5
+    c = out["C"]
+    assert (c.n_nodes, c.internal_w2, c.volume, c.cut) == (2, 6, 7, 1)
+    assert c.conductance_e6 == 1_000_000 // 5  # min(7, 12-7=5)
+    e = out["e"]
+    assert (e.n_nodes, e.internal_w2, e.volume, e.cut) == (1, 0, 0, 0)
+    assert e.modularity_e6 == 0 and e.conductance_e6 is None
+    # per-community modularity sums to graph modularity
+    assert sum(r.modularity_e6 for r in out.values()) == 2 * ((4 * 12 - 25) * 1_000_000 // 144)
+
+
+def test_community_quality_negative_modularity_truncates_like_oracle(spark):
+    from llm_graph_builder_spark.operators.communities import community_quality
+
+    # single edge a-b but a and b in DIFFERENT communities: in2=0, vol=2,
+    # two_m=4 → modularity = -4e6 div 16 = -250000 (toward-zero truncation)
+    edges = _edges(spark, [("a", "b", 2)])
+    h = _hierarchy_df(spark, {"a\x01E": "a\x01E", "b\x01E": "b\x01E"})
+    out = {r.comp_id: r for r in community_quality(edges, h).collect()}
+    for k in ("a", "b"):
+        assert out[k].modularity_e6 == -250000
+        assert out[k].cut == 2
+        # whole-volume on one side: min(2, 4-2)=2 → conductance 1e6
+        assert out[k].conductance_e6 == 1_000_000
