@@ -833,6 +833,17 @@ def q_kmv_sketch(spark, sf_dir):
     return kmv_distinct_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_countmin_sketch(spark, sf_dir):
+    """Count-min sketch per-user frequency estimates (d=4, w=256) with the
+    exact count probe on the top-20 users — bounded d·w sketch grid,
+    two-phase partial top-k."""
+    from .operators.sessions import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_session_range_join(spark, sf_dir):
     """Range (interval) join: error events assigned to the gap-session
     interval containing them — bucketized equi-join, not an inequality
@@ -1827,6 +1838,7 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "session_range_join": q_session_range_join,
     "kmv_sketch": q_kmv_sketch,
+    "countmin_sketch": q_countmin_sketch,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

@@ -450,3 +450,76 @@ def kmv_distinct_sketch(
             ).cast("long").alias("err_e4"),
         )
     )
+
+
+def countmin_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch frequency estimates with the exact count alongside —
+    the mergeable FREQUENCY sketch (complement of ``kmv_distinct_sketch``'s
+    distinct-count estimator). At 100 TB the exact per-key table may not fit
+    anywhere; the sketch is a fixed d×w integer grid that merges by cell
+    addition across partitions, batches, and days.
+
+    Sketch build: each occurrence lands in d cells (row r, bucket
+    md5(r‖':'‖key) 32-bit prefix mod w) — a map-side-combined aggregation
+    whose OUTPUT is bounded at d·w rows regardless of corpus size (the d×
+    row amplification happens pre-combine, inside the map task). Estimate =
+    min over the d cells (classic CMS upper bound: est ≥ exact always).
+
+    The exact count rides its own key-grain aggregation as the accuracy
+    probe, and the result is the top-``top_k`` keys by exact count (ann_topk
+    two-phase partial ranking — no single global reducer) with their sketch
+    estimate and overestimate. Drop the probe in production and nothing
+    key-grain survives the sketch build.
+
+    Output: (key, exact_cnt, est_cnt, overest, rnk), est_cnt ≥ exact_cnt.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string").alias("k")
+    occurrences = events.select(key)
+    rs = F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r")
+    cell = F.expr(
+        "cast(conv(substring(md5(concat(r, ':', k)), 1, 8), 16, 10) as long)"
+        f" % {w}"
+    ).alias("bucket")
+    sketch = (
+        occurrences.select("k", rs)
+        .select("k", "r", cell)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("long").alias("cell_cnt"))
+    )
+    exact = occurrences.groupBy("k").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("exact_cnt"), F.asc("k")
+    )
+    final = Window.orderBy(F.desc("exact_cnt"), F.asc("k"))
+    top = (
+        exact.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= top_k)
+        .drop("prn")
+        .withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= top_k)
+    )
+    probes = top.select("k", "exact_cnt", "rnk", rs).select(
+        "k", "exact_cnt", "rnk", "r", cell
+    )
+    est = (
+        probes.join(F.broadcast(sketch), on=["r", "bucket"])
+        .groupBy("k", "exact_cnt", "rnk")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias(key_col),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overest"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )

@@ -4206,3 +4206,45 @@ SELECT split_part(c, chr(1), 1) AS comp_id,
             END AS BIGINT) AS conductance_e6
 FROM cq
 """
+
+
+# mirrors q_countmin_sketch / sessions.countmin_heavy_hitters (d=4, w=256
+# over per-user event counts): md5 32-bit-prefix cell hashing, min-over-rows
+# estimate, exact count probe on the top-20 keys
+ORACLE_SQL["countmin_sketch"] = """
+WITH cm_occ AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+cm_cells AS (
+  SELECT t.r,
+         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || o.k), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM cm_occ o CROSS JOIN range(4) t(r)
+),
+cm_sketch AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cell_cnt
+  FROM cm_cells GROUP BY 1, 2
+),
+cm_exact AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt FROM cm_occ GROUP BY 1
+),
+cm_top AS (
+  SELECT k, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, k ASC) AS rnk
+  FROM cm_exact QUALIFY rnk <= 20
+),
+cm_probe AS (
+  SELECT p.k, p.exact_cnt, p.rnk, t.r,
+         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || p.k), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM cm_top p CROSS JOIN range(4) t(r)
+),
+cm_est AS (
+  SELECT p.k, p.exact_cnt, p.rnk, min(s.cell_cnt) AS est_cnt
+  FROM cm_probe p
+  JOIN cm_sketch s ON s.r = p.r AND s.bucket = p.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT k AS user_id, exact_cnt, est_cnt,
+       CAST(est_cnt - exact_cnt AS BIGINT) AS overest,
+       CAST(rnk AS BIGINT) AS rnk
+FROM cm_est
+"""

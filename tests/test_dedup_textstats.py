@@ -1641,3 +1641,23 @@ def test_bpe_segment_applies_merges_in_order(spark):
     assert got == {
         (1, "abab"): 1, (1, "a"): 1, (1, "c"): 1, (2, "b"): 1,
     }
+
+
+def test_countmin_sketch_upper_bound_and_exact_when_no_collisions(spark):
+    from llm_graph_builder_spark.operators.sessions import countmin_heavy_hitters
+
+    rows = [(i, None, f"u{i % 5}", "view", 1.0, "{}") for i in range(50)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    # w=512 with 5 keys: collisions vanishingly unlikely → est == exact
+    out = countmin_heavy_hitters(ev, d=4, w=512, top_k=10).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.exact_cnt == 10 and r.est_cnt == 10 and r.overest == 0
+    # w=1: every key shares one cell per row → est = total occurrences
+    out1 = countmin_heavy_hitters(ev, d=2, w=1, top_k=3).collect()
+    assert all(r.est_cnt == 50 and r.overest == 40 for r in out1)
+    assert [r.rnk for r in sorted(out1, key=lambda r: r.rnk)] == [1, 2, 3]
