@@ -898,12 +898,10 @@ def q_event_rates(spark, sf_dir):
     return event_rates(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
-def q_corpus_diff(spark, sf_dir):
-    """Snapshot diff: a deterministic 'previous' corpus version (md5%7
-    classes: 0 = not yet present → added, 1 = legacy text → changed,
-    2 = also had a retired doc → removed) vs the current documents table."""
-    from .operators.maintenance import corpus_diff
-
+def _prev_corpus(spark, sf_dir):
+    """Deterministic 'previous' corpus version (md5%7 classes: 0 = not yet
+    present → added, 1 = legacy text → changed, 2 = also had a retired doc
+    → removed) — shared by corpus_diff / incremental_vocab."""
     docs = read_documents(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -925,7 +923,26 @@ def q_corpus_diff(spark, sf_dir):
             )
         )
     )
+    return old, docs
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff: the deterministic previous corpus version vs the
+    current documents table."""
+    from .operators.maintenance import corpus_diff
+
+    old, docs = _prev_corpus(spark, sf_dir)
     return corpus_diff(old, docs)
+
+
+def q_incremental_vocab(spark, sf_dir):
+    """Incremental vocab maintenance across the synthetic snapshot change;
+    the oracle is a FULL RECOMPUTE on the new corpus — hash match proves
+    the delta algebra (base − old contributions + new contributions)."""
+    from .operators.maintenance import incremental_vocab
+
+    old, docs = _prev_corpus(spark, sf_dir)
+    return incremental_vocab(old, docs)
 
 
 def q_length_deciles(spark, sf_dir):
@@ -1831,6 +1848,7 @@ QUERIES = {
     "length_deciles": q_length_deciles,
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
+    "incremental_vocab": q_incremental_vocab,
     "sessionization": q_sessionization,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,

