@@ -374,6 +374,25 @@ def main():
         "pq_codes",
     )
 
+    from llm_graph_builder_spark.operators.bpe import bpe_merge_learner
+    from llm_graph_builder_spark.operators.sessions import countmin_heavy_hitters
+
+    # tokenizer-induction story: corpus collapsed to the distinct-word table
+    # once, then vocab-bounded merge rounds (pair-count shuffle + TakeOrdered)
+    best_of(
+        lambda: bpe_merge_learner(raw_docs, n_merges=8)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/bpe"),
+        "bpe_merges",
+    )
+    # mergeable-sketch story: d·w-bounded grid aggregation + broadcast probe
+    best_of(
+        lambda: countmin_heavy_hitters(ev).write.mode("overwrite").parquet(
+            f"{out_dir}/cms"
+        ),
+        "countmin_sketch",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

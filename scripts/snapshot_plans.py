@@ -291,6 +291,54 @@ def main() -> None:
         node_similarity(q["mentions"](spark, SF)),
     )
 
+    from llm_graph_builder_spark.operators.bpe import (
+        _pair_counts,
+        _wrapped_words,
+    )
+
+    _words = _wrapped_words(read_documents(spark, SF), "text")
+    snap(
+        "BPE merge round (pair-count shuffle + TakeOrdered top-1)",
+        "One vocabulary-bounded hashAggregate pair count (partial_count "
+        "below the exchange — map-side combined) feeding "
+        "`TakeOrderedAndProject(limit=1)` — the round's winner never sorts "
+        "the vocabulary globally; the corpus itself is only scanned once, "
+        "into the distinct-word table this reads.",
+        _pair_counts(_words).orderBy(F.desc("cnt"), F.asc("pair")).limit(1),
+    )
+
+    from llm_graph_builder_spark.operators.sessions import (
+        countmin_heavy_hitters,
+    )
+
+    snap(
+        "Count-min sketch (bounded d·w grid + broadcast probe join)",
+        "The sketch build is a hashAggregate whose OUTPUT is bounded at "
+        "d·w = 1024 rows regardless of corpus size (partial_count below "
+        "the exchange); the probe side joins that grid via "
+        "BroadcastHashJoin — the exact-count ranking uses the two-phase "
+        "partial row_number (no single global reducer on the key grain).",
+        countmin_heavy_hitters(
+            spark.read.parquet(f"{SF}/events.parquet")
+        ),
+    )
+
+    from llm_graph_builder_spark.operators.communities import (
+        community_quality,
+    )
+
+    from llm_graph_builder_spark.entry_queries import _hierarchy
+
+    snap(
+        "Community quality (edge→assignment join + one community agg)",
+        "Two label lookups join the assignment onto the symmetrized "
+        "projection, then ONE hashAggregate at community grain; the 2m "
+        "total enters as a 1-row BroadcastNestedLoopJoin — no per-metric "
+        "rescan of the projection and nothing at node grain survives the "
+        "aggregation.",
+        community_quality(_ee, _hierarchy(spark, SF)),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",

@@ -1661,3 +1661,63 @@ def test_countmin_sketch_upper_bound_and_exact_when_no_collisions(spark):
     out1 = countmin_heavy_hitters(ev, d=2, w=1, top_k=3).collect()
     assert all(r.est_cnt == 50 and r.overest == 40 for r in out1)
     assert [r.rnk for r in sorted(out1, key=lambda r: r.rnk)] == [1, 2, 3]
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: in-batch pairs emit, a
+    cause buffered across runs still matches a later effect (state
+    retention via checkpoint), and a later-than-watermark effect is
+    dropped. Static-frame parity with the same operator."""
+    from datetime import datetime
+
+    from llm_graph_builder_spark.streaming.joins import attribution_join
+
+    cdir, edir, out_dir, ckpt = (
+        str(tmp_path / "c"), str(tmp_path / "e"),
+        str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    cols = "event_id string, ts timestamp, user_id string"
+    t = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+
+    def write(path, rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def run_once():
+        cs = spark.readStream.schema(cols).parquet(cdir)
+        es = spark.readStream.schema(cols).parquet(edir)
+        q = (
+            attribution_join(cs, es)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: C1(u1@10:00), C2(u2@10:01); E1(u1@10:02) pairs with C1
+    write(cdir, [("C1", t(0), "u1"), ("C2", t(1), "u2")])
+    write(edir, [("E1", t(2), "u1")])
+    run_once()
+    # batch 2: E2(u2@10:03) must match the C2 buffered from run 1;
+    # E3(u1@9:40) is far behind the watermark → dropped
+    write(cdir, [])
+    write(edir, [("E2", t(3), "u2"), ("E3", datetime(2026, 1, 1, 9, 40), "u1")])
+    run_once()
+    got = {
+        (r.cause_id, r.effect_id): r.lag_sec
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("C1", "E1"): 120, ("C2", "E2"): 120}
+
+    # static parity: same operator on batch frames == the streamed result
+    static = attribution_join(
+        spark.createDataFrame([("C1", t(0), "u1"), ("C2", t(1), "u2")], cols),
+        spark.createDataFrame([("E1", t(2), "u1"), ("E2", t(3), "u2")], cols),
+    )
+    assert {
+        (r.cause_id, r.effect_id): r.lag_sec for r in static.collect()
+    } == got
