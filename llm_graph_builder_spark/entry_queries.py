@@ -1586,6 +1586,16 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction(t["entity_edges"], exclude_existing=False)
 
 
+def q_mmr_retrieval(spark, sf_dir):
+    """MMR-diversified retrieval: greedy integer-arithmetic re-rank of the
+    top-20 vector pool (λ=0.7) — unrolled per-pick oracle mirror."""
+    from .operators.embeddings import hash_embed_py
+    from .operators.retrieval import mmr_rerank
+
+    emb = _chunk_embeddings(spark, sf_dir)
+    return mmr_rerank(emb, hash_embed_py("join merge data"), k=5, pool=20)
+
+
 def q_ppr_retrieval(spark, sf_dir):
     """Sixth chat-mode analog: GraphRAG local search — question-named
     entities seed a personalized PageRank; chunks ranked by summed entity
@@ -1766,6 +1776,7 @@ QUERIES = {
     "local_community_retrieval": q_local_community_retrieval,
     "text2sql_retrieval": q_text2sql_retrieval,
     "ppr_retrieval": q_ppr_retrieval,
+    "mmr_retrieval": q_mmr_retrieval,
     "entity_embeddings": q_entity_embeddings,
     "entity_descriptions": q_entity_descriptions,
     "keyword_search": q_keyword_search,

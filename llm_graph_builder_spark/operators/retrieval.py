@@ -418,3 +418,89 @@ def retrieval_metrics(
             ).alias("mrr_e6"),
         )
     )
+
+
+def mmr_rerank(
+    chunk_emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lambda_e4: int = 7000,
+    id_col: str = "chunk_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: greedy re-rank of
+    the top-``pool`` vector hits so each pick balances query relevance
+    against redundancy with what's already picked (Carbonell & Goldstein
+    1998 — the standard fix for near-duplicate chunks crowding a RAG
+    context window; the reference's retrievers return raw vector top-k,
+    shared/constants.py:302-371).
+
+    All arithmetic is INTEGER (e4 cosine scores, e8 MMR objective):
+      mmr(c) = lambda_e4·score_e4(c) − (10⁴−lambda_e4)·max_{s∈picked} sim_e4(c,s)
+    with ties broken by chunk_id asc — so the greedy argmax is portable
+    bit-for-bit (no float comparisons anywhere).
+
+    Scale shape: the corpus-size work is the pooled ``vector_retrieve``
+    (per-partition pre-reduced top-``pool``); the pairwise-similarity grid
+    is pool² rows built by a broadcast self-join of the ≤pool pooled
+    embeddings. The greedy loop runs on the driver over those ≤pool +
+    pool² rows — bounded by CONSTANTS, never by data size (same contract
+    as the ann centroid collects).
+
+    Output: (chunk_id, score_e4, mmr_e8, rnk), rnk 1..k in pick order.
+    """
+    pooled = vector_retrieve(
+        chunk_emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    pvec = F.broadcast(
+        pooled.join(
+            chunk_emb.select(F.col(id_col).alias("chunk_id"), vec_col),
+            on="chunk_id",
+        ).select("chunk_id", "score_e4", vec_col)
+    )
+    a = pvec.select(
+        F.col("chunk_id").alias("a"), F.col(vec_col).alias("va")
+    )
+    b = pvec.select(
+        F.col("chunk_id").alias("b"), F.col(vec_col).alias("vb")
+    )
+    sims = {
+        (r.a, r.b): int(r.sim_e4)
+        for r in a.crossJoin(F.broadcast(b))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")) * 10000)
+            .cast("long")
+            .alias("sim_e4"),
+        )
+        .collect()
+    }
+    cands = {
+        r.chunk_id: int(r.score_e4) for r in pooled.collect()
+    }
+    picked: list[tuple] = []
+    chosen: list[str] = []
+    mu = 10000 - lambda_e4
+    while cands and len(picked) < k:
+        if not chosen:
+            scored = [
+                (lambda_e4 * s, cid) for cid, s in cands.items()
+            ]
+        else:
+            scored = [
+                (
+                    lambda_e4 * s
+                    - mu * max(sims[(cid, s2)] for s2 in chosen),
+                    cid,
+                )
+                for cid, s in cands.items()
+            ]
+        neg, cid = min((-m, c) for m, c in scored)
+        mmr = -neg
+        picked.append((cid, cands.pop(cid), mmr, len(picked) + 1))
+        chosen.append(cid)
+    return chunk_emb.sparkSession.createDataFrame(
+        picked, "chunk_id string, score_e4 long, mmr_e8 long, rnk int"
+    )

@@ -4260,3 +4260,56 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
   FROM documents)
 GROUP BY 1
 """
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam: int = 7000) -> str:
+    """Unrolled MMR greedy mirror (retrieval.mmr_rerank): reuses the
+    vector_retrieval oracle's scoring prefix (same hash embeddings, same
+    query vector), takes the top-``pool``, builds the pool² sim grid, then
+    one MATERIALIZED argmax CTE per pick — every comparison INTEGER
+    (e4 scores / e8 objective), so the greedy is portable bit-for-bit."""
+    prefix = ORACLE_SQL["vector_retrieval"].split("\nhits AS ")[0]
+    mu = 10000 - lam
+    psim = _cosine_sql("a.embedding", "b.embedding")
+    parts = [prefix, f"""
+mpool AS MATERIALIZED (
+  SELECT chunk_id, score_e4 FROM rankedq WHERE rnk <= {pool}
+),
+mpv AS MATERIALIZED (
+  SELECT p.chunk_id, c.embedding
+  FROM mpool p JOIN cvecs c USING (chunk_id)
+),
+msim AS MATERIALIZED (
+  SELECT a.chunk_id AS ca, b.chunk_id AS cb,
+         CAST(round(({psim}) * 10000) AS BIGINT) AS sim_e4
+  FROM mpv a CROSS JOIN mpv b
+),
+ms1 AS MATERIALIZED (
+  SELECT chunk_id, score_e4,
+         CAST({lam} * score_e4 AS BIGINT) AS mmr_e8, 1 AS rnk
+  FROM mpool ORDER BY score_e4 DESC, chunk_id LIMIT 1
+),
+msel1 AS MATERIALIZED (SELECT * FROM ms1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+ms{i} AS MATERIALIZED (
+  SELECT p.chunk_id, p.score_e4,
+         CAST({lam} * p.score_e4 - {mu} * max(s.sim_e4) AS BIGINT) AS mmr_e8,
+         {i} AS rnk
+  FROM mpool p
+  JOIN msim s ON s.ca = p.chunk_id
+  JOIN msel{i - 1} q ON q.chunk_id = s.cb
+  WHERE p.chunk_id NOT IN (SELECT chunk_id FROM msel{i - 1})
+  GROUP BY p.chunk_id, p.score_e4
+  ORDER BY mmr_e8 DESC, p.chunk_id LIMIT 1
+),
+msel{i} AS MATERIALIZED (
+  SELECT * FROM msel{i - 1} UNION ALL SELECT * FROM ms{i}
+)""")
+    parts.append(f"""
+SELECT chunk_id, score_e4, mmr_e8, CAST(rnk AS INT) AS rnk FROM msel{k}
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["mmr_retrieval"] = _mmr_sql()

@@ -617,3 +617,44 @@ def test_retrieval_metrics_self_gold_ranks(spark):
     assert (out["a2"].gold_rank, out["a2"].hit_at_1, out["a2"].hit_at_5,
             out["a2"].mrr_e6) == (2, 0, 1, 500_000)
     assert (out["a3"].gold_rank, out["a3"].mrr_e6) == (1, 1_000_000)
+
+
+def test_mmr_rerank_hand_computed_and_diversity(spark):
+    from llm_graph_builder_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            ("c1", [1.0, 0.0]),
+            ("c2", [0.8, 0.6]),
+            ("c3", [0.6, 0.8]),
+        ],
+        "chunk_id string, embedding array<double>",
+    )
+    out = mmr_rerank(emb, [1.0, 0.0], k=3, pool=3).orderBy("rnk").collect()
+    # scores: c1=10000, c2=8000, c3=6000; sims: c1c2=8000, c1c3=6000, c2c3=9600
+    assert [(r.chunk_id, r.score_e4, r.mmr_e8) for r in out] == [
+        ("c1", 10000, 7000 * 10000),
+        ("c2", 8000, 7000 * 8000 - 3000 * 8000),
+        ("c3", 6000, 7000 * 6000 - 3000 * 9600),
+    ]
+
+
+def test_mmr_rerank_tiebreak_and_low_lambda_prefers_diversity(spark):
+    from llm_graph_builder_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            ("c1", [1.0, 0.0]),
+            ("c2", [1.0, 0.0]),   # exact duplicate of c1
+            ("c3", [0.0, 1.0]),   # orthogonal
+        ],
+        "chunk_id string, embedding array<double>",
+    )
+    out = mmr_rerank(
+        emb, [1.0, 0.0], k=3, pool=3, lambda_e4=2000
+    ).orderBy("rnk").collect()
+    # round 1: c1 vs c2 tie on score → chunk_id asc picks c1
+    # round 2: duplicate c2 gets 2000·10000 − 8000·10000 < 0; c3 gets 0 →
+    # the diversity term flips the pick to the orthogonal chunk
+    assert [r.chunk_id for r in out] == ["c1", "c3", "c2"]
+    assert out[2].mmr_e8 == 2000 * 10000 - 8000 * 10000
