@@ -1576,6 +1576,18 @@ def q_curation_curve(spark, sf_dir):
     return curation_curve(read_documents(spark, sf_dir))
 
 
+def q_lp_training_pairs(spark, sf_dir):
+    """Link-prediction training pairs: undirected edges as positives plus
+    md5 tail-corrupted negatives resolved via the distributed prefix-sum
+    node rank (no single global window on the Spark side)."""
+    from .operators.graph_analytics import lp_training_pairs
+
+    t = pipeline_tables(spark, sf_dir)
+    return lp_training_pairs(
+        t["entity_edges"], t["entities"], min_pair_weight=80
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     """Resource-Allocation link scores over the entity graph (adjacent
     pairs included — the synthetic entity graph is near-complete, so the
@@ -1822,6 +1834,7 @@ QUERIES = {
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
+    "lp_training_pairs": q_lp_training_pairs,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.iterutils import materialize
 
@@ -1639,4 +1640,126 @@ def feature_propagation(
             "f0",
             F.col("f").alias("fk"),
         )
+    )
+
+
+def lp_training_pairs(
+    entity_edges: DataFrame,
+    entities: DataFrame,
+    neg_per_pos: int = 2,
+    salt: str = "lp",
+    min_pair_weight: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / KG-embedding
+    training data: every undirected edge is a positive (y=1); for each
+    positive, ``neg_per_pos`` tail-corrupted draws (u, random node) become
+    negatives (y=0) after dropping self-pairs and collisions with real
+    edges — the standard corrupt-one-endpoint recipe (TransE et al.),
+    rerun-stable because every draw is an md5 of (edge, draw index, salt).
+
+    Scale shape: the draw needs "the node ranked r" — a global rank over
+    the node table. A naive row_number is a single-partition window; here
+    the rank is the shard_plan two-level prefix sum (md5-byte bucket
+    offsets over ≤256 rows + per-bucket windows), which equals the global
+    md5 order exactly, so the DuckDB oracle's single window hash-matches.
+    Draw→node resolution is one equi-join on the rank; real-edge exclusion
+    is one anti-join against the symmetric edge list. Negatives that
+    collide (self, existing edge, duplicate draw) are dropped, not redrawn
+    — the count is "up to neg_per_pos", deterministic.
+
+    ``min_pair_weight`` keeps only undirected pairs whose summed parallel
+    weight reaches the threshold — the positives of a confidence-gated
+    training set (and, on a near-complete small graph, what leaves room
+    for negatives to exist at all).
+
+    Output: (src_id, src_label, dst_id, dst_label, y).
+    """
+    if min_pair_weight > 0:
+        ku = F.concat_ws("\x01", "subj_id", "subj_label")
+        kv = F.concat_ws("\x01", "obj_id", "obj_label")
+        pairs = (
+            entity_edges.select(
+                F.least(ku, kv).alias("u"),
+                F.greatest(ku, kv).alias("v"),
+                "weight",
+            )
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.sum("weight").alias("w"))
+            .filter(F.col("w") >= min_pair_weight)
+            .select("u", "v")
+        )
+        und, _ = materialize(pairs)
+    else:
+        und, _ = materialize(simple_undirected(entity_edges))
+    nodes = entities.select(
+        F.concat_ws("\x01", "id", "label").alias("nk")
+    ).distinct()
+    k = F.md5(F.col("nk"))
+    base = nodes.select(
+        "nk", k.alias("k"), F.substring(k, 1, 2).alias("bucket")
+    )
+    btot = base.groupBy("bucket").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("k")
+    ranked = (
+        base.withColumn("rin", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(offs), on="bucket")
+        .select("nk", (F.col("off") + F.col("rin")).cast("long").alias("r"))
+    )
+    n1 = nodes.agg(F.count("*").cast("long").alias("n"))
+    draws = (
+        und.crossJoin(F.broadcast(n1))
+        .select(
+            "u", "v", "n",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(neg_per_pos)])
+            ).alias("j"),
+        )
+        .select(
+            "u",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", "u", "v", F.col("j").cast("string"),
+                                F.lit(salt),
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long") % F.col("n")
+            ).alias("r"),
+        )
+    )
+    # exclusion is against the POSITIVE set: with a confidence gate the
+    # learner distinguishes strong links from weak-or-absent ones, so a
+    # sub-threshold pair is a valid negative (with min_pair_weight=0 the
+    # positive set IS the full edge set and this is the classic setting)
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    neg = (
+        draws.join(ranked, on="r")
+        .select("u", F.col("nk").alias("v"))
+        .filter(F.col("v") != F.col("u"))
+        .join(sym, on=["u", "v"], how="left_anti")
+        .distinct()
+    )
+    out = und.select("u", "v", F.lit(1).alias("y")).unionByName(
+        neg.select("u", "v", F.lit(0).alias("y"))
+    )
+    return out.select(
+        F.split_part(F.col("u"), F.lit("\x01"), F.lit(1)).alias("src_id"),
+        F.split_part(F.col("u"), F.lit("\x01"), F.lit(2)).alias("src_label"),
+        F.split_part(F.col("v"), F.lit("\x01"), F.lit(1)).alias("dst_id"),
+        F.split_part(F.col("v"), F.lit("\x01"), F.lit(2)).alias("dst_label"),
+        F.col("y").cast("int").alias("y"),
     )

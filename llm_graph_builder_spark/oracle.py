@@ -4313,3 +4313,55 @@ SELECT chunk_id, score_e4, mmr_e8, CAST(rnk AS INT) AS rnk FROM msel{k}
 
 
 ORACLE_SQL["mmr_retrieval"] = _mmr_sql()
+
+
+# mirrors q_lp_training_pairs / graph_analytics.lp_training_pairs
+# (neg_per_pos=2, salt='lp'): positives = undirected simple edges; negatives
+# = md5 tail-corruption draws resolved through the global md5-order node
+# rank (DuckDB's single window == Spark's two-level prefix-sum rank), minus
+# self-pairs and real edges
+ORACLE_SQL["lp_training_pairs"] = PIPELINE_CTE + """
+, lpund AS (
+  SELECT u, v FROM (
+    SELECT least(subj_id || chr(1) || subj_label,
+                 obj_id || chr(1) || obj_label) AS u,
+           greatest(subj_id || chr(1) || subj_label,
+                    obj_id || chr(1) || obj_label) AS v,
+           weight
+    FROM entity_edges
+    WHERE NOT (subj_id = obj_id AND subj_label = obj_label)
+  ) GROUP BY u, v HAVING sum(weight) >= 80
+),
+lpn AS (SELECT DISTINCT id || chr(1) || label AS nk FROM entities),
+lpr AS MATERIALIZED (
+  SELECT nk, CAST(row_number() OVER (ORDER BY md5(nk)) - 1 AS BIGINT) AS r
+  FROM lpn
+),
+lpc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lpn),
+lpd AS (
+  SELECT p.u,
+         CAST(('0x' || substr(md5(p.u || '|' || p.v || '|'
+                                  || CAST(t.j AS VARCHAR) || '|lp'), 1, 15))
+              AS BIGINT) % c.n AS r
+  FROM lpund p CROSS JOIN lpc c CROSS JOIN range(2) t(j)
+),
+lpsym AS (
+  SELECT u, v FROM lpund UNION ALL SELECT v AS u, u AS v FROM lpund
+),
+lpneg AS (
+  SELECT DISTINCT d.u, k.nk AS v
+  FROM lpd d JOIN lpr k ON k.r = d.r
+  WHERE k.nk <> d.u
+    AND NOT EXISTS (SELECT 1 FROM lpsym s WHERE s.u = d.u AND s.v = k.nk)
+),
+lpout AS (
+  SELECT u, v, 1 AS y FROM lpund
+  UNION ALL SELECT u, v, 0 FROM lpneg
+)
+SELECT split_part(u, chr(1), 1) AS src_id,
+       split_part(u, chr(1), 2) AS src_label,
+       split_part(v, chr(1), 1) AS dst_id,
+       split_part(v, chr(1), 2) AS dst_label,
+       CAST(y AS INT) AS y
+FROM lpout
+"""

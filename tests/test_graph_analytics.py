@@ -625,3 +625,29 @@ def test_community_quality_negative_modularity_truncates_like_oracle(spark):
         assert out[k].cut == 2
         # whole-volume on one side: min(2, 4-2)=2 → conductance 1e6
         assert out[k].conductance_e6 == 1_000_000
+
+
+def test_lp_training_pairs_properties(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import lp_training_pairs
+
+    edges = _edges(spark, [("a", "b", 5), ("b", "c", 1), ("c", "d", 5)])
+    ents = _entities(spark, ["a", "b", "c", "d", "e", "f", "g", "h"])
+    out = lp_training_pairs(edges, ents, neg_per_pos=3).collect()
+    pos = {(r.src_id, r.dst_id) for r in out if r.y == 1}
+    neg = {(r.src_id, r.dst_id) for r in out if r.y == 0}
+    assert pos == {("a", "b"), ("b", "c"), ("c", "d")}
+    # negatives: never self-pairs, never real edges (either orientation)
+    real = pos | {(b, a) for a, b in pos}
+    assert all(s != d for s, d in neg)
+    assert not (neg & real)
+    # deterministic: a second run yields the identical set
+    out2 = lp_training_pairs(edges, ents, neg_per_pos=3).collect()
+    assert {(r.src_id, r.dst_id, r.y) for r in out2} == {
+        (r.src_id, r.dst_id, r.y) for r in out
+    }
+
+    # confidence gate: only the weight-5 pairs stay positive; the weak b-c
+    # edge may now appear as a negative draw but never as a positive
+    gated = lp_training_pairs(edges, ents, neg_per_pos=2, min_pair_weight=5)
+    gpos = {(r.src_id, r.dst_id) for r in gated.collect() if r.y == 1}
+    assert gpos == {("a", "b"), ("c", "d")}
