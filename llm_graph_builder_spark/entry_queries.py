@@ -935,6 +935,90 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, docs)
 
 
+def q_incremental_entities(spark, sf_dir):
+    """Incremental KG maintenance: the entity node table maintained across
+    a corpus delta (retract old rows of changed/removed docs, assert
+    re-extracted rows of changed/added docs — only delta docs re-enter the
+    extractor). Oracle = the FULL `entities` pipeline recompute."""
+    from .operators.maintenance import corpus_diff, incremental_entities
+
+    t = pipeline_tables(spark, sf_dir)
+
+    def old_mentions():
+        repos = synth_repos(spark, sf_dir)
+        h = (
+            F.conv(F.substring(F.md5(F.col("path")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 7
+        )
+        tagged = repos.withColumn("_h", h)
+        old_repos = (
+            tagged.filter(F.col("_h") != 0)
+            .select(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.when(
+                    F.col("_h") == 1,
+                    F.concat(F.col("content"), F.lit(" legacy")),
+                )
+                .otherwise(F.col("content"))
+                .alias("content"),
+            )
+            .unionByName(
+                tagged.filter(F.col("_h") == 2).select(
+                    "repo",
+                    F.concat(F.col("path"), F.lit(".old")).alias("path"),
+                    "commit",
+                    "lang",
+                    "content",
+                )
+            )
+        )
+        old_docs = ingest(old_repos).cache()
+        n_chunks = max(chunk_documents(old_docs).count(), 1)
+        dp = spark.sparkContext.defaultParallelism
+        units = extract_units(
+            chunk_documents(old_docs),
+            partitions=max(2, min(dp, (n_chunks + 63) // 64)),
+        )
+        return old_docs, mentions_from_units(units)
+
+    key = (id(spark), sf_dir, "old_corpus")
+    if key not in _CACHE:
+        od, om = old_mentions()
+        _CACHE[key] = (od, om.cache())
+    old_docs, old_m = _CACHE[key]
+
+    diff = corpus_diff(
+        old_docs.select("doc_id", F.col("content").alias("text")),
+        t["docs"].select("doc_id", F.col("content").alias("text")),
+    ).cache()
+    neg = old_m.join(
+        diff.filter(F.col("change").isin("changed", "removed")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+    )
+    pos_docs = t["docs"].join(
+        diff.filter(F.col("change").isin("changed", "added")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+    )
+    n_chunks = max(chunk_documents(pos_docs).count(), 1)
+    dp = spark.sparkContext.defaultParallelism
+    pos_m = mentions_from_units(
+        extract_units(
+            chunk_documents(pos_docs),
+            partitions=max(2, min(dp, (n_chunks + 63) // 64)),
+        )
+    )
+    return incremental_entities(old_m, neg, pos_m)
+
+
 def q_incremental_vocab(spark, sf_dir):
     """Incremental vocab maintenance across the synthetic snapshot change;
     the oracle is a FULL RECOMPUTE on the new corpus — hash match proves
@@ -1809,6 +1893,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "code_graph_communities": q_code_graph_communities,
     "code_community_quality": q_code_community_quality,
+    "incremental_entities": q_incremental_entities,
     "pagerank": q_pagerank,
     "triangle_counts": q_triangle_counts,
     "node_similarity": q_node_similarity,

@@ -236,3 +236,53 @@ def incremental_vocab(
         .agg(F.sum("d").cast("long").alias("cnt"))
         .filter(F.col("cnt") > 0)
     )
+
+
+def incremental_entities(
+    base_mentions: DataFrame,
+    retract_mentions: DataFrame,
+    assert_mentions: DataFrame,
+) -> DataFrame:
+    """Incrementally maintain the ENTITY table (S8 node sink) across a
+    corpus delta — incremental view maintenance for the KG itself, not just
+    scalar counts: the entity table's ``chunk_count``/``doc_count`` are
+    COUNT DISTINCT aggregates, which are not algebraic on their own, so the
+    maintained state is the (entity, chunk) / (entity, doc) support-pair
+    multisets (mention rows are distinct per (doc, chunk, entity) by
+    construction — extraction.mentions_from_units). Retract the old
+    corpus's rows for changed/removed docs, assert the re-extracted rows
+    for changed/added docs, keep pairs with positive multiplicity, count.
+
+    At 10^12-file scale ``base_mentions`` is the already-materialized
+    mentions table and only delta documents pass through the extractor
+    again; the unchanged corpus is never re-chunked, re-extracted, or
+    re-shuffled at doc grain — only the pair-grain adjustment shuffles.
+
+    The oracle is the full `entities` pipeline recompute over the NEW
+    corpus — the hash match proves incremental == batch for the graph's
+    node table.
+
+    Output: (id, label, chunk_count, doc_count) — the entities schema.
+    """
+    def pairs(m: DataFrame, sign: int, col: str) -> DataFrame:
+        return m.groupBy(
+            F.col("entity_id").alias("id"),
+            F.col("entity_label").alias("label"),
+            F.col(col).alias("grain"),
+        ).agg((F.count("*") * sign).cast("long").alias("d"))
+
+    def support(col: str, out: str) -> DataFrame:
+        return (
+            pairs(base_mentions, 1, col)
+            .unionByName(pairs(retract_mentions, -1, col))
+            .unionByName(pairs(assert_mentions, 1, col))
+            .groupBy("id", "label", "grain")
+            .agg(F.sum("d").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .groupBy("id", "label")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    return support("chunk_id", "chunk_count").join(
+        support("doc_id", "doc_count"), on=["id", "label"], how="full"
+    ).na.fill({"chunk_count": 0, "doc_count": 0})

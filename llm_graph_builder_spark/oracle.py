@@ -4365,3 +4365,11 @@ SELECT split_part(u, chr(1), 1) AS src_id,
        CAST(y AS INT) AS y
 FROM lpout
 """
+
+
+# mirrors q_incremental_entities: the oracle is the FULL entities pipeline
+# recompute over the new corpus — the Spark side maintains the support-pair
+# multisets across the synthetic snapshot delta (incremental view
+# maintenance of count-distinct aggregates), so the hash match proves
+# incremental == batch for the KG node table
+ORACLE_SQL["incremental_entities"] = ORACLE_SQL["entities"]

@@ -113,3 +113,34 @@ def test_incremental_vocab_equals_full_recompute(spark):
     }
     # cancelled-to-zero tokens (gamma, delta, epsilon) must be absent
     assert "gamma" not in got and "epsilon" not in got
+
+
+def test_incremental_entities_equals_batch_recompute(spark):
+    from llm_graph_builder_spark.operators.maintenance import incremental_entities
+
+    cols = "doc_id string, chunk_id string, entity_id string, entity_label string"
+    base = spark.createDataFrame(
+        [
+            ("d1", "c1", "spark", "Tech"),
+            ("d1", "c2", "spark", "Tech"),
+            ("d2", "c1", "spark", "Tech"),   # shared chunk across docs
+            ("d2", "c3", "flink", "Tech"),
+            ("d3", "c4", "spark", "Tech"),
+        ],
+        cols,
+    )
+    # delta: d2 removed entirely, d3 changed (now mentions flink in c4'),
+    # d4 added (mentions spark in c5)
+    retract = base.filter("doc_id in ('d2', 'd3')")
+    assert_m = spark.createDataFrame(
+        [("d3", "c4x", "flink", "Tech"), ("d4", "c5", "spark", "Tech")],
+        cols,
+    )
+    out = {
+        (r.id, r.label): (r.chunk_count, r.doc_count)
+        for r in incremental_entities(base, retract, assert_m).collect()
+    }
+    # new corpus: d1(spark c1,c2), d3(flink c4x), d4(spark c5)
+    # spark: chunks {c1,c2,c5} docs {d1,d4}; flink: {c4x} / {d3}
+    # crucially c1 survives for spark (d2's removal must not kill d1's c1)
+    assert out == {("spark", "Tech"): (3, 2), ("flink", "Tech"): (1, 1)}
