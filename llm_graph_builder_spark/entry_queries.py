@@ -1682,6 +1682,23 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction(t["entity_edges"], exclude_existing=False)
 
 
+def q_rrf_retrieval(spark, sf_dir):
+    """Reciprocal-rank fusion of the hybrid legs — pure-integer rank-only
+    fusion (1e6 div (60 + rank)), both legs leg-top-truncated upstream."""
+    from .operators.embeddings import hash_embed_py
+    from .operators.fulltext import build_chunk_index, keyword_chunk_search
+    from .operators.retrieval import rrf_fuse, vector_retrieve
+
+    t = pipeline_tables(spark, sf_dir)
+    chunks = t["chunks"].select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    emb = _chunk_embeddings(spark, sf_dir)
+    vleg = vector_retrieve(emb, hash_embed_py("join merge data"), k=10)
+    kleg = keyword_chunk_search(
+        build_chunk_index(chunks), "join merge data", limit=10
+    )
+    return rrf_fuse(vleg, kleg)
+
+
 def q_mmr_retrieval(spark, sf_dir):
     """MMR-diversified retrieval: greedy integer-arithmetic re-rank of the
     top-20 vector pool (λ=0.7) — unrolled per-pick oracle mirror."""
@@ -1873,6 +1890,7 @@ QUERIES = {
     "text2sql_retrieval": q_text2sql_retrieval,
     "ppr_retrieval": q_ppr_retrieval,
     "mmr_retrieval": q_mmr_retrieval,
+    "rrf_retrieval": q_rrf_retrieval,
     "entity_embeddings": q_entity_embeddings,
     "entity_descriptions": q_entity_descriptions,
     "keyword_search": q_keyword_search,

@@ -504,3 +504,50 @@ def mmr_rerank(
     return chunk_emb.sparkSession.createDataFrame(
         picked, "chunk_id string, score_e4 long, mmr_e8 long, rnk int"
     )
+
+
+def rrf_fuse(
+    vleg: DataFrame,
+    kleg: DataFrame,
+    k0: int = 60,
+    top: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the vector and keyword legs (Cormack et
+    al. 2009 — the rank-only alternative to ``hybrid_retrieve``'s
+    max-normalized score fusion; immune to incomparable score scales):
+
+        rrf_e6(c) = Σ over legs containing c of 10⁶ div (k0 + leg_rank)
+
+    PURE INTEGER end-to-end (ranks in, integer division out) — nothing to
+    drift across engines. Both legs arrive already truncated to their
+    leg-top (the corpus-scale work happened inside them), so the windows
+    here rank a few dozen rows.
+
+    Input: ``vleg`` = vector_retrieve output (chunk_id, score_e4, rnk);
+    ``kleg`` = keyword_chunk_search output (chunk_id, matched).
+    Output: (chunk_id, vrank, krank, rrf_e6, rnk) — absent-leg ranks NULL.
+    """
+    v = vleg.select(
+        "chunk_id", F.col("rnk").cast("long").alias("vrank")
+    )
+    wk = Window.orderBy(F.desc("matched"), F.asc("chunk_id"))
+    k = kleg.select(
+        "chunk_id", F.row_number().over(wk).cast("long").alias("krank")
+    )
+    fused = v.join(k, on="chunk_id", how="full").withColumn(
+        "rrf_e6",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({k0} + vrank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({k0} + krank)"), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    w = Window.orderBy(F.desc("rrf_e6"), F.asc("chunk_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top)
+        .select("chunk_id", "vrank", "krank", "rrf_e6", "rnk")
+    )

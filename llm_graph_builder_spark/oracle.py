@@ -4373,3 +4373,35 @@ FROM lpout
 # maintenance of count-distinct aggregates), so the hash match proves
 # incremental == batch for the KG node table
 ORACLE_SQL["incremental_entities"] = ORACLE_SQL["entities"]
+
+
+# mirrors q_rrf_retrieval / retrieval.rrf_fuse: reciprocal-rank fusion of
+# the hybrid oracle's two legs — PURE INTEGER (1e6 // (60 + rank)), both
+# leg ranks recomputed with the legs' own (score desc, chunk_id asc) rule
+ORACLE_SQL["rrf_retrieval"] = ORACLE_SQL["hybrid_retrieval"].split(
+    "\nfused AS ("
+)[0] + """
+rrv AS (
+  SELECT chunk_id,
+         CAST(row_number() OVER (ORDER BY score_e4 DESC, chunk_id ASC)
+              AS BIGINT) AS vrank
+  FROM vleg
+),
+rrk AS (
+  SELECT chunk_id,
+         CAST(row_number() OVER (ORDER BY matched DESC, chunk_id ASC)
+              AS BIGINT) AS krank
+  FROM kleg
+),
+rrf AS (
+  SELECT coalesce(v.chunk_id, k.chunk_id) AS chunk_id, v.vrank, k.krank,
+         CAST(coalesce(1000000 // (60 + v.vrank), 0)
+              + coalesce(1000000 // (60 + k.krank), 0) AS BIGINT) AS rrf_e6
+  FROM rrv v FULL JOIN rrk k ON v.chunk_id = k.chunk_id
+)
+SELECT chunk_id, vrank, krank, rrf_e6, rnk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_e6 DESC, chunk_id ASC)
+                 AS BIGINT) AS rnk
+  FROM rrf
+) WHERE rnk <= 5
+"""

@@ -658,3 +658,24 @@ def test_mmr_rerank_tiebreak_and_low_lambda_prefers_diversity(spark):
     # the diversity term flips the pick to the orthogonal chunk
     assert [r.chunk_id for r in out] == ["c1", "c3", "c2"]
     assert out[2].mmr_e8 == 2000 * 10000 - 8000 * 10000
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from llm_graph_builder_spark.operators.retrieval import rrf_fuse
+
+    vleg = spark.createDataFrame(
+        [("a", 9000, 1), ("b", 8000, 2), ("c", 7000, 3)],
+        "chunk_id string, score_e4 long, rnk long",
+    )
+    kleg = spark.createDataFrame(
+        [("b", 3), ("d", 2)], "chunk_id string, matched long"
+    )
+    out = {r.chunk_id: r for r in rrf_fuse(vleg, kleg, top=4).collect()}
+    # b: both legs (vrank 2, krank 1) → 1e6//62 + 1e6//61
+    assert out["b"].rrf_e6 == 1000000 // 62 + 1000000 // 61
+    assert (out["b"].vrank, out["b"].krank) == (2, 1)
+    # a: vector only; d: keyword only (krank 2), NULL missing-leg ranks
+    assert out["a"].rrf_e6 == 1000000 // 61 and out["a"].krank is None
+    assert out["d"].rrf_e6 == 1000000 // 62 and out["d"].vrank is None
+    # b outranks a (two legs beat one at comparable ranks)
+    assert out["b"].rnk == 1 and out["a"].rnk == 2
