@@ -1,0 +1,132 @@
+"""Streaming knowledge-graph maintenance: a CDC stream of document upserts
+and deletes keeps the ENTITY table current without ever re-extracting the
+standing corpus.
+
+The batch operator :func:`~..operators.maintenance.incremental_entities`
+proves the delta algebra against a full-recompute oracle; this module is its
+Structured Streaming composition (same foreachBatch pattern as
+:mod:`.dedup`): each micro-batch of (op, doc_id, content) rows
+
+  1. RETRACTS the stream's prior mention rows for every doc in the batch
+     (``upsert`` and ``delete`` alike) by net-summing the state log for that
+     doc and appending the negation,
+  2. ASSERTS freshly extracted mention rows for ``upsert`` docs — the ONLY
+     extraction work in the batch is the batch's own documents,
+  3. snapshots the entity table from the net support pairs.
+
+State is an append-only mention-delta log at (doc, entity, chunk, sign)
+grain. Retries are handled structurally: every appended row carries its
+``batch_id``, the log is read back de-duplicated on all columns, and a
+batch's own computation EXCLUDES rows it already wrote under its own id —
+so a crashed-and-retried foreachBatch lands the identical rows and the
+dedup makes the replay a no-op (same monotonicity argument as the Bloom
+position log in :mod:`.dedup`).
+
+Extension beyond the reference (SURVEY §2.13 — the reference re-processes a
+changed document end-to-end); the arithmetic is value-checked by the batch
+``incremental_entities`` driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.chunking import chunk_documents
+from ..operators.extraction import extract_units, mentions_from_units
+
+DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),       # 'upsert' | 'delete'
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("content", T.StringType()),  # NULL for deletes
+    ]
+)
+
+_LOG_COLS = "doc_id string, id string, label string, chunk_id string, sign long, batch_id long"
+
+
+def entity_snapshot(log: DataFrame) -> DataFrame:
+    """Entity table from the net mention-delta log (support pairs with
+    positive multiplicity → count-distinct aggregates) — identical
+    arithmetic to ``incremental_entities``'s final step."""
+    net = (
+        log.groupBy("doc_id", "id", "label", "chunk_id")
+        .agg(F.sum("sign").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    return net.groupBy("id", "label").agg(
+        F.countDistinct("chunk_id").alias("chunk_count"),
+        F.countDistinct("doc_id").alias("doc_count"),
+    )
+
+
+def start_kg_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """CDC parquet drops → maintained mention-delta log + entity snapshot.
+
+    Outputs under ``output_dir``: ``mention_log`` (append-only signed
+    mention rows with batch lineage) and ``entities`` (overwritten
+    per batch — the current entity table).
+    """
+    stream = (
+        spark.readStream.schema(DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    log_dir = f"{output_dir}/mention_log"
+    ent_dir = f"{output_dir}/entities"
+
+    def read_log() -> DataFrame:
+        try:
+            return spark.read.parquet(log_dir).dropDuplicates()
+        except Exception:  # first batch: no state yet
+            return spark.createDataFrame([], _LOG_COLS)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        batch_df = batch_df.cache()
+        # retry safety: ignore anything this same batch already appended
+        log = read_log().filter(F.col("batch_id") != batch_id).cache()
+        touched = batch_df.select("doc_id").distinct()
+        retract = (
+            log.join(touched, on="doc_id")
+            .groupBy("doc_id", "id", "label", "chunk_id")
+            .agg(F.sum("sign").alias("n"))
+            .filter(F.col("n") > 0)
+            .select(
+                "doc_id", "id", "label", "chunk_id",
+                (-F.col("n")).cast("long").alias("sign"),
+            )
+        )
+        docs = batch_df.filter(
+            (F.col("op") == "upsert") & F.col("content").isNotNull()
+        ).select("doc_id", "content")
+        asserts = mentions_from_units(
+            extract_units(chunk_documents(docs), partitions=2)
+        ).select(
+            "doc_id",
+            F.col("entity_id").alias("id"),
+            F.col("entity_label").alias("label"),
+            "chunk_id",
+            F.lit(1).cast("long").alias("sign"),
+        )
+        delta = retract.unionByName(asserts).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        delta.write.mode("append").parquet(log_dir)
+        entity_snapshot(read_log()).write.mode("overwrite").parquet(ent_dir)
+        batch_df.unpersist()
+        log.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -144,3 +144,60 @@ def test_incremental_entities_equals_batch_recompute(spark):
     # spark: chunks {c1,c2,c5} docs {d1,d4}; flink: {c4x} / {d3}
     # crucially c1 survives for spark (d2's removal must not kill d1's c1)
     assert out == {("spark", "Tech"): (3, 2), ("flink", "Tech"): (1, 1)}
+
+
+def test_streaming_kg_maintenance_matches_batch(spark, tmp_path):
+    """CDC drops (add, change, delete, add) maintained via foreachBatch:
+    the final entity snapshot equals the batch pipeline over the final
+    corpus, and the mention log carries signed lineage per batch."""
+    from llm_graph_builder_spark.operators.chunking import chunk_documents
+    from llm_graph_builder_spark.operators.extraction import (
+        entities_from_mentions,
+        extract_units,
+        mentions_from_units,
+    )
+    from llm_graph_builder_spark.streaming.kg_maintain import (
+        start_kg_maintenance,
+    )
+
+    in_dir = str(tmp_path / "cdc")
+    out_dir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ck")
+    cols = "op string, doc_id string, content string"
+
+    def drop(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    drop([("upsert", "d1", "alpha beta alpha"), ("upsert", "d2", "gamma gamma")])
+    drop([("upsert", "d1", "alpha delta"), ("delete", "d2", None)])
+    drop([("upsert", "d3", "alpha only here")])
+
+    q = start_kg_maintenance(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        (r.id, r.label): (r.chunk_count, r.doc_count)
+        for r in spark.read.parquet(f"{out_dir}/entities").collect()
+    }
+    final_docs = spark.createDataFrame(
+        [("d1", "alpha delta"), ("d3", "alpha only here")],
+        "doc_id string, content string",
+    )
+    want = {
+        (r.id, r.label): (r.chunk_count, r.doc_count)
+        for r in entities_from_mentions(
+            mentions_from_units(
+                extract_units(chunk_documents(final_docs), partitions=2)
+            )
+        ).collect()
+    }
+    assert got == want and want  # non-empty parity
+    # lineage: gamma was asserted in batch 0 and retracted in batch 1
+    log = spark.read.parquet(f"{out_dir}/mention_log")
+    gamma = {
+        (r.batch_id, r.sign)
+        for r in log.filter("id = 'gamma'").collect()
+    }
+    assert gamma == {(0, 1), (1, -1)}
