@@ -1660,6 +1660,15 @@ def q_curation_curve(spark, sf_dir):
     return curation_curve(read_documents(spark, sf_dir))
 
 
+def q_graph_sparsify(spark, sf_dir):
+    """kNN-graph sparsification audit: per-endpoint weight ranks + kept
+    verdict for every undirected entity edge (k=8)."""
+    from .operators.graph_analytics import sparsify_topk
+
+    t = pipeline_tables(spark, sf_dir)
+    return sparsify_topk(t["entity_edges"], k=8)
+
+
 def q_lp_training_pairs(spark, sf_dir):
     """Link-prediction training pairs: undirected edges as positives plus
     md5 tail-corrupted negatives resolved via the distributed prefix-sum
@@ -1938,6 +1947,7 @@ QUERIES = {
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,
     "lp_training_pairs": q_lp_training_pairs,
+    "graph_sparsify": q_graph_sparsify,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

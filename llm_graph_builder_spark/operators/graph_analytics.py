@@ -1763,3 +1763,69 @@ def lp_training_pairs(
         F.split_part(F.col("v"), F.lit("\x01"), F.lit(2)).alias("dst_label"),
         F.col("y").cast("int").alias("y"),
     )
+
+
+def sparsify_topk(
+    entity_edges: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """kNN-graph sparsification: keep an undirected edge iff it ranks in the
+    top-``k`` by weight of EITHER endpoint's incidence list (ties → heavier
+    first, then neighbor key asc) — the standard pre-conditioning step
+    before community detection / label propagation at web scale, where
+    Zipfian hub entities otherwise dominate every round's shuffle. The
+    "either endpoint" rule (union, not intersection) never strands a
+    low-degree node: each node keeps its own best ``k`` links even if a hub
+    neighbor ranks it poorly.
+
+    Scale shape: symmetrize once, then ONE window per direction partitioned
+    by the endpoint node (two hash exchanges at edge grain, no joins wider
+    than the edge list). Emits every undirected edge with its two ranks and
+    the verdict, so the caller can both filter (``kept``) and audit what
+    sparsification dropped (never-silent, same policy as the LSH band
+    guards).
+
+    Output: (src, dst, weight, rank_src, rank_dst, kept).
+    """
+    ku = _node_key("subj_id", "subj_label")
+    kv = _node_key("obj_id", "obj_label")
+    und = (
+        entity_edges.select(
+            F.least(ku, kv).alias("src"),
+            F.greatest(ku, kv).alias("dst"),
+            "weight",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    # a node's incidence list spans BOTH orientations of the (src<dst)
+    # edge key, so rank over the symmetrized list and fold the two per-edge
+    # rows back together
+    sym = und.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), "weight"
+    ).unionByName(
+        und.select(
+            F.col("dst").alias("node"), F.col("src").alias("nbr"), "weight"
+        )
+    )
+    w_n = Window.partitionBy("node").orderBy(F.desc("weight"), F.asc("nbr"))
+    ranks = sym.withColumn("rnk", F.row_number().over(w_n).cast("long"))
+    ranked = (
+        ranks.select(
+            F.least("node", "nbr").alias("src"),
+            F.greatest("node", "nbr").alias("dst"),
+            "weight",
+            F.when(F.col("node") < F.col("nbr"), F.col("rnk")).alias("rs"),
+            F.when(F.col("node") > F.col("nbr"), F.col("rnk")).alias("rd"),
+        )
+        .groupBy("src", "dst", "weight")
+        .agg(
+            F.max("rs").alias("rank_src"),
+            F.max("rd").alias("rank_dst"),
+        )
+    )
+    return ranked.select(
+        "src", "dst", "weight", "rank_src", "rank_dst",
+        ((F.col("rank_src") <= k) | (F.col("rank_dst") <= k)).alias("kept"),
+    )

@@ -4405,3 +4405,39 @@ SELECT chunk_id, vrank, krank, rrf_e6, rnk FROM (
   FROM rrf
 ) WHERE rnk <= 5
 """
+
+
+# mirrors q_graph_sparsify / graph_analytics.sparsify_topk (k=8): top-k by
+# weight per endpoint incidence list, kept = union of the two verdicts
+ORACLE_SQL["graph_sparsify"] = PIPELINE_CTE + """
+, spund AS (
+  SELECT least(subj_id || chr(1) || subj_label,
+               obj_id || chr(1) || obj_label) AS src,
+         greatest(subj_id || chr(1) || subj_label,
+                  obj_id || chr(1) || obj_label) AS dst,
+         CAST(sum(weight) AS BIGINT) AS weight
+  FROM entity_edges
+  WHERE NOT (subj_id = obj_id AND subj_label = obj_label)
+  GROUP BY 1, 2
+),
+spsym AS (
+  SELECT src AS node, dst AS nbr, weight FROM spund
+  UNION ALL SELECT dst, src, weight FROM spund
+),
+spranks AS (
+  SELECT node, nbr, weight,
+         CAST(row_number() OVER (
+           PARTITION BY node ORDER BY weight DESC, nbr ASC) AS BIGINT)
+           AS rnk
+  FROM spsym
+),
+spranked AS (
+  SELECT least(node, nbr) AS src, greatest(node, nbr) AS dst, weight,
+         max(CASE WHEN node < nbr THEN rnk END) AS rank_src,
+         max(CASE WHEN node > nbr THEN rnk END) AS rank_dst
+  FROM spranks GROUP BY 1, 2, 3
+)
+SELECT src, dst, weight, rank_src, rank_dst,
+       (rank_src <= 8 OR rank_dst <= 8) AS kept
+FROM spranked
+"""

@@ -651,3 +651,27 @@ def test_lp_training_pairs_properties(spark):
     gated = lp_training_pairs(edges, ents, neg_per_pos=2, min_pair_weight=5)
     gpos = {(r.src_id, r.dst_id) for r in gated.collect() if r.y == 1}
     assert gpos == {("a", "b"), ("c", "d")}
+
+
+def test_sparsify_topk_union_rule_and_ranks(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import sparsify_topk
+
+    # hub h with 3 neighbors of descending weight; spoke s3's ONLY edge is
+    # h's worst — the union rule must keep it (rank_src or rank_dst <= k)
+    edges = _edges(spark, [("h", "s1", 9), ("h", "s2", 5), ("h", "s3", 1)])
+    out = {(r.src, r.dst): r for r in sparsify_topk(edges, k=2).collect()}
+    key = lambda a, b: (f"{a}\x01E", f"{b}\x01E")
+    worst = out[key("h", "s3")]
+    # from h's side it ranks 3rd (> k), but it is s3's best edge → kept
+    assert (worst.rank_src, worst.rank_dst, worst.kept) == (3, 1, True)
+    assert all(r.kept for r in out.values())
+
+    # with two hubs sharing a weak link, both sides rank it out → dropped
+    edges2 = _edges(
+        spark,
+        [("a", "x", 9), ("a", "y", 8), ("b", "x", 9), ("b", "y", 8),
+         ("a", "b", 1)],
+    )
+    out2 = {(r.src, r.dst): r for r in sparsify_topk(edges2, k=2).collect()}
+    ab = out2[key("a", "b")]
+    assert not ab.kept and ab.rank_src == 3 and ab.rank_dst == 3
