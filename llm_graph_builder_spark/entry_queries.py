@@ -232,6 +232,15 @@ def q_chunk_counts(spark, sf_dir):
     return chunk_counts(pipeline_tables(spark, sf_dir)["chunks"])
 
 
+def q_vendored_chunks(spark, sf_dir):
+    """Vendored-code detector over content-addressed chunk ids (distinct
+    repos/docs per chunk + the extractor calls content-addressing saves)."""
+    from .operators.counts import vendored_chunks
+
+    t = pipeline_tables(spark, sf_dir)
+    return vendored_chunks(t["chunks"], t["docs"])
+
+
 def q_doc_counts(spark, sf_dir):
     t = pipeline_tables(spark, sf_dir)
     out = doc_counts(t["docs"], t["chunks"], t["chunk_edges"], t["mentions"], t["triples"])
@@ -1955,6 +1964,7 @@ QUERIES = {
     "link_candidates": q_link_candidates,
     "orphan_entities": q_orphan_entities,
     "chunk_counts": q_chunk_counts,
+    "vendored_chunks": q_vendored_chunks,
     "doc_counts": q_doc_counts,
     "schema_triplets": q_schema_triplets,
     "label_inventory": q_label_inventory,

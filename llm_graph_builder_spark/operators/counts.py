@@ -146,3 +146,32 @@ def chunk_page(chunks: DataFrame, skip: int, limit: int = 10) -> DataFrame:
         .filter(F.col("rn") > skip)
         .select("doc_id", "chunk_id", "text", "position")
     )
+
+
+def vendored_chunks(chunks: DataFrame, docs: DataFrame) -> DataFrame:
+    """Vendored-code detector: chunk ids are content-addressed (C3), so a
+    chunk appearing under more than one REPO is byte-identical vendored /
+    copied code — the single biggest extraction-cost lever at 10^12 files
+    (SURVEY §7.4.4: extract once per distinct chunk, not once per copy).
+
+    One chunk-grain aggregation over the chunks⋈docs repo lookup: per
+    chunk, distinct repos / docs, a deterministic example path (min), and
+    the vendored verdict. ``saved_extractions`` = copies beyond the first —
+    summing it gives exactly the extractor calls content-addressing avoids.
+
+    Output: (chunk_id, n_repos, n_docs, example_path, vendored,
+    saved_extractions).
+    """
+    rep = docs.select("doc_id", "repo", "path")
+    per = (
+        chunks.select("chunk_id", "doc_id")
+        .dropDuplicates()
+        .join(rep, on="doc_id")
+    )
+    return per.groupBy("chunk_id").agg(
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("path").alias("example_path"),
+        (F.countDistinct("repo") >= 2).alias("vendored"),
+        (F.countDistinct("doc_id") - 1).cast("long").alias("saved_extractions"),
+    )

@@ -4441,3 +4441,22 @@ SELECT src, dst, weight, rank_src, rank_dst,
        (rank_src <= 8 OR rank_dst <= 8) AS kept
 FROM spranked
 """
+
+
+# mirrors q_vendored_chunks / counts.vendored_chunks: content-addressed
+# chunk ids shared across repos = vendored code; saved_extractions counts
+# the extractor calls content-addressing avoids
+ORACLE_SQL["vendored_chunks"] = PIPELINE_CTE + """
+, vch AS (
+  SELECT DISTINCT c.chunk_id, c.doc_id, d.repo, d.path
+  FROM (SELECT DISTINCT chunk_id, doc_id FROM chunks) c
+  JOIN docs d ON d.doc_id = c.doc_id
+)
+SELECT chunk_id,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(path) AS example_path,
+       (count(DISTINCT repo) >= 2) AS vendored,
+       CAST(count(DISTINCT doc_id) - 1 AS BIGINT) AS saved_extractions
+FROM vch GROUP BY 1
+"""

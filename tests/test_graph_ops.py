@@ -373,3 +373,24 @@ def test_document_graph_view_full_surface(spark):
         ("0-x", "1-y", "PARENT_COMMUNITY"), ("1-y", "2-z", "PARENT_COMMUNITY"),
     }
     assert by_kind["rel"] == {("merge", "data", "USES")}
+
+
+def test_vendored_chunks_cross_repo_detection(spark):
+    from llm_graph_builder_spark.operators.counts import vendored_chunks
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1"), ("c1", "d2"), ("c1", "d2"), ("c2", "d1"), ("c3", "d3")],
+        "chunk_id string, doc_id string",
+    )
+    docs = spark.createDataFrame(
+        [("d1", "repo-1", "src/a.py"), ("d2", "repo-2", "src/b.py"),
+         ("d3", "repo-1", "src/c.py")],
+        "doc_id string, repo string, path string",
+    )
+    out = {r.chunk_id: r for r in vendored_chunks(chunks, docs).collect()}
+    # c1 lives in two repos → vendored; duplicate (c1, d2) rows collapse
+    assert (out["c1"].n_repos, out["c1"].n_docs, out["c1"].vendored) == (2, 2, True)
+    assert out["c1"].saved_extractions == 1
+    assert out["c1"].example_path == "src/a.py"
+    assert not out["c2"].vendored and out["c2"].saved_extractions == 0
+    assert not out["c3"].vendored
