@@ -1669,6 +1669,24 @@ def q_curation_curve(spark, sf_dir):
     return curation_curve(read_documents(spark, sf_dir))
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club connectivity of the top-10 hubs (one-row structural
+    summary, integer e6)."""
+    from .operators.graph_analytics import rich_club
+
+    t = pipeline_tables(spark, sf_dir)
+    return rich_club(t["entity_edges"], top_k=10)
+
+
+def q_related_entities(spark, sf_dir):
+    """Top-3 co-mentioned partners per entity (chunk-bounded pair join,
+    two-phase per-entity top-k)."""
+    from .operators.graph_analytics import related_entities
+
+    t = pipeline_tables(spark, sf_dir)
+    return related_entities(t["mentions"], top_n=3)
+
+
 def q_graph_sparsify(spark, sf_dir):
     """kNN-graph sparsification audit: per-endpoint weight ranks + kept
     verdict for every undirected entity edge (k=8)."""
@@ -1957,6 +1975,8 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "lp_training_pairs": q_lp_training_pairs,
     "graph_sparsify": q_graph_sparsify,
+    "rich_club": q_rich_club,
+    "related_entities": q_related_entities,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,
     "transcript_chunks": q_transcript_chunks,

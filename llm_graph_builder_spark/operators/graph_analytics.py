@@ -1829,3 +1829,115 @@ def sparsify_topk(
         "src", "dst", "weight", "rank_src", "rank_dst",
         ((F.col("rank_src") <= k) | (F.col("rank_dst") <= k)).alias("kept"),
     )
+
+
+def rich_club(
+    entity_edges: DataFrame,
+    top_k: int = 10,
+) -> DataFrame:
+    """Rich-club connectivity of the ``top_k`` highest-degree nodes: how
+    densely the hubs connect to EACH OTHER (φ = club edges / C(k,2)) — the
+    one-row structural summary that distinguishes a hub-backbone KG from a
+    hub-and-spoke one (integer e6; ties on degree broken by node key asc so
+    the club is deterministic).
+
+    Scale shape: the degree table is the existing one-aggregation shape;
+    the club is ``top_k`` rows (two-phase partial rank — no global window
+    over the node table), broadcast twice onto the edge list for the
+    membership semi-joins. Nothing larger than the edge list is shuffled.
+
+    Output: one row (club_size, club_edges, possible_edges, phi_e6,
+    min_club_degree).
+    """
+    und, _ = materialize(simple_undirected(entity_edges))
+    deg = degree_table(und)
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("degree"), F.asc("node")
+    )
+    final = Window.orderBy(F.desc("degree"), F.asc("node"))
+    club = (
+        deg.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= top_k)
+        .drop("prn")
+        .withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= top_k)
+        .select("node", "degree")
+    )
+    cb = F.broadcast(club.select("node"))
+    club_edges = (
+        und.join(cb.withColumnRenamed("node", "u"), on="u", how="leftsemi")
+        .join(cb.withColumnRenamed("node", "v"), on="v", how="leftsemi")
+        .agg(F.count("*").cast("long").alias("club_edges"))
+    )
+    stats = club.agg(
+        F.count("*").cast("long").alias("club_size"),
+        F.min("degree").cast("long").alias("min_club_degree"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(club_edges))
+        .withColumn(
+            "possible_edges",
+            F.expr("club_size * (club_size - 1) div 2").cast("long"),
+        )
+        .withColumn(
+            "phi_e6",
+            F.expr(
+                "club_edges * 1000000 div greatest(possible_edges, 1L)"
+            ).cast("long"),
+        )
+        .select(
+            "club_size", "club_edges", "possible_edges", "phi_e6",
+            "min_club_degree",
+        )
+    )
+
+
+def related_entities(
+    mentions: DataFrame,
+    top_n: int = 3,
+) -> DataFrame:
+    """Top co-mentioned partners per entity — the "related entities" panel
+    the reference UX derives from graph neighborhoods, computed directly
+    from chunk co-mentions (two entities are related in proportion to the
+    DISTINCT chunks that mention both).
+
+    Scale shape: the pair generator self-joins the distinct (chunk, entity)
+    table ON chunk_id, so fan-out is bounded by entities-per-chunk (the
+    chunk token budget), never by entity frequency — the same hub-safe
+    argument as node_similarity; one pair-count aggregation; per-entity
+    ranking uses the two-phase partial top-k (no hub entity ever funnels
+    its whole partner list through one reducer window).
+
+    Output: (id, label, rel_id, rel_label, co_chunks, rnk), rnk 1..top_n.
+    """
+    me = mentions.select(
+        "chunk_id",
+        F.concat_ws("\x01", "entity_id", "entity_label").alias("e"),
+    ).distinct()
+    pairs = (
+        me.select("chunk_id", F.col("e").alias("a"))
+        .join(me.select("chunk_id", F.col("e").alias("b")), on="chunk_id")
+        .filter(F.col("a") != F.col("b"))
+    )
+    cnt = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("co_chunks")
+    )
+    pre = Window.partitionBy("a", F.spark_partition_id()).orderBy(
+        F.desc("co_chunks"), F.asc("b")
+    )
+    final = Window.partitionBy("a").orderBy(F.desc("co_chunks"), F.asc("b"))
+    top = (
+        cnt.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= top_n)
+        .drop("prn")
+        .withColumn("rnk", F.row_number().over(final).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+    )
+    return top.select(
+        F.split_part(F.col("a"), F.lit("\x01"), F.lit(1)).alias("id"),
+        F.split_part(F.col("a"), F.lit("\x01"), F.lit(2)).alias("label"),
+        F.split_part(F.col("b"), F.lit("\x01"), F.lit(1)).alias("rel_id"),
+        F.split_part(F.col("b"), F.lit("\x01"), F.lit(2)).alias("rel_label"),
+        "co_chunks",
+        "rnk",
+    )

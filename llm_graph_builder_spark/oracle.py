@@ -4460,3 +4460,67 @@ SELECT chunk_id,
        CAST(count(DISTINCT doc_id) - 1 AS BIGINT) AS saved_extractions
 FROM vch GROUP BY 1
 """
+
+
+# mirrors q_rich_club / graph_analytics.rich_club (top_k=10): hubs by
+# (degree desc, node asc), club density phi_e6 integer-exact
+ORACLE_SQL["rich_club"] = PIPELINE_CTE + _UND_CTE + """,
+rcdeg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+rcclub AS (
+  SELECT node, degree FROM (
+    SELECT node, degree,
+           row_number() OVER (ORDER BY degree DESC, node ASC) AS rnk
+    FROM rcdeg
+  ) WHERE rnk <= 10
+),
+rce AS (
+  SELECT CAST(count(*) AS BIGINT) AS club_edges
+  FROM und e
+  WHERE e.u IN (SELECT node FROM rcclub)
+    AND e.v IN (SELECT node FROM rcclub)
+),
+rcs AS (
+  SELECT CAST(count(*) AS BIGINT) AS club_size,
+         CAST(min(degree) AS BIGINT) AS min_club_degree
+  FROM rcclub
+)
+SELECT s.club_size, e.club_edges,
+       CAST(s.club_size * (s.club_size - 1) // 2 AS BIGINT) AS possible_edges,
+       CAST(e.club_edges * 1000000
+            // greatest(s.club_size * (s.club_size - 1) // 2, 1)
+            AS BIGINT) AS phi_e6,
+       s.min_club_degree
+FROM rcs s CROSS JOIN rce e
+"""
+
+
+# mirrors q_related_entities / graph_analytics.related_entities (top_n=3):
+# distinct-chunk co-mention counts, per-entity top-3 by (count desc, key asc)
+ORACLE_SQL["related_entities"] = PIPELINE_CTE + """
+, rme AS (
+  SELECT DISTINCT chunk_id,
+         entity_id || chr(1) || entity_label AS e
+  FROM mentions
+),
+rpair AS (
+  SELECT x.e AS a, y.e AS b, CAST(count(*) AS BIGINT) AS co_chunks
+  FROM rme x JOIN rme y ON x.chunk_id = y.chunk_id AND x.e <> y.e
+  GROUP BY 1, 2
+),
+rtop AS (
+  SELECT a, b, co_chunks,
+         CAST(row_number() OVER (
+           PARTITION BY a ORDER BY co_chunks DESC, b ASC) AS BIGINT) AS rnk
+  FROM rpair
+)
+SELECT split_part(a, chr(1), 1) AS id,
+       split_part(a, chr(1), 2) AS label,
+       split_part(b, chr(1), 1) AS rel_id,
+       split_part(b, chr(1), 2) AS rel_label,
+       co_chunks, rnk
+FROM rtop WHERE rnk <= 3
+"""

@@ -675,3 +675,41 @@ def test_sparsify_topk_union_rule_and_ranks(spark):
     out2 = {(r.src, r.dst): r for r in sparsify_topk(edges2, k=2).collect()}
     ab = out2[key("a", "b")]
     assert not ab.kept and ab.rank_src == 3 and ab.rank_dst == 3
+
+
+def test_rich_club_hand_computed(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import rich_club
+
+    # clique {a,b,c} plus spokes a-x, b-y → top-3 by degree = {a,b,c}
+    edges = _edges(
+        spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "x"), ("b", "y")]
+    )
+    r = rich_club(edges, top_k=3).collect()[0]
+    assert (r.club_size, r.club_edges, r.possible_edges) == (3, 3, 3)
+    assert r.phi_e6 == 1_000_000 and r.min_club_degree == 2
+    # hub-and-spoke: star center + leaves → top-3 club has NO internal edges
+    star = _edges(spark, [("h", "l1"), ("h", "l2"), ("h", "l3")])
+    r2 = rich_club(star, top_k=3).collect()[0]
+    assert r2.club_edges > 0  # h is in the club with two leaves: h-l1, h-l2
+    assert r2.phi_e6 == 2 * 1_000_000 // 3
+
+
+def test_related_entities_top_partners(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import related_entities
+
+    m = spark.createDataFrame(
+        [
+            ("c1", "d1", "A", "E"), ("c1", "d1", "B", "E"), ("c1", "d1", "C", "E"),
+            ("c2", "d2", "A", "E"), ("c2", "d2", "B", "E"),
+        ],
+        "chunk_id string, doc_id string, entity_id string, entity_label string",
+    )
+    out = [
+        (r.id, r.rel_id, r.co_chunks, r.rnk)
+        for r in related_entities(m, top_n=2).orderBy("id", "rnk").collect()
+    ]
+    assert out == [
+        ("A", "B", 2, 1), ("A", "C", 1, 2),
+        ("B", "A", 2, 1), ("B", "C", 1, 2),
+        ("C", "A", 1, 1), ("C", "B", 1, 2),
+    ]
