@@ -83,3 +83,53 @@ def test_schema_enforcement_broadcast_semi_join(spark):
     _, triples = enforce_allowed_schema(t["mentions"], t["triples"], labels, rels)
     plan = _plan(triples)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_countmin_sketch_broadcast_probe_and_bounded_grid(spark):
+    from llm_graph_builder_spark.operators.sessions import countmin_heavy_hitters
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(countmin_heavy_hitters(ev))
+    # the probe joins the d·w-bounded sketch grid via broadcast — the
+    # corpus-scale side never shuffles for the estimate join
+    assert "BroadcastHashJoin" in plan
+    # the exact-count ranking is the two-phase partial row_number: the
+    # global window is preceded by a partition-local pre-window (the
+    # spark_partition_id column, projected as _w0) with a Partial
+    # WindowGroupLimit — rows never funnel unreduced into one reducer
+    assert plan.count("Window [row_number()") >= 2
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bpe_pair_count_is_take_ordered(spark):
+    from llm_graph_builder_spark.operators.bpe import (
+        _pair_counts,
+        _wrapped_words,
+    )
+    from llm_graph_builder_spark.sources.repos import read_documents
+
+    words = _wrapped_words(read_documents(spark, SF), "text")
+    top = _pair_counts(words).orderBy(
+        F.desc("cnt"), F.asc("pair")
+    ).limit(1)
+    plan = _plan(top)
+    # round winner = TakeOrdered over the pair aggregation, never a global
+    # sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [cnt" not in plan
+
+
+def test_lp_training_pairs_no_global_node_window(spark):
+    from llm_graph_builder_spark.entry_queries import pipeline_tables
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        lp_training_pairs,
+    )
+
+    t = pipeline_tables(spark, SF)
+    plan = _plan(lp_training_pairs(t["entity_edges"], t["entities"]))
+    # the node rank must come from the two-level prefix sum: every window
+    # in the plan is either bucket-partitioned or over the <=256-row offset
+    # frame — no row_number over the WHOLE node table in one partition
+    for line in plan.splitlines():
+        if "row_number" in line and "windowpartition" in line.lower():
+            assert "bucket" in line  # partitioned by the md5 byte bucket
