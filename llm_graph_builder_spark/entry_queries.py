@@ -1669,6 +1669,16 @@ def q_curation_curve(spark, sf_dir):
     return curation_curve(read_documents(spark, sf_dir))
 
 
+def q_grouped_components(spark, sf_dir):
+    """Per-repo connected components via one applyInPandas union-find per
+    repo subgraph (the 'many small graphs' pattern — zero fixpoint
+    rounds); oracle = per-group recursive reachability."""
+    from .operators.graph_analytics import grouped_components
+
+    t = pipeline_tables(spark, sf_dir)
+    return grouped_components(t["triples"], t["docs"])
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club connectivity of the top-10 hubs (one-row structural
     summary, integer e6)."""
@@ -1976,6 +1986,7 @@ QUERIES = {
     "lp_training_pairs": q_lp_training_pairs,
     "graph_sparsify": q_graph_sparsify,
     "rich_club": q_rich_club,
+    "grouped_components": q_grouped_components,
     "related_entities": q_related_entities,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,

@@ -1941,3 +1941,80 @@ def related_entities(
         "co_chunks",
         "rnk",
     )
+
+
+def grouped_components(
+    triples: DataFrame,
+    docs: DataFrame,
+    group_col: str = "repo",
+) -> DataFrame:
+    """Per-group connected components — the "many small graphs" pattern:
+    instead of one global fixpoint over a trillion-edge graph, partition by
+    a natural group key (repo) and solve each group's graph EXACTLY in one
+    task with an in-memory union-find (``applyInPandas`` — Arrow-batched,
+    one group per call, bounded by the group's subgraph, which for code
+    repos is bounded by repo size, the same contract as the reference's
+    per-document processing).
+
+    This is the complement of the global pointer-jumping CC
+    (operators/linking.py): use THAT when components span groups; use this
+    when the group key is a hard partition boundary (per-repo dependency
+    graphs, per-customer graphs) — zero fixpoint rounds, one shuffle total.
+
+    Output: (group, n_nodes, n_edges, n_components, largest_component).
+    """
+    import pandas as pd
+
+    rep = docs.select("doc_id", F.col(group_col).alias("grp"))
+    edges = (
+        triples.join(rep, on="doc_id")
+        .select(
+            "grp",
+            F.concat_ws("\x01", "subj_id", "subj_label").alias("u"),
+            F.concat_ws("\x01", "obj_id", "obj_label").alias("v"),
+        )
+        .dropDuplicates()
+    )
+
+    schema = (
+        "grp string, n_nodes long, n_edges long, n_components long, "
+        "largest_component long"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n_edges = 0
+        for u, v in zip(pdf["u"], pdf["v"]):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            n_edges += 1
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        sizes: dict = {}
+        for x in parent:
+            sizes[find(x)] = sizes.get(find(x), 0) + 1
+        return pd.DataFrame(
+            [
+                {
+                    "grp": pdf["grp"].iloc[0],
+                    "n_nodes": len(parent),
+                    "n_edges": n_edges,
+                    "n_components": len(sizes),
+                    "largest_component": max(sizes.values()) if sizes else 0,
+                }
+            ]
+        )
+
+    return (
+        edges.groupBy("grp")
+        .applyInPandas(solve, schema)
+        .withColumnRenamed("grp", group_col)
+    )

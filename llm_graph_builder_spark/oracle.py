@@ -4524,3 +4524,43 @@ SELECT split_part(a, chr(1), 1) AS id,
        co_chunks, rnk
 FROM rtop WHERE rnk <= 3
 """
+
+
+# mirrors q_grouped_components / graph_analytics.grouped_components: per-repo
+# recursive reachability (the partition structure is label-free, so the
+# union-find's min-root convention needs no mirroring — only sizes/counts)
+ORACLE_SQL["grouped_components"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, gcd AS MATERIALIZED (
+  SELECT DISTINCT d.repo AS grp,
+         t.subj_id || chr(1) || t.subj_label AS u,
+         t.obj_id || chr(1) || t.obj_label AS v
+  FROM triples t JOIN docs d ON d.doc_id = t.doc_id
+),
+gcsym AS MATERIALIZED (
+  SELECT grp, u, v FROM gcd UNION SELECT grp, v AS u, u AS v FROM gcd
+),
+gcreach(grp, node, lab) AS (
+  SELECT grp, u, u FROM gcsym
+  UNION
+  SELECT e.grp, e.v, r.lab
+  FROM gcreach r JOIN gcsym e ON e.grp = r.grp AND e.u = r.node
+),
+gccomp AS (
+  SELECT grp, node, min(lab) AS comp FROM gcreach GROUP BY 1, 2
+),
+gcsz AS (
+  SELECT grp, comp, CAST(count(*) AS BIGINT) AS sz FROM gccomp GROUP BY 1, 2
+),
+gce AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_edges FROM gcd GROUP BY 1
+)
+SELECT s.grp AS repo,
+       CAST(sum(s.sz) AS BIGINT) AS n_nodes,
+       CAST(max(e.n_edges) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(s.sz) AS BIGINT) AS largest_component
+FROM gcsz s JOIN gce e ON e.grp = s.grp
+GROUP BY 1
+"""

@@ -713,3 +713,33 @@ def test_related_entities_top_partners(spark):
         ("B", "A", 2, 1), ("B", "C", 1, 2),
         ("C", "A", 1, 1), ("C", "B", 1, 2),
     ]
+
+
+def test_grouped_components_union_find(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        grouped_components,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            # repo r1 (docs d1,d2): a-b, c-d → two components; self-loop e-e
+            ("d1", "a", "E", "R", "b", "E"),
+            ("d1", "c", "E", "R", "d", "E"),
+            ("d2", "e", "E", "R", "e", "E"),
+            # repo r2 (d3): chain a-b-c → one component of 3
+            ("d3", "a", "E", "R", "b", "E"),
+            ("d3", "b", "E", "R", "c", "E"),
+        ],
+        "doc_id string, subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string",
+    )
+    docs = spark.createDataFrame(
+        [("d1", "r1"), ("d2", "r1"), ("d3", "r2")], "doc_id string, repo string"
+    )
+    out = {r.repo: r for r in grouped_components(triples, docs).collect()}
+    r1 = out["r1"]
+    assert (r1.n_nodes, r1.n_edges, r1.n_components, r1.largest_component) == (
+        5, 3, 3, 2,  # {a,b}, {c,d}, {e}; 3 distinct edges incl. the self-loop
+    )
+    r2 = out["r2"]
+    assert (r2.n_nodes, r2.n_components, r2.largest_component) == (3, 1, 3)
