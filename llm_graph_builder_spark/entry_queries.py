@@ -1669,6 +1669,15 @@ def q_curation_curve(spark, sf_dir):
     return curation_curve(read_documents(spark, sf_dir))
 
 
+def q_wl_colors(spark, sf_dir):
+    """1-WL color refinement histogram (3 rounds, scale-safe bounded-hash
+    multiset combine — one PageRank-shaped shuffle per round)."""
+    from .operators.graph_analytics import wl_colors
+
+    t = pipeline_tables(spark, sf_dir)
+    return wl_colors(t["entity_edges"], t["entities"], rounds=3)
+
+
 def q_grouped_components(spark, sf_dir):
     """Per-repo connected components via one applyInPandas union-find per
     repo subgraph (the 'many small graphs' pattern — zero fixpoint
@@ -1987,6 +1996,7 @@ QUERIES = {
     "graph_sparsify": q_graph_sparsify,
     "rich_club": q_rich_club,
     "grouped_components": q_grouped_components,
+    "wl_colors": q_wl_colors,
     "related_entities": q_related_entities,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,

@@ -2018,3 +2018,79 @@ def grouped_components(
         .applyInPandas(solve, schema)
         .withColumnRenamed("grp", group_col)
     )
+
+
+def wl_colors(
+    entity_edges: DataFrame,
+    entities: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL), the classic structural
+    fingerprint behind graph-isomorphism tests and GNN expressiveness — as
+    a color HISTOGRAM after ``rounds`` refinements (two graphs with equal
+    histograms are 1-WL-indistinguishable; per-node colors drive structural
+    role features).
+
+    Scale-safe multiset combine: the textbook step concatenates the SORTED
+    neighbor-color multiset — a hub with 10⁷ neighbors would build a 10⁷-
+    element sorted string in one row. Here the multiset is folded into an
+    order-insensitive SUM of bounded per-neighbor hash ints (h % 10⁹, so
+    ~9·10⁹ neighbors fit in a BIGINT without overflow — DuckDB would error
+    and Java would silently wrap, so the bound is load-bearing for engine
+    parity), plus the degree to disambiguate. Each round is ONE neighbor
+    aggregation — the same shuffle shape as a PageRank round.
+
+    color_0(v) = md5('d:' ‖ degree);
+    color_i(v) = md5(color_{i-1}(v) ‖ ':' ‖ Σ_u h(color_{i-1}(u)) ‖ ':' ‖ deg)
+
+    Output: (color, n_nodes) at round ``rounds``, one row per color class.
+    """
+    und, _ = materialize(simple_undirected(entity_edges))
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = entities.select(
+        F.concat_ws("\x01", "id", "label").alias("node")
+    ).distinct()
+    deg = nodes.join(
+        sym.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").cast("long").alias("deg")
+        ),
+        on="node",
+        how="left",
+    ).na.fill({"deg": 0})
+    cur, _ = materialize(
+        deg.select(
+            "node", "deg",
+            F.md5(F.concat(F.lit("d:"), F.col("deg").cast("string"))).alias(
+                "color"
+            ),
+        )
+    )
+    hmod = "pmod(cast(conv(substring(md5(color), 1, 15), 16, 10) as long), 1000000000L)"
+    for _ in range(rounds):
+        nsum = (
+            sym.join(
+                cur.select(F.col("node").alias("v"), F.col("color")), on="v"
+            )
+            .select("u", F.expr(hmod).alias("h"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("h").cast("long").alias("s"))
+        )
+        cur, _ = materialize(
+            cur.join(nsum, on="node", how="left")
+            .na.fill({"s": 0})
+            .select(
+                "node", "deg",
+                F.md5(
+                    F.concat_ws(
+                        ":", "color", F.col("s").cast("string"),
+                        F.col("deg").cast("string"),
+                    )
+                ).alias("color"),
+            ),
+            cur,
+        )
+    return cur.groupBy("color").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

@@ -4564,3 +4564,47 @@ SELECT s.grp AS repo,
 FROM gcsz s JOIN gce e ON e.grp = s.grp
 GROUP BY 1
 """
+
+
+def _wl_sql(rounds: int = 3) -> str:
+    """Unrolled 1-WL mirror (graph_analytics.wl_colors): degree-seeded md5
+    colors, order-insensitive bounded-hash neighbor sums (h % 10⁹ — the
+    same overflow bound the Spark side documents), one CTE pair per round
+    (all MATERIALIZED: each color frame is read by the sum AND the rehash)."""
+    parts = [_UND_CTE + """,
+wlsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+wlnodes AS (SELECT DISTINCT id || chr(1) || label AS node FROM entities),
+wldeg AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+  FROM wlnodes n LEFT JOIN (
+    SELECT u AS node, count(*) AS deg FROM wlsym GROUP BY 1
+  ) d ON d.node = n.node
+),
+wlc0 AS MATERIALIZED (
+  SELECT node, deg, md5('d:' || CAST(deg AS VARCHAR)) AS color FROM wldeg
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+wls{i} AS (
+  SELECT s.u AS node,
+         CAST(sum(CAST(('0x' || substr(md5(c.color), 1, 15)) AS BIGINT)
+                  % 1000000000) AS BIGINT) AS s
+  FROM wlsym s JOIN wlc{i - 1} c ON c.node = s.v
+  GROUP BY 1
+),
+wlc{i} AS MATERIALIZED (
+  SELECT c.node, c.deg,
+         md5(c.color || ':' || CAST(coalesce(n.s, 0) AS VARCHAR)
+                     || ':' || CAST(c.deg AS VARCHAR)) AS color
+  FROM wlc{i - 1} c LEFT JOIN wls{i} n ON n.node = c.node
+)""")
+    parts.append(f"""
+SELECT color, CAST(count(*) AS BIGINT) AS n_nodes
+FROM wlc{rounds} GROUP BY 1
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["wl_colors"] = _wl_sql()

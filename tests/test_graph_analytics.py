@@ -743,3 +743,23 @@ def test_grouped_components_union_find(spark):
     )
     r2 = out["r2"]
     assert (r2.n_nodes, r2.n_components, r2.largest_component) == (3, 1, 3)
+
+
+def test_wl_colors_structural_roles(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import wl_colors
+
+    # path a-b-c: the two ends share a color class, the middle is its own
+    path = _edges(spark, [("a", "b"), ("b", "c")])
+    ents = _entities(spark, ["a", "b", "c"])
+    hist = sorted(r.n_nodes for r in wl_colors(path, ents, rounds=2).collect())
+    assert hist == [1, 2]
+
+    # path of 5: WL separates ends / near-ends / center after 2 rounds
+    p5 = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    e5 = _entities(spark, ["a", "b", "c", "d", "e"])
+    hist5 = sorted(r.n_nodes for r in wl_colors(p5, e5, rounds=2).collect())
+    assert hist5 == [1, 2, 2]
+
+    # isolated node gets its own degree-0 color class
+    lone = wl_colors(path, _entities(spark, ["a", "b", "c", "z"]), rounds=1)
+    assert sorted(r.n_nodes for r in lone.collect()) == [1, 1, 2]
