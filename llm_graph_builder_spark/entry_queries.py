@@ -1669,6 +1669,15 @@ def q_curation_curve(spark, sf_dir):
     return curation_curve(read_documents(spark, sf_dir))
 
 
+def q_diameter_estimate(spark, sf_dir):
+    """Diameter lower bound by double-sweep BFS (two frontier traversals,
+    hop-bounded at 6 — unrolled twice in the oracle)."""
+    from .operators.graph_analytics import diameter_double_sweep
+
+    t = pipeline_tables(spark, sf_dir)
+    return diameter_double_sweep(t["entity_edges"], t["entities"], max_hops=6)
+
+
 def q_wl_colors(spark, sf_dir):
     """1-WL color refinement histogram (3 rounds, scale-safe bounded-hash
     multiset combine — one PageRank-shaped shuffle per round)."""
@@ -1997,6 +2006,7 @@ QUERIES = {
     "rich_club": q_rich_club,
     "grouped_components": q_grouped_components,
     "wl_colors": q_wl_colors,
+    "diameter_estimate": q_diameter_estimate,
     "related_entities": q_related_entities,
     "qa_eval": q_qa_eval,
     "qa_eval_judged": q_qa_eval_judged,

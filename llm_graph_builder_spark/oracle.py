@@ -4608,3 +4608,58 @@ FROM wlc{rounds} GROUP BY 1
 
 
 ORACLE_SQL["wl_colors"] = _wl_sql()
+
+
+def _bfs_chain(prefix: str, srcs_cte: str, max_hops: int) -> str:
+    """One unrolled frontier-BFS chain (same rounds as _bfs_sql) reading
+    sources from ``srcs_cte``; CTEs named ``{prefix}b{h}``."""
+    parts = [f""",
+{prefix}b0 AS MATERIALIZED (
+  SELECT u, CAST(0 AS BIGINT) AS hops FROM {srcs_cte}
+)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+{prefix}f{h} AS MATERIALIZED (
+  SELECT DISTINCT s.v AS u FROM {prefix}b{h - 1} d JOIN gsym s ON s.u = d.u
+  WHERE d.hops = {h - 1}
+),
+{prefix}b{h} AS MATERIALIZED (
+  SELECT u, hops FROM {prefix}b{h - 1}
+  UNION ALL
+  SELECT f.u, CAST({h} AS BIGINT) AS hops FROM {prefix}f{h} f
+  WHERE f.u NOT IN (SELECT u FROM {prefix}b{h - 1})
+)""")
+    return "".join(parts)
+
+
+def _diameter_sql(max_hops: int = 6) -> str:
+    """Double-sweep mirror (graph_analytics.diameter_double_sweep): sweep 1
+    from the smallest node key, sweep 2 from sweep 1's (hops desc, key asc)
+    argmax — identical tie rules to the Spark operator."""
+    return PIPELINE_CTE + _UND_CTE + """,
+gsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+ds1 AS MATERIALIZED (
+  SELECT DISTINCT id || chr(1) || label AS u FROM entities
+  ORDER BY u LIMIT 1
+)""" + _bfs_chain("x", "ds1", max_hops) + f""",
+ds2 AS MATERIALIZED (
+  SELECT u FROM xb{max_hops} ORDER BY hops DESC, u ASC LIMIT 1
+)""" + _bfs_chain("y", "ds2", max_hops) + f"""
+SELECT s1.u AS sweep1_src, a1.ecc1, a1.reached1,
+       s2.u AS sweep2_src, a2.diameter_lb, a2.reached2
+FROM ds1 s1
+CROSS JOIN (
+  SELECT CAST(max(hops) AS BIGINT) AS ecc1,
+         CAST(count(*) AS BIGINT) AS reached1 FROM xb{max_hops}
+) a1
+CROSS JOIN ds2 s2
+CROSS JOIN (
+  SELECT CAST(max(hops) AS BIGINT) AS diameter_lb,
+         CAST(count(*) AS BIGINT) AS reached2 FROM yb{max_hops}
+) a2
+"""
+
+
+ORACLE_SQL["diameter_estimate"] = _diameter_sql()

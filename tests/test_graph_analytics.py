@@ -763,3 +763,22 @@ def test_wl_colors_structural_roles(spark):
     # isolated node gets its own degree-0 color class
     lone = wl_colors(path, _entities(spark, ["a", "b", "c", "z"]), rounds=1)
     assert sorted(r.n_nodes for r in lone.collect()) == [1, 1, 2]
+
+
+def test_diameter_double_sweep_exact_on_path(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        diameter_double_sweep,
+    )
+
+    # path a-b-c-d: double sweep is EXACT on trees → diameter 3
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    ents = _entities(spark, ["a", "b", "c", "d"])
+    r = diameter_double_sweep(edges, ents, max_hops=6).collect()[0]
+    assert r.sweep1_src == "a\x01E"
+    assert r.ecc1 == 3 and r.reached1 == 4
+    assert r.sweep2_src == "d\x01E"  # a's farthest node
+    assert r.diameter_lb == 3 and r.reached2 == 4
+
+    # hop cap clamps honestly: max_hops=2 on the same path reports 2
+    r2 = diameter_double_sweep(edges, ents, max_hops=2).collect()[0]
+    assert r2.ecc1 == 2 and r2.diameter_lb == 2
