@@ -1697,6 +1697,15 @@ def q_grouped_components(spark, sf_dir):
     return grouped_components(t["triples"], t["docs"])
 
 
+def q_import_cycles(spark, sf_dir):
+    """Per-repo dependency-cycle report (SCCs via one applyInPandas
+    Kosaraju per repo; oracle = mutual directed reachability)."""
+    from .operators.graph_analytics import import_cycles
+
+    t = pipeline_tables(spark, sf_dir)
+    return import_cycles(t["triples"], t["docs"])
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club connectivity of the top-10 hubs (one-row structural
     summary, integer e6)."""
@@ -2005,6 +2014,7 @@ QUERIES = {
     "graph_sparsify": q_graph_sparsify,
     "rich_club": q_rich_club,
     "grouped_components": q_grouped_components,
+    "import_cycles": q_import_cycles,
     "wl_colors": q_wl_colors,
     "diameter_estimate": q_diameter_estimate,
     "related_entities": q_related_entities,

@@ -2145,3 +2145,109 @@ def diameter_double_sweep(
             "diameter_lb", "reached2",
         )
     )
+
+
+def import_cycles(
+    triples: DataFrame,
+    docs: DataFrame,
+    group_col: str = "repo",
+) -> DataFrame:
+    """Per-repo dependency-cycle report via strongly connected components —
+    the code-analysis question a source-code KG exists to answer ("which of
+    this repo's import/call relations form cycles?"). Directed edges are
+    the repo's triples; each repo's SCCs are solved EXACTLY in one
+    ``applyInPandas`` task with an iterative Kosaraju (two stack-based DFS
+    passes — no recursion-depth hazard), the same "many small graphs"
+    contract as :func:`grouped_components`.
+
+    ``cyclic_nodes`` counts nodes in SCCs of size ≥ 2 plus self-loop nodes
+    (a size-1 SCC is a cycle only if the node points at itself).
+
+    Output: (group, n_nodes, n_edges, n_sccs, largest_scc, cyclic_nodes).
+    """
+    import pandas as pd
+
+    rep = docs.select("doc_id", F.col(group_col).alias("grp"))
+    edges = (
+        triples.join(rep, on="doc_id")
+        .select(
+            "grp",
+            F.concat_ws("\x01", "subj_id", "subj_label").alias("u"),
+            F.concat_ws("\x01", "obj_id", "obj_label").alias("v"),
+        )
+        .dropDuplicates()
+    )
+
+    schema = (
+        "grp string, n_nodes long, n_edges long, n_sccs long, "
+        "largest_scc long, cyclic_nodes long"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        fwd: dict = {}
+        rev: dict = {}
+        self_loops = set()
+        for u, v in zip(pdf["u"], pdf["v"]):
+            fwd.setdefault(u, []).append(v)
+            fwd.setdefault(v, [])
+            rev.setdefault(v, []).append(u)
+            rev.setdefault(u, [])
+            if u == v:
+                self_loops.add(u)
+        # pass 1: finish order (iterative post-order DFS)
+        seen: set = set()
+        order: list = []
+        for s in fwd:
+            if s in seen:
+                continue
+            stack = [(s, iter(fwd[s]))]
+            seen.add(s)
+            while stack:
+                node, it = stack[-1]
+                nxt = next((x for x in it if x not in seen), None)
+                if nxt is None:
+                    order.append(node)
+                    stack.pop()
+                else:
+                    seen.add(nxt)
+                    stack.append((nxt, iter(fwd[nxt])))
+            # NB: the generator above consumes `it` lazily; re-entering the
+            # frame continues where it left off because `it` is shared
+        # pass 2: reverse-graph DFS in reverse finish order
+        assigned: dict = {}
+        sizes: dict = {}
+        for s in reversed(order):
+            if s in assigned:
+                continue
+            stack = [s]
+            assigned[s] = s
+            cnt = 0
+            while stack:
+                node = stack.pop()
+                cnt += 1
+                for w in rev[node]:
+                    if w not in assigned:
+                        assigned[w] = s
+                        stack.append(w)
+            sizes[s] = cnt
+        cyclic = sum(
+            sz for sz in sizes.values() if sz >= 2
+        ) + sum(1 for u in self_loops if sizes.get(assigned[u], 0) == 1)
+        return pd.DataFrame(
+            [
+                {
+                    "grp": pdf["grp"].iloc[0],
+                    "n_nodes": len(fwd),
+                    "n_edges": len(pdf),
+                    "n_sccs": len(sizes),
+                    "largest_scc": max(sizes.values()) if sizes else 0,
+                    "cyclic_nodes": cyclic,
+                }
+            ]
+        )
+
+    return (
+        edges.groupBy("grp")
+        .applyInPandas(solve, schema)
+        .withColumnRenamed("grp", group_col)
+    )

@@ -4663,3 +4663,67 @@ CROSS JOIN (
 
 
 ORACLE_SQL["diameter_estimate"] = _diameter_sql()
+
+
+# mirrors q_import_cycles / graph_analytics.import_cycles: per-repo SCCs via
+# mutual directed reachability (label-free — only sizes/counts compared);
+# cyclic nodes = members of size>=2 SCCs + self-loop singletons
+ORACLE_SQL["import_cycles"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, icd AS MATERIALIZED (
+  SELECT DISTINCT d.repo AS grp,
+         t.subj_id || chr(1) || t.subj_label AS u,
+         t.obj_id || chr(1) || t.obj_label AS v
+  FROM triples t JOIN docs d ON d.doc_id = t.doc_id
+),
+icn AS MATERIALIZED (
+  SELECT DISTINCT grp, node FROM (
+    SELECT grp, u AS node FROM icd UNION ALL SELECT grp, v FROM icd
+  )
+),
+icreach(grp, src, dst) AS (
+  SELECT grp, node, node FROM icn
+  UNION
+  SELECT r.grp, r.src, e.v
+  FROM icreach r JOIN icd e ON e.grp = r.grp AND e.u = r.dst
+),
+icmut AS MATERIALIZED (
+  SELECT a.grp, a.src AS u, min(a.dst) AS scc
+  FROM icreach a JOIN icreach b
+    ON b.grp = a.grp AND b.src = a.dst AND b.dst = a.src
+  GROUP BY 1, 2
+),
+icsz AS MATERIALIZED (
+  SELECT grp, scc, CAST(count(*) AS BIGINT) AS sz FROM icmut GROUP BY 1, 2
+),
+icself AS (
+  SELECT DISTINCT grp, u FROM icd WHERE u = v
+),
+iccyc AS (
+  SELECT s.grp,
+         CAST(coalesce(sum(CASE WHEN s.sz >= 2 THEN s.sz END), 0)
+              AS BIGINT) AS big_cyc
+  FROM icsz s GROUP BY 1
+),
+icself1 AS (
+  SELECT m.grp, CAST(count(*) AS BIGINT) AS self_cyc
+  FROM icself l
+  JOIN icmut m ON m.grp = l.grp AND m.u = l.u
+  JOIN icsz z ON z.grp = m.grp AND z.scc = m.scc AND z.sz = 1
+  GROUP BY 1
+),
+ice AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_edges FROM icd GROUP BY 1),
+icnn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_nodes FROM icn GROUP BY 1)
+SELECT n.grp AS repo, n.n_nodes, e.n_edges,
+       CAST(count(*) AS BIGINT) AS n_sccs,
+       CAST(max(s.sz) AS BIGINT) AS largest_scc,
+       CAST(max(c.big_cyc) + coalesce(max(l.self_cyc), 0) AS BIGINT)
+         AS cyclic_nodes
+FROM icsz s
+JOIN icnn n ON n.grp = s.grp
+JOIN ice e ON e.grp = s.grp
+JOIN iccyc c ON c.grp = s.grp
+LEFT JOIN icself1 l ON l.grp = s.grp
+GROUP BY 1, 2, 3
+"""

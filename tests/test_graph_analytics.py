@@ -782,3 +782,33 @@ def test_diameter_double_sweep_exact_on_path(spark):
     # hop cap clamps honestly: max_hops=2 on the same path reports 2
     r2 = diameter_double_sweep(edges, ents, max_hops=2).collect()[0]
     assert r2.ecc1 == 2 and r2.diameter_lb == 2
+
+
+def test_import_cycles_scc_detection(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import import_cycles
+
+    triples = spark.createDataFrame(
+        [
+            # r1: cycle a->b->c->a plus tail c->d; self-loop e->e
+            ("d1", "a", "E", "R", "b", "E"),
+            ("d1", "b", "E", "R", "c", "E"),
+            ("d1", "c", "E", "R", "a", "E"),
+            ("d1", "c", "E", "R", "d", "E"),
+            ("d2", "e", "E", "R", "e", "E"),
+            # r2: pure DAG x->y->z — no cycles
+            ("d3", "x", "E", "R", "y", "E"),
+            ("d3", "y", "E", "R", "z", "E"),
+        ],
+        "doc_id string, subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string",
+    )
+    docs = spark.createDataFrame(
+        [("d1", "r1"), ("d2", "r1"), ("d3", "r2")], "doc_id string, repo string"
+    )
+    out = {r.repo: r for r in import_cycles(triples, docs).collect()}
+    r1 = out["r1"]
+    # SCCs: {a,b,c}, {d}, {e}; cyclic = 3 (the triangle) + 1 (self-loop e)
+    assert (r1.n_nodes, r1.n_edges, r1.n_sccs, r1.largest_scc) == (5, 5, 3, 3)
+    assert r1.cyclic_nodes == 4
+    r2 = out["r2"]
+    assert (r2.n_sccs, r2.largest_scc, r2.cyclic_nodes) == (3, 1, 0)
