@@ -888,6 +888,41 @@ def q_burst_windows(spark, sf_dir):
     return burst_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over the driver's warehouse tables: pushdown +
+    map-side partial agg, integer-cent money arithmetic."""
+    from .operators.warehouse import pricing_summary
+
+    return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: broadcast customer dim + fact-fact join +
+    TakeOrdered top-10 by integer revenue."""
+    from .operators.warehouse import shipping_priority
+
+    return shipping_priority(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star-join chain with every dimension broadcast;
+    the only wide shuffle is the fact-fact join."""
+    from .operators.warehouse import regional_revenue
+
+    return regional_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -2058,6 +2093,9 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "incremental_vocab": q_incremental_vocab,
     "sessionization": q_sessionization,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,

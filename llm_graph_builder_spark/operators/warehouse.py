@@ -1,0 +1,157 @@
+"""Relational-warehouse query family over the TPC-H-shaped driver tables.
+
+The driver synthesizes classic warehouse tables (lineitem/orders/customer/
+supplier/nation/region/part) alongside the document corpus; this module
+exercises them with the three canonical shapes a general-purpose Spark
+analytics engine must get right — and whose physical plans are the textbook
+audit points:
+
+  * ``pricing_summary``   (TPC-H Q1 shape): scan-heavy group-aggregate —
+    predicate pushdown to the parquet scan + map-side partial aggregation;
+    zero joins, one exchange at the 4-group grain.
+  * ``shipping_priority`` (Q3 shape): selective fact-fact join with a
+    BROADCAST dimension (customer segment filter) + TakeOrdered top-10.
+  * ``regional_revenue``  (Q5 shape): star-join chain where every dimension
+    is broadcast and the only wide shuffle is the orders⋈lineitem fact join.
+
+All money arithmetic is INTEGER CENTS (prices/discounts/taxes are 2-decimal
+by construction): round(x·100) per ROW, then BIGINT sums — engine-portable
+bit-for-bit, unlike double sums whose partial-aggregation ORDER differs
+between Spark and a single-threaded oracle. Revenue units are cent·percent
+(ep_c · (100 − disc_pct)) so no division ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> "F.Column":
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Q1 shape: per (returnflag, linestatus) integer-exact pricing rollup
+    over lineitems shipped on or before ``cutoff``.
+
+    Output: (l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2,
+    sum_disc_e4, sum_charge_e6, avg_qty_e2, count_order).
+    """
+    li = lineitem.filter(
+        F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("ep_c"),
+        _cents("l_discount").alias("d_p"),
+        _cents("l_tax").alias("t_p"),
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").cast("long").alias("sum_qty_e2"),
+            F.sum("ep_c").cast("long").alias("sum_base_e2"),
+            F.sum(F.col("ep_c") * (F.lit(100) - F.col("d_p")))
+            .cast("long")
+            .alias("sum_disc_e4"),
+            F.sum(
+                F.col("ep_c")
+                * (F.lit(100) - F.col("d_p"))
+                * (F.lit(100) + F.col("t_p"))
+            )
+            .cast("long")
+            .alias("sum_charge_e6"),
+            F.expr("sum(qty_c) div count(*)").cast("long").alias("avg_qty_e2"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-03-15",
+    top: int = 10,
+) -> DataFrame:
+    """Q3 shape: top unshipped orders by revenue for one market segment.
+    The customer dimension is explicitly broadcast; the final top-10 is a
+    TakeOrderedAndProject, never a global sort.
+
+    Output: (l_orderkey, revenue_e4, o_orderdate, o_orderpriority).
+    """
+    d = F.lit(date).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < d).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > d).select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(top)
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+    )
+
+
+def regional_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Q5 shape: per-nation revenue where the customer and the supplier sit
+    in the same nation of one region, for a one-year order window. Every
+    dimension (region→nation→customer, supplier) is broadcast; the single
+    wide shuffle is the orders⋈lineitem fact join.
+
+    Output: (n_name, revenue_e4).
+    """
+    nat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nk"), "n_name")
+    supp = supplier.join(
+        F.broadcast(nat.select("n_nationkey")),
+        supplier.s_nationkey == nat.n_nationkey,
+    ).select("s_suppkey", F.col("s_nationkey").alias("s_nk"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nk") == F.col("s_nk"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("long").alias("revenue_e4"))
+    )

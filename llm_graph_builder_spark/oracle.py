@@ -4727,3 +4727,60 @@ JOIN iccyc c ON c.grp = s.grp
 LEFT JOIN icself1 l ON l.grp = s.grp
 GROUP BY 1, 2, 3
 """
+
+
+# mirrors the operators/warehouse.py family over the TPC-H-shaped tables:
+# integer-CENT money arithmetic per row (round(x*100)) so BIGINT sums are
+# engine-portable regardless of partial-aggregation order
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(ep_c) AS BIGINT) AS sum_base_e2,
+       CAST(sum(ep_c * (100 - d_p)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(ep_c * (100 - d_p) * (100 + t_p)) AS BIGINT) AS sum_charge_e6,
+       CAST(sum(qty_c) // count(*) AS BIGINT) AS avg_qty_e2,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d_p,
+         CAST(round(l_tax * 100) AS BIGINT) AS t_p
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+) GROUP BY 1, 2
+"""
+
+ORACLE_SQL["shipping_priority"] = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 3, 4
+ORDER BY revenue_e4 DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["regional_revenue"] = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""

@@ -133,3 +133,40 @@ def test_lp_training_pairs_no_global_node_window(spark):
     for line in plan.splitlines():
         if "row_number" in line and "windowpartition" in line.lower():
             assert "bucket" in line  # partitioned by the md5 byte bucket
+
+
+def test_warehouse_family_plan_shapes(spark):
+    from llm_graph_builder_spark.operators.warehouse import (
+        pricing_summary,
+        regional_revenue,
+        shipping_priority,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # Q1: the shipdate filter reaches the scan; one partial/final agg pair
+    p1 = _plan(pricing_summary(li))
+    assert "PushedFilters" in p1 and "l_shipdate" in p1.split("PushedFilters", 1)[1][:200]
+    assert "partial_sum" in p1
+    # Q3: customer dim broadcast + TakeOrdered top-10 (no global sort)
+    p3 = _plan(
+        shipping_priority(
+            li,
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            spark.read.parquet(f"{SF}/customer.parquet"),
+        )
+    )
+    assert "BroadcastHashJoin" in p3 and "TakeOrderedAndProject" in p3
+    # Q5: every dimension broadcast — exactly ONE wide (non-broadcast)
+    # shuffle join pair for orders⋈lineitem
+    p5 = _plan(
+        regional_revenue(
+            li,
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            spark.read.parquet(f"{SF}/supplier.parquet"),
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            spark.read.parquet(f"{SF}/region.parquet"),
+        )
+    )
+    assert p5.count("BroadcastHashJoin") >= 3
+    assert p5.count("SortMergeJoin") + p5.count("ShuffledHashJoin") <= 1
