@@ -923,6 +923,39 @@ def q_regional_revenue(spark, sf_dir):
     )
 
 
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join, per-priority counts."""
+    from .operators.warehouse import late_shipment_priority
+
+    return late_shipment_priority(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer join + double aggregation histogram
+    (zero-order customers included)."""
+    from .operators.warehouse import customer_order_distribution
+
+    return customer_order_distribution(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-HAVING on the fact table first,
+    then broadcast enrich + TakeOrdered."""
+    from .operators.warehouse import large_volume_customers
+
+    return large_volume_customers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -2096,6 +2129,9 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
+    "late_shipment_priority": q_late_shipment_priority,
+    "customer_order_distribution": q_customer_order_distribution,
+    "large_volume_customers": q_large_volume_customers,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,

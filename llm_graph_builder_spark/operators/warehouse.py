@@ -155,3 +155,99 @@ def regional_revenue(
         .groupBy("n_name")
         .agg(F.sum("rev").cast("long").alias("revenue_e4"))
     )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-07-01",
+    date_to: str = "1996-10-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """Q4 shape: per-priority count of one quarter's orders having at least
+    one lineitem shipped more than ``late_days`` after the order date —
+    the canonical EXISTS → LEFT-SEMI join (the fact side is never
+    duplicated by the multi-lineitem match, no distinct needed).
+
+    Output: (o_orderpriority, order_count).
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (li.l_orderkey == ords.o_orderkey)
+        & (
+            li.l_shipdate
+            > ords.o_orderdate + F.expr(f"interval {late_days} days")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+def customer_order_distribution(
+    orders: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Q13 shape: the distribution of orders-per-customer INCLUDING the
+    zero-order customers — the left-outer join + double aggregation whose
+    naive inner-join version silently drops the most interesting bucket.
+
+    Output: (c_count, custdist) — custdist customers have c_count orders.
+    """
+    per = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty_e2: int = 30000,
+    top: int = 20,
+) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds the threshold, with
+    their customer — aggregate-then-HAVING on the fact table FIRST (the
+    filter collapses the fact side before any join), then broadcast-enrich
+    and TakeOrdered.
+
+    Output: (c_name, o_orderkey, o_orderdate, total_qty_e2).
+    """
+    big = (
+        lineitem.select("l_orderkey", _cents("l_quantity").alias("qty_c"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty_c").cast("long").alias("total_qty_e2"))
+        .filter(F.col("total_qty_e2") > min_qty_e2)
+    )
+    return (
+        big.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            big.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .orderBy(
+            F.desc("total_qty_e2"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(top)
+        .select("c_name", F.col("l_orderkey").alias("o_orderkey"),
+                "o_orderdate", "total_qty_e2")
+    )

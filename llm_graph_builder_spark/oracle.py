@@ -4784,3 +4784,39 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
 """
+
+
+ORACLE_SQL["late_shipment_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+ORACLE_SQL["customer_order_distribution"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+) GROUP BY 1
+"""
+
+ORACLE_SQL["large_volume_customers"] = """
+SELECT c.c_name, b.l_orderkey AS o_orderkey, o.o_orderdate, b.total_qty_e2
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS total_qty_e2
+  FROM lineitem GROUP BY 1
+  HAVING total_qty_e2 > 30000
+) b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY b.total_qty_e2 DESC, o.o_orderdate ASC, b.l_orderkey ASC
+LIMIT 20
+"""
