@@ -393,6 +393,33 @@ def main():
         "countmin_sketch",
     )
 
+    from llm_graph_builder_spark.operators.warehouse import (
+        pricing_summary,
+        regional_revenue,
+    )
+
+    # relational-warehouse story over the TPC-H-shaped tables: Q1 pushdown +
+    # partial agg; Q5 broadcast star join (one wide fact-fact shuffle)
+    wh = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    }
+    best_of(
+        lambda: pricing_summary(wh["lineitem"]).write.mode("overwrite").parquet(
+            f"{out_dir}/q1"
+        ),
+        "pricing_summary",
+    )
+    best_of(
+        lambda: regional_revenue(
+            wh["lineitem"], wh["orders"], wh["customer"],
+            wh["supplier"], wh["nation"], wh["region"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/q5"),
+        "regional_revenue",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
