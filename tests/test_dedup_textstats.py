@@ -1721,3 +1721,34 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert {
         (r.cause_id, r.effect_id): r.lag_sec for r in static.collect()
     } == got
+
+
+def test_pricing_summary_integer_cents_hand_computed(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.warehouse import pricing_summary
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 2.0, 10.00, 0.05, 0.10, "A", "F",
+             datetime(1998, 1, 1)),
+            (1, 1, 1, 2, 3.0, 20.00, 0.00, 0.00, "A", "F",
+             datetime(1998, 2, 1)),
+            # after the cutoff → excluded
+            (2, 1, 1, 1, 9.0, 99.00, 0.01, 0.01, "A", "F",
+             datetime(1999, 1, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    r = pricing_summary(li).collect()
+    assert len(r) == 1
+    row = r[0]
+    # cents: qty 200+300; base 1000+2000; disc 1000*95 + 2000*100;
+    # charge 1000*95*110 + 2000*100*100
+    assert (row.sum_qty_e2, row.sum_base_e2) == (500, 3000)
+    assert row.sum_disc_e4 == 1000 * 95 + 2000 * 100
+    assert row.sum_charge_e6 == 1000 * 95 * 110 + 2000 * 100 * 100
+    assert (row.avg_qty_e2, row.count_order) == (250, 2)
