@@ -956,6 +956,17 @@ def q_large_volume_customers(spark, sf_dir):
     )
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregate: revenue by (priority, returnflag) + subtotals +
+    grand total in one pass (grouping_id surfaced as lvl)."""
+    from .operators.warehouse import revenue_rollup
+
+    return revenue_rollup(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -2132,6 +2143,7 @@ QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
     "customer_order_distribution": q_customer_order_distribution,
     "large_volume_customers": q_large_volume_customers,
+    "revenue_rollup": q_revenue_rollup,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,

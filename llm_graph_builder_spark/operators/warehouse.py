@@ -251,3 +251,48 @@ def large_volume_customers(
         .select("c_name", F.col("l_orderkey").alias("o_orderkey"),
                 "o_orderdate", "total_qty_e2")
     )
+
+
+def revenue_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """Multi-level aggregate via ROLLUP: revenue by (order priority, return
+    flag) with per-priority subtotals and the grand total in ONE pass —
+    Spark's partial-aggregate rollup expansion vs a per-level UNION of
+    separate scans (which would read the fact table three times).
+
+    ``lvl`` is the grouping_id (0 = leaf, 1 = priority subtotal, 3 = grand
+    total); NULL group keys on subtotal rows are surfaced as 'ALL' so the
+    driver's hash compare is NULL-unambiguous.
+
+    Output: (o_orderpriority, l_returnflag, lvl, revenue_e4, n_items).
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    j = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.rollup("o_orderpriority", "l_returnflag")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.sum("rev").cast("long").alias("revenue_e4"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            "lvl",
+            "revenue_e4",
+            "n_items",
+        )
+    )

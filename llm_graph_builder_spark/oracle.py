@@ -4820,3 +4820,17 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY b.total_qty_e2 DESC, o.o_orderdate ASC, b.l_orderkey ASC
 LIMIT 20
 """
+
+
+ORACLE_SQL["revenue_rollup"] = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       CAST(grouping(o_orderpriority) * 2 + grouping(l_returnflag)
+            AS BIGINT) AS lvl,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+"""
