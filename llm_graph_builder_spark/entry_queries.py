@@ -1785,6 +1785,15 @@ def q_import_cycles(spark, sf_dir):
     return import_cycles(t["triples"], t["docs"])
 
 
+def q_build_layers(spark, sf_dir):
+    """Per-repo build-order depth: SCC condensation + longest-path layers
+    (critical build depth, max parallelism width)."""
+    from .operators.graph_analytics import build_layers
+
+    t = pipeline_tables(spark, sf_dir)
+    return build_layers(t["triples"], t["docs"])
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club connectivity of the top-10 hubs (one-row structural
     summary, integer e6)."""
@@ -2094,6 +2103,7 @@ QUERIES = {
     "rich_club": q_rich_club,
     "grouped_components": q_grouped_components,
     "import_cycles": q_import_cycles,
+    "build_layers": q_build_layers,
     "wl_colors": q_wl_colors,
     "diameter_estimate": q_diameter_estimate,
     "related_entities": q_related_entities,

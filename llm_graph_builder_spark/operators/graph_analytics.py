@@ -2251,3 +2251,111 @@ def import_cycles(
         .applyInPandas(solve, schema)
         .withColumnRenamed("grp", group_col)
     )
+
+
+def build_layers(
+    triples: DataFrame,
+    docs: DataFrame,
+    group_col: str = "repo",
+) -> DataFrame:
+    """Per-repo build-order layering: condense each repo's dependency graph
+    by SCC (cycles collapse into one build unit — the `import_cycles`
+    complement), then assign every unit its longest-path layer (layer 0 =
+    no prerequisites; layer k = some prerequisite sits at k−1). n_layers is
+    the repo's critical build depth; widest_layer its max parallelism.
+
+    Same "many small graphs" contract as :func:`grouped_components`: one
+    ``applyInPandas`` task per repo (iterative Kosaraju + topological
+    longest-path — both linear), one shuffle total.
+
+    Output: (group, n_sccs, n_layers, widest_layer).
+    """
+    import pandas as pd
+
+    rep = docs.select("doc_id", F.col(group_col).alias("grp"))
+    edges = (
+        triples.join(rep, on="doc_id")
+        .select(
+            "grp",
+            F.concat_ws("\x01", "subj_id", "subj_label").alias("u"),
+            F.concat_ws("\x01", "obj_id", "obj_label").alias("v"),
+        )
+        .dropDuplicates()
+    )
+
+    schema = "grp string, n_sccs long, n_layers long, widest_layer long"
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        fwd: dict = {}
+        rev: dict = {}
+        for u, v in zip(pdf["u"], pdf["v"]):
+            fwd.setdefault(u, []).append(v)
+            fwd.setdefault(v, [])
+            rev.setdefault(v, []).append(u)
+            rev.setdefault(u, [])
+        seen: set = set()
+        order: list = []
+        for s in fwd:
+            if s in seen:
+                continue
+            stack = [(s, iter(fwd[s]))]
+            seen.add(s)
+            while stack:
+                node, it = stack[-1]
+                nxt = next((x for x in it if x not in seen), None)
+                if nxt is None:
+                    order.append(node)
+                    stack.pop()
+                else:
+                    seen.add(nxt)
+                    stack.append((nxt, iter(fwd[nxt])))
+        scc: dict = {}
+        for s in reversed(order):
+            if s in scc:
+                continue
+            stack = [s]
+            scc[s] = s
+            while stack:
+                node = stack.pop()
+                for w in rev[node]:
+                    if w not in scc:
+                        scc[w] = s
+                        stack.append(w)
+        # condensed DAG
+        cfwd: dict = {scc[x]: set() for x in fwd}
+        indeg: dict = {c: 0 for c in cfwd}
+        for u, vs in fwd.items():
+            for v in vs:
+                cu, cv = scc[u], scc[v]
+                if cu != cv and cv not in cfwd[cu]:
+                    cfwd[cu].add(cv)
+                    indeg[cv] += 1
+        # longest-path layering in topological order
+        layer = {c: 0 for c, d in indeg.items() if d == 0}
+        queue = list(layer)
+        while queue:
+            c = queue.pop()
+            for w in cfwd[c]:
+                layer[w] = max(layer.get(w, 0), layer[c] + 1)
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    queue.append(w)
+        width: dict = {}
+        for c, l in layer.items():
+            width[l] = width.get(l, 0) + 1
+        return pd.DataFrame(
+            [
+                {
+                    "grp": pdf["grp"].iloc[0],
+                    "n_sccs": len(cfwd),
+                    "n_layers": (max(layer.values()) + 1) if layer else 0,
+                    "widest_layer": max(width.values()) if width else 0,
+                }
+            ]
+        )
+
+    return (
+        edges.groupBy("grp")
+        .applyInPandas(solve, schema)
+        .withColumnRenamed("grp", group_col)
+    )

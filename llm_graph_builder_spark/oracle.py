@@ -4834,3 +4834,64 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 """
+
+
+# mirrors q_build_layers / graph_analytics.build_layers: SCC condensation
+# (reusing the import_cycles mutual-reachability labels) then longest-path
+# layers via recursive path extension — safe to enumerate because the
+# condensation is a DAG and tiny at oracle scale
+ORACLE_SQL["build_layers"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, bld AS MATERIALIZED (
+  SELECT DISTINCT d.repo AS grp,
+         t.subj_id || chr(1) || t.subj_label AS u,
+         t.obj_id || chr(1) || t.obj_label AS v
+  FROM triples t JOIN docs d ON d.doc_id = t.doc_id
+),
+bln AS MATERIALIZED (
+  SELECT DISTINCT grp, node FROM (
+    SELECT grp, u AS node FROM bld UNION ALL SELECT grp, v FROM bld
+  )
+),
+blreach(grp, src, dst) AS (
+  SELECT grp, node, node FROM bln
+  UNION
+  SELECT r.grp, r.src, e.v
+  FROM blreach r JOIN bld e ON e.grp = r.grp AND e.u = r.dst
+),
+blmut AS MATERIALIZED (
+  SELECT a.grp, a.src AS u, min(a.dst) AS scc
+  FROM blreach a JOIN blreach b
+    ON b.grp = a.grp AND b.src = a.dst AND b.dst = a.src
+  GROUP BY 1, 2
+),
+blce AS MATERIALIZED (
+  SELECT DISTINCT e.grp, mu.scc AS src, mv.scc AS dst
+  FROM bld e
+  JOIN blmut mu ON mu.grp = e.grp AND mu.u = e.u
+  JOIN blmut mv ON mv.grp = e.grp AND mv.u = e.v
+  WHERE mu.scc <> mv.scc
+),
+blsccs AS MATERIALIZED (SELECT DISTINCT grp, scc FROM blmut),
+blpaths(grp, scc, l) AS (
+  SELECT grp, scc, 0 FROM blsccs
+  UNION
+  SELECT e.grp, e.dst, p.l + 1
+  FROM blpaths p JOIN blce e ON e.grp = p.grp AND e.src = p.scc
+),
+bllayer AS MATERIALIZED (
+  SELECT grp, scc, CAST(max(l) AS BIGINT) AS layer
+  FROM blpaths GROUP BY 1, 2
+),
+blwidth AS (
+  SELECT grp, layer, count(*) AS w FROM bllayer GROUP BY 1, 2
+)
+SELECT s.grp AS repo,
+       CAST(count(*) AS BIGINT) AS n_sccs,
+       CAST(max(s.layer) + 1 AS BIGINT) AS n_layers,
+       CAST(max(w.mw) AS BIGINT) AS widest_layer
+FROM bllayer s
+JOIN (SELECT grp, max(w) AS mw FROM blwidth GROUP BY 1) w ON w.grp = s.grp
+GROUP BY 1
+"""

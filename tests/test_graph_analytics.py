@@ -812,3 +812,24 @@ def test_import_cycles_scc_detection(spark):
     assert r1.cyclic_nodes == 4
     r2 = out["r2"]
     assert (r2.n_sccs, r2.largest_scc, r2.cyclic_nodes) == (3, 1, 0)
+
+
+def test_build_layers_condensed_longest_path(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import build_layers
+
+    triples = spark.createDataFrame(
+        [
+            # r1: cycle {a,b} → c → d; e isolated-ish (only e->c)
+            ("d1", "a", "E", "R", "b", "E"),
+            ("d1", "b", "E", "R", "a", "E"),
+            ("d1", "b", "E", "R", "c", "E"),
+            ("d1", "c", "E", "R", "d", "E"),
+            ("d1", "e", "E", "R", "c", "E"),
+        ],
+        "doc_id string, subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string",
+    )
+    docs = spark.createDataFrame([("d1", "r1")], "doc_id string, repo string")
+    r = build_layers(triples, docs).collect()[0]
+    # condensation: {a,b}, {c}, {d}, {e}; layers: {ab}=0,{e}=0 → c=1 → d=2
+    assert (r.n_sccs, r.n_layers, r.widest_layer) == (4, 3, 2)
