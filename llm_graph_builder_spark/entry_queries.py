@@ -1794,6 +1794,15 @@ def q_build_layers(spark, sf_dir):
     return build_layers(t["triples"], t["docs"])
 
 
+def q_ktruss(spark, sf_dir):
+    """k-truss (k=4) edge membership via bounded-round support peeling;
+    oracle unrolls the identical rounds."""
+    from .operators.graph_analytics import ktruss
+
+    t = pipeline_tables(spark, sf_dir)
+    return ktruss(t["entity_edges"], k=4, rounds=3)
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club connectivity of the top-10 hubs (one-row structural
     summary, integer e6)."""
@@ -2104,6 +2113,7 @@ QUERIES = {
     "grouped_components": q_grouped_components,
     "import_cycles": q_import_cycles,
     "build_layers": q_build_layers,
+    "ktruss": q_ktruss,
     "wl_colors": q_wl_colors,
     "diameter_estimate": q_diameter_estimate,
     "related_entities": q_related_entities,

@@ -2359,3 +2359,86 @@ def build_layers(
         .applyInPandas(solve, schema)
         .withColumnRenamed("grp", group_col)
     )
+
+
+def ktruss(
+    entity_edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+) -> DataFrame:
+    """k-truss edge membership via bounded-round support peeling: each
+    round computes every edge's triangle support and drops edges supported
+    by fewer than ``k − 2`` triangles (the cohesive-subgraph standard one
+    notch stronger than k-core — an edge must sit in enough triangles, not
+    just touch enough neighbors). Exact k-truss once the peel converges
+    within ``rounds``; both engines run the identical fixed rounds, so the
+    value check holds at any rounds setting (post-fixpoint rounds are
+    identity — the kcore/LPA argument).
+
+    Scale shape per round: the degree-ordered wedge join from
+    ``triangle_counts`` (hub-safe fan-out bounded by graph degeneracy),
+    one explode to the 3 canonical edges, one support aggregation, one
+    inner join to drop weak edges. The oracle enumerates the same triangle
+    SET via key-ordered wedges — orientation changes cost, never the set.
+
+    Output: (src, dst, support) — surviving edges with their support on
+    the FINAL edge set (≥ k−2 once converged).
+    """
+    def support(cur: DataFrame) -> DataFrame:
+        deg = degree_table(cur)
+        du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+        ranked = cur.join(du, on="u").join(dv, on="v")
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented, _ = materialize(
+            ranked.select(
+                F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+                F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            )
+        )
+        e1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("x"))
+        e2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("y"))
+        wedges = e1.join(e2, on="apex").filter(F.col("x") < F.col("y"))
+        closing = oriented.select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        ).dropDuplicates(["x", "y"])
+        tris = wedges.join(closing, on=["x", "y"])
+        e3 = (
+            tris.select(
+                F.least("apex", "x").alias("u"), F.greatest("apex", "x").alias("v")
+            )
+            .unionByName(
+                tris.select(
+                    F.least("apex", "y").alias("u"),
+                    F.greatest("apex", "y").alias("v"),
+                )
+            )
+            .unionByName(
+                tris.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            )
+        )
+        return e3.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("support")
+        )
+
+    cur, n_cur = materialize(simple_undirected(entity_edges))
+    for _ in range(rounds):
+        supp = support(cur)
+        nxt = cur.join(
+            supp.filter(F.col("support") >= k - 2).select("u", "v"),
+            on=["u", "v"],
+            how="left_semi",
+        )
+        nxt, n_nxt = materialize(nxt, previous=cur)
+        if n_nxt == n_cur:
+            cur, n_cur = nxt, n_nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    final = cur.join(support(cur), on=["u", "v"], how="left").na.fill(
+        {"support": 0}
+    )
+    return final.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "support"
+    )

@@ -4895,3 +4895,47 @@ FROM bllayer s
 JOIN (SELECT grp, max(w) AS mw FROM blwidth GROUP BY 1) w ON w.grp = s.grp
 GROUP BY 1
 """
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled bounded-round truss peel mirror (graph_analytics.ktruss):
+    key-ordered triangle enumeration (same triangle SET as the engine's
+    degree-ordered wedges), canonical-edge support counts, inner-join drop
+    per round, final-survivor support via LEFT join."""
+    sup = """
+, ts{i} AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT t.a AS u, t.b AS v FROM tt{j} t
+    UNION ALL SELECT t.a, t.c FROM tt{j} t
+    UNION ALL SELECT t.b, t.c FROM tt{j} t
+  ) GROUP BY 1, 2
+)"""
+    tri = """
+, tt{i} AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM te{j} x
+  JOIN te{j} y ON y.u = x.u AND y.v > x.v
+  JOIN te{j} z ON z.u = x.v AND z.v = y.v
+)"""
+    parts = [_UND_CTE + """,
+te0 AS MATERIALIZED (SELECT u, v FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(tri.format(i=i, j=i - 1))
+        parts.append(sup.format(i=i, j=i))
+        parts.append(f""",
+te{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM te{i - 1} e
+  JOIN ts{i} s ON s.u = e.u AND s.v = e.v AND s.support >= {k - 2}
+)""")
+    parts.append(tri.format(i=rounds + 1, j=rounds))
+    parts.append(sup.format(i=rounds + 1, j=rounds + 1))
+    parts.append(f"""
+SELECT e.u AS src, e.v AS dst,
+       CAST(coalesce(s.support, 0) AS BIGINT) AS support
+FROM te{rounds} e
+LEFT JOIN ts{rounds + 1} s ON s.u = e.u AND s.v = e.v
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+ORACLE_SQL["ktruss"] = _ktruss_sql()

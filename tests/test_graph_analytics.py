@@ -833,3 +833,27 @@ def test_build_layers_condensed_longest_path(spark):
     r = build_layers(triples, docs).collect()[0]
     # condensation: {a,b}, {c}, {d}, {e}; layers: {ab}=0,{e}=0 → c=1 → d=2
     assert (r.n_sccs, r.n_layers, r.widest_layer) == (4, 3, 2)
+
+
+def test_ktruss_peels_tail_and_keeps_clique(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import ktruss
+
+    # K4 on {a,b,c,d} (every edge in 2 triangles) + tail d-e (0 triangles)
+    # + triangle {e,f,g} (support 1 each)
+    edges = _edges(spark, [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("e", "g"), ("f", "g"),
+    ])
+    out = {(r.src, r.dst): r.support for r in ktruss(edges, k=4, rounds=3).collect()}
+    key = lambda a, b: (f"{a}\x01E", f"{b}\x01E")
+    # 4-truss (support >= 2): exactly the K4 survives, each edge support 2
+    assert set(out) == {
+        key("a", "b"), key("a", "c"), key("a", "d"),
+        key("b", "c"), key("b", "d"), key("c", "d"),
+    }
+    assert all(s == 2 for s in out.values())
+    # 3-truss (support >= 1) additionally keeps the e-f-g triangle but
+    # still peels the bridge d-e (it closes no triangle)
+    out3 = {(r.src, r.dst) for r in ktruss(edges, k=3, rounds=3).collect()}
+    assert key("e", "f") in out3 and key("f", "g") in out3
+    assert key("d", "e") not in out3
