@@ -842,6 +842,16 @@ def q_kmv_sketch(spark, sf_dir):
     return kmv_distinct_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transitions over per-user event sequences
+    (one user-hash exchange, |types|²-bounded output, integer shares)."""
+    from .operators.sessions import event_transitions
+
+    return event_transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_countmin_sketch(spark, sf_dir):
     """Count-min sketch per-user frequency estimates (d=4, w=256) with the
     exact count probe on the top-20 users — bounded d·w sketch grid,
@@ -2171,6 +2181,7 @@ QUERIES = {
     "session_range_join": q_session_range_join,
     "kmv_sketch": q_kmv_sketch,
     "countmin_sketch": q_countmin_sketch,
+    "event_transitions": q_event_transitions,
     "event_rates": q_event_rates,
     "sequence_packing": q_sequence_packing,
     "shard_plan": q_shard_plan,

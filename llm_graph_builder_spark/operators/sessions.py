@@ -523,3 +523,54 @@ def countmin_heavy_hitters(
         (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overest"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts of consecutive (from_type → to_type) steps and integer-exact row
+    shares — the behavioral-model summary (what follows a search? how often
+    does an error end the sequence?) that a 100 TB event log reduces to a
+    |types|² table.
+
+    Scale shape: ONE user-hash exchange feeds the lag window (the same
+    single-exchange discipline as ``sessionize``), then a map-side-combined
+    pair count whose output is bounded by |types|²; the row totals reuse the
+    pair table (types² rows), never the event log. prob_e6 = cnt·10⁶ div
+    row total (toward-zero integer division — portable).
+
+    Output: (from_type, to_type, cnt, prob_e6).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        _ntz_micros(F.col(ts_col)), F.col(order_tiebreak)
+    )
+    steps = (
+        events.select(
+            user_col,
+            ts_col,
+            order_tiebreak,
+            F.col(type_col).alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    cnt = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("cnt").alias("total"))
+    return (
+        cnt.join(F.broadcast(tot), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "cnt",
+            F.expr("cnt * 1000000 div total").cast("long").alias("prob_e6"),
+        )
+    )

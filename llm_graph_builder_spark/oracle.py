@@ -4939,3 +4939,24 @@ LEFT JOIN ts{rounds + 1} s ON s.u = e.u AND s.v = e.v
 
 
 ORACLE_SQL["ktruss"] = _ktruss_sql()
+
+
+# mirrors q_event_transitions / sessions.event_transitions: per-user lag
+# pairs ordered by (epoch_us, event_id), integer-exact row shares
+ORACLE_SQL["event_transitions"] = """
+WITH ets AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS from_type
+  FROM events
+),
+etc AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM ets WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+ett AS (SELECT from_type, sum(cnt) AS total FROM etc GROUP BY 1)
+SELECT c.from_type, c.to_type, c.cnt,
+       CAST(c.cnt * 1000000 // t.total AS BIGINT) AS prob_e6
+FROM etc c JOIN ett t ON t.from_type = c.from_type
+"""

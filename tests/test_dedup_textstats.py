@@ -1752,3 +1752,31 @@ def test_pricing_summary_integer_cents_hand_computed(spark):
     assert row.sum_disc_e4 == 1000 * 95 + 2000 * 100
     assert row.sum_charge_e6 == 1000 * 95 * 110 + 2000 * 100 * 100
     assert (row.avg_qty_e2, row.count_order) == (250, 2)
+
+
+def test_event_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.sessions import event_transitions
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), "u1", "view", 1.0, "{}"),
+            (2, t(1), "u1", "click", 1.0, "{}"),
+            (3, t(2), "u1", "view", 1.0, "{}"),
+            (4, t(0), "u2", "view", 1.0, "{}"),
+            (5, t(1), "u2", "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    out = {(r.from_type, r.to_type): (r.cnt, r.prob_e6)
+           for r in event_transitions(ev).collect()}
+    # u1: view→click, click→view; u2: view→view.
+    # from view: click 1, view 1 → 500000 each; from click: view 1 → 1e6
+    assert out == {
+        ("view", "click"): (1, 500000),
+        ("view", "view"): (1, 500000),
+        ("click", "view"): (1, 1000000),
+    }
