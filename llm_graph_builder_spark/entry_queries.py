@@ -977,6 +977,127 @@ def q_revenue_rollup(spark, sf_dir):
     )
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: self-aliased nation dim (supplier role + customer
+    role), symmetric cross-pair predicate, per-ship-year revenue."""
+    from .operators.warehouse import volume_shipping
+
+    return volume_shipping(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: one-quarter returned-lineitem revenue per customer,
+    broadcast nation enrich, TakeOrdered top-20."""
+    from .operators.warehouse import returned_item_revenue
+
+    return returned_item_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation (CASE inside sum) over one
+    pass; staged-integer promo share."""
+    from .operators.warehouse import promo_revenue_share
+
+    return promo_revenue_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-max subquery joined back; ties kept."""
+    from .operators.warehouse import top_supplier_revenue
+
+    return top_supplier_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part class (lineitem
+    as the part↔supplier association; no partsupp in the driver schema)."""
+    from .operators.warehouse import supplier_part_counts
+
+    return supplier_part_counts(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part avg decorrelated into an
+    aggregate-join; division-free quantity comparison."""
+    from .operators.warehouse import small_quantity_revenue
+
+    return small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate evaluated on the
+    broadcast-joined rows in one pass."""
+    from .operators.warehouse import bracket_revenue
+
+    return bracket_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value HAVING against a broadcast global
+    total (multiplication-only threshold)."""
+    from .operators.warehouse import important_parts
+
+    return important_parts(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_inactive_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape: global scalar avg + left-anti join, per-nation
+    rollup of rich order-less customers."""
+    from .operators.warehouse import inactive_customer_balance
+
+    return inactive_customer_balance(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_hll_sketch(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (64 registers, all-integer
+    estimator) per event type with exact-count probe."""
+    from .operators.sessions import hll_distinct_sketch
+
+    return hll_distinct_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the entity graph: integer moment sums over
+    the symmetrized edge list; one mirrored float quotient."""
+    from .operators.graph_analytics import degree_assortativity
+
+    t = pipeline_tables(spark, sf_dir)
+    return degree_assortativity(t["entity_edges"])
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -2174,6 +2295,17 @@ QUERIES = {
     "customer_order_distribution": q_customer_order_distribution,
     "large_volume_customers": q_large_volume_customers,
     "revenue_rollup": q_revenue_rollup,
+    "volume_shipping": q_volume_shipping,
+    "returned_item_revenue": q_returned_item_revenue,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "supplier_part_counts": q_supplier_part_counts,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "bracket_revenue": q_bracket_revenue,
+    "important_parts": q_important_parts,
+    "inactive_customer_balance": q_inactive_customer_balance,
+    "hll_sketch": q_hll_sketch,
+    "degree_assortativity": q_degree_assortativity,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,

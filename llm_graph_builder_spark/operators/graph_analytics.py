@@ -83,6 +83,61 @@ def degree_distribution(entity_edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(entity_edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the entity graph: the Pearson correlation of
+    endpoint degrees over the SYMMETRIZED edge list (each undirected edge
+    contributes both orientations, the networkx/GDS convention). Symmetry
+    makes the two marginals identical (Sx = Sy, Sxx = Syy), so
+
+        r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
+
+    needs NO square root — numerator and denominator are exact BIGINTs
+    (the mergeable moments a 100 TB graph reduces to in one pass), and the
+    only float op is the final one-row e6 quotient, mirrored expression-
+    for-expression in the oracle so the IEEE result is bit-identical.
+
+    Scale shape: degree table (one groupBy), broadcast-free degree join on
+    each endpoint (two hash joins on the edge list), one global moment
+    aggregation. No windows, no iteration.
+
+    Output: one row (m_pairs, sum_x, sum_xy, sum_xx, num, den, r_e6);
+    r_e6 is NULL for degree-regular graphs (den = 0).
+    """
+    und = simple_undirected(entity_edges)
+    deg = degree_table(und)
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dy"))
+    pairs = sym.join(du, on="u").join(dv, on="v")
+    mom = pairs.agg(
+        F.count("*").cast("long").alias("m_pairs"),
+        F.sum("dx").cast("long").alias("sum_x"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sum_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sum_xx"),
+    )
+    return (
+        mom.withColumn(
+            "num",
+            (F.col("m_pairs") * F.col("sum_xy")
+             - F.col("sum_x") * F.col("sum_x")).cast("long"),
+        )
+        .withColumn(
+            "den",
+            (F.col("m_pairs") * F.col("sum_xx")
+             - F.col("sum_x") * F.col("sum_x")).cast("long"),
+        )
+        .withColumn(
+            "r_e6",
+            F.expr(
+                "CASE WHEN den = 0 THEN NULL"
+                " ELSE CAST(floor(num * 1000000.0 / den) AS LONG) END"
+            ),
+        )
+    )
+
+
 def _pagerank_py(
     nodes: list[str],
     edges: list[tuple[str, str, int]],

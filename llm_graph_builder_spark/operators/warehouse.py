@@ -296,3 +296,345 @@ def revenue_rollup(
             "n_items",
         )
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Q7 shape: revenue shipped between two nations, by (supplier nation,
+    customer nation, ship year) — the canonical SELF-ALIASED dimension
+    pattern (nation joined twice, once per role) with a symmetric
+    cross-pair predicate. Both nation roles and both customer/supplier
+    dims are broadcast; the fact-fact orders⋈lineitem join is the one
+    wide shuffle, exactly as in ``regional_revenue``.
+
+    Output: (supp_nation, cust_nation, l_year, revenue_e4).
+    """
+    nat = nation.select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("long").alias("revenue_e4"))
+    )
+
+
+def returned_item_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-10-01",
+    date_to: str = "1997-01-01",
+    top: int = 20,
+) -> DataFrame:
+    """Q10 shape: customers ranked by the revenue they returned in one
+    quarter (l_returnflag = 'R') — selective fact filters FIRST, customer
+    grain aggregation, broadcast nation enrich, TakeOrdered top-k.
+
+    Output: (c_custkey, c_name, n_name, acctbal_c, revenue_e4).
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").cast("long").alias("revenue_e4"))
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select(
+        "c_custkey", "c_name", "n_name", _cents("c_acctbal").alias("acctbal_c")
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(top)
+        .select("c_custkey", "c_name", "n_name", "acctbal_c", "revenue_e4")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """Q14 shape: the share of revenue coming from PROMO-type parts in a
+    window — conditional aggregation (sum(CASE WHEN ...)) over ONE pass of
+    the joined fact, never two scans. The part dim is broadcast. The share
+    is staged-integer: promo·10^6 div total (BIGINT is ample at any SF the
+    e4 sums themselves fit; widen both factors to DECIMAL(38,0) beyond).
+
+    Output: one row (promo_rev_e4, total_rev_e4, promo_share_e6).
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == part.p_partkey,
+    )
+    return (
+        j.agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0))
+            .cast("long")
+            .alias("promo_rev_e4"),
+            F.sum("rev").cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.expr("promo_rev_e4 * 1000000L div total_rev_e4")
+            .cast("long")
+            .alias("promo_share_e6"),
+        )
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Q15 shape: the supplier(s) whose quarterly revenue equals the
+    maximum — aggregate once, broadcast the one-row max back (the
+    view + scalar-subquery pattern), keep ties deterministically.
+
+    Output: (s_suppkey, s_name, revenue_e4), every max-revenue supplier.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+            .alias("rev"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").cast("long").alias("revenue_e4"))
+    )
+    mx = rev.agg(F.max("revenue_e4").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.revenue_e4 == mx.max_rev)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == supplier.s_suppkey,
+        )
+        .select("s_suppkey", "s_name", "revenue_e4")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_brand: str = "Brand#5",
+) -> DataFrame:
+    """Q16 shape: how many distinct suppliers ship each (brand, type, size)
+    part class, excluding one brand — countDistinct over the fact-derived
+    association (the driver schema has no partsupp table; lineitem IS the
+    part↔supplier association), broadcast part dim, NOT-filter pushed to
+    the broadcast side.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt).
+    """
+    pt = part.filter(F.col("p_brand") != exclude_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    assoc = lineitem.select("l_partkey", "l_suppkey").dropDuplicates()
+    return (
+        assoc.join(F.broadcast(pt), assoc.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#3",
+) -> DataFrame:
+    """Q17 shape: total revenue of lineitems whose quantity is below 20 %
+    of their part's average — the correlated scalar aggregate, decorrelated
+    into a per-part aggregate joined back to the fact. The avg comparison
+    is division-free: qty·5·cnt < sum_qty (both BIGINT cents), so the
+    oracle hash-matches without any fixed-point truncation choice.
+
+    Output: one row (sum_ep_e2, n_items).
+    """
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pk), lineitem.l_partkey == pk.p_partkey
+    ).select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("ep_c"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("sum_qty_c"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    small = li.join(per_part, on="l_partkey").filter(
+        F.col("qty_c") * 5 * F.col("cnt") < F.col("sum_qty_c")
+    )
+    return small.agg(
+        F.coalesce(F.sum("ep_c"), F.lit(0)).cast("long").alias("sum_ep_e2"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 shape: revenue under an OR-of-ANDs bracket predicate (brand ×
+    size range × quantity range disjuncts) — the disjunction is evaluated
+    ON the broadcast-joined rows in one pass; each conjunct alone is
+    sargable but their union is not, which is exactly what the shape
+    audits (no triple scan, no union of three joins).
+
+    Output: one row (revenue_e4, n_items).
+    """
+    li = lineitem.select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty_c"),
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    pt = part.select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("qty_c").between(100, 1100))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("qty_c").between(1000, 2000))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("qty_c").between(2000, 3000))
+    )
+    return j.filter(bracket).agg(
+        F.coalesce(F.sum("rev"), F.lit(0)).cast("long").alias("revenue_e4"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    bps: int = 7,
+) -> DataFrame:
+    """Q11 shape: parts whose lineitem revenue exceeds ``bps``/10000 of
+    TOTAL revenue — per-key aggregate HAVING against a one-row global
+    scalar, broadcast back (never a cross join of the full aggregate). The
+    threshold compare is multiplication-only: value·10000 > total·bps.
+
+    Output: (p_partkey, p_name, value_e4) for qualifying parts.
+    """
+    val = (
+        lineitem.select(
+            "l_partkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+            .alias("rev"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("rev").cast("long").alias("value_e4"))
+    )
+    total = val.agg(F.sum("value_e4").cast("long").alias("total_e4"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_e4") * 10000 > F.col("total_e4") * bps)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            val.l_partkey == part.p_partkey,
+        )
+        .select("p_partkey", "p_name", "value_e4")
+    )
+
+
+def inactive_customer_balance(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """Q22 shape: per-nation count and total balance of customers who hold
+    an above-average positive balance yet placed NO orders since ``since``
+    — the global scalar subquery (avg positive balance, integer cents via
+    div) plus the LEFT-ANTI join, the two decorrelation patterns Q22
+    exists to audit. (The driver's synthetic customers all have lifetime
+    orders, so the anti-join is against the recent-order window — same
+    physical shape, non-degenerate result.)
+
+    Output: (n_name, n_cust, total_bal_c).
+    """
+    cust = customer.select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c")
+    )
+    avg_pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.expr("sum(bal_c) div count(*)").cast("long").alias("avg_c")
+    )
+    rich = cust.join(F.broadcast(avg_pos)).filter(
+        F.col("bal_c") > F.col("avg_c")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    no_orders = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            no_orders.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("bal_c").cast("long").alias("total_bal_c"),
+        )
+    )

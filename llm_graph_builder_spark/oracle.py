@@ -4960,3 +4960,240 @@ SELECT c.from_type, c.to_type, c.cnt,
        CAST(c.cnt * 1000000 // t.total AS BIGINT) AS prob_e6
 FROM etc c JOIN ett t ON t.from_type = c.from_type
 """
+
+
+# mirrors q_volume_shipping / warehouse.volume_shipping (Q7 shape):
+# self-aliased nation dim, symmetric cross-pair predicate, ship-year grain
+ORACLE_SQL["volume_shipping"] = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+# mirrors q_returned_item_revenue / warehouse.returned_item_revenue (Q10)
+ORACLE_SQL["returned_item_revenue"] = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_e4 DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+# mirrors q_promo_revenue_share / warehouse.promo_revenue_share (Q14)
+ORACLE_SQL["promo_revenue_share"] = """
+WITH pr AS (
+  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_rev_e4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-07-01'
+)
+SELECT promo_rev_e4, total_rev_e4,
+       CAST(promo_rev_e4 * 1000000 // total_rev_e4 AS BIGINT)
+         AS promo_share_e6
+FROM pr
+"""
+
+# mirrors q_top_supplier_revenue / warehouse.top_supplier_revenue (Q15)
+ORACLE_SQL["top_supplier_revenue"] = """
+WITH sr AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, sr.revenue_e4
+FROM sr
+JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+WHERE sr.revenue_e4 = (SELECT max(revenue_e4) FROM sr)
+"""
+
+# mirrors q_supplier_part_counts / warehouse.supplier_part_counts (Q16
+# shape; lineitem stands in for partsupp in the driver schema)
+ORACLE_SQL["supplier_part_counts"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+GROUP BY 1, 2, 3
+"""
+
+# mirrors q_small_quantity_revenue / warehouse.small_quantity_revenue
+# (Q17 shape): decorrelated per-part avg, division-free comparison
+ORACLE_SQL["small_quantity_revenue"] = """
+WITH li AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#3'
+),
+pp AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT CAST(coalesce(sum(li.ep_c), 0) AS BIGINT) AS sum_ep_e2,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li JOIN pp ON pp.l_partkey = li.l_partkey
+WHERE li.qty_c * 5 * pp.cnt < pp.sum_qty_c
+"""
+
+# mirrors q_bracket_revenue / warehouse.bracket_revenue (Q19 shape):
+# OR-of-ANDs over the joined rows; quantity brackets in CENTS
+ORACLE_SQL["bracket_revenue"] = """
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(round(l.l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1100)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND CAST(round(l.l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 2000)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND CAST(round(l.l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 3000)
+"""
+
+# mirrors q_important_parts / warehouse.important_parts (Q11 shape):
+# per-part value vs a global-total threshold, multiplication-only
+ORACLE_SQL["important_parts"] = """
+WITH val AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS value_e4
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_partkey, p.p_name, v.value_e4
+FROM val v JOIN part p ON p.p_partkey = v.l_partkey
+WHERE v.value_e4 * 10000 > (SELECT sum(value_e4) FROM val) * 7
+"""
+
+# mirrors q_inactive_customer_balance / warehouse.inactive_customer_balance
+# (Q22 shape): integer-cents global avg of positive balances + anti-join
+ORACLE_SQL["inactive_customer_balance"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+ap AS (
+  SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS avg_c
+  FROM cust WHERE bal_c > 0
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(c.bal_c) AS BIGINT) AS total_bal_c
+FROM cust c, ap
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.bal_c > ap.avg_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+# mirrors q_hll_sketch / sessions.hll_distinct_sketch: 64-register HLL,
+# all-integer estimator (common denominator 2^40, alpha at e4)
+ORACLE_SQL["hll_sketch"] = """
+WITH hh AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+reg AS (
+  SELECT grp, h // 18014398509481984 AS j,
+         least(40, 55 - length(bin(h % 18014398509481984))) AS rho
+  FROM hh
+),
+mreg AS (
+  SELECT grp, j, max(rho) AS m_j FROM reg GROUP BY 1, 2
+),
+sums AS (
+  SELECT grp,
+         CAST(sum(1::BIGINT << (40 - m_j))
+              + (64 - count(*)) * (1::BIGINT << 40) AS BIGINT)
+           AS harmonic_sum
+  FROM mreg GROUP BY 1
+),
+exact AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct FROM hh GROUP BY 1
+)
+SELECT e.grp AS event_type, s.harmonic_sum,
+       CAST((4503599627370496 // s.harmonic_sum) * 7183 // 10000 AS BIGINT)
+         AS est_distinct,
+       e.exact_distinct,
+       CAST(abs((4503599627370496 // s.harmonic_sum) * 7183 // 10000
+                - e.exact_distinct) * 10000
+            // greatest(e.exact_distinct, 1) AS BIGINT) AS err_e4
+FROM exact e JOIN sums s ON s.grp = e.grp
+"""
+
+# mirrors q_degree_assortativity / graph_analytics.degree_assortativity:
+# symmetrized endpoint-degree moments (Sx = Sy, Sxx = Syy), integer
+# num/den, ONE mirrored float quotient for r_e6
+ORACLE_SQL["degree_assortativity"] = PIPELINE_CTE + _UND_CTE + """,
+dadeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+dasym AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+dap AS (
+  SELECT du.degree AS dx, dv.degree AS dy
+  FROM dasym s
+  JOIN dadeg du ON du.node = s.u
+  JOIN dadeg dv ON dv.node = s.v
+),
+damom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_pairs,
+         CAST(sum(dx) AS BIGINT) AS sum_x,
+         CAST(sum(dx * dy) AS BIGINT) AS sum_xy,
+         CAST(sum(dx * dx) AS BIGINT) AS sum_xx
+  FROM dap
+)
+SELECT m_pairs, sum_x, sum_xy, sum_xx,
+       CAST(m_pairs * sum_xy - sum_x * sum_x AS BIGINT) AS num,
+       CAST(m_pairs * sum_xx - sum_x * sum_x AS BIGINT) AS den,
+       CASE WHEN m_pairs * sum_xx - sum_x * sum_x = 0 THEN NULL
+            ELSE CAST(floor((m_pairs * sum_xy - sum_x * sum_x) * 1000000.0
+                            / (m_pairs * sum_xx - sum_x * sum_x)) AS BIGINT)
+       END AS r_e6
+FROM damom
+"""

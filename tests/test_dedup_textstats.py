@@ -1780,3 +1780,69 @@ def test_event_transitions_hand_computed(spark):
         ("view", "view"): (1, 500000),
         ("click", "view"): (1, 1000000),
     }
+
+
+def test_hll_sketch_matches_python_register_replica(spark):
+    from llm_graph_builder_spark.operators.sessions import hll_distinct_sketch
+    import datetime as dt
+    import hashlib
+
+    t = dt.datetime(2026, 1, 1)
+    rows = [(i, t, 40_000 + i, "g", 1.0, "{}") for i in range(200)]
+    rows += [(900 + i, t, 40_000, "g", 1.0, "{}") for i in range(7)]  # dups
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    def hll_py(keys):
+        regs: dict[int, int] = {}
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            j, rest = h >> 54, h % (1 << 54)
+            blen = len(bin(rest)[2:]) if rest > 0 else 1  # bin(0)='0'
+            regs[j] = max(regs.get(j, 0), min(40, 55 - blen))
+        s = sum(1 << (40 - m) for m in regs.values())
+        s += (64 - len(regs)) * (1 << 40)
+        return s, (4503599627370496 // s) * 7183 // 10000
+
+    s_exp, est_exp = hll_py(range(40_000, 40_200))
+    r = hll_distinct_sketch(events).collect()[0]
+    assert (r.harmonic_sum, r.est_distinct, r.exact_distinct) == (
+        s_exp, est_exp, 200,
+    )
+    # HLL with m=64 on 200 uniform keys: generous envelope (hashes fixed)
+    assert 100 <= r.est_distinct <= 400
+    # register max-merge is order-free: identical under repartitioning
+    r2 = hll_distinct_sketch(events.repartition(13)).collect()[0]
+    assert (r2.harmonic_sum, r2.est_distinct) == (r.harmonic_sum, r.est_distinct)
+
+
+def test_small_quantity_revenue_hand_computed(spark):
+    from llm_graph_builder_spark.operators.warehouse import (
+        small_quantity_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "p1", "Brand#3", "PROMO", 5, 1.0), (2, "p2", "Brand#9", "PROMO", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    # part 1 (Brand#3): qty 1, 10, 10 -> sum_qty_c=2100, cnt=3;
+    # qualifying: qty_c*5*3 < 2100 i.e. qty_c < 140 -> only the qty-1 row.
+    # part 2 is the wrong brand and must not leak in.
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 11.00, 0.0, 0.0, "N", "O", None),
+            (1, 1, 1, 2, 10.0, 90.00, 0.0, 0.0, "N", "O", None),
+            (2, 1, 1, 3, 10.0, 70.00, 0.0, 0.0, "N", "O", None),
+            (3, 2, 1, 1, 1.0, 50.00, 0.0, 0.0, "N", "O", None),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    r = small_quantity_revenue(li, part).collect()[0]
+    assert (r.sum_ep_e2, r.n_items) == (1100, 1)

@@ -857,3 +857,30 @@ def test_ktruss_peels_tail_and_keeps_clique(spark):
     out3 = {(r.src, r.dst) for r in ktruss(edges, k=3, rounds=3).collect()}
     assert key("e", "f") in out3 and key("f", "g") in out3
     assert key("d", "e") not in out3
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    # star S3: hub degree 3, leaves degree 1 — perfectly disassortative.
+    # Symmetrized pairs: three (3,1) + three (1,3): M=6, Sx=12, Sxy=18,
+    # Sxx=30 -> num=-36, den=36 -> r = -1.
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        degree_assortativity,
+    )
+
+    r = degree_assortativity(
+        _edges(spark, [("hub", "x"), ("hub", "y"), ("hub", "z")])
+    ).collect()[0]
+    assert (r.m_pairs, r.sum_x, r.sum_xy, r.sum_xx) == (6, 12, 18, 30)
+    assert (r.num, r.den, r.r_e6) == (-36, 36, -1000000)
+
+
+def test_degree_assortativity_regular_graph_null(spark):
+    # triangle: every degree 2 -> zero variance -> den=0 -> r undefined
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        degree_assortativity,
+    )
+
+    r = degree_assortativity(
+        _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    ).collect()[0]
+    assert r.den == 0 and r.r_e6 is None

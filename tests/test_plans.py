@@ -170,3 +170,31 @@ def test_warehouse_family_plan_shapes(spark):
     )
     assert p5.count("BroadcastHashJoin") >= 3
     assert p5.count("SortMergeJoin") + p5.count("ShuffledHashJoin") <= 1
+
+
+def test_new_warehouse_family_plan_shapes(spark):
+    from llm_graph_builder_spark.operators.warehouse import (
+        inactive_customer_balance,
+        promo_revenue_share,
+        volume_shipping,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ords = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    # Q7: both nation roles + both cust/supp dims broadcast; the one wide
+    # join pair is orders⋈lineitem
+    p7 = _plan(volume_shipping(li, ords, cust, supp, nat))
+    assert p7.count("BroadcastHashJoin") >= 3
+    assert p7.count("SortMergeJoin") + p7.count("ShuffledHashJoin") <= 1
+    # Q14: conditional aggregation = ONE scan of the fact table, never a
+    # union of a promo scan and a total scan
+    p14 = _plan(promo_revenue_share(li, part))
+    assert p14.count("Scan parquet") == 2  # lineitem once + part once
+    assert "Union" not in p14
+    # Q22: the no-recent-orders predicate is a broadcast LEFT-ANTI join
+    p22 = _plan(inactive_customer_balance(ords, cust, nat))
+    assert "LeftAnti" in p22
