@@ -1081,6 +1081,32 @@ def q_inactive_customer_balance(spark, sf_dir):
     )
 
 
+def q_zone_map_pruning(spark, sf_dir):
+    """Zone-map pruning report: ingest-order vs shipdate-clustered file
+    layouts scored against a date-range predicate."""
+    from .operators.layout import zone_map_pruning
+
+    return zone_map_pruning(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order vs linear-y clustering scored on a single-dimension range
+    predicate (OPTIMIZE ZORDER BY decision evidence)."""
+    from .operators.layout import zorder_layout
+
+    return zorder_layout(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered token-set similarity self-join
+    (J ≥ 0.9) over the documents table."""
+    from .operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_hll_sketch(spark, sf_dir):
     """HyperLogLog distinct-count sketch (64 registers, all-integer
     estimator) per event type with exact-count probe."""
@@ -2305,6 +2331,9 @@ QUERIES = {
     "important_parts": q_important_parts,
     "inactive_customer_balance": q_inactive_customer_balance,
     "hll_sketch": q_hll_sketch,
+    "zone_map_pruning": q_zone_map_pruning,
+    "zorder_layout": q_zorder_layout,
+    "jaccard_prefix": q_jaccard_prefix,
     "degree_assortativity": q_degree_assortativity,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,

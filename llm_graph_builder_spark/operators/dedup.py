@@ -781,3 +781,100 @@ def bloom_dedup(
     return hits.select(
         "doc", "n_hits", (F.col("n_hits") == k_hashes).cast("long").alias("bloom_dup")
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold_e2: int = 90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-set similarity self-join with PREFIX FILTERING (the PPJoin /
+    AllPairs family): all document pairs whose distinct-token Jaccard is
+    ≥ ``threshold_e2``/100, without the all-pairs join.
+
+    Prefix filter: order each doc's distinct tokens by GLOBAL document
+    frequency ascending (rarest first, ties by token) and keep only the
+    first n − ⌈t·n⌉ + 1 — if J(A,B) ≥ t the two prefixes must share a
+    token, so candidate generation joins ONLY on prefix tokens, and the
+    rarest-first order makes those join keys the LOW-frequency ones (the
+    inverse of the usual skew problem: the hottest tokens never become
+    keys). Verification joins the candidates back to the full distinct-
+    token sets and checks inter·100 ≥ t_e2·union — integer cross-
+    multiplication, no FP, ⌈·⌉ staged as (t_e2·n + 99) div 100.
+
+    Scale shape: token df = one map-combined aggregation; prefix selection
+    = per-doc window over that doc's OWN tokens (bounded partitions, doc-
+    keyed); candidates = prefix-token equijoin (rare keys by construction);
+    verify = two semi-joins on the candidate set only. No driver loops.
+
+    Output: (doc_a, doc_b, inter, n_a, n_b, jacc_e6), doc_a < doc_b.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textstats import _tokens
+
+    toks = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+        .dropDuplicates(["doc", "tok"])
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
+    df_tok = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    # df_tok is vocabulary-grain and sizes is corpus-grain: NEITHER is
+    # broadcastable at 100 TB — both joins are key-partitioned shuffles
+    # (AQE still broadcasts them at small SF on its own).
+    ordered = (
+        toks.join(df_tok, on="tok")
+        .join(sizes, on="doc")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df", "tok")
+            ),
+        )
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"({threshold_e2}L * n + 99L) div 100L") + 1
+    ).select("doc", "tok")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="tok")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    inter = (
+        cands.join(toks.select(F.col("doc").alias("doc_a"), "tok"), on="doc_a")
+        .join(
+            toks.select(F.col("doc").alias("doc_b"), "tok"),
+            on=["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")),
+            on="doc_b",
+        )
+        .filter(
+            F.col("inter") * 100
+            >= F.lit(threshold_e2) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select(
+            "doc_a", "doc_b", "inter", "n_a", "n_b",
+            F.expr("inter * 1000000L div (n_a + n_b - inter)")
+            .cast("long")
+            .alias("jacc_e6"),
+        )
+    )

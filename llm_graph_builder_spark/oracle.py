@@ -5197,3 +5197,169 @@ SELECT m_pairs, sum_x, sum_xy, sum_xx,
        END AS r_e6
 FROM damom
 """
+
+
+# mirrors q_zone_map_pruning / layout.zone_map_pruning: per-layout file
+# zone maps (min/max ship day) scored against a date-range predicate
+ORACLE_SQL["zone_map_pruning"] = """
+WITH zmb AS (
+  SELECT date_diff('day', DATE '1995-01-01', l_shipdate) AS d,
+         l_orderkey // 100 AS f_ingest,
+         date_diff('day', DATE '1995-01-01', l_shipdate) // 30 AS f_clustered,
+         date_diff('day', DATE '1995-01-01', DATE '1996-06-01') AS lo,
+         date_diff('day', DATE '1995-01-01', DATE '1996-09-01') AS hi
+  FROM lineitem
+),
+zi AS (
+  SELECT f_ingest AS file_id, min(d) AS min_d, max(d) AS max_d,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN d >= lo AND d < hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+         min(lo) AS lo, min(hi) AS hi
+  FROM zmb GROUP BY 1
+),
+zc AS (
+  SELECT f_clustered AS file_id, min(d) AS min_d, max(d) AS max_d,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN d >= lo AND d < hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+         min(lo) AS lo, min(hi) AS hi
+  FROM zmb GROUP BY 1
+),
+rep AS (
+  SELECT 'ingest' AS layout, CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN min_d < hi AND max_d >= lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_hit,
+         CAST(sum(CASE WHEN min_d < hi AND max_d >= lo THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_scanned,
+         CAST(sum(n_match) AS BIGINT) AS rows_matching
+  FROM zi
+  UNION ALL
+  SELECT 'clustered', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN min_d < hi AND max_d >= lo THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(CASE WHEN min_d < hi AND max_d >= lo THEN n_rows ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(n_match) AS BIGINT)
+  FROM zc
+)
+SELECT layout, files_total, files_hit, rows_scanned, rows_matching,
+       CAST((files_total - files_hit) * 1000000 // files_total AS BIGINT)
+         AS prune_e6,
+       CAST(rows_scanned * 10000 // greatest(rows_matching, 1) AS BIGINT)
+         AS read_amp_e4
+FROM rep
+"""
+
+# mirrors q_jaccard_prefix / dedup.jaccard_prefix_join — EXHAUSTIVE ground
+# truth (all shared-token pairs, no prefix filter): the prefix filter is
+# lossless for J >= t, so the filtered Spark result must hash-match this
+ORACLE_SQL["jaccard_prefix"] = """
+WITH jpt AS (
+  SELECT DISTINCT doc, tok FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS tok
+    FROM documents
+  )
+),
+jps AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM jpt GROUP BY 1),
+jpp AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM jpt a JOIN jpt b ON b.tok = a.tok AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter, sa.n AS n_a, sb.n AS n_b,
+       CAST(p.inter * 1000000 // (sa.n + sb.n - p.inter) AS BIGINT)
+         AS jacc_e6
+FROM jpp p
+JOIN jps sa ON sa.doc = p.doc_a
+JOIN jps sb ON sb.doc = p.doc_b
+WHERE p.inter * 100 >= 90 * (sa.n + sb.n - p.inter)
+"""
+
+
+# mirrors q_zorder_layout / layout.zorder_layout: the interleave
+# expression text is generated by the SAME _interleave_expr helper the
+# Spark operator uses, so the two sides cannot drift; files are fixed-row
+# segments from a running offset over the bounded (<= 4^bits) cell table
+from .operators.layout import _interleave_expr as _ilv  # noqa: E402
+
+ORACLE_SQL["zorder_layout"] = """
+WITH zod AS (
+  SELECT min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+  FROM lineitem
+),
+zor AS (
+  SELECT (l.l_partkey - d.x_min) * 256 // (d.x_max - d.x_min + 1) AS xb,
+         (l.l_suppkey - d.y_min) * 256 // (d.y_max - d.y_min + 1) AS yb
+  FROM lineitem l, zod d
+),
+zok AS (
+  SELECT xb, (""" + _ilv("xb", "yb", 8) + """) AS k_zorder,
+         yb * 256 + xb AS k_linear_y
+  FROM zor
+),
+zzc AS (
+  SELECT k_zorder AS k, min(xb) AS min_x, max(xb) AS max_x,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN xb >= 256 * 40 // 100 AND xb < 256 * 50 // 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM zok GROUP BY 1
+),
+zlc AS (
+  SELECT k_linear_y AS k, min(xb) AS min_x, max(xb) AS max_x,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN xb >= 256 * 40 // 100 AND xb < 256 * 50 // 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM zok GROUP BY 1
+),
+zzf AS (
+  SELECT coalesce(sum(n_rows) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+           AS file_id,
+         min_x, max_x, n_rows, n_match
+  FROM zzc
+),
+zlf AS (
+  SELECT coalesce(sum(n_rows) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+           AS file_id,
+         min_x, max_x, n_rows, n_match
+  FROM zlc
+),
+zzg AS (
+  SELECT file_id, min(min_x) AS min_x, max(max_x) AS max_x,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         CAST(sum(n_match) AS BIGINT) AS n_match
+  FROM zzf GROUP BY 1
+),
+zlg AS (
+  SELECT file_id, min(min_x) AS min_x, max(max_x) AS max_x,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         CAST(sum(n_match) AS BIGINT) AS n_match
+  FROM zlf GROUP BY 1
+),
+rep AS (
+  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN min_x < 256 * 50 // 100 AND max_x >= 256 * 40 // 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+         CAST(sum(CASE WHEN min_x < 256 * 50 // 100 AND max_x >= 256 * 40 // 100
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         CAST(sum(n_match) AS BIGINT) AS rows_matching
+  FROM zzg
+  UNION ALL
+  SELECT 'linear_y', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN min_x < 256 * 50 // 100 AND max_x >= 256 * 40 // 100
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN min_x < 256 * 50 // 100 AND max_x >= 256 * 40 // 100
+                       THEN n_rows ELSE 0 END) AS BIGINT),
+         CAST(sum(n_match) AS BIGINT)
+  FROM zlg
+)
+SELECT layout, files_total, files_hit, rows_scanned, rows_matching,
+       CAST((files_total - files_hit) * 1000000 // files_total AS BIGINT)
+         AS prune_e6
+FROM rep
+"""

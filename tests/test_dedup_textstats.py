@@ -1846,3 +1846,60 @@ def test_small_quantity_revenue_hand_computed(spark):
     )
     r = small_quantity_revenue(li, part).collect()[0]
     assert (r.sum_ep_e2, r.n_items) == (1100, 1)
+
+
+def test_jaccard_prefix_join_hand_example_and_completeness(spark):
+    from llm_graph_builder_spark.operators.dedup import jaccard_prefix_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s", 7),
+            (2, "a b c e", "en", "s", 7),   # J(1,2)=3/5=0.6
+            (3, "a b c d", "en", "s", 7),   # exact dup of 1 -> J=1
+            (4, "x y z w q", "en", "s", 9), # disjoint
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in jaccard_prefix_join(docs, threshold_e2=60).collect()
+    }
+    assert set(got) == {("1", "2"), ("1", "3"), ("2", "3")}
+    assert got[("1", "3")].jacc_e6 == 1_000_000
+    assert got[("1", "2")].jacc_e6 == 600_000  # 3/5
+    assert got[("1", "2")].inter == 3 and got[("1", "2")].n_a == 4
+    # tighten the threshold: the 0.6 pair must drop, the dup pair stays
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_join(docs, threshold_e2=90).collect()
+    }
+    assert tight == {("1", "3")}
+
+
+def test_jaccard_prefix_filter_is_lossless_vs_exhaustive(spark):
+    """Prefix filtering must return EXACTLY the pairs the all-pairs join
+    finds (the PPJoin completeness guarantee), on a corpus with graded
+    overlaps around the threshold."""
+    from llm_graph_builder_spark.operators.dedup import jaccard_prefix_join
+    import itertools
+
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    # all 12-choose-9 token subsets: many pairs straddle J=0.6 either side
+    for i, combo in enumerate(itertools.combinations(range(12), 9)):
+        rows.append((i, " ".join(vocab[j] for j in combo), "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_join(docs, threshold_e2=60).collect()
+    }
+    sets = {str(i): set(t.split()) for i, t, *_ in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 100 >= 60 * union:
+            want.add((a, b))
+    assert got == want and len(want) > 50

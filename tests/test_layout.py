@@ -1,0 +1,55 @@
+"""Data-layout planning: zone-map pruning reports and Z-order clustering."""
+
+from __future__ import annotations
+
+from llm_graph_builder_spark.operators.layout import (
+    _interleave_expr,
+    zone_map_pruning,
+    zorder_layout,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interleave_expr_bit_math(spark):
+    # x=3 (11), y=1 (01): z = y1 x1 y0 x0 = 0 1 1 1 = 7; and a 3-bit case
+    expr = _interleave_expr("x", "y", 2)
+    row = spark.sql(
+        f"SELECT ({expr}) AS z FROM (SELECT 3 AS x, 1 AS y)"
+    ).collect()[0]
+    assert row.z == 7
+    expr3 = _interleave_expr("x", "y", 3)
+    # x=5 (101), y=2 (010): bits z0=1 z1=0 z2=0 z3=1 z4=1 z5=0 -> 011001 = 25
+    row3 = spark.sql(
+        f"SELECT ({expr3}) AS z FROM (SELECT 5 AS x, 2 AS y)"
+    ).collect()[0]
+    assert row3.z == 25
+
+
+def test_zone_map_pruning_clustered_beats_ingest(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rep = {r.layout: r for r in zone_map_pruning(li).collect()}
+    ing, clu = rep["ingest"], rep["clustered"]
+    # the predicate's true row count is layout-independent
+    assert ing.rows_matching == clu.rows_matching > 0
+    # ingest order smears ship dates across every file: nothing prunes
+    assert ing.prune_e6 == 0 and ing.files_hit == ing.files_total
+    # date clustering prunes most files and reads far fewer rows
+    assert clu.prune_e6 > 500_000
+    assert clu.rows_scanned < ing.rows_scanned
+    assert clu.read_amp_e4 < ing.read_amp_e4
+
+
+def test_zorder_bounds_x_predicate_linear_y_does_not(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rep = {r.layout: r for r in zorder_layout(li).collect()}
+    zo, ly = rep["zorder"], rep["linear_y"]
+    assert zo.rows_matching == ly.rows_matching > 0
+    # fixed-row files -> equal file counts by construction
+    assert zo.files_total == ly.files_total
+    # y-major linear layout: every file spans the full x domain -> ~no pruning
+    assert ly.prune_e6 < 50_000
+    # the Z-curve confines the x range to a minority of curve segments
+    assert zo.files_hit < ly.files_hit
+    assert zo.prune_e6 > 300_000
+    assert zo.rows_scanned < ly.rows_scanned
