@@ -1081,6 +1081,33 @@ def q_inactive_customer_balance(spark, sf_dir):
     )
 
 
+def q_copurchase_lift(spark, sf_dir):
+    """Market-basket co-purchase pairs with integer lift (support ≥ 2);
+    pair explosion bounded by order size, never catalog size."""
+    from .operators.warehouse import copurchase_lift
+
+    return copurchase_lift(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation against exact population quartiles
+    (broadcast boundaries, no global rank window)."""
+    from .operators.warehouse import rfm_segments
+
+    return rfm_segments(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def q_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue with e4 growth rate; the lag window runs
+    over the bounded month table only."""
+    from .operators.warehouse import revenue_growth
+
+    return revenue_growth(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def q_zone_map_pruning(spark, sf_dir):
     """Zone-map pruning report: ingest-order vs shipdate-clustered file
     layouts scored against a date-range predicate."""
@@ -2331,6 +2358,9 @@ QUERIES = {
     "important_parts": q_important_parts,
     "inactive_customer_balance": q_inactive_customer_balance,
     "hll_sketch": q_hll_sketch,
+    "copurchase_lift": q_copurchase_lift,
+    "rfm_segments": q_rfm_segments,
+    "revenue_growth": q_revenue_growth,
     "zone_map_pruning": q_zone_map_pruning,
     "zorder_layout": q_zorder_layout,
     "jaccard_prefix": q_jaccard_prefix,

@@ -638,3 +638,159 @@ def inactive_customer_balance(
             F.sum("bal_c").cast("long").alias("total_bal_c"),
         )
     )
+
+
+def copurchase_lift(
+    lineitem: DataFrame,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket association mining: part pairs co-ordered in the same
+    order, with support and LIFT — the classic co-purchase analysis whose
+    naive formulation (part × part matrix) is quadratic in the catalog.
+
+    Distributed shape: the pair explosion is bounded by ORDER size, never
+    catalog size — a self-join of the distinct (order, part) table on the
+    order key yields ≤ |order|·(|order|−1)/2 rows per order (single-digit
+    for retail baskets), then one map-combined pair count. Per-part counts
+    and the order total are the only other aggregates. lift_e6 =
+    cnt_ab·n_orders·10⁶ div (cnt_a·cnt_b) — pure integers, > 10⁶ means
+    positively associated.
+
+    Output: (part_a, part_b, cnt_ab, cnt_a, cnt_b, lift_e6) for pairs with
+    support ≥ ``min_support``.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    part_cnt = op.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    n_orders = op.select("l_orderkey").dropDuplicates().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, on="o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= min_support)
+    )
+    return (
+        pairs.join(
+            part_cnt.select(F.col("l_partkey").alias("part_a"),
+                            F.col("cnt").alias("cnt_a")),
+            on="part_a",
+        )
+        .join(
+            part_cnt.select(F.col("l_partkey").alias("part_b"),
+                            F.col("cnt").alias("cnt_b")),
+            on="part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "cnt_ab", "cnt_a", "cnt_b",
+            F.expr("cnt_ab * n_orders * 1000000L div (cnt_a * cnt_b)")
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, vs the corpus max date), Frequency (order count), Monetary
+    (lifetime cents), each scored 1-4 against the EXACT quartiles of the
+    customer population, then rolled up per (r, f, m) cell.
+
+    The quartile boundaries are three one-row aggregates broadcast back —
+    never a global rank window over the customer table (the single-reducer
+    trap). Spark ``percentile`` and DuckDB ``quantile_cont`` compute the
+    same linear interpolation over BIGINTs (< 2^53, exactly representable),
+    the precedent ``corpus_profile`` already relies on; bucket scores are
+    integer comparisons against those boundaries, so the rollup is
+    hash-stable.
+
+    Output: (r_bucket, f_bucket, m_bucket, n_cust, monetary_c_total);
+    higher bucket = larger raw value (so r_bucket 1 = most recent buyers).
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("monetary_c"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per = per.join(F.broadcast(ref)).select(
+        F.datediff(F.col("ref_date"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "freq",
+        "monetary_c",
+    )
+    qs = per.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary_c, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def bucket(col: str, q: str) -> "F.Column":
+        return (
+            F.lit(1)
+            + (F.col(col) > F.expr(f"{q}[0]")).cast("long")
+            + (F.col(col) > F.expr(f"{q}[1]")).cast("long")
+            + (F.col(col) > F.expr(f"{q}[2]")).cast("long")
+        ).cast("long")
+
+    scored = per.join(F.broadcast(qs)).select(
+        bucket("recency_days", "rq").alias("r_bucket"),
+        bucket("freq", "fq").alias("f_bucket"),
+        bucket("monetary_c", "mq").alias("m_bucket"),
+        "monetary_c",
+    )
+    return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("monetary_c").cast("long").alias("monetary_c_total"),
+    )
+
+
+def revenue_growth(
+    lineitem: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """Month-over-month revenue growth: per-month integer revenue with the
+    e4 growth rate vs the previous month — the standard time-series readout
+    over the fact table.
+
+    The lag window runs over the MONTH table (bounded: one row per month of
+    history, ~centuries before it matters), never over the fact rows; the
+    fact table contributes one map-combined aggregation.
+
+    Output: (month, revenue_e4, n_orders, growth_e4); growth NULL for the
+    first month.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    j = li.join(
+        orders.select(
+            "o_orderkey",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    monthly = j.groupBy("month").agg(
+        F.sum("rev").cast("long").alias("revenue_e4"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+    )
+    return monthly.select(
+        "month", "revenue_e4", "n_orders",
+        F.expr(
+            "CASE WHEN lag(revenue_e4) OVER (ORDER BY month) IS NULL THEN NULL"
+            " ELSE (revenue_e4 - lag(revenue_e4) OVER (ORDER BY month))"
+            " * 10000L div lag(revenue_e4) OVER (ORDER BY month) END"
+        ).cast("long").alias("growth_e4"),
+    )

@@ -5363,3 +5363,85 @@ SELECT layout, files_total, files_hit, rows_scanned, rows_matching,
          AS prune_e6
 FROM rep
 """
+
+
+# mirrors q_copurchase_lift / warehouse.copurchase_lift: distinct
+# (order, part) self-join bounded by basket size, integer lift
+ORACLE_SQL["copurchase_lift"] = """
+WITH cop AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+copc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM cop GROUP BY 1),
+copn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM cop),
+copp AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS cnt_ab
+  FROM cop a JOIN cop b ON b.l_orderkey = a.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.cnt_ab, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       CAST(p.cnt_ab * n.n_orders * 1000000 // (ca.cnt * cb.cnt) AS BIGINT)
+         AS lift_e6
+FROM copp p
+JOIN copc ca ON ca.l_partkey = p.part_a
+JOIN copc cb ON cb.l_partkey = p.part_b
+CROSS JOIN copn n
+"""
+
+# mirrors q_rfm_segments / warehouse.rfm_segments: exact-quartile RFM
+# bucket rollup (quantile_cont == Spark percentile on BIGINTs)
+ORACLE_SQL["rfm_segments"] = """
+WITH rfm AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders GROUP BY 1
+),
+rfr AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+rfp AS (
+  SELECT CAST(date_diff('day', last_order, ref_date) AS BIGINT)
+           AS recency_days,
+         freq, monetary_c
+  FROM rfm, rfr
+),
+rfq AS (
+  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(monetary_c, [0.25, 0.5, 0.75]) AS mq
+  FROM rfp
+),
+scored AS (
+  SELECT CAST(1 + (recency_days > rq[1])::BIGINT + (recency_days > rq[2])::BIGINT
+              + (recency_days > rq[3])::BIGINT AS BIGINT) AS r_bucket,
+         CAST(1 + (freq > fq[1])::BIGINT + (freq > fq[2])::BIGINT
+              + (freq > fq[3])::BIGINT AS BIGINT) AS f_bucket,
+         CAST(1 + (monetary_c > mq[1])::BIGINT + (monetary_c > mq[2])::BIGINT
+              + (monetary_c > mq[3])::BIGINT AS BIGINT) AS m_bucket,
+         monetary_c
+  FROM rfp, rfq
+)
+SELECT r_bucket, f_bucket, m_bucket, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(monetary_c) AS BIGINT) AS monetary_c_total
+FROM scored GROUP BY 1, 2, 3
+"""
+
+# mirrors q_revenue_growth / warehouse.revenue_growth: bounded month-table
+# lag window, e4 growth
+ORACLE_SQL["revenue_growth"] = """
+WITH rgm AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_e4,
+         CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+)
+SELECT month, revenue_e4, n_orders,
+       CAST(CASE WHEN lag(revenue_e4) OVER (ORDER BY month) IS NULL THEN NULL
+                 ELSE (revenue_e4 - lag(revenue_e4) OVER (ORDER BY month))
+                      * 10000 // lag(revenue_e4) OVER (ORDER BY month) END
+            AS BIGINT) AS growth_e4
+FROM rgm
+"""

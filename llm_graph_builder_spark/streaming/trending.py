@@ -1,0 +1,159 @@
+"""Trending top-k over sliding event-time windows via Structured Streaming.
+
+``streaming/rates.py`` covers tumbling-window throughput and
+``streaming/bursts.py`` covers trailing-baseline anomaly flags; what neither
+gives is the dashboard staple "what are the top-k event types RIGHT NOW,
+and are they rising?" — the sliding-window trending feed. Two properties
+make this its own streaming shape (extension beyond the reference — no
+streaming semantics in SURVEY §2.13):
+
+  * SLIDING windows (each event lands in window_duration/slide_duration
+    overlapping windows) with a WATERMARK, so state stays bounded at
+    O(active windows × types) and every window finalizes exactly once
+    (append mode) — the overlap is what makes "trending" smooth instead of
+    tumbling-bucket jumpy.
+  * Per-window TOP-K is a rank — not expressible inside the streaming
+    aggregation — so it runs in ``foreachBatch`` over the batch's FINALIZED
+    windows only (a few rows per slide), never over history. The rising
+    score joins each finalized window against the trending log's previous
+    window — state read is key-ranged (previous slide only), idempotent
+    under at-least-once retries via the recorded batch id.
+
+The count arithmetic is the same grouped count the batch `event_rates` /
+`burst_windows` oracles value-check; this module adds only windowing and
+rank, both deterministic (ties break on event_type asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bursts import EVENTS_SCHEMA
+
+
+def sliding_type_counts(
+    stream: DataFrame,
+    window_duration: str = "2 minutes",
+    slide_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked sliding-window counts per key — the streaming
+    aggregation half (append mode → one row per finalized window × key).
+    Exposed separately so tests can drive it against the batch mirror."""
+    # watermarks require TIMESTAMP (tz-aware); the events schema carries
+    # NTZ — cast in, and cast the window bounds back to NTZ on the way out
+    # so downstream comparisons stay session-tz-independent.
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "key",
+            "n_events",
+        )
+    )
+
+
+def start_trending_topk(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    top_k: int = 3,
+    window_duration: str = "2 minutes",
+    slide_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """events parquet drops → append-only trending log of per-window top-k.
+
+    Each finalized (window, key, n_events) row batch is ranked per window
+    (count desc, key asc — deterministic), truncated to ``top_k``, and
+    joined against the PREVIOUS slide for the rising delta:
+    ``delta = n_events − previous window's count``. NULL delta = "new
+    entry": the key was absent from the previous board (the log keeps only
+    top-k rows, so off-board history is deliberately not retained — that IS
+    the bounded-state property). Output rows carry the batch id for
+    at-least-once lineage; rereading the log collapses retries by
+    (batch_id, window_start, key).
+
+    Returns the StreamingQuery (availableNow trigger; call
+    ``awaitTermination``).
+    """
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    finalized = sliding_type_counts(
+        stream, window_duration, slide_duration, watermark_delay
+    )
+    log_dir = f"{output_dir}/trending_log"
+
+    def process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("key")
+        )
+        top = (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+        )
+        # rising delta vs the previous slide. The previous window may have
+        # finalized in an EARLIER batch (read key-ranged from the log) or in
+        # THIS batch (several consecutive windows close together when the
+        # watermark jumps) — union both; duplicates carry identical counts
+        # (append-once finalization), so the dropDuplicates pick is stable.
+        prev = batch_df.select(
+            F.col("window_end").alias("p_end"),
+            F.col("key").alias("key"),
+            F.col("n_events").alias("prev_events"),
+        )
+        try:
+            log = batch_df.sparkSession.read.parquet(log_dir)
+            prev = prev.unionByName(
+                log.select(
+                    F.col("window_end").alias("p_end"),
+                    F.col("key").alias("key"),
+                    F.col("n_events").alias("prev_events"),
+                )
+            )
+        except Exception:
+            pass
+        prev = prev.dropDuplicates(["p_end", "key"])
+        joined = top.join(
+            prev,
+            (prev.p_end == F.col("window_end") - F.expr(
+                f"INTERVAL {slide_duration}"
+            ))
+            & (prev.key == top.key),
+            "left",
+        ).select(top["*"], "prev_events")
+        out = joined.select(
+            "window_start", "window_end", "key", "n_events", "rnk",
+            (F.col("n_events") - F.col("prev_events")).cast("long").alias(
+                "delta"
+            ),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        out.write.mode("append").parquet(log_dir)
+
+    return (
+        finalized.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1903,3 +1903,138 @@ def test_jaccard_prefix_filter_is_lossless_vs_exhaustive(spark):
         if inter * 100 >= 60 * union:
             want.add((a, b))
     assert got == want and len(want) > 50
+
+
+def test_copurchase_lift_hand_computed(spark):
+    from llm_graph_builder_spark.operators.warehouse import copurchase_lift
+
+    import datetime as dt
+    t = dt.datetime(1996, 1, 1)
+    # baskets: o1={A,B,C}, o2={A,B}, o3={A}; (A,B) support 2, others 1
+    rows = [(1, 101), (1, 102), (1, 103), (2, 101), (2, 102), (3, 101)]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = copurchase_lift(li, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # lift = cnt_ab * n_orders / (cnt_a * cnt_b) = 2*3/(3*2) = 1.0 exactly
+    assert (r.part_a, r.part_b, r.cnt_ab, r.cnt_a, r.cnt_b, r.lift_e6) == (
+        101, 102, 2, 3, 2, 1_000_000,
+    )
+
+
+def test_rfm_segments_rank_buckets_on_distinct_values(spark):
+    from llm_graph_builder_spark.operators.warehouse import rfm_segments
+
+    import datetime as dt
+    # 4 customers, strictly increasing recency/freq/monetary -> with 4
+    # distinct values the quartile buckets equal the rank (1..4)
+    rows = []
+    for c in range(1, 5):
+        # customer c: c orders, last order day 5*c, totalprice 100*c each
+        for k in range(c):
+            rows.append(
+                (c * 100 + k, c, "O", 100.0 * c,
+                 dt.datetime(1996, 1, 5 * c - k), "P1")
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cells = {
+        (r.r_bucket, r.f_bucket, r.m_bucket): r
+        for r in rfm_segments(orders).collect()
+    }
+    # customer 4: most orders (freq 4 -> bucket 4), most recent (recency 0
+    # -> bucket 1), monetary 4*400=1600 -> bucket 4
+    assert (1, 4, 4) in cells and cells[(1, 4, 4)].n_cust == 1
+    assert cells[(1, 4, 4)].monetary_c_total == 160000
+    # customer 1: oldest last order -> recency bucket 4, freq/monetary 1
+    assert (4, 1, 1) in cells and cells[(4, 1, 1)].n_cust == 1
+    assert sum(r.n_cust for r in cells.values()) == 4
+
+
+def test_revenue_growth_hand_computed(spark):
+    from llm_graph_builder_spark.operators.warehouse import revenue_growth
+
+    import datetime as dt
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 0.0, dt.datetime(1996, 1, 5), "P"),
+         (2, 1, "O", 0.0, dt.datetime(1996, 2, 20), "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O", None),
+         (2, 1, 1, 1, 1.0, 1.50, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = sorted(revenue_growth(li, orders).collect(), key=lambda r: r.month)
+    # month1 rev = 100c*100 = 10000 e4-units; month2 = 150*100 = 15000
+    assert out[0].revenue_e4 == 10000 and out[0].growth_e4 is None
+    assert out[1].revenue_e4 == 15000
+    assert out[1].growth_e4 == 5000  # +50% at e4
+
+
+def test_streaming_trending_topk(spark, tmp_path):
+    """Three drops: the watermark jump in drop 3 finalizes all drop-1
+    sliding windows in one batch; per-window top-k ranks deterministically
+    and rising deltas resolve against the previous slide even when both
+    windows finalize in the SAME batch."""
+    import datetime as dt
+
+    from llm_graph_builder_spark.streaming.trending import start_trending_topk
+
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(i, sec, typ):
+        return (i, t0 + dt.timedelta(seconds=sec), 1, typ, 1.0, "{}")
+
+    # drop 1: a@0:30, b@0:30, a@1:30, c@1:30  (2-min windows, 1-min slide)
+    #   [-1,1): a1 b1 | [0,2): a2 b1 c1 | [1,3): a1 c1
+    spark.createDataFrame(
+        [ev(1, 30, "a"), ev(2, 30, "b"), ev(3, 90, "a"), ev(4, 90, "c")],
+        schema,
+    ).coalesce(1).write.parquet(inp)
+    q = start_trending_topk(spark, inp, out, ckpt, top_k=2)
+    q.awaitTermination(120)
+    # drop 2 then 3: late events push the watermark past drop-1 windows
+    for n, sec in ((10, 1800), (11, 3600)):
+        spark.createDataFrame([ev(n, sec, "z")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        q = start_trending_topk(spark, inp, out, ckpt, top_k=2)
+        q.awaitTermination(120)
+    log = spark.read.parquet(f"{out}/trending_log")
+    rows = {
+        (r.window_start.minute if r.window_start >= t0 else -1, r.key): r
+        for r in log.collect()
+        if r.window_start < t0 + dt.timedelta(minutes=5)
+    }
+    # [-1,1): first board — both entries new (delta NULL), a before b on tie
+    assert rows[(-1, "a")].rnk == 1 and rows[(-1, "a")].delta is None
+    assert rows[(-1, "b")].rnk == 2
+    # [0,2): a rose 1->2 (delta +1, rank 1); b tied 1 (delta 0, rank 2 by key)
+    assert (rows[(0, "a")].rnk, rows[(0, "a")].delta) == (1, 1)
+    assert (rows[(0, "b")].rnk, rows[(0, "b")].delta) == (2, 0)
+    assert (1, "c") in rows or (0, "c") not in rows  # c off the [0,2) board
+    # [1,3): a fell 2->1 (delta -1); c entered the board from off-board (its
+    # [0,2) count exists in the batch union) -> delta 0
+    assert (rows[(1, "a")].rnk, rows[(1, "a")].delta) == (1, -1)
+    assert (rows[(1, "c")].rnk, rows[(1, "c")].delta) == (2, 0)
