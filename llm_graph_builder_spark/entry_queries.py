@@ -1081,6 +1081,22 @@ def q_inactive_customer_balance(spark, sf_dir):
     )
 
 
+def q_order_pivot(spark, sf_dir):
+    """Status × priority crosstab via groupBy().pivot() with an explicit
+    value list (one conditional-aggregate pass, no domain-discovery scan)."""
+    from .operators.warehouse import order_pivot
+
+    return order_pivot(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def q_outlier_days(spark, sf_dir):
+    """Integer-exact z-score daily-volume anomaly flags over the events
+    table (cross-multiplied variance inequality, no float mean/stddev)."""
+    from .operators.sessions import outlier_days
+
+    return outlier_days(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_copurchase_lift(spark, sf_dir):
     """Market-basket co-purchase pairs with integer lift (support ≥ 2);
     pair explosion bounded by order size, never catalog size."""
@@ -2358,6 +2374,8 @@ QUERIES = {
     "important_parts": q_important_parts,
     "inactive_customer_balance": q_inactive_customer_balance,
     "hll_sketch": q_hll_sketch,
+    "order_pivot": q_order_pivot,
+    "outlier_days": q_outlier_days,
     "copurchase_lift": q_copurchase_lift,
     "rfm_segments": q_rfm_segments,
     "revenue_growth": q_revenue_growth,

@@ -650,3 +650,50 @@ def event_transitions(
             F.expr("cnt * 1000000 div total").cast("long").alias("prob_e6"),
         )
     )
+
+
+def outlier_days(
+    events: DataFrame,
+    k: int = 2,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily-volume anomaly flags via an INTEGER-EXACT z-score: day d is an
+    outlier when |x_d − mean| > k·stddev, evaluated without ever computing
+    mean or stddev as floats — cross-multiplied to
+
+        n · (n·x_d − S)² > k² · (n·Sxx − S²)
+
+    (S = Σx, Sxx = Σx² over days). Both sides are exact BIGINTs, so the
+    DuckDB oracle hash-matches with no fixed-point truncation choice; at
+    extreme volumes (x · n beyond ~3·10⁹ days·events) widen to
+    DECIMAL(38,0) — the inequality is unchanged.
+
+    Scale shape: one day-grain count (map-side combined), one one-row
+    moment aggregate broadcast back. Output: every day with its deviation
+    evidence, not only the outliers (the dashboard wants the curve):
+    (day, n_events, dev_sq_num, thresh, is_outlier).
+    """
+    daily = events.groupBy(
+        F.col(ts_col).cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        daily.join(F.broadcast(mom))
+        .select(
+            "day",
+            F.col("x").alias("n_events"),
+            (F.col("n") * (F.col("n") * F.col("x") - F.col("s"))
+             * (F.col("n") * F.col("x") - F.col("s"))).cast("long")
+            .alias("dev_sq_num"),
+            (F.lit(k * k) * (F.col("n") * F.col("sxx")
+                             - F.col("s") * F.col("s"))).cast("long")
+            .alias("thresh"),
+        )
+        .withColumn(
+            "is_outlier", (F.col("dev_sq_num") > F.col("thresh")).cast("long")
+        )
+    )

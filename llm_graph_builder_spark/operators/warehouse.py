@@ -794,3 +794,37 @@ def revenue_growth(
             " * 10000L div lag(revenue_e4) OVER (ORDER BY month) END"
         ).cast("long").alias("growth_e4"),
     )
+
+
+def order_pivot(orders: DataFrame) -> DataFrame:
+    """Status × priority crosstab via the relational PIVOT: order counts
+    and integer total-price cents per (priority, status) — the reshape
+    every BI layer asks of the engine. Spark's ``groupBy().pivot()`` with
+    an EXPLICIT value list compiles to one pass of conditional aggregates
+    (no second scan to discover the pivot domain — at 100 TB that
+    discovery scan is the hidden cost of the implicit form).
+
+    Output: (o_orderpriority, n_f, n_o, n_p, total_f_c, total_o_c,
+    total_p_c) — counts and cents per status column, zero-filled.
+    """
+    base = orders.select(
+        "o_orderpriority", "o_orderstatus",
+        _cents("o_totalprice").alias("price_c"),
+    )
+    piv = (
+        base.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").alias("total_c"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_p"),
+        F.coalesce(F.col("F_total_c"), F.lit(0)).cast("long").alias("total_f_c"),
+        F.coalesce(F.col("O_total_c"), F.lit(0)).cast("long").alias("total_o_c"),
+        F.coalesce(F.col("P_total_c"), F.lit(0)).cast("long").alias("total_p_c"),
+    )

@@ -5445,3 +5445,46 @@ SELECT month, revenue_e4, n_orders,
             AS BIGINT) AS growth_e4
 FROM rgm
 """
+
+
+# mirrors q_order_pivot / warehouse.order_pivot: PIVOT compiled to one
+# conditional-aggregate pass (explicit status domain F/O/P)
+ORACLE_SQL["order_pivot"] = """
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+            AS BIGINT) AS n_f,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+            AS BIGINT) AS n_o,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+            AS BIGINT) AS n_p,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS total_f_c,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS total_o_c,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS total_p_c
+FROM orders GROUP BY 1
+"""
+
+# mirrors q_outlier_days / sessions.outlier_days: integer-exact z-score
+# via the cross-multiplied inequality n*(n*x-S)^2 > k^2*(n*Sxx-S^2)
+ORACLE_SQL["outlier_days"] = """
+WITH odd AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+odm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM odd
+)
+SELECT day, x AS n_events,
+       CAST(n * (n * x - s) * (n * x - s) AS BIGINT) AS dev_sq_num,
+       CAST(4 * (n * sxx - s * s) AS BIGINT) AS thresh,
+       CAST((n * (n * x - s) * (n * x - s) > 4 * (n * sxx - s * s))::BIGINT
+            AS BIGINT) AS is_outlier
+FROM odd, odm
+"""

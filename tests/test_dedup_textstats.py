@@ -2038,3 +2038,51 @@ def test_streaming_trending_topk(spark, tmp_path):
     # [0,2) count exists in the batch union) -> delta 0
     assert (rows[(1, "a")].rnk, rows[(1, "a")].delta) == (1, -1)
     assert (rows[(1, "c")].rnk, rows[(1, "c")].delta) == (2, 0)
+
+
+def test_order_pivot_hand_computed(spark):
+    from llm_graph_builder_spark.operators.warehouse import order_pivot
+
+    import datetime as dt
+    t = dt.datetime(1996, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 10.00, t, "HIGH"), (2, 1, "F", 5.00, t, "HIGH"),
+         (3, 1, "O", 7.50, t, "HIGH"), (4, 1, "P", 1.00, t, "LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r.o_orderpriority: r for r in order_pivot(orders).collect()}
+    hi, lo = rows["HIGH"], rows["LOW"]
+    assert (hi.n_f, hi.n_o, hi.n_p) == (2, 1, 0)
+    assert (hi.total_f_c, hi.total_o_c, hi.total_p_c) == (1500, 750, 0)
+    assert (lo.n_f, lo.n_o, lo.n_p, lo.total_p_c) == (0, 0, 1, 100)
+
+
+def test_outlier_days_flags_only_the_spike(spark):
+    from llm_graph_builder_spark.operators.sessions import outlier_days
+
+    import datetime as dt
+    rows = []
+    eid = 0
+    # 9 quiet days of 10 events + one 100-event spike day
+    for d in range(9):
+        for _ in range(10):
+            rows.append((eid, dt.datetime(2026, 1, 1 + d, 12), 1, "a", 1.0, "{}"))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, dt.datetime(2026, 1, 10, 12), 1, "a", 1.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day.day: r for r in outlier_days(events).collect()}
+    assert sum(r.is_outlier for r in out.values()) == 1
+    assert out[10].is_outlier == 1 and out[1].is_outlier == 0
+    # integer evidence columns agree with the float z-score they encode:
+    # day 10 deviation (100-19)=81 vs stddev 27 -> z=3 > 2
+    n, s = 10, 190
+    sxx = 9 * 100 + 10000
+    assert out[10].dev_sq_num == n * (n * 100 - s) ** 2
+    assert out[10].thresh == 4 * (n * sxx - s * s)
