@@ -420,6 +420,33 @@ def main():
         "regional_revenue",
     )
 
+    from llm_graph_builder_spark.operators.dedup import jaccard_prefix_join
+    from llm_graph_builder_spark.operators.layout import zorder_layout
+    from llm_graph_builder_spark.operators.warehouse import copurchase_lift
+
+    # set-similarity join story: prefix-filtered candidates (rare tokens
+    # only) + integer Jaccard verify — the PPJoin shape
+    best_of(
+        lambda: jaccard_prefix_join(raw_docs)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/jpj"),
+        "jaccard_prefix",
+    )
+    # layout-planning story: Z-curve cells + bounded-window file assignment
+    best_of(
+        lambda: zorder_layout(wh["lineitem"]).write.mode("overwrite").parquet(
+            f"{out_dir}/zorder"
+        ),
+        "zorder_layout",
+    )
+    # market-basket story: basket-bounded pair self-join + lift
+    best_of(
+        lambda: copurchase_lift(wh["lineitem"]).write.mode("overwrite").parquet(
+            f"{out_dir}/lift"
+        ),
+        "copurchase_lift",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

@@ -799,14 +799,39 @@ def jaccard_prefix_join(
     token, so candidate generation joins ONLY on prefix tokens, and the
     rarest-first order makes those join keys the LOW-frequency ones (the
     inverse of the usual skew problem: the hottest tokens never become
-    keys). Verification joins the candidates back to the full distinct-
-    token sets and checks inter·100 ≥ t_e2·union — integer cross-
-    multiplication, no FP, ⌈·⌉ staged as (t_e2·n + 99) div 100.
+    keys). Two further PPJoin filters run INLINE in the candidate join —
+    load-bearing when the vocabulary is small and even "rare" prefix
+    tokens are hot (a 31-word vocab made the unfiltered candidate set
+    22M pairs at 5k docs):
+
+    - length filter: J ≥ t ⟹ inter ≥ t·union ≥ t·max(n_a,n_b) and
+      inter ≤ min(n_a,n_b), so 100·min ≥ t_e2·max;
+    - positional filter: a token at prefix position p leaves at most
+      n − p later tokens, so overlap ≤ 1 + min(n_a−p_a, n_b−p_b); J ≥ t
+      needs overlap ≥ t·(n_a+n_b)/(1+t), cross-multiplied to
+      ubound·(100+t_e2) ≥ t_e2·(n_a+n_b) — integer, no ceil (an integer
+      ubound ≥ real x iff ubound ≥ ⌈x⌉).
+
+    Verification carries each doc's sorted distinct-token ARRAY onto the
+    surviving pairs and checks size(array_intersect)·100 ≥ t_e2·union —
+    pure JVM set intersection at pair grain, no per-token row explosion
+    (the explode-then-rejoin verify multiplies every candidate by its
+    token count: 22M pairs × 23 tokens ≈ 0.5G rows; the array carry is
+    the records-fit-per-row assumption every set-similarity join makes).
 
     Scale shape: token df = one map-combined aggregation; prefix selection
     = per-doc window over that doc's OWN tokens (bounded partitions, doc-
-    keyed); candidates = prefix-token equijoin (rare keys by construction);
-    verify = two semi-joins on the candidate set only. No driver loops.
+    keyed); candidates = prefix-token equijoin with inline length +
+    positional pruning; verify = two hash joins on the deduped candidate
+    set only. No driver loops.
+
+    Skew: a prefix token with document frequency d makes a d×d join key —
+    in a real corpus prefix tokens are rare by construction, but a
+    degenerate vocabulary leaves them hot (df≈3800 here → one 14M-pair
+    task). Tokens with df > ``hot_df`` are SALTED: the probe side gets a
+    deterministic per-doc salt, the build side is replicated across all
+    ``salt_r`` buckets FOR THOSE TOKENS ONLY, so the replication cost is
+    confined to the provably-hot keys and normal corpora pay nothing.
 
     Output: (doc_a, doc_b, inter, n_a, n_b, jacc_e6), doc_a < doc_b.
     """
@@ -814,12 +839,18 @@ def jaccard_prefix_join(
 
     from ..functions.textstats import _tokens
 
+    t = int(threshold_e2)
+    # toks feeds FOUR branches (df, sizes, ordered, verify tsets) and
+    # prefix feeds two join sides: materialize each once or every branch
+    # replays the explode + distinct shuffle (the uncached plan spent 3×
+    # the wall of the cached one on recomputation alone).
     toks = (
         docs.select(
             F.col(id_col).cast("string").alias("doc"),
             F.explode(_tokens(F.col(text_col))).alias("tok"),
         )
         .dropDuplicates(["doc", "tok"])
+        .localCheckpoint(eager=True)
     )
     sizes = toks.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
     df_tok = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
@@ -838,38 +869,101 @@ def jaccard_prefix_join(
     )
     prefix = ordered.filter(
         F.col("pos")
-        <= F.col("n") - F.expr(f"({threshold_e2}L * n + 99L) div 100L") + 1
-    ).select("doc", "tok")
+        <= F.col("n") - F.expr(f"({t}L * n + 99L) div 100L") + 1
+    ).select(
+        "doc", "tok", F.col("pos").cast("long").alias("pos"), "n", "df"
+    ).localCheckpoint(eager=True)
+    salt_r, hot_df = 32, 1024
+    pa = prefix.withColumn(
+        "salt",
+        F.when(
+            F.col("df") > hot_df, F.pmod(F.xxhash64("doc"), F.lit(salt_r))
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).drop("df")
+    pb = (
+        prefix.withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(
+                        F.col("df") > hot_df, F.lit(salt_r - 1)
+                    ).otherwise(F.lit(0)),
+                )
+            ),
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+        .drop("df")
+    )
+    # explicit partition count: the candidate join's INPUTS are tiny in
+    # bytes (AQE would coalesce them to one partition) but its OUTPUT is
+    # the pair explosion — the one case AQE's size-based coalescing gets
+    # wrong. A user-specified repartition is exempt from coalescing, so
+    # the explosion runs at salt_r-way parallelism.
+    pa = pa.repartition(salt_r, "tok", "salt")
+    pb = pb.repartition(salt_r, "tok", "salt")
     cands = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), on="tok")
+        pa.alias("a")
+        .join(pb.alias("b"), on=["tok", "salt"])
         .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")) * 100
+            >= F.greatest(F.col("a.n"), F.col("b.n")) * t
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+            )
+            * (100 + t)
+            >= (F.col("a.n") + F.col("b.n")) * t
+        )
         .select(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
         )
         .dropDuplicates()
+        # same AQE blind spot as above: candidate pairs are byte-small but
+        # each verify row does an array intersection — keep the verify
+        # stage wide instead of letting it coalesce to one task, and cut
+        # the plan here so the pair explosion is materialized once rather
+        # than replanned into the verify query (the fused plan ran the
+        # dedup exchange single-task: 54 s vs 19 s split).
+        .repartition(salt_r, "doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    inter = (
-        cands.join(toks.select(F.col("doc").alias("doc_a"), "tok"), on="doc_a")
-        .join(
-            toks.select(F.col("doc").alias("doc_b"), "tok"),
-            on=["doc_b", "tok"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+    tsets = toks.groupBy("doc").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts"),
+        F.count("*").cast("long").alias("n"),
     )
     return (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")),
+        cands.join(
+            tsets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("ts").alias("ts_a"),
+                F.col("n").alias("n_a"),
+            ),
             on="doc_a",
         )
         .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")),
+            tsets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("ts").alias("ts_b"),
+                F.col("n").alias("n_b"),
+            ),
             on="doc_b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long"),
         )
         .filter(
             F.col("inter") * 100
-            >= F.lit(threshold_e2) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
         )
         .select(
             "doc_a", "doc_b", "inter", "n_a", "n_b",
