@@ -1097,6 +1097,53 @@ def q_outlier_days(spark, sf_dir):
     return outlier_days(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure pushed-down scan + one global aggregate
+    (what-if revenue of dropping small discounts)."""
+    from .operators.warehouse import revenue_forecast
+
+    return revenue_forecast(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume
+    per order year — conditional numerator/denominator in ONE fact pass."""
+    from .operators.warehouse import market_share
+
+    return market_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_late_mode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment priority counts per category
+    (conditional aggregation after the fact-fact join)."""
+    from .operators.warehouse import late_mode_priority
+
+    return late_mode_priority(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: sole-late-shipper suppliers on finished
+    multi-supplier orders — EXISTS/NOT-EXISTS re-expressed as two
+    key-partitioned aggregations."""
+    from .operators.warehouse import waiting_suppliers
+
+    return waiting_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
 def q_copurchase_lift(spark, sf_dir):
     """Market-basket co-purchase pairs with integer lift (support ≥ 2);
     pair explosion bounded by order size, never catalog size."""
@@ -2376,6 +2423,10 @@ QUERIES = {
     "hll_sketch": q_hll_sketch,
     "order_pivot": q_order_pivot,
     "outlier_days": q_outlier_days,
+    "revenue_forecast": q_revenue_forecast,
+    "market_share": q_market_share,
+    "late_mode_priority": q_late_mode_priority,
+    "waiting_suppliers": q_waiting_suppliers,
     "copurchase_lift": q_copurchase_lift,
     "rfm_segments": q_rfm_segments,
     "revenue_growth": q_revenue_growth,

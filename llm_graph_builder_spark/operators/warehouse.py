@@ -828,3 +828,219 @@ def order_pivot(orders: DataFrame) -> DataFrame:
         F.coalesce(F.col("O_total_c"), F.lit(0)).cast("long").alias("total_o_c"),
         F.coalesce(F.col("P_total_c"), F.lit(0)).cast("long").alias("total_p_c"),
     )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: int = 5,
+    disc_hi: int = 7,
+    max_qty: int = 24,
+) -> DataFrame:
+    """Q6 shape: the what-if revenue delta of dropping small discounts —
+    a PURE scan query: three pushed-down predicates, zero joins, one
+    global aggregate. The audit point is the parquet scan itself: all
+    three filters must appear in PushedFilters and only the four touched
+    columns in ReadSchema; a 100 TB fact table answers this from column
+    statistics + one skinny scan.
+
+    Discount band is compared in integer PERCENT (round(d·100) ∈
+    [disc_lo, disc_hi]) — the classic Q6 float trap (0.05 ≤ d ≤ 0.07 on
+    binary doubles) never enters the plan.
+
+    Output: one row (revenue_e4, n_items).
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_quantity") < max_qty)
+    ).select(
+        _cents("l_extendedprice").alias("ep_c"),
+        _cents("l_discount").alias("d_p"),
+    ).filter(F.col("d_p").between(disc_lo, disc_hi))
+    return li.agg(
+        F.coalesce(F.sum(F.col("ep_c") * F.col("d_p")), F.lit(0))
+        .cast("long")
+        .alias("revenue_e4"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    market_region: str = "ASIA",
+    share_nation: str = "NATION_3",
+) -> DataFrame:
+    """Q8 shape: one supplier nation's share of a region's purchase volume
+    by order year — the conditional-share pattern: ONE fact pass computes
+    both numerator (revenue where supplier ∈ share_nation) and denominator
+    (all revenue) as conditional aggregates; no second scan, no self-join.
+    Customer-side region membership and supplier-side nation are both
+    broadcast dimension chains; the only wide shuffle is orders⋈lineitem.
+
+    Output: (o_year, nation_rev_e4, total_rev_e4, share_e6) with
+    share_e6 = nation_rev·10⁶ div total_rev (integer floor division,
+    engine-portable).
+    """
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == market_region).select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", (F.col("n_name") == share_nation).alias("is_share"))
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    return (
+        li.join(
+            orders.select(
+                "o_orderkey",
+                "o_custkey",
+                F.year("o_orderdate").cast("long").alias("o_year"),
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_share"), F.col("rev"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("nation_rev_e4"),
+            F.sum("rev").cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_e4",
+            "total_rev_e4",
+            F.expr("nation_rev_e4 * 1000000L div total_rev_e4")
+            .cast("long")
+            .alias("share_e6"),
+        )
+    )
+
+
+def late_mode_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """Q12 shape: per shipment category, how many HIGH-priority vs other
+    orders shipped late — the fact-fact join followed by conditional
+    priority counts. The driver's lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate, so the SHAPE is kept with honest
+    stand-ins: category = l_returnflag, late = shipped more than
+    ``late_days`` days after the order date (reference shape:
+    TPC-H Q12's l_receiptdate > l_commitdate + mode grouping).
+
+    Output: (l_returnflag, high_line_count, low_line_count).
+    """
+    li = lineitem.select("l_orderkey", "l_returnflag", "l_shipdate")
+    ords = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper on finished
+    multi-supplier orders. TPC-H writes this as EXISTS (another supplier
+    on the order) AND NOT EXISTS (another LATE supplier); re-expressed
+    for one fact pass: aggregate per (order, supplier) with a late flag,
+    then per ORDER count suppliers and late suppliers — a supplier
+    "kept the order waiting" iff it is late, the order has >1 supplier,
+    and it is the ONLY late one. Two key-partitioned aggregations over
+    the already-joined fact replace the correlated double subquery; no
+    per-order fan-out beyond the order grain. Late stand-in: shipped
+    more than ``late_days`` days after o_orderdate (no l_commitdate /
+    l_receiptdate in the driver schema).
+
+    Output: top-``top`` (s_suppkey, s_name, numwait), ordered by
+    numwait desc, s_suppkey asc.
+    """
+    per_os = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {int(late_days)} DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    waits = (
+        per_os.filter(F.col("late") == 1)
+        .join(per_order, on="l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    return (
+        waits.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            waits.l_suppkey == F.col("s_suppkey"),
+        )
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(top)
+        .select("s_suppkey", "s_name", "numwait")
+    )

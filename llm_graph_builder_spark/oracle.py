@@ -5488,3 +5488,84 @@ SELECT day, x AS n_events,
             AS BIGINT) AS is_outlier
 FROM odd, odm
 """
+
+
+# mirrors q_revenue_forecast / warehouse.revenue_forecast (TPC-H Q6 shape):
+# integer-percent discount band dodges the 0.05<=double<=0.07 trap
+ORACLE_SQL["revenue_forecast"] = """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+# mirrors q_market_share / warehouse.market_share (TPC-H Q8 shape):
+# numerator and denominator as conditional aggregates of one fact pass
+ORACLE_SQL["market_share"] = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(coalesce(sum(CASE WHEN ns.n_name = 'NATION_3' THEN
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) END), 0)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_rev_e4,
+       CAST(coalesce(sum(CASE WHEN ns.n_name = 'NATION_3' THEN
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) END), 0)
+            * 1000000
+            // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS share_e6
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY 1
+"""
+
+# mirrors q_late_mode_priority / warehouse.late_mode_priority (Q12 shape)
+ORACLE_SQL["late_mode_priority"] = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+# mirrors q_waiting_suppliers / warehouse.waiting_suppliers (Q21 shape):
+# EXISTS / NOT EXISTS written as per-order supplier + late-supplier counts
+ORACLE_SQL["waiting_suppliers"] = """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os p
+JOIN per_order po ON po.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.late = 1 AND po.n_supps > 1 AND po.n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey ASC
+LIMIT 20
+"""

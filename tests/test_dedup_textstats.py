@@ -2086,3 +2086,122 @@ def test_outlier_days_flags_only_the_spike(spark):
     sxx = 9 * 100 + 10000
     assert out[10].dev_sq_num == n * (n * 100 - s) ** 2
     assert out[10].thresh == 4 * (n * sxx - s * s)
+
+
+LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def test_revenue_forecast_hand_computed(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.warehouse import revenue_forecast
+
+    li = spark.createDataFrame(
+        [
+            # in window, disc 6% qty 10 -> counts: 1000c * 6
+            (1, 1, 1, 1, 10.0, 10.00, 0.06, 0.0, "N", "O",
+             datetime(1996, 6, 1)),
+            # disc out of band -> excluded
+            (2, 1, 1, 1, 10.0, 10.00, 0.10, 0.0, "N", "O",
+             datetime(1996, 6, 1)),
+            # qty too large -> excluded
+            (3, 1, 1, 1, 30.0, 10.00, 0.06, 0.0, "N", "O",
+             datetime(1996, 6, 1)),
+            # outside date window -> excluded
+            (4, 1, 1, 1, 10.0, 10.00, 0.06, 0.0, "N", "O",
+             datetime(1997, 6, 1)),
+        ],
+        LI_SCHEMA,
+    )
+    row = revenue_forecast(li).collect()[0]
+    assert (row.revenue_e4, row.n_items) == (1000 * 6, 1)
+
+
+def test_waiting_suppliers_sole_late_shipper_only(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.warehouse import waiting_suppliers
+
+    def li_row(okey, skey, ship):
+        return (okey, 1, skey, 1, 1.0, 1.00, 0.0, 0.0, "N", "O", ship)
+
+    t0 = datetime(1996, 1, 1)
+    late = datetime(1996, 6, 1)   # > 60 days after t0
+    ontime = datetime(1996, 1, 15)
+    li = spark.createDataFrame(
+        [
+            # order 1: supplier 1 late, supplier 2 on time -> 1 waits
+            li_row(1, 1, late), li_row(1, 2, ontime),
+            # order 2: both late -> nobody waits (not the sole late one)
+            li_row(2, 1, late), li_row(2, 2, late),
+            # order 3: single-supplier late -> excluded (needs >1 supplier)
+            li_row(3, 1, late),
+            # order 4: open status -> excluded entirely
+            li_row(4, 1, late), li_row(4, 2, ontime),
+        ],
+        LI_SCHEMA,
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 1.0, t0, "HIGH"), (2, 1, "F", 1.0, t0, "HIGH"),
+         (3, 1, "F", 1.0, t0, "HIGH"), (4, 1, "O", 1.0, t0, "HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 1, 0.0), (2, "S2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    rows = waiting_suppliers(li, orders, supplier).collect()
+    assert [(r.s_suppkey, r.numwait) for r in rows] == [(1, 1)]
+
+
+def test_market_share_conditional_share(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.warehouse import market_share
+
+    t0 = datetime(1996, 1, 1)
+    li = spark.createDataFrame(
+        [
+            # order 1 (ASIA customer): supp 1 (share nation) 10.00 no disc,
+            # supp 2 (other) 30.00 no disc
+            (1, 1, 1, 1, 1.0, 10.00, 0.0, 0.0, "N", "O", t0),
+            (1, 1, 2, 2, 1.0, 30.00, 0.0, 0.0, "N", "O", t0),
+            # order 2: non-ASIA customer -> excluded
+            (2, 1, 1, 1, 1.0, 99.00, 0.0, 0.0, "N", "O", t0),
+        ],
+        LI_SCHEMA,
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 1.0, t0, "HIGH"), (2, 2, "F", 1.0, t0, "HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(1, "C1", 3, 0.0, "BUILDING"), (2, "C2", 4, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 3, 0.0), (2, "S2", 4, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(3, "NATION_3", 2), (4, "NATION_4", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    region = spark.createDataFrame(
+        [(2, "ASIA"), (0, "AFRICA")], "r_regionkey long, r_name string"
+    )
+    rows = market_share(li, orders, customer, supplier, nation, region).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # revenue units cent*percent: 1000*100 vs 4000*100 total -> share 25%
+    assert (r.o_year, r.nation_rev_e4, r.total_rev_e4) == (
+        1996, 100000, 400000)
+    assert r.share_e6 == 250000
