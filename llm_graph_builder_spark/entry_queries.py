@@ -1097,6 +1097,15 @@ def q_outlier_days(spark, sf_dir):
     return outlier_days(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD type-2 dimension build from the event change log: per-user
+    gaps-and-islands run compression into validity intervals, one
+    user-keyed exchange."""
+    from .operators.sessions import scd2_intervals
+
+    return scd2_intervals(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure pushed-down scan + one global aggregate
     (what-if revenue of dropping small discounts)."""
@@ -2423,6 +2432,7 @@ QUERIES = {
     "hll_sketch": q_hll_sketch,
     "order_pivot": q_order_pivot,
     "outlier_days": q_outlier_days,
+    "scd2_intervals": q_scd2_intervals,
     "revenue_forecast": q_revenue_forecast,
     "market_share": q_market_share,
     "late_mode_priority": q_late_mode_priority,

@@ -5569,3 +5569,36 @@ GROUP BY 1, 2
 ORDER BY numwait DESC, s.s_suppkey ASC
 LIMIT 20
 """
+
+
+# mirrors q_scd2_intervals / sessions.scd2_intervals: gaps-and-islands
+# run compression with (ts, event_id) deterministic ordering
+ORACLE_SQL["scd2_intervals"] = """
+WITH marked AS (
+  SELECT user_id, event_type AS attr, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, attr, ts,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM marked
+),
+islands AS (
+  SELECT user_id, seq, min(attr) AS attr, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, seq, attr, valid_from,
+       coalesce(lead(valid_from) OVER w2,
+                TIMESTAMP '9999-12-31') AS valid_to,
+       n_events,
+       CAST((lead(valid_from) OVER w2 IS NULL)::BIGINT AS BIGINT)
+           AS is_current
+FROM islands
+WINDOW w2 AS (PARTITION BY user_id ORDER BY seq)
+"""

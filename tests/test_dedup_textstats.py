@@ -2205,3 +2205,37 @@ def test_market_share_conditional_share(spark):
     assert (r.o_year, r.nation_rev_e4, r.total_rev_e4) == (
         1996, 100000, 400000)
     assert r.share_e6 == 250000
+
+
+def test_scd2_intervals_hand_computed(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import scd2_intervals
+
+    def ev(eid, day, hour, user, typ):
+        return (eid, dt.datetime(2026, 1, day, hour), user, typ, 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            # user 1: a,a,b,a  -> 3 islands (a x2, b, a)
+            ev(1, 1, 0, 1, "a"), ev(2, 1, 1, 1, "a"),
+            ev(3, 2, 0, 1, "b"), ev(4, 3, 0, 1, "a"),
+            # user 2: single run
+            ev(5, 1, 0, 2, "z"),
+            # same-ts tiebreak by event_id: 7(b) sorts after 6(a)
+            ev(6, 1, 0, 3, "a"), ev(7, 1, 0, 3, "b"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {(r.user_id, r.seq): r for r in scd2_intervals(events).collect()}
+    assert len(rows) == 6
+    u1 = [rows[(1, i)] for i in (1, 2, 3)]
+    assert [r.attr for r in u1] == ["a", "b", "a"]
+    assert [r.n_events for r in u1] == [2, 1, 1]
+    # intervals half-open and contiguous: island 1 closes at island 2's start
+    assert u1[0].valid_to == u1[1].valid_from == dt.datetime(2026, 1, 2)
+    assert [r.is_current for r in u1] == [0, 0, 1]
+    assert u1[2].valid_to == dt.datetime(9999, 12, 31)
+    assert rows[(2, 1)].is_current == 1
+    assert [rows[(3, i)].attr for i in (1, 2)] == ["a", "b"]
