@@ -1106,6 +1106,14 @@ def q_scd2_intervals(spark, sf_dir):
     return scd2_intervals(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_gapfill_series(spark, sf_dir):
+    """Daily resampling + LOCF forward fill over the event log: per-user
+    calendar spine (sequence+explode at user grain) with carried state."""
+    from .operators.sessions import gapfill_series
+
+    return gapfill_series(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure pushed-down scan + one global aggregate
     (what-if revenue of dropping small discounts)."""
@@ -2433,6 +2441,7 @@ QUERIES = {
     "order_pivot": q_order_pivot,
     "outlier_days": q_outlier_days,
     "scd2_intervals": q_scd2_intervals,
+    "gapfill_series": q_gapfill_series,
     "revenue_forecast": q_revenue_forecast,
     "market_share": q_market_share,
     "late_mode_priority": q_late_mode_priority,

@@ -763,3 +763,66 @@ def scd2_intervals(
             "is_current"
         ),
     )
+
+
+def gapfill_series(
+    events: DataFrame,
+    user_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regular daily time series per user from an irregular event log:
+    build the per-user calendar SPINE (every day from the user's first to
+    last event) and forward-fill state across the gaps — the resampling +
+    LOCF (last-observation-carried-forward) pair every feature pipeline
+    asks of the engine before it can window anything.
+
+    Distributed shape: day-grain aggregates and per-user bounds are two
+    map-combined aggregations over the SAME user-keyed exchange; the
+    spine is ``sequence(first_day, last_day)`` exploded AT THE USER GRAIN
+    (no driver-side calendar, no cross join against a date dimension);
+    the fill is one ignore-nulls window ride over the already
+    user-partitioned spine. Total: one wide exchange of the log + one
+    user-day left join. Day state is the attribute of the day's LAST
+    event, made deterministic by the (ts, id) tiebreak.
+
+    Output: (user_id, day, n_events, state, observed) — gap days carry
+    n_events = 0, observed = 0, and the carried state.
+    """
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("date").alias("day"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+    )
+    daily = base.groupBy("user_id", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max_by("attr", F.struct("ts", "eid")).alias("day_state"),
+    )
+    spine = (
+        base.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, on=["user_id", "day"], how="left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("day_state", ignorenulls=True).over(w).alias("state"),
+            F.col("n_events").isNotNull().cast("long").alias("observed"),
+        )
+    )

@@ -5602,3 +5602,48 @@ SELECT user_id, seq, attr, valid_from,
 FROM islands
 WINDOW w2 AS (PARTITION BY user_id ORDER BY seq)
 """
+
+
+# mirrors q_gapfill_series / sessions.gapfill_series: per-user calendar
+# spine + LOCF forward fill (day state = attr of the day's last event,
+# (ts, event_id) tiebreak)
+ORACLE_SQL["gapfill_series"] = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type AS attr, ts, event_id
+  FROM events
+),
+daily_n AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+  FROM base GROUP BY 1, 2
+),
+daily_last AS (
+  SELECT user_id, day, attr AS day_state FROM (
+    SELECT user_id, day, attr,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM base) WHERE rn = 1
+),
+daily AS (
+  SELECT n.user_id, n.day, n.n_events, l.day_state
+  FROM daily_n n JOIN daily_last l
+    ON l.user_id = n.user_id AND l.day = n.day
+),
+bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM base GROUP BY 1
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, s.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       last_value(d.day_state IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS UNBOUNDED PRECEDING) AS state,
+       CAST((d.n_events IS NOT NULL)::BIGINT AS BIGINT) AS observed
+FROM spine s
+LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""

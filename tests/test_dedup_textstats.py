@@ -2239,3 +2239,33 @@ def test_scd2_intervals_hand_computed(spark):
     assert u1[2].valid_to == dt.datetime(9999, 12, 31)
     assert rows[(2, 1)].is_current == 1
     assert [rows[(3, i)].attr for i in (1, 2)] == ["a", "b"]
+
+
+def test_gapfill_series_spine_and_locf(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import gapfill_series
+
+    events = spark.createDataFrame(
+        [
+            # user 1: events on days 1 and 4 -> spine covers 2,3 as gaps
+            (1, dt.datetime(2026, 1, 1, 9), 1, "a", 1.0, "{}"),
+            (2, dt.datetime(2026, 1, 1, 18), 1, "b", 1.0, "{}"),  # last of day
+            (3, dt.datetime(2026, 1, 4, 9), 1, "c", 1.0, "{}"),
+            # user 2: single day
+            (4, dt.datetime(2026, 2, 1, 0), 2, "z", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {(r.user_id, r.day.day): r for r in gapfill_series(events).collect()}
+    assert len(rows) == 5  # 4 spine days for user 1, 1 for user 2
+    # day 1 state = last event of the day (b), observed
+    assert (rows[(1, 1)].n_events, rows[(1, 1)].state,
+            rows[(1, 1)].observed) == (2, "b", 1)
+    # gap days carry state b with zero events
+    assert (rows[(1, 2)].n_events, rows[(1, 2)].state,
+            rows[(1, 2)].observed) == (0, "b", 0)
+    assert rows[(1, 3)].state == "b"
+    assert (rows[(1, 4)].state, rows[(1, 4)].observed) == ("c", 1)
+    assert (rows[(2, 1)].n_events, rows[(2, 1)].state) == (1, "z")

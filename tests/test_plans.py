@@ -198,3 +198,43 @@ def test_new_warehouse_family_plan_shapes(spark):
     # Q22: the no-recent-orders predicate is a broadcast LEFT-ANTI join
     p22 = _plan(inactive_customer_balance(ords, cust, nat))
     assert "LeftAnti" in p22
+
+
+def test_tpch_completion_plan_shapes(spark):
+    from llm_graph_builder_spark.operators.warehouse import (
+        market_share,
+        revenue_forecast,
+        waiting_suppliers,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    # Q6: a PURE scan query — date + quantity predicates pushed to the
+    # parquet scan, read schema limited to the touched columns, no joins
+    p6 = _plan(revenue_forecast(li))
+    pushed = p6.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    sch = p6.split("ReadSchema", 1)[1][:300]
+    assert "l_extendedprice" in sch and "l_returnflag" not in sch
+    assert "Join" not in p6
+    # Q8: dims broadcast; orders⋈lineitem is the only wide join
+    p8 = _plan(
+        market_share(
+            li,
+            orders,
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            spark.read.parquet(f"{SF}/supplier.parquet"),
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            spark.read.parquet(f"{SF}/region.parquet"),
+        )
+    )
+    assert p8.count("BroadcastHashJoin") >= 4
+    assert p8.count("SortMergeJoin") + p8.count("ShuffledHashJoin") <= 1
+    # Q21: supplier dim broadcast, top-k via TakeOrdered (no global sort)
+    p21 = _plan(
+        waiting_suppliers(
+            li, orders, spark.read.parquet(f"{SF}/supplier.parquet")
+        )
+    )
+    assert "TakeOrderedAndProject" in p21
+    assert "BroadcastHashJoin" in p21
