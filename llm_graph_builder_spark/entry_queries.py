@@ -1097,6 +1097,45 @@ def q_outlier_days(spark, sf_dir):
     return outlier_days(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+PHRASE_TERMS = ("the", "line")
+
+
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV sketch set algebra: audience union/intersection estimates from
+    two k-minimum-values sketches, exact probes alongside."""
+    from .operators.sessions import kmv_set_ops
+
+    return kmv_set_ops(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_postings_index(spark, sf_dir):
+    """Positional inverted-index build: (term, doc, tf, positions, df),
+    one (term, doc) shuffle + a term-partition window for df."""
+    from .operators.fulltext import postings_index
+
+    return postings_index(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query from positional postings: adjacency via JVM
+    position-array intersection, term filter pushed below the index."""
+    from .operators.fulltext import phrase_search
+
+    return phrase_search(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), *PHRASE_TERMS
+    )
+
+
+def q_distribution_drift(spark, sf_dir):
+    """Two-sample KS drift between corpus halves over token counts —
+    integer-exact cross-multiplied CDF comparison at the domain grain."""
+    from .operators.curation import distribution_drift
+
+    return distribution_drift(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD type-2 dimension build from the event change log: per-user
     gaps-and-islands run compression into validity intervals, one
@@ -2442,6 +2481,10 @@ QUERIES = {
     "outlier_days": q_outlier_days,
     "scd2_intervals": q_scd2_intervals,
     "gapfill_series": q_gapfill_series,
+    "distribution_drift": q_distribution_drift,
+    "postings_index": q_postings_index,
+    "phrase_search": q_phrase_search,
+    "kmv_set_ops": q_kmv_set_ops,
     "revenue_forecast": q_revenue_forecast,
     "market_share": q_market_share,
     "late_mode_priority": q_late_mode_priority,

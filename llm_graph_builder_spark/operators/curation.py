@@ -426,3 +426,72 @@ def curation_curve(
             .cast("long").alias("surviving_tokens"),
         )
     )
+
+
+def distribution_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the even- and
+    odd-keyed halves of the corpus over the per-doc token-count
+    distribution — the data-quality gate a training pipeline runs between
+    "yesterday's crawl" and "today's" before mixing them. INTEGER-EXACT:
+    the KS statistic max|F_A(v) − F_B(v)| is evaluated cross-multiplied
+    as max|cumA·n_B − cumB·n_A| (BIGINT, no per-step division), and only
+    the final reported ratio is a staged e6 div. The argmax value is
+    reported with a min-value tiebreak so the row is deterministic.
+
+    Scale shape: one map-combined conditional count per distinct VALUE
+    (the domain grain, not the data grain), one running-sum window over
+    that bounded domain (doc-length domain ≈ thousands of rows; for an
+    unbounded domain use a two-level range-partitioned prefix sum — see
+    ``lp_training_pairs``), a broadcast one-row totals join, and a
+    TakeOrdered(1). Note: ks_num·10⁶ needs n_A·n_B ≤ ~9·10¹² to stay in
+    BIGINT — beyond that widen the final ratio to DECIMAL(38,0); every
+    comparison is unaffected.
+
+    Output: one row (n_a, n_b, ks_at_value, ks_num, ks_e6).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textstats import _tokens
+
+    vals = docs.select(
+        (F.col(id_col).cast("long") % 2 == 0).alias("in_a"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("v"),
+    )
+    counts = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = vals.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ),
+        )
+        .orderBy(F.desc("d"), F.asc("v"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("v").alias("ks_at_value"),
+            F.col("d").alias("ks_num"),
+            F.expr("d * 1000000L div (n_a * n_b)").cast("long").alias("ks_e6"),
+        )
+    )

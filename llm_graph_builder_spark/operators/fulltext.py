@@ -203,3 +203,102 @@ def bm25_search(
         .orderBy(F.desc("score_e6"), F.asc("chunk_id"))
         .limit(limit)
     )
+
+
+def postings_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted-index build — the materialization behind every
+    phrase/proximity query: one posting row per (term, doc) carrying the
+    sorted 1-based position list, term frequency, and the term's document
+    frequency. (``tfidf_terms``/``bm25_retrieval`` are the SCORING half;
+    this is the INDEX half a search engine persists, term-partitioned.)
+
+    Scale shape: posexplode at the token grain, ONE (term, doc) shuffle
+    for the posting aggregation, and df computed as a window count over
+    the term partition the postings already live in — no second exchange.
+    Write the result bucketed by term and phrase queries become
+    partition-local merges.
+
+    Output: (term, doc, tf, positions, df).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textstats import _tokens
+
+    tok = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos0", "term"),
+    )
+    posting = tok.groupBy("term", "doc").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))).alias(
+            "positions"
+        ),
+    )
+    w = Window.partitionBy("term")
+    return posting.select(
+        "term",
+        "doc",
+        "tf",
+        "positions",
+        F.count("*").over(w).cast("long").alias("df"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    first: str,
+    second: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact two-term phrase query answered from positional postings: a
+    document matches where some position of ``first`` is immediately
+    followed by ``second`` — the adjacency test is a JVM array intersect
+    of (positions(first)+1) with positions(second), no re-scan of the
+    text and no per-position row explosion.
+
+    Scale shape: the term filter cuts the posting build to the two query
+    terms BEFORE the posting aggregation (predicate on the exploded term
+    column — at index-serving time this is two term-bucket lookups), then
+    one doc-keyed join between two skinny posting sets.
+
+    Output: (doc, n_matches, first_positions) for matching docs only.
+    """
+    from ..functions.textstats import _tokens
+
+    tok = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos0", "term"),
+    ).filter(F.col("term").isin(first, second))
+    posting = tok.groupBy("term", "doc").agg(
+        F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))).alias(
+            "positions"
+        )
+    )
+    pa = posting.filter(F.col("term") == first).select(
+        "doc", F.col("positions").alias("pos_a")
+    )
+    pb = posting.filter(F.col("term") == second).select(
+        "doc", F.col("positions").alias("pos_b")
+    )
+    hits = (
+        pa.join(pb, on="doc")
+        .withColumn(
+            "match_starts",
+            F.array_intersect(
+                F.transform("pos_a", lambda x: x + 1), "pos_b"
+            ),
+        )
+        .filter(F.size("match_starts") > 0)
+    )
+    return hits.select(
+        "doc",
+        F.size("match_starts").cast("long").alias("n_matches"),
+        F.transform(
+            F.col("match_starts"), lambda x: (x - 1).cast("long")
+        ).alias("first_positions"),
+    )

@@ -826,3 +826,140 @@ def gapfill_series(
             F.col("n_events").isNotNull().cast("long").alias("observed"),
         )
     )
+
+
+def kmv_set_ops(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "click",
+    k: int = 64,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate |A∪B| and |A∩B| for two key sets
+    (here: users who did ``type_a`` vs ``type_b``) from their k-minimum-
+    values sketches alone — the reason a 100 TB warehouse keeps KMV per
+    cell: audience overlap across any two cells is answered from 2·k
+    hashes, no re-scan. Protocol: the union sketch K is the k smallest of
+    K(A) ∪ K(B); est_union = (2^60 div h_k)·(k−1) (same integer estimator
+    as ``kmv_distinct_sketch``); ρ = |{h ∈ K : h ∈ K(A) ∩ K(B)}| gives
+    est_inter = ρ·est_union div k. Exact counts ride along as the
+    accuracy probe.
+
+    Scale shape: one distinct (set, hash) reduction; per-set sketches via
+    the same per-partition partial top-k as ``kmv_distinct_sketch``
+    (≤ k rows per partition reach the rank); everything after the
+    sketches touches ≤ 3k rows total.
+
+    Output: one row (k, est_a, est_b, est_union, est_inter, exact_a,
+    exact_b, exact_union, exact_inter).
+    """
+    from pyspark.sql.window import Window
+
+    space = 1 << 60
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    kh = (
+        events.filter(F.col(group_col).isin(type_a, type_b))
+        .select(
+            (F.col(group_col) == type_a).alias("in_a"),
+            F.col(group_col).alias("grp"),
+            h.alias("h"),
+        )
+        .dropDuplicates(["grp", "h"])
+        .localCheckpoint(eager=True)
+    )
+    w_part = Window.partitionBy("grp", "part").orderBy("h")
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        kh.withColumn("part", F.spark_partition_id())
+        .withColumn("prn", F.row_number().over(w_part))
+        .filter(F.col("prn") <= k)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("in_a", "h")
+    )
+    ka = sk.filter(F.col("in_a")).select("h")
+    kb = sk.filter(~F.col("in_a")).select("h")
+    w_u = Window.orderBy("h")
+    union_k = (
+        ka.union(kb)
+        .dropDuplicates(["h"])
+        .withColumn("rn", F.row_number().over(w_u))
+        .filter(F.col("rn") <= k)
+    )
+    both = union_k.join(ka, on="h", how="leftsemi").join(
+        kb, on="h", how="leftsemi"
+    )
+    stats = union_k.agg(
+        F.max("h").alias("h_k"), F.count("*").cast("long").alias("n_k")
+    )
+    rho = both.agg(F.count("*").cast("long").alias("rho"))
+    exact = kh.groupBy().agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+        .cast("long")
+        .alias("exact_b"),
+        F.countDistinct("h").cast("long").alias("exact_union"),
+    )
+    exact_i = (
+        kh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == 2)
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    per_set = (
+        sk.groupBy("in_a")
+        .agg(F.max("h").alias("kth"), F.count("*").cast("long").alias("n"))
+        .select(
+            "in_a",
+            F.when(
+                F.col("n") >= k,
+                F.expr(f"({space}L div kth) * {k - 1}L"),
+            )
+            .otherwise(F.col("n"))
+            .cast("long")
+            .alias("est"),
+        )
+    )
+    est_a = per_set.filter(F.col("in_a")).select(
+        F.col("est").alias("est_a")
+    )
+    est_b = per_set.filter(~F.col("in_a")).select(
+        F.col("est").alias("est_b")
+    )
+    return (
+        stats.crossJoin(rho)
+        .crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(exact)
+        .crossJoin(exact_i)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "est_a",
+            "est_b",
+            F.when(
+                F.col("n_k") >= k,
+                F.expr(f"({space}L div h_k) * {k - 1}L"),
+            )
+            .otherwise(F.col("n_k"))
+            .cast("long")
+            .alias("est_union"),
+            F.when(
+                F.col("n_k") >= k,
+                F.expr(
+                    f"rho * (({space}L div h_k) * {k - 1}L) div {k}L"
+                ),
+            )
+            .otherwise(F.col("rho"))
+            .cast("long")
+            .alias("est_inter"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+        )
+    )

@@ -5647,3 +5647,144 @@ SELECT s.user_id, s.day,
 FROM spine s
 LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
 """
+
+
+# mirrors q_distribution_drift / curation.distribution_drift: two-sample
+# KS over per-doc token counts, cross-multiplied integer CDF comparison
+ORACLE_SQL["distribution_drift"] = f"""
+WITH dvals AS (
+  SELECT (CAST(doc_id AS BIGINT) % 2 = 0) AS in_a,
+         CAST(len({_TOKS}) AS BIGINT) AS v
+  FROM documents
+),
+dcounts AS (
+  SELECT v,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM dvals GROUP BY 1
+),
+dcum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+  FROM dcounts
+),
+dtot AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM dvals
+)
+SELECT n_a, n_b, v AS ks_at_value,
+       CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_num,
+       CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b)
+            AS BIGINT) AS ks_e6
+FROM dcum, dtot
+ORDER BY ks_num DESC, v ASC
+LIMIT 1
+"""
+
+
+# mirrors q_postings_index / fulltext.postings_index: positional inverted
+# index; zipped unnests give (term, 1-based pos) per token
+ORACLE_SQL["postings_index"] = f"""
+WITH pidx_tok AS (
+  SELECT doc, unnest(toks) AS term,
+         CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc, {_TOKS} AS toks
+        FROM documents)
+),
+pidx AS (
+  SELECT term, doc, CAST(count(*) AS BIGINT) AS tf,
+         list_sort(list(pos)) AS positions
+  FROM pidx_tok GROUP BY 1, 2
+)
+SELECT term, doc, tf, positions,
+       CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+FROM pidx
+"""
+
+# mirrors q_phrase_search / fulltext.phrase_search: adjacency via
+# position-list intersection (match start = position of the FIRST term)
+ORACLE_SQL["phrase_search"] = f"""
+WITH phr_tok AS (
+  SELECT doc, unnest(toks) AS term,
+         CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc, {_TOKS} AS toks
+        FROM documents)
+),
+phr_post AS (
+  SELECT term, doc, list_sort(list(pos)) AS positions
+  FROM phr_tok WHERE term IN ('the', 'line') GROUP BY 1, 2
+),
+phr_hits AS (
+  SELECT a.doc,
+         list_sort(list_filter(b.positions,
+                               x -> list_contains(a.positions, x - 1)))
+             AS match_starts
+  FROM phr_post a JOIN phr_post b
+    ON a.doc = b.doc AND a.term = 'the' AND b.term = 'line'
+)
+SELECT doc, CAST(len(match_starts) AS BIGINT) AS n_matches,
+       list_transform(match_starts, x -> CAST(x - 1 AS BIGINT))
+           AS first_positions
+FROM phr_hits WHERE len(match_starts) > 0
+"""
+
+
+# mirrors q_kmv_set_ops / sessions.kmv_set_ops: KMV sketch union +
+# intersection estimates with exact probes (same md5-60bit hash protocol
+# as kmv_sketch)
+ORACLE_SQL["kmv_set_ops"] = """
+WITH kset AS (
+  SELECT DISTINCT (event_type = 'view') AS in_a, event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE event_type IN ('view', 'click')
+),
+ka AS (SELECT h FROM kset WHERE in_a ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM kset WHERE NOT in_a ORDER BY h LIMIT 64),
+union_k AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT 64
+),
+ustats AS (
+  SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_k FROM union_k
+),
+rho_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS rho FROM union_k u
+  WHERE u.h IN (SELECT h FROM ka) AND u.h IN (SELECT h FROM kb)
+),
+est_a_t AS (
+  SELECT CASE WHEN count(*) >= 64
+              THEN (1152921504606846976 // max(h)) * 63
+              ELSE count(*) END AS est_a
+  FROM ka
+),
+est_b_t AS (
+  SELECT CASE WHEN count(*) >= 64
+              THEN (1152921504606846976 // max(h)) * 63
+              ELSE count(*) END AS est_b
+  FROM kb
+),
+exact_t AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS exact_b,
+         CAST(count(DISTINCT h) AS BIGINT) AS exact_union
+  FROM kset
+),
+exact_i_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter
+  FROM (SELECT h FROM kset GROUP BY h HAVING count(*) = 2)
+)
+SELECT CAST(64 AS BIGINT) AS k,
+       CAST(est_a AS BIGINT) AS est_a,
+       CAST(est_b AS BIGINT) AS est_b,
+       CAST(CASE WHEN n_k >= 64
+                 THEN (1152921504606846976 // h_k) * 63
+                 ELSE n_k END AS BIGINT) AS est_union,
+       CAST(CASE WHEN n_k >= 64
+                 THEN rho * ((1152921504606846976 // h_k) * 63) // 64
+                 ELSE rho END AS BIGINT) AS est_inter,
+       exact_a, exact_b, exact_union, exact_inter
+FROM ustats, rho_t, est_a_t, est_b_t, exact_t, exact_i_t
+"""

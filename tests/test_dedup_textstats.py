@@ -2269,3 +2269,72 @@ def test_gapfill_series_spine_and_locf(spark):
     assert rows[(1, 3)].state == "b"
     assert (rows[(1, 4)].state, rows[(1, 4)].observed) == ("c", 1)
     assert (rows[(2, 1)].n_events, rows[(2, 1)].state) == (1, "z")
+
+
+def test_distribution_drift_hand_computed(spark):
+    from llm_graph_builder_spark.operators.curation import distribution_drift
+
+    # cohort A (even ids): token counts [1, 1, 3]; cohort B (odd): [3, 3, 5]
+    docs = spark.createDataFrame(
+        [(0, "w"), (2, "w"), (4, "w w w"),
+         (1, "w w w"), (3, "w w w"), (5, "w w w w w")],
+        "doc_id long, text string",
+    )
+    r = distribution_drift(docs).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    # CDFs: at v=1 A=2/3 B=0 -> d = 2*3-0 = 6 (max); at v=3 A=3,B=2 -> 3
+    assert (r.ks_at_value, r.ks_num) == (1, 6)
+    assert r.ks_e6 == 6 * 1000000 // 9
+
+
+def test_postings_and_phrase_search(spark):
+    from llm_graph_builder_spark.operators.fulltext import (
+        phrase_search,
+        postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "a a a")],
+        "doc_id long, text string",
+    )
+    post = {(r.term, r.doc): r for r in postings_index(docs).collect()}
+    assert post[("a", "1")].positions == [1, 3]
+    assert (post[("a", "1")].tf, post[("a", "1")].df) == (2, 3)
+    assert post[("b", "2")].positions == [1]
+    assert post[("b", "2")].df == 2  # 'b' appears in docs 1 and 2
+    # phrase "a b": doc 1 matches twice (positions 1 and 3), doc 2 has the
+    # reverse order only, doc 3 lacks 'b'
+    hits = {r.doc: r for r in phrase_search(docs, "a", "b").collect()}
+    assert set(hits) == {"1"}
+    assert hits["1"].n_matches == 2
+    assert hits["1"].first_positions == [1, 3]
+
+
+def test_kmv_set_ops_exact_probes_and_estimator_sanity(spark):
+    import datetime as dt
+
+    from llm_graph_builder_spark.operators.sessions import kmv_set_ops
+
+    rows = []
+    eid = 0
+    t = dt.datetime(2026, 1, 1)
+    # A = users 0..599 did 'view'; B = users 300..899 did 'click'
+    # -> |A|=600, |B|=600, |A∩B|=300, |A∪B|=900
+    for u in range(600):
+        rows.append((eid, t, u, "view", 1.0, "{}")); eid += 1
+    for u in range(300, 900):
+        rows.append((eid, t, u, "click", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = kmv_set_ops(events).collect()[0]
+    assert (r.exact_a, r.exact_b, r.exact_union, r.exact_inter) == (
+        600, 600, 900, 300)
+    # KMV with k=64: relative error ~ 1/sqrt(k) ≈ 12.5%; allow 3 sigma
+    assert abs(r.est_union - 900) < 900 * 0.4
+    assert abs(r.est_a - 600) < 600 * 0.4
+    assert abs(r.est_b - 600) < 600 * 0.4
+    # intersection estimate is coarser (rho/k quantization) — sanity band
+    assert 0 < r.est_inter < 900
