@@ -339,6 +339,43 @@ def main() -> None:
         community_quality(_ee, _hierarchy(spark, SF)),
     )
 
+    from llm_graph_builder_spark.operators.dedup import jaccard_prefix_join
+
+    snap(
+        "PPJoin set-similarity join (salted prefix equijoin + array verify)",
+        "Candidate generation joins ONLY prefix tokens with inline length "
+        "+ positional filters; hot tokens (df > 1024) are salted 32 ways "
+        "(the b-side explode replicates ONLY those), and explicit "
+        "repartition keeps the pair-exploding join and the array-intersect "
+        "verify wide — AQE's size-based coalescing would run both single-"
+        "task because their INPUTS are byte-small. Verify reads carried "
+        "token arrays: no per-token row explosion after the candidate set.",
+        jaccard_prefix_join(read_documents(spark, SF)),
+    )
+
+    from llm_graph_builder_spark.operators.warehouse import revenue_forecast
+
+    snap(
+        "TPC-H Q6 pure-scan aggregate (pushdown + pruning audit)",
+        "All three predicates (shipdate range, quantity) must appear in "
+        "PushedFilters, ReadSchema is the four touched columns only, and "
+        "the whole query is scan → partial agg → final agg with no join "
+        "and no wide exchange (one-row result).",
+        revenue_forecast(spark.read.parquet(f"{SF}/lineitem.parquet")),
+    )
+
+    from llm_graph_builder_spark.operators.sessions import gapfill_series
+
+    snap(
+        "Gap-fill resampling (user-grain spine explode + LOCF window)",
+        "The calendar spine is sequence()+explode at the USER grain (no "
+        "driver calendar, no cross join); daily aggregates and bounds are "
+        "two hashAggregates over the same user-keyed exchange; the LOCF "
+        "fill is one running last() window riding the user partitioning "
+        "of the spine join.",
+        gapfill_series(spark.read.parquet(f"{SF}/events.parquet")),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",
