@@ -1100,6 +1100,14 @@ def q_outlier_days(spark, sf_dir):
 PHRASE_TERMS = ("the", "line")
 
 
+def q_bloom_skipping(spark, sf_dir):
+    """File-level Bloom manifest + probe: point-lookup data skipping with
+    the no-false-negative audit (n_pass >= n_true per probe key)."""
+    from .operators.layout import bloom_skipping
+
+    return bloom_skipping(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_kmv_set_ops(spark, sf_dir):
     """KMV sketch set algebra: audience union/intersection estimates from
     two k-minimum-values sketches, exact probes alongside."""
@@ -2485,6 +2493,7 @@ QUERIES = {
     "postings_index": q_postings_index,
     "phrase_search": q_phrase_search,
     "kmv_set_ops": q_kmv_set_ops,
+    "bloom_skipping": q_bloom_skipping,
     "revenue_forecast": q_revenue_forecast,
     "market_share": q_market_share,
     "late_mode_priority": q_late_mode_priority,

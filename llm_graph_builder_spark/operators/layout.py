@@ -214,3 +214,125 @@ def zorder_layout(
         .cast("long")
         .alias("prune_e6"),
     )
+
+
+def bloom_skipping(
+    docs: DataFrame,
+    bucket_rows: int = 100,
+    words: int = 16,
+    word_bits: int = 60,
+    hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """File-level BLOOM manifest — the point-lookup complement to
+    ``zone_map_pruning``: zone maps prune on the CLUSTERED key's ranges,
+    but a lookup by content key (here: the md5 of the text) hits every
+    file unless the writer also stored a per-file Bloom filter, exactly
+    what parquet bloom_filter_enabled / Iceberg puffin files persist.
+    This builds that manifest as rows and probes it, reporting per probe
+    key how many files the Bloom pass admits vs the exact truth — the
+    no-false-negative invariant (n_pass ≥ n_true, equality up to the FP
+    rate) is the audit.
+
+    Layout: m = ``words``·``word_bits`` bits per file as (bucket, word,
+    bits BIGINT) rows; ``word_bits`` = 60 keeps every word positive in
+    engines whose BIGINT shift would wrap at bit 63. Positions are
+    md5(key‖i) mod m — integer-portable. Probes are the content keys of
+    every 97th doc plus 20 known-absent keys.
+
+    Scale shape: the manifest build is ONE hashAggregate at (file, word)
+    grain — bit_or is map-side combined, output bounded at
+    ``words``·n_files rows no matter the corpus; the probe joins
+    word-grain masks against the manifest on (word) per bucket with a
+    final all-words-match count. Nothing row-grain crosses an exchange
+    after the first aggregation.
+
+    Output: (key, n_true, n_pass, false_positives), one row per probe key.
+    """
+    m = words * word_bits
+    key = F.substring(F.md5(F.col(text_col)), 1, 12)
+    base = docs.select(
+        (F.col(id_col).cast("long") / bucket_rows)
+        .cast("long")
+        .alias("bucket"),
+        key.alias("key"),
+        F.col(id_col).cast("long").alias("did"),
+    ).localCheckpoint(eager=True)
+
+    def _positions(df):
+        out = []
+        for i in range(1, hashes + 1):
+            p = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("key"), F.lit(f"|{i}"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            out.append(
+                df.withColumn("pos", p).select(
+                    *df.columns,
+                    F.expr(f"pos div {word_bits}").cast("long").alias("word"),
+                    F.expr(
+                        f"shiftleft(1L, cast(pos % {word_bits} as int))"
+                    ).cast("long").alias("bit"),
+                )
+            )
+        res = out[0]
+        for o in out[1:]:
+            res = res.union(o)
+        return res
+
+    manifest = (
+        _positions(base.select("bucket", "key").dropDuplicates())
+        .groupBy("bucket", "word")
+        .agg(F.expr("bit_or(bit)").cast("long").alias("bits"))
+    )
+    probe_present = (
+        base.filter(F.col("did") % 97 == 0).select("key").dropDuplicates()
+    )
+    probe_absent = docs.sparkSession.range(20).select(
+        F.substring(F.md5(F.concat(F.lit("absent|"), F.col("id"))), 1, 12
+                    ).alias("key")
+    )
+    probes = probe_present.union(probe_absent).dropDuplicates()
+    probe_masks = (
+        _positions(probes)
+        .groupBy("key", "word")
+        .agg(F.expr("bit_or(bit)").cast("long").alias("mask"))
+    )
+    n_words_per_key = probe_masks.groupBy("key").agg(
+        F.count("*").alias("n_words")
+    )
+    passes = (
+        probe_masks.join(manifest, on="word")
+        .filter(F.expr("(bits & mask) = mask"))
+        .groupBy("key", "bucket")
+        .agg(F.count("*").alias("matched"))
+        .join(n_words_per_key, on="key")
+        .filter(F.col("matched") == F.col("n_words"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("n_pass"))
+    )
+    truth = (
+        base.select("bucket", "key")
+        .dropDuplicates()
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
+    return (
+        probes.join(passes, on="key", how="left")
+        .join(truth, on="key", how="left")
+        .select(
+            "key",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pass", F.lit(0)).cast("long").alias("n_pass"),
+            (F.coalesce("n_pass", F.lit(0)) - F.coalesce("n_true", F.lit(0)))
+            .cast("long")
+            .alias("false_positives"),
+        )
+    )

@@ -5788,3 +5788,72 @@ SELECT CAST(64 AS BIGINT) AS k,
        exact_a, exact_b, exact_union, exact_inter
 FROM ustats, rho_t, est_a_t, est_b_t, exact_t, exact_i_t
 """
+
+
+# mirrors q_bloom_skipping / layout.bloom_skipping: per-file Bloom words
+# (16 x 60-bit, 3 md5 positions) + probe with exact truth
+ORACLE_SQL["bloom_skipping"] = """
+WITH bsk_base AS (
+  SELECT CAST(doc_id AS BIGINT) // 100 AS bucket,
+         substr(md5(text), 1, 12) AS key,
+         CAST(doc_id AS BIGINT) AS did
+  FROM documents
+),
+bsk_bk AS (SELECT DISTINCT bucket, key FROM bsk_base),
+bsk_pos AS (
+  SELECT bucket, key, pos // 60 AS word,
+         (CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bit
+  FROM (
+    SELECT bucket, key,
+           CAST(('0x' || substr(md5(key || '|' || i), 1, 12)) AS BIGINT)
+               % 960 AS pos
+    FROM bsk_bk, (SELECT unnest([1, 2, 3]) AS i)
+  )
+),
+bsk_manifest AS (
+  SELECT bucket, word, CAST(bit_or(bit) AS BIGINT) AS bits
+  FROM bsk_pos GROUP BY 1, 2
+),
+bsk_probes AS (
+  SELECT DISTINCT key FROM (
+    SELECT key FROM bsk_base WHERE did % 97 = 0
+    UNION ALL
+    SELECT substr(md5('absent|' || i), 1, 12) AS key
+    FROM (SELECT unnest(generate_series(0, 19)) AS i)
+  )
+),
+bsk_pmask AS (
+  SELECT key, pos // 60 AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT))
+              AS BIGINT) AS mask
+  FROM (
+    SELECT key,
+           CAST(('0x' || substr(md5(key || '|' || i), 1, 12)) AS BIGINT)
+               % 960 AS pos
+    FROM bsk_probes, (SELECT unnest([1, 2, 3]) AS i)
+  )
+  GROUP BY 1, 2
+),
+bsk_nw AS (SELECT key, count(*) AS n_words FROM bsk_pmask GROUP BY 1),
+bsk_pass AS (
+  SELECT j.key, CAST(count(*) AS BIGINT) AS n_pass FROM (
+    SELECT m.key, f.bucket, count(*) AS matched
+    FROM bsk_pmask m
+    JOIN bsk_manifest f ON f.word = m.word AND (f.bits & m.mask) = m.mask
+    GROUP BY 1, 2
+  ) j JOIN bsk_nw w ON w.key = j.key
+  WHERE j.matched = w.n_words
+  GROUP BY 1
+),
+bsk_truth AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_true FROM bsk_bk GROUP BY 1
+)
+SELECT p.key,
+       CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(s.n_pass, 0) AS BIGINT) AS n_pass,
+       CAST(coalesce(s.n_pass, 0) - coalesce(t.n_true, 0) AS BIGINT)
+           AS false_positives
+FROM bsk_probes p
+LEFT JOIN bsk_pass s ON s.key = p.key
+LEFT JOIN bsk_truth t ON t.key = p.key
+"""

@@ -2338,3 +2338,27 @@ def test_kmv_set_ops_exact_probes_and_estimator_sanity(spark):
     assert abs(r.est_b - 600) < 600 * 0.4
     # intersection estimate is coarser (rho/k quantization) — sanity band
     assert 0 < r.est_inter < 900
+
+
+def test_bloom_skipping_no_false_negatives(spark):
+    from llm_graph_builder_spark.operators.layout import bloom_skipping
+
+    # 500 docs in 5 buckets of 100; doc 0 and 97*k give present probe keys
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    rows = bloom_skipping(docs).collect()
+    present = [r for r in rows if r.n_true > 0]
+    absent = [r for r in rows if r.n_true == 0]
+    # 0,97,...,485 -> 6 present probe keys; 20 absent synthetic keys
+    assert len(present) == 6 and len(absent) == 20
+    for r in rows:
+        # THE Bloom invariant: never a false negative
+        assert r.n_pass >= r.n_true
+        assert r.false_positives == r.n_pass - r.n_true
+    # each unique text lives in exactly one bucket
+    assert all(r.n_true == 1 for r in present)
+    # with m=960 bits vs ~100 keys/bucket the FP rate is tiny: the probe
+    # set should admit at most a couple of extra buckets overall
+    assert sum(r.false_positives for r in rows) <= 4
