@@ -447,6 +447,32 @@ def main():
         "copurchase_lift",
     )
 
+    from llm_graph_builder_spark.operators.fulltext import postings_index
+    from llm_graph_builder_spark.operators.layout import bloom_skipping
+    from llm_graph_builder_spark.operators.sessions import scd2_intervals
+
+    # search-index story: positional posting build, one (term, doc) shuffle
+    best_of(
+        lambda: postings_index(raw_docs)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings"),
+        "postings_index",
+    )
+    # CDC/warehouse story: SCD2 interval build over the event change log
+    best_of(
+        lambda: scd2_intervals(ev).write.mode("overwrite").parquet(
+            f"{out_dir}/scd2"
+        ),
+        "scd2_intervals",
+    )
+    # data-skipping story: Bloom manifest build + probe over the corpus
+    best_of(
+        lambda: bloom_skipping(raw_docs).write.mode("overwrite").parquet(
+            f"{out_dir}/bloomskip"
+        ),
+        "bloom_skipping",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
