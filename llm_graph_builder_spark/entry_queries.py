@@ -2341,6 +2341,49 @@ def q_sssp_weighted(spark, sf_dir):
     return sssp_weighted(t["entity_edges"], srcs, rounds=6)
 
 
+def q_typosquat_candidates(spark, sf_dir):
+    """Edit-distance-1 near-miss pairs over the repo namespace (SymSpell
+    deletion-neighborhood blocking, byte-weight orientation) — the
+    supply-chain typosquat audit for a source-code corpus."""
+    from .operators.fuzzy import typosquat_candidates
+
+    docs = read_documents(spark, sf_dir)
+    names = docs.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 37).cast("string"))
+        .alias("name"),
+        F.col("n_chars").cast("long").alias("weight"),
+    )
+    return typosquat_candidates(names)
+
+
+def q_skyline_docs(spark, sf_dir):
+    """2-D pareto frontier of the corpus on (n_chars, distinct tokens) —
+    x-grain collapse + strict-suffix-max gate, no row-grain global sort."""
+    from .operators.curation import skyline_documents
+
+    return skyline_documents(read_documents(spark, sf_dir))
+
+
+def q_concurrency_peaks(spark, sf_dir):
+    """Peak concurrent sessions via a two-level prefix-summed sweep-line
+    over the gap-sessionized events table (top 20 change points)."""
+    from .operators.sessions import concurrency_peaks, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    return concurrency_peaks(sessionize(ev))
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """Deterministic GraphSAGE-style 2-hop fanout sample (3, 2) over the
+    undirected entity graph — the GNN minibatch materialization."""
+    from .operators.graph_analytics import neighbor_sampling
+
+    t = pipeline_tables(spark, sf_dir)
+    return neighbor_sampling(t["entity_edges"])
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2525,6 +2568,10 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "duplicate_spans": q_duplicate_spans,
     "bloom_dedup": q_bloom_dedup,
+    "typosquat_candidates": q_typosquat_candidates,
+    "skyline_docs": q_skyline_docs,
+    "concurrency_peaks": q_concurrency_peaks,
+    "neighbor_sample": q_neighbor_sample,
     "dedup_exact": q_dedup_exact,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

@@ -495,3 +495,57 @@ def distribution_drift(
             F.expr("d * 1000000L div (n_a * n_b)").cast("long").alias("ks_e6"),
         )
     )
+
+
+def skyline_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """2-D pareto frontier (skyline) of the corpus on (length, lexical
+    richness): the documents no other document beats on BOTH n_chars and
+    distinct-token count — the multi-criteria "best exemplars" pick a
+    curation pass uses when single-score thresholds (``curate_corpus``)
+    are too blunt. A document is dominated when some other document is
+    >= on both axes and strictly > on at least one.
+
+    Scale shape: the classic sort-scan skyline needs a running max over a
+    GLOBAL order — a single-partition window at row grain. Here the scan
+    collapses to the x-grain first: groupBy(x) -> (x, top_y) is one
+    map-side-combined shuffle, the strict-suffix max runs on that
+    aggregate (|distinct x| rows — bounded by the metric's value range,
+    and two-level bucket-prefixable exactly as in ``lp_training_pairs``
+    if it ever weren't), and the verdict rejoins by broadcast. Row-grain
+    data is never globally sorted.
+
+    Output: (doc_id, n_chars, n_unique) — the frontier, x descending.
+    """
+    from ..functions.textstats import _tokens
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+        F.size(F.array_distinct(_tokens(F.coalesce(F.col(text_col), F.lit("")))))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    xagg = base.groupBy("n_chars").agg(F.max("n_unique").alias("top_y"))
+    w_suffix = Window.orderBy(F.desc("n_chars")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gate = xagg.select(
+        "n_chars",
+        "top_y",
+        F.coalesce(F.max("top_y").over(w_suffix), F.lit(-1)).alias("best_gt"),
+    )
+    return (
+        base.join(F.broadcast(gate), on="n_chars")
+        .filter(
+            (F.col("n_unique") == F.col("top_y"))
+            & (F.col("n_unique") > F.col("best_gt"))
+        )
+        .select("doc_id", "n_chars", "n_unique")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )

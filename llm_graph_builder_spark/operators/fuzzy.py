@@ -1,0 +1,122 @@
+"""Bounded edit-distance name matching — the fuzzy half of entity
+resolution that ``linking.candidate_pairs_exact`` (exact predicates) and
+the LSH blockers deliberately leave out.
+
+The reference resolves duplicate entities with embedding distance plus an
+edit-distance gate (``backend/src/graphDB_dataAccess.py`` duplicate-nodes
+Cypher uses ``apoc.text.distance(...) < $distance`` next to the vector
+similarity). This module restates that gate as a *scalable join*: the
+classic SymSpell deletion-neighborhood trick. Two strings within
+Levenshtein distance 1 necessarily share a member of each other's
+1-deletion neighborhood (the string itself plus every single-character
+deletion), so blocking on that neighborhood finds EVERY distance-1 pair
+without an all-pairs comparison — candidates are verified with the exact
+``levenshtein`` built-in (JVM-side), which also discards the few
+distance-2 collisions the blocking admits (e.g. transpositions).
+
+Scale shape: a name of length L explodes into L+1 variant rows, so the
+join input is Σ(L+1) rows — linear in total name bytes, and the join key
+(variant) is high-cardinality, which keeps the self-join fan-out at the
+duplicate-neighborhood grain instead of n². This is the standard
+spell-correction index shape and survives vocabularies of billions of
+names; an all-pairs ``levenshtein`` cross join does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_variants(col: str) -> F.Column:
+    """The 1-deletion neighborhood of ``col``: the string itself plus every
+    string obtained by deleting one character (deduplicated — repeated
+    characters collapse, e.g. 'aa' -> ['aa', 'a'])."""
+    return F.array_union(
+        F.array(F.col(col)),
+        F.expr(
+            f"transform(sequence(1, length({col})), i -> "
+            f"concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col}))))"
+        ),
+    )
+
+
+def edit_distance_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+) -> DataFrame:
+    """All unordered pairs of distinct names within Levenshtein distance 1,
+    found via deletion-neighborhood blocking + exact verification.
+
+    Input: any DataFrame with a string ``name_col`` (deduplicated here).
+    Output: (name_a, name_b, dist) with name_a < name_b, dist == 1.
+    """
+    base = (
+        names.select(F.col(name_col).alias("name"))
+        .filter(F.col("name").isNotNull() & (F.length("name") > 0))
+        .distinct()
+    )
+    variants = base.select(
+        "name", F.explode(_deletion_variants("name")).alias("variant")
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, on="variant")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 1)
+
+
+def typosquat_candidates(
+    names: DataFrame,
+    name_col: str = "name",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Typosquat / near-miss report over a weighted namespace (repo names,
+    import targets): every distance-1 pair oriented so the heavier name is
+    the presumed ``target`` and the lighter one the ``suspect`` — the
+    supply-chain audit a source-code corpus runs over its import graph.
+    Equal-weight pairs are kept with the lexicographically smaller name as
+    target (deterministic, documented tie).
+
+    Output: (suspect, target, suspect_w, target_w, dist).
+    """
+    w = names.groupBy(F.col(name_col).alias("name")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("w")
+    )
+    pairs = edit_distance_pairs(w, "name")
+    j = (
+        pairs.join(
+            w.select(F.col("name").alias("name_a"), F.col("w").alias("w_a")),
+            on="name_a",
+        ).join(
+            w.select(F.col("name").alias("name_b"), F.col("w").alias("w_b")),
+            on="name_b",
+        )
+    )
+    heavier_a = (F.col("w_a") > F.col("w_b")) | (
+        (F.col("w_a") == F.col("w_b")) & (F.col("name_a") < F.col("name_b"))
+    )
+    return j.select(
+        F.when(heavier_a, F.col("name_b")).otherwise(F.col("name_a")).alias(
+            "suspect"
+        ),
+        F.when(heavier_a, F.col("name_a")).otherwise(F.col("name_b")).alias(
+            "target"
+        ),
+        F.when(heavier_a, F.col("w_b")).otherwise(F.col("w_a")).alias(
+            "suspect_w"
+        ),
+        F.when(heavier_a, F.col("w_a")).otherwise(F.col("w_b")).alias(
+            "target_w"
+        ),
+        "dist",
+    )

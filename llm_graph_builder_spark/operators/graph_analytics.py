@@ -2497,3 +2497,59 @@ def ktruss(
     return final.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "support"
     )
+
+
+def neighbor_sampling(
+    entity_edges: DataFrame,
+    fanout1: int = 3,
+    fanout2: int = 2,
+    salt: str = "ns",
+) -> DataFrame:
+    """Deterministic 2-hop neighbor sampling (GraphSAGE-style fanout) over
+    the undirected entity graph: for every node as a seed, keep at most
+    ``fanout1`` hop-1 neighbors and, from each sampled hop-1 node, at most
+    ``fanout2`` hop-2 neighbors — the minibatch-subgraph materialization a
+    GNN trainer runs over the knowledge graph before each epoch.
+
+    Scale shape: the sample is computed ONCE per node (rank neighbors by
+    md5(src|dst|salt) inside a window partitioned by src — per-node
+    partitions, no global sort) and REUSED for every seed that reaches the
+    node, the cached-neighbor-sample trick that makes fanout sampling one
+    adjacency pass instead of one pass per seed. Hop-2 expansion is a
+    single equi-join of the hop-1 sample with the truncated sample table;
+    rerun-stable because the rank key is a content hash, not a RNG.
+
+    Output: (seed, hop, src, dst) distinct — node keys in the
+    ``id ‖ chr(1) ‖ label`` convention.
+    """
+    und = simple_undirected(entity_edges)
+    adj = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    w = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws("|", "src", "dst", F.lit(salt))), "dst"
+    )
+    ranked = adj.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= max(fanout1, fanout2)
+    )
+    s1 = ranked.filter(F.col("rk") <= fanout1).select("src", "dst")
+    s2 = ranked.filter(F.col("rk") <= fanout2).select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst2")
+    )
+    hop1 = s1.select(
+        F.col("src").alias("seed"),
+        F.lit(1).cast("long").alias("hop"),
+        "src",
+        "dst",
+    )
+    hop2 = (
+        s1.select(F.col("src").alias("seed"), F.col("dst").alias("mid"))
+        .join(s2, on="mid")
+        .select(
+            "seed",
+            F.lit(2).cast("long").alias("hop"),
+            F.col("mid").alias("src"),
+            F.col("dst2").alias("dst"),
+        )
+    )
+    return hop1.unionByName(hop2).distinct()

@@ -963,3 +963,59 @@ def kmv_set_ops(
             "exact_inter",
         )
     )
+
+
+def concurrency_peaks(
+    sessions: DataFrame,
+    top: int = 20,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Peak concurrent sessions — the sweep-line question ("how many
+    sessions were open at once, and when?") every capacity planner asks of
+    a clickstream. Intervals are closed [start, end] (a single-event
+    session still occupies its instant), swept as +1 at start and -1 at
+    end+1µs.
+
+    Scale shape: the textbook sweep is a running sum over the GLOBAL time
+    order — a single-partition window at event grain. Here deltas collapse
+    to the timestamp grain first (one map-side-combined shuffle), the
+    running sum is split two-level: per-hour net sums -> hour-grain prefix
+    offsets (a window over |hours| rows — tiny) + an in-hour running sum
+    windowed BY hour, so no row-grain global sort ever happens and the
+    result equals the global prefix sum exactly.
+
+    Output: the ``top`` change points by concurrency —
+    (t_us, concurrency), concurrency desc then t_us asc.
+    """
+    deltas = (
+        sessions.select(
+            F.col(start_col).alias("t"), F.lit(1).cast("long").alias("d")
+        )
+        .unionByName(
+            sessions.select(
+                (F.col(end_col) + 1).alias("t"),
+                F.lit(-1).cast("long").alias("d"),
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+    )
+    hour_us = 3_600_000_000
+    bucketed = deltas.withColumn("hb", F.expr(f"t div {hour_us}L"))
+    hsum = bucketed.groupBy("hb").agg(F.sum("net").alias("hnet"))
+    w_off = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = hsum.select(
+        "hb", F.coalesce(F.sum("hnet").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("hb").orderBy("t")
+    return (
+        bucketed.withColumn("run", F.sum("net").over(w_in))
+        .join(F.broadcast(offs), on="hb")
+        .select(
+            F.col("t").alias("t_us"),
+            (F.col("off") + F.col("run")).cast("long").alias("concurrency"),
+        )
+        .orderBy(F.desc("concurrency"), F.asc("t_us"))
+        .limit(top)
+    )

@@ -5857,3 +5857,129 @@ FROM bsk_probes p
 LEFT JOIN bsk_pass s ON s.key = p.key
 LEFT JOIN bsk_truth t ON t.key = p.key
 """
+
+# mirrors q_typosquat_candidates / fuzzy.typosquat_candidates. The oracle is
+# the exhaustive all-pairs levenshtein truth; the engine's SymSpell
+# 1-deletion blocking is exact for dist <= 1, so the sets must be equal.
+ORACLE_SQL["typosquat_candidates"] = """
+WITH rn AS (
+  SELECT 'repo-' || CAST(doc_id % 37 AS VARCHAR) AS name,
+         CAST(sum(n_chars) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+tp AS (
+  SELECT a.name AS name_a, b.name AS name_b, a.w AS w_a, b.w AS w_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+  FROM rn a JOIN rn b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 1
+)
+SELECT
+  CASE WHEN w_a > w_b OR (w_a = w_b AND name_a < name_b)
+       THEN name_b ELSE name_a END AS suspect,
+  CASE WHEN w_a > w_b OR (w_a = w_b AND name_a < name_b)
+       THEN name_a ELSE name_b END AS target,
+  CASE WHEN w_a > w_b OR (w_a = w_b AND name_a < name_b)
+       THEN w_b ELSE w_a END AS suspect_w,
+  CASE WHEN w_a > w_b OR (w_a = w_b AND name_a < name_b)
+       THEN w_a ELSE w_b END AS target_w,
+  dist
+FROM tp
+"""
+
+# mirrors q_skyline_docs / curation.skyline_documents. The oracle is the
+# dominance-definition truth (NOT EXISTS a strictly-better document); the
+# engine's x-grain suffix-max gate must produce the identical frontier.
+ORACLE_SQL["skyline_docs"] = """
+WITH sb AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(list_filter(
+             string_split_regex(coalesce(text, ''), '\\s+'),
+             t -> len(t) > 0))) AS BIGINT) AS n_unique
+  FROM documents
+)
+SELECT doc_id, n_chars, n_unique FROM sb a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sb o
+  WHERE o.n_chars >= a.n_chars AND o.n_unique >= a.n_unique
+    AND (o.n_chars > a.n_chars OR o.n_unique > a.n_unique)
+)
+ORDER BY n_chars DESC, doc_id ASC
+"""
+
+# mirrors q_concurrency_peaks / sessions.concurrency_peaks: the sessionize
+# CTEs (identical to ORACLE_SQL["sessionization"]) -> closed-interval
+# sweep deltas at the timestamp grain -> one running sum. The engine's
+# two-level (hour offset + in-hour) prefix sum must equal this global one.
+ORACLE_SQL["concurrency_peaks"] = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ev_us,
+         event_type, event_id
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN coalesce(
+                ev_us - lag(ev_us) OVER (PARTITION BY user_id
+                                         ORDER BY ev_us, event_id),
+                1800000001) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ev_us, event_id) AS session_seq
+  FROM f
+),
+sess AS (
+  SELECT user_id, session_seq, min(ev_us) AS start_us, max(ev_us) AS end_us
+  FROM s GROUP BY 1, 2
+),
+cdel AS (
+  SELECT t, CAST(sum(d) AS BIGINT) AS net FROM (
+    SELECT start_us AS t, 1 AS d FROM sess
+    UNION ALL
+    SELECT end_us + 1 AS t, -1 AS d FROM sess
+  ) GROUP BY 1
+),
+crun AS (SELECT t, sum(net) OVER (ORDER BY t) AS conc FROM cdel)
+SELECT t AS t_us, CAST(conc AS BIGINT) AS concurrency
+FROM crun ORDER BY concurrency DESC, t_us ASC LIMIT 20
+"""
+
+# mirrors q_neighbor_sample / graph_analytics.neighbor_sampling: the
+# md5-ranked per-node sample is computed once (rk), truncated at both
+# fanouts, and the hop-2 expansion is the same equi-join — single window
+# per src partition, bit-identical hash order on both engines.
+ORACLE_SQL["neighbor_sample"] = PIPELINE_CTE + """
+, ns_und AS MATERIALIZED (
+  SELECT DISTINCT
+         least(subj_id || chr(1) || subj_label,
+               obj_id || chr(1) || obj_label) AS u,
+         greatest(subj_id || chr(1) || subj_label,
+                  obj_id || chr(1) || obj_label) AS v
+  FROM entity_edges
+  WHERE subj_id || chr(1) || subj_label <> obj_id || chr(1) || obj_label
+),
+ns_adj AS (
+  SELECT u AS src, v AS dst FROM ns_und
+  UNION ALL
+  SELECT v AS src, u AS dst FROM ns_und
+),
+ns_rk AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (
+           PARTITION BY src ORDER BY md5(src || '|' || dst || '|ns'), dst
+         ) AS rk
+  FROM ns_adj
+),
+ns_s1 AS (SELECT src, dst FROM ns_rk WHERE rk <= 3),
+ns_s2 AS (SELECT src AS mid, dst AS dst2 FROM ns_rk WHERE rk <= 2)
+SELECT DISTINCT seed, hop, src, dst FROM (
+  SELECT src AS seed, CAST(1 AS BIGINT) AS hop, src, dst FROM ns_s1
+  UNION ALL
+  SELECT s1.src AS seed, CAST(2 AS BIGINT) AS hop,
+         s1.dst AS src, s2.dst2 AS dst
+  FROM ns_s1 s1 JOIN ns_s2 s2 ON s2.mid = s1.dst
+)
+"""

@@ -1,0 +1,115 @@
+"""Hand-computed value tests for the round-3 late additions: bounded
+edit-distance matching (fuzzy), 2-D skyline, sweep-line concurrency, and
+deterministic neighbor sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.curation import skyline_documents
+from llm_graph_builder_spark.operators.fuzzy import (
+    edit_distance_pairs,
+    typosquat_candidates,
+)
+from llm_graph_builder_spark.operators.graph_analytics import (
+    neighbor_sampling,
+)
+from llm_graph_builder_spark.operators.sessions import concurrency_peaks
+
+
+def test_edit_distance_pairs_exact_for_dist1(spark):
+    # requets/request: deletion; request/requests: insertion; reqzest: sub
+    names = spark.createDataFrame(
+        [("request",), ("requests",), ("reqzest",), ("banana",), ("ab",), ("ba",)],
+        ["name"],
+    )
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in edit_distance_pairs(names).collect()
+    }
+    assert got == {
+        ("request", "requests", 1),
+        ("request", "reqzest", 1),
+        # 'ab'/'ba' share deletion variants but levenshtein == 2: verified out
+    }
+
+
+def test_edit_distance_pairs_dedups_and_ignores_empty(spark):
+    names = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("",), (None,)], "name string"
+    )
+    rows = edit_distance_pairs(names).collect()
+    # 'a'/'b' substitution; empty/null inputs dropped
+    assert [(r.name_a, r.name_b) for r in rows] == [("a", "b")]
+
+
+def test_typosquat_orientation_and_weights(spark):
+    names = spark.createDataFrame(
+        [("numpy", 100), ("numpi", 3), ("numpy", 50), ("pandas", 9)],
+        ["name", "weight"],
+    )
+    rows = typosquat_candidates(names).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # weights grouped first: numpy=150 target, numpi=3 suspect
+    assert (r.suspect, r.target, r.suspect_w, r.target_w, r.dist) == (
+        "numpi", "numpy", 3, 150, 1
+    )
+
+
+def test_skyline_documents_frontier(spark):
+    # (n_chars, n_unique): a=(3,3) and c=(7,1) on frontier; b=(3,2) dominated
+    # by a; d=(7,1) duplicate of c stays (ties don't dominate); e=(1,1)
+    # dominated by everything.
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z"),
+            (1, "x x x"),
+            (2, "aaa aaa"),
+            (3, "bbb bbb"),
+            (4, "c"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.n_chars, r.n_unique) for r in skyline_documents(docs).collect()}
+    assert got == {(0, 5, 3), (2, 7, 1), (3, 7, 1)}
+
+
+def test_concurrency_peaks_sweep(spark):
+    # three sessions: [0, 10], [5, 20], [10, 12] -> peak 3 at t=10;
+    # closed intervals, so at t=11 the first has ended (end+1=11).
+    sess = spark.createDataFrame(
+        [(1, 1, 0, 10), (2, 1, 5, 20), (3, 1, 10, 12)],
+        ["user_id", "session_seq", "start_us", "end_us"],
+    )
+    rows = concurrency_peaks(sess, top=3).collect()
+    assert (rows[0].t_us, rows[0].concurrency) == (10, 3)
+    timeline = {r.t_us: r.concurrency for r in rows}
+    assert timeline[5] == 2 and timeline[11] == 2
+
+
+def test_neighbor_sampling_fanout_caps_and_determinism(spark):
+    edges = spark.createDataFrame(
+        [
+            ("hub", "E", "REL", f"n{i}", "E", 1) for i in range(6)
+        ] + [("n0", "E", "REL", "n1", "E", 1)],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label", "weight"],
+    )
+    out = neighbor_sampling(edges, fanout1=3, fanout2=2)
+    rows = out.collect()
+    # per-(seed, hop, src) at most fanout rows
+    h1 = [r for r in rows if r.hop == 1]
+    from collections import Counter
+
+    c1 = Counter((r.seed, r.src) for r in h1)
+    assert max(c1.values()) <= 3
+    c2 = Counter((r.seed, r.src) for r in rows if r.hop == 2)
+    assert max(c2.values()) <= 2
+    # hop-1 seeds are their own src
+    assert all(r.seed == r.src for r in h1)
+    # rerun-stable (content-hash ranks, no RNG)
+    again = {tuple(r) for r in neighbor_sampling(edges, 3, 2).collect()}
+    assert {tuple(r) for r in rows} == again
+    # hub keeps exactly 3 of its 6 neighbors at hop 1
+    hub = "hub\x01E"
+    assert sum(1 for r in h1 if r.seed == hub) == 3
