@@ -2384,6 +2384,16 @@ def q_neighbor_sample(spark, sf_dir):
     return neighbor_sampling(t["entity_edges"])
 
 
+def q_coverage_select(spark, sf_dir):
+    """Greedy set-cover exemplar selection over the bigram universe (5
+    bounded rounds, one anti-join + TakeOrdered(1) per round) — oracle
+    unrolls the rounds. Bigram grain: the unigram vocabulary is tiny, one
+    doc would cover it in round 1."""
+    from .operators.curation import coverage_select
+
+    return coverage_select(read_documents(spark, sf_dir), grain="bigram")
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2568,6 +2578,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "duplicate_spans": q_duplicate_spans,
     "bloom_dedup": q_bloom_dedup,
+    "coverage_select": q_coverage_select,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -549,3 +549,94 @@ def skyline_documents(
         .select("doc_id", "n_chars", "n_unique")
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
     )
+
+
+def coverage_select(
+    docs: DataFrame,
+    rounds: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grain: str = "token",
+) -> DataFrame:
+    """Greedy set-cover document selection: pick, round by round, the
+    document adding the most not-yet-covered vocabulary terms — the
+    classic facility-location / coverage-maximization recipe for choosing
+    a small exemplar subset of a corpus (greedy is the (1-1/e)-optimal
+    textbook algorithm; it is inherently sequential in rounds, so the
+    round count is the bounded-unroll knob the oracle mirrors exactly).
+
+    Scale shape: the (doc, term) incidence is built once (one distinct
+    shuffle) and each round is ONE anti-join against the covered-term set
+    followed by a map-side-combined count and a TakeOrdered(1) — no
+    driver-side collect in the lineage; the covered set grows by union +
+    distinct and is plan-truncated per round (``materialize``) exactly
+    like the CC/LPA fixpoints. Ties break on the smaller doc_id. Rounds
+    whose best gain is zero produce no row (the anti-join leaves nothing
+    to count), so the output is the gain-positive greedy prefix.
+
+    Output: (round, doc_id, gain) — selection order, gains descending by
+    construction.
+    """
+    from ..functions.iterutils import materialize
+    from ..functions.textstats import _tokens
+
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if grain == "bigram":
+        # ``grain="bigram"`` widens the universe so greedy runs several
+        # non-degenerate rounds even on a tiny vocabulary; the gram
+        # expression is bigram_novelty's (same slice form as its oracle)
+        n = F.size(toks)
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        td = (
+            docs.select(
+                F.col(id_col).cast("long").alias("doc"),
+                F.explode(grams).alias("term"),
+            )
+            .distinct()
+        )
+    else:
+        td = (
+            docs.select(
+                F.col(id_col).cast("long").alias("doc"),
+                F.explode(toks).alias("term"),
+            )
+            .distinct()
+        )
+    td, _ = materialize(td)
+    covered = td.select("term").filter(F.lit(False))
+    winners = []
+    prev = None
+    for r in range(1, rounds + 1):
+        gains = (
+            td.join(covered, on="term", how="left_anti")
+            .groupBy("doc")
+            .agg(F.count("*").cast("long").alias("gain"))
+        )
+        win = gains.orderBy(F.desc("gain"), F.asc("doc")).limit(1)
+        win, n = materialize(win)
+        winners.append(
+            win.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("doc").alias("doc_id"),
+                "gain",
+            )
+        )
+        if n == 0:
+            break
+        covered, _ = materialize(
+            covered.unionByName(
+                td.join(win.select("doc"), on="doc").select("term")
+            ).distinct(),
+            previous=prev,
+        )
+        prev = covered
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out

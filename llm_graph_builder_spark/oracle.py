@@ -5983,3 +5983,50 @@ SELECT DISTINCT seed, hop, src, dst FROM (
   FROM ns_s1 s1 JOIN ns_s2 s2 ON s2.mid = s1.dst
 )
 """
+
+# mirrors q_coverage_select / curation.coverage_select: the greedy set-cover
+# rounds unrolled (round r's winner = argmax of uncovered-term count given
+# rounds 1..r-1's covered union; ties -> smaller doc). A round with nothing
+# left uncovered yields no row on either side.
+
+
+def _coverage_select_sql(rounds: int = 5) -> str:
+    parts = ["""
+WITH cs_base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+),
+cs_td AS MATERIALIZED (
+  SELECT DISTINCT doc, array_to_string(toks[i : i + 1], ' ') AS term
+  FROM cs_base, unnest(range(1, greatest(len(toks), 1))) r(i)
+  WHERE len(toks) >= 2
+),
+w1 AS MATERIALIZED (
+  SELECT doc, CAST(count(*) AS BIGINT) AS gain FROM cs_td
+  GROUP BY 1 ORDER BY gain DESC, doc ASC LIMIT 1
+),
+c1 AS MATERIALIZED (SELECT DISTINCT term FROM cs_td JOIN w1 USING (doc))"""]
+    for r in range(2, rounds + 1):
+        parts.append(f""",
+g{r} AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS gain FROM cs_td
+  WHERE term NOT IN (SELECT term FROM c{r - 1}) GROUP BY 1
+),
+w{r} AS MATERIALIZED (
+  SELECT doc, gain FROM g{r} ORDER BY gain DESC, doc ASC LIMIT 1
+),
+c{r} AS MATERIALIZED (
+  SELECT term FROM c{r - 1}
+  UNION
+  SELECT term FROM cs_td JOIN w{r} USING (doc)
+)""")
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS round, doc AS doc_id, gain FROM w{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+ORACLE_SQL["coverage_select"] = _coverage_select_sql(5)

@@ -113,3 +113,26 @@ def test_neighbor_sampling_fanout_caps_and_determinism(spark):
     # hub keeps exactly 3 of its 6 neighbors at hop 1
     hub = "hub\x01E"
     assert sum(1 for r in h1 if r.seed == hub) == 3
+
+
+def test_coverage_select_greedy(spark):
+    from llm_graph_builder_spark.operators.curation import coverage_select
+
+    # doc 0 covers {a,b,c} (gain 3); doc 1 {a,b} is then worthless except d;
+    # greedy picks 0 first, then 2 ({d,e}, gain 2), then 1 (+f? no: {a,b,d})
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a b d"),
+            (2, "d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        coverage_select(docs, rounds=5).collect(), key=lambda r: r.round
+    )
+    assert [(r.round, r.doc_id, r.gain) for r in rows] == [
+        (1, 0, 3),   # covers a b c
+        (2, 2, 2),   # covers d e
+        # round 3: doc 1 adds nothing new -> no gains rows -> stop
+    ]
