@@ -2394,6 +2394,26 @@ def q_coverage_select(spark, sf_dir):
     return coverage_select(read_documents(spark, sf_dir), grain="bigram")
 
 
+def q_interval_union(spark, sf_dir):
+    """Per-user merged-interval active time over the gap sessions (one
+    user-keyed exchange: running-max island marks + two same-key rollups)."""
+    from .operators.sessions import interval_union, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    return interval_union(sessionize(ev))
+
+
+def q_table_checksum(spark, sf_dir):
+    """Per-repo order-independent anti-entropy checksum of the ingested
+    corpus (modular md5-digest sum in exact DECIMAL, map-side combined)."""
+    from .operators.maintenance import table_checksum
+
+    docs = pipeline_tables(spark, sf_dir)["docs"]
+    return table_checksum(docs, ["path", "commit", "content_sha256"])
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2579,6 +2599,8 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "bloom_dedup": q_bloom_dedup,
     "coverage_select": q_coverage_select,
+    "interval_union": q_interval_union,
+    "table_checksum": q_table_checksum,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

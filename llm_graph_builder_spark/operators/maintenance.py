@@ -286,3 +286,44 @@ def incremental_entities(
     return support("chunk_id", "chunk_count").join(
         support("doc_id", "doc_count"), on=["id", "label"], how="full"
     ).na.fill({"chunk_count": 0, "doc_count": 0})
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str = "repo",
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Order-independent anti-entropy checksum per group — the Merkle-leaf
+    a replicated warehouse compares across clusters/snapshots to find
+    diverged partitions WITHOUT shipping rows (``corpus_diff`` then
+    localizes the rows inside a flagged group). The row digest is
+    md5 over the chr(1)-joined columns folded to a bounded integer; the
+    group digest is the modular SUM of row digests — commutative and
+    associative, so it is partitioning-, ordering-, and retry-stable.
+
+    Scale shape: one map-side-combined groupBy — partial sums combine
+    per partition, the exchange carries one row per (group, partial).
+    Sums accumulate in DECIMAL(38,0) (exact; BIGINT would overflow at
+    ~1e10 rows × 1e9 digests, DECIMAL is good past 1e28 rows) and reduce
+    mod ``mod`` at the end; DuckDB mirrors with HUGEINT sums.
+
+    Output: (group, n_rows, checksum).
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("\x01", *cols)), 1, 15), 16, 10
+        ).cast("long")
+        % F.lit(mod)
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(mod))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "checksum")
+    )

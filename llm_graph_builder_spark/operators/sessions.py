@@ -1019,3 +1019,49 @@ def concurrency_peaks(
         .orderBy(F.desc("concurrency"), F.asc("t_us"))
         .limit(top)
     )
+
+
+def interval_union(
+    sessions: DataFrame,
+    user_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Per-user union of overlapping intervals — "how much wall-clock was
+    this user actually active?" — the overlap-merging half of
+    gaps-and-islands (``scd2_intervals`` compresses runs of EQUAL values;
+    this merges intervals that OVERLAP, the other classic shape). Closed
+    intervals; touching intervals (next start == current end) merge.
+
+    Scale shape: one user-keyed exchange end-to-end. A running max of
+    interval ends (window, rows-preceding frame) marks island starts —
+    an interval opens a new island when its start exceeds every prior
+    end — a running sum numbers the islands on the SAME partitioning,
+    and both rollups (per-island, then per-user) stay in that shuffle's
+    key family, so the merge never re-exchanges.
+
+    Output: (user_id, n_intervals, n_merged, active_us) where active_us
+    sums (island_end - island_start) over merged islands.
+    """
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = sessions.select(
+        F.col(user_col).alias("user_id"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max, F.col("s") - 1)).cast("long"),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(w)
+    ).groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("n_in"),
+        F.min("s").alias("is_"),
+        F.max("e").alias("ie"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("n_in").cast("long").alias("n_intervals"),
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum(F.col("ie") - F.col("is_")).cast("long").alias("active_us"),
+    )

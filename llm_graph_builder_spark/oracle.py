@@ -6030,3 +6030,70 @@ c{r} AS MATERIALIZED (
 
 
 ORACLE_SQL["coverage_select"] = _coverage_select_sql(5)
+
+# mirrors q_interval_union / sessions.interval_union: sessionize CTEs ->
+# running-max island marks -> per-island and per-user rollups, all on the
+# user partitioning.
+ORACLE_SQL["interval_union"] = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ev_us,
+         event_type, event_id
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN coalesce(
+                ev_us - lag(ev_us) OVER (PARTITION BY user_id
+                                         ORDER BY ev_us, event_id),
+                1800000001) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ev_us, event_id) AS session_seq
+  FROM f
+),
+sess AS (
+  SELECT user_id, min(ev_us) AS s, max(ev_us) AS e
+  FROM s GROUP BY user_id, session_seq
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(
+                max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                s - 1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM sess
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, count(*) AS n_in,
+         min(s) AS is_, max(e) AS ie
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(n_in) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(sum(ie - is_) AS BIGINT) AS active_us
+FROM merged GROUP BY 1
+"""
+
+# mirrors q_table_checksum / maintenance.table_checksum: per-repo modular
+# sum of bounded md5 row digests; HUGEINT sum == Spark's DECIMAL(38,0) sum.
+ORACLE_SQL["table_checksum"] = PIPELINE_CTE + """
+, ck AS (
+  SELECT repo,
+         CAST(('0x' || substr(md5(path || chr(1) || commit || chr(1) ||
+                                  content_sha256), 1, 15)) AS BIGINT)
+           % 1000000007 AS h
+  FROM docs
+)
+SELECT repo, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
+FROM ck GROUP BY 1
+"""

@@ -136,3 +136,55 @@ def test_coverage_select_greedy(spark):
         (2, 2, 2),   # covers d e
         # round 3: doc 1 adds nothing new -> no gains rows -> stop
     ]
+
+
+def test_interval_union_merges_overlaps_and_touches(spark):
+    from llm_graph_builder_spark.operators.sessions import interval_union
+
+    sess = spark.createDataFrame(
+        [
+            # user 1: [0,10] + [5,20] overlap; [20,25] touches; [40,50] apart
+            (1, 0, 10), (1, 5, 20), (1, 20, 25), (1, 40, 50),
+            # user 2: single instant session
+            (2, 7, 7),
+        ],
+        ["user_id", "start_us", "end_us"],
+    )
+    got = {r.user_id: (r.n_intervals, r.n_merged, r.active_us)
+           for r in interval_union(sess).collect()}
+    assert got[1] == (4, 2, (25 - 0) + (50 - 40))
+    assert got[2] == (1, 1, 0)
+
+
+def test_interval_union_contained_interval(spark):
+    from llm_graph_builder_spark.operators.sessions import interval_union
+
+    # second interval entirely inside the first; third starts after the
+    # FIRST's end but inside nothing -> running max (not lag) must be used
+    sess = spark.createDataFrame(
+        [(1, 0, 100), (1, 10, 20), (1, 30, 40)],
+        ["user_id", "start_us", "end_us"],
+    )
+    r = interval_union(sess).collect()[0]
+    assert (r.n_intervals, r.n_merged, r.active_us) == (3, 1, 100)
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from llm_graph_builder_spark.operators.maintenance import table_checksum
+
+    rows = [("r1", "a", "x"), ("r1", "b", "y"), ("r2", "c", "z")]
+    df1 = spark.createDataFrame(rows, ["repo", "path", "commit"])
+    df2 = spark.createDataFrame(rows[::-1], ["repo", "path", "commit"])
+    c1 = {r.repo: (r.n_rows, r.checksum)
+          for r in table_checksum(df1, ["path", "commit"]).collect()}
+    c2 = {r.repo: (r.n_rows, r.checksum)
+          for r in table_checksum(df2, ["path", "commit"]).collect()}
+    assert c1 == c2 and set(c1) == {"r1", "r2"}
+    # a single changed cell flips the group digest
+    df3 = spark.createDataFrame(
+        [("r1", "a", "x"), ("r1", "b", "Y"), ("r2", "c", "z")],
+        ["repo", "path", "commit"],
+    )
+    c3 = {r.repo: (r.n_rows, r.checksum)
+          for r in table_checksum(df3, ["path", "commit"]).collect()}
+    assert c3["r1"] != c1["r1"] and c3["r2"] == c1["r2"]
