@@ -376,6 +376,70 @@ def main() -> None:
         gapfill_series(spark.read.parquet(f"{SF}/events.parquet")),
     )
 
+    from llm_graph_builder_spark.operators.fuzzy import typosquat_candidates
+
+    _names = read_documents(spark, SF).select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 37).cast("string")).alias("name"),
+        F.col("n_chars").cast("long").alias("weight"),
+    )
+    snap(
+        "Edit-distance join (SymSpell deletion-neighborhood blocking)",
+        "Candidates come from an EQUI-join on the exploded 1-deletion "
+        "variant key — the plan must show a hash join on `variant` and NO "
+        "cartesian/nested-loop node; the exact `levenshtein` verify runs "
+        "after dedup on the candidate pairs only. Join input is linear in "
+        "name bytes, so the shape holds at billion-name vocabularies.",
+        typosquat_candidates(_names),
+    )
+
+    from llm_graph_builder_spark.operators.curation import skyline_documents
+
+    snap(
+        "2-D skyline (x-grain collapse + broadcast dominance gate)",
+        "Row-grain data is never globally sorted: one hashAggregate to the "
+        "n_chars grain, the strict-suffix max windows over that bounded "
+        "aggregate, and the verdict returns as a BroadcastHashJoin back "
+        "onto the corpus — the single-partition window touches only "
+        "|distinct n_chars| rows.",
+        skyline_documents(read_documents(spark, SF)),
+    )
+
+    from llm_graph_builder_spark.operators.sessions import (
+        concurrency_peaks,
+        interval_union,
+        sessionize,
+    )
+
+    _sess = sessionize(spark.read.parquet(f"{SF}/events.parquet"))
+    snap(
+        "Sweep-line concurrency (two-level prefix sum)",
+        "Deltas collapse to the timestamp grain in one hashAggregate; the "
+        "running sum is split into an hour-grain offset window (tiny) plus "
+        "an in-hour window PARTITIONED by hour — no row-grain global-order "
+        "window; the result surfaces via TakeOrderedAndProject (top 20).",
+        concurrency_peaks(_sess),
+    )
+    snap(
+        "Interval union (one user-keyed exchange end-to-end)",
+        "Island marking (running max), island numbering (running sum), and "
+        "both rollups all ride the SAME user partitioning — exactly one "
+        "wide exchange on user_id after the session build.",
+        interval_union(_sess),
+    )
+
+    from llm_graph_builder_spark.operators.maintenance import table_checksum
+
+    snap(
+        "Anti-entropy table checksum (map-side-combined modular digest sum)",
+        "One hashAggregate pair (partial → final) at the repo grain; the "
+        "md5 digest fold is a JVM expression inside codegen and the DECIMAL "
+        "sum keeps the modular arithmetic exact — no Python, no second "
+        "exchange, order/partitioning-independent by construction.",
+        table_checksum(
+            ingest(synth_repos(spark, SF)), ["path", "commit", "content_sha256"]
+        ),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",

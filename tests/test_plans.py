@@ -238,3 +238,53 @@ def test_tpch_completion_plan_shapes(spark):
     )
     assert "TakeOrderedAndProject" in p21
     assert "BroadcastHashJoin" in p21
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    from llm_graph_builder_spark.operators.fuzzy import typosquat_candidates
+
+    names = read_documents(spark, SF).select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 37).cast("string"))
+        .alias("name"),
+        F.col("n_chars").cast("long").alias("weight"),
+    )
+    plan = _plan(typosquat_candidates(names))
+    # SymSpell blocking = EQUI-join on the variant key; an all-pairs
+    # levenshtein would surface as a cartesian/nested-loop product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_gate_broadcasts_and_concurrency_take_ordered(spark):
+    from llm_graph_builder_spark.operators.curation import skyline_documents
+    from llm_graph_builder_spark.operators.sessions import (
+        concurrency_peaks,
+        sessionize,
+    )
+
+    plan = _plan(skyline_documents(read_documents(spark, SF)))
+    # the x-grain dominance gate rejoins the corpus as a broadcast
+    assert "BroadcastHashJoin" in plan
+    sess = sessionize(spark.read.parquet(f"{SF}/events.parquet"))
+    plan2 = _plan(concurrency_peaks(sess))
+    # top change points via distributed per-partition heaps
+    assert "TakeOrderedAndProject" in plan2
+
+
+def test_interval_union_single_user_exchange(spark):
+    from llm_graph_builder_spark.operators.sessions import (
+        interval_union,
+        sessionize,
+    )
+
+    sess = sessionize(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(interval_union(sess))
+    # island mark, island number, and both rollups ride ONE user-keyed
+    # shuffle — a second hashpartitioning exchange means a regression
+    import re
+
+    wide = [
+        seg for seg in plan.splitlines()
+        if "Exchange hashpartitioning" in seg
+    ]
+    assert len(wide) == 1, wide
