@@ -2414,6 +2414,31 @@ def q_table_checksum(spark, sf_dir):
     return table_checksum(docs, ["path", "commit", "content_sha256"])
 
 
+def q_path_rollup(spark, sf_dir):
+    """Per-directory file/byte rollup at every depth (row-local prefix
+    explode + one dir-grain groupBy) over the ingested corpus paths."""
+    from .operators.layout import path_rollup
+
+    return path_rollup(pipeline_tables(spark, sf_dir)["docs"])
+
+
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style per-column stats (rows, nulls, exact NDV, string
+    min/max) over the events table in one unpivot + one column-grain agg;
+    value is pre-cast to integer cents for cross-engine string order."""
+    from .operators.layout import column_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    return column_stats(
+        ev, ["event_id", "user_id", "event_type", "value_cents"]
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2601,6 +2626,8 @@ QUERIES = {
     "coverage_select": q_coverage_select,
     "interval_union": q_interval_union,
     "table_checksum": q_table_checksum,
+    "path_rollup": q_path_rollup,
+    "column_stats": q_column_stats,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -336,3 +336,90 @@ def bloom_skipping(
             .alias("false_positives"),
         )
     )
+
+
+def path_rollup(
+    docs: DataFrame,
+    path_col: str = "path",
+    size_col: str = "content_length",
+) -> DataFrame:
+    """Hierarchical namespace rollup: file counts and byte totals for EVERY
+    directory prefix at every depth — the `du`-style catalog view a
+    source-code warehouse serves over its path namespace (and the input to
+    small-file compaction / partition-layout decisions per subtree).
+
+    Scale shape: one row-local prefix explode (amplification bounded by
+    path DEPTH, not corpus size — paths are shallow by construction) and
+    ONE map-side-combined groupBy at the directory grain. No joins, no
+    recursion: the hierarchy is materialized flat because every prefix is
+    derivable from the leaf row itself.
+
+    Output: (dir, depth, n_files, total_bytes).
+    """
+    parts = F.split(F.col(path_col), "/")
+    # guard: Spark's sequence(1, 0) DESCENDS, so a bare filename (no '/')
+    # must short-circuit to an empty prefix list, not [1, 0]
+    prefixes = F.when(
+        F.size(parts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.explode(prefixes).alias("dir"),
+            F.col(size_col).cast("long").alias("bytes"),
+        )
+        .groupBy("dir")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "dir",
+            (F.size(F.split(F.col("dir"), "/"))).cast("long").alias("depth"),
+            "n_files",
+            "total_bytes",
+        )
+    )
+
+
+def column_stats(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics in one pass: per column the
+    row count, null count, exact distinct count, and lexicographic
+    min/max over the STRINGIFIED domain (the portability contract — the
+    caller pre-casts numeric columns to integer forms, e.g. cents, so the
+    string order is stable across engines). These are the optimizer
+    inputs (NDV for join planning, null fraction for filter selectivity,
+    min/max for range pruning) a catalog stores per column.
+
+    Scale shape: the table unpivots to (column, value) rows — row-local,
+    amplification = |cols| — then ONE groupBy at the column grain with a
+    distinct aggregate. |cols| is tiny, so the final aggregate is
+    bounded-row; the heavy lifting is the map-side partials.
+
+    Output: (col_name, n_rows, n_nulls, ndv, min_s, max_s).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    flat = df.select(F.explode(pairs).alias("p")).select("p.col_name", "p.v")
+    return flat.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.countDistinct("v").cast("long").alias("ndv"),
+        F.min("v").alias("min_s"),
+        F.max("v").alias("max_s"),
+    )

@@ -6097,3 +6097,47 @@ SELECT repo, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
 FROM ck GROUP BY 1
 """
+
+# mirrors q_path_rollup / layout.path_rollup: every proper directory prefix
+# of every path, one rollup at the dir grain.
+ORACLE_SQL["path_rollup"] = PIPELINE_CTE + """
+, pr AS (
+  SELECT array_to_string((string_split(path, '/'))[1:i], '/') AS dir,
+         content_length AS bytes
+  FROM docs, unnest(range(1, len(string_split(path, '/')))) r(i)
+)
+SELECT dir,
+       CAST(len(string_split(dir, '/')) AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes
+FROM pr GROUP BY 1
+"""
+
+# mirrors q_column_stats / layout.column_stats: explicit unpivot, one
+# column-grain aggregate; numeric columns pre-cast to integer cents so the
+# stringified min/max order is engine-portable.
+ORACLE_SQL["column_stats"] = """
+WITH cs_src AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+cs_u AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v FROM cs_src
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM cs_src
+  UNION ALL
+  SELECT 'event_type', event_type FROM cs_src
+  UNION ALL
+  SELECT 'value_cents', CAST(value_cents AS VARCHAR) FROM cs_src
+)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+       min(v) AS min_s,
+       max(v) AS max_s
+FROM cs_u GROUP BY 1
+"""

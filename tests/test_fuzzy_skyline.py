@@ -188,3 +188,36 @@ def test_table_checksum_order_independent_and_sensitive(spark):
     c3 = {r.repo: (r.n_rows, r.checksum)
           for r in table_checksum(df3, ["path", "commit"]).collect()}
     assert c3["r1"] != c1["r1"] and c3["r2"] == c1["r2"]
+
+
+def test_path_rollup_values(spark):
+    from llm_graph_builder_spark.operators.layout import path_rollup
+
+    docs = spark.createDataFrame(
+        [
+            ("a/b/f1.py", 10),
+            ("a/b/f2.py", 20),
+            ("a/c/f3.py", 5),
+            ("f4.py", 100),           # no directory -> contributes nothing
+        ],
+        ["path", "content_length"],
+    )
+    got = {r.dir: (r.depth, r.n_files, r.total_bytes)
+           for r in path_rollup(docs).collect()}
+    assert got == {
+        "a": (1, 3, 35),
+        "a/b": (2, 2, 30),
+        "a/c": (2, 1, 5),
+    }
+
+
+def test_column_stats_nulls_and_ndv(spark):
+    from llm_graph_builder_spark.operators.layout import column_stats
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], ["k", "s"]
+    )
+    got = {r.col_name: (r.n_rows, r.n_nulls, r.ndv, r.min_s, r.max_s)
+           for r in column_stats(df, ["k", "s"]).collect()}
+    assert got["k"] == (3, 0, 2, "1", "2")
+    assert got["s"] == (3, 1, 2, "x", "y")
