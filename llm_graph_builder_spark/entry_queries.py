@@ -2439,6 +2439,54 @@ def q_column_stats(spark, sf_dir):
     )
 
 
+def q_revenue_cube(spark, sf_dir):
+    """CUBE lattice over orders (leaf + both marginals + grand total) in
+    one partial-aggregate pass; integer-cent money."""
+    from .operators.warehouse import revenue_cube
+
+    return revenue_cube(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Batch MERGE INTO over the corpus: a deterministic change set
+    (updates on doc_id%10==0, deletes on ==1, inserts keyed +1000000 on
+    ==2) applied in ONE full-outer join with a per-row action audit."""
+    from .operators.maintenance import merge_upsert
+
+    docs = read_documents(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    target = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(txt, 256).alias("content_sha"),
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), txt.alias("t"))
+    source = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.sha2(F.concat(F.lit("v2:"), F.col("t")), 256).alias("content_sha"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 10 == 1).select(
+                "doc_id",
+                F.sha2(F.col("t"), 256).alias("content_sha"),
+                F.lit(True).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.sha2(F.concat(F.lit("new:"), F.col("t")), 256).alias(
+                    "content_sha"
+                ),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    return merge_upsert(target, source, ["doc_id"], ["content_sha"])
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2628,6 +2676,8 @@ QUERIES = {
     "table_checksum": q_table_checksum,
     "path_rollup": q_path_rollup,
     "column_stats": q_column_stats,
+    "revenue_cube": q_revenue_cube,
+    "merge_upsert": q_merge_upsert,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -327,3 +327,62 @@ def table_checksum(
         )
         .select(F.col("grp").alias(group_col), "n_rows", "checksum")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """Batch MERGE INTO semantics (the lakehouse upsert): apply a keyed
+    change set to a table in ONE full-outer join — unmatched target rows
+    carry through, unmatched source rows insert, matched rows take the
+    source payload (update), and matched rows whose ``delete_col`` is set
+    drop out. The per-row ``action`` column is the merge audit an
+    incremental pipeline logs per batch.
+
+    Scale shape: both sides hash-exchange once on the merge key; there is
+    no fallback row-at-a-time path and no second pass — inserts, updates,
+    carries, and deletes are all decided by the same join row. At 100 TB
+    the target side is the bucketed table, so the exchange on the target
+    is avoidable via storage partitioning (the join key family matches
+    the bucket key).
+
+    Output: key_cols + payload_cols + action ('carry'|'update'|'insert'),
+    deleted keys absent.
+    """
+    t = target.select(
+        *[F.col(c).alias(f"t_{c}") for c in key_cols],
+        *[F.col(c).alias(f"tp_{c}") for c in payload_cols],
+    )
+    s = source.select(
+        *[F.col(c).alias(f"s_{c}") for c in key_cols],
+        *[F.col(c).alias(f"sp_{c}") for c in payload_cols],
+        F.coalesce(F.col(delete_col), F.lit(False)).alias("_del"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"t_{c}") == F.col(f"s_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = t.join(s, on=cond, how="full_outer")
+    in_t = F.col(f"t_{key_cols[0]}").isNotNull()
+    in_s = F.col(f"s_{key_cols[0]}").isNotNull()
+    merged = j.filter(~(in_s & F.col("_del"))).select(
+        *[
+            F.coalesce(F.col(f"t_{c}"), F.col(f"s_{c}")).alias(c)
+            for c in key_cols
+        ],
+        *[
+            F.when(in_s, F.col(f"sp_{c}"))
+            .otherwise(F.col(f"tp_{c}"))
+            .alias(c)
+            for c in payload_cols
+        ],
+        F.when(in_t & in_s, F.lit("update"))
+        .when(in_s, F.lit("insert"))
+        .otherwise(F.lit("carry"))
+        .alias("action"),
+    )
+    return merged

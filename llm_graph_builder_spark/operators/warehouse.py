@@ -1044,3 +1044,39 @@ def waiting_suppliers(
         .limit(top)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+def revenue_cube(orders: DataFrame) -> DataFrame:
+    """CUBE aggregate: order value by (status, priority) with BOTH
+    one-dimension marginals and the grand total in one pass — the 4
+    grouping sets Spark expands inside a single partial-aggregate scan
+    (the ROLLUP sibling covers the hierarchical 3; CUBE is the full
+    lattice a BI layer asks for behind a crosstab with row AND column
+    totals).
+
+    Output: (o_orderstatus, o_orderpriority, lvl, total_cents, n_orders)
+    — lvl = grouping_id (0 leaf, 1 status marginal, 2 priority marginal,
+    3 grand total); NULL keys surfaced as 'ALL'.
+    """
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            _cents("o_totalprice").alias("cents"),
+        )
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "lvl",
+            "total_cents",
+            "n_orders",
+        )
+    )

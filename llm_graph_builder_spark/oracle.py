@@ -6141,3 +6141,49 @@ SELECT col_name,
        max(v) AS max_s
 FROM cs_u GROUP BY 1
 """
+
+# mirrors q_revenue_cube / warehouse.revenue_cube: the full grouping
+# lattice; grouping() bit order matches Spark's grouping_id() column order.
+ORACLE_SQL["revenue_cube"] = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS lvl,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# mirrors q_merge_upsert / maintenance.merge_upsert: one full-outer join,
+# matched+delete rows dropped, action audit per surviving row.
+ORACLE_SQL["merge_upsert"] = """
+WITH mu_t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         sha256(coalesce(text, '')) AS content_sha
+  FROM documents
+),
+mu_s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         sha256('v2:' || coalesce(text, '')) AS content_sha,
+         false AS is_delete
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), sha256(coalesce(text, '')), true
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000,
+         sha256('new:' || coalesce(text, '')), false
+  FROM documents WHERE doc_id % 10 = 2
+)
+SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+       CASE WHEN s.doc_id IS NOT NULL THEN s.content_sha
+            ELSE t.content_sha END AS content_sha,
+       CASE WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+              THEN 'update'
+            WHEN s.doc_id IS NOT NULL THEN 'insert'
+            ELSE 'carry' END AS action
+FROM mu_t t FULL OUTER JOIN mu_s s ON t.doc_id = s.doc_id
+WHERE NOT (s.doc_id IS NOT NULL AND s.is_delete)
+"""

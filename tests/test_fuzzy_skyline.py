@@ -221,3 +221,39 @@ def test_column_stats_nulls_and_ndv(spark):
            for r in column_stats(df, ["k", "s"]).collect()}
     assert got["k"] == (3, 0, 2, "1", "2")
     assert got["s"] == (3, 1, 2, "x", "y")
+
+
+def test_merge_upsert_actions(spark):
+    from llm_graph_builder_spark.operators.maintenance import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        ["k", "v", "is_delete"],
+    )
+    got = {r.k: (r.v, r.action)
+           for r in merge_upsert(target, source, ["k"], ["v"]).collect()}
+    assert got == {
+        1: ("a", "carry"),
+        2: ("B", "update"),
+        4: ("d", "insert"),
+        # 3 deleted
+    }
+
+
+def test_revenue_cube_lattice(spark):
+    from llm_graph_builder_spark.operators.warehouse import revenue_cube
+
+    orders = spark.createDataFrame(
+        [("O", "1-URGENT", 10.00), ("O", "2-HIGH", 5.00), ("F", "1-URGENT", 1.00)],
+        ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    rows = {(r.o_orderstatus, r.o_orderpriority, r.lvl):
+            (r.total_cents, r.n_orders)
+            for r in revenue_cube(orders).collect()}
+    assert rows[("ALL", "ALL", 3)] == (1600, 3)
+    assert rows[("O", "ALL", 1)] == (1500, 2)
+    assert rows[("ALL", "1-URGENT", 2)] == (1100, 2)
+    assert rows[("O", "1-URGENT", 0)] == (1000, 1)
