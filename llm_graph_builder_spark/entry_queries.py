@@ -2487,6 +2487,22 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(target, source, ["doc_id"], ["content_sha"])
 
 
+def q_json_field_stats(spark, sf_dir):
+    """Typed JSON field extraction + per-event-type rollup (one scan, one
+    group exchange, parse inlined in codegen)."""
+    from .operators.jsonops import json_field_stats
+
+    return json_field_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_json_key_inventory(spark, sf_dir):
+    """Schema-on-read key inventory over the props JSON column (from_json
+    map explode + one key-grain aggregate; full-coverage, no sampling)."""
+    from .operators.jsonops import json_key_inventory
+
+    return json_key_inventory(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2678,6 +2694,8 @@ QUERIES = {
     "column_stats": q_column_stats,
     "revenue_cube": q_revenue_cube,
     "merge_upsert": q_merge_upsert,
+    "json_field_stats": q_json_field_stats,
+    "json_key_inventory": q_json_key_inventory,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

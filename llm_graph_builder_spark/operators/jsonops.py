@@ -1,0 +1,77 @@
+"""Semi-structured (JSON) column processing — the schema-on-read surface
+every event pipeline needs: typed field extraction from a JSON string
+column and key-inventory profiling (schema inference as data, not as a
+driver-side sample).
+
+The reference stores free-form properties on nodes/chunks (e.g. chunk
+properties dicts assembled in
+``backend/src/create_relationships.py``-style flows); at warehouse scale
+the same information arrives as a JSON string column. Both operators here
+are single-pass DataFrame programs over JVM JSON expressions
+(``get_json_object`` / ``from_json`` — no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def json_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    json_col: str = "props",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Typed extraction + rollup of one JSON field: pull ``$.field`` as a
+    BIGINT and aggregate per group — count, missing count, sum/min/max and
+    exact distinct count. The everyday "how is this event property
+    distributed" question, answered in one scan + one group exchange with
+    the JSON parse inlined in codegen.
+
+    Output: (group, n, n_missing, sum_v, min_v, max_v, ndv).
+    """
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
+    return (
+        events.select(F.col(group_col).alias("grp"), v.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+            F.countDistinct("v").cast("long").alias("ndv"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n", "n_missing", "sum_v", "min_v", "max_v", "ndv",
+        )
+    )
+
+
+def json_key_inventory(
+    events: DataFrame,
+    json_col: str = "props",
+) -> DataFrame:
+    """Schema inference over a JSON column as a QUERY: the key inventory
+    with occurrence counts and how often each key's value parses as an
+    integer — what a schema-on-read planner materializes before promoting
+    JSON fields to typed columns. One map-side parse (``from_json`` to a
+    string map) + explode + one key-grain aggregate; no driver sampling,
+    the profile covers every row.
+
+    Output: (key, n, n_int) — n_int counts integer-parsing values.
+    """
+    m = F.from_json(F.col(json_col), "map<string,string>")
+    kv = events.select(F.explode(m).alias("key", "val"))
+    return kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("val").rlike("^-?[0-9]+$"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_int"),
+    )

@@ -6187,3 +6187,37 @@ SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
 FROM mu_t t FULL OUTER JOIN mu_s s ON t.doc_id = s.doc_id
 WHERE NOT (s.doc_id IS NOT NULL AND s.is_delete)
 """
+
+# mirrors q_json_field_stats / jsonops.json_field_stats: typed $.k pull +
+# per-type rollup. Spark get_json_object -> string -> BIGINT equals
+# DuckDB json_extract_string -> BIGINT for integer payloads.
+ORACLE_SQL["json_field_stats"] = """
+WITH jf AS (
+  SELECT event_type AS grp,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT grp AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(v) AS BIGINT) AS n_missing,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(count(DISTINCT v) AS BIGINT) AS ndv
+FROM jf GROUP BY 1
+"""
+
+# mirrors q_json_key_inventory / jsonops.json_key_inventory: key explode +
+# key-grain aggregate; integer-parse test is the same regex both engines.
+ORACLE_SQL["json_key_inventory"] = """
+WITH jk AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events
+  WHERE props IS NOT NULL
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN regexp_matches(
+                json_extract_string(props, '$.' || key), '^-?[0-9]+$')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_int
+FROM jk GROUP BY 1
+"""

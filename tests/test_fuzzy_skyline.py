@@ -257,3 +257,26 @@ def test_revenue_cube_lattice(spark):
     assert rows[("O", "ALL", 1)] == (1500, 2)
     assert rows[("ALL", "1-URGENT", 2)] == (1100, 2)
     assert rows[("O", "1-URGENT", 0)] == (1000, 1)
+
+
+def test_json_ops_values(spark):
+    from llm_graph_builder_spark.operators.jsonops import (
+        json_field_stats,
+        json_key_inventory,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("click", '{"k": 5, "tag": "a"}'),
+            ("click", '{"k": -2}'),
+            ("click", '{"other": 1}'),
+            ("view", None),
+        ],
+        ["event_type", "props"],
+    )
+    fs = {r.event_type: (r.n, r.n_missing, r.sum_v, r.min_v, r.max_v, r.ndv)
+          for r in json_field_stats(ev).collect()}
+    assert fs["click"] == (3, 1, 3, -2, 5, 2)
+    assert fs["view"] == (1, 1, None, None, None, 0)
+    inv = {r.key: (r.n, r.n_int) for r in json_key_inventory(ev).collect()}
+    assert inv == {"k": (2, 2), "tag": (1, 0), "other": (1, 1)}
