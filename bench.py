@@ -473,6 +473,24 @@ def main():
         "bloom_skipping",
     )
 
+    # lakehouse CDC story: full-outer MERGE INTO with action audit
+    from llm_graph_builder_spark.entry_queries import q_merge_upsert
+    from llm_graph_builder_spark.operators.layout import path_rollup as _proll
+
+    best_of(
+        lambda: q_merge_upsert(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/merge"),
+        "merge_upsert",
+    )
+    # catalog story: per-directory namespace rollup over ingested paths
+    best_of(
+        lambda: _proll(docs).write.mode("overwrite").parquet(
+            f"{out_dir}/pathroll"
+        ),
+        "path_rollup",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
