@@ -2503,6 +2503,24 @@ def q_json_key_inventory(spark, sf_dir):
     return json_key_inventory(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_trend_slopes(spark, sf_dir):
+    """Per-event-type daily OLS trend as an exact integer fraction (two
+    map-side-combined aggregates, no window, no join)."""
+    from .operators.sessions import trend_slopes
+
+    return trend_slopes(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """DAU + rolling 7-day WAU via the bounded day-explode trick (rolling
+    DISTINCT is not window-expressible; amplification = window length)."""
+    from .operators.sessions import rolling_active_users
+
+    return rolling_active_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2696,6 +2714,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "json_field_stats": q_json_field_stats,
     "json_key_inventory": q_json_key_inventory,
+    "trend_slopes": q_trend_slopes,
+    "rolling_active_users": q_rolling_active_users,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -1065,3 +1065,87 @@ def interval_union(
         F.count("*").cast("long").alias("n_merged"),
         F.sum(F.col("ie") - F.col("is_")).cast("long").alias("active_us"),
     )
+
+
+def trend_slopes(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group daily trend via integer least squares: aggregate the
+    value to (group, day) cents, then compute the OLS slope of daily
+    totals against the day index as a cross-multiplied FRACTION —
+    slope = num/den with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² — so
+    the trend direction and magnitude are exact BIGINT arithmetic, no
+    float accumulation order to diverge between engines.
+
+    Scale shape: two hashAggregates (day grain, then group grain), both
+    map-side combined; the regression is a fold over per-group daily
+    rows, never a window or a join.
+
+    Output: (event_type, n_days, slope_num, slope_den, direction) with
+    direction in {-1, 0, 1} = sign(num) (den ≥ 0 by Cauchy-Schwarz).
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("date").alias("day"),
+            F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.sum("cents").alias("y"))
+        .select("grp", F.datediff("day", F.lit("2024-01-01")).cast("long").alias("x"), "y")
+    )
+    agg = daily.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = agg["n_days"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = agg["n_days"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_days",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.signum(num).cast("long").alias("direction"),
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Daily and rolling-window distinct active users (DAU / WAU): the
+    rolling DISTINCT count that a plain range-frame window cannot express
+    (distinct is not summable). The standard scale trick: collapse to the
+    (user, day) grain first, then explode each active day into the
+    ``window_days`` report days it contributes to, and count distinct
+    users per report day — amplification is bounded by the window length,
+    never the event volume, and both counts ride one (day)-keyed
+    aggregation apiece.
+
+    Report days are restricted to days that actually have activity (the
+    explode also lands on trailing empty days; an inner join against the
+    active-day set drops them so both engines agree without a calendar).
+
+    Output: (day, dau, wau).
+    """
+    ud = events.select(
+        F.col(ts_col).cast("date").alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("u").cast("long").alias("dau"))
+    contrib = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
+        "day",
+        "u",
+    ).select(F.expr("date_add(day, off)").alias("day"), "u")
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("u").cast("long").alias("wau")
+    )
+    return dau.join(wau, on="day").select("day", "dau", "wau")

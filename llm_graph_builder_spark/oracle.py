@@ -6221,3 +6221,49 @@ SELECT key,
               THEN 1 ELSE 0 END) AS BIGINT) AS n_int
 FROM jk GROUP BY 1
 """
+
+# mirrors q_trend_slopes / sessions.trend_slopes: daily cents totals ->
+# cross-multiplied OLS slope fraction, all BIGINT.
+ORACLE_SQL["trend_slopes"] = """
+WITH td AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tx AS (
+  SELECT grp, CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS x, y
+  FROM td
+),
+ta AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM tx GROUP BY 1
+)
+SELECT grp AS event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(sign(n_days * sxy - sx * sy) AS BIGINT) AS direction
+FROM ta
+"""
+
+# mirrors q_rolling_active_users / sessions.rolling_active_users: (user,
+# day) grain -> bounded day explode -> distinct counts; report days
+# restricted to active days by the inner join.
+ORACLE_SQL["rolling_active_users"] = """
+WITH ru AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+),
+rd AS (
+  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM ru GROUP BY 1
+),
+rc AS (
+  SELECT day + CAST(i AS INTEGER) AS day, u
+  FROM ru, unnest(range(0, 7)) r(i)
+),
+rw AS (
+  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS wau FROM rc GROUP BY 1
+)
+SELECT rd.day AS day, dau, wau FROM rd JOIN rw ON rw.day = rd.day
+"""

@@ -280,3 +280,50 @@ def test_json_ops_values(spark):
     assert fs["view"] == (1, 1, None, None, None, 0)
     inv = {r.key: (r.n, r.n_int) for r in json_key_inventory(ev).collect()}
     assert inv == {"k": (2, 2), "tag": (1, 0), "other": (1, 1)}
+
+
+def test_trend_slopes_integer_ols(spark):
+    from llm_graph_builder_spark.operators.sessions import trend_slopes
+
+    import datetime as dt
+
+    rows = [
+        # 'up': daily cents 100, 200, 300 on days 0,1,2 -> positive slope
+        ("up", dt.datetime(2024, 1, 1, 5), 1.00),
+        ("up", dt.datetime(2024, 1, 2, 5), 2.00),
+        ("up", dt.datetime(2024, 1, 3, 5), 3.00),
+        # 'flat': equal totals -> zero slope
+        ("flat", dt.datetime(2024, 1, 1, 6), 5.00),
+        ("flat", dt.datetime(2024, 1, 2, 6), 5.00),
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = {r.event_type: (r.n_days, r.slope_num, r.slope_den, r.direction)
+           for r in trend_slopes(ev).collect()}
+    # up: x=(0,1,2), y=(100,200,300): num=3*800-3*600=600, den=3*5-9=6
+    assert got["up"] == (3, 600, 6, 1)
+    assert got["flat"][3] == 0
+
+
+def test_rolling_active_users_window(spark):
+    from llm_graph_builder_spark.operators.sessions import (
+        rolling_active_users,
+    )
+
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 1)),
+            (2, dt.datetime(2024, 1, 1, 2)),
+            (1, dt.datetime(2024, 1, 5, 1)),
+            (3, dt.datetime(2024, 1, 10, 1)),
+        ],
+        ["user_id", "ts"],
+    )
+    got = {str(r.day): (r.dau, r.wau)
+           for r in rolling_active_users(ev).collect()}
+    # day 1: users {1,2}; day 5: {1} daily, window(d5)=activity in 12-30 ... 
+    # wau(day d) counts users active in [d-6, d]:
+    assert got["2024-01-01"] == (2, 2)
+    assert got["2024-01-05"] == (1, 2)   # users 1,2 from day1 + user1 day5
+    assert got["2024-01-10"] == (1, 2)   # user1 (day5) + user3 (day10)
