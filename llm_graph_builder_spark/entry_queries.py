@@ -2521,6 +2521,32 @@ def q_rolling_active_users(spark, sf_dir):
     )
 
 
+def q_constraint_audit(spark, sf_dir):
+    """dbt-style data-quality scoreboard over the warehouse tables (six
+    rules; each one aggregate or anti-join count, |rules| output rows)."""
+    from .operators.maintenance import constraint_audit
+
+    return constraint_audit(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_surrogate_keys(spark, sf_dir):
+    """Dense surrogate keys for the (repo, lang) dimension via the
+    two-level md5-bucket prefix-sum rank (no global row_number)."""
+    from .operators.maintenance import surrogate_keys
+
+    docs = read_documents(spark, sf_dir)
+    dim = docs.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 37).cast("string"))
+        .alias("repo"),
+        "lang",
+    )
+    return surrogate_keys(dim, ["repo", "lang"])
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2716,6 +2742,8 @@ QUERIES = {
     "json_key_inventory": q_json_key_inventory,
     "trend_slopes": q_trend_slopes,
     "rolling_active_users": q_rolling_active_users,
+    "constraint_audit": q_constraint_audit,
+    "surrogate_keys": q_surrogate_keys,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -386,3 +386,121 @@ def merge_upsert(
         .alias("action"),
     )
     return merged
+
+
+def constraint_audit(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """dbt-style data-quality test suite as ONE query: each rule audits a
+    contract the warehouse schema promises, and the result is the rule
+    scoreboard a pipeline gates its publish step on —
+
+      * ``orders_pk_unique``      — o_orderkey has no duplicates
+      * ``orders_custkey_not_null`` — required column present
+      * ``orders_fk_customer``    — referential integrity (anti-join count)
+      * ``lineitem_fk_orders``    — fact→header integrity
+      * ``orders_totalprice_positive`` — accepted-range rule
+      * ``lineitem_qty_range``    — quantity in (0, 100]
+
+    Scale shape: each rule is one aggregate or one anti-join count — no
+    row-level violation rows leave the executors (the audit is the
+    COUNT; localizing rows is the follow-up query a human runs on the
+    flagged rule). The unioned scoreboard is |rules| rows.
+
+    Output: (rule, violations, passed).
+    """
+    def row(rule: str, cnt):
+        return cnt.select(
+            F.lit(rule).alias("rule"),
+            F.col("v").cast("long").alias("violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("v"))
+    )
+    null_ck = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v")
+    )
+    # SQL FK semantics: a NULL foreign key is exempt from the referential
+    # rule (the not_null rule owns it) — filter before the anti-join
+    fk_cust = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ).agg(F.count("*").alias("v"))
+    )
+    fk_ord = (
+        lineitem.filter(F.col("l_orderkey").isNotNull())
+        .join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        ).agg(F.count("*").alias("v"))
+    )
+    price_pos = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v")
+    )
+    qty_rng = lineitem.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100), 1
+            ).otherwise(0)
+        ).alias("v")
+    )
+    out = row("orders_pk_unique", dup_pk)
+    for r, c in [
+        ("orders_custkey_not_null", null_ck),
+        ("orders_fk_customer", fk_cust),
+        ("lineitem_fk_orders", fk_ord),
+        ("orders_totalprice_positive", price_pos),
+        ("lineitem_qty_range", qty_rng),
+    ]:
+        out = out.unionByName(row(r, c))
+    return out
+
+
+def surrogate_keys(
+    rows: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Dense surrogate-key assignment for a dimension build: every
+    distinct natural key gets a stable BIGINT id equal to its global rank
+    in md5 order — WITHOUT a single-partition row_number. The rank is the
+    shard_plan/lp_training_pairs two-level prefix sum: md5-byte buckets
+    give ≤256 offset rows (ordering by (bucket, hash) IS the global hash
+    order, since the bucket is the hash's own prefix), and per-bucket
+    windows run 256-way parallel. Rerun-stable for a FIXED key set; for
+    incremental loads, new keys get ids above the stored max (classic
+    dimension append), which this building block leaves to the caller.
+
+    Output: key_cols + sk (0-based dense BIGINT).
+    """
+    nk = rows.select(*key_cols).distinct()
+    k = F.md5(F.concat_ws("\x01", *key_cols))
+    base = nk.select(
+        *key_cols, k.alias("k"), F.substring(k, 1, 2).alias("bucket")
+    )
+    btot = base.groupBy("bucket").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("k")
+    return (
+        base.withColumn("rin", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(offs), on="bucket")
+        .select(
+            *key_cols,
+            (F.col("off") + F.col("rin")).cast("long").alias("sk"),
+        )
+    )

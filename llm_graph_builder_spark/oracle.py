@@ -6267,3 +6267,58 @@ rw AS (
 )
 SELECT rd.day AS day, dau, wau FROM rd JOIN rw ON rw.day = rd.day
 """
+
+# mirrors q_constraint_audit / maintenance.constraint_audit: six rules,
+# each one aggregate or NOT-EXISTS count.
+ORACLE_SQL["constraint_audit"] = """
+SELECT 'orders_pk_unique' AS rule,
+       CAST((SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+        )) AS BIGINT) AS violations,
+       (SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+        )) = 0 AS passed
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+                 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+            THEN 1 ELSE 0 END) = 0
+FROM lineitem
+"""
+
+# mirrors q_surrogate_keys / maintenance.surrogate_keys: the two-level
+# prefix-sum rank equals one global md5-order row_number.
+ORACLE_SQL["surrogate_keys"] = """
+WITH sk_nk AS (
+  SELECT DISTINCT 'repo-' || CAST(doc_id % 37 AS VARCHAR) AS repo, lang
+  FROM documents
+)
+SELECT repo, lang,
+       CAST(row_number() OVER (
+         ORDER BY md5(repo || chr(1) || lang)
+       ) - 1 AS BIGINT) AS sk
+FROM sk_nk
+"""

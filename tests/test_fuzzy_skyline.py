@@ -327,3 +327,40 @@ def test_rolling_active_users_window(spark):
     assert got["2024-01-01"] == (2, 2)
     assert got["2024-01-05"] == (1, 2)   # users 1,2 from day1 + user1 day5
     assert got["2024-01-10"] == (1, 2)   # user1 (day5) + user3 (day10)
+
+
+def test_constraint_audit_detects_violations(spark):
+    from llm_graph_builder_spark.operators.maintenance import (
+        constraint_audit,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 3.0), (2, None, -1.0), (3, 99, 2.0)],
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = spark.createDataFrame([(10,), (11,)], ["c_custkey"])
+    lineitem = spark.createDataFrame(
+        [(1, 5.0), (7, 500.0)], ["l_orderkey", "l_quantity"]
+    )
+    got = {r.rule: (r.violations, r.passed)
+           for r in constraint_audit(orders, customer, lineitem).collect()}
+    assert got["orders_pk_unique"] == (1, False)        # key 1 duplicated
+    assert got["orders_custkey_not_null"] == (1, False)  # order 2
+    assert got["orders_fk_customer"] == (1, False)       # custkey 99
+    assert got["lineitem_fk_orders"] == (1, False)       # orderkey 7
+    assert got["orders_totalprice_positive"] == (1, False)
+    assert got["lineitem_qty_range"] == (1, False)       # qty 500
+
+
+def test_surrogate_keys_dense_and_stable(spark):
+    from llm_graph_builder_spark.operators.maintenance import surrogate_keys
+
+    rows = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("a", "x"), ("c", "z")], ["r", "l"]
+    )
+    out = surrogate_keys(rows, ["r", "l"]).collect()
+    sks = sorted(r.sk for r in out)
+    assert sks == [0, 1, 2]                  # dense, 0-based, deduped
+    again = {(r.r, r.l): r.sk
+             for r in surrogate_keys(rows, ["r", "l"]).collect()}
+    assert {(r.r, r.l): r.sk for r in out} == again   # rerun-stable
