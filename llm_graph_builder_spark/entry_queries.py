@@ -2547,6 +2547,24 @@ def q_surrogate_keys(spark, sf_dir):
     return surrogate_keys(dim, ["repo", "lang"])
 
 
+def q_motif_chains(spark, sf_dir):
+    """GraphFrames-style motif find over the entity graph — the 2-hop
+    chain pattern "(a)-[e1]->(b); (b)-[e2]->(c)" with distinct node
+    bindings, rolled up per predicate pair (the compiled plan is one
+    self-equi-join on the shared variable)."""
+    from .operators.motif import find_motif
+
+    t = pipeline_tables(spark, sf_dir)
+    chains = find_motif(
+        t["entity_edges"],
+        "(a)-[e1]->(b); (b)-[e2]->(c)",
+        distinct_nodes=True,
+    )
+    return chains.groupBy("e1_pred", "e2_pred").agg(
+        F.count("*").cast("long").alias("n_chains")
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2744,6 +2762,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "constraint_audit": q_constraint_audit,
     "surrogate_keys": q_surrogate_keys,
+    "motif_chains": q_motif_chains,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

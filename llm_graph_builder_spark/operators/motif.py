@@ -1,0 +1,129 @@
+"""GraphFrames-style motif finding: a tiny structural-pattern language
+compiled to a DataFrame join plan.
+
+The reference exposes its graph through Cypher patterns
+(``MATCH (a)-[r]->(b) ...`` throughout ``backend/src/graph_query.py``);
+GraphFrames answers the same shape questions with ``find("(a)-[e]->(b)")``.
+This module compiles that motif syntax directly onto the aggregated
+entity-edge table: each pattern term aliases the edge relation once, terms
+chain by equi-joining on shared node variables, and the result carries one
+column per node variable plus each named edge's predicate.
+
+Scale shape: a k-term motif is k-1 equi-joins on node keys — exactly the
+joins Catalyst already reorders/broadcasts; no driver-side expansion, no
+recursion. Cyclic patterns close with another equi-join (the final
+``(c)-(a)`` term reuses bound variables), and anti-joins/filters compose
+on the result like any DataFrame.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TERM = re.compile(
+    r"^\(([A-Za-z_]\w*)\)-\[([A-Za-z_]\w*)?\]->\(([A-Za-z_]\w*)\)$"
+)
+
+
+def parse_motif(pattern: str) -> list[tuple[str, str | None, str]]:
+    """Parse ``"(a)-[e1]->(b); (b)-[]->(c)"`` into (src_var, edge_name,
+    dst_var) terms. Unnamed edges get no output column."""
+    terms = []
+    for raw in pattern.split(";"):
+        t = raw.strip()
+        if not t:
+            continue
+        m = _TERM.match(t)
+        if not m:
+            raise ValueError(f"bad motif term: {t!r}")
+        terms.append((m.group(1), m.group(2), m.group(3)))
+    if not terms:
+        raise ValueError("empty motif")
+    return terms
+
+
+def find_motif(
+    entity_edges: DataFrame,
+    pattern: str,
+    distinct_nodes: bool = False,
+) -> DataFrame:
+    """Find every binding of ``pattern`` in the directed entity graph.
+
+    Node keys use the ``id ‖ chr(1) ‖ label`` convention; output has one
+    column per node variable (the key) and, for each NAMED edge, a
+    ``<name>_pred`` column. ``distinct_nodes=True`` additionally requires
+    all node variables to bind distinct nodes (the common "no trivial
+    cycle" refinement; GraphFrames leaves it to a post-filter, and so
+    does the default here).
+    """
+    edges = entity_edges.select(
+        F.concat_ws("\x01", "subj_id", "subj_label").alias("_src"),
+        F.col("pred").alias("_pred"),
+        F.concat_ws("\x01", "obj_id", "obj_label").alias("_dst"),
+    ).distinct()
+    terms = parse_motif(pattern)
+    out = None
+    bound: list[str] = []
+    for i, (sv, ename, dv) in enumerate(terms):
+        cols = [F.col("_src").alias(f"__s{i}"), F.col("_dst").alias(f"__d{i}")]
+        if ename:
+            cols.append(F.col("_pred").alias(f"{ename}_pred"))
+        term_df = edges.select(*cols)
+        if sv == dv:
+            # a self-loop term constrains the edge itself, whether or not
+            # the variable is already bound
+            term_df = term_df.filter(F.col(f"__s{i}") == F.col(f"__d{i}"))
+        if out is None:
+            if sv == dv:  # self-loop term binds ONE variable
+                out = term_df.filter(
+                    F.col(f"__s{i}") == F.col(f"__d{i}")
+                ).select(
+                    F.col(f"__s{i}").alias(sv),
+                    *([f"{ename}_pred"] if ename else []),
+                )
+                bound = [sv]
+            else:
+                out = term_df.select(
+                    F.col(f"__s{i}").alias(sv), F.col(f"__d{i}").alias(dv),
+                    *([f"{ename}_pred"] if ename else []),
+                )
+                bound = [sv, dv]
+            continue
+        out = out.join(
+            term_df,
+            on=[
+                c
+                for c in [
+                    (F.col(sv) == F.col(f"__s{i}")) if sv in bound else None,
+                    (F.col(dv) == F.col(f"__d{i}")) if dv in bound else None,
+                ]
+                if c is not None
+            ]
+            or None,
+            how="inner" if (sv in bound or dv in bound) else "cross",
+        )
+        if sv not in bound:
+            out = out.withColumn(sv, F.col(f"__s{i}"))
+            bound.append(sv)
+        if dv not in bound:
+            out = out.withColumn(dv, F.col(f"__d{i}"))
+            bound.append(dv)
+        out = out.drop(f"__s{i}", f"__d{i}")
+    node_vars = []
+    for sv, _, dv in terms:
+        for v in (sv, dv):
+            if v not in node_vars:
+                node_vars.append(v)
+    edge_cols = [f"{e}_pred" for _, e, _ in terms if e]
+    result = out.select(*node_vars, *edge_cols).distinct()
+    if distinct_nodes and len(node_vars) > 1:
+        cond = None
+        for i in range(len(node_vars)):
+            for j in range(i + 1, len(node_vars)):
+                c = F.col(node_vars[i]) != F.col(node_vars[j])
+                cond = c if cond is None else (cond & c)
+        result = result.filter(cond)
+    return result

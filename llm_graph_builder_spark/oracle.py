@@ -6322,3 +6322,23 @@ SELECT repo, lang,
        ) - 1 AS BIGINT) AS sk
 FROM sk_nk
 """
+
+# mirrors q_motif_chains / motif.find_motif: the 2-term chain motif
+# compiles to ONE self-equi-join on the shared node variable; distinct
+# bindings then the predicate-pair rollup.
+ORACLE_SQL["motif_chains"] = PIPELINE_CTE + """
+, mfe AS MATERIALIZED (
+  SELECT DISTINCT subj_id || chr(1) || subj_label AS src, pred,
+         obj_id || chr(1) || obj_label AS dst
+  FROM entity_edges
+),
+mfc AS (
+  SELECT DISTINCT t1.src AS a, t1.dst AS b, t2.dst AS c,
+         t1.pred AS e1_pred, t2.pred AS e2_pred
+  FROM mfe t1 JOIN mfe t2 ON t2.src = t1.dst
+)
+SELECT e1_pred, e2_pred, CAST(count(*) AS BIGINT) AS n_chains
+FROM mfc
+WHERE a <> b AND a <> c AND b <> c
+GROUP BY 1, 2
+"""

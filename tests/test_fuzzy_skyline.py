@@ -364,3 +364,41 @@ def test_surrogate_keys_dense_and_stable(spark):
     again = {(r.r, r.l): r.sk
              for r in surrogate_keys(rows, ["r", "l"]).collect()}
     assert {(r.r, r.l): r.sk for r in out} == again   # rerun-stable
+
+
+def _medges(spark, rows):
+    return spark.createDataFrame(
+        [(s, "E", p, d, "E", 1) for s, p, d in rows],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label", "weight"],
+    )
+
+
+def test_find_motif_chain_and_triangle(spark):
+    from llm_graph_builder_spark.operators.motif import find_motif
+
+    k = lambda x: f"{x}\x01E"
+    edges = _medges(spark, [
+        ("a", "R", "b"), ("b", "S", "c"), ("c", "T", "a"), ("b", "S", "a"),
+    ])
+    chains = {(r.a, r.b, r.c, r.e1_pred, r.e2_pred)
+              for r in find_motif(
+                  edges, "(a)-[e1]->(b); (b)-[e2]->(c)", distinct_nodes=True
+              ).collect()}
+    assert (k("a"), k("b"), k("c"), "R", "S") in chains
+    # distinct_nodes drops a->b->a
+    assert all(c[0] != c[2] for c in chains)
+    tri = find_motif(
+        edges, "(x)-[]->(y); (y)-[]->(z); (z)-[]->(x)", distinct_nodes=True
+    ).collect()
+    assert {tuple(sorted((r.x, r.y, r.z))) for r in tri} == {
+        (k("a"), k("b"), k("c"))
+    }
+
+
+def test_find_motif_parse_errors(spark):
+    from llm_graph_builder_spark.operators.motif import parse_motif
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_motif("(a)->(b)")
+    assert parse_motif("(a)-[]->(b)") == [("a", None, "b")]
