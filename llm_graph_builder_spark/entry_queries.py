@@ -2565,6 +2565,28 @@ def q_motif_chains(spark, sf_dir):
     )
 
 
+def q_motif_open_triads(spark, sf_dir):
+    """Motif NEGATION: 2-chains whose closing edge is ABSENT (the open
+    triads a graph-completion job targets) — the '!' term compiles to a
+    LEFT-ANTI join; rolled up per predicate pair. Runs on the CODE graph
+    (the near-complete entity graph closes every triad)."""
+    from .operators.motif import find_motif
+
+    edges = (
+        q_code_triples(spark, sf_dir)
+        .groupBy("subj_id", "subj_label", "pred", "obj_id", "obj_label")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    open_ = find_motif(
+        edges,
+        "(a)-[e1]->(b); (b)-[e2]->(c); !(c)-[]->(a)",
+        distinct_nodes=True,
+    )
+    return open_.groupBy("e1_pred", "e2_pred").agg(
+        F.count("*").cast("long").alias("n_open")
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2763,6 +2785,7 @@ QUERIES = {
     "constraint_audit": q_constraint_audit,
     "surrogate_keys": q_surrogate_keys,
     "motif_chains": q_motif_chains,
+    "motif_open_triads": q_motif_open_triads,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -24,14 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TERM = re.compile(
-    r"^\(([A-Za-z_]\w*)\)-\[([A-Za-z_]\w*)?\]->\(([A-Za-z_]\w*)\)$"
+    r"^(!?)\(([A-Za-z_]\w*)\)-\[([A-Za-z_]\w*)?\]->\(([A-Za-z_]\w*)\)$"
 )
 
 
-def parse_motif(pattern: str) -> list[tuple[str, str | None, str]]:
-    """Parse ``"(a)-[e1]->(b); (b)-[]->(c)"`` into (src_var, edge_name,
-    dst_var) terms. Unnamed edges get no output column."""
-    terms = []
+def parse_motif(
+    pattern: str,
+) -> tuple[list[tuple[str, str | None, str]], list[tuple[str, str]]]:
+    """Parse ``"(a)-[e1]->(b); (b)-[]->(c); !(c)-[]->(a)"`` into positive
+    (src_var, edge_name, dst_var) terms and negated (src_var, dst_var)
+    terms. Unnamed edges get no output column; negated terms (GraphFrames
+    ``!`` syntax) may not name their edge and must reference variables
+    bound by positive terms."""
+    pos, neg = [], []
     for raw in pattern.split(";"):
         t = raw.strip()
         if not t:
@@ -39,10 +44,21 @@ def parse_motif(pattern: str) -> list[tuple[str, str | None, str]]:
         m = _TERM.match(t)
         if not m:
             raise ValueError(f"bad motif term: {t!r}")
-        terms.append((m.group(1), m.group(2), m.group(3)))
-    if not terms:
-        raise ValueError("empty motif")
-    return terms
+        if m.group(1):
+            if m.group(3):
+                raise ValueError(f"negated term cannot name its edge: {t!r}")
+            neg.append((m.group(2), m.group(4)))
+        else:
+            pos.append((m.group(2), m.group(3), m.group(4)))
+    if not pos:
+        raise ValueError("motif needs at least one positive term")
+    bound = {v for sv, _, dv in pos for v in (sv, dv)}
+    for sv, dv in neg:
+        if sv not in bound or dv not in bound:
+            raise ValueError(
+                f"negated term references unbound variable: !({sv})->({dv})"
+            )
+    return pos, neg
 
 
 def find_motif(
@@ -58,13 +74,17 @@ def find_motif(
     all node variables to bind distinct nodes (the common "no trivial
     cycle" refinement; GraphFrames leaves it to a post-filter, and so
     does the default here).
+
+    Negated terms (``!(c)-[]->(a)``) compile to LEFT-ANTI joins against
+    the edge relation after the positive plan — the structural NOT
+    EXISTS (e.g. OPEN triads: chains whose closing edge is absent).
     """
     edges = entity_edges.select(
         F.concat_ws("\x01", "subj_id", "subj_label").alias("_src"),
         F.col("pred").alias("_pred"),
         F.concat_ws("\x01", "obj_id", "obj_label").alias("_dst"),
     ).distinct()
-    terms = parse_motif(pattern)
+    terms, neg_terms = parse_motif(pattern)
     out = None
     bound: list[str] = []
     for i, (sv, ename, dv) in enumerate(terms):
@@ -119,6 +139,15 @@ def find_motif(
                 node_vars.append(v)
     edge_cols = [f"{e}_pred" for _, e, _ in terms if e]
     result = out.select(*node_vars, *edge_cols).distinct()
+    for sv, dv in neg_terms:
+        anti = edges.select(
+            F.col("_src").alias("__ns"), F.col("_dst").alias("__nd")
+        ).distinct()
+        result = result.join(
+            anti,
+            (F.col(sv) == F.col("__ns")) & (F.col(dv) == F.col("__nd")),
+            "left_anti",
+        )
     if distinct_nodes and len(node_vars) > 1:
         cond = None
         for i in range(len(node_vars)):

@@ -6342,3 +6342,49 @@ FROM mfc
 WHERE a <> b AND a <> c AND b <> c
 GROUP BY 1, 2
 """
+
+# mirrors q_motif_open_triads / motif.find_motif with a negated term: the
+# '!' term is NOT EXISTS over the same distinct edge relation.
+ORACLE_SQL["motif_open_triads"] = """
+WITH code AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents),
+mtrip AS (
+  SELECT 'f' || CAST(doc_id AS VARCHAR) AS subj_id, 'Module' AS subj_label,
+         'WRITTEN_IN' AS pred, lang AS obj_id, 'Language' AS obj_label
+  FROM code
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM code
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM code
+  UNION ALL
+  SELECT 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM code
+  UNION ALL
+  SELECT 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function',
+         'DEFINED_IN', 'f' || CAST(doc_id AS VARCHAR), 'Module' FROM code
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM code
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'setup', 'Function' FROM code
+),
+mfe2 AS MATERIALIZED (
+  SELECT DISTINCT subj_id || chr(1) || subj_label AS src, pred,
+         obj_id || chr(1) || obj_label AS dst
+  FROM mtrip
+),
+mfo AS (
+  SELECT DISTINCT t1.src AS a, t1.dst AS b, t2.dst AS c,
+         t1.pred AS e1_pred, t2.pred AS e2_pred
+  FROM mfe2 t1 JOIN mfe2 t2 ON t2.src = t1.dst
+)
+SELECT e1_pred, e2_pred, CAST(count(*) AS BIGINT) AS n_open
+FROM mfo
+WHERE a <> b AND a <> c AND b <> c
+  AND NOT EXISTS (
+    SELECT 1 FROM mfe2 n WHERE n.src = mfo.c AND n.dst = mfo.a
+  )
+GROUP BY 1, 2
+"""

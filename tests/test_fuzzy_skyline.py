@@ -401,4 +401,27 @@ def test_find_motif_parse_errors(spark):
 
     with _pt.raises(ValueError):
         parse_motif("(a)->(b)")
-    assert parse_motif("(a)-[]->(b)") == [("a", None, "b")]
+    assert parse_motif("(a)-[]->(b)") == ([("a", None, "b")], [])
+    # negated terms must reference bound variables and stay unnamed
+    with _pt.raises(ValueError):
+        parse_motif("(a)-[]->(b); !(a)-[]->(zzz)")
+    with _pt.raises(ValueError):
+        parse_motif("(a)-[]->(b); !(b)-[e]->(a)")
+    assert parse_motif("(a)-[]->(b); !(b)-[]->(a)") == (
+        [("a", None, "b")], [("b", "a")]
+    )
+
+
+def test_find_motif_negation_open_triads(spark):
+    from llm_graph_builder_spark.operators.motif import find_motif
+
+    k = lambda x: f"{x}\x01E"
+    edges = _medges(spark, [
+        ("a", "R", "b"), ("b", "S", "c"), ("c", "T", "a"),   # closed triad
+        ("a", "R", "d"), ("d", "S", "e"),                    # open: no e->a
+    ])
+    open_triads = {(r.a, r.b, r.c) for r in find_motif(
+        edges, "(a)-[]->(b); (b)-[]->(c); !(c)-[]->(a)", distinct_nodes=True
+    ).collect()}
+    assert (k("a"), k("d"), k("e")) in open_triads
+    assert (k("a"), k("b"), k("c")) not in open_triads  # closed by c->a
