@@ -2587,6 +2587,22 @@ def q_motif_open_triads(spark, sf_dir):
     )
 
 
+def q_pit_join(spark, sf_dir):
+    """Point-in-time SCD2 lookup (FOR SYSTEM_TIME AS OF): every event
+    joined to its valid dimension version via equi-key + half-open
+    interval filter, rolled up per version seq."""
+    from .operators.sessions import pit_join, scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    joined = pit_join(ev, scd2_intervals(ev))
+    return joined.groupBy("seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2786,6 +2802,7 @@ QUERIES = {
     "surrogate_keys": q_surrogate_keys,
     "motif_chains": q_motif_chains,
     "motif_open_triads": q_motif_open_triads,
+    "pit_join": q_pit_join,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -1149,3 +1149,45 @@ def rolling_active_users(
         F.countDistinct("u").cast("long").alias("wau")
     )
     return dau.join(wau, on="day").select("day", "dau", "wau")
+
+
+def pit_join(
+    events: DataFrame,
+    scd2: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the SCD2
+    dimension version valid AT its timestamp — the canonical temporal
+    warehouse join (``FOR SYSTEM_TIME AS OF`` semantics over the
+    ``scd2_intervals`` build). Intervals are [valid_from, valid_to): the
+    half-open convention makes every instant match EXACTLY one version.
+
+    Scale shape: an equi-join on the dimension's natural key (user) with
+    the interval predicate as a post-join filter — NOT a blind range
+    join: the equi-key bounds the fan-out to that key's version count
+    (small by construction; a dimension with millions of versions per key
+    is a modeling bug). Both sides hash-exchange once on the key.
+
+    Output: (event_id, user_id, ev_us, seq, attr) — the joined version.
+    """
+    ev = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col(user_col).cast("long").alias("user_id"),
+        _ntz_micros(F.col(ts_col)).alias("ev_us"),
+    )
+    dim = scd2.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "seq",
+        "attr",
+        _ntz_micros(F.col("valid_from")).alias("valid_from"),
+        _ntz_micros(F.col("valid_to")).alias("valid_to"),
+    )
+    return (
+        ev.join(dim, on="user_id")
+        .filter(
+            (F.col("ev_us") >= F.col("valid_from"))
+            & (F.col("ev_us") < F.col("valid_to"))
+        )
+        .select("event_id", "user_id", "ev_us", "seq", "attr")
+    )

@@ -6388,3 +6388,42 @@ WHERE a <> b AND a <> c AND b <> c
   )
 GROUP BY 1, 2
 """
+
+# mirrors q_pit_join / sessions.pit_join: the scd2_intervals CTEs (micros
+# grain) + equi-key join with the half-open interval filter, per-seq rollup.
+ORACLE_SQL["pit_join"] = """
+WITH pmarked AS (
+  SELECT user_id, event_type AS attr, epoch_us(ts) AS ev_us, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pnumbered AS (
+  SELECT user_id, attr, ev_us,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ev_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM pmarked
+),
+pislands AS (
+  SELECT user_id, seq, min(ev_us) AS valid_from
+  FROM pnumbered GROUP BY 1, 2
+),
+pdim AS (
+  SELECT user_id, seq, valid_from,
+         coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq),
+                  epoch_us(TIMESTAMP '9999-12-31')) AS valid_to
+  FROM pislands
+),
+pev AS (SELECT event_id, user_id, epoch_us(ts) AS ev_us FROM events),
+pj AS (
+  SELECT e.event_id, e.user_id, d.seq
+  FROM pev e JOIN pdim d
+    ON d.user_id = e.user_id
+   AND e.ev_us >= d.valid_from AND e.ev_us < d.valid_to
+)
+SELECT seq, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pj GROUP BY 1
+"""

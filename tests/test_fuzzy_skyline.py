@@ -425,3 +425,26 @@ def test_find_motif_negation_open_triads(spark):
     ).collect()}
     assert (k("a"), k("d"), k("e")) in open_triads
     assert (k("a"), k("b"), k("c")) not in open_triads  # closed by c->a
+
+
+def test_pit_join_versions(spark):
+    from llm_graph_builder_spark.operators.sessions import (
+        pit_join,
+        scd2_intervals,
+    )
+    import datetime as dt
+
+    # user 1: click(t1), click(t2), error(t3) -> versions 1 (click), 2 (err)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1, 0), "click"),
+            (2, 1, dt.datetime(2024, 1, 1, 1), "click"),
+            (3, 1, dt.datetime(2024, 1, 1, 2), "error"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = pit_join(ev, scd2_intervals(ev)).collect()
+    byid = {r.event_id: (r.seq, r.attr) for r in rows}
+    assert len(rows) == 3                      # every event exactly once
+    assert byid[1] == (1, "click") and byid[2] == (1, "click")
+    assert byid[3] == (2, "error")
