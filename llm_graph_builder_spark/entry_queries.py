@@ -2603,6 +2603,14 @@ def q_pit_join(spark, sf_dir):
     )
 
 
+def q_clip_outliers(spark, sf_dir):
+    """Winsorization audit per event type: exact percentile bounds snapped
+    to integer cents, one clamp+rollup pass, BIGINT-exact sums."""
+    from .operators.sessions import clip_outliers
+
+    return clip_outliers(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -2803,6 +2811,7 @@ QUERIES = {
     "motif_chains": q_motif_chains,
     "motif_open_triads": q_motif_open_triads,
     "pit_join": q_pit_join,
+    "clip_outliers": q_clip_outliers,
     "typosquat_candidates": q_typosquat_candidates,
     "skyline_docs": q_skyline_docs,
     "concurrency_peaks": q_concurrency_peaks,

@@ -1191,3 +1191,58 @@ def pit_join(
         )
         .select("event_id", "user_id", "ev_us", "seq", "attr")
     )
+
+
+def clip_outliers(
+    events: DataFrame,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Winsorization report: clip each group's values at its own exact
+    [lo_q, hi_q] percentiles and account for what the clipping changed —
+    the robust-scaling preprocessing step a feature pipeline applies
+    before training, surfaced as an auditable aggregate instead of a
+    silent transform.
+
+    Integer-exactness: values are cents (round(value·100) BIGINT); the
+    interpolated percentile is computed exactly (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` bit-for-bit on BIGINT inputs) and then
+    SNAPPED to integer bounds (ceil(lo), floor(hi)) so every clamped
+    value — and therefore every SUM — stays BIGINT, immune to float
+    accumulation order.
+
+    Scale shape: one percentile aggregate per group (exact percentile
+    holds the group's values — fine for bounded group counts; swap
+    approx_percentile on unbounded groupings), broadcast back, one
+    clamp+rollup pass.
+
+    Output: (event_type, n, lo_cents, hi_cents, n_clip_lo, n_clip_hi,
+    sum_raw, sum_clipped).
+    """
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    base = events.select(F.col(group_col).alias("grp"), cents.alias("v"))
+    bounds = base.groupBy("grp").agg(
+        F.ceil(F.percentile("v", lo_q)).cast("long").alias("lo"),
+        F.floor(F.percentile("v", hi_q)).cast("long").alias("hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), on="grp").select(
+        "grp", "v", "lo", "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("c"),
+    )
+    return clamped.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("lo").alias("lo_cents"),
+        F.min("hi").alias("hi_cents"),
+        F.sum((F.col("v") < F.col("lo")).cast("long")).cast("long")
+        .alias("n_clip_lo"),
+        F.sum((F.col("v") > F.col("hi")).cast("long")).cast("long")
+        .alias("n_clip_hi"),
+        F.sum("v").cast("long").alias("sum_raw"),
+        F.sum("c").cast("long").alias("sum_clipped"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n", "lo_cents", "hi_cents", "n_clip_lo", "n_clip_hi",
+        "sum_raw", "sum_clipped",
+    )

@@ -6427,3 +6427,34 @@ SELECT seq, CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM pj GROUP BY 1
 """
+
+# mirrors q_clip_outliers / sessions.clip_outliers: quantile_cont ==
+# Spark percentile bit-for-bit on BIGINT cents; bounds snapped to integers
+# (ceil/floor) so clamped sums are BIGINT-exact.
+ORACLE_SQL["clip_outliers"] = """
+WITH cb AS (
+  SELECT event_type AS grp,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cq AS (
+  SELECT grp,
+         CAST(ceil(quantile_cont(v, 0.01)) AS BIGINT) AS lo,
+         CAST(floor(quantile_cont(v, 0.99)) AS BIGINT) AS hi
+  FROM cb GROUP BY 1
+),
+cc AS (
+  SELECT cb.grp, v, lo, hi,
+         greatest(lo, least(hi, v)) AS c
+  FROM cb JOIN cq ON cq.grp = cb.grp
+)
+SELECT grp AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS lo_cents,
+       CAST(min(hi) AS BIGINT) AS hi_cents,
+       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(sum(v) AS BIGINT) AS sum_raw,
+       CAST(sum(c) AS BIGINT) AS sum_clipped
+FROM cc GROUP BY 1
+"""

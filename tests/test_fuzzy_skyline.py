@@ -448,3 +448,18 @@ def test_pit_join_versions(spark):
     assert len(rows) == 3                      # every event exactly once
     assert byid[1] == (1, "click") and byid[2] == (1, "click")
     assert byid[3] == (2, "error")
+
+
+def test_clip_outliers_bounds_and_sums(spark):
+    from llm_graph_builder_spark.operators.sessions import clip_outliers
+
+    # values 1..100 cents: p01 = 1.99 -> lo=ceil=2; p99 = 99.01 -> hi=99
+    ev = spark.createDataFrame(
+        [("a", i / 100.0) for i in range(1, 101)],
+        ["event_type", "value"],
+    )
+    r = clip_outliers(ev).collect()[0]
+    assert (r.n, r.lo_cents, r.hi_cents) == (100, 2, 99)
+    assert (r.n_clip_lo, r.n_clip_hi) == (1, 1)     # 1 below 2, 100 above 99
+    assert r.sum_raw == sum(range(1, 101))
+    assert r.sum_clipped == r.sum_raw + (2 - 1) - (100 - 99)
