@@ -2293,6 +2293,18 @@ def q_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, n_centroids=8, lloyd_iters=2, dim=64)
 
 
+def q_sq_recall(spark, sf_dir):
+    """Int8 scalar-quantization recall@5 audit: exact integer-dot ranking
+    of the quantized corpus vs exact-cosine top-5, per query vector."""
+    from .operators.ann import sq_topk_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_topk_recall(emb, queries, k=5)
+
+
 def q_feature_propagation(spark, sf_dir):
     """GNN-prep k-hop feature diffusion: f ← f + W·f for 3 rounds over the
     weighted symmetric entity graph — exact BIGINTs, oracle unrolls the
@@ -2683,6 +2695,7 @@ QUERIES = {
     "stress_centrality": q_stress_centrality,
     "feature_propagation": q_feature_propagation,
     "pq_codes": q_pq_codes,
+    "sq_recall": q_sq_recall,
     "retrieval_metrics": q_retrieval_metrics,
     "repo_skew_plan": q_repo_skew_plan,
     "cooccurrence_pmi": q_cooccurrence_pmi,

@@ -450,3 +450,112 @@ def pq_codes(
         )
         out = aj if out is None else out.unionByName(aj)
     return out
+
+
+def int8_quantize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: every component is
+    mapped to ``trunc(x * 127 / max_abs(vector))`` — the standard SQ8
+    layout vector stores ship (8× smaller than float64, 4× smaller than
+    float32), with the scale carried implicitly by the vector itself so
+    no global calibration pass (and therefore no extra corpus scan) is
+    needed. Truncation toward zero is used instead of rounding because it
+    is the one double→int conversion Spark's ``CAST(double AS LONG)`` and
+    DuckDB's ``trunc`` define identically.
+
+    Scale shape: a pure per-row JVM projection — no shuffle, no UDF;
+    survives any corpus size by construction. Zero vectors quantize to
+    zero vectors.
+
+    Output: input columns plus ``out_col`` (array<long> in [-127, 127]).
+    """
+    v = F.col(vec_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    qz = F.transform(
+        v, lambda x: (x.cast("double") * F.lit(127.0) / m).cast("long")
+    )
+    zero = F.transform(v, lambda x: F.lit(0).cast("long"))
+    return df.withColumn(out_col, F.when(m > 0, qz).otherwise(zero))
+
+
+def sq_topk_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k audit of int8 scalar quantization: rank the corpus for each
+    query by the EXACT integer dot product of the quantized vectors, then
+    measure how many of the exact-cosine top-k survive. This is the
+    accept/reject gate a pipeline runs before switching its serving index
+    to SQ8 storage — quantization error is corpus-dependent, so the audit
+    must run on the real vectors, not a formula.
+
+    Integer-exactness: quantized components are BIGINTs, so the dot
+    product, the ranking, the hit counts, and the ``recall_e4`` share
+    (integer div) are all exact — no float accumulation anywhere in the
+    approximate leg. The exact leg reuses :func:`ann_bruteforce_topk`'s
+    mirrored fold-cosine.
+
+    Scale shape: both legs broadcast the (small) query set and pre-reduce
+    to ≤ k rows per (query, scan partition) before the per-query rank —
+    the same two-phase exact top-k as ``ann_bruteforce_topk``; the final
+    recall join moves only 2·k rows per query.
+
+    Output: (query_id, hits, recall_e4) — one row per query.
+    """
+    qq = int8_quantize(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("embedding")
+        ),
+        out_col="qz",
+    ).select("qid", "qz")
+    cq = int8_quantize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        ),
+        out_col="cz",
+    ).select("neighbor_id", "cz")
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id").cast("string") != F.col("qid").cast("string"))
+        .withColumn(
+            "idot",
+            F.aggregate(
+                F.zip_with("qz", "cz", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w_part = Window.partitionBy("qid", "part").orderBy(
+        F.desc("idot"), F.asc("neighbor_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("idot"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id")
+    )
+    exact = ann_bruteforce_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(F.col("query_id").alias("qid"), "neighbor_id")
+    hits = exact.join(approx, on=["qid", "neighbor_id"]).groupBy("qid").agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    return (
+        exact.select("qid").distinct()
+        .join(hits, on="qid", how="left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"coalesce(hits, 0L) * 10000L div {k}").alias("recall_e4"),
+        )
+    )

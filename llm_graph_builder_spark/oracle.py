@@ -6458,3 +6458,69 @@ SELECT grp AS event_type,
        CAST(sum(c) AS BIGINT) AS sum_clipped
 FROM cc GROUP BY 1
 """
+
+
+# mirrors q_sq_recall / ann.sq_topk_recall: per-vector symmetric int8
+# quantization (trunc(x*127/max_abs) — DuckDB trunc == Spark CAST AS LONG),
+# exact BIGINT dot-product ranking, recall@5 vs the mirrored fold-cosine
+# exact top-5; integer-div recall share.
+ORACLE_SQL["sq_recall"] = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+sqz AS (
+  SELECT qid,
+         CASE WHEN m > 0 THEN list_apply(qv, x ->
+                CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT))
+              ELSE list_apply(qv, x -> CAST(0 AS BIGINT)) END AS z
+  FROM (SELECT qid, qv,
+               list_max(list_apply(qv, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM q)
+),
+scz AS (
+  SELECT nid,
+         CASE WHEN m > 0 THEN list_apply(cv, x ->
+                CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT))
+              ELSE list_apply(cv, x -> CAST(0 AS BIGINT)) END AS z
+  FROM (SELECT vec_id AS nid, embedding AS cv,
+               list_max(list_apply(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings)
+),
+siscore AS (
+  SELECT sqz.qid, scz.nid,
+         list_reduce(list_apply(range(1, len(sqz.z) + 1),
+                                i -> sqz.z[i] * scz.z[i]),
+                     (x, y) -> x + y) AS idot
+  FROM scz CROSS JOIN sqz
+  WHERE CAST(scz.nid AS VARCHAR) <> CAST(sqz.qid AS VARCHAR)
+),
+sapprox AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY idot DESC, nid ASC) AS r
+    FROM siscore
+  ) WHERE r <= 5
+),
+sescore AS (
+  SELECT q.qid, c.vec_id AS nid,
+         CAST(round(({_cosine_sql('q.qv', 'c.embedding')}) * 10000) AS BIGINT)
+           AS cos_e4
+  FROM embeddings c CROSS JOIN q
+  WHERE CAST(c.vec_id AS VARCHAR) <> CAST(q.qid AS VARCHAR)
+),
+sexact AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, nid ASC) AS r
+    FROM sescore
+  ) WHERE r <= 5
+),
+shits AS (
+  SELECT e.qid, CAST(count(*) AS BIGINT) AS hits
+  FROM sexact e JOIN sapprox a ON a.qid = e.qid AND a.nid = e.nid
+  GROUP BY 1
+)
+SELECT eq.qid AS query_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) * 10000 // 5 AS BIGINT) AS recall_e4
+FROM (SELECT DISTINCT qid FROM sexact) eq
+LEFT JOIN shits h ON h.qid = eq.qid
+"""

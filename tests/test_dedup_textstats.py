@@ -2362,3 +2362,47 @@ def test_bloom_skipping_no_false_negatives(spark):
     # with m=960 bits vs ~100 keys/bucket the FP rate is tiny: the probe
     # set should admit at most a couple of extra buckets overall
     assert sum(r.false_positives for r in rows) <= 4
+
+
+def test_sq_recall_perfect_on_separable_vectors(spark):
+    """Axis-aligned vectors survive int8 quantization exactly: the
+    quantized-dot ranking equals the cosine ranking, so recall@k = 1."""
+    from llm_graph_builder_spark.operators.ann import (
+        int8_quantize,
+        sq_topk_recall,
+    )
+
+    # 12 vectors in 3 well-separated directions (scaled so quantization
+    # cannot reorder within/across groups), dim 4
+    rows = []
+    for i in range(12):
+        axis = i % 3
+        v = [0.0] * 4
+        v[axis] = 1.0 + 0.01 * i          # same direction, varied norm
+        v[3] = 0.001 * (i + 1)            # tiny tie-break component
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    qz = int8_quantize(emb).collect()
+    for r in qz:
+        # trunc semantics: the max-abs component lands on 127, or 126 when
+        # (x*127.0)/m rounds just under the integer
+        assert max(abs(x) for x in r.qvec) in (126, 127)
+        assert all(isinstance(x, int) for x in r.qvec)
+
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = sq_topk_recall(emb, queries, k=3).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.hits == 3 and r.recall_e4 == 10000
+
+
+def test_int8_quantize_zero_vector(spark):
+    from llm_graph_builder_spark.operators.ann import int8_quantize
+
+    out = int8_quantize(
+        spark.createDataFrame([(0, [0.0, 0.0])], ["vec_id", "embedding"])
+    ).collect()[0]
+    assert out.qvec == [0, 0]
