@@ -1878,6 +1878,20 @@ def q_dedup_clusters(spark, sf_dir):
     return _dedup_clusters_df(spark, sf_dir)
 
 
+def q_clustering_agreement(spark, sf_dir):
+    """Dedup-quality gate: pairwise precision/recall/F1 of the MinHash
+    near-dup clusters against the exact-duplicate (sha256) truth partition
+    — contingency-table pair counts, e4 integer shares."""
+    docs = read_documents(spark, sf_dir)
+    truth = docs.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.sha2(F.col("text"), 256).alias("key"),
+    )
+    return dedup.clustering_agreement(
+        _dedup_clusters_df(spark, sf_dir), truth
+    )
+
+
 def q_entity_embeddings(spark, sf_dir):
     """E3 — entity embeddings over id + ' ' + description (real extracted
     descriptions, reference text expression post_processing.py:132),
@@ -2660,6 +2674,7 @@ QUERIES = {
     "bm25_retrieval": q_bm25_retrieval,
     "dedup_clusters": q_dedup_clusters,
     "dedup_cluster_invariants": q_dedup_cluster_invariants,
+    "clustering_agreement": q_clustering_agreement,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

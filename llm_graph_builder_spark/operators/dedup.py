@@ -972,3 +972,68 @@ def jaccard_prefix_join(
             .alias("jacc_e6"),
         )
     )
+
+
+def clustering_agreement(
+    clusters: DataFrame,
+    truth: DataFrame,
+    cluster_col: str = "cluster",
+    key_col: str = "key",
+    id_col: str = "doc",
+) -> DataFrame:
+    """Pairwise agreement between a predicted clustering and a ground-truth
+    partition — the standard entity-resolution / dedup quality gate
+    (pairwise precision / recall / F1 over co-clustered pairs): a pipeline
+    that swaps its blocking or threshold re-runs this audit before trusting
+    the new clusters. Pair counts come from the contingency table, never
+    from materialized pairs, so a cluster of n docs costs one row of state,
+    not C(n,2) rows.
+
+    Integer-exactness: C(n,2) = n·(n−1) div 2 is BIGINT-exact; the
+    precision/recall/F1 shares are e4 fixed-point integer divisions, so
+    the whole audit is immune to float accumulation order.
+
+    Scale shape: one shuffle to build the (cluster, key) contingency, one
+    each for the cluster/key marginals (all partial-aggregated map-side),
+    then three one-row frames combined with crossJoin — nothing quadratic,
+    no driver loop.
+
+    Output: one row (pairs_pred, pairs_true, pairs_both, precision_e4,
+    recall_e4, f1_e4).
+    """
+    pred = clusters.select(
+        F.col(id_col).alias("doc"), F.col(cluster_col).alias("cluster")
+    )
+    tru = truth.select(F.col(id_col).alias("doc"), F.col(key_col).alias("key"))
+
+    def _pairs(df: DataFrame, cols: list, out: str) -> DataFrame:
+        sizes = df.groupBy(*cols).agg(F.count("*").alias("n"))
+        return sizes.agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+            ).cast("long").alias(out)
+        )
+
+    joined = pred.join(tru, on="doc")
+    both = _pairs(joined, ["cluster", "key"], "pairs_both")
+    pp = _pairs(pred, ["cluster"], "pairs_pred")
+    pt = _pairs(tru, ["key"], "pairs_true")
+    out = both.crossJoin(pp).crossJoin(pt).select(
+        "pairs_pred", "pairs_true", "pairs_both",
+        F.expr(
+            "CASE WHEN pairs_pred > 0 THEN pairs_both * 10000L div pairs_pred "
+            "ELSE 0L END"
+        ).alias("precision_e4"),
+        F.expr(
+            "CASE WHEN pairs_true > 0 THEN pairs_both * 10000L div pairs_true "
+            "ELSE 0L END"
+        ).alias("recall_e4"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "CASE WHEN precision_e4 + recall_e4 > 0 THEN "
+            "2 * precision_e4 * recall_e4 div (precision_e4 + recall_e4) "
+            "ELSE 0L END"
+        ).alias("f1_e4"),
+    )

@@ -6524,3 +6524,46 @@ SELECT eq.qid AS query_id,
 FROM (SELECT DISTINCT qid FROM sexact) eq
 LEFT JOIN shits h ON h.qid = eq.qid
 """
+
+
+# mirrors q_clustering_agreement / dedup.clustering_agreement: pairwise
+# precision/recall/F1 of the MinHash near-dup clusters (full dedup_clusters
+# mirror reused as a subquery) vs the exact sha256 duplicate partition;
+# C(n,2) pair counts from the contingency table, e4 integer-div shares.
+ORACLE_SQL["clustering_agreement"] = f"""
+WITH capred AS (SELECT doc, cluster FROM ({ORACLE_SQL["dedup_clusters"]})),
+catruth AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, sha256(text) AS key FROM documents
+),
+caj AS (
+  SELECT p.cluster, t.key, count(*) AS n
+  FROM capred p JOIN catruth t ON t.doc = p.doc GROUP BY 1, 2
+),
+cab AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_both
+  FROM caj
+),
+cap AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_pred
+  FROM (SELECT count(*) AS n FROM capred GROUP BY cluster)
+),
+cat AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_true
+  FROM (SELECT count(*) AS n FROM catruth GROUP BY key)
+),
+car AS (
+  SELECT pairs_pred, pairs_true, pairs_both,
+         CAST(CASE WHEN pairs_pred > 0
+                   THEN pairs_both * 10000 // pairs_pred ELSE 0 END
+              AS BIGINT) AS precision_e4,
+         CAST(CASE WHEN pairs_true > 0
+                   THEN pairs_both * 10000 // pairs_true ELSE 0 END
+              AS BIGINT) AS recall_e4
+  FROM cab CROSS JOIN cap CROSS JOIN cat
+)
+SELECT *,
+       CAST(CASE WHEN precision_e4 + recall_e4 > 0
+                 THEN 2 * precision_e4 * recall_e4 // (precision_e4 + recall_e4)
+                 ELSE 0 END AS BIGINT) AS f1_e4
+FROM car
+"""

@@ -2406,3 +2406,29 @@ def test_int8_quantize_zero_vector(spark):
         spark.createDataFrame([(0, [0.0, 0.0])], ["vec_id", "embedding"])
     ).collect()[0]
     assert out.qvec == [0, 0]
+
+
+def test_clustering_agreement_handcrafted(spark):
+    from llm_graph_builder_spark.operators.dedup import clustering_agreement
+
+    pred = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("c", "1"), ("d", "2")], ["doc", "cluster"]
+    )
+    truth = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2"), ("d", "k3")], ["doc", "key"]
+    )
+    r = clustering_agreement(pred, truth).collect()[0]
+    # pred pairs: C(3,2)=3; true pairs: 1 (a,b); both: 1
+    assert (r.pairs_pred, r.pairs_true, r.pairs_both) == (3, 1, 1)
+    assert r.precision_e4 == 3333 and r.recall_e4 == 10000
+    assert r.f1_e4 == (2 * 3333 * 10000) // (3333 + 10000)
+
+
+def test_clustering_agreement_empty_truth_pairs(spark):
+    from llm_graph_builder_spark.operators.dedup import clustering_agreement
+
+    pred = spark.createDataFrame([("a", "1"), ("b", "2")], ["doc", "cluster"])
+    truth = spark.createDataFrame([("a", "k1"), ("b", "k2")], ["doc", "key"])
+    r = clustering_agreement(pred, truth).collect()[0]
+    assert (r.pairs_pred, r.pairs_true, r.pairs_both) == (0, 0, 0)
+    assert (r.precision_e4, r.recall_e4, r.f1_e4) == (0, 0, 0)
