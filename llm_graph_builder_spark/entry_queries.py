@@ -2307,6 +2307,22 @@ def q_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, n_centroids=8, lloyd_iters=2, dim=64)
 
 
+def q_incremental_join(spark, sf_dir):
+    """Delta-join view maintenance: per-order revenue view refreshed with
+    Δ(A⋈B) = ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB under a deterministic two-sided
+    insert split; the oracle is a FULL RECOMPUTE over the whole tables —
+    hash match proves the IVM algebra exact."""
+    from .operators.maintenance import delta_join_refresh, order_revenue_view
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a0 = orders.filter(F.col("o_orderkey") % 97 != 0)
+    da = orders.filter(F.col("o_orderkey") % 97 == 0)
+    b0 = lineitem.filter(F.col("l_orderkey") % 89 != 0)
+    db = lineitem.filter(F.col("l_orderkey") % 89 == 0)
+    return delta_join_refresh(order_revenue_view(a0, b0), a0, da, b0, db)
+
+
 def q_sq_recall(spark, sf_dir):
     """Int8 scalar-quantization recall@5 audit: exact integer-dot ranking
     of the quantized corpus vs exact-cosine top-5, per query vector."""
@@ -2711,6 +2727,7 @@ QUERIES = {
     "feature_propagation": q_feature_propagation,
     "pq_codes": q_pq_codes,
     "sq_recall": q_sq_recall,
+    "incremental_join": q_incremental_join,
     "retrieval_metrics": q_retrieval_metrics,
     "repo_skew_plan": q_repo_skew_plan,
     "cooccurrence_pmi": q_cooccurrence_pmi,

@@ -6567,3 +6567,18 @@ SELECT *,
                  ELSE 0 END AS BIGINT) AS f1_e4
 FROM car
 """
+
+
+# mirrors q_incremental_join / maintenance.delta_join_refresh: the oracle is
+# the FULL RECOMPUTE of the per-order revenue view over the complete tables —
+# matching it proves Spark's delta-join algebra (view0 + dA*B0 + A0*dB +
+# dA*dB merge) exact, including the integer-cent revenue law.
+ORACLE_SQL["incremental_join"] = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""

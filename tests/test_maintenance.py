@@ -201,3 +201,45 @@ def test_streaming_kg_maintenance_matches_batch(spark, tmp_path):
         for r in log.filter("id = 'gamma'").collect()
     }
     assert gamma == {(0, 1), (1, -1)}
+
+
+def test_delta_join_refresh_equals_full_recompute(spark):
+    """The IVM algebra must reproduce the full-recompute view exactly —
+    including orders whose lineitems arrive entirely in the delta, base
+    orders gaining delta lineitems, and delta orders joining base items."""
+    from llm_graph_builder_spark.operators.maintenance import (
+        delta_join_refresh,
+        order_revenue_view,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)],
+        ["o_orderkey", "o_custkey"],
+    )
+    li_rows = [
+        (1, 100.0, 0.10),   # base order, base item
+        (2, 50.0, 0.00),    # base order, base item
+        (2, 25.0, 0.05),    # base order, DELTA item
+        (3, 75.0, 0.20),    # DELTA order, base item
+        (3, 10.0, 0.00),    # DELTA order, DELTA item
+        (4, 99.0, 0.01),    # DELTA order, DELTA item only
+    ]
+    lineitem = spark.createDataFrame(
+        li_rows, ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    a0 = orders.filter("o_orderkey IN (1, 2)")
+    da = orders.filter("o_orderkey IN (3, 4)")
+    b0 = lineitem.filter(
+        "(l_orderkey = 1) OR (l_orderkey = 2 AND l_extendedprice = 50.0) "
+        "OR (l_orderkey = 3 AND l_extendedprice = 75.0)"
+    )
+    db = lineitem.subtract(b0)
+
+    refreshed = delta_join_refresh(order_revenue_view(a0, b0), a0, da, b0, db)
+    full = order_revenue_view(orders, lineitem)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {r.o_orderkey: (r.revenue_e4, r.n_items) for r in refreshed.collect()}
+    assert got[1] == (10000 * 90, 1)          # 100.00 at 10% off
+    assert got[2] == (5000 * 100 + 2500 * 95, 2)
