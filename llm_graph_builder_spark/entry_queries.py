@@ -2307,6 +2307,29 @@ def q_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, n_centroids=8, lloyd_iters=2, dim=64)
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC apply: the events table read as a change feed (errors are delete
+    tombstones), compacted to final per-user state by last-writer-wins on
+    the unique (ts, event_id) change order — one map-side-partial max_by
+    aggregation, no per-key window shuffle."""
+    from .operators.maintenance import cdc_compact
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    out = cdc_compact(log)
+    return out.select(
+        "user_id",
+        F.col("value_cents").alias("last_value_cents"),
+        F.col("event_id").alias("last_event_id"),
+        "n_ops",
+    )
+
+
 def q_incremental_join(spark, sf_dir):
     """Delta-join view maintenance: per-order revenue view refreshed with
     Δ(A⋈B) = ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB under a deterministic two-sided
@@ -2728,6 +2751,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "sq_recall": q_sq_recall,
     "incremental_join": q_incremental_join,
+    "cdc_apply": q_cdc_apply,
     "retrieval_metrics": q_retrieval_metrics,
     "repo_skew_plan": q_repo_skew_plan,
     "cooccurrence_pmi": q_cooccurrence_pmi,

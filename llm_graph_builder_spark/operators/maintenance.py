@@ -574,3 +574,41 @@ def delta_join_refresh(
             F.sum("n_items").cast("long").alias("n_items"),
         )
     )
+
+
+def cdc_compact(
+    log: DataFrame,
+    key_col: str = "user_id",
+    op_col: str = "op",
+    order_cols: tuple = ("ts", "event_id"),
+    value_cols: tuple = ("value_cents", "event_id"),
+) -> DataFrame:
+    """Compact an ordered CDC log (upserts + ``'D'`` delete tombstones) to
+    the final table state under last-writer-wins — the apply step of every
+    change-data-feed sink (Delta/Hudi/Iceberg upsert compaction): for each
+    key take the latest record by the (total) change order; a key whose
+    latest op is a tombstone is absent from the result.
+
+    Scale shape: ONE aggregation on the key — ``max_by`` over the unique
+    (order_cols) tuple — so the reduction is map-side partial (each task
+    keeps one candidate row per key) and the shuffle moves one row per
+    (task, key), NOT the whole log; the window-function formulation would
+    shuffle every change row to its key's reducer. Requires the change
+    order to be unique per key (true for any CDC feed with a sequence
+    column; here (ts, event_id)).
+
+    Output: (key, *value_cols of the winning record, n_ops) — ``n_ops``
+    counts every change ever applied to the surviving key, the audit
+    column a replayed feed is checked against.
+    """
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    agg = log.groupBy(key_col).agg(
+        F.max_by(F.struct(*[F.col(c) for c in value_cols]), ordk).alias("_last"),
+        F.max_by(F.col(op_col), ordk).alias("_last_op"),
+        F.count("*").cast("long").alias("n_ops"),
+    )
+    return agg.filter(F.col("_last_op") != "D").select(
+        key_col,
+        *[F.col(f"_last.{c}").alias(c) for c in value_cols],
+        "n_ops",
+    )

@@ -6582,3 +6582,29 @@ SELECT o.o_orderkey, o.o_custkey,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1, 2
 """
+
+
+# mirrors q_cdc_apply / maintenance.cdc_compact: last-writer-wins over the
+# unique (ts, event_id) change order, 'error' rows are delete tombstones;
+# the oracle uses the window formulation (row_number DESC = 1), Spark uses
+# the map-side-partial max_by — same semantics, scale-correct plan.
+ORACLE_SQL["cdc_apply"] = """
+WITH cdclog AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+cdcr AS (
+  SELECT user_id, op, value_cents, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM cdclog
+)
+SELECT user_id,
+       value_cents AS last_value_cents,
+       event_id AS last_event_id,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM cdcr WHERE rn = 1 AND op <> 'D'
+"""

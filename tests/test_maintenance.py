@@ -243,3 +243,30 @@ def test_delta_join_refresh_equals_full_recompute(spark):
     got = {r.o_orderkey: (r.revenue_e4, r.n_items) for r in refreshed.collect()}
     assert got[1] == (10000 * 90, 1)          # 100.00 at 10% off
     assert got[2] == (5000 * 100 + 2500 * 95, 2)
+
+
+def test_cdc_compact_lww_and_tombstones(spark):
+    from llm_graph_builder_spark.operators.maintenance import cdc_compact
+
+    log = spark.createDataFrame(
+        [
+            # user 1: U then U — latest wins
+            (1, 10, 1, "U", 100),
+            (1, 20, 2, "U", 200),
+            # user 2: U then D — tombstoned out
+            (2, 10, 3, "U", 300),
+            (2, 20, 4, "D", 0),
+            # user 3: D then U — resurrected by the later upsert
+            (3, 10, 5, "D", 0),
+            (3, 20, 6, "U", 400),
+            # user 4: same ts, event_id breaks the tie
+            (4, 10, 7, "U", 500),
+            (4, 10, 8, "U", 600),
+        ],
+        ["user_id", "ts", "event_id", "op", "value_cents"],
+    )
+    got = {
+        r.user_id: (r.value_cents, r.event_id, r.n_ops)
+        for r in cdc_compact(log).collect()
+    }
+    assert got == {1: (200, 2, 2), 3: (400, 6, 2), 4: (600, 8, 2)}
