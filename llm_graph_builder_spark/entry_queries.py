@@ -1937,6 +1937,25 @@ def q_triangle_counts(spark, sf_dir):
     return out.withColumn("triangles", F.col("triangles").cast("long"))
 
 
+def q_local_bridges(spark, sf_dir):
+    """Weak-tie audit: entity-graph edges in no triangle (no common
+    neighbor), found by anti-joining the degree-ordered triangle
+    enumeration against the canonical edge list."""
+    from .operators.graph_analytics import local_bridges
+
+    t = pipeline_tables(spark, sf_dir)
+    return local_bridges(t["entity_edges"])
+
+
+def q_four_cliques(spark, sf_dir):
+    """Per-node 4-clique membership over the entity graph — canonical
+    x<y<z<w enumeration, each clique counted once."""
+    from .operators.graph_analytics import four_cliques
+
+    t = pipeline_tables(spark, sf_dir)
+    return four_cliques(t["entity_edges"])
+
+
 def q_node_similarity(spark, sf_dir):
     """Jaccard node similarity over the entity–chunk bipartite graph
     (gds.nodeSimilarity analog); pair fan-out bounded per chunk."""
@@ -2731,6 +2750,8 @@ QUERIES = {
     "incremental_entities": q_incremental_entities,
     "pagerank": q_pagerank,
     "triangle_counts": q_triangle_counts,
+    "local_bridges": q_local_bridges,
+    "four_cliques": q_four_cliques,
     "node_similarity": q_node_similarity,
     "wcc": q_wcc,
     "bfs_distances": q_bfs_distances,

@@ -2553,3 +2553,100 @@ def neighbor_sampling(
         )
     )
     return hop1.unionByName(hop2).distinct()
+
+
+def local_bridges(entity_edges: DataFrame) -> DataFrame:
+    """Local bridges of the entity graph: edges whose endpoints share NO
+    common neighbor (span > 2) — Granovetter's weak ties. In a knowledge
+    graph these are the edges whose deletion disconnects local
+    neighborhoods, so curation treats them as either precious (the only
+    path between topics) or suspicious (an extraction error linking
+    unrelated entities); either way they are the edges to review first.
+
+    A local bridge is exactly an edge in no triangle, so the operator
+    reuses the degree-ordered triangle orientation (each triangle
+    enumerated once at its lowest-ordered apex — the arboricity-bounded
+    plan that survives skewed degrees) and anti-joins the canonical
+    edge set against the three edges of every triangle found.
+
+    Output: (src_id, src_label, dst_id, dst_label), src key < dst key.
+    """
+    und, _ = materialize(simple_undirected(entity_edges))
+    deg = degree_table(und)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ranked = und.join(du, on="u").join(dv, on="v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented, _ = materialize(
+        ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("y"))
+    wedges = e1.join(e2, on="apex").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).dropDuplicates(["x", "y"])
+    tris = wedges.join(closing, on=["x", "y"])
+    tri_edges = (
+        tris.select(F.least("apex", "x").alias("u"), F.greatest("apex", "x").alias("v"))
+        .unionByName(
+            tris.select(F.least("apex", "y").alias("u"), F.greatest("apex", "y").alias("v"))
+        )
+        .unionByName(tris.select(F.col("x").alias("u"), F.col("y").alias("v")))
+        .dropDuplicates(["u", "v"])
+    )
+    bridges = und.join(tri_edges, on=["u", "v"], how="left_anti")
+    su = F.split(F.col("u"), "\x01")
+    sv = F.split(F.col("v"), "\x01")
+    return bridges.select(
+        su[0].alias("src_id"), su[1].alias("src_label"),
+        sv[0].alias("dst_id"), sv[1].alias("dst_label"),
+    )
+
+
+def four_cliques(entity_edges: DataFrame) -> DataFrame:
+    """Per-node 4-clique membership counts — the next motif up from
+    ``triangle_counts`` (GDS exposes triangles; 4-cliques are the standard
+    "dense cluster seed" signal community detectors are validated against).
+
+    Enumeration is over canonical node order (x < y < z < w on the
+    composite node key), so every 4-clique is produced exactly once: grow
+    canonical triangles by a fourth vertex w adjacent to all three. The
+    canonical ``und`` edge list (u < v) already orients the search — each
+    join step only extends upward, which is the same asymmetry trick as
+    the degree-ordered triangle orientation (swap the name order for a
+    (degree, node) rank to bound skew on power-law graphs; the synthetic
+    graphs here are near-uniform, where the two orders coincide in cost).
+
+    Output: (id, label, cliques4) — nodes in ≥1 four-clique.
+    """
+    und, _ = materialize(simple_undirected(entity_edges))
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tris = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    grow = und.select(F.col("u").alias("z"), F.col("v").alias("w"))
+    exw = und.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    eyw = und.select(F.col("u").alias("y"), F.col("v").alias("w"))
+    quads = (
+        tris.join(grow, on="z")
+        .join(exw, on=["x", "w"])
+        .join(eyw, on=["y", "w"])
+    )
+    corners = (
+        quads.select(F.col("x").alias("node"))
+        .unionByName(quads.select(F.col("y").alias("node")))
+        .unionByName(quads.select(F.col("z").alias("node")))
+        .unionByName(quads.select(F.col("w").alias("node")))
+    )
+    split = F.split(F.col("node"), "\x01")
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("cliques4")
+    ).select(
+        split[0].alias("id"), split[1].alias("label"), "cliques4"
+    )

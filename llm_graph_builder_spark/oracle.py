@@ -6608,3 +6608,54 @@ SELECT user_id,
        CAST(n_ops AS BIGINT) AS n_ops
 FROM cdcr WHERE rn = 1 AND op <> 'D'
 """
+
+
+# mirrors q_local_bridges / graph_analytics.local_bridges: an edge is a
+# local bridge iff its endpoints share no common neighbor, i.e. it sits in
+# no triangle; NOT EXISTS over the symmetric adjacency is the declarative
+# mirror of Spark's triangle-edge anti-join.
+ORACLE_SQL["local_bridges"] = PIPELINE_CTE + _UND_CTE + """,
+lbadj AS (
+  SELECT u AS a, v AS b FROM und
+  UNION ALL
+  SELECT v AS a, u AS b FROM und
+)
+SELECT split_part(e.u, chr(1), 1) AS src_id,
+       split_part(e.u, chr(1), 2) AS src_label,
+       split_part(e.v, chr(1), 1) AS dst_id,
+       split_part(e.v, chr(1), 2) AS dst_label
+FROM und e
+WHERE NOT EXISTS (
+  SELECT 1 FROM lbadj x JOIN lbadj y ON x.b = y.b
+  WHERE x.a = e.u AND y.a = e.v
+)
+"""
+
+# mirrors q_four_cliques / graph_analytics.four_cliques: canonical
+# x<y<z<w growth of canonical triangles (und is u<v), every 4-clique
+# enumerated exactly once, corners exploded to per-node counts.
+ORACLE_SQL["four_cliques"] = PIPELINE_CTE + _UND_CTE + """,
+fctri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+fcq AS (
+  SELECT t.x, t.y, t.z, g.v AS w
+  FROM fctri t
+  JOIN und g ON g.u = t.z
+  JOIN und ew ON ew.u = t.x AND ew.v = g.v
+  JOIN und eyw ON eyw.u = t.y AND eyw.v = g.v
+),
+fccorners AS (
+  SELECT x AS node FROM fcq
+  UNION ALL SELECT y FROM fcq
+  UNION ALL SELECT z FROM fcq
+  UNION ALL SELECT w FROM fcq
+)
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       CAST(count(*) AS BIGINT) AS cliques4
+FROM fccorners GROUP BY 1, 2
+"""

@@ -884,3 +884,38 @@ def test_degree_assortativity_regular_graph_null(spark):
         _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
     ).collect()[0]
     assert r.den == 0 and r.r_e6 is None
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, "E", "REL", b, "E", 1) for a, b in pairs],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label", "weight"],
+    )
+
+
+def test_local_bridges_handcrafted(spark):
+    """Triangle a-b-c plus pendant edge c-d: only c-d is a local bridge."""
+    from llm_graph_builder_spark.operators.graph_analytics import local_bridges
+
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {(r.src_id, r.dst_id) for r in local_bridges(edges).collect()}
+    assert got == {("c", "d")}
+
+
+def test_four_cliques_k5(spark):
+    """K5 has C(5,4)=5 four-cliques; every node sits in C(4,3)=4 of them."""
+    from itertools import combinations
+
+    from llm_graph_builder_spark.operators.graph_analytics import four_cliques
+
+    edges = _edges_df(spark, list(combinations("abcde", 2)))
+    rows = four_cliques(edges).collect()
+    assert len(rows) == 5
+    assert all(r.cliques4 == 4 for r in rows)
+
+
+def test_four_cliques_none_in_cycle(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import four_cliques
+
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    assert four_cliques(edges).count() == 0
