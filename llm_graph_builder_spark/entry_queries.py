@@ -2326,6 +2326,19 @@ def q_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, n_centroids=8, lloyd_iters=2, dim=64)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: top-5 most-similar vectors with a
+    DIFFERENT label per anchor (vec_id < 10) — label filter applied before
+    scoring, same broadcast + partial-top-k shape as ann_topk."""
+    from .operators.ann import hard_negative_mining
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_mining(emb, queries, k=5)
+
+
 def q_cdc_apply(spark, sf_dir):
     """CDC apply: the events table read as a change feed (errors are delete
     tombstones), compacted to final per-user state by last-writer-wins on
@@ -2771,6 +2784,7 @@ QUERIES = {
     "feature_propagation": q_feature_propagation,
     "pq_codes": q_pq_codes,
     "sq_recall": q_sq_recall,
+    "hard_negatives": q_hard_negatives,
     "incremental_join": q_incremental_join,
     "cdc_apply": q_cdc_apply,
     "retrieval_metrics": q_retrieval_metrics,

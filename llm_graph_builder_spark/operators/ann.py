@@ -559,3 +559,65 @@ def sq_topk_recall(
             F.expr(f"coalesce(hits, 0L) * 10000L div {k}").alias("recall_e4"),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most-similar corpus vectors whose label DIFFERS from the
+    anchor's — the near-miss negatives that make embedding/retrieval
+    training converge (random negatives are trivially separable; the
+    informative ones sit just across the decision boundary).
+
+    Scale shape: identical to ``ann_bruteforce_topk`` — the anchor set is
+    broadcast, the label-mismatch predicate is applied map-side BEFORE
+    scoring (so same-label rows never enter the top-k state), and the
+    per-(anchor, scan-partition) partial top-k bounds the final shuffle
+    to ≤ k rows per partition per anchor. For mining over the full corpus
+    as anchors, swap the broadcast for the LSH-bucketed join
+    (``ann_lsh_topk``) exactly as with retrieval.
+
+    Output: (query_id, neighbor_id, cos_e4, rnk).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlab"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clab"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("clab") != F.col("qlab"))
+        .withColumn(
+            "cos_e4",
+            F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long"),
+        )
+    )
+    w_part = Window.partitionBy("qid", "part").orderBy(
+        F.desc("cos_e4"), F.asc("neighbor_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= k)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "neighbor_id", "cos_e4",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -6659,3 +6659,28 @@ SELECT split_part(node, chr(1), 1) AS id,
        CAST(count(*) AS BIGINT) AS cliques4
 FROM fccorners GROUP BY 1, 2
 """
+
+
+# mirrors q_hard_negatives / ann.hard_negative_mining: exact fold-cosine
+# top-5 per anchor restricted to label-mismatched corpus rows.
+ORACLE_SQL["hard_negatives"] = f"""
+WITH hq AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlab
+  FROM embeddings WHERE vec_id < 10
+),
+hscored AS (
+  SELECT hq.qid, c.vec_id AS neighbor_id,
+         CAST(round(({_cosine_sql('hq.qv', 'c.embedding')}) * 10000) AS BIGINT)
+           AS cos_e4
+  FROM embeddings c CROSS JOIN hq
+  WHERE c.label <> hq.qlab
+),
+hranked AS (
+  SELECT qid AS query_id, neighbor_id, cos_e4,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_e4 DESC, neighbor_id ASC) AS rnk
+  FROM hscored
+)
+SELECT query_id, neighbor_id, cos_e4, CAST(rnk AS BIGINT) AS rnk
+FROM hranked WHERE rnk <= 5
+"""

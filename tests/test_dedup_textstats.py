@@ -2432,3 +2432,22 @@ def test_clustering_agreement_empty_truth_pairs(spark):
     r = clustering_agreement(pred, truth).collect()[0]
     assert (r.pairs_pred, r.pairs_true, r.pairs_both) == (0, 0, 0)
     assert (r.precision_e4, r.recall_e4, r.f1_e4) == (0, 0, 0)
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from llm_graph_builder_spark.operators.ann import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label as anchor — must never appear
+        (2, [0.9, 0.2], 1),    # different label, most similar negative
+        (3, [0.0, 1.0], 1),    # different label, orthogonal
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding", "label"
+    )
+    out = hard_negative_mining(emb, q, k=2).collect()
+    got = [(r.neighbor_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r.neighbor_id != 1 for r in out)
