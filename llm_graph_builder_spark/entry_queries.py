@@ -367,6 +367,64 @@ def _synth_code(spark, sf_dir):
     )
 
 
+def q_graph_diff(spark, sf_dir):
+    """KG snapshot diff: run the REAL code extractor over the deterministic
+    'previous' corpus version (docs with md5%7 != 0, plus retired pseudo-docs
+    at doc_id+1e6) and over the current corpus, aggregate both to edge
+    tables, and diff them — added/removed/changed edges. The oracle derives
+    both edge sets by direct rule construction, so this value-checks the
+    whole retract-and-reapply maintenance contract end-to-end."""
+    from .operators.code_extract import code_triples, extract_code_documents
+    from .operators.maintenance import graph_edge_diff
+
+    docs = read_documents(spark, sf_dir)
+    hcol = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 7
+    )
+    tagged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", hcol.alias("_h")
+    )
+
+    def code_docs(ids):
+        d = F.col("doc_id").cast("string")
+        return ids.select(
+            "doc_id",
+            F.concat(F.lit("src/f"), d, F.lit(".py")).alias("path"),
+            "lang",
+            F.concat(
+                F.lit("import util_"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("\n"),
+                F.lit("from pkg_"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" import helper\n"),
+                F.lit("class Handler_"), (F.col("doc_id") % 11).cast("string"),
+                F.lit(":\n"),
+                F.lit("def process_"), (F.col("doc_id") % 13).cast("string"),
+                F.lit("():\n"),
+                F.lit("    run_"), (F.col("doc_id") % 3).cast("string"),
+                F.lit("(payload)\n"),
+                F.lit("setup()\n"),
+            ).alias("content"),
+        )
+
+    old_ids = (
+        tagged.filter(F.col("_h") != 0).select("doc_id", "lang")
+        .unionByName(
+            tagged.filter(F.col("_h") == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "lang"
+            )
+        )
+    )
+    new_ids = tagged.select("doc_id", "lang")
+
+    def edges(ids):
+        return code_triples(extract_code_documents(code_docs(ids))).groupBy(
+            "subj_id", "subj_label", "pred", "obj_id", "obj_label"
+        ).agg(F.count("*").cast("long").alias("weight"))
+
+    return graph_edge_diff(edges(old_ids), edges(new_ids))
+
+
 def q_repo_dependencies(spark, sf_dir):
     """Repo-grain module dependency graph: IMPORTS edges from the code-rule
     extractor rolled up per (repo, imported module)."""
@@ -2787,6 +2845,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "incremental_join": q_incremental_join,
     "cdc_apply": q_cdc_apply,
+    "graph_diff": q_graph_diff,
     "retrieval_metrics": q_retrieval_metrics,
     "repo_skew_plan": q_repo_skew_plan,
     "cooccurrence_pmi": q_cooccurrence_pmi,

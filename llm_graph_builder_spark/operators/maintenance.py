@@ -612,3 +612,48 @@ def cdc_compact(
         *[F.col(f"_last.{c}").alias(c) for c in value_cols],
         "n_ops",
     )
+
+
+def graph_edge_diff(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    key_cols: tuple = ("subj_id", "subj_label", "pred", "obj_id", "obj_label"),
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Snapshot diff of two aggregated edge tables — the graph-side audit
+    of an incremental KG rebuild (reference semantics: deleting or
+    re-processing a document must retract exactly its edges; this diff is
+    how that claim is CHECKED rather than trusted). An edge key present
+    only in the new graph is ``added``, only in the old is ``removed``,
+    in both with different weight is ``changed``; identical edges are not
+    emitted.
+
+    Scale shape: one full-outer sort-merge join on the edge key (both
+    inputs are already aggregated at edge grain, so this is the minimal
+    exchange) with the inequality filter pushed into the join's output —
+    no window, no driver state. At 100 TB both snapshots are bucketed by
+    the same edge-key hash, making the join co-located.
+
+    Output: (*key_cols, old_weight, new_weight, change).
+    """
+    keys = list(key_cols)
+    o = old_edges.select(*keys, F.col(weight_col).alias("old_weight"))
+    n = new_edges.select(*keys, F.col(weight_col).alias("new_weight"))
+    j = o.join(n, on=keys, how="full_outer")
+    return (
+        j.filter(
+            F.coalesce(F.col("old_weight"), F.lit(0))
+            != F.coalesce(F.col("new_weight"), F.lit(0))
+        )
+        .select(
+            *keys,
+            F.coalesce(F.col("old_weight"), F.lit(0)).cast("long")
+            .alias("old_weight"),
+            F.coalesce(F.col("new_weight"), F.lit(0)).cast("long")
+            .alias("new_weight"),
+            F.when(F.col("old_weight").isNull(), F.lit("added"))
+            .when(F.col("new_weight").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )

@@ -6684,3 +6684,86 @@ hranked AS (
 SELECT query_id, neighbor_id, cos_e4, CAST(rnk AS BIGINT) AS rnk
 FROM hranked WHERE rnk <= 5
 """
+
+
+# mirrors q_graph_diff / maintenance.graph_edge_diff: both snapshots'
+# edge tables derived by DIRECT rule construction (the code_triples oracle
+# law) over the md5%7 membership split (old = h<>0 plus retired pseudo-docs
+# at doc_id+1e6; new = all docs), full-outer diff keyed on the edge tuple.
+ORACLE_SQL["graph_diff"] = """
+WITH gdh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 7 AS h
+  FROM documents
+),
+gdold AS (
+  SELECT doc_id, lang FROM gdh WHERE h <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang FROM gdh WHERE h = 2
+),
+gdnew AS (SELECT doc_id, lang FROM gdh),
+gdoldt AS (
+  SELECT 'f' || CAST(doc_id AS VARCHAR) AS subj_id, 'Module' AS subj_label,
+         'WRITTEN_IN' AS pred, lang AS obj_id, 'Language' AS obj_label FROM gdold
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM gdold
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM gdold
+  UNION ALL
+  SELECT 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM gdold
+  UNION ALL
+  SELECT 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM gdold
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM gdold
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'setup', 'Function' FROM gdold
+),
+gdnewt AS (
+  SELECT 'f' || CAST(doc_id AS VARCHAR) AS subj_id, 'Module' AS subj_label,
+         'WRITTEN_IN' AS pred, lang AS obj_id, 'Language' AS obj_label FROM gdnew
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'util_' || CAST(doc_id % 7 AS VARCHAR), 'Module' FROM gdnew
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'IMPORTS',
+         'pkg_' || CAST(doc_id % 5 AS VARCHAR), 'Module' FROM gdnew
+  UNION ALL
+  SELECT 'Handler_' || CAST(doc_id % 11 AS VARCHAR), 'Class', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM gdnew
+  UNION ALL
+  SELECT 'process_' || CAST(doc_id % 13 AS VARCHAR), 'Function', 'DEFINED_IN',
+         'f' || CAST(doc_id AS VARCHAR), 'Module' FROM gdnew
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'run_' || CAST(doc_id % 3 AS VARCHAR), 'Function' FROM gdnew
+  UNION ALL
+  SELECT 'f' || CAST(doc_id AS VARCHAR), 'Module', 'CALLS',
+         'setup', 'Function' FROM gdnew
+),
+gdolde AS (
+  SELECT subj_id, subj_label, pred, obj_id, obj_label,
+         CAST(count(*) AS BIGINT) AS w
+  FROM gdoldt GROUP BY 1, 2, 3, 4, 5
+),
+gdnewe AS (
+  SELECT subj_id, subj_label, pred, obj_id, obj_label,
+         CAST(count(*) AS BIGINT) AS w
+  FROM gdnewt GROUP BY 1, 2, 3, 4, 5
+)
+SELECT subj_id, subj_label, pred, obj_id, obj_label,
+       CAST(coalesce(o.w, 0) AS BIGINT) AS old_weight,
+       CAST(coalesce(n.w, 0) AS BIGINT) AS new_weight,
+       CASE WHEN o.w IS NULL THEN 'added'
+            WHEN n.w IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM gdolde o
+FULL OUTER JOIN gdnewe n USING (subj_id, subj_label, pred, obj_id, obj_label)
+WHERE coalesce(o.w, 0) <> coalesce(n.w, 0)
+"""

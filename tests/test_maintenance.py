@@ -270,3 +270,34 @@ def test_cdc_compact_lww_and_tombstones(spark):
         for r in cdc_compact(log).collect()
     }
     assert got == {1: (200, 2, 2), 3: (400, 6, 2), 4: (600, 8, 2)}
+
+
+def test_graph_edge_diff_classes(spark):
+    from llm_graph_builder_spark.operators.maintenance import graph_edge_diff
+
+    cols = ["subj_id", "subj_label", "pred", "obj_id", "obj_label", "weight"]
+    old = spark.createDataFrame(
+        [
+            ("a", "E", "R", "b", "E", 2),   # unchanged — not emitted
+            ("a", "E", "R", "c", "E", 3),   # weight changes
+            ("x", "E", "R", "y", "E", 1),   # removed
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "E", "R", "b", "E", 2),
+            ("a", "E", "R", "c", "E", 5),
+            ("p", "E", "R", "q", "E", 4),   # added
+        ],
+        cols,
+    )
+    got = {
+        (r.subj_id, r.obj_id): (r.old_weight, r.new_weight, r.change)
+        for r in graph_edge_diff(old, new).collect()
+    }
+    assert got == {
+        ("a", "c"): (3, 5, "changed"),
+        ("x", "y"): (1, 0, "removed"),
+        ("p", "q"): (0, 4, "added"),
+    }
