@@ -1266,6 +1266,58 @@ def q_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-supplycost supplier per qualifying part in
+    one region — the correlated scalar subquery decorrelated into a
+    groupBy-min joined back on (partkey, cost). Runs over the
+    deterministic derived partsupp catalog."""
+    from .operators.warehouse import derived_partsupp, min_cost_supplier
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return min_cost_supplier(
+        part,
+        supplier,
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        derived_partsupp(part, supplier),
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: per (supplier nation, order year) profit =
+    revenue − supplycost·qty, both legs e4 fixed-point BIGINT."""
+    from .operators.warehouse import derived_partsupp, product_type_profit
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return product_type_profit(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        part,
+        supplier,
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        derived_partsupp(part, supplier),
+    )
+
+
+def q_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape: one nation's suppliers holding availqty·2 >
+    year-shipped quantity of a part family — nested INs as a semi-join
+    chain over one fact aggregation."""
+    from .operators.warehouse import derived_partsupp, excess_stock_suppliers
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return excess_stock_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        part,
+        supplier,
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        derived_partsupp(part, supplier),
+    )
+
+
 def q_copurchase_lift(spark, sf_dir):
     """Market-basket co-purchase pairs with integer lift (support ≥ 2);
     pair explosion bounded by order size, never catalog size."""
@@ -2931,6 +2983,9 @@ QUERIES = {
     "market_share": q_market_share,
     "late_mode_priority": q_late_mode_priority,
     "waiting_suppliers": q_waiting_suppliers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_profit": q_product_profit,
+    "excess_stock": q_excess_stock,
     "copurchase_lift": q_copurchase_lift,
     "rfm_segments": q_rfm_segments,
     "revenue_growth": q_revenue_growth,

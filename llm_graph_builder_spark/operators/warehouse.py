@@ -1080,3 +1080,192 @@ def revenue_cube(orders: DataFrame) -> DataFrame:
             "n_orders",
         )
     )
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Deterministic part-supplier catalog standing in for TPC-H's
+    ``partsupp`` (the testdata layout omits it): supplier s carries part p
+    iff (p·31 + s·17) % 8 == 0, with integer availqty and integer-cent
+    supplycost derived from the keys. In production this is a real stored
+    table; the derivation exists only so the Q2/Q9/Q20 decorrelation
+    shapes can run and be value-checked. Supplier is broadcast (it is the
+    tiny side); the filter keeps ~1/8 of the cross space.
+
+    Output: (ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents).
+    """
+    p = part.select(F.col("p_partkey").alias("ps_partkey"))
+    s = supplier.select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        p.crossJoin(F.broadcast(s))
+        .filter((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 8 == 0)
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 1000 + 1)
+            .cast("long").alias("ps_availqty"),
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 11) % 99000 + 1000)
+            .cast("long").alias("ps_supplycost_cents"),
+        )
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    partsupp: DataFrame,
+    size: int = 15,
+    type_: str = "ECONOMY",
+    region_name: str = "EUROPE",
+    top: int = 100,
+) -> DataFrame:
+    """Q2 shape: for each qualifying part, the region's supplier(s) whose
+    supplycost equals the MINIMUM for that part — the correlated-scalar-
+    subquery pattern, decorrelated the way an optimizer would: one
+    groupBy-min over the regional partsupp slice, joined back on
+    (partkey, cost). Dimensions (nation⋈region, eligible parts) broadcast;
+    the final top-N is a TakeOrderedAndProject.
+
+    Output: (s_acctbal_cents, s_name, n_name, p_partkey,
+    ps_supplycost_cents), top by acctbal desc / n_name / s_name / partkey.
+    """
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select(
+        "s_suppkey", "s_name", "n_name",
+        F.expr("CAST(round(s_acctbal * 100) AS BIGINT)").alias("s_acctbal_cents"),
+    )
+    parts = part.filter(
+        (F.col("p_size") == size) & (F.col("p_type") == type_)
+    ).select("p_partkey")
+    regional = partsupp.join(
+        F.broadcast(parts), partsupp.ps_partkey == parts.p_partkey
+    ).join(supp, partsupp.ps_suppkey == supp.s_suppkey)
+    mins = regional.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    ).withColumnRenamed("ps_partkey", "m_partkey")
+    return (
+        regional.join(
+            mins,
+            (regional.ps_partkey == F.col("m_partkey"))
+            & (regional.ps_supplycost_cents == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal_cents", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"), "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal_cents"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(top)
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    partsupp: DataFrame,
+    name_like: str = "red",
+) -> DataFrame:
+    """Q9 shape: profit by (supplier nation, order year) for one product
+    family — profit = revenue − supplycost·quantity, all e4 fixed-point
+    BIGINT (revenue uses the cents·(100−disc_cents) law; the cost side is
+    supplycost_cents·100·qty so both sides share the e4 scale and the
+    subtraction is exact). Parts and dimensions broadcast; the two fact
+    exchanges are lineitem⋈partsupp on the composite key and the
+    lineitem⋈orders join.
+
+    Output: (nation, o_year, profit_e4).
+    """
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_e4"
+        ),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    parts = part.filter(F.col("p_name").like(f"%{name_like}%")).select("p_partkey")
+    supp = supplier.join(
+        F.broadcast(nation),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    joined = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(
+            partsupp,
+            (li.l_partkey == partsupp.ps_partkey)
+            & (li.l_suppkey == partsupp.ps_suppkey),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+    )
+    return (
+        joined.select(
+            "nation", "o_year",
+            (F.col("rev_e4") - F.col("ps_supplycost_cents") * 100 * F.col("qty"))
+            .alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit").cast("long").alias("profit_e4"))
+    )
+
+
+def excess_stock_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    partsupp: DataFrame,
+    name_prefix: str = "small",
+    nation_name: str = "NATION_7",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Q20 shape: suppliers in one nation holding EXCESS stock of a part
+    family — availqty exceeds half the quantity they actually shipped in
+    the year. The nested-IN chain decorrelates to: per-(part, supplier)
+    shipped totals (one fact aggregation), inner-joined to the partsupp
+    slice, integer comparison availqty·2 > shipped (no 0.5 float), then a
+    distinct supplier projection.
+
+    Output: (s_suppkey, s_name).
+    """
+    parts = part.filter(F.col("p_name").like(f"{name_prefix}%")).select("p_partkey")
+    supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("shipped"))
+    )
+    qualified = (
+        partsupp.join(F.broadcast(parts), partsupp.ps_partkey == parts.p_partkey)
+        .join(
+            shipped,
+            (partsupp.ps_partkey == shipped.l_partkey)
+            & (partsupp.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("shipped"))
+    )
+    return (
+        qualified.join(supp, qualified.ps_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .dropDuplicates(["s_suppkey", "s_name"])
+    )

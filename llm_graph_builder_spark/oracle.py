@@ -6767,3 +6767,92 @@ FROM gdolde o
 FULL OUTER JOIN gdnewe n USING (subj_id, subj_label, pred, obj_id, obj_label)
 WHERE coalesce(o.w, 0) <> coalesce(n.w, 0)
 """
+
+
+# deterministic derived partsupp (warehouse.derived_partsupp): the testdata
+# layout omits TPC-H partsupp, so Q2/Q9/Q20 run over this key-derived
+# catalog — all-integer columns, identical law on both engines.
+_PARTSUPP_CTE = """
+dps AS (
+  SELECT p.p_partkey, s.s_suppkey,
+         CAST((p.p_partkey * 7 + s.s_suppkey * 3) % 1000 + 1 AS BIGINT)
+           AS ps_availqty,
+         CAST((p.p_partkey * 13 + s.s_suppkey * 11) % 99000 + 1000 AS BIGINT)
+           AS ps_supplycost_cents
+  FROM part p CROSS JOIN supplier s
+  WHERE (p.p_partkey * 31 + s.s_suppkey * 17) % 8 = 0
+)"""
+
+# mirrors q_min_cost_supplier / warehouse.min_cost_supplier (Q2 shape)
+ORACLE_SQL["min_cost_supplier"] = f"""
+WITH {_PARTSUPP_CTE.lstrip()},
+q2supp AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+q2reg AS (
+  SELECT dps.p_partkey, dps.ps_supplycost_cents,
+         q2supp.s_acctbal_cents, q2supp.s_name, q2supp.n_name
+  FROM dps
+  JOIN part p ON p.p_partkey = dps.p_partkey
+             AND p.p_size = 15 AND p.p_type = 'ECONOMY'
+  JOIN q2supp ON q2supp.s_suppkey = dps.s_suppkey
+),
+q2min AS (
+  SELECT p_partkey, min(ps_supplycost_cents) AS min_cost
+  FROM q2reg GROUP BY 1
+)
+SELECT r.s_acctbal_cents, r.s_name, r.n_name, r.p_partkey,
+       r.ps_supplycost_cents
+FROM q2reg r JOIN q2min m
+  ON m.p_partkey = r.p_partkey AND r.ps_supplycost_cents = m.min_cost
+ORDER BY r.s_acctbal_cents DESC, r.n_name ASC, r.s_name ASC, r.p_partkey ASC
+LIMIT 100
+"""
+
+# mirrors q_product_profit / warehouse.product_type_profit (Q9 shape):
+# profit_e4 = cents(price)·(100−cents(disc)) − supplycost_cents·100·qty
+ORACLE_SQL["product_profit"] = f"""
+WITH {_PARTSUPP_CTE.lstrip()}
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - dps.ps_supplycost_cents * 100
+                  * CAST(round(l.l_quantity) AS BIGINT))
+            AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN dps ON dps.p_partkey = l.l_partkey AND dps.s_suppkey = l.l_suppkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+# mirrors q_excess_stock / warehouse.excess_stock_suppliers (Q20 shape):
+# integer comparison availqty*2 > year-shipped qty, inner-join semantics
+# (suppliers with no shipments of the part never qualify).
+ORACLE_SQL["excess_stock"] = f"""
+WITH {_PARTSUPP_CTE.lstrip()},
+q20ship AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS shipped
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM dps
+JOIN part p ON p.p_partkey = dps.p_partkey AND p.p_name LIKE 'small%'
+JOIN q20ship sh ON sh.l_partkey = dps.p_partkey
+               AND sh.l_suppkey = dps.s_suppkey
+JOIN supplier s ON s.s_suppkey = dps.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+WHERE dps.ps_availqty * 2 > sh.shipped
+"""

@@ -394,3 +394,43 @@ def test_vendored_chunks_cross_repo_detection(spark):
     assert out["c1"].example_path == "src/a.py"
     assert not out["c2"].vendored and out["c2"].saved_extractions == 0
     assert not out["c3"].vendored
+
+
+def test_derived_partsupp_law_and_q2_min(spark):
+    """derived_partsupp is a pure key function; min_cost_supplier keeps
+    exactly the per-part minimum-cost rows."""
+    from llm_graph_builder_spark.operators.warehouse import (
+        derived_partsupp,
+        min_cost_supplier,
+    )
+
+    part = spark.createDataFrame(
+        [(8, "x", "Brand#1", "ECONOMY", 15, 1.0),
+         (16, "y", "Brand#2", "ECONOMY", 15, 1.0)],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    supplier = spark.createDataFrame(
+        [(0, "S0", 0, 10.0), (8, "S8", 0, 20.0), (16, "S16", 0, 30.0)],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    nation = spark.createDataFrame([(0, "N0", 0)], ["n_nationkey", "n_name", "n_regionkey"])
+    region = spark.createDataFrame([(0, "EUROPE")], ["r_regionkey", "r_name"])
+
+    ps = derived_partsupp(part, supplier).collect()
+    for r in ps:
+        assert (r.ps_partkey * 31 + r.ps_suppkey * 17) % 8 == 0
+        assert r.ps_availqty == (r.ps_partkey * 7 + r.ps_suppkey * 3) % 1000 + 1
+        assert (
+            r.ps_supplycost_cents
+            == (r.ps_partkey * 13 + r.ps_suppkey * 11) % 99000 + 1000
+        )
+
+    out = min_cost_supplier(
+        part, supplier, nation, region, derived_partsupp(part, supplier)
+    ).collect()
+    # every emitted row is its part's minimum cost
+    by_part = {}
+    for r in ps:
+        by_part.setdefault(r.ps_partkey, []).append(r.ps_supplycost_cents)
+    for r in out:
+        assert r.ps_supplycost_cents == min(by_part[r.p_partkey])
