@@ -1988,6 +1988,13 @@ def q_dedup_clusters(spark, sf_dir):
     return _dedup_clusters_df(spark, sf_dir)
 
 
+def q_blocking_stats(spark, sf_dir):
+    """MinHash banding pre-flight audit: per-band bucket counts, max bucket
+    (skew), implied Σ C(n,2) comparisons, docs in multi-member buckets —
+    computed from bucket sizes, never from materialized pairs."""
+    return dedup.blocking_stats(read_documents(spark, sf_dir))
+
+
 def q_clustering_agreement(spark, sf_dir):
     """Dedup-quality gate: pairwise precision/recall/F1 of the MinHash
     near-dup clusters against the exact-duplicate (sha256) truth partition
@@ -2856,6 +2863,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_cluster_invariants": q_dedup_cluster_invariants,
     "clustering_agreement": q_clustering_agreement,
+    "blocking_stats": q_blocking_stats,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

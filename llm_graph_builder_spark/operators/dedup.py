@@ -1037,3 +1037,42 @@ def clustering_agreement(
             "ELSE 0L END"
         ).alias("f1_e4"),
     )
+
+
+def blocking_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Pre-flight audit of the MinHash banding — the numbers you read
+    BEFORE running LSH dedup at 100 TB: per band, how many buckets form,
+    the largest bucket (the skew that becomes one reducer's join), the
+    implied candidate comparisons Σ C(n,2), and how many distinct texts
+    sit in multi-member buckets. ``max_band_size`` tuning (the skew guard
+    in ``_minhash_rep_pairs``) is decided from exactly this table.
+
+    Scale shape: the shared distinct-text + signature front half
+    (``_minhash_banded``), then TWO map-side-combined aggregations
+    (bucket sizes, per-band rollup) — no pair materialization anywhere:
+    C(n,2) is computed from bucket sizes, so a million-member bucket
+    costs one row here, not 10¹² candidate rows.
+
+    Output: (band_idx, n_buckets, max_bucket, comparisons, docs_in_multi).
+    """
+    banded, _, _, _ = _minhash_banded(
+        docs, text_col, id_col, n_hashes, band_size, k
+    )
+    band_idx = F.split_part(F.col("band"), F.lit("|"), F.lit(1)).cast("long")
+    buckets = banded.groupBy(
+        band_idx.alias("band_idx"), F.col("band")
+    ).agg(F.count("*").alias("n"))
+    return buckets.groupBy("band_idx").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("comparisons"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long").alias("docs_in_multi"),
+    )

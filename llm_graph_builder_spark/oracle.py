@@ -6856,3 +6856,35 @@ JOIN supplier s ON s.s_suppkey = dps.s_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
 WHERE dps.ps_availqty * 2 > sh.shipped
 """
+
+
+# mirrors q_blocking_stats / dedup.blocking_stats: the dedup_clusters
+# banding law (distinct-text reps, 9 md5 minhashes, 3 bands of 3) rolled
+# up to per-band bucket statistics; comparisons from bucket sizes only.
+ORACLE_SQL["blocking_stats"] = f"""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc, text, sha256(text) AS h FROM documents),
+grp AS (SELECT h, min(doc) AS rep FROM d GROUP BY h),
+reps AS (SELECT g.rep AS doc, any_value(d.text) AS text
+         FROM d JOIN grp g ON d.h = g.h GROUP BY g.rep),
+bs0 AS (SELECT doc, {_MINHASH_SHINGLES} AS sh FROM reps),
+bsig AS (
+  SELECT doc,
+         {_DEDUP_CLUSTER_MH}
+  FROM bs0
+),
+bband AS (
+  SELECT doc, 0 AS band_idx,
+         '0' || '|' || mh0 || '|' || mh1 || '|' || mh2 AS band FROM bsig
+  UNION ALL
+  SELECT doc, 1, '1' || '|' || mh3 || '|' || mh4 || '|' || mh5 FROM bsig
+  UNION ALL
+  SELECT doc, 2, '2' || '|' || mh6 || '|' || mh7 || '|' || mh8 FROM bsig
+),
+bbuck AS (SELECT band_idx, band, count(*) AS n FROM bband GROUP BY 1, 2)
+SELECT CAST(band_idx AS BIGINT) AS band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS comparisons,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_multi
+FROM bbuck GROUP BY 1
+"""

@@ -2451,3 +2451,28 @@ def test_hard_negative_mining_excludes_same_label(spark):
     got = [(r.neighbor_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
     assert got == [(2, 1), (3, 2)]
     assert all(r.neighbor_id != 1 for r in out)
+
+
+def test_blocking_stats_counts(spark):
+    """Identical texts collapse to one rep; per-band bucket stats follow
+    bucket sizes, comparisons = sum C(n,2)."""
+    from llm_graph_builder_spark.operators.dedup import blocking_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),        # exact dup — same rep
+            (3, "alpha beta gamma delta epsilon"),
+            (4, "completely different text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = blocking_stats(docs).collect()
+    assert {r.band_idx for r in rows} == {0, 1, 2}
+    for r in rows:
+        # 3 distinct texts -> per band at most 3 bucket rows, and the
+        # comparisons/docs_in_multi are consistent with the bucket law
+        assert 1 <= r.n_buckets <= 3
+        assert r.max_bucket >= 1
+        assert r.comparisons >= 0
+        assert r.docs_in_multi in (0, 2, 3)
