@@ -491,6 +491,34 @@ def main():
         "path_rollup",
     )
 
+    # IVM story: delta-join view refresh (never rescans A0⋈B0) and CDC
+    # log compaction (one map-side-partial max_by exchange)
+    from llm_graph_builder_spark.entry_queries import (
+        q_cdc_apply,
+        q_incremental_join,
+        q_sq_recall,
+    )
+
+    best_of(
+        lambda: q_incremental_join(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/ivmjoin"),
+        "incremental_join",
+    )
+    best_of(
+        lambda: q_cdc_apply(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/cdc"),
+        "cdc_apply",
+    )
+    # SQ8 audit: quantized integer-dot ranking vs exact top-k
+    best_of(
+        lambda: q_sq_recall(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/sqrecall"),
+        "sq_recall",
+    )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

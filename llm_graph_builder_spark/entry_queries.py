@@ -2054,6 +2054,26 @@ def q_triangle_counts(spark, sf_dir):
     return out.withColumn("triangles", F.col("triangles").cast("long"))
 
 
+def q_neighbor_degrees(spark, sf_dir):
+    """aggregateMessages primitive driven end-to-end: each node receives
+    its neighbors' degrees; per-node count/sum/max/min of the messages."""
+    from .operators.graph_analytics import (
+        aggregate_messages,
+        degree_table,
+        simple_undirected,
+    )
+
+    t = pipeline_tables(spark, sf_dir)
+    und = simple_undirected(t["entity_edges"])
+    deg = degree_table(und).select("node", F.col("degree").alias("attr"))
+    out = aggregate_messages(und, deg)
+    split = F.split(F.col("node"), "\x01")
+    return out.select(
+        split[0].alias("id"), split[1].alias("label"),
+        "n_msgs", "sum_attr", "max_attr", "min_attr",
+    )
+
+
 def q_local_bridges(spark, sf_dir):
     """Weak-tie audit: entity-graph edges in no triangle (no common
     neighbor), found by anti-joining the degree-ordered triangle
@@ -2882,6 +2902,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_counts": q_triangle_counts,
     "local_bridges": q_local_bridges,
+    "neighbor_degrees": q_neighbor_degrees,
     "four_cliques": q_four_cliques,
     "node_similarity": q_node_similarity,
     "wcc": q_wcc,

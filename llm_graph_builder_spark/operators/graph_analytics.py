@@ -2650,3 +2650,45 @@ def four_cliques(entity_edges: DataFrame) -> DataFrame:
     ).select(
         split[0].alias("id"), split[1].alias("label"), "cliques4"
     )
+
+
+def aggregate_messages(
+    und: DataFrame,
+    node_attrs: DataFrame,
+    attr_col: str = "attr",
+    node_col: str = "node",
+) -> DataFrame:
+    """GraphFrames ``aggregateMessages`` analog over the undirected simple
+    graph: every edge delivers each endpoint's attribute to the other
+    endpoint; the per-recipient aggregation is the message combine step.
+    This is the one-round primitive every Pregel-style algorithm in this
+    package (PageRank, LPA, WCC, feature propagation) specializes; exposed
+    directly so users can express custom neighborhood aggregations without
+    writing the join plumbing.
+
+    Scale shape: two attribute joins (dimension side broadcastable when the
+    attr table is small; hash-partitioned on the node key otherwise) and
+    ONE map-side-combined aggregation on the recipient — the same exchange
+    count as a hand-written neighborhood rollup.
+
+    Output: (node, n_msgs, sum_attr, max_attr, min_attr).
+    """
+    attrs = node_attrs.select(
+        F.col(node_col).alias("_n"), F.col(attr_col).alias("_a")
+    )
+    to_u = und.join(attrs, und.v == F.col("_n")).select(
+        F.col("u").alias("recipient"), F.col("_a").alias("msg")
+    )
+    to_v = und.join(attrs, und.u == F.col("_n")).select(
+        F.col("v").alias("recipient"), F.col("_a").alias("msg")
+    )
+    return (
+        to_u.unionByName(to_v)
+        .groupBy(F.col("recipient").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_msgs"),
+            F.sum("msg").cast("long").alias("sum_attr"),
+            F.max("msg").cast("long").alias("max_attr"),
+            F.min("msg").cast("long").alias("min_attr"),
+        )
+    )

@@ -6888,3 +6888,28 @@ SELECT CAST(band_idx AS BIGINT) AS band_idx,
        CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_multi
 FROM bbuck GROUP BY 1
 """
+
+
+# mirrors q_neighbor_degrees / graph_analytics.aggregate_messages: each
+# undirected edge delivers the far endpoint's degree to the near one;
+# count/sum/max/min per recipient.
+ORACLE_SQL["neighbor_degrees"] = PIPELINE_CTE + _UND_CTE + """,
+nddeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY 1
+),
+ndmsg AS (
+  SELECT e.u AS recipient, d.degree AS msg
+  FROM und e JOIN nddeg d ON d.node = e.v
+  UNION ALL
+  SELECT e.v, d.degree FROM und e JOIN nddeg d ON d.node = e.u
+)
+SELECT split_part(recipient, chr(1), 1) AS id,
+       split_part(recipient, chr(1), 2) AS label,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(msg) AS BIGINT) AS sum_attr,
+       CAST(max(msg) AS BIGINT) AS max_attr,
+       CAST(min(msg) AS BIGINT) AS min_attr
+FROM ndmsg GROUP BY 1, 2
+"""

@@ -919,3 +919,22 @@ def test_four_cliques_none_in_cycle(spark):
 
     edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
     assert four_cliques(edges).count() == 0
+
+
+def test_aggregate_messages_star(spark):
+    """Star a-(b,c,d): center receives three degree-1 messages; each leaf
+    receives one degree-3 message."""
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        aggregate_messages,
+        degree_table,
+        simple_undirected,
+    )
+    from pyspark.sql import functions as SF
+
+    edges = _edges_df(spark, [("a", "b"), ("a", "c"), ("a", "d")])
+    und = simple_undirected(edges)
+    deg = degree_table(und).select("node", SF.col("degree").alias("attr"))
+    got = {r.node.split("\x01")[0]: r for r in aggregate_messages(und, deg).collect()}
+    assert (got["a"].n_msgs, got["a"].sum_attr, got["a"].max_attr) == (3, 3, 1)
+    for leaf in "bcd":
+        assert (got[leaf].n_msgs, got[leaf].sum_attr, got[leaf].min_attr) == (1, 3, 3)
