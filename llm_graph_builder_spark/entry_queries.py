@@ -2446,6 +2446,28 @@ def q_repo_skew_plan(spark, sf_dir):
     return repo_skew_plan(t["docs"], target_bytes=65536)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted join EXECUTED end-to-end: mentions (fact) ⋈
+    entities (mid-size dim, replicated 8×) on the entity key, then a
+    per-label rollup — the oracle is the plain unsalted join, proving the
+    salt is semantics-neutral."""
+    from .operators.layout import salted_join
+
+    t = pipeline_tables(spark, sf_dir)
+    fact = t["mentions"].select(
+        F.col("entity_id").alias("id"),
+        F.col("entity_label").alias("label"),
+        "chunk_id",
+    )
+    dim = t["entities"].select("id", "label", "doc_count")
+    joined = salted_join(fact, dim, on=["id", "label"], n_salts=8)
+    return joined.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("chunk_id").cast("long").alias("n_chunks"),
+        F.sum("doc_count").cast("long").alias("sum_doc_count"),
+    )
+
+
 def q_retrieval_metrics(spark, sf_dir):
     """Retriever-side IR eval: self-gold truncated-query recall@k / MRR over
     the chunk corpus (integer metrics, no self-exclusion leak)."""
@@ -2929,6 +2951,7 @@ QUERIES = {
     "graph_diff": q_graph_diff,
     "retrieval_metrics": q_retrieval_metrics,
     "repo_skew_plan": q_repo_skew_plan,
+    "salted_join": q_salted_join,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "curation_curve": q_curation_curve,
     "link_prediction": q_link_prediction,

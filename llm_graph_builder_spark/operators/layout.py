@@ -423,3 +423,35 @@ def column_stats(
         F.min("v").alias("min_s"),
         F.max("v").alias("max_s"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the EXECUTION of the plan ``repo_skew_plan``
+    measures. A Zipfian key that owns 20 % of the fact rows lands on one
+    reducer in a plain sort-merge join; salting splits every fact row
+    across ``n_salts`` sub-keys (deterministic xxhash64 of the whole row)
+    and replicates each dim row once per salt, so the hot key's work
+    spreads over ``n_salts`` reducers. Join semantics are EXACTLY those of
+    the unsalted join — the salt column is internal and dropped — which is
+    what the DuckDB oracle checks.
+
+    Use when the dim side is too big to broadcast but small enough to
+    replicate ``n_salts``× (the classic mid-size dimension); for a
+    genuinely huge dim, salt only the measured hot keys (feed
+    ``repo_skew_plan``'s per-key salt counts in as the replication
+    factor) instead of a uniform ``n_salts``.
+    """
+    f2 = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    d2 = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)])),
+    )
+    return f2.join(d2, on=list(on) + ["_salt"], how=how).drop("_salt")

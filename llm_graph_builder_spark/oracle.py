@@ -6913,3 +6913,16 @@ SELECT split_part(recipient, chr(1), 1) AS id,
        CAST(min(msg) AS BIGINT) AS min_attr
 FROM ndmsg GROUP BY 1, 2
 """
+
+
+# mirrors q_salted_join / layout.salted_join: the PLAIN unsalted join +
+# rollup — matching it proves the salt replication is semantics-neutral.
+ORACLE_SQL["salted_join"] = PIPELINE_CTE + """
+SELECT m.entity_label AS label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT m.chunk_id) AS BIGINT) AS n_chunks,
+       CAST(sum(e.doc_count) AS BIGINT) AS sum_doc_count
+FROM mentions m
+JOIN entities e ON e.id = m.entity_id AND e.label = m.entity_label
+GROUP BY 1
+"""

@@ -53,3 +53,19 @@ def test_zorder_bounds_x_predicate_linear_y_does_not(spark):
     assert zo.files_hit < ly.files_hit
     assert zo.prune_e6 > 300_000
     assert zo.rows_scanned < ly.rows_scanned
+
+
+def test_salted_join_matches_plain_join(spark):
+    from llm_graph_builder_spark.operators.layout import salted_join
+
+    fact = spark.createDataFrame(
+        [("k1", i) for i in range(50)] + [("k2", i) for i in range(5)],
+        ["k", "x"],
+    )
+    dim = spark.createDataFrame([("k1", "A"), ("k2", "B"), ("k3", "C")], ["k", "tag"])
+    salted = salted_join(fact, dim, on=["k"], n_salts=4)
+    plain = fact.join(dim, on="k")
+    assert salted.count() == plain.count() == 55
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # dim replication really happened: 3 dim rows x 4 salts before the join
+    assert "_salt" not in salted.columns
