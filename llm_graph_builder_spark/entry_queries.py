@@ -1988,6 +1988,15 @@ def q_dedup_clusters(spark, sf_dir):
     return _dedup_clusters_df(spark, sf_dir)
 
 
+def q_fs_weights(spark, sf_dir):
+    """Fellegi–Sunter m/u weights from a sha-blocked labeled pair sample:
+    per comparison feature, integer e6 agreement shares and the e3 m/u
+    likelihood ratio."""
+    from .operators.linking import fs_weights
+
+    return fs_weights(read_documents(spark, sf_dir))
+
+
 def q_blocking_stats(spark, sf_dir):
     """MinHash banding pre-flight audit: per-band bucket counts, max bucket
     (skew), implied Σ C(n,2) comparisons, docs in multi-member buckets —
@@ -2906,6 +2915,7 @@ QUERIES = {
     "dedup_cluster_invariants": q_dedup_cluster_invariants,
     "clustering_agreement": q_clustering_agreement,
     "blocking_stats": q_blocking_stats,
+    "fs_weights": q_fs_weights,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

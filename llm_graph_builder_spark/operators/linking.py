@@ -486,3 +486,81 @@ def orphan_entities(entities: DataFrame, edges: DataFrame, limit: int = 100) -> 
         .orderBy("id", "label")
         .limit(limit)
     )
+
+
+def fs_weights(docs: DataFrame, n_blocks: int = 25) -> DataFrame:
+    """Fellegi–Sunter record-linkage weights learned from a deterministic
+    blocked pair sample — the probabilistic-ER counterpart of the rule
+    predicates in ``candidate_pairs_exact``: for each comparison feature,
+    estimate m = P(agree | match) and u = P(agree | non-match) and report
+    the m/u likelihood ratio that a linkage scorer would sum (in log
+    space) per pair. Match labels come from exact text identity
+    (sha256), the one ground truth a corpus carries for free.
+
+    Blocking for the sample hashes the TEXT digest (md5(sha) % n_blocks),
+    so every true match pair is in-block (pairs completeness 1) while
+    non-match pairs are pseudo-random — the standard m/u training layout.
+
+    Integer-exactness: agreements and labels are 0/1 counts; m/u are e6
+    integer shares; the ratio is e3 integer division (−1 when u = 0, the
+    "perfectly discriminating feature" sentinel).
+
+    Scale shape: one block-key exchange, within-block pair join (block
+    count bounds the fan-out; at 100 TB raise n_blocks so block size stays
+    O(sample)), one stack + ONE aggregation over 4·pairs skinny rows.
+
+    Output: (feature, n_match, n_nonmatch, agree_match, agree_nonmatch,
+    m_e6, u_e6, ratio_e3).
+    """
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        "lang", "source",
+        F.col("n_chars").cast("long").alias("len"),
+        F.substring("text", 1, 16).alias("prefix"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    ).withColumn(
+        "block",
+        F.conv(F.substring(F.md5(F.col("sha")), 1, 8), 16, 10).cast("long")
+        % n_blocks,
+    )
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    pairs = a.join(
+        b, (F.col("a_block") == F.col("b_block")) & (F.col("a_doc") < F.col("b_doc"))
+    ).select(
+        (F.col("a_sha") == F.col("b_sha")).cast("long").alias("is_match"),
+        (F.col("a_lang") == F.col("b_lang")).cast("long").alias("f_lang"),
+        (F.col("a_source") == F.col("b_source")).cast("long").alias("f_source"),
+        (F.abs(F.col("a_len") - F.col("b_len")) <= 10).cast("long").alias("f_len"),
+        (F.col("a_prefix") == F.col("b_prefix")).cast("long").alias("f_prefix"),
+    )
+    long = pairs.select(
+        "is_match",
+        F.expr(
+            "stack(4, 'lang', f_lang, 'source', f_source, "
+            "'len', f_len, 'prefix', f_prefix) AS (feature, agree)"
+        ),
+    )
+    agg = long.groupBy("feature").agg(
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum(F.lit(1) - F.col("is_match")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("agree") * F.col("is_match")).cast("long").alias("agree_match"),
+        F.sum(F.col("agree") * (F.lit(1) - F.col("is_match"))).cast("long")
+        .alias("agree_nonmatch"),
+    )
+    return agg.select(
+        "feature", "n_match", "n_nonmatch", "agree_match", "agree_nonmatch",
+        F.expr(
+            "CASE WHEN n_match > 0 THEN agree_match * 1000000L div n_match "
+            "ELSE 0L END"
+        ).alias("m_e6"),
+        F.expr(
+            "CASE WHEN n_nonmatch > 0 THEN agree_nonmatch * 1000000L div n_nonmatch "
+            "ELSE 0L END"
+        ).alias("u_e6"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN u_e6 > 0 THEN m_e6 * 1000L div u_e6 ELSE -1L END"
+        ).alias("ratio_e3"),
+    )

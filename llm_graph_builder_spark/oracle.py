@@ -6926,3 +6926,55 @@ FROM mentions m
 JOIN entities e ON e.id = m.entity_id AND e.label = m.entity_label
 GROUP BY 1
 """
+
+
+# mirrors q_fs_weights / linking.fs_weights: sha-blocked pair sample
+# (md5-of-sha % 25 — the portable '0x' parse), exact-identity labels,
+# 4 agreement features unpivoted, e6/e3 integer-div estimates.
+ORACLE_SQL["fs_weights"] = """
+WITH fsb AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang, source,
+         CAST(n_chars AS BIGINT) AS len,
+         substr(text, 1, 16) AS prefix,
+         sha256(text) AS sha,
+         CAST(('0x' || substr(md5(sha256(text)), 1, 8)) AS BIGINT) % 25
+           AS block
+  FROM documents
+),
+fsp AS (
+  SELECT CASE WHEN a.sha = b.sha THEN 1 ELSE 0 END AS is_match,
+         CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS f_lang,
+         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f_source,
+         CASE WHEN abs(a.len - b.len) <= 10 THEN 1 ELSE 0 END AS f_len,
+         CASE WHEN a.prefix = b.prefix THEN 1 ELSE 0 END AS f_prefix
+  FROM fsb a JOIN fsb b ON a.block = b.block AND a.doc < b.doc
+),
+fsl AS (
+  SELECT is_match, 'lang' AS feature, f_lang AS agree FROM fsp
+  UNION ALL SELECT is_match, 'source', f_source FROM fsp
+  UNION ALL SELECT is_match, 'len', f_len FROM fsp
+  UNION ALL SELECT is_match, 'prefix', f_prefix FROM fsp
+),
+fsa AS (
+  SELECT feature,
+         CAST(sum(is_match) AS BIGINT) AS n_match,
+         CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch,
+         CAST(sum(agree * is_match) AS BIGINT) AS agree_match,
+         CAST(sum(agree * (1 - is_match)) AS BIGINT) AS agree_nonmatch
+  FROM fsl GROUP BY 1
+),
+fsm AS (
+  SELECT *,
+         CAST(CASE WHEN n_match > 0
+                   THEN agree_match * 1000000 // n_match ELSE 0 END
+              AS BIGINT) AS m_e6,
+         CAST(CASE WHEN n_nonmatch > 0
+                   THEN agree_nonmatch * 1000000 // n_nonmatch ELSE 0 END
+              AS BIGINT) AS u_e6
+  FROM fsa
+)
+SELECT *,
+       CAST(CASE WHEN u_e6 > 0 THEN m_e6 * 1000 // u_e6 ELSE -1 END
+            AS BIGINT) AS ratio_e3
+FROM fsm
+"""

@@ -89,3 +89,30 @@ def test_hot_band_cap_drops_are_reported(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     allp = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     assert got <= allp
+
+
+def test_fs_weights_discriminating_feature(spark):
+    """A feature that agrees on all matches and no non-matches gets
+    m=1e6, u=0, ratio sentinel -1; a useless feature gets m == u."""
+    from llm_graph_builder_spark.operators.linking import fs_weights
+
+    # two identical docs (one match pair) + two distinct docs, all in one
+    # block (n_blocks=1 forces every pair in-sample)
+    rows = [
+        (1, "same text body here", "en", "web", 19),
+        (2, "same text body here", "en", "web", 19),
+        (3, "another document xx", "en", "web", 19),
+        (4, "third document yyyy", "en", "web", 19),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.feature: r for r in fs_weights(docs, n_blocks=1).collect()}
+    # prefix: agrees exactly on the match pair, never on non-matches
+    assert out["prefix"].n_match == 1 and out["prefix"].agree_match == 1
+    assert out["prefix"].agree_nonmatch == 0
+    assert out["prefix"].m_e6 == 1000000 and out["prefix"].u_e6 == 0
+    assert out["prefix"].ratio_e3 == -1
+    # lang: agrees on everything -> m == u == 1e6, ratio 1000 (= 1.0 e3)
+    assert out["lang"].m_e6 == 1000000 and out["lang"].u_e6 == 1000000
+    assert out["lang"].ratio_e3 == 1000
