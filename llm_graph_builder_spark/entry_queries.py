@@ -1988,6 +1988,14 @@ def q_dedup_clusters(spark, sf_dir):
     return _dedup_clusters_df(spark, sf_dir)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over (lang, source, len-bucket) quasi-identifiers
+    for k in {2,5,10,20} — one group-size scan, CASE thresholds."""
+    from .operators.curation import k_anonymity
+
+    return k_anonymity(read_documents(spark, sf_dir))
+
+
 def q_fs_weights(spark, sf_dir):
     """Fellegi–Sunter m/u weights from a sha-blocked labeled pair sample:
     per comparison feature, integer e6 agreement shares and the e3 m/u
@@ -2916,6 +2924,7 @@ QUERIES = {
     "clustering_agreement": q_clustering_agreement,
     "blocking_stats": q_blocking_stats,
     "fs_weights": q_fs_weights,
+    "k_anonymity": q_k_anonymity,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

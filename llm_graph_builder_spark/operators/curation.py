@@ -640,3 +640,45 @@ def coverage_select(
     for w in winners[1:]:
         out = out.unionByName(w)
     return out
+
+
+def k_anonymity(
+    docs: DataFrame,
+    ks: tuple = (2, 5, 10, 20),
+) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length-bucket) — the privacy gate a corpus release runs before
+    publishing: a document whose quasi-identifier combination is shared
+    by fewer than k documents is re-identifiable at that k. Reported per
+    k as group/document counts, computed from ONE group-size table (the
+    k thresholds are CASE expressions over it, not separate scans).
+
+    Scale shape: one map-side-combined aggregation at quasi-identifier
+    grain, then a bounded ks-explode over the (tiny) group-size table —
+    the corpus is scanned once regardless of how many k values are
+    audited.
+
+    Output: (k, n_groups, n_risky_groups, n_risky_docs, total_docs).
+    """
+    qi = docs.select(
+        "lang", "source",
+        F.expr("CAST(n_chars AS BIGINT) div 100").alias("len_bucket"),
+    )
+    sizes = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    kdf = sizes.crossJoin(
+        F.broadcast(
+            sizes.sparkSession.createDataFrame(
+                [(int(k),) for k in ks], "k long"
+            )
+        )
+    )
+    return kdf.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+        .cast("long").alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+        .cast("long").alias("n_risky_docs"),
+        F.sum("n").cast("long").alias("total_docs"),
+    )

@@ -6978,3 +6978,24 @@ SELECT *,
             AS BIGINT) AS ratio_e3
 FROM fsm
 """
+
+
+# mirrors q_k_anonymity / curation.k_anonymity: group sizes at the
+# (lang, source, n_chars // 100) quasi-identifier grain, per-k CASE rollup.
+ORACLE_SQL["k_anonymity"] = """
+WITH kasz AS (
+  SELECT lang, source, CAST(n_chars AS BIGINT) // 100 AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+kak AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+         AS n_risky_docs,
+       CAST(sum(n) AS BIGINT) AS total_docs
+FROM kasz CROSS JOIN kak
+GROUP BY 1
+"""

@@ -2476,3 +2476,18 @@ def test_blocking_stats_counts(spark):
         assert r.max_bucket >= 1
         assert r.comparisons >= 0
         assert r.docs_in_multi in (0, 2, 3)
+
+
+def test_k_anonymity_thresholds(spark):
+    from llm_graph_builder_spark.operators.curation import k_anonymity
+
+    # group (en, web, 0): 3 docs; group (de, web, 0): 1 doc
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", 50) for i in range(3)]
+        + [(9, "t", "de", "web", 50)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.k: r for r in k_anonymity(docs).collect()}
+    assert out[2].n_groups == 2 and out[2].total_docs == 4
+    assert (out[2].n_risky_groups, out[2].n_risky_docs) == (1, 1)   # the singleton
+    assert (out[5].n_risky_groups, out[5].n_risky_docs) == (2, 4)   # both < 5
