@@ -1974,6 +1974,14 @@ def q_topic_clusters(spark, sf_dir):
     return kmeans_clusters(_emb(spark, sf_dir))
 
 
+def q_cluster_quality(spark, sf_dir):
+    """Per-cluster cosine inertia + worst-member audit of the shared
+    deterministic k-means fit (same Lloyd recipe as topic_clusters)."""
+    from .operators.ann import cluster_quality
+
+    return cluster_quality(_emb(spark, sf_dir))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means clusters (shared fused-Lloyd fit) → within-cluster
     cosine pruning with a min-id keeper. 0.30 demo threshold — the synthetic
@@ -2933,6 +2941,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "topic_clusters": q_topic_clusters,
+    "cluster_quality": q_cluster_quality,
     "semantic_dedup": q_semantic_dedup,
     "similar_knn": q_similar_knn,
     "multimodal_features": q_multimodal_features,

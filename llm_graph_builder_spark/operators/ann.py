@@ -621,3 +621,50 @@ def hard_negative_mining(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def cluster_quality(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality audit of the deterministic k-means fit — the
+    acceptance gate for ``topic_clusters``/SemDeDup/IVF decisions: cosine
+    inertia (Σ 1−cos(member, centroid), e4 fixed-point) and the worst
+    member cosine per cluster. A cluster whose inertia per member is high
+    is a candidate for splitting (raise n_centroids); one whose worst
+    member is near 0 is catching orthogonal stragglers.
+
+    Scale shape: the shared Lloyd fit (one mapInArrow partial-sum pass
+    per round), one assignment pass, a broadcast join of the (tiny)
+    centroid table, one map-side-combined rollup. The member↔centroid
+    cosine reuses the mirrored fold so the e4 rounding matches the
+    oracle's unrolled-Lloyd centroids (FP sum-order divergence in the
+    means is ~1e-15 — far below the e4 grid).
+
+    Output: (cluster, n, inertia_e4, worst_cos_e4).
+    """
+    from ..functions.vectors import cosine
+
+    c = corpus.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    centroids = fit_kmeans_centroids(c, n_centroids, lloyd_iters)
+    cent_df = c.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cluster long, cent array<double>",
+    )
+    assigned = c.withColumn(
+        "cluster", _topc_udf(centroids, 1)(F.col("cv"))[0].cast("long")
+    )
+    scored = assigned.join(F.broadcast(cent_df), on="cluster").withColumn(
+        "cos_e4", F.round(cosine(F.col("cv"), F.col("cent")) * 10000).cast("long")
+    )
+    return scored.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.lit(10000) - F.col("cos_e4")).cast("long").alias("inertia_e4"),
+        F.min("cos_e4").alias("worst_cos_e4"),
+    )

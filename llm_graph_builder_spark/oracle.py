@@ -1981,6 +1981,33 @@ JOIN (SELECT bucket, count(*) AS n FROM bucketed GROUP BY 1) s
 ORACLE_SQL["topic_clusters"] = _kmeans_sql()
 
 
+def _cluster_quality_sql(
+    n_centroids: int = 16, lloyd_iters: int = 2, dim: int = 64
+) -> str:
+    """Mirror of ann.cluster_quality: the shared unrolled-Lloyd fit, then
+    per-cluster Σ(10000 − cos_e4(member, centroid)) and the min member
+    cosine. The member↔centroid fold-cosine inherits the ~1e-15 Lloyd-mean
+    sum-order divergence — far below the e4 rounding grid."""
+    parts, final = _lloyd_parts(n_centroids, lloyd_iters, dim)
+    mcos = _cosine_sql("b.cv", "c.cv_c")
+    parts.append(f""",
+cqm AS (
+  SELECT b.bucket,
+         CAST(round(({mcos}) * 10000) AS BIGINT) AS cos_e4
+  FROM bucketed b JOIN {final} c ON c.cidx = b.bucket
+)
+SELECT CAST(bucket AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(10000 - cos_e4) AS BIGINT) AS inertia_e4,
+       CAST(min(cos_e4) AS BIGINT) AS worst_cos_e4
+FROM cqm GROUP BY 1
+""")
+    return "WITH " + "".join(parts)
+
+
+ORACLE_SQL["cluster_quality"] = _cluster_quality_sql()
+
+
 def _semantic_dedup_sql(
     n_centroids: int = 16,
     lloyd_iters: int = 2,

@@ -2491,3 +2491,18 @@ def test_k_anonymity_thresholds(spark):
     assert out[2].n_groups == 2 and out[2].total_docs == 4
     assert (out[2].n_risky_groups, out[2].n_risky_docs) == (1, 1)   # the singleton
     assert (out[5].n_risky_groups, out[5].n_risky_docs) == (2, 4)   # both < 5
+
+
+def test_cluster_quality_tight_clusters(spark):
+    """Vectors identical to their centroid have zero inertia."""
+    from llm_graph_builder_spark.operators.ann import cluster_quality
+
+    # 8 copies of 2 orthogonal directions -> 2 perfect clusters (n_centroids=2)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
+        (i, [0.0, 1.0, 0.0, 0.0]) for i in range(4, 8)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cluster_quality(emb, n_centroids=2, lloyd_iters=1).collect()
+    assert sum(r.n for r in out) == 8
+    for r in out:
+        assert r.inertia_e4 == 0 and r.worst_cos_e4 == 10000
