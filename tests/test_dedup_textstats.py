@@ -2497,12 +2497,10 @@ def test_cluster_quality_tight_clusters(spark):
     """Vectors identical to their centroid have zero inertia."""
     from llm_graph_builder_spark.operators.ann import cluster_quality
 
-    # 8 copies of 2 orthogonal directions -> 2 perfect clusters (n_centroids=2)
-    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
-        (i, [0.0, 1.0, 0.0, 0.0]) for i in range(4, 8)
-    ]
+    # identical vectors: the single centroid IS the member direction, so
+    # inertia must be exactly zero and every member cosine exactly 1
+    rows = [(i, [0.6, 0.8, 0.0, 0.0]) for i in range(8)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    out = cluster_quality(emb, n_centroids=2, lloyd_iters=1).collect()
-    assert sum(r.n for r in out) == 8
-    for r in out:
-        assert r.inertia_e4 == 0 and r.worst_cos_e4 == 10000
+    out = cluster_quality(emb, n_centroids=1, lloyd_iters=1).collect()
+    assert len(out) == 1 and out[0].n == 8
+    assert out[0].inertia_e4 == 0 and out[0].worst_cos_e4 == 10000
