@@ -1,0 +1,142 @@
+"""Streaming incremental view maintenance for an aggregate-join view.
+
+The batch operator :func:`~..operators.maintenance.delta_join_refresh`
+proves the delta-join algebra Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB against a
+full-recompute oracle; this module is its Structured Streaming composition
+(same foreachBatch shape as :mod:`.kg_maintain`): one change feed carries
+BOTH sides' inserts (``side = 'order' | 'lineitem'``), and each micro-batch
+
+  1. computes the batch's view delta with the three delta joins against the
+     PRE-batch base logs (the standing corpus is probed, never rescanned
+     as a whole — the ΔA⋈B₀ leg broadcasts the delta keys),
+  2. appends the batch rows to the per-side base logs,
+  3. appends the aggregated view delta to an append-only VIEW-DELTA log.
+
+The served view is the groupBy-sum of the view-delta log
+(:func:`view_snapshot`) — bounded by one aggregated row-set per batch and
+compactable at any time. Replay safety is structural, as in
+:mod:`.kg_maintain`: every appended row carries its ``batch_id``, reads
+de-duplicate and EXCLUDE the current batch's id, so a crashed-and-retried
+foreachBatch recomputes the identical delta and the append is idempotent
+under the dedup.
+
+Extension beyond the reference (SURVEY §2.13); the arithmetic is
+value-checked by the batch ``incremental_join`` driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.maintenance import order_revenue_view
+
+IVM_SCHEMA = T.StructType(
+    [
+        T.StructField("side", T.StringType()),          # 'order' | 'lineitem'
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),       # order rows only
+        T.StructField("l_extendedprice", T.DoubleType()),  # lineitem rows only
+        T.StructField("l_discount", T.DoubleType()),
+    ]
+)
+
+_ORD_COLS = "o_orderkey long, o_custkey long, batch_id long"
+_LI_COLS = "l_orderkey long, l_extendedprice double, l_discount double, batch_id long"
+_VIEW_COLS = (
+    "o_orderkey long, o_custkey long, revenue_e4 long, n_items long, batch_id long"
+)
+
+
+def view_snapshot(view_log: DataFrame) -> DataFrame:
+    """Current view state from the append-only delta log: one sum per key.
+    Identical output schema to ``order_revenue_view``."""
+    return (
+        view_log.groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum("revenue_e4").cast("long").alias("revenue_e4"),
+            F.sum("n_items").cast("long").alias("n_items"),
+        )
+        .filter(F.col("n_items") > 0)
+    )
+
+
+def start_join_view_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Two-sided insert feed → maintained per-order revenue view.
+
+    Outputs under ``output_dir``: ``orders_log`` / ``lineitem_log`` (the
+    growing base tables, batch lineage attached) and ``view_log`` (the
+    append-only aggregated deltas ``view_snapshot`` sums)."""
+    stream = (
+        spark.readStream.schema(IVM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    ord_dir = f"{output_dir}/orders_log"
+    li_dir = f"{output_dir}/lineitem_log"
+    view_dir = f"{output_dir}/view_log"
+
+    def read_state(path: str, cols: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path).dropDuplicates()
+        except Exception:  # first batch: no state yet
+            return spark.createDataFrame([], cols)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        batch_df = batch_df.cache()
+        a0 = (
+            read_state(ord_dir, _ORD_COLS)
+            .filter(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+            .cache()
+        )
+        b0 = (
+            read_state(li_dir, _LI_COLS)
+            .filter(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+            .cache()
+        )
+        da = batch_df.filter(F.col("side") == "order").select(
+            "o_orderkey", "o_custkey"
+        )
+        db = batch_df.filter(F.col("side") == "lineitem").select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        d1 = order_revenue_view(F.broadcast(da), b0)
+        d2 = order_revenue_view(a0, F.broadcast(db))
+        d3 = order_revenue_view(da, db)
+        delta = (
+            d1.unionByName(d2).unionByName(d3)
+            .groupBy("o_orderkey", "o_custkey")
+            .agg(
+                F.sum("revenue_e4").cast("long").alias("revenue_e4"),
+                F.sum("n_items").cast("long").alias("n_items"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        delta.write.mode("append").parquet(view_dir)
+        da.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(ord_dir)
+        db.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(li_dir)
+        batch_df.unpersist()
+        a0.unpersist()
+        b0.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -440,6 +440,39 @@ def main() -> None:
         ),
     )
 
+    snap(
+        "Salted skew join (dim replicated, fact salted — no hot reducer)",
+        "The fact side gains a deterministic xxhash64 `_salt`; the dim side "
+        "explodes once per salt BEFORE the join, so the SortMergeJoin keys "
+        "are (id, label, _salt) and a Zipfian key spreads across n_salts "
+        "reducers. Semantics-neutrality is oracle-checked (plain-join "
+        "mirror).",
+        q["salted_join"](spark, SF),
+    )
+    snap(
+        "CDC compaction (ONE map-side-partial max_by exchange)",
+        "A single hashAggregate pair (partial_max_by → max_by) on the key — "
+        "each task keeps one candidate row per key, so the exchange moves "
+        "one row per (task, key), never the whole change log; no window "
+        "sort anywhere.",
+        q["cdc_apply"](spark, SF),
+    )
+    snap(
+        "Delta-join IVM refresh (delta sides broadcast, base never rescanned twice)",
+        "The ΔA⋈B0 / A0⋈ΔB legs show BroadcastHashJoin with the DELTA side "
+        "as the build relation; the final merge is one hashAggregate at "
+        "view grain — the same exchange a MERGE INTO pays.",
+        q["incremental_join"](spark, SF),
+    )
+    snap(
+        "SQ8 recall audit (broadcast queries, per-partition partial top-k)",
+        "Both legs broadcast the query set and pre-reduce with a "
+        "(qid, partition) window before the per-query rank — ≤ k rows per "
+        "scan partition per query ever shuffle; the quantized leg is all "
+        "JVM integer arithmetic (no Python).",
+        q["sq_recall"](spark, SF),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",

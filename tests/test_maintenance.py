@@ -301,3 +301,65 @@ def test_graph_edge_diff_classes(spark):
         ("x", "y"): (1, 0, "removed"),
         ("p", "q"): (0, 4, "added"),
     }
+
+
+def test_streaming_join_view_maintenance_matches_batch(spark, tmp_path):
+    """Two-sided insert feed maintained via per-batch delta joins: the
+    summed view-delta log equals the full batch recompute over everything
+    ever ingested — including cross-batch joins both ways (late lineitems
+    for old orders, late orders for old lineitems)."""
+    from llm_graph_builder_spark.operators.maintenance import order_revenue_view
+    from llm_graph_builder_spark.streaming.ivm import (
+        start_join_view_maintenance,
+        view_snapshot,
+    )
+
+    in_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "ivm")
+    ckpt = str(tmp_path / "ck")
+    cols = (
+        "side string, o_orderkey long, o_custkey long, "
+        "l_extendedprice double, l_discount double"
+    )
+
+    def drop(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 0: order 1 + its item, plus a lineitem for order 2 (not yet seen)
+    drop([
+        ("order", 1, 10, None, None),
+        ("lineitem", 1, None, 100.0, 0.10),
+        ("lineitem", 2, None, 40.0, 0.00),
+    ])
+    # batch 1: order 2 arrives late (joins batch-0 item), order 1 gains an item
+    drop([
+        ("order", 2, 20, None, None),
+        ("lineitem", 1, None, 60.0, 0.50),
+    ])
+
+    q = start_join_view_maintenance(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        r.o_orderkey: (r.o_custkey, r.revenue_e4, r.n_items)
+        for r in view_snapshot(
+            spark.read.parquet(f"{out_dir}/view_log")
+        ).collect()
+    }
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20)], ["o_orderkey", "o_custkey"]
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.10), (2, 40.0, 0.00), (1, 60.0, 0.50)],
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    want = {
+        r.o_orderkey: (r.o_custkey, r.revenue_e4, r.n_items)
+        for r in order_revenue_view(orders, lineitem).collect()
+    }
+    assert got == want and want
+    # lineage: order 2's revenue lands in batch 1 (the late-order leg)
+    log = spark.read.parquet(f"{out_dir}/view_log")
+    assert {r.batch_id for r in log.filter("o_orderkey = 2").collect()} == {1}
