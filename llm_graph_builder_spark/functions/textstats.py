@@ -537,3 +537,55 @@ def exact_quantiles(
         .agg(F.min("v").cast("long").alias("value"))
         .select("quantile", "target_rank", "value", "n_rows")
     )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick sparse document vectors (Weinberger et al. feature
+    hashing): every token maps to ``bucket = h mod n_buckets`` with a
+    ±1 sign drawn from the next hash bit, and the per-(doc, bucket) value
+    is the signed term-frequency sum. This is the vocabulary-free
+    vectorizer a 100 TB corpus needs — fixed dimensionality, no global
+    vocab build, no second pass, and sketches from disjoint shards merge
+    by plain addition (the signed sum makes collisions unbiased).
+
+    h is the first 15 md5 hex digits of the token (uniform in [0, 2^60)),
+    the same 60-bit integer-hash protocol as ``kmv_distinct_sketch``;
+    sign = +1 when bit 10 of h (i.e. (h div n_buckets) mod 2 for the
+    default 1024 buckets) is 0. All arithmetic is BIGINT, so the DuckDB
+    oracle hash-matches bit-for-bit.
+
+    Scale shape: one exploded-token map to (doc, term, tf) grain — bucket
+    and sign are per-row JVM expressions — then ONE hash aggregate at
+    (doc, bucket) grain with map-side partials. Output rows are bounded by
+    min(tokens, docs × n_buckets); zero-sum cells (exact collision
+    cancellation) are dropped like any sparse representation.
+
+    Output: (doc_id, bucket, val), val ≠ 0.
+    """
+    nb = int(n_buckets)
+    toks = _tokens(F.col(text_col))
+    tf = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"), toks.alias("tk")
+        )
+        .select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    return (
+        tf.withColumn("h", h)
+        .withColumn("bucket", F.expr(f"h % {nb}L"))
+        .withColumn(
+            "sval",
+            F.expr(f"CASE WHEN (h div {nb}L) % 2 = 0 THEN tf ELSE -tf END"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sval").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

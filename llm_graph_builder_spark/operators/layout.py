@@ -455,3 +455,95 @@ def salted_join(
         F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)])),
     )
     return f2.join(d2, on=list(on) + ["_salt"], how=how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` as a bucketed + per-bucket-sorted parquet table
+    (``bucketBy(n_buckets, key).sortBy(key)``) registered in the session
+    catalog at an explicit external ``path``.
+
+    Bucketing is THE pre-paid shuffle of a 100 TB warehouse: both fact
+    tables of a recurring join written with the same bucket spec make
+    every future join on that key exchange-free AND sort-free — the
+    SortMergeJoin reads co-located, pre-sorted buckets directly (see
+    ``bucketed_revenue`` and the plan test pinning zero Exchange/Sort
+    operators). The reference re-pays its join shuffle on every Neo4j
+    MERGE; a bucketed lakehouse layout pays it once at write time.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        # One file per bucket: Spark only elides the join-side Sort when a
+        # bucket is a single file (multi-file buckets are only
+        # individually sorted, so the reader must re-sort). Clustering by
+        # the bucket key before the write guarantees that — and kills the
+        # tasks × buckets small-file blowup a naive bucketed write
+        # produces. At 100 TB you raise n_buckets until file size is
+        # right (~1 GB), never files-per-bucket.
+        df.repartition(int(n_buckets), F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(int(n_buckets), key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+
+
+def bucketed_revenue(
+    spark,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    warehouse_dir: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Revenue by (order priority, return flag) through an exchange-free
+    bucketed join: both sides land once as bucketed tables on
+    ``o_orderkey`` / ``l_orderkey``, then the fact-fact join runs with NO
+    shuffle and NO sort on either leg (the ``merge`` hint keeps AQE from
+    substituting a broadcast at toy scale — at 100 TB neither side
+    broadcasts anyway). The only exchange in the whole query is the final
+    9-row aggregate.
+
+    Money is integer cents (see ``warehouse._cents`` convention) so the
+    DuckDB oracle — a plain join over the raw parquet, bucketing is
+    semantics-neutral — hash-matches bit-for-bit.
+
+    Output: (o_orderpriority, l_returnflag, revenue_cents, n_items).
+    """
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "lgb_bkt_orders",
+        f"{warehouse_dir}/lgb_bkt_orders",
+        "o_orderkey",
+        n_buckets,
+    )
+    write_bucketed(
+        lineitem.select(
+            "l_orderkey",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_c"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        ),
+        "lgb_bkt_lineitem",
+        f"{warehouse_dir}/lgb_bkt_lineitem",
+        "l_orderkey",
+        n_buckets,
+    )
+    o = spark.table("lgb_bkt_orders")
+    li = spark.table("lgb_bkt_lineitem").hint("merge")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum(F.expr("ep_c * (100L - disc_pct)")).cast("long")
+            .alias("revenue_cents_pct"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )

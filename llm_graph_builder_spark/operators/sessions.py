@@ -1246,3 +1246,50 @@ def clip_outliers(
         "n", "lo_cents", "hi_cents", "n_clip_lo", "n_clip_hi",
         "sum_raw", "sum_clipped",
     )
+
+
+def dp_counts(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Differentially-private release of per-group counts via the discrete
+    (two-sided geometric) Laplace mechanism — the aggregate-release step a
+    shared corpus-statistics service runs so per-user contributions are
+    deniable. Noise = Z₁ − Z₂ with Zᵢ iid Geometric(1/2), i.e. the
+    discrete Laplace with scale b = 1/ln 2, giving ε = ln 2 per released
+    count (``epsilon_e6`` = 693147 carried as a constant column).
+
+    Geometric(1/2) draws come from the bit-length trick: for h uniform in
+    [0, 2^60), ``60 − length(bin(h))`` is Geometric(1/2) (P(0) = 1/2,
+    P(1) = 1/4, …). The two draws hash disjoint salts of the group key —
+    DETERMINISTIC noise keyed on the group, so runs are reproducible and
+    the DuckDB oracle mirrors bit-for-bit; a production deployment would
+    splice a secret release-epoch seed into the salt (same plan shape).
+    Released counts clamp at 0 (post-processing preserves DP).
+
+    Scale shape: ONE hash aggregate at group grain with map-side partials;
+    the noise columns are per-GROUP expressions computed after the
+    aggregate — O(|groups|) extra work, zero extra shuffles.
+
+    Output: (grp, noisy_count, epsilon_e6) — the exact count is
+    deliberately NOT in the release; tests recompute it separately.
+    """
+    def geom(salt: str) -> "F.Column":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("grp"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return (F.lit(60) - F.length(F.bin(h))).cast("long")
+
+    per = (
+        events.select(F.col(group_col).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        per.withColumn("z1", geom("dpA\x01"))
+        .withColumn("z2", geom("dpB\x01"))
+        .withColumn(
+            "noisy_count", F.expr("greatest(0L, n + z1 - z2)").cast("long")
+        )
+        .withColumn("epsilon_e6", F.lit(693147).cast("long"))
+        .select("grp", "noisy_count", "epsilon_e6")
+    )

@@ -1269,3 +1269,107 @@ def excess_stock_suppliers(
         .select("s_suppkey", "s_name")
         .dropDuplicates(["s_suppkey", "s_name"])
     )
+
+
+def benford_audit(lineitem: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over the money column — the
+    data-quality screen a 100 TB ingest runs to flag synthetic, truncated,
+    or fabricated numeric feeds before they poison downstream training
+    aggregates (reference analog: the source-level quality gates around
+    document ingestion, /root/reference/backend/src/main.py chunk-stage
+    validation; this is the warehouse-side counterpart).
+
+    The first significant digit of ``l_extendedprice`` in integer cents is
+    compared against the Benford expectation log10(1 + 1/d), carried as
+    fixed e6 constants so every column is BIGINT and the DuckDB oracle
+    hash-matches bit-for-bit. ``chi_e6`` is the scaled per-digit chi-square
+    contribution dev²/expected (multiply by n/1e6 for the classical
+    statistic) — rank digits by it to find which leading digit drives the
+    deviation.
+
+    Scale shape: one projection + a 9-key hash aggregate with map-side
+    partials — the exchange moves at most 9 rows per task regardless of
+    corpus size. No joins, no windows, no Python.
+
+    Output: (digit, n_obs, share_e6, expected_e6, dev_e6, chi_e6), 9 rows.
+    """
+    cents = _cents("l_extendedprice")
+    digit = F.expr(
+        "CAST(substring(CAST(ep_c AS STRING), 1, 1) AS BIGINT)"
+    )
+    per = (
+        lineitem.select(cents.alias("ep_c"))
+        .filter(F.col("ep_c") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    total = per.agg(F.sum("n_obs").cast("long").alias("n_all"))
+    expected = F.expr(
+        "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+        " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+        " WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("share_e6", F.expr("n_obs * 1000000L div n_all"))
+        .withColumn("expected_e6", expected)
+        .withColumn("dev_e6", F.expr("share_e6 - expected_e6"))
+        .withColumn("chi_e6", F.expr("dev_e6 * dev_e6 div expected_e6"))
+        .select("digit", "n_obs", "share_e6", "expected_e6", "dev_e6", "chi_e6")
+    )
+
+
+def target_encoding(
+    orders: DataFrame,
+    customer: DataFrame,
+    smoothing: int = 100,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical feature — the
+    leakage-prone feature-engineering step every large-scale tabular
+    training pipeline needs done distributed: encode ``c_mktsegment`` by
+    the smoothed rate of fulfilled orders (label = o_orderstatus = 'F').
+
+    enc = (pos + m·prior) / (n + m) computed as staged integers:
+    ``prior_e6`` = global pos·1e6 div n once, then
+    ``enc_e6`` = (pos·1e6 + m·prior_e6) div (n + m) per category — both
+    engines truncate identically, so the oracle hash-matches. Rare
+    categories shrink toward the global prior (the m = ``smoothing``
+    pseudo-count), the standard guard against overfitting tail categories.
+
+    Scale shape: the label lives on the fact table; the category arrives by
+    a BROADCAST dimension join (customer segment), then ONE hash aggregate
+    at category grain with map-side partials, plus a one-row global
+    aggregate broadcast back. No shuffle of the fact table at all.
+
+    Output: (segment, n_orders, n_pos, prior_e6, enc_e6).
+    """
+    labeled = (
+        orders.select(
+            "o_custkey",
+            (F.col("o_orderstatus") == "F").cast("long").alias("pos"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "pos")
+    )
+    per = labeled.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    glob = per.agg(
+        F.expr("sum(n_pos) * 1000000L div sum(n_orders)").alias("prior_e6")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .withColumn(
+            "enc_e6",
+            F.expr(
+                f"(n_pos * 1000000L + {int(smoothing)}L * prior_e6)"
+                f" div (n_orders + {int(smoothing)}L)"
+            ),
+        )
+        .select("segment", "n_orders", "n_pos", "prior_e6", "enc_e6")
+    )

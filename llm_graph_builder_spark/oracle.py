@@ -7026,3 +7026,123 @@ SELECT CAST(k AS BIGINT) AS k,
 FROM kasz CROSS JOIN kak
 GROUP BY 1
 """
+
+
+# mirrors q_benford_audit / warehouse.benford_audit: first digit of the
+# integer-cent money column vs Benford e6 constants; scaled chi per digit
+# (dev² // expected) — all BIGINT, both engines truncate identically.
+ORACLE_SQL["benford_audit"] = """
+WITH bfc AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c FROM lineitem
+),
+bfd AS (
+  SELECT CAST(substr(CAST(ep_c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM bfc WHERE ep_c > 0 GROUP BY 1
+),
+bft AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_all FROM bfd),
+bfe AS (
+  SELECT digit, n_obs,
+         CAST(n_obs * 1000000 // n_all AS BIGINT) AS share_e6,
+         CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+              WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+              WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+              ELSE 45757 END AS BIGINT) AS expected_e6
+  FROM bfd CROSS JOIN bft
+)
+SELECT digit, n_obs, share_e6, expected_e6,
+       CAST(share_e6 - expected_e6 AS BIGINT) AS dev_e6,
+       CAST((share_e6 - expected_e6) * (share_e6 - expected_e6)
+            // expected_e6 AS BIGINT) AS chi_e6
+FROM bfe
+"""
+
+
+# mirrors q_target_encoding / warehouse.target_encoding: smoothed category
+# mean with m=100 pseudo-counts toward the global prior; staged integer e6
+# divisions so Spark div == DuckDB //.
+ORACLE_SQL["target_encoding"] = """
+WITH tea AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tep AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM tea GROUP BY 1
+),
+teg AS (
+  SELECT CAST(sum(n_pos) * 1000000 // sum(n_orders) AS BIGINT) AS prior_e6
+  FROM tep
+)
+SELECT segment, n_orders, n_pos, prior_e6,
+       CAST((n_pos * 1000000 + 100 * prior_e6) // (n_orders + 100)
+            AS BIGINT) AS enc_e6
+FROM tep CROSS JOIN teg
+"""
+
+
+# mirrors q_feature_hashing / textstats.feature_hashing: 60-bit md5 token
+# hash, bucket = h % 1024, sign from the next hash bit, signed TF sums at
+# (doc, bucket) grain, zero-sum cells dropped.
+ORACLE_SQL["feature_hashing"] = """
+WITH fhb AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)
+           AS toks
+  FROM documents
+),
+fhtf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM fhb)
+  GROUP BY 1, 2
+),
+fhh AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM fhtf
+)
+SELECT doc_id, CAST(h % 1024 AS BIGINT) AS bucket,
+       CAST(sum(CASE WHEN (h // 1024) % 2 = 0 THEN tf ELSE -tf END)
+            AS BIGINT) AS val
+FROM fhh
+GROUP BY 1, 2
+HAVING sum(CASE WHEN (h // 1024) % 2 = 0 THEN tf ELSE -tf END) <> 0
+"""
+
+
+# mirrors q_dp_counts / sessions.dp_counts: discrete-Laplace (difference of
+# two Geometric(1/2) bit-length draws) noisy per-type counts, clamped at 0;
+# noise keyed on salted md5 of the group so the mirror is bit-exact.
+ORACLE_SQL["dp_counts"] = """
+WITH dpn AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+dpz AS (
+  SELECT grp, n,
+         60 - length(bin(CAST(('0x' || substr(md5('dpA' || chr(1) || grp),
+           1, 15)) AS BIGINT))) AS z1,
+         60 - length(bin(CAST(('0x' || substr(md5('dpB' || chr(1) || grp),
+           1, 15)) AS BIGINT))) AS z2
+  FROM dpn
+)
+SELECT grp, CAST(greatest(0, n + z1 - z2) AS BIGINT) AS noisy_count,
+       CAST(693147 AS BIGINT) AS epsilon_e6
+FROM dpz
+"""
+
+
+# mirrors q_bucketed_revenue / layout.bucketed_revenue: bucketing is
+# semantics-neutral, so the oracle is the plain join over raw parquet;
+# integer cent·percent revenue as in the warehouse family.
+ORACLE_SQL["bucketed_revenue"] = """
+SELECT o.o_orderpriority, l.l_returnflag,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""

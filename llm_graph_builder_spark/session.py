@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Broadcast small dims (label maps, allowed-schema, canonical maps).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Bucketed-sorted tables (layout.write_bucketed): let the scan
+        # expose the per-bucket sort order so recurring fact-fact joins are
+        # Sort-free as well as Exchange-free. Off by default since Spark 3.0
+        # (the planner must check one-file-per-bucket, a listing it already
+        # does); our bucketed writer guarantees one file per bucket.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -465,6 +465,23 @@ def main() -> None:
         q["incremental_join"](spark, SF),
     )
     snap(
+        "Bucketed fact-fact join (the pre-paid shuffle: no Exchange, no Sort)",
+        "Both facts were written once with bucketBy(8, orderkey).sortBy, one "
+        "file per bucket; the SortMergeJoin legs read `Bucketed: true` scans "
+        "directly — ZERO Exchange and ZERO Sort anywhere in the join; the "
+        "only exchange in the query is the 15-row final aggregate. This is "
+        "the recurring-join layout a 100 TB warehouse amortizes its shuffle "
+        "into (plan-pinned in tests/test_plans and test_layout).",
+        q["bucketed_revenue"](spark, SF),
+    )
+    snap(
+        "Feature hashing (vocabulary-free vectorizer, one aggregate)",
+        "Token explode → per-row JVM md5 bucket/sign expressions → ONE "
+        "hashAggregate pair at (doc, bucket) grain. No vocab build, no "
+        "second pass, no Python; shards merge by addition.",
+        q["feature_hashing"](spark, SF),
+    )
+    snap(
         "SQ8 recall audit (broadcast queries, per-partition partial top-k)",
         "Both legs broadcast the query set and pre-reduce with a "
         "(qid, partition) window before the per-query rank — ≤ k rows per "

@@ -2504,3 +2504,33 @@ def test_cluster_quality_tight_clusters(spark):
     out = cluster_quality(emb, n_centroids=1, lloyd_iters=1).collect()
     assert len(out) == 1 and out[0].n == 8
     assert out[0].inertia_e4 == 0 and out[0].worst_cos_e4 == 10000
+
+
+def test_feature_hashing_sign_sum_and_shard_merge(spark):
+    from llm_graph_builder_spark.functions.textstats import feature_hashing
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "")], ["doc_id", "text"]
+    )
+    vecs = feature_hashing(docs, n_buckets=16)
+    rows = {(r.doc_id, r.bucket): r.val for r in vecs.collect()}
+    # empty doc contributes nothing
+    assert not any(d == "3" for d, _ in rows)
+    # same token -> same (bucket, sign) everywhere: doc1's x has |val|=2,
+    # doc2's x is the same bucket with |val|=1 and the same sign
+    x1 = [(b, v) for (d, b), v in rows.items() if d == "1" and abs(v) == 2]
+    assert len(x1) == 1
+    xb, xv = x1[0]
+    assert rows[("2", xb)] * 2 == xv
+    # shard-mergeability: hashing shards then summing == hashing the union
+    sh1 = feature_hashing(docs.filter("doc_id = 1"), n_buckets=16)
+    sh2 = feature_hashing(docs.filter("doc_id != 1"), n_buckets=16)
+    merged = (
+        sh1.unionByName(sh2)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("val").alias("val"))
+        .filter("val != 0")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, vecs.collect())
+    )

@@ -463,3 +463,65 @@ def test_clip_outliers_bounds_and_sums(spark):
     assert (r.n_clip_lo, r.n_clip_hi) == (1, 1)     # 1 below 2, 100 above 99
     assert r.sum_raw == sum(range(1, 101))
     assert r.sum_clipped == r.sum_raw + (2 - 1) - (100 - 99)
+
+
+def test_benford_audit_digits_and_chi(spark):
+    from llm_graph_builder_spark.operators.warehouse import benford_audit
+
+    # cents: 123 (->1), 19 (->1), 250 (->2), 9 (->9); the 0.005 row rounds
+    # to cent 1 (digit 1); a zero price is excluded entirely
+    li = spark.createDataFrame(
+        [(1.23,), (0.19,), (2.50,), (0.09,), (0.005,), (0.0,)],
+        ["l_extendedprice"],
+    )
+    rows = {r.digit: r for r in benford_audit(li).collect()}
+    assert set(rows) == {1, 2, 9}
+    assert rows[1].n_obs == 3 and rows[2].n_obs == 1 and rows[9].n_obs == 1
+    assert rows[1].share_e6 == 600000  # 3 of 5
+    assert rows[1].expected_e6 == 301030
+    assert rows[1].dev_e6 == 298970
+    assert rows[1].chi_e6 == 298970 * 298970 // 301030
+
+
+def test_target_encoding_shrinks_to_prior(spark):
+    from llm_graph_builder_spark.operators.warehouse import target_encoding
+
+    orders = spark.createDataFrame(
+        [(1, "F"), (1, "O"), (2, "F"), (3, "O")],
+        ["o_custkey", "o_orderstatus"],
+    )
+    cust = spark.createDataFrame(
+        [(1, "BIG"), (2, "RARE"), (3, "RARE")],
+        ["c_custkey", "c_mktsegment"],
+    )
+    got = {r.segment: r for r in target_encoding(orders, cust, smoothing=2).collect()}
+    # global prior: 2 of 4 -> 500000
+    assert got["BIG"].prior_e6 == got["RARE"].prior_e6 == 500000
+    # BIG: (1*1e6 + 2*5e5) / (2+2) = 500000; RARE same by symmetry here
+    assert got["BIG"].enc_e6 == (1_000_000 + 2 * 500_000) // 4
+    # heavy smoothing pulls a perfect-label category toward the prior
+    one = spark.createDataFrame([(9, "F")], ["o_custkey", "o_orderstatus"])
+    onec = spark.createDataFrame([(9, "PURE")], ["c_custkey", "c_mktsegment"])
+    enc = target_encoding(one, onec, smoothing=99).collect()[0]
+    assert enc.prior_e6 == 1_000_000 and enc.enc_e6 == 1_000_000
+    enc0 = target_encoding(one, onec, smoothing=0).collect()[0]
+    assert enc0.enc_e6 == 1_000_000
+
+
+def test_dp_counts_bounded_deterministic_noise(spark):
+    from llm_graph_builder_spark.operators.sessions import dp_counts
+
+    ev = spark.createDataFrame(
+        [(t, i) for t in ["a", "b", "c", "d"] for i in range(100)],
+        ["event_type", "event_id"],
+    )
+    rel = dp_counts(ev)
+    got = {r.grp: r.noisy_count for r in rel.collect()}
+    again = {r.grp: r.noisy_count for r in dp_counts(ev).collect()}
+    assert got == again  # keyed noise: reproducible across runs
+    for g, n in got.items():
+        assert n >= 0
+        assert abs(n - 100) < 60  # geometric tails, bounded by hash width
+    # at least one group actually gets nonzero noise (not the identity)
+    assert any(n != 100 for n in got.values())
+    assert rel.columns == ["grp", "noisy_count", "epsilon_e6"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from llm_graph_builder_spark.operators.layout import (
     _interleave_expr,
     zone_map_pruning,
@@ -69,3 +71,61 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     # dim replication really happened: 3 dim rows x 4 salts before the join
     assert "_salt" not in salted.columns
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, tmp_path):
+    """Both facts bucketed+sorted on the join key -> the SMJ runs with NO
+    Exchange and NO Sort on either leg; the only exchange in the whole
+    query is the final aggregate. Values match the plain join."""
+    import re
+
+    from llm_graph_builder_spark.operators.layout import bucketed_revenue
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = bucketed_revenue(spark, orders, li, str(tmp_path / "wh"))
+    got = {
+        (r.o_orderpriority, r.l_returnflag): (r.revenue_cents_pct, r.n_items)
+        for r in df.collect()
+    }
+
+    plain = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+                )
+            ).alias("rev"),
+            F.count("*").alias("n"),
+        )
+    )
+    want = {
+        (r.o_orderpriority, r.l_returnflag): (r.rev, r.n)
+        for r in plain.collect()
+    }
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert final.count("Bucketed: true") == 2
+    # the pre-paid shuffle: exactly ONE exchange (the 15-row aggregate)
+    assert final.count("Exchange hashpartitioning") == 1
+    # one file per bucket + sorted-bucket scan -> no Sort nodes at all
+    assert not re.findall(r"Sort \[", final)
+
+
+def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
+    import glob
+
+    from llm_graph_builder_spark.operators.layout import write_bucketed
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    write_bucketed(df, "lgb_bkt_probe", str(tmp_path / "p"), "k", n_buckets=4)
+    files = glob.glob(str(tmp_path / "p" / "*.parquet"))
+    assert len(files) == 4  # one file per bucket, not tasks x buckets
+    assert spark.table("lgb_bkt_probe").count() == 1000
+    spark.sql("DROP TABLE IF EXISTS lgb_bkt_probe")
