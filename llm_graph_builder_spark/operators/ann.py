@@ -425,31 +425,136 @@ def pq_codes(
     the assigned centroid index. Storage drops from dim×8 bytes to m bytes
     (n_centroids ≤ 256) — the 100 TB reason this operator exists.
 
-    Scale shape: the m fits are sequential Lloyd loops but each round is
-    ONE mapInArrow partial-sum pass over the (narrow) subvector slice;
-    assignment is one vectorized pandas-UDF pass per subspace. A fused
-    all-subspace kernel (one corpus pass total per round) is the production
-    refinement; the fit cost is training-side, the per-row code assignment
-    is embarrassingly parallel.
+    Scale shape: FUSED — all m subspace fits advance in the SAME corpus
+    pass. The seed job runs once (the md5-smallest cids are the seed rows
+    of every subspace, so one collect of the full seed vectors slices into
+    all m seed sets); each Lloyd round is ONE mapInArrow pass whose kernel
+    carries an (m × n_centroids × dim/m) accumulator and assigns every
+    row in all subspaces before emitting a single partial per partition;
+    the final code assignment is ONE pandas-UDF pass emitting all m codes
+    per row, exploded JVM-side. Total corpus passes: lloyd_iters + 1,
+    independent of m (the per-subspace formulation paid m × that).
+    Arithmetic is per-subspace-identical to ``fit_kmeans_centroids``, so
+    the unrolled per-subspace Lloyd SQL oracle still matches bit-for-bit.
 
     Output: (vec_id, subspace, code) — m rows per vector.
     """
     sub = dim // m
-    out = None
-    for j in range(m):
-        cj = corpus.select(
-            F.col(id_col).cast("string").alias("cid"),
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
-            .alias("cv"),
-        )
-        cents = fit_kmeans_centroids(cj, n_centroids, lloyd_iters)
-        aj = cj.select(
+    c = corpus.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    seeds = (
+        c.withColumn("h", F.md5("cid"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("cv")
+        .collect()
+    )
+    seed_mat = np.array([r.cv for r in seeds], dtype=np.float64)
+    cents = [seed_mat[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    for _ in range(lloyd_iters):
+        partials = c.select("cv").mapInArrow(
+            _pq_partial_sums_kernel(cents, sub),
+            "sums array<double>, counts array<bigint>",
+        ).collect()
+        sums = np.zeros((m, n_centroids, sub), dtype=np.float64)
+        counts = np.zeros((m, n_centroids), dtype=np.int64)
+        for r in partials:
+            sums += np.asarray(r.sums, dtype=np.float64).reshape(
+                m, n_centroids, sub
+            )
+            counts += np.asarray(r.counts, dtype=np.int64).reshape(
+                m, n_centroids
+            )
+        for j in range(m):
+            new_c = cents[j].copy()
+            nonempty = counts[j] > 0
+            new_c[nonempty] = sums[j][nonempty] / counts[j][nonempty, None]
+            cents[j] = new_c
+    return (
+        c.select("cid", _pq_codes_udf(cents, sub)(F.col("cv")).alias("codes"))
+        .select(
             F.col("cid").alias(id_col),
-            F.lit(j).cast("long").alias("subspace"),
-            _topc_udf(cents, 1)(F.col("cv"))[0].cast("long").alias("code"),
+            F.posexplode("codes").alias("subspace", "code"),
         )
-        out = aj if out is None else out.unionByName(aj)
-    return out
+        .select(
+            id_col,
+            F.col("subspace").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+        )
+    )
+
+
+def _pq_partial_sums_kernel(cents_list: list, sub: int):
+    """Fused-PQ Lloyd kernel: one pass assigns every row in ALL m subspaces
+    (same slice → normalize → GEMM → stable-argsort rule as the
+    per-subspace ``_partial_sums_kernel``) and accumulates one
+    (m × n_centroids × sub) sum block + (m × n_centroids) count block,
+    emitted flattened as a single partial row per non-empty partition."""
+    import pyarrow as pa
+
+    m = len(cents_list)
+    kc = cents_list[0].shape[0]
+    cns = [_normed(cj) for cj in cents_list]
+
+    def kernel(batches):
+        sums = np.zeros((m, kc, sub), dtype=np.float64)
+        counts = np.zeros((m, kc), dtype=np.int64)
+        seen = False
+        for b in batches:
+            col = b.column(0).to_pylist()
+            if not col:
+                continue
+            seen = True
+            X = np.asarray(col, dtype=np.float64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                vn = np.linalg.norm(Xj, axis=1)
+                vn[vn == 0.0] = 1.0
+                Sj = (Xj / vn[:, None]) @ cns[j].T
+                assign = np.argsort(-Sj, axis=1, kind="stable")[:, 0]
+                np.add.at(sums[j], assign, Xj)
+                counts[j] += np.bincount(assign, minlength=kc)
+        if seen:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "sums": [sums.reshape(-1).tolist()],
+                    "counts": [counts.reshape(-1).tolist()],
+                },
+                schema=pa.schema(
+                    [
+                        pa.field("sums", pa.list_(pa.float64())),
+                        pa.field("counts", pa.list_(pa.int64())),
+                    ]
+                ),
+            )
+
+    return kernel
+
+
+def _pq_codes_udf(cents_list: list, sub: int):
+    """pandas UDF emitting all m PQ codes per row in one pass — the same
+    per-subspace cosine argmax + stable tie-break as ``_topc_udf`` top-1."""
+    cns = [_normed(cj) for cj in cents_list]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="object")
+                continue
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            out = np.empty((X.shape[0], len(cns)), dtype=np.int64)
+            for j, cn in enumerate(cns):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                vn = np.linalg.norm(Xj, axis=1)
+                vn[vn == 0.0] = 1.0
+                Sj = (Xj / vn[:, None]) @ cn.T
+                out[:, j] = np.argsort(-Sj, axis=1, kind="stable")[:, 0]
+            yield pd.Series([row.tolist() for row in out])
+
+    return codes
 
 
 def int8_quantize(
