@@ -2892,6 +2892,38 @@ def q_clip_outliers(spark, sf_dir):
     return clip_outliers(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_order_statistics(spark, sf_dir):
+    """EXACT percentiles without a global sort: bounded-histogram pass +
+    bucket-local rank refinement (distributed selection)."""
+    from .operators.layout import order_statistics
+
+    return order_statistics(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_decayed_engagement(spark, sf_dir):
+    """Half-life decayed engagement per event type: dyadic e6 weights,
+    one map-side-combined aggregate."""
+    from .operators.sessions import decayed_engagement
+
+    return decayed_engagement(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """CUSUM upward-shift detector over daily rates via the prefix-sum
+    closed form (S = P - min(0, run-min P)) — two windows, no iteration."""
+    from .operators.sessions import cusum_changepoints
+
+    return cusum_changepoints(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (DLT) per event type: k=32 weighted sample +
+    Horvitz-Thompson subset-sum estimate vs the exact total."""
+    from .operators.sessions import priority_sample
+
+    return priority_sample(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_benford_audit(spark, sf_dir):
     """Benford first-digit data-quality audit over lineitem money cents:
     one 9-key map-side-combined aggregate, e6 integer chi contributions."""
@@ -3133,6 +3165,7 @@ QUERIES = {
     "zone_map_pruning": q_zone_map_pruning,
     "zorder_layout": q_zorder_layout,
     "bucketed_revenue": q_bucketed_revenue,
+    "order_statistics": q_order_statistics,
     "jaccard_prefix": q_jaccard_prefix,
     "degree_assortativity": q_degree_assortativity,
     "burst_windows": q_burst_windows,
@@ -3142,6 +3175,9 @@ QUERIES = {
     "session_range_join": q_session_range_join,
     "kmv_sketch": q_kmv_sketch,
     "dp_counts": q_dp_counts,
+    "priority_sample": q_priority_sample,
+    "decayed_engagement": q_decayed_engagement,
+    "cusum_changepoints": q_cusum_changepoints,
     "countmin_sketch": q_countmin_sketch,
     "event_transitions": q_event_transitions,
     "event_rates": q_event_rates,

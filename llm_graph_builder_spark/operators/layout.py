@@ -547,3 +547,75 @@ def bucketed_revenue(
             F.count("*").cast("long").alias("n_items"),
         )
     )
+
+
+def order_statistics(
+    lineitem: DataFrame,
+    bucket_width: int = 1000,
+    pcts: tuple = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """EXACT order statistics (min / percentiles / max) of a 100 TB-wide
+    column WITHOUT a global sort — two-pass histogram-refinement selection
+    (the distributed k-th-element algorithm):
+
+      pass 1: one map-side-combined aggregate at ``value div bucket_width``
+        grain — the histogram is bounded by the VALUE RANGE / width, not by
+        row count, so the driver-side cumulative scan is O(range/width);
+      pass 2: only the buckets that contain a target rank are re-read
+        (n/|buckets| × |targets| rows), ranked per bucket with a window
+        PARTITIONED BY BUCKET, and the exact element picked by its
+        bucket-local rank.
+
+    A global ``ORDER BY`` of the column never happens; the heavy exchange
+    is the bounded histogram. Ranks use the floor convention
+    ``rank(q) = (n−1)·q div 100 + 1`` (1-based), exact and engine-portable.
+    Values are integer cents (``round(x·100)``), so the DuckDB oracle — a
+    single-window row_number mirror, affordable at oracle scale —
+    hash-matches bit-for-bit.
+
+    Output: (stat, rank, value_cents) — min, p<q>…, max.
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    vals = lineitem.select(cents.alias("v"))
+    hist = (
+        vals.groupBy(F.expr(f"v div {int(bucket_width)}L").alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    n = sum(r.c for r in hist)
+    targets = [("min", 1)] + [
+        (f"p{q}", (n - 1) * q // 100 + 1) for q in pcts
+    ] + [("max", n)]
+    # driver-side cumulative scan over the BOUNDED histogram: which bucket
+    # holds each global rank, and at which bucket-local rank
+    want: list[tuple[str, int, int, int]] = []  # (stat, rank, bucket, local)
+    cum = 0
+    ti = 0
+    targets_sorted = sorted(targets, key=lambda t: t[1])
+    for r in hist:
+        while ti < len(targets_sorted) and targets_sorted[ti][1] <= cum + r.c:
+            stat, rank = targets_sorted[ti]
+            want.append((stat, rank, r.b, rank - cum))
+            ti += 1
+        cum += r.c
+    spark = lineitem.sparkSession
+    wdf = spark.createDataFrame(
+        want, "stat string, rank long, b long, local_rank long"
+    )
+    hot_buckets = sorted({w[2] for w in want})
+    ranked = (
+        vals.filter(F.expr(f"v div {int(bucket_width)}L").isin(hot_buckets))
+        .withColumn("b", F.expr(f"v div {int(bucket_width)}L"))
+        .withColumn(
+            "lr",
+            F.row_number().over(Window.partitionBy("b").orderBy("v")),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(wdf),
+            (ranked.b == wdf.b) & (ranked.lr == wdf.local_rank),
+        )
+        .select("stat", "rank", F.col("v").alias("value_cents"))
+    )

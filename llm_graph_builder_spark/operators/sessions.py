@@ -1293,3 +1293,203 @@ def dp_counts(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         .withColumn("epsilon_e6", F.lit(693147).cast("long"))
         .select("grp", "noisy_count", "epsilon_e6")
     )
+
+
+def decayed_engagement(
+    events: DataFrame,
+    half_life_days: int = 7,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponential-decay (half-life) engagement scores — the freshness
+    weighting a recommendation/training-mixture pipeline applies so stale
+    activity stops dominating: each event contributes
+    ``2^-(age_days div half_life)``, carried as the e6 integer
+    ``1000000 div (1 << halvings)`` (halvings clamped at 40, far past
+    underflow), so the sum is BIGINT-exact at any aggregation order and
+    the DuckDB oracle hash-matches. Binning ages by whole half-lives keeps
+    the weight table integer; a production variant interpolates within the
+    bin — same plan shape.
+
+    Anchor: the corpus max event date (one-row broadcast aggregate), so
+    the score is a pure function of the data — rerun-stable.
+
+    Scale shape: one row-local weight expression + ONE map-side-combined
+    aggregate at group grain. No windows, no Python.
+
+    Output: (grp, n_events, decayed_e6) — decayed_e6/1e6 is the
+    decayed event count.
+    """
+    hl = int(half_life_days)
+    d = F.to_date(F.col(ts_col))
+    anchor = events.agg(F.max(d).alias("anchor_d"))
+    w_e6 = F.expr(
+        f"1000000L div shiftleft(1L, CAST(least("
+        f"datediff(anchor_d, ev_d) div {hl}, 40) AS INT))"
+    )
+    return (
+        events.select(F.col(group_col).alias("grp"), d.alias("ev_d"))
+        .join(F.broadcast(anchor))
+        .select("grp", w_e6.alias("w_e6"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("w_e6").cast("long").alias("decayed_e6"),
+        )
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    h_means_e2: int = 300,
+    drift_div: int = 10,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM upward-shift detection over per-day event counts — the
+    change-point monitor an ingest pipeline runs per source/type. The
+    textbook recursion S_t = max(0, S_{t-1} + x_t − μ − κ) is not a window
+    function, but its closed form is: with P_t the prefix sum of
+    deviations, S_t = P_t − min(0, min_{j≤t} P_j) — ONE running-sum window
+    plus ONE running-min window on the same per-group day ordering, so the
+    whole detector is two window passes over the daily-rate grain, no
+    iteration. (Same prefix-trick family as ``concurrency_peaks``.)
+
+    μ is the group's observed-day mean (e6 staged integer), slack
+    κ = μ div ``drift_div``, alarm threshold h = μ · ``h_means_e2`` div 100
+    (default: 3 mean-days of excess). Missing days are skipped (observed
+    grain; densify with ``gapfill_series`` first for strict-calendar
+    CUSUM). All arithmetic BIGINT.
+
+    Scale shape: daily-rate aggregate (one shuffle), one-row-per-group
+    stats broadcast join, two windows partitioned BY GROUP — bounded by
+    days-per-group, embarrassingly parallel across groups.
+
+    Output: (grp, day, n_events, cusum_e6, h_e6, alarm) — every observed
+    day, alarm = 1 where cusum_e6 > h_e6.
+    """
+    d = F.to_date(F.col(ts_col))
+    daily = (
+        events.select(F.col(group_col).alias("grp"), d.alias("day"))
+        .groupBy("grp", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    stats = daily.groupBy("grp").agg(
+        F.expr("sum(n_events) * 1000000L div count(*)").alias("mu_e6")
+    )
+    base = daily.join(F.broadcast(stats), on="grp").withColumn(
+        "dev_e6",
+        F.expr(f"n_events * 1000000L - mu_e6 - mu_e6 div {int(drift_div)}L"),
+    )
+    wsum = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = base.withColumn("p_e6", F.sum("dev_e6").over(wsum))
+    cus = pre.withColumn(
+        "cusum_e6",
+        F.col("p_e6") - F.least(F.lit(0).cast("long"), F.min("p_e6").over(wsum)),
+    ).withColumn("h_e6", F.expr(f"mu_e6 * {int(h_means_e2)}L div 100L"))
+    return cus.select(
+        "grp",
+        "day",
+        "n_events",
+        "cusum_e6",
+        "h_e6",
+        (F.col("cusum_e6") > F.col("h_e6")).cast("long").alias("alarm"),
+    )
+
+
+def priority_sample(
+    events: DataFrame,
+    k: int = 32,
+    group_col: str = "event_type",
+    key_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) per group: a k-item
+    weighted sample whose Horvitz–Thompson estimator answers ANY later
+    subset-sum query over the weights — the bounded-size substitute for
+    keeping 100 TB of raw rows when only weighted totals are needed.
+
+    Priority q_i = w_i / u_i with u_i uniform(0,1]: here u comes from the
+    60-bit md5 integer of the key (same hash protocol as
+    ``kmv_distinct_sketch``) right-shifted to 30 bits, and
+    q_int = w · 2^30 div u' — all BIGINT (w is integer cents). The k
+    highest-priority items are kept; with τ = the (k+1)-th priority, each
+    kept item estimates max(w_i, τ), which sums to an unbiased total
+    estimate. Groups with ≤ k items report exactly (τ absent). The exact
+    total rides along as the accuracy probe (``err_e4``), as in the KMV
+    sketch; drop it in production.
+
+    Scale shape: the same two-phase top-k as ``kmv_distinct_sketch`` —
+    per-(group, scan-partition) partial top-(k+1) first, so no reducer
+    ever sees more than (k+1) rows per partition.
+
+    Output: (grp, n_items, n_sampled, est_total, exact_total, err_e4).
+    """
+    m30 = 1 << 30
+    base = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).cast("string").alias("kid"),
+            F.round(F.col(value_col) * 100).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn(
+            "u",
+            F.expr(
+                "CAST(conv(substring(md5(kid), 1, 15), 16, 10) AS BIGINT)"
+                f" div {m30}L + 1L"
+            ),
+        )
+        .withColumn("q", F.expr(f"w * {m30}L div u"))
+    )
+    # two-phase top-(k+1) by priority: partial per scan partition first
+    wp = Window.partitionBy("grp", "part").orderBy(
+        F.desc("q"), F.asc("kid")
+    )
+    partial = (
+        base.withColumn("part", F.spark_partition_id())
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= k + 1)
+    )
+    wg = Window.partitionBy("grp").orderBy(F.desc("q"), F.asc("kid"))
+    top = partial.withColumn("rn", F.row_number().over(wg)).filter(
+        F.col("rn") <= k + 1
+    )
+    tau = top.filter(F.col("rn") == k + 1).select(
+        "grp", F.col("q").alias("tau")
+    )
+    est = (
+        top.filter(F.col("rn") <= k)
+        .join(tau, on="grp", how="left")
+        .withColumn(
+            "w_hat",
+            F.expr("CASE WHEN tau IS NULL THEN w ELSE greatest(w, tau) END"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("w_hat").cast("long").alias("est_total"),
+        )
+    )
+    exact = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("w").cast("long").alias("exact_total"),
+    )
+    return (
+        exact.join(est, on="grp", how="left")
+        .withColumn(
+            "err_e4",
+            F.expr(
+                "abs(coalesce(est_total, 0L) - exact_total) * 10000L"
+                " div greatest(exact_total, 1L)"
+            ),
+        )
+        .select(
+            "grp", "n_items", "n_sampled", "est_total", "exact_total",
+            "err_e4",
+        )
+    )

@@ -7146,3 +7146,122 @@ SELECT o.o_orderpriority, l.l_returnflag,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY 1, 2
 """
+
+
+# mirrors q_order_statistics / layout.order_statistics: the Spark side is a
+# two-pass histogram-refinement selection; the oracle affords the single
+# global row_number. Rank convention: (n-1)*q//100 + 1, 1-based.
+ORACLE_SQL["order_statistics"] = """
+WITH osv AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+osr AS MATERIALIZED (
+  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn FROM osv
+),
+osn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM osv),
+ost AS (
+  SELECT 'min' AS stat, CAST(1 AS BIGINT) AS rank FROM osn
+  UNION ALL SELECT 'p25', (n - 1) * 25 // 100 + 1 FROM osn
+  UNION ALL SELECT 'p50', (n - 1) * 50 // 100 + 1 FROM osn
+  UNION ALL SELECT 'p75', (n - 1) * 75 // 100 + 1 FROM osn
+  UNION ALL SELECT 'p90', (n - 1) * 90 // 100 + 1 FROM osn
+  UNION ALL SELECT 'p99', (n - 1) * 99 // 100 + 1 FROM osn
+  UNION ALL SELECT 'max', n FROM osn
+)
+SELECT t.stat, t.rank, r.v AS value_cents
+FROM ost t JOIN osr r ON r.rn = t.rank
+"""
+
+
+# mirrors q_decayed_engagement / sessions.decayed_engagement: dyadic e6
+# half-life weights (1000000 // 2^halvings, clamp 40), BIGINT sums.
+ORACLE_SQL["decayed_engagement"] = """
+WITH dea AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS ev_d FROM events
+),
+dem AS (SELECT max(ev_d) AS anchor_d FROM dea)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(1000000 // (CAST(1 AS BIGINT) << CAST(least(
+         datediff('day', ev_d, anchor_d) // 7, 40) AS INTEGER)))
+         AS BIGINT) AS decayed_e6
+FROM dea CROSS JOIN dem
+GROUP BY 1
+"""
+
+
+# mirrors q_cusum_changepoints / sessions.cusum_changepoints: prefix-sum
+# closed form of the CUSUM recursion — running sum + running min windows
+# per group over observed days; mu/slack/threshold staged-integer e6.
+ORACLE_SQL["cusum_changepoints"] = """
+WITH cud AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+cus AS (
+  SELECT grp, CAST(sum(n_events) * 1000000 // count(*) AS BIGINT) AS mu_e6
+  FROM cud GROUP BY 1
+),
+cub AS (
+  SELECT d.grp, d.day, d.n_events, s.mu_e6,
+         d.n_events * 1000000 - s.mu_e6 - s.mu_e6 // 10 AS dev_e6
+  FROM cud d JOIN cus s ON d.grp = s.grp
+),
+cup AS (
+  SELECT grp, day, n_events, mu_e6,
+         sum(dev_e6) OVER (PARTITION BY grp ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_e6
+  FROM cub
+)
+SELECT grp, day, n_events,
+       CAST(p_e6 - least(0, min(p_e6) OVER (PARTITION BY grp ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS BIGINT) AS cusum_e6,
+       CAST(mu_e6 * 300 // 100 AS BIGINT) AS h_e6,
+       CAST(CASE WHEN p_e6 - least(0, min(p_e6) OVER (PARTITION BY grp
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         > mu_e6 * 300 // 100 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM cup
+"""
+
+
+# mirrors q_priority_sample / sessions.priority_sample: integer DLT
+# priorities q = w*2^30 // u' (u' = 30-bit md5 uniform + 1), top-(k+1) per
+# group with (q desc, kid asc) tie-break, HT estimate max(w, tau).
+ORACLE_SQL["priority_sample"] = """
+WITH psb AS (
+  SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS kid,
+         CAST(round(value * 100) AS BIGINT) AS w
+  FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) > 0
+),
+psq AS MATERIALIZED (
+  SELECT grp, kid, w,
+         w * 1073741824 // (CAST(('0x' || substr(md5(kid), 1, 15)) AS BIGINT)
+           // 1073741824 + 1) AS q
+  FROM psb
+),
+psr AS MATERIALIZED (
+  SELECT grp, kid, w, q,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY q DESC, kid)
+           AS BIGINT) AS rn
+  FROM psq
+),
+pst AS (SELECT grp, q AS tau FROM psr WHERE rn = 33),
+pse AS (
+  SELECT r.grp, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(CASE WHEN t.tau IS NULL THEN r.w
+                       ELSE greatest(r.w, t.tau) END) AS BIGINT) AS est_total
+  FROM psr r LEFT JOIN pst t ON r.grp = t.grp
+  WHERE r.rn <= 32 GROUP BY 1
+),
+psx AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(w) AS BIGINT) AS exact_total
+  FROM psb GROUP BY 1
+)
+SELECT x.grp, x.n_items, e.n_sampled, e.est_total, x.exact_total,
+       CAST(abs(coalesce(e.est_total, 0) - x.exact_total) * 10000
+            // greatest(x.exact_total, 1) AS BIGINT) AS err_e4
+FROM psx x LEFT JOIN pse e ON x.grp = e.grp
+"""
