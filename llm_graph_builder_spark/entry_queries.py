@@ -2892,6 +2892,25 @@ def q_clip_outliers(spark, sf_dir):
     return clip_outliers(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity privacy audit: QI groups whose sensitive attribute
+    (lang) takes < l distinct values — two map-side-combined aggregates."""
+    from .operators.curation import l_diversity
+
+    return l_diversity(read_documents(spark, sf_dir))
+
+
+def q_gini_inequality(spark, sf_dir):
+    """Per-segment Gini of customer spend via the value-bucket prefix-sum
+    rank (no single-partition window) — the key-skew audit."""
+    from .operators.warehouse import gini_inequality
+
+    return gini_inequality(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def q_order_statistics(spark, sf_dir):
     """EXACT percentiles without a global sort: bounded-histogram pass +
     bucket-local rank refinement (distributed selection)."""
@@ -3142,6 +3161,8 @@ QUERIES = {
     "inactive_customer_balance": q_inactive_customer_balance,
     "benford_audit": q_benford_audit,
     "target_encoding": q_target_encoding,
+    "gini_inequality": q_gini_inequality,
+    "l_diversity": q_l_diversity,
     "hll_sketch": q_hll_sketch,
     "order_pivot": q_order_pivot,
     "outlier_days": q_outlier_days,

@@ -682,3 +682,49 @@ def k_anonymity(
         .cast("long").alias("n_risky_docs"),
         F.sum("n").cast("long").alias("total_docs"),
     )
+
+
+def l_diversity(
+    docs: DataFrame,
+    ls: tuple = (2, 3, 5),
+) -> DataFrame:
+    """l-diversity audit — the companion gate to :func:`k_anonymity`:
+    a quasi-identifier group is l-diverse when its SENSITIVE attribute
+    (here ``lang``) takes at least l distinct values; a group that is
+    large (k-anonymous) but monotone in the sensitive column still leaks
+    it. QI grain: (source, length-bucket); sensitive: lang.
+
+    Scale shape: ONE aggregation at (QI, lang) grain collapses the corpus,
+    a second at QI grain counts distinct sensitive values from it (both
+    map-side combined), then the bounded ls-explode — the corpus is
+    scanned once for any number of l thresholds.
+
+    Output: (l, n_groups, n_weak_groups, n_weak_docs, total_docs).
+    """
+    qi = docs.select(
+        "source",
+        F.expr("CAST(n_chars AS BIGINT) div 100").alias("len_bucket"),
+        "lang",
+    )
+    per_sens = qi.groupBy("source", "len_bucket", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    sizes = per_sens.groupBy("source", "len_bucket").agg(
+        F.count("*").cast("long").alias("div_"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    ldf = sizes.crossJoin(
+        F.broadcast(
+            sizes.sparkSession.createDataFrame(
+                [(int(v),) for v in ls], "l long"
+            )
+        )
+    )
+    return ldf.groupBy("l").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("div_") < F.col("l"), 1).otherwise(0))
+        .cast("long").alias("n_weak_groups"),
+        F.sum(F.when(F.col("div_") < F.col("l"), F.col("n")).otherwise(0))
+        .cast("long").alias("n_weak_docs"),
+        F.sum("n").cast("long").alias("total_docs"),
+    )

@@ -7265,3 +7265,60 @@ SELECT x.grp, x.n_items, e.n_sampled, e.est_total, x.exact_total,
             // greatest(x.exact_total, 1) AS BIGINT) AS err_e4
 FROM psx x LEFT JOIN pse e ON x.grp = e.grp
 """
+
+
+# mirrors q_l_diversity / curation.l_diversity: distinct-lang diversity at
+# the (source, len-bucket) QI grain, per-l CASE rollup (k_anonymity shape).
+ORACLE_SQL["l_diversity"] = """
+WITH lds AS (
+  SELECT source, CAST(n_chars AS BIGINT) // 100 AS len_bucket, lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+ldg AS (
+  SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS div_,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM lds GROUP BY 1, 2
+),
+ldl AS (SELECT unnest([2, 3, 5]) AS l)
+SELECT CAST(l AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN div_ < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weak_groups,
+       CAST(sum(CASE WHEN div_ < l THEN n ELSE 0 END) AS BIGINT)
+         AS n_weak_docs,
+       CAST(sum(n) AS BIGINT) AS total_docs
+FROM ldg CROSS JOIN ldl
+GROUP BY 1
+"""
+
+
+# mirrors q_gini_inequality / warehouse.gini_inequality: ascending-rank
+# Gini per segment; the oracle affords one window per segment, the Spark
+# side ranks via value-bucket prefix sums. Identical staged div-1000.
+ORACLE_SQL["gini_inequality"] = """
+WITH gsp AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+grk AS (
+  SELECT segment, x,
+         CAST(row_number() OVER (PARTITION BY segment ORDER BY x, o_custkey)
+           AS BIGINT) AS rank
+  FROM gsp
+),
+gag AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(x) AS BIGINT) AS total_cents,
+         CAST(sum(rank * x) AS BIGINT) AS rx
+  FROM grk GROUP BY 1
+)
+SELECT segment, n_customers, total_cents,
+       CAST(((2 * rx - (n_customers + 1) * total_cents) // 1000)
+            * 1000000 // ((n_customers * total_cents) // 1000)
+            AS BIGINT) AS gini_e6
+FROM gag
+"""

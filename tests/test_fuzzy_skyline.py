@@ -609,3 +609,46 @@ def test_priority_sample_exact_small_and_estimates_large(spark):
     # HT estimate from 32 of 500 items lands within 35% here (deterministic
     # md5 draws -> this is a fixed regression bound, not a flaky assertion)
     assert b.err_e4 < 3500
+
+
+def test_gini_inequality_extremes(spark):
+    from llm_graph_builder_spark.operators.warehouse import gini_inequality
+
+    # EQ: 4 customers spending identically -> G ~ 0 (sample form gives
+    # exactly 0 here); SKEW: one customer owns ~everything -> G -> (n-1)/n
+    orders = spark.createDataFrame(
+        [(i, 100.00) for i in range(1, 5)]
+        + [(10, 0.01), (11, 0.01), (12, 0.01), (13, 9999.99)],
+        ["o_custkey", "o_totalprice"],
+    )
+    cust = spark.createDataFrame(
+        [(i, "EQ") for i in range(1, 5)] + [(i, "SKEW") for i in (10, 11, 12, 13)],
+        ["c_custkey", "c_mktsegment"],
+    )
+    got = {r.segment: r for r in gini_inequality(orders, cust, bucket_width=100).collect()}
+    assert got["EQ"].n_customers == 4 and got["EQ"].gini_e6 == 0
+    # exact: ranks 1,2,3 at 1 cent, rank 4 at 999999 ->
+    # G = (2*(1+2+3+4*999999) - 5*1000002) / (4*1000002)
+    n, s = 4, 3 + 999999
+    rx = 1 + 2 + 3 + 4 * 999999
+    expect = ((2 * rx - (n + 1) * s) // 1000) * 1000000 // ((n * s) // 1000)
+    assert got["SKEW"].gini_e6 == expect
+    assert got["SKEW"].gini_e6 > 700000  # strongly concentrated
+
+
+def test_l_diversity_monotone_group_flagged(spark):
+    from llm_graph_builder_spark.operators.curation import l_diversity
+
+    rows = (
+        # group (web, 1): 3 docs, all 'en' -> diversity 1, weak at every l
+        [("web", 150, "en")] * 3
+        # group (web, 2): 4 docs over 3 langs -> diversity 3, weak only at l=5
+        + [("web", 250, "en"), ("web", 251, "de"), ("web", 252, "fr"),
+           ("web", 253, "de")]
+    )
+    docs = spark.createDataFrame(rows, ["source", "n_chars", "lang"])
+    got = {r.l: (r.n_groups, r.n_weak_groups, r.n_weak_docs, r.total_docs)
+           for r in l_diversity(docs).collect()}
+    assert got[2] == (2, 1, 3, 7)
+    assert got[3] == (2, 1, 3, 7)
+    assert got[5] == (2, 2, 7, 7)
