@@ -1388,6 +1388,34 @@ def q_degree_assortativity(spark, sf_dir):
     return degree_assortativity(t["entity_edges"])
 
 
+def q_edge_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity at the unordered-pair grain (one
+    aggregation, no reversed-edge self-join)."""
+    from .operators.graph_analytics import edge_reciprocity
+
+    t = pipeline_tables(spark, sf_dir)
+    return edge_reciprocity(t["entity_edges"])
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf slope of the corpus frequency spectrum: bucket prefix-sum
+    ranks + floor-log2 axes + integer OLS fraction."""
+    from .functions.textstats import zipf_fit
+
+    return zipf_fit(read_documents(spark, sf_dir))
+
+
+def q_join_cardinality(spark, sf_dir):
+    """Pre-join cardinality/amplification profile of orders x lineitem
+    from the two per-key count tables — the join is never executed."""
+    from .operators.warehouse import join_cardinality
+
+    return join_cardinality(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based clickstream sessions over the events table (30-min gap;
     one user-keyed shuffle — see operators/sessions.py)."""
@@ -3189,6 +3217,8 @@ QUERIES = {
     "order_statistics": q_order_statistics,
     "jaccard_prefix": q_jaccard_prefix,
     "degree_assortativity": q_degree_assortativity,
+    "edge_reciprocity": q_edge_reciprocity,
+    "join_cardinality": q_join_cardinality,
     "burst_windows": q_burst_windows,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -3240,4 +3270,5 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "feature_hashing": q_feature_hashing,
+    "zipf_fit": q_zipf_fit,
 }

@@ -589,3 +589,74 @@ def feature_hashing(
         .agg(F.sum("sval").cast("long").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum — the one-row
+    distribution card a corpus release ships (natural text slopes near −1;
+    a far-off slope flags templated/synthetic/boilerplate-heavy data).
+
+    Integer throughout: term ranks come from the value-bucket prefix-sum
+    trick (bucket = floor-log2 of the term frequency via
+    ``length(bin(freq)) − 1`` — ≤ ~40 buckets regardless of corpus size;
+    offsets broadcast; per-bucket windows rank by (freq desc, term asc)),
+    then both axes are floor-log2'd and the OLS slope is carried as the
+    exact fraction n·Σxy − Σx·Σy over n·Σx² − (Σx)² (``trend_slopes``
+    convention) plus a staged-div e4 — Spark div and DuckDB // both
+    truncate toward zero, so the negative slope is portable.
+
+    Scale shape: one exploded-token shuffle to term grain, one ≤40-row
+    histogram, bucket-parallel rank windows, one one-row moment aggregate.
+
+    Output: (n_terms, n_tokens, slope_num, slope_den, slope_e4).
+    """
+    toks = _tokens(F.col(text_col))
+    tf = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # rank by frequency desc without a global window: bucket = -floor-log2
+    tf = tf.withColumn("b", -(F.length(F.bin(F.col("c"))) - 1).cast("long"))
+    btot = tf.groupBy("b").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "b", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("b").orderBy(F.desc("c"), F.asc("term"))
+    pts = (
+        tf.withColumn("rin", F.row_number().over(w_in))
+        .join(F.broadcast(offs), on="b")
+        .select(
+            (F.col("off") + F.col("rin")).cast("long").alias("rank"),
+            "c",
+        )
+        .select(
+            (F.length(F.bin(F.col("rank"))) - 1).cast("long").alias("x"),
+            (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("y"),
+            "c",
+        )
+    )
+    return (
+        pts.agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+            F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        )
+        .select(
+            "n_terms",
+            "n_tokens",
+            F.expr("n_terms * sxy - sx * sy").alias("slope_num"),
+            F.expr("n_terms * sxx - sx * sx").alias("slope_den"),
+            F.expr(
+                "(n_terms * sxy - sx * sy) * 10000L"
+                " div greatest(n_terms * sxx - sx * sx, 1L)"
+            ).alias("slope_e4"),
+        )
+    )

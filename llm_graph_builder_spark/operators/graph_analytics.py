@@ -2692,3 +2692,39 @@ def aggregate_messages(
             F.min("msg").cast("long").alias("min_attr"),
         )
     )
+
+
+def edge_reciprocity(entity_edges: DataFrame) -> DataFrame:
+    """Reciprocity of the DIRECTED entity graph: the share of directed
+    edges whose reverse edge also exists (networkx ``reciprocity`` / GDS
+    convention, self-loops excluded, predicates collapsed to the distinct
+    (u, v) pair grain). High reciprocity says the extractor emits
+    symmetric relations; a drop after a rules change is the regression
+    signal this audit exists for.
+
+    Scale shape: instead of a self-join on the reversed edge list, ONE
+    aggregation at the unordered-pair grain counts orientations (1 or 2)
+    — half the shuffle of the join formulation and no skew doubling. The
+    rollup to one row is a map-side-combined aggregate.
+
+    Output: one row (n_edges, n_reciprocal, reciprocity_e6).
+    """
+    ka = _node_key("subj_id", "subj_label")
+    kb = _node_key("obj_id", "obj_label")
+    e = (
+        entity_edges.select(ka.alias("a"), kb.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    pair = e.groupBy(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).agg(F.count("*").cast("long").alias("n_or"))
+    return pair.agg(
+        F.sum("n_or").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("n_or") == 2, 2).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocal"),
+    ).withColumn(
+        "reciprocity_e6",
+        F.expr("n_reciprocal * 1000000L div greatest(n_edges, 1L)"),
+    )

@@ -1445,3 +1445,53 @@ def gini_inequality(
         )
         .select("segment", "n_customers", "total_cents", "gini_e6")
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str = "o_orderkey",
+    right_key: str = "l_orderkey",
+) -> DataFrame:
+    """Pre-join cardinality profile — the planner-style audit a pipeline
+    runs BEFORE a 100 TB fact-fact join: exact output size and
+    amplification computed from the two per-key COUNT TABLES (one
+    aggregate per side + a key-grain join of the skinny count tables),
+    never from the join itself. Σ cL(k)·cR(k) is the exact inner-join row
+    count; ``max_*_mult`` expose the hot keys that decide salting.
+
+    Output (one row): (n_left_rows, n_right_rows, n_left_keys,
+    n_right_keys, n_common_keys, join_rows, max_left_mult,
+    max_right_mult, amp_e4 = join_rows·1e4 div (n_left_rows+n_right_rows)).
+    """
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").cast("long").alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").cast("long").alias("cr")
+    )
+    both = lc.join(rc, on="k").agg(
+        F.count("*").cast("long").alias("n_common_keys"),
+        F.sum(F.expr("cl * cr")).cast("long").alias("join_rows"),
+    )
+    lstat = lc.agg(
+        F.sum("cl").cast("long").alias("n_left_rows"),
+        F.count("*").cast("long").alias("n_left_keys"),
+        F.max("cl").cast("long").alias("max_left_mult"),
+    )
+    rstat = rc.agg(
+        F.sum("cr").cast("long").alias("n_right_rows"),
+        F.count("*").cast("long").alias("n_right_keys"),
+        F.max("cr").cast("long").alias("max_right_mult"),
+    )
+    return (
+        lstat.crossJoin(rstat)
+        .crossJoin(both)
+        .select(
+            "n_left_rows", "n_right_rows", "n_left_keys", "n_right_keys",
+            "n_common_keys", "join_rows", "max_left_mult", "max_right_mult",
+            F.expr(
+                "join_rows * 10000L div (n_left_rows + n_right_rows)"
+            ).alias("amp_e4"),
+        )
+    )

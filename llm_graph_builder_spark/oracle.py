@@ -7322,3 +7322,101 @@ SELECT segment, n_customers, total_cents,
             AS BIGINT) AS gini_e6
 FROM gag
 """
+
+
+# mirrors q_edge_reciprocity / graph_analytics.edge_reciprocity: distinct
+# directed pairs -> orientation counts at the unordered-pair grain.
+ORACLE_SQL["edge_reciprocity"] = PIPELINE_CTE + """
+, rcd AS (
+  SELECT DISTINCT subj_id || chr(1) || subj_label AS a,
+         obj_id || chr(1) || obj_label AS b
+  FROM entity_edges
+  WHERE subj_id || chr(1) || subj_label <> obj_id || chr(1) || obj_label
+),
+rcp AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v,
+         CAST(count(*) AS BIGINT) AS n_or
+  FROM rcd GROUP BY 1, 2
+)
+SELECT CAST(sum(n_or) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN n_or = 2 THEN 2 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal,
+       CAST(sum(CASE WHEN n_or = 2 THEN 2 ELSE 0 END) * 1000000
+            // greatest(sum(n_or), 1) AS BIGINT) AS reciprocity_e6
+FROM rcp
+"""
+
+
+# mirrors q_zipf_fit / textstats.zipf_fit: frequency-desc ranks (ties by
+# term asc), floor-log2 axes via length(bin(x)) - 1, integer OLS fraction
+# + staged e4 (both engines truncate toward zero on negatives).
+ORACLE_SQL["zipf_fit"] = """
+WITH zft AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+zfr AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+           AS rank
+  FROM zft
+),
+zfp AS (
+  SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(c)) - 1 AS BIGINT) AS y, c
+  FROM zfr
+),
+zfm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM zfp
+)
+SELECT n_terms, n_tokens,
+       CAST(n_terms * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_terms * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST((n_terms * sxy - sx * sy) * 10000
+            // greatest(n_terms * sxx - sx * sx, 1) AS BIGINT) AS slope_e4
+FROM zfm
+"""
+
+
+# mirrors q_join_cardinality / warehouse.join_cardinality: exact join-size
+# prediction from the two per-key count tables.
+ORACLE_SQL["join_cardinality"] = """
+WITH jcl AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+  FROM orders GROUP BY 1
+),
+jcr AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+  FROM lineitem GROUP BY 1
+),
+jcb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common_keys,
+         CAST(sum(cl * cr) AS BIGINT) AS join_rows
+  FROM jcl JOIN jcr USING (k)
+),
+jcls AS (
+  SELECT CAST(sum(cl) AS BIGINT) AS n_left_rows,
+         CAST(count(*) AS BIGINT) AS n_left_keys,
+         CAST(max(cl) AS BIGINT) AS max_left_mult
+  FROM jcl
+),
+jcrs AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS n_right_rows,
+         CAST(count(*) AS BIGINT) AS n_right_keys,
+         CAST(max(cr) AS BIGINT) AS max_right_mult
+  FROM jcr
+)
+SELECT n_left_rows, n_right_rows, n_left_keys, n_right_keys,
+       n_common_keys, join_rows, max_left_mult, max_right_mult,
+       CAST(join_rows * 10000 // (n_left_rows + n_right_rows) AS BIGINT)
+         AS amp_e4
+FROM jcls CROSS JOIN jcrs CROSS JOIN jcb
+"""

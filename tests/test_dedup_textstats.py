@@ -2534,3 +2534,19 @@ def test_feature_hashing_sign_sum_and_shard_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, vecs.collect())
     )
+
+
+def test_zipf_fit_slope_negative_on_zipfian_text(spark):
+    from llm_graph_builder_spark.functions.textstats import zipf_fit
+
+    # frequencies 64, 16, 4, 1 at ranks 1..4: y-bits (6,4,2,0), x-bits
+    # (0,1,1,2) -> a clean negative slope
+    text = " ".join(["the"] * 64 + ["of"] * 16 + ["ox"] * 4 + ["qi"])
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = zipf_fit(docs).collect()[0]
+    assert (r.n_terms, r.n_tokens) == (4, 85)
+    n, sx, sy = 4, 0 + 1 + 1 + 2, 6 + 4 + 2 + 0
+    sxy = 0 * 6 + 1 * 4 + 1 * 2 + 2 * 0
+    sxx = 0 + 1 + 1 + 4
+    assert (r.slope_num, r.slope_den) == (n * sxy - sx * sy, n * sxx - sx * sx)
+    assert r.slope_e4 < 0

@@ -652,3 +652,23 @@ def test_l_diversity_monotone_group_flagged(spark):
     assert got[2] == (2, 1, 3, 7)
     assert got[3] == (2, 1, 3, 7)
     assert got[5] == (2, 2, 7, 7)
+
+
+def test_join_cardinality_exact_prediction(spark):
+    from llm_graph_builder_spark.operators.warehouse import join_cardinality
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], ["o_orderkey"]
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (9,)], ["l_orderkey"]
+    )
+    r = join_cardinality(left, right).collect()[0]
+    assert (r.n_left_rows, r.n_right_rows) == (4, 5)
+    assert (r.n_left_keys, r.n_right_keys, r.n_common_keys) == (3, 3, 2)
+    assert r.join_rows == 2 * 3 + 1 * 1  # the prediction IS the exact size
+    assert r.join_rows == left.join(
+        right, left.o_orderkey == right.l_orderkey
+    ).count()
+    assert (r.max_left_mult, r.max_right_mult) == (2, 3)
+    assert r.amp_e4 == 7 * 10000 // 9

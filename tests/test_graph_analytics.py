@@ -938,3 +938,23 @@ def test_aggregate_messages_star(spark):
     assert (got["a"].n_msgs, got["a"].sum_attr, got["a"].max_attr) == (3, 3, 1)
     for leaf in "bcd":
         assert (got[leaf].n_msgs, got[leaf].sum_attr, got[leaf].min_attr) == (1, 3, 3)
+
+
+def test_edge_reciprocity_counts(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        edge_reciprocity,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "E", "R1", "b", "E"),   # a->b and b->a: reciprocal pair
+            ("b", "E", "R2", "a", "E"),
+            ("a", "E", "R1", "c", "E"),   # one-way
+            ("a", "E", "R3", "c", "E"),   # same pair, different pred: collapsed
+            ("d", "E", "R1", "d", "E"),   # self-loop: excluded
+        ],
+        ["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+    )
+    r = edge_reciprocity(edges).collect()[0]
+    assert (r.n_edges, r.n_reciprocal) == (3, 2)
+    assert r.reciprocity_e6 == 2 * 1000000 // 3
