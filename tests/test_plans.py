@@ -288,3 +288,56 @@ def test_interval_union_single_user_exchange(spark):
         if "Exchange hashpartitioning" in seg
     ]
     assert len(wide) == 1, wide
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The Zipfian-repo hazard, pinned end-to-end: with AQE skew-join on
+    (the session default), a sort-merge join whose left side has one hot
+    key gets its oversized partition SPLIT at runtime — the executed plan
+    marks the join `skew=true`. Thresholds are lowered to unit-test scale;
+    the mechanism is identical at 100 TB."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # deterministic partition layout for the skew detector
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        pad = "x" * 200
+        fact = (
+            spark.range(0, 20_000)
+            .selectExpr(
+                "CASE WHEN id % 10 < 9 THEN 0L ELSE id END AS k",
+                f"concat('{pad}', id) AS payload",
+            )
+        )
+        dim = spark.range(0, 20_000).selectExpr(
+            "id AS k", "id * 2 AS attr"
+        )
+        # aggregate over the payload so column pruning cannot shrink the
+        # hot partition below the (lowered) skew threshold
+        joined = (
+            fact.join(dim.hint("merge"), on="k")
+            .groupBy()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("payload")).alias("bytes_"),
+            )
+        )
+        [row] = joined.collect()
+        assert row["n"] == 20_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
