@@ -1405,6 +1405,42 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(read_documents(spark, sf_dir))
 
 
+def q_ams_f2(spark, sf_dir):
+    """AMS second-frequency-moment sketch of the token stream (16 md5 ±1
+    estimators, all-BIGINT) vs the exact F2 — the self-join-size probe a
+    skew planner reads before shuffling on a term key."""
+    from .functions.textstats import ams_f2
+
+    return ams_f2(read_documents(spark, sf_dir))
+
+
+def q_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16-dim Rademacher projection distortion
+    audit over adjacent-id embedding pairs — integer-exact (1e-6 fixed-point
+    components, BIGINT signed sums), sign matrix folded into codegen."""
+    from .operators.ann import jl_distortion
+
+    return jl_distortion(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup audit: md5-coin boundaries computed
+    array-side (no per-position explode), per-doc lead spans, one sha
+    rollup → chunk-store savings card."""
+    from .operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(read_documents(spark, sf_dir))
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum schedule: mean-token-length difficulty (integer e4),
+    bucket prefix-sum global rank (no global window), equal-size phases,
+    md5-shuffled within-phase order."""
+    from .operators.packing import curriculum_order
+
+    return curriculum_order(read_documents(spark, sf_dir))
+
+
 def q_join_cardinality(spark, sf_dir):
     """Pre-join cardinality/amplification profile of orders x lineitem
     from the two per-key count tables — the join is never executed."""
@@ -3271,4 +3307,8 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "feature_hashing": q_feature_hashing,
     "zipf_fit": q_zipf_fit,
+    "ams_f2": q_ams_f2,
+    "jl_distortion": q_jl_distortion,
+    "cdc_chunks": q_cdc_chunks,
+    "curriculum_order": q_curriculum_order,
 }

@@ -660,3 +660,84 @@ def zipf_fit(
             ).alias("slope_e4"),
         )
     )
+
+
+def ams_f2(
+    docs: DataFrame,
+    text_col: str = "text",
+    r: int = 16,
+) -> DataFrame:
+    """AMS second-frequency-moment (F2) sketch over the token stream, with
+    the exact F2 alongside as the accuracy probe. F2 = Σ_term c² is the
+    "repetition mass" of a corpus (self-join size of the token table, the
+    quantity skew planners need before shuffling on a token/term key); the
+    AMS estimator is the classic mergeable sketch for it: ``r`` independent
+    ±1 hash coins, Z_j = Σ_term c·sign_j(term), estimate = mean Z_j².
+
+    Everything is BIGINT so the DuckDB oracle hash-matches: signs come from
+    the md5-parity coin (same ``term#j`` string both engines hash), the Z
+    sums and their squares are exact integer arithmetic, and the mean is an
+    integer div. At 100 TB the term table never materializes anywhere: each
+    partition folds its local counts into r running integers (map-side
+    combine on the ≤r-row ``j`` key), and sketches merge by addition — the
+    shuffle moves r rows per partition, full stop. (Here the exact F2 rides
+    the same term reduction as the probe.)
+
+    Output one row: (n_terms, n_tokens, f2_exact, f2_est, n_estimators,
+    err_e4).
+    """
+    toks = _tokens(F.col(text_col))
+    tf = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sign = (
+        F.lit(1)
+        - F.lit(2)
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("term"), F.lit("#"), F.col("j").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+    ).cast("long")
+    z = (
+        tf.select(
+            "term",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("j"),
+        )
+        .select("j", (F.col("c") * sign).alias("zc"))
+        .groupBy("j")
+        .agg(F.sum("zc").cast("long").alias("z"))
+    )
+    est = z.agg(
+        F.expr(f"sum(z * z) div {r}L").cast("long").alias("f2_est"),
+        F.count("*").cast("long").alias("n_estimators"),
+    )
+    exact = tf.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    )
+    return exact.crossJoin(est).select(
+        "n_terms",
+        "n_tokens",
+        "f2_exact",
+        "f2_est",
+        "n_estimators",
+        F.expr("abs(f2_est - f2_exact) * 10000L div greatest(f2_exact, 1L)")
+        .cast("long")
+        .alias("err_e4"),
+    )

@@ -773,3 +773,108 @@ def cluster_quality(
         F.sum(F.lit(10000) - F.col("cos_e4")).cast("long").alias("inertia_e4"),
         F.min("cos_e4").alias("worst_cos_e4"),
     )
+
+
+def _rademacher_sign(d: int, j: int) -> int:
+    """Deterministic ±1 coin for (input dim d, output dim j): parity of the
+    32-bit md5 prefix of ``"{d}#{j}"`` — the exact string both engines hash,
+    so the DuckDB oracle regenerates the same matrix with its own md5()."""
+    import hashlib
+
+    h = hashlib.md5(f"{d}#{j}".encode()).hexdigest()[:8]
+    return 1 - 2 * (int(h, 16) % 2)
+
+
+def jl_distortion(
+    corpus: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection distortion audit — project the
+    embedding column to ``k`` dims with a deterministic Rademacher (±1) sign
+    matrix and measure how well pairwise squared distances survive. This is
+    the pre-flight check before swapping full-dim embeddings for a cheap
+    projection in LSH banding / near-dup blocking / coarse ANN at 100 TB
+    (dim×8 bytes/vector → k×8: an 8 GB/billion-vector column at k=16); the
+    reference keeps full-dim vectors in Neo4j vector indexes
+    (graphDB_dataAccess.py:551-582) and has no compression story.
+
+    Integer-exact end to end so the oracle hash-matches: components are
+    fixed-pointed at 1e-4 (``CAST(x*1e4 AS LONG)`` — truncation, mirrored by
+    DuckDB ``trunc``; the scale is sized so a per-pair ``d2p · 1e4`` stays
+    far from BIGINT overflow at dim=64/k=16), the projection
+    ``p_j = Σ_d sign(d,j)·q_d`` is a BIGINT sum (order-free), and the
+    audited pairs are the (vec_id, vec_id+1) adjacents — a deterministic
+    O(n) pair sample, no quadratic pair join. For Rademacher projections
+    E[‖p_a−p_b‖²] = k·‖q_a−q_b‖², so the per-pair distortion is
+    ``dist_proj² · 1e4 div (k · dist_orig²)`` ≈ 1e4; the summary mean is the
+    mean of per-pair ratios (bounded integers — a ratio of raw sums would
+    overflow BIGINT on a billion-pair corpus).
+
+    Scale shape: the sign matrix is a dim×k literal folded into whole-stage
+    codegen (``zip_with``+``aggregate`` per output dim — no shuffle, no UDF);
+    the only exchange is the adjacent-id self-join (hash on vec_id) and a
+    one-row final rollup.
+
+    Output one row: (n_pairs, k_dims, orig_dim, mean_ratio_e4, min_ratio_e4,
+    max_ratio_e4, n_within_20pct).
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: (v * F.lit(float(scale))).cast("long"),
+    )
+    base = corpus.select(F.col(id_col).cast("long").alias("vid"), q.alias("q"))
+    proj_cols = []
+    for j in range(k):
+        signs = F.array(
+            *[F.lit(_rademacher_sign(d, j)) for d in range(dim)]
+        )
+        pj = F.aggregate(
+            F.zip_with(F.col("q"), signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        proj_cols.append(pj)
+    projected = base.select("vid", "q", F.array(*proj_cols).alias("p"))
+    a = projected.select(
+        F.col("vid").alias("va"), F.col("q").alias("qa"), F.col("p").alias("pa")
+    )
+    b = projected.select(
+        (F.col("vid") - 1).alias("va"),
+        F.col("q").alias("qb"),
+        F.col("p").alias("pb"),
+    )
+    sq_sum = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, on="va")
+        .select(
+            sq_sum(F.col("qa"), F.col("qb")).alias("d2o"),
+            sq_sum(F.col("pa"), F.col("pb")).alias("d2p"),
+        )
+        .withColumn(
+            "ratio_e4",
+            F.expr(f"d2p * 10000L div greatest({k}L * d2o, 1L)").cast("long"),
+        )
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.lit(k).cast("long").alias("k_dims"),
+        F.lit(dim).cast("long").alias("orig_dim"),
+        F.expr("sum(ratio_e4) div greatest(count(*), 1L)")
+        .cast("long")
+        .alias("mean_ratio_e4"),
+        F.min("ratio_e4").cast("long").alias("min_ratio_e4"),
+        F.max("ratio_e4").cast("long").alias("max_ratio_e4"),
+        F.sum(
+            F.when(F.abs(F.col("ratio_e4") - 10000) <= 2000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_20pct"),
+    )

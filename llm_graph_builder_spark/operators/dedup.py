@@ -1076,3 +1076,95 @@ def blocking_stats(
         F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
         .cast("long").alias("docs_in_multi"),
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC-style) dedup audit — split
+    every document at content-determined boundaries (positions whose w-gram
+    hash ≡ 0 mod ``mask``), sha-hash the variable-size chunks, and report
+    how many chunk bytes a content-addressed store would keep. Unlike the
+    fixed-window shingles used by ``_word_shingles``/MinHash, CDC boundaries
+    survive insertions/deletions (an edit reshapes only the chunks it
+    touches), which is why 100 TB object stores and incremental-corpus
+    pipelines dedup at CDC-chunk grain rather than document grain.
+
+    Determinism/parity: the boundary test hashes the *literal* w-char gram
+    with md5 (32-bit prefix mod ``mask`` — the coin both engines can flip),
+    not a rolling polynomial, so the DuckDB oracle reproduces boundaries
+    exactly. A production kernel would swap in a true rolling hash inside
+    the same chunk-span algebra.
+
+    Scale shape: boundary positions are computed INSIDE the array domain
+    (``filter(sequence(...))`` under whole-stage codegen — no per-position
+    row explosion; the only explode is at chunk grain, ~len/mask rows per
+    doc); chunk spans come from a per-doc ``lead`` window (doc-partitioned,
+    short partitions); the dedup rollup is one hash aggregation on the
+    chunk sha. Expected chunk size is ``mask`` chars — tune ``mask`` so
+    chunk rows stay ~64× smaller than corpus chars.
+
+    Output one row: (n_docs, n_chunks, n_distinct_chunks, total_chars,
+    distinct_chars, savings_e4, mean_chunk_len_e2).
+    """
+    from pyspark.sql.window import Window
+
+    cuts = F.expr(
+        f"CASE WHEN length({text_col}) - {w} + 1 >= 2 THEN "
+        f"filter(sequence(2, length({text_col}) - {w} + 1), "
+        f"i -> conv(substring(md5(substring({text_col}, i, {w})), 1, 8), 16, 10)"
+        f" % {mask} = 0) ELSE array() END"
+    )
+    starts = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.col(text_col).alias("t"),
+        F.explode(
+            F.concat(F.array(F.lit(1)), cuts.cast("array<int>"))
+        ).alias("s"),
+    )
+    w_doc = Window.partitionBy("doc").orderBy("s")
+    chunks = starts.select(
+        "doc",
+        F.substring(
+            F.col("t"),
+            F.col("s"),
+            F.coalesce(F.lead("s").over(w_doc), F.length("t") + 1) - F.col("s"),
+        ).alias("chunk"),
+    ).select(
+        "doc",
+        F.length("chunk").cast("long").alias("clen"),
+        F.sha2(F.col("chunk"), 256).alias("ch"),
+    )
+    per_chunk = chunks.agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("clen").cast("long").alias("total_chars"),
+    )
+    per_distinct = (
+        chunks.groupBy("ch")
+        .agg(F.min("clen").alias("clen"))
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.sum("clen").cast("long").alias("distinct_chars"),
+        )
+    )
+    return per_chunk.crossJoin(per_distinct).select(
+        "n_docs",
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_chars",
+        "distinct_chars",
+        F.expr(
+            "(total_chars - distinct_chars) * 10000L"
+            " div greatest(total_chars, 1L)"
+        )
+        .cast("long")
+        .alias("savings_e4"),
+        F.expr("total_chars * 100L div greatest(n_chunks, 1L)")
+        .cast("long")
+        .alias("mean_chunk_len_e2"),
+    )

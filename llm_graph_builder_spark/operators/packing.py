@@ -165,3 +165,73 @@ def shard_plan(
             F.expr(f"(offset + before_in) div {int(shard_tokens)}L").alias("shard"),
         )
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_phases: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum-learning schedule — order the corpus easy→hard, cut it into
+    ``n_phases`` equal-size phases, and give each phase a deterministic
+    shuffled within-phase order. This is the training-schedule companion to
+    ``pack_sequences``: curricula sort by a difficulty proxy (here mean token
+    length ×1e4 — integer-exact and engine-portable; swap in perplexity or
+    ``bigram_novelty`` in production), but batches *within* a phase must be
+    i.i.d., hence the md5 re-shuffle.
+
+    Scale shape: the global difficulty rank does NOT use a global window —
+    difficulty is bucketed (fixed 0.5-char-wide buckets, ≤ ~40 of them),
+    per-bucket counts give broadcastable rank offsets, and ranking windows
+    run bucket-parallel (the ``zipf_fit``/``order_statistics`` prefix-sum
+    recipe). The phase id is then pure arithmetic on the rank; the shuffle
+    rank partitions by phase (``n_phases``-way parallel, and at web scale
+    the within-phase order would ride the same bucket trick on the md5 key
+    — kept as a phase window here because phases are the final consumer
+    grain).
+
+    Output: (doc_id, difficulty_e4, phase, ord_in_phase) — phase in
+    [0, n_phases), ord_in_phase 1-based.
+    """
+    nonws = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    n_toks = F.size(_tokens(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        nonws.cast("long").alias("nw"),
+        n_toks.cast("long").alias("nt"),
+    ).select(
+        "doc",
+        F.expr("nw * 10000L div greatest(nt, 1L)").cast("long").alias(
+            "difficulty_e4"
+        ),
+    )
+    base = base.withColumn("b", F.expr("difficulty_e4 div 5000L"))
+    btot = base.groupBy("b").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "b", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    total = base.agg(F.count("*").cast("long").alias("n_total"))
+    w_in = Window.partitionBy("b").orderBy("difficulty_e4", "doc")
+    ranked = (
+        base.withColumn("rin", F.row_number().over(w_in))
+        .join(F.broadcast(offs), on="b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            "difficulty_e4",
+            F.expr(
+                f"(off + rin - 1L) * {n_phases}L div n_total"
+            ).cast("long").alias("phase"),
+        )
+    )
+    w_ph = Window.partitionBy("phase").orderBy(
+        F.md5(F.concat(F.lit("cur:"), F.col("doc").cast("string"))), "doc"
+    )
+    return ranked.select(
+        F.col("doc").alias("doc_id"),
+        "difficulty_e4",
+        "phase",
+        F.row_number().over(w_ph).cast("long").alias("ord_in_phase"),
+    )

@@ -7420,3 +7420,173 @@ SELECT n_left_rows, n_right_rows, n_left_keys, n_right_keys,
          AS amp_e4
 FROM jcls CROSS JOIN jcrs CROSS JOIN jcb
 """
+
+
+# mirrors q_ams_f2 / textstats.ams_f2: md5-parity ±1 coins per (term, j),
+# BIGINT Z sums, integer-div mean of squares, e4 relative error.
+ORACLE_SQL["ams_f2"] = """
+WITH atf AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                              t -> len(t) > 0)) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+asz AS (
+  SELECT j,
+         CAST(sum(c * (1 - 2 * (CAST(('0x' || substr(md5(term || '#' || j),
+                                                     1, 8)) AS BIGINT) % 2)))
+              AS BIGINT) AS z
+  FROM atf, generate_series(0, 15) g(j)
+  GROUP BY 1
+),
+aex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM atf
+),
+aes AS (
+  SELECT CAST(sum(z * z) // 16 AS BIGINT) AS f2_est,
+         CAST(count(*) AS BIGINT) AS n_estimators
+  FROM asz
+)
+SELECT n_terms, n_tokens, f2_exact, f2_est, n_estimators,
+       CAST(abs(f2_est - f2_exact) * 10000 // greatest(f2_exact, 1)
+            AS BIGINT) AS err_e4
+FROM aex CROSS JOIN aes
+"""
+
+
+# mirrors q_jl_distortion / ann.jl_distortion: trunc-fixed-point components
+# (DuckDB trunc == Spark CAST AS LONG), md5-parity Rademacher signs over the
+# same "d#j" strings, BIGINT projections, adjacent-id pairs, integer-div
+# per-pair ratios and their integer mean.
+ORACLE_SQL["jl_distortion"] = """
+WITH jlq AS (
+  SELECT vec_id,
+         list_apply(embedding,
+                    x -> CAST(trunc(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+           AS q
+  FROM embeddings
+),
+jlp AS (
+  SELECT vec_id, q,
+         list_apply(range(0, 16), j -> list_reduce(
+           list_apply(range(1, 65),
+                      d -> q[d] * (1 - 2 * (CAST(('0x' ||
+                             substr(md5((d - 1) || '#' || j), 1, 8))
+                             AS BIGINT) % 2))),
+           (x, y) -> x + y)) AS p
+  FROM jlq
+),
+jlpair AS (
+  SELECT list_reduce(list_apply(range(1, 65),
+                                i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])),
+                     (x, y) -> x + y) AS d2o,
+         list_reduce(list_apply(range(1, 17),
+                                i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])),
+                     (x, y) -> x + y) AS d2p
+  FROM jlp a JOIN jlp b ON b.vec_id = a.vec_id + 1
+),
+jlr AS (
+  SELECT d2p * 10000 // greatest(16 * d2o, 1) AS ratio_e4 FROM jlpair
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(16 AS BIGINT) AS k_dims,
+       CAST(64 AS BIGINT) AS orig_dim,
+       CAST(sum(ratio_e4) // greatest(count(*), 1) AS BIGINT)
+         AS mean_ratio_e4,
+       CAST(min(ratio_e4) AS BIGINT) AS min_ratio_e4,
+       CAST(max(ratio_e4) AS BIGINT) AS max_ratio_e4,
+       CAST(sum(CASE WHEN abs(ratio_e4 - 10000) <= 2000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_20pct
+FROM jlr
+"""
+
+
+# mirrors q_cdc_chunks / dedup.cdc_chunk_stats: md5-coin boundary positions
+# (32-bit prefix mod 64 over the literal 8-char gram), lead-window chunk
+# spans with the position-1 head cut, sha256 chunk identity, integer-div
+# savings card.
+ORACLE_SQL["cdc_chunks"] = """
+WITH cdcb AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(2, len(text) - 8 + 1)) AS s
+    FROM documents
+  )
+  WHERE CAST(('0x' || substr(md5(substr(text, CAST(s AS INTEGER), 8)), 1, 8))
+             AS BIGINT) % 64 = 0
+),
+cdcc AS (
+  SELECT doc_id, 1 AS s FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(s AS INTEGER) AS s FROM cdcb
+),
+cdce AS (
+  SELECT doc_id, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS e
+  FROM cdcc
+),
+cdcx AS (
+  SELECT c.doc_id,
+         substr(d.text, c.s, coalesce(c.e, len(d.text) + 1) - c.s) AS chunk
+  FROM cdce c JOIN documents d USING (doc_id)
+),
+cdch AS (
+  SELECT doc_id, CAST(len(chunk) AS BIGINT) AS clen, sha256(chunk) AS ch
+  FROM cdcx
+),
+cdct AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(clen) AS BIGINT) AS total_chars
+  FROM cdch
+),
+cdcd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(sum(clen) AS BIGINT) AS distinct_chars
+  FROM (SELECT ch, min(clen) AS clen FROM cdch GROUP BY 1)
+)
+SELECT n_docs, n_chunks, n_distinct_chunks, total_chars, distinct_chars,
+       CAST((total_chars - distinct_chars) * 10000 // greatest(total_chars, 1)
+            AS BIGINT) AS savings_e4,
+       CAST(total_chars * 100 // greatest(n_chunks, 1) AS BIGINT)
+         AS mean_chunk_len_e2
+FROM cdct CROSS JOIN cdcd
+"""
+
+
+# mirrors q_curriculum_order / packing.curriculum_order: non-whitespace
+# chars × 1e4 // token count as the difficulty, global (difficulty, doc_id)
+# rank (the Spark side's bucket prefix-sum rank is equivalent because the
+# bucket key is monotone in difficulty), arithmetic phase cut, md5-shuffled
+# within-phase order.
+ORACLE_SQL["curriculum_order"] = """
+WITH curb AS (
+  SELECT doc_id,
+         CAST(len(regexp_replace(text, '\\s+', '', 'g')) * 10000 //
+              greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> len(t) > 0)), 1) AS BIGINT)
+           AS difficulty_e4
+  FROM documents
+),
+curr AS (
+  SELECT doc_id, difficulty_e4,
+         row_number() OVER (ORDER BY difficulty_e4, doc_id) AS rnk,
+         count(*) OVER () AS n_total
+  FROM curb
+),
+curp AS (
+  SELECT doc_id, difficulty_e4,
+         CAST((rnk - 1) * 4 // n_total AS BIGINT) AS phase
+  FROM curr
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, difficulty_e4, phase,
+       CAST(row_number() OVER (PARTITION BY phase
+                               ORDER BY md5('cur:' || doc_id), doc_id)
+            AS BIGINT) AS ord_in_phase
+FROM curp
+"""

@@ -1,0 +1,196 @@
+"""AMS F2 sketch, JL projection distortion, CDC chunking, curriculum order —
+hand-computed / Python-replica oracles independent of the DuckDB gate."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from llm_graph_builder_spark.functions.textstats import ams_f2
+from llm_graph_builder_spark.operators.ann import jl_distortion
+from llm_graph_builder_spark.operators.dedup import cdc_chunk_stats
+from llm_graph_builder_spark.operators.packing import curriculum_order
+
+
+def _coin(s: str) -> int:
+    """1 − 2·parity of the 32-bit md5 prefix — the shared ±1 coin."""
+    return 1 - 2 * (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "aa bb aa cc aa", "en"),
+        (2, "bb cc dd dd", "en"),
+        (3, "aa", "en"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).cache()
+
+
+class TestAmsF2:
+    def test_exact_and_estimate_match_python_replica(self, docs):
+        row = ams_f2(docs, r=16).collect()[0]
+        # counts: aa=4, bb=2, cc=2, dd=2
+        counts = {"aa": 4, "bb": 2, "cc": 2, "dd": 2}
+        assert row.n_terms == 4
+        assert row.n_tokens == 10
+        assert row.f2_exact == sum(c * c for c in counts.values())
+        zs = [
+            sum(c * _coin(f"{t}#{j}") for t, c in counts.items())
+            for j in range(16)
+        ]
+        est = sum(z * z for z in zs) // 16
+        assert row.f2_est == est
+        assert row.n_estimators == 16
+        assert row.err_e4 == abs(est - row.f2_exact) * 10000 // row.f2_exact
+
+    def test_sketch_is_scale_quadratic(self, spark):
+        """Doubling every count quadruples both exact F2 and the estimate
+        (Z is linear in counts) — the mergeability property."""
+        one = spark.createDataFrame(
+            [(1, "x y", "en")], "doc_id long, text string, lang string"
+        )
+        two = spark.createDataFrame(
+            [(1, "x y", "en"), (2, "x y", "en")],
+            "doc_id long, text string, lang string",
+        )
+        r1 = ams_f2(one, r=8).collect()[0]
+        r2 = ams_f2(two, r=8).collect()[0]
+        assert r2.f2_exact == 4 * r1.f2_exact
+        assert r2.f2_est == 4 * r1.f2_est
+
+
+class TestJlDistortion:
+    def test_matches_python_replica(self, spark):
+        import numpy as np
+
+        rng = [
+            [((i * 37 + d * 11) % 97 - 48) / 97.0 for d in range(64)]
+            for i in range(6)
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng[i]]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        row = jl_distortion(emb, k=16, dim=64).collect()[0]
+        # replica: float32 storage then trunc(1e4·x) like the operator
+        q = np.trunc(
+            np.array(rng, dtype=np.float32).astype(np.float64) * 10000
+        ).astype(np.int64)
+        sign = np.array(
+            [[_coin(f"{d}#{j}") for j in range(16)] for d in range(64)],
+            dtype=np.int64,
+        )
+        p = q @ sign
+        ratios = []
+        for i in range(5):
+            d2o = int(((q[i] - q[i + 1]) ** 2).sum())
+            d2p = int(((p[i] - p[i + 1]) ** 2).sum())
+            ratios.append(d2p * 10000 // max(16 * d2o, 1))
+        assert row.n_pairs == 5
+        assert row.mean_ratio_e4 == sum(ratios) // 5
+        assert row.min_ratio_e4 == min(ratios)
+        assert row.max_ratio_e4 == max(ratios)
+        assert row.n_within_20pct == sum(
+            1 for r in ratios if abs(r - 10000) <= 2000
+        )
+
+    def test_identical_adjacent_vectors_guard(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [0.5] * 64), (1, [0.5] * 64)],
+            "vec_id long, embedding array<float>",
+        )
+        row = jl_distortion(emb, k=16, dim=64).collect()[0]
+        # d2o = d2p = 0 → ratio 0 via the greatest(,1) guard, no div-by-zero
+        assert row.n_pairs == 1
+        assert row.min_ratio_e4 == 0
+
+
+def _cdc_boundaries(text: str, w: int = 8, mask: int = 64) -> list[int]:
+    """1-based boundary starts (position 1 implicit head cut excluded)."""
+    out = []
+    for i in range(2, len(text) - w + 2):  # i in [2, len-w+1]
+        h = int(hashlib.md5(text[i - 1 : i - 1 + w].encode()).hexdigest()[:8], 16)
+        if h % mask == 0:
+            out.append(i)
+    return out
+
+
+class TestCdcChunks:
+    def test_chunks_cover_text_exactly(self, spark):
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "pack my box with five dozen liquor jugs and more " * 18),
+            (3, "tiny"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        row = cdc_chunk_stats(docs).collect()[0]
+        assert row.n_docs == 3
+        assert row.total_chars == sum(len(t) for _, t in texts)
+        # chunk count = one head chunk per doc + one per boundary
+        n_expected = sum(1 + len(_cdc_boundaries(t)) for _, t in texts)
+        assert row.n_chunks == n_expected
+
+    @staticmethod
+    def _prose(n_words: int, salt: str = "") -> str:
+        """Deterministic non-repeating prose so within-doc chunks are unique."""
+        return " ".join(
+            hashlib.md5(f"{salt}w{i}".encode()).hexdigest()[: 3 + i % 5]
+            for i in range(n_words)
+        )
+
+    def test_duplicate_content_dedups(self, spark):
+        base = self._prose(300)
+        docs = spark.createDataFrame(
+            [(1, base), (2, base)], "doc_id long, text string"
+        )
+        row = cdc_chunk_stats(docs).collect()[0]
+        assert row.distinct_chars * 2 == row.total_chars
+        assert row.savings_e4 == 5000
+
+    def test_insertion_preserves_downstream_chunks(self, spark):
+        """The CDC property fixed-size blocks lack: a mid-document insertion
+        leaves chunks after the next boundary identical."""
+        base = self._prose(400)
+        edited = base[:200] + "INSERTED TEXT " + base[200:]
+        both = spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id long, text string"
+        )
+        row = cdc_chunk_stats(both).collect()[0]
+        # far less than 2× the bytes of one copy: the tail re-syncs after
+        # the first boundary past the edit
+        solo = cdc_chunk_stats(
+            spark.createDataFrame([(1, base)], "doc_id long, text string")
+        ).collect()[0]
+        assert row.distinct_chars < solo.distinct_chars * 13 // 10
+
+
+class TestCurriculumOrder:
+    def test_phases_partition_and_order(self, docs):
+        out = curriculum_order(docs, n_phases=2).collect()
+        assert len(out) == 3
+        by_phase: dict[int, list] = {}
+        for r in out:
+            by_phase.setdefault(r.phase, []).append(r)
+        # equal-size cut of 3 rows into 2 phases: ⌈/⌉ split via rank math
+        sizes = sorted(len(v) for v in by_phase.values())
+        assert sizes == [1, 2]
+        # within-phase order is 1..n contiguous
+        for rows in by_phase.values():
+            assert sorted(r.ord_in_phase for r in rows) == list(
+                range(1, len(rows) + 1)
+            )
+        # difficulty is non-decreasing across phase boundaries
+        assert max(
+            r.difficulty_e4 for r in by_phase[0]
+        ) <= min(r.difficulty_e4 for r in by_phase[1])
+
+    def test_difficulty_is_mean_token_length_e4(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab abc", "en")], "doc_id long, text string, lang string"
+        )
+        row = curriculum_order(docs).collect()[0]
+        assert row.difficulty_e4 == 5 * 10000 // 2
