@@ -1405,6 +1405,55 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(read_documents(spark, sf_dir))
 
 
+def q_mis(spark, sf_dir):
+    """Luby maximal-independent-set rounds over the entity graph (fixed 6
+    rounds, md5 priorities with node-key tie-break suffix; oracle unrolls
+    the identical rounds)."""
+    from .operators.graph_analytics import maximal_independent_set
+
+    t = pipeline_tables(spark, sf_dir)
+    return maximal_independent_set(t["entity_edges"], t["entities"], rounds=6)
+
+
+def q_kcenter_coreset(spark, sf_dir):
+    """Gonzalez farthest-first k-center coreset over the embeddings table:
+    integer-exact squared L2 on 1e-4 fixed-point components, incremental
+    dmin folds, one 1-row argmax per round (oracle = unrolled rounds)."""
+    from .operators.ann import kcenter_coreset
+
+    return kcenter_coreset(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=6
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (BPE-ish tokens per word, chars per
+    token): row-local JVM counts + one stratum aggregate."""
+    from .functions.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(read_documents(spark, sf_dir))
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram calibration audit of the quality classifier's
+    scores (mapped to [0,1e4]) against a length ground-truth bit: one
+    10-key sketch-shaped aggregate, integer gaps."""
+    from .eval.metrics import calibration_bins
+    from .functions.textstats import quality_classifier
+
+    docs = read_documents(spark, sf_dir)
+    scored = quality_classifier(docs).join(
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc"),
+            (F.col("n_chars") >= 300).cast("long").alias("label"),
+        ),
+        on="doc",
+    ).select(
+        F.expr("(score_e4 + 10000L) div 2L").alias("pred_e4"), "label"
+    )
+    return calibration_bins(scored)
+
+
 def q_ams_f2(spark, sf_dir):
     """AMS second-frequency-moment sketch of the token stream (16 md5 ±1
     estimators, all-BIGINT) vs the exact F2 — the self-join-size probe a
@@ -3114,6 +3163,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "kcenter_coreset": q_kcenter_coreset,
     "topic_clusters": q_topic_clusters,
     "cluster_quality": q_cluster_quality,
     "semantic_dedup": q_semantic_dedup,
@@ -3130,6 +3180,7 @@ QUERIES = {
     "four_cliques": q_four_cliques,
     "node_similarity": q_node_similarity,
     "wcc": q_wcc,
+    "mis": q_mis,
     "bfs_distances": q_bfs_distances,
     "personalized_pagerank": q_personalized_pagerank,
     "kcore": q_kcore,
@@ -3311,4 +3362,6 @@ QUERIES = {
     "jl_distortion": q_jl_distortion,
     "cdc_chunks": q_cdc_chunks,
     "curriculum_order": q_curriculum_order,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "calibration_bins": q_calibration_bins,
 }

@@ -269,3 +269,52 @@ def entity_recall(ref_ents: DataFrame, ctx_ents: DataFrame) -> DataFrame:
             .alias("entity_recall_e4"),
         )
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    pred_col: str = "pred_e4",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration audit run before a model-based quality filter's scores are
+    trusted as keep-probabilities (FineWeb-Edu-style filters threshold on
+    calibrated scores; an over-confident filter silently skews the mixture).
+    Feed it ``quality_classifier`` scores mapped to [0, 1e4] against any
+    ground-truth bit.
+
+    Integer-exact: predictions arrive already e4-fixed-point, bins are an
+    integer div (the 1.0 edge clamps into the top bin), per-bin means and
+    positive rates are integer divs, and the per-bin |gap| ships alongside
+    its row weight so the caller's ECE = Σ n·gap / Σ n is one more integer
+    op. Scale shape: one n_bins-key map-side-combined aggregate over a
+    row-local projection — sketch-shaped (mergeable by addition), no
+    per-row state anywhere.
+
+    Output per bin: (bin, n, mean_pred_e4, frac_pos_e4, abs_gap_e4).
+    """
+    binned = scored.select(
+        F.col(pred_col).cast("long").alias("p"),
+        F.col(label_col).cast("long").alias("y"),
+    ).withColumn(
+        "bin",
+        F.expr(f"least(p * {n_bins}L div 10000L, {n_bins - 1}L)").cast("long"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").cast("long").alias("sp"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("sp div n").cast("long").alias("mean_pred_e4"),
+            F.expr("sy * 10000L div n").cast("long").alias("frac_pos_e4"),
+            F.expr("abs(sp div n - sy * 10000L div n)")
+            .cast("long")
+            .alias("abs_gap_e4"),
+        )
+    )

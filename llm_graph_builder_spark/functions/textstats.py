@@ -741,3 +741,54 @@ def ams_f2(
         .cast("long")
         .alias("err_e4"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum tokenizer-fertility card — BPE-ish tokens per whitespace
+    word and characters per BPE token, the standard audit before committing
+    a tokenizer to a multilingual mixture (high fertility on a language
+    means its documents cost disproportionate sequence length; the number
+    every tokenizer paper tables). Uses the same ``TOKEN_REGEX`` stand-in
+    as ``token_counts``/``bpe_tokens``.
+
+    Scale shape: row-local counts (pure JVM regex/split — zero Python),
+    one stratum-grain map-side-combined aggregate; output rows = #strata.
+
+    Output: (stratum, n_docs, chars, ws_tokens, bpe_tokens, fertility_e4,
+    chars_per_bpe_e2) — fertility = bpe/ws tokens ×1e4, integer div.
+    """
+    toks = _tokens(F.col(text_col))
+    per = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.length(text_col).cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("ws"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("bpe"),
+    )
+    return (
+        per.groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("chars"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "chars",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr("bpe_tokens * 10000L div greatest(ws_tokens, 1L)")
+            .cast("long")
+            .alias("fertility_e4"),
+            F.expr("chars * 100L div greatest(bpe_tokens, 1L)")
+            .cast("long")
+            .alias("chars_per_bpe_e2"),
+        )
+    )

@@ -878,3 +878,96 @@ def jl_distortion(
         .cast("long")
         .alias("n_within_20pct"),
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Gonzalez farthest-first k-center selection over the embedding column —
+    the classic 2-approximation coreset/facility-selection pass a training
+    pipeline uses to pick maximally-diverse exemplars (dataset distillation,
+    eval-set seeding, IVF seed diversification). The reference has no
+    selection story; this joins the dedup/curation family as the
+    "diversify" counterpart of ``dedup_embedding``'s "deduplicate".
+
+    Deterministic and integer-exact: components fixed-pointed at 1e-4 (the
+    ``jl_distortion`` convention), squared L2 distances are BIGINT sums, the
+    first center is the md5-smallest id, and each next center is the point
+    with the LARGEST distance² to its nearest chosen center (tie → smallest
+    vec_id) — so the DuckDB oracle unrolls the same k rounds bit-for-bit.
+
+    Scale shape: the running ``dmin`` column (distance² to nearest chosen
+    center) updates INCREMENTALLY — each round broadcasts one new center
+    vector as a literal and folds ``least(dmin, d2(x, c_r))`` in codegen, so
+    round r is one map pass + one 1-row argmax collect (the ann_topk
+    two-phase top-1). Total: k+1 corpus passes, no shuffle wider than a
+    1-row reduce, frame materialized per round (plan truncation).
+
+    Output k rows: (round, vec_id, sel_d2, coverage_d2) — sel_d2 = the
+    selected point's distance² to the previous centers (0 for round 1),
+    coverage_d2 = max remaining dmin AFTER adding it (= round r+1's sel_d2;
+    the decreasing curve is the coverage-radius elbow a pipeline reads to
+    pick k).
+    """
+    from ..functions.iterutils import materialize
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: (v * F.lit(float(scale))).cast("long"),
+    )
+    state = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), q.alias("q")
+    ).withColumn("dmin", F.lit(None).cast("long"))
+    state, _ = materialize(state)
+
+    def _d2(center_vec: list[int]):
+        lit = F.array(*[F.lit(int(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("q"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    picks: list[tuple[int, int, int]] = []  # (round, vid, sel_d2)
+    for r in range(1, k + 2):
+        if r == 1:
+            row = (
+                state.select(
+                    "vid",
+                    "q",
+                    F.md5(F.concat(F.lit("kc:"), F.col("vid").cast("string"))).alias("h"),
+                )
+                .orderBy("h", "vid")
+                .limit(1)
+                .collect()[0]
+            )
+            sel_d2 = 0
+        else:
+            row = (
+                state.orderBy(F.desc("dmin"), F.asc("vid")).limit(1).collect()[0]
+            )
+            sel_d2 = int(row.dmin)
+        if r <= k:
+            picks.append((r, int(row.vid), sel_d2))
+        if r == k + 1:
+            coverage_tail = sel_d2
+            break
+        d2c = _d2(list(row.q))
+        state, _ = materialize(
+            state.withColumn(
+                "dmin",
+                F.least(F.coalesce(F.col("dmin"), d2c), d2c),
+            ),
+            state,
+        )
+    rows = [
+        (r, vid, sd, picks[i + 1][2] if i + 1 < len(picks) else coverage_tail)
+        for i, (r, vid, sd) in enumerate(picks)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "round long, vec_id long, sel_d2 long, coverage_d2 long"
+    )

@@ -2728,3 +2728,123 @@ def edge_reciprocity(entity_edges: DataFrame) -> DataFrame:
         "reciprocity_e6",
         F.expr("n_reciprocal * 1000000L div greatest(n_edges, 1L)"),
     )
+
+
+def maximal_independent_set(
+    entity_edges: DataFrame,
+    entities: DataFrame | None = None,
+    rounds: int = 6,
+) -> DataFrame:
+    """Luby-style maximal-independent-set rounds over the undirected simple
+    entity graph — the foundational symmetry-breaking primitive of parallel
+    graph algorithms (MIS drives distributed coloring, maximal matching, and
+    conflict-free scheduling of entity-merge batches; GDS has no MIS, the
+    reference none either — this is pure scale tooling).
+
+    Per round r every still-active node draws the deterministic priority
+    ``md5('mis:r:' || node) || node`` (the node-key suffix makes priorities
+    strictly distinct, so ties are impossible and the round is engine-
+    portable); a node joins the MIS iff its priority is smaller than every
+    active neighbor's. MIS nodes resolve as ``selected``, their neighbors as
+    ``excluded``; both leave the graph. A FIXED ``rounds`` budget runs with
+    no early stop (empty rounds are no-ops) so the DuckDB oracle can unroll
+    the identical rounds; with md5 coins ~O(log n) rounds resolve everything
+    whp — leftovers report ``unresolved``.
+
+    Scale shape per round: one groupBy(v) min-priority aggregation over the
+    active symmetric edges + two hash semi-joins to shrink nodes/edges; every
+    frame is ``materialize``d (plan truncation, small-frame coalesce) and the
+    edge set only shrinks. Isolated nodes (never an edge endpoint) select in
+    round 1 via the null-neighbor branch.
+
+    Output: (id, label, status, round) — status in selected/excluded/
+    unresolved; round = resolution round, 0 for unresolved.
+    """
+    und = simple_undirected(entity_edges)
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = und.select(F.col("u").alias("node")).unionByName(
+        und.select(F.col("v").alias("node"))
+    ).dropDuplicates(["node"])
+    if entities is not None:
+        everyone = entities.select(
+            _node_key("id", "label").alias("node")
+        ).dropDuplicates(["node"])
+        nodes = nodes.unionByName(
+            everyone.join(nodes, on="node", how="left_anti")
+        )
+    active, _ = materialize(nodes)
+    edges, n_e = materialize(sym)
+    spark = entity_edges.sparkSession
+    resolved_parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        pri = active.select(
+            "node",
+            F.concat(
+                F.md5(F.concat(F.lit(f"mis:{r}:"), F.col("node"))),
+                F.col("node"),
+            ).alias("pri"),
+        )
+        nbr_min = (
+            edges.join(pri, on=F.col("u") == F.col("node"))
+            .groupBy("v")
+            .agg(F.min("pri").alias("mn"))
+        )
+        sel = (
+            pri.join(nbr_min, on=F.col("node") == F.col("v"), how="left")
+            .filter(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
+            .select("node")
+        )
+        sel, n_sel = materialize(sel)
+        if n_sel:
+            exc = (
+                edges.join(sel, on=F.col("u") == F.col("node"))
+                .select(F.col("v").alias("node"))
+                .dropDuplicates(["node"])
+            )
+            exc, _ = materialize(exc)
+            resolved_parts.append(
+                sel.select(
+                    "node",
+                    F.lit("selected").alias("status"),
+                    F.lit(r).cast("long").alias("round"),
+                )
+            )
+            resolved_parts.append(
+                exc.select(
+                    "node",
+                    F.lit("excluded").alias("status"),
+                    F.lit(r).cast("long").alias("round"),
+                )
+            )
+            gone = sel.unionByName(exc).dropDuplicates(["node"])
+            active, n_a = materialize(
+                active.join(gone, on="node", how="left_anti"), active
+            )
+            if n_e:
+                edges, n_e = materialize(
+                    edges.join(
+                        gone.select(F.col("node").alias("u")), on="u", how="left_anti"
+                    ).join(
+                        gone.select(F.col("node").alias("v")), on="v", how="left_anti"
+                    ),
+                    edges,
+                )
+    resolved_parts.append(
+        active.select(
+            "node",
+            F.lit("unresolved").alias("status"),
+            F.lit(0).cast("long").alias("round"),
+        )
+    )
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    sn = F.split(F.col("node"), "\x01")
+    return out.select(
+        sn.getItem(0).alias("id"),
+        sn.getItem(1).alias("label"),
+        "status",
+        "round",
+    )

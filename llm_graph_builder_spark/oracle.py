@@ -7590,3 +7590,209 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, difficulty_e4, phase,
             AS BIGINT) AS ord_in_phase
 FROM curp
 """
+
+
+# mirrors q_tokenizer_fertility / textstats.tokenizer_fertility: row-local
+# ws/BPE-regex/char counts, one stratum aggregate, integer-div ratios.
+ORACLE_SQL["tokenizer_fertility"] = f"""
+WITH tfb AS (
+  SELECT lang AS stratum,
+         CAST(len(text) AS BIGINT) AS chars,
+         CAST(len({_TOKS}) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(bpe) * 10000 // greatest(sum(ws), 1) AS BIGINT)
+         AS fertility_e4,
+       CAST(sum(chars) * 100 // greatest(sum(bpe), 1) AS BIGINT)
+         AS chars_per_bpe_e2
+FROM tfb GROUP BY 1
+"""
+
+
+# mirrors q_calibration_bins / eval.metrics.calibration_bins over
+# quality_classifier scores: same hashed-weight fold as the
+# quality_classifier oracle, [0,1e4] probability map, integer bin div,
+# per-bin integer means/rates/gaps.
+ORACLE_SQL["calibration_bins"] = f"""
+WITH cqb AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, n_chars,
+         {_TOKS} AS toks
+  FROM documents
+),
+cqs AS (
+  SELECT doc, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks,
+              t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                   % 2001 - 1000)), 0)
+              AS BIGINT) AS total
+  FROM cqb
+),
+cqp AS (
+  SELECT (total * 10 // greatest(n_tokens, 1) + 10000) // 2 AS p,
+         CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM cqs
+),
+cqg AS (
+  SELECT least(p * 10 // 10000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS sp,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM cqp GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n,
+       CAST(sp // n AS BIGINT) AS mean_pred_e4,
+       CAST(sy * 10000 // n AS BIGINT) AS frac_pos_e4,
+       CAST(abs(sp // n - sy * 10000 // n) AS BIGINT) AS abs_gap_e4
+FROM cqg
+"""
+
+
+def _kcenter_sql(k: int = 6) -> str:
+    """Unrolled Gonzalez farthest-first mirror of ann.kcenter_coreset:
+    trunc-fixed-point components, BIGINT squared L2, md5-smallest seed,
+    (dmin DESC, vec_id) argmax per round; every CTE MATERIALIZED (each is
+    referenced by the next round AND the final projection)."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_apply(range(1, 65), "
+            f"i -> ({a}.q[i] - {b}.q[i]) * ({a}.q[i] - {b}.q[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    parts = [
+        """WITH kcq AS MATERIALIZED (
+  SELECT vec_id,
+         list_apply(embedding,
+                    x -> CAST(trunc(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+kcc1 AS MATERIALIZED (
+  SELECT vec_id, q FROM kcq ORDER BY md5('kc:' || vec_id), vec_id LIMIT 1
+),
+kcd1 AS MATERIALIZED (
+  SELECT kk.vec_id, kk.q, """ + d2("kk", "c") + """ AS dmin
+  FROM kcq kk CROSS JOIN kcc1 c
+)"""
+    ]
+    for r in range(2, k + 2):
+        parts.append(
+            f""",
+kcc{r} AS MATERIALIZED (
+  SELECT vec_id, q, dmin FROM kcd{r - 1} ORDER BY dmin DESC, vec_id LIMIT 1
+)"""
+        )
+        if r <= k:
+            parts.append(
+                f""",
+kcd{r} AS MATERIALIZED (
+  SELECT d.vec_id, d.q, least(d.dmin, {d2('d', 'c')}) AS dmin
+  FROM kcd{r - 1} d CROSS JOIN kcc{r} c
+)"""
+            )
+    sels = [
+        "SELECT CAST(1 AS BIGINT) AS round, CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS sel_d2,"
+        " (SELECT CAST(dmin AS BIGINT) FROM kcc2) AS coverage_d2 FROM kcc1"
+    ]
+    for r in range(2, k + 1):
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT), CAST(vec_id AS BIGINT),"
+            f" CAST(dmin AS BIGINT),"
+            f" (SELECT CAST(dmin AS BIGINT) FROM kcc{r + 1}) FROM kcc{r}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+ORACLE_SQL["kcenter_coreset"] = _kcenter_sql(6)
+
+
+def _mis_sql(rounds: int = 6) -> str:
+    """Unrolled Luby-MIS mirror of graph_analytics.maximal_independent_set:
+    per round, priorities md5('mis:r:'||node)||node over the still-active
+    nodes, min-neighbor aggregation over the still-active symmetric edges,
+    strict-less selection with the null-neighbor (isolated) branch, then
+    selected ∪ their neighbors leave the node and edge sets."""
+    parts = [
+        _UND_CTE
+        + """,
+misym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+mia0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM und
+    UNION ALL SELECT v AS node FROM und
+    UNION ALL SELECT DISTINCT id || chr(1) || label AS node FROM entities
+  )
+),
+mie0 AS MATERIALIZED (SELECT u, v FROM misym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+mip{r} AS MATERIALIZED (
+  SELECT node, md5('mis:{r}:' || node) || node AS pri FROM mia{r - 1}
+),
+mim{r} AS MATERIALIZED (
+  SELECT e.v AS node, min(p.pri) AS mn
+  FROM mie{r - 1} e JOIN mip{r} p ON p.node = e.u
+  GROUP BY 1
+),
+mis{r} AS MATERIALIZED (
+  SELECT p.node FROM mip{r} p LEFT JOIN mim{r} m ON m.node = p.node
+  WHERE m.mn IS NULL OR p.pri < m.mn
+),
+mix{r} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS node
+  FROM mie{r - 1} e JOIN mis{r} s ON e.u = s.node
+),
+mig{r} AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT node FROM mis{r} UNION ALL SELECT node FROM mix{r}
+  )
+),
+mia{r} AS MATERIALIZED (
+  SELECT node FROM mia{r - 1}
+  WHERE node NOT IN (SELECT node FROM mig{r})
+),
+mie{r} AS MATERIALIZED (
+  SELECT u, v FROM mie{r - 1}
+  WHERE u NOT IN (SELECT node FROM mig{r})
+    AND v NOT IN (SELECT node FROM mig{r})
+)"""
+        )
+    sels = []
+    for r in range(1, rounds + 1):
+        sels.append(
+            f"SELECT node, 'selected' AS status, CAST({r} AS BIGINT) AS round"
+            f" FROM mis{r}"
+        )
+        sels.append(
+            f"SELECT node, 'excluded' AS status, CAST({r} AS BIGINT) AS round"
+            f" FROM mix{r}"
+        )
+    sels.append(
+        f"SELECT node, 'unresolved' AS status, CAST(0 AS BIGINT) AS round"
+        f" FROM mia{rounds}"
+    )
+    return (
+        "".join(parts)
+        + ",\nmiall AS (\n"
+        + "\nUNION ALL\n".join(sels)
+        + """
+)
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       status, round
+FROM miall"""
+    )
+
+
+ORACLE_SQL["mis"] = PIPELINE_CTE + _mis_sql(6)

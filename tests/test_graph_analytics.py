@@ -958,3 +958,106 @@ def test_edge_reciprocity_counts(spark):
     r = edge_reciprocity(edges).collect()[0]
     assert (r.n_edges, r.n_reciprocal) == (3, 2)
     assert r.reciprocity_e6 == 2 * 1000000 // 3
+
+
+class TestMaximalIndependentSet:
+    def _run(self, spark, pairs, ids=None, rounds=6):
+        from llm_graph_builder_spark.operators.graph_analytics import (
+            maximal_independent_set,
+        )
+
+        ents = _entities(spark, ids) if ids is not None else None
+        return maximal_independent_set(_edges(spark, pairs), ents, rounds=rounds)
+
+    def test_independence_and_maximality(self, spark):
+        pairs = [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+            ("c", "e"), ("e", "f"),
+        ]
+        out = self._run(spark, pairs).collect()
+        status = {r.id: r.status for r in out}
+        assert set(status) == {"a", "b", "c", "d", "e", "f"}
+        assert "unresolved" not in status.values()
+        sel = {n for n, s in status.items() if s == "selected"}
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        # independence: no edge inside the MIS
+        for a, b in pairs:
+            assert not (a in sel and b in sel)
+        # maximality: every excluded node has a selected neighbor
+        for n, s in status.items():
+            if s == "excluded":
+                assert adj[n] & sel, n
+        # every resolved row carries its resolution round >= 1
+        assert all(r.round >= 1 for r in out)
+
+    def test_isolated_nodes_selected_round_one(self, spark):
+        out = self._run(spark, [("a", "b")], ids=["a", "b", "lone"]).collect()
+        lone = [r for r in out if r.id == "lone"][0]
+        assert lone.status == "selected" and lone.round == 1
+
+    def test_statuses_partition_nodes(self, spark):
+        # one row per node, even on a triangle (max conflict)
+        out = self._run(spark, [("a", "b"), ("b", "c"), ("a", "c")]).collect()
+        assert len(out) == 3
+        assert sum(1 for r in out if r.status == "selected") == 1
+        assert sum(1 for r in out if r.status == "excluded") == 2
+
+
+class TestKcenterCoreset:
+    def test_matches_python_greedy(self, spark):
+        import hashlib
+
+        vecs = {
+            i: [((i * 13 + d * 7) % 31 - 15) / 31.0 for d in range(64)]
+            for i in range(9)
+        }
+        import numpy as np
+
+        q = {
+            i: np.trunc(
+                np.array(v, dtype=np.float32).astype(np.float64) * 10000
+            ).astype(np.int64)
+            for i, v in vecs.items()
+        }
+
+        def d2(a, b):
+            return int(((q[a] - q[b]) ** 2).sum())
+
+        first = min(vecs, key=lambda i: (hashlib.md5(f"kc:{i}".encode()).hexdigest(), i))
+        centers = [first]
+        dmin = {i: d2(i, first) for i in vecs}
+        expect = [(1, first, 0)]
+        for r in range(2, 5):
+            nxt = max(vecs, key=lambda i: (dmin[i], -i))
+            expect.append((r, nxt, dmin[nxt]))
+            for i in vecs:
+                dmin[i] = min(dmin[i], d2(i, nxt))
+            centers.append(nxt)
+        coverage = [e[2] for e in expect[1:]] + [max(dmin.values())]
+
+        from llm_graph_builder_spark.operators.ann import kcenter_coreset
+
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in vecs],
+            "vec_id long, embedding array<float>",
+        )
+        got = sorted(
+            kcenter_coreset(emb, k=4).collect(), key=lambda r: r.round
+        )
+        assert [(r.round, r.vec_id, r.sel_d2) for r in got] == expect
+        assert [r.coverage_d2 for r in got] == coverage
+
+    def test_coverage_curve_non_increasing(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        from llm_graph_builder_spark.operators.ann import kcenter_coreset
+
+        rows = sorted(kcenter_coreset(emb, k=5).collect(), key=lambda r: r.round)
+        cov = [r.coverage_d2 for r in rows]
+        assert all(a >= b for a, b in zip(cov, cov[1:]))
+        # each selection is the previous round's worst-covered point
+        assert all(
+            rows[i].sel_d2 == rows[i - 1].coverage_d2 for i in range(1, len(rows))
+        )

@@ -194,3 +194,40 @@ class TestCurriculumOrder:
         )
         row = curriculum_order(docs).collect()[0]
         assert row.difficulty_e4 == 5 * 10000 // 2
+
+
+class TestTokenizerFertility:
+    def test_counts_and_ratios(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab cd-ef", "en"), (2, "x!", "de")],
+            "doc_id long, text string, lang string",
+        )
+        from llm_graph_builder_spark.functions.textstats import (
+            tokenizer_fertility,
+        )
+
+        out = {r.stratum: r for r in tokenizer_fertility(docs).collect()}
+        # "ab cd-ef": ws=2, bpe = ab|cd|-|ef = 4; chars=8
+        en = out["en"]
+        assert (en.n_docs, en.chars, en.ws_tokens, en.bpe_tokens) == (1, 8, 2, 4)
+        assert en.fertility_e4 == 4 * 10000 // 2
+        assert en.chars_per_bpe_e2 == 8 * 100 // 4
+        de = out["de"]
+        assert (de.ws_tokens, de.bpe_tokens) == (1, 2)
+
+
+class TestCalibrationBins:
+    def test_bins_and_gaps(self, spark):
+        from llm_graph_builder_spark.eval.metrics import calibration_bins
+
+        rows = [(500, 1), (1500, 0), (1700, 1), (9999, 1), (10000, 0)]
+        scored = spark.createDataFrame(rows, "pred_e4 long, label long")
+        out = {r.bin: r for r in calibration_bins(scored).collect()}
+        assert out[0].n == 1 and out[0].frac_pos_e4 == 10000
+        b1 = out[1]
+        assert b1.n == 2
+        assert b1.mean_pred_e4 == (1500 + 1700) // 2
+        assert b1.frac_pos_e4 == 5000
+        assert b1.abs_gap_e4 == abs(b1.mean_pred_e4 - 5000)
+        # p = 1.0 clamps into the top bin with p=0.9999
+        assert out[9].n == 2
