@@ -1415,6 +1415,16 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(t["entity_edges"], t["entities"], rounds=6)
 
 
+def q_boruvka_mst(spark, sf_dir):
+    """Borůvka minimum spanning forest of the weighted entity graph (5
+    rounds × 6 pointer-doubling contraction hops, total-order string edge
+    keys; oracle unrolls the identical rounds)."""
+    from .operators.graph_analytics import boruvka_mst
+
+    t = pipeline_tables(spark, sf_dir)
+    return boruvka_mst(t["entity_edges"], rounds=5, hops=6)
+
+
 def q_kcenter_coreset(spark, sf_dir):
     """Gonzalez farthest-first k-center coreset over the embeddings table:
     integer-exact squared L2 on 1e-4 fixed-point components, incremental
@@ -3181,6 +3191,7 @@ QUERIES = {
     "node_similarity": q_node_similarity,
     "wcc": q_wcc,
     "mis": q_mis,
+    "boruvka_mst": q_boruvka_mst,
     "bfs_distances": q_bfs_distances,
     "personalized_pagerank": q_personalized_pagerank,
     "kcore": q_kcore,

@@ -2848,3 +2848,204 @@ def maximal_independent_set(
         "status",
         "round",
     )
+
+
+def _boruvka_py(
+    wpairs: list[tuple[str, str, int]], rounds: int, hops: int
+) -> list[tuple[str, str, int, int]]:
+    """Driver replica of the bounded Borůvka loop — IDENTICAL rounds to the
+    distributed path including the bounded pointer-doubling contraction (the
+    same ``hops`` budget), so the size-gated switch never changes results."""
+    nodes = {n for u, v, _ in wpairs for n in (u, v)}
+    comp = {n: n for n in nodes}
+    out: list[tuple[str, str, int, int]] = []
+    for r in range(1, rounds + 1):
+        best: dict[str, str] = {}
+        for u, v, w in wpairs:
+            cu, cv = comp[u], comp[v]
+            if cu == cv:
+                continue
+            key = f"{w:018d}\x02{u}\x02{v}"
+            for c, oc in ((cu, cv), (cv, cu)):
+                cand = f"{key}\x02{oc}"
+                if c not in best or cand < best[c]:
+                    best[c] = cand
+        if not best:
+            break
+        parent: dict[str, str] = {}
+        sel: dict[tuple[str, str], int] = {}
+        for c, k in best.items():
+            wstr, u, v, oc = k.split("\x02")
+            sel[(u, v)] = int(wstr)
+            parent[c] = oc
+        for u, v in sorted(sel):
+            out.append((u, v, sel[(u, v)], r))
+        frozen = dict(parent)
+        for c, oc in frozen.items():
+            if frozen.get(oc) == c and c < oc:
+                parent[c] = c
+        for _ in range(hops):
+            parent = {c: parent[p] for c, p in parent.items()}
+        comp = {n: parent.get(c, c) for n, c in comp.items()}
+    return out
+
+
+def boruvka_mst(
+    entity_edges: DataFrame,
+    rounds: int = 5,
+    hops: int = 6,
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Minimum spanning forest of the weighted entity graph via Borůvka —
+    THE distributed MST algorithm (each round every component hooks its
+    minimum outgoing edge, components contract, edge set halves; O(log n)
+    rounds end-to-end). GDS ships it as ``gds.spanningTree``/Prim, which is
+    inherently sequential; Borůvka is the shape that survives 1000
+    executors. MST of the co-mention graph is the backbone used for
+    single-linkage clustering of entities and for sparsifying dense
+    similarity graphs before layout.
+
+    Semantics: undirected simple edges (u < v), weight = summed BIGINT
+    co-mention ``weight`` over both directions of the pair. Edge keys are
+    made totally ordered via the string ``lpad(w,18,'0') || 0x02 || u ||
+    0x02 || v`` (0x02 sorts below every printable char, so prefix-length
+    ties compare identically on both engines), which makes the MST unique
+    and tie-breaks engine-portable. Per round: each component's min outgoing
+    key is a single groupBy(c) min over the cross-component edges exploded
+    in both directions; the chosen (c → other-component) pointers form
+    trees hanging off mutual 2-cycles (the global-min edge of any chain is
+    chosen from both sides under a total order), so contraction roots each
+    2-cycle at its smaller component id and runs ``hops`` pointer-doubling
+    steps (depth 2^hops covered; post-fixpoint steps are identity — same
+    bounded-unroll argument as kcore/sssp so the DuckDB oracle mirrors the
+    EXACT rounds). A FIXED ``rounds`` budget with early stop when no
+    cross-component edge remains.
+
+    Scale shape per round: one edges⋈comp hash join pair + one comp-grain
+    min aggregation; the parent table is component-grain (halves every
+    round) and every frame is ``materialize``d. Below ``driver_max_edges``
+    the identical bounded algorithm runs on the driver (parity-tested).
+
+    Output: (u_id, u_label, v_id, v_label, w, round) — one row per forest
+    edge, round = the Borůvka round that selected it.
+    """
+    from functools import reduce
+
+    u = _node_key("subj_id", "subj_label")
+    v = _node_key("obj_id", "obj_label")
+    pairs = (
+        entity_edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v"), "weight"
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    pairs, n_edges = materialize(pairs)
+    spark = entity_edges.sparkSession
+    schema = "u string, v string, w long, round long"
+    if driver_max_edges and n_edges <= driver_max_edges:
+        rows = _boruvka_py(
+            [(r.u, r.v, r.w) for r in pairs.collect()], rounds, hops
+        )
+        out = spark.createDataFrame(rows, schema) if rows else (
+            spark.createDataFrame([], schema)
+        )
+    else:
+        comp = (
+            pairs.select(F.col("u").alias("node"))
+            .unionByName(pairs.select(F.col("v").alias("node")))
+            .dropDuplicates(["node"])
+            .select("node", F.col("node").alias("c"))
+        )
+        comp, _ = materialize(comp)
+        chosen: list[DataFrame] = []
+        for r in range(1, rounds + 1):
+            cross = (
+                pairs.join(
+                    comp.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+                    on="u",
+                )
+                .join(
+                    comp.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+                    on="v",
+                )
+                .filter(F.col("cu") != F.col("cv"))
+            )
+            key = F.concat_ws(
+                "\x02", F.lpad(F.col("w").cast("string"), 18, "0"), F.col("u"), F.col("v")
+            )
+            cand = cross.select(
+                F.col("cu").alias("c"), F.concat_ws("\x02", key, F.col("cv")).alias("k")
+            ).unionByName(
+                cross.select(
+                    F.col("cv").alias("c"),
+                    F.concat_ws("\x02", key, F.col("cu")).alias("k"),
+                )
+            )
+            sp = F.split(F.col("k"), "\x02")
+            choice = (
+                cand.groupBy("c")
+                .agg(F.min("k").alias("k"))
+                .select(
+                    "c",
+                    sp.getItem(0).cast("long").alias("w"),
+                    sp.getItem(1).alias("u"),
+                    sp.getItem(2).alias("v"),
+                    sp.getItem(3).alias("oc"),
+                )
+            )
+            choice, n_choice = materialize(choice)
+            if n_choice == 0:
+                break
+            chosen.append(
+                choice.select("u", "v", "w")
+                .dropDuplicates(["u", "v"])
+                .select("u", "v", "w", F.lit(r).cast("long").alias("round"))
+            )
+            mutual = (
+                choice.select("c", "oc")
+                .alias("a")
+                .join(
+                    choice.select(
+                        F.col("c").alias("bc"), F.col("oc").alias("boc")
+                    ),
+                    on=(F.col("bc") == F.col("oc")) & (F.col("boc") == F.col("c")),
+                )
+                .filter(F.col("c") < F.col("oc"))
+                .select("c")
+            )
+            parent = (
+                choice.select("c", F.col("oc").alias("p"))
+                .join(mutual, on="c", how="left_anti")
+                .unionByName(mutual.select("c", F.col("c").alias("p")))
+            )
+            parent, _ = materialize(parent)
+            for _ in range(hops):
+                nxt = (
+                    parent.join(
+                        parent.select(
+                            F.col("c").alias("p"), F.col("p").alias("pp")
+                        ),
+                        on="p",
+                    ).select("c", F.col("pp").alias("p"))
+                )
+                parent, _ = materialize(nxt, parent)
+            comp, _ = materialize(
+                comp.join(parent, on="c", how="left")
+                .select("node", F.coalesce("p", "c").alias("c")),
+                comp,
+            )
+        if chosen:
+            out = reduce(DataFrame.unionByName, chosen)
+        else:
+            out = spark.createDataFrame([], schema)
+    su, sv = F.split(F.col("u"), "\x01"), F.split(F.col("v"), "\x01")
+    return out.select(
+        su.getItem(0).alias("u_id"),
+        su.getItem(1).alias("u_label"),
+        sv.getItem(0).alias("v_id"),
+        sv.getItem(1).alias("v_label"),
+        "w",
+        "round",
+    )

@@ -7796,3 +7796,94 @@ FROM miall"""
 
 
 ORACLE_SQL["mis"] = PIPELINE_CTE + _mis_sql(6)
+
+
+def _boruvka_sql(rounds: int = 5, hops: int = 6) -> str:
+    """Unrolled Borůvka-MST mirror of graph_analytics.boruvka_mst: per round,
+    each component's min outgoing edge by the total-order string key
+    lpad(w,18,'0')||0x02||u||0x02||v (the trailing ||oc never changes the
+    winner — one oc per (c,w,u,v)); mutual 2-cycles root at the smaller
+    component id; contraction = the SAME bounded pointer-doubling hops as
+    the Spark loop, so the mirrors stay identical even pre-fixpoint."""
+    parts = ["""
+, bwp AS MATERIALIZED (
+  SELECT least(ka, kb) AS u, greatest(ka, kb) AS v,
+         CAST(sum(weight) AS BIGINT) AS w
+  FROM (
+    SELECT subj_id || chr(1) || subj_label AS ka,
+           obj_id || chr(1) || obj_label AS kb, weight
+    FROM entity_edges
+  )
+  WHERE ka <> kb GROUP BY 1, 2
+),
+bvc0 AS MATERIALIZED (
+  SELECT node, node AS c FROM (
+    SELECT u AS node FROM bwp UNION SELECT v AS node FROM bwp
+  )
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+bx{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, cu.c AS cu, cv.c AS cv
+  FROM bwp e
+  JOIN bvc{r - 1} cu ON cu.node = e.u
+  JOIN bvc{r - 1} cv ON cv.node = e.v
+  WHERE cu.c <> cv.c
+),
+bch{r} AS MATERIALIZED (
+  SELECT c, min(k) AS k FROM (
+    SELECT cu AS c,
+           lpad(CAST(w AS VARCHAR), 18, '0') || chr(2) || u || chr(2) || v
+             || chr(2) || cv AS k
+    FROM bx{r}
+    UNION ALL
+    SELECT cv AS c,
+           lpad(CAST(w AS VARCHAR), 18, '0') || chr(2) || u || chr(2) || v
+             || chr(2) || cu AS k
+    FROM bx{r}
+  ) GROUP BY 1
+),
+bpr{r} AS MATERIALIZED (
+  SELECT c,
+         CAST(split_part(k, chr(2), 1) AS BIGINT) AS w,
+         split_part(k, chr(2), 2) AS u,
+         split_part(k, chr(2), 3) AS v,
+         split_part(k, chr(2), 4) AS oc
+  FROM bch{r}
+),
+bsel{r} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM bpr{r}),
+bp{r}_0 AS MATERIALIZED (
+  SELECT a.c,
+         CASE WHEN b.c IS NOT NULL AND a.c < a.oc THEN a.c ELSE a.oc END AS p
+  FROM bpr{r} a LEFT JOIN bpr{r} b ON b.c = a.oc AND b.oc = a.c
+)""")
+        for h in range(1, hops + 1):
+            parts.append(f""",
+bp{r}_{h} AS MATERIALIZED (
+  SELECT x.c, y.p FROM bp{r}_{h - 1} x JOIN bp{r}_{h - 1} y ON y.c = x.p
+)""")
+        parts.append(f""",
+bvc{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(p.p, n.c) AS c
+  FROM bvc{r - 1} n LEFT JOIN bp{r}_{hops} p ON p.c = n.c
+)""")
+    sels = [
+        f"SELECT u, v, w, CAST({r} AS BIGINT) AS round FROM bsel{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "".join(parts)
+        + ",\nball AS (\n"
+        + "\nUNION ALL\n".join(sels)
+        + """
+)
+SELECT split_part(u, chr(1), 1) AS u_id,
+       split_part(u, chr(1), 2) AS u_label,
+       split_part(v, chr(1), 1) AS v_id,
+       split_part(v, chr(1), 2) AS v_label,
+       w, round
+FROM ball"""
+    )
+
+
+ORACLE_SQL["boruvka_mst"] = PIPELINE_CTE + _boruvka_sql(5, 6)

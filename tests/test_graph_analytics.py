@@ -1061,3 +1061,78 @@ class TestKcenterCoreset:
         assert all(
             rows[i].sel_d2 == rows[i - 1].coverage_d2 for i in range(1, len(rows))
         )
+
+
+def _kruskal(pairs):
+    """Ground-truth MST with the operator's total edge order (w, u, v)."""
+    import itertools
+
+    edges = sorted(
+        (w, u + "\x01E", v + "\x01E")
+        for u, v, w in pairs
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.add((min(u, v), max(u, v), w))
+    return out
+
+
+def test_boruvka_matches_kruskal_on_weighted_graph(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import boruvka_mst
+
+    pairs = [
+        ("a", "b", 4), ("b", "c", 1), ("c", "d", 3), ("d", "a", 2),
+        ("a", "c", 5), ("b", "d", 7), ("e", "f", 1), ("f", "g", 9),
+        ("g", "e", 2), ("h", "i", 6),
+    ]
+    got = boruvka_mst(_edges(spark, [(u, v, w) for u, v, w in pairs]))
+    rows = {(r.u_id, r.v_id, r.w) for r in got.collect()}
+    want = {
+        (u.split("\x01")[0], v.split("\x01")[0], w)
+        for u, v, w in _kruskal(pairs)
+    }
+    assert rows == want
+    # forest: |edges| = |nodes| - |components| (9 nodes, 3 components)
+    assert len(rows) == 9 - 3
+
+
+def test_boruvka_driver_and_distributed_paths_agree(spark):
+    import random
+
+    from llm_graph_builder_spark.operators.graph_analytics import boruvka_mst
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(24)]
+    pairs = []
+    seen = set()
+    for _ in range(60):
+        u, v = rng.sample(nodes, 2)
+        key = (min(u, v), max(u, v))
+        if key in seen:
+            continue
+        seen.add(key)
+        pairs.append((key[0], key[1], rng.randint(1, 20)))
+    e = _edges(spark, pairs)
+    drv = boruvka_mst(e, rounds=6, hops=6)
+    dist = boruvka_mst(e, rounds=6, hops=6, driver_max_edges=0)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(drv) == as_set(dist)
+    # and both equal the Kruskal ground truth (weights may tie; the shared
+    # (w, u, v) total order makes the MST unique)
+    want = {
+        (u.split("\x01")[0], "E", v.split("\x01")[0], "E", w)
+        for u, v, w in _kruskal(pairs)
+    }
+    assert {(r.u_id, r.u_label, r.v_id, r.v_label, r.w) for r in drv.collect()} == want
