@@ -1436,6 +1436,38 @@ def q_kcenter_coreset(spark, sf_dir):
     )
 
 
+def q_ab_audit(spark, sf_dir):
+    """A/B experiment audit: md5 arm coin, user-grain conversion, integer
+    pooled two-proportion z² — one aggregate, no joins."""
+    from .operators.sessions import ab_test_audit
+
+    return ab_test_audit(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (next-fit-decreasing prefix-sum
+    binning per partition) over documents-as-files."""
+    from .operators.layout import compaction_plan
+
+    return compaction_plan(read_documents(spark, sf_dir))
+
+
+def q_keyphrase_rake(spark, sf_dir):
+    """RAKE keyphrases at corpus grain (stopword-break candidates, integer
+    deg/freq scores)."""
+    from .functions.textstats import rake_keyphrases
+
+    return rake_keyphrases(read_documents(spark, sf_dir))
+
+
+def q_chisq_terms(spark, sf_dir):
+    """Chi-square class-discriminative terms for the lang='en' label
+    (distinct doc-term presence, staged integer 2x2 statistic)."""
+    from .functions.textstats import chisq_terms
+
+    return chisq_terms(read_documents(spark, sf_dir))
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer fertility (BPE-ish tokens per word, chars per
     token): row-local JVM counts + one stratum aggregate."""
@@ -3374,5 +3406,9 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "curriculum_order": q_curriculum_order,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "keyphrase_rake": q_keyphrase_rake,
+    "chisq_terms": q_chisq_terms,
+    "ab_audit": q_ab_audit,
+    "compaction_plan": q_compaction_plan,
     "calibration_bins": q_calibration_bins,
 }

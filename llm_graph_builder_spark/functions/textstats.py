@@ -792,3 +792,141 @@ def tokenizer_fertility(
             .alias("chars_per_bpe_e2"),
         )
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    max_words: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") at corpus grain — the classic
+    unsupervised keyphrase pass of a curation pipeline (weak topic labels,
+    index vocabulary, prompt-template mining). Candidate phrases are maximal
+    stopword-free runs: lowercase, non-letters collapsed to spaces, the
+    ``STOPWORDS['en']`` lexicon replaced by phrase breaks (word-boundary
+    regex, identical RE2/Java semantics), runs of 1..``max_words`` words
+    kept. Word stats over ALL phrase occurrences: ``freq(w)`` = occurrences,
+    ``deg(w)`` = sum of the hosting phrase's word count. Phrase score =
+    Σ_w deg(w)·1e6 div freq(w) — per-word integer division mirrored by the
+    oracle, so no FP anywhere.
+
+    Scale shape: one exploded phrase-occurrence pass → one word-grain
+    aggregate (map-side combined) → distinct phrases re-join their word
+    stats (phrase-word grain, broadcastable word table at real vocab
+    sizes) → TakeOrderedAndProject top_n. No driver loops, no UDFs.
+
+    Output: (phrase, n_words, n_occ, score_e6) ordered by
+    (score_e6 desc, phrase asc), top_n rows.
+    """
+    stop_pat = r"\b(" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", " ")
+    broken = F.regexp_replace(cleaned, stop_pat, "|")
+    phrases = F.filter(
+        F.transform(F.split(broken, r"\|"), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    occ = docs.select(F.explode(phrases).alias("phrase")).withColumn(
+        "words", F.split(F.col("phrase"), " +")
+    ).withColumn("n_words", F.size("words").cast("long")).filter(
+        F.col("n_words") <= max_words
+    )
+    wstats = (
+        occ.select(F.explode("words").alias("word"), "n_words")
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("deg"),
+        )
+    )
+    pdistinct = occ.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.max("n_words").cast("long").alias("n_words"),
+    )
+    scored = (
+        pdistinct.select(
+            "phrase", "n_occ", "n_words",
+            F.explode(F.split(F.col("phrase"), " +")).alias("word"),
+        )
+        .join(wstats, on="word")
+        .groupBy("phrase", "n_words", "n_occ")
+        .agg(F.sum(F.expr("deg * 1000000L div freq")).cast("long").alias("score_e6"))
+    )
+    return (
+        scored.select("phrase", "n_words", "n_occ", "score_e6")
+        .orderBy(F.desc("score_e6"), F.asc("phrase"))
+        .limit(top_n)
+    )
+
+
+def chisq_terms(
+    docs: DataFrame,
+    top_n: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    pos_lang: str = "en",
+) -> DataFrame:
+    """Chi-square feature selection of class-discriminative terms — the
+    standard filter step before training a fastText-style quality/language
+    classifier on corpus labels. Class = (lang == pos_lang); term presence
+    at the distinct (doc, term) grain over alphabetic tokens of length ≥ 3
+    outside ``STOPWORDS['en']``. With the 2×2 contingency counts a (term ∧
+    pos), b (term ∧ neg), c = n_pos − a, d = n_neg − b:
+
+        chi2_e3 = ((t1·t1) div ((a+b)·greatest(c+d,1))) · N · 1000
+                    div (n_pos · greatest(n_neg,1)),  t1 = a·d − b·c
+
+    — staged integer divisions (each stage < 2^63 for corpora to ~5e4 docs
+    per class pair; document the bound, don't widen to FP) mirrored exactly
+    by the oracle. Scale shape: one distinct (doc, term) exchange, one
+    term-grain aggregate against a broadcast 1-row class-count frame,
+    TakeOrderedAndProject top_n.
+
+    Output: (term, df_pos, df_neg, chi2_e3) by (chi2_e3 desc, term asc).
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", " "), " +"),
+        lambda t: (F.length(t) >= 3) & ~t.isin(*STOPWORDS["en"]),
+    )
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        (F.col(lang_col) == pos_lang).cast("long").alias("pos"),
+        toks.alias("tk"),
+    )
+    totals = base.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    dt = base.select("doc", "pos", F.explode("tk").alias("term")).dropDuplicates(
+        ["doc", "term"]
+    )
+    counts = dt.groupBy("term").agg(
+        F.sum("pos").cast("long").alias("a"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("b"),
+    )
+    scored = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("c", F.expr("n_pos - a"))
+        .withColumn("d", F.expr("n_neg - b"))
+        .withColumn("t1", F.expr("a * d - b * c"))
+        .withColumn(
+            "chi2_e3",
+            F.expr(
+                "((t1 * t1) div ((a + b) * greatest(c + d, 1L)))"
+                " * (n_pos + n_neg) * 1000L"
+                " div (n_pos * greatest(n_neg, 1L))"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select(
+            "term",
+            F.col("a").alias("df_pos"),
+            F.col("b").alias("df_neg"),
+            "chi2_e3",
+        )
+        .orderBy(F.desc("chi2_e3"), F.asc("term"))
+        .limit(top_n)
+    )

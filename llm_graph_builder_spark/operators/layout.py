@@ -619,3 +619,46 @@ def order_statistics(
         )
         .select("stat", "rank", F.col("v").alias("value_cents"))
     )
+
+
+def compaction_plan(
+    docs: DataFrame,
+    target_bytes: int = 65536,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Small-file compaction planner — the maintenance job every lakehouse
+    table needs (Iceberg rewrite_data_files / Delta OPTIMIZE analog). Files
+    (here: documents standing in as (partition, file, bytes) rows) are
+    packed per partition into target-sized output bins by the deterministic
+    next-fit-decreasing rule: order by (bytes desc, id asc), prefix-sum,
+    bin = (cumsum − bytes) div target — a pure window + aggregate plan, no
+    driver loop, so planning 10^9 files is one shuffle on the partition
+    column. (First-fit-decreasing packs ≤ NFD bins but is inherently
+    sequential per partition; NFD is the shape that parallelizes, and its
+    bins are within 2× optimal like any any-fit rule.)
+
+    Output: one row per (partition, bin): n_files, bytes, largest,
+    smallest, and under_target (1 when the bin is below target — only ever
+    the partition's last bin, the residual tail).
+    """
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.desc("bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("bytes"),
+    ).withColumn("cum", F.sum("bytes").over(w)).withColumn(
+        "bin", F.expr(f"(cum - bytes) div {int(target_bytes)}L").cast("long")
+    )
+    return binned.groupBy("part", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.max("bytes").cast("long").alias("largest"),
+        F.min("bytes").cast("long").alias("smallest"),
+        (F.sum("bytes") < target_bytes).cast("long").alias("under_target"),
+    )

@@ -1493,3 +1493,59 @@ def priority_sample(
             "err_e4",
         )
     )
+
+
+def ab_test_audit(events: DataFrame) -> DataFrame:
+    """Two-proportion A/B experiment audit over the events table — the
+    decision gate of any data-product rollout (and of curation-recipe
+    experiments: arm = candidate pipeline variant). Users are assigned arms
+    by the deterministic hash coin ``substr(md5(user_id), 1, 1) < '8'``
+    (the md5 hex digit is uniform; same assignment on any engine), exposure
+    = every user with ≥ 1 event, conversion = ≥ 1 'purchase' event.
+
+    Integer-exact statistic (no FP): with per-arm users/conversions
+    (n_a, c_a, n_b, c_b), D = c_a·n_b − c_b·n_a, C = c_a + c_b,
+    N = n_a + n_b:
+
+        z2_e3 = ((D·D) div (n_a·n_b)) · N · 1000 div greatest(C·(N−C), 1)
+
+    — the squared pooled two-proportion z-score at e3 fixed point with
+    staged divisions mirrored by the oracle (each stage < 2^63 for up to
+    ~3e6 users per arm; the audit is a 1-row summary, re-bucket above
+    that). Scale shape: one user-grain aggregate (map-side combined), one
+    4-long 1-row reduce — no joins at all.
+
+    Output: single row (n_a, conv_a, conv_a_e6, n_b, conv_b, conv_b_e6,
+    lift_e6, z2_e3).
+    """
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    ).select(
+        (F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8")
+        .cast("long")
+        .alias("is_a"),
+        "conv",
+    )
+    return users.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.expr("is_a * conv")).cast("long").alias("conv_a"),
+        (F.count("*") - F.sum("is_a")).cast("long").alias("n_b"),
+        F.sum(F.expr("(1 - is_a) * conv")).cast("long").alias("conv_b"),
+    ).select(
+        "n_a",
+        "conv_a",
+        F.expr("conv_a * 1000000L div greatest(n_a, 1L)").alias("conv_a_e6"),
+        "n_b",
+        "conv_b",
+        F.expr("conv_b * 1000000L div greatest(n_b, 1L)").alias("conv_b_e6"),
+        F.expr(
+            "conv_a * 1000000L div greatest(n_a, 1L)"
+            " - conv_b * 1000000L div greatest(n_b, 1L)"
+        ).alias("lift_e6"),
+        F.expr(
+            "((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)"
+            " div greatest(n_a * n_b, 1L)) * (n_a + n_b) * 1000L"
+            " div greatest((conv_a + conv_b)"
+            " * (n_a + n_b - conv_a - conv_b), 1L)"
+        ).alias("z2_e3"),
+    )

@@ -7887,3 +7887,152 @@ FROM ball"""
 
 
 ORACLE_SQL["boruvka_mst"] = PIPELINE_CTE + _boruvka_sql(5, 6)
+
+
+# mirrors q_keyphrase_rake / textstats.rake_keyphrases: stopword-break
+# candidate phrases, word freq/degree over all phrase occurrences, phrase
+# score = per-word integer division sum — no FP. Alternation \b(a|and|..)\b
+# resolves identically under RE2 and Java regex because the word-boundary
+# pair admits only the full-word alternative.
+ORACLE_SQL["keyphrase_rake"] = """
+WITH rk0 AS (
+  SELECT list_filter(
+           list_transform(
+             string_split(
+               regexp_replace(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+                 '\\b(a|and|of|the|to)\\b', '|', 'g'),
+               '|'),
+             p -> trim(p)),
+           p -> len(p) > 0) AS phrases
+  FROM documents
+),
+rocc AS MATERIALIZED (
+  SELECT phrase,
+         CAST(len(string_split_regex(phrase, ' +')) AS BIGINT) AS n_words,
+         string_split_regex(phrase, ' +') AS words
+  FROM (SELECT unnest(phrases) AS phrase FROM rk0)
+  WHERE len(string_split_regex(phrase, ' +')) <= 4
+),
+rws AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(n_words) AS BIGINT) AS deg
+  FROM (SELECT unnest(words) AS word, n_words FROM rocc)
+  GROUP BY 1
+),
+rpd AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(max(n_words) AS BIGINT) AS n_words
+  FROM rocc GROUP BY 1
+),
+rsc AS (
+  SELECT p.phrase, p.n_words, p.n_occ,
+         CAST(sum(w.deg * 1000000 // w.freq) AS BIGINT) AS score_e6
+  FROM (SELECT phrase, n_occ, n_words,
+               unnest(string_split_regex(phrase, ' +')) AS word
+        FROM rpd) p
+  JOIN rws w USING (word)
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, n_words, n_occ, score_e6
+FROM rsc ORDER BY score_e6 DESC, phrase LIMIT 20
+"""
+
+
+# mirrors q_chisq_terms / textstats.chisq_terms: distinct (doc, term)
+# presence over >=3-char non-stopword alpha tokens, 2x2 chi-square with the
+# exact staged integer divisions of the Spark expression.
+ORACLE_SQL["chisq_terms"] = """
+WITH cq0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         CAST(lang = 'en' AS BIGINT) AS pos,
+         list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' +'),
+           t -> len(t) >= 3 AND t NOT IN ('a', 'and', 'of', 'the', 'to')
+         ) AS tk
+  FROM documents
+),
+cqt AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+  FROM cq0
+),
+cqd AS MATERIALIZED (
+  SELECT DISTINCT doc, pos, term
+  FROM (SELECT doc, pos, unnest(tk) AS term FROM cq0)
+),
+cqc AS (
+  SELECT term, CAST(sum(pos) AS BIGINT) AS a,
+         CAST(count(*) - sum(pos) AS BIGINT) AS b
+  FROM cqd GROUP BY 1
+),
+cqs AS (
+  SELECT term, a, b,
+         (n_pos - a) AS c, (n_neg - b) AS d,
+         (a * (n_neg - b) - b * (n_pos - a)) AS t1,
+         n_pos, n_neg
+  FROM cqc CROSS JOIN cqt
+)
+SELECT term, a AS df_pos, b AS df_neg,
+       CAST(((t1 * t1) // ((a + b) * greatest(c + d, 1)))
+              * (n_pos + n_neg) * 1000
+              // (n_pos * greatest(n_neg, 1)) AS BIGINT) AS chi2_e3
+FROM cqs
+ORDER BY chi2_e3 DESC, term LIMIT 25
+"""
+
+
+# mirrors q_ab_audit / sessions.ab_test_audit: md5 hex-digit arm coin,
+# user-grain conversion, staged-integer pooled two-proportion z^2.
+ORACLE_SQL["ab_audit"] = """
+WITH abu AS (
+  SELECT CAST(substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS BIGINT)
+           AS is_a,
+         CAST(max(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+abt AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+         CAST(sum(is_a * conv) AS BIGINT) AS conv_a,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+         CAST(sum((1 - is_a) * conv) AS BIGINT) AS conv_b
+  FROM abu
+)
+SELECT n_a, conv_a,
+       CAST(conv_a * 1000000 // greatest(n_a, 1) AS BIGINT) AS conv_a_e6,
+       n_b, conv_b,
+       CAST(conv_b * 1000000 // greatest(n_b, 1) AS BIGINT) AS conv_b_e6,
+       CAST(conv_a * 1000000 // greatest(n_a, 1)
+            - conv_b * 1000000 // greatest(n_b, 1) AS BIGINT) AS lift_e6,
+       CAST(((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+              // greatest(n_a * n_b, 1)) * (n_a + n_b) * 1000
+            // greatest((conv_a + conv_b)
+                        * (n_a + n_b - conv_a - conv_b), 1) AS BIGINT)
+         AS z2_e3
+FROM abt
+"""
+
+
+# mirrors q_compaction_plan / layout.compaction_plan: next-fit-decreasing
+# prefix-sum binning per partition, integer bin ids.
+ORACLE_SQL["compaction_plan"] = """
+WITH cpf AS (
+  SELECT source AS part, doc_id AS file_id, CAST(n_chars AS BIGINT) AS bytes,
+         CAST(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM documents
+),
+cpb AS (
+  SELECT part, file_id, bytes, (cum - bytes) // 65536 AS bin FROM cpf
+)
+SELECT part, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(max(bytes) AS BIGINT) AS largest,
+       CAST(min(bytes) AS BIGINT) AS smallest,
+       CAST(sum(bytes) < 65536 AS BIGINT) AS under_target
+FROM cpb GROUP BY 1, 2
+"""

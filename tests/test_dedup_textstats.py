@@ -2550,3 +2550,45 @@ def test_zipf_fit_slope_negative_on_zipfian_text(spark):
     sxx = 0 + 1 + 1 + 4
     assert (r.slope_num, r.slope_den) == (n * sxy - sx * sy, n * sxx - sx * sx)
     assert r.slope_e4 < 0
+
+
+def test_rake_keyphrases_scores_and_breaks(spark):
+    from llm_graph_builder_spark.functions.textstats import rake_keyphrases
+
+    # "deep learning" survives as one phrase; stopwords break candidates
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning and the deep model"),
+            (2, "deep learning of model quality"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keyphrases(docs, top_n=10).collect()}
+    assert "deep learning" in out and out["deep learning"].n_occ == 2
+    # word stats: deep freq=3 (2 in 'deep learning', 1 in 'deep model'),
+    # deg(deep)=2+2+2=6; learning freq=2, deg=4 → score = 6e6//3 + 4e6//2
+    assert out["deep learning"].score_e6 == 6_000_000 // 3 + 4_000_000 // 2
+    assert out["deep learning"].n_words == 2
+    # single word phrase after break: 'model quality'
+    assert "model quality" in out
+
+
+def test_chisq_terms_discriminative_term_tops(spark):
+    from llm_graph_builder_spark.functions.textstats import chisq_terms
+
+    rows = [(i, "apfel haus baum", "de") for i in range(5)]
+    rows += [(10 + i, "apple house tree", "en") for i in range(5)]
+    rows += [(20, "apple haus shared", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chisq_terms(docs, top_n=10).collect()
+    # perfectly separating terms (house/tree ↔ haus) top the list; 'apple'
+    # leaks into one de doc and ranks below; 'shared' (1 doc) is last
+    top3 = {r.term for r in out[:3]}
+    assert top3 == {"haus", "house", "tree"}
+    by_term = {r.term: r for r in out}
+    assert by_term["house"].df_pos == 5 and by_term["house"].df_neg == 0
+    assert by_term["house"].chi2_e3 > by_term["apple"].chi2_e3
+    assert by_term["apple"].chi2_e3 > by_term["shared"].chi2_e3
+    # exact staged-integer statistic for the clean 5/0-vs-0/6 split
+    # t1 = 5*6 - 0 = 30; chi2 = ((900)//(5*6))*11*1000//(5*6) = 11000
+    assert by_term["house"].chi2_e3 == 11000

@@ -672,3 +672,31 @@ def test_join_cardinality_exact_prediction(spark):
     ).count()
     assert (r.max_left_mult, r.max_right_mult) == (2, 3)
     assert r.amp_e4 == 7 * 10000 // 9
+
+
+def test_ab_test_audit_exact_counts(spark):
+    from llm_graph_builder_spark.operators.sessions import ab_test_audit
+
+    import hashlib
+
+    rows = []
+    for uid in range(40):
+        rows.append((uid * 10, "2024-01-01 00:00:00", uid, "view", 1.0, "{}"))
+        if uid % 4 == 0:
+            rows.append(
+                (uid * 10 + 1, "2024-01-01 00:01:00", uid, "purchase", 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ab_test_audit(ev).collect()[0]
+    arm_a = {u for u in range(40) if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"}
+    conv = {u for u in range(40) if u % 4 == 0}
+    assert r.n_a == len(arm_a) and r.n_b == 40 - len(arm_a)
+    assert r.conv_a == len(arm_a & conv) and r.conv_b == len(conv - arm_a)
+    assert r.conv_a_e6 == r.conv_a * 1_000_000 // r.n_a
+    d = r.conv_a * r.n_b - r.conv_b * r.n_a
+    c, n = r.conv_a + r.conv_b, r.n_a + r.n_b
+    assert r.z2_e3 == (d * d // (r.n_a * r.n_b)) * n * 1000 // max(c * (n - c), 1)

@@ -129,3 +129,18 @@ def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
     assert len(files) == 4  # one file per bucket, not tasks x buckets
     assert spark.table("lgb_bkt_probe").count() == 1000
     spark.sql("DROP TABLE IF EXISTS lgb_bkt_probe")
+
+
+def test_compaction_plan_next_fit_decreasing_bins(spark):
+    from llm_graph_builder_spark.operators.layout import compaction_plan
+
+    docs = spark.createDataFrame(
+        [(i, "s", 40_000 if i < 3 else 10_000) for i in range(6)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {(r.part, r.bin): r for r in compaction_plan(docs).collect()}
+    # cumsums: 40k,80k,120k,130k,140k,150k → bins 0,0,1,1,1,2 (65536 target)
+    assert out[("s", 0)].n_files == 2 and out[("s", 0)].bytes == 80_000
+    assert out[("s", 1)].n_files == 3 and out[("s", 1)].bytes == 60_000
+    assert out[("s", 2)].n_files == 1 and out[("s", 2)].under_target == 1
+    assert out[("s", 0)].under_target == 0
