@@ -678,6 +678,16 @@ def q_bm25_retrieval(spark, sf_dir):
     return bm25_search(t["chunks"], "merge join stream data")
 
 
+def q_prf_retrieval(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback: round-1 BM25 top-5 chunks donate
+    the 3 strongest non-query terms at half weight, round-2 weighted BM25
+    rescores — all stages integer-exact and mirrored."""
+    from .operators.fulltext import prf_search
+
+    t = pipeline_tables(spark, sf_dir)
+    return prf_search(t["chunks"], "merge join")
+
+
 def q_hybrid_retrieval(spark, sf_dir):
     """Chat-mode read surface — hybrid vector + fulltext retrieval (reference
     ``fulltext`` chat mode: Neo4jVector hybrid over the vector index plus the
@@ -3192,6 +3202,7 @@ QUERIES = {
     "entity_descriptions": q_entity_descriptions,
     "keyword_search": q_keyword_search,
     "bm25_retrieval": q_bm25_retrieval,
+    "prf_retrieval": q_prf_retrieval,
     "dedup_clusters": q_dedup_clusters,
     "dedup_cluster_invariants": q_dedup_cluster_invariants,
     "clustering_agreement": q_clustering_agreement,

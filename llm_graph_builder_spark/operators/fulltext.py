@@ -302,3 +302,127 @@ def phrase_search(
             F.col("match_starts"), lambda x: (x - 1).cast("long")
         ).alias("first_positions"),
     )
+
+
+def prf_search(
+    chunks: DataFrame,
+    query: str,
+    fb_k: int = 5,
+    fb_terms: int = 3,
+    beta_e3: int = 500,
+    k1_e3: int = 1200,
+    b_e3: int = 750,
+    limit: int = 20,
+) -> DataFrame:
+    """Pseudo-relevance-feedback (Rocchio) retrieval: a round-1 BM25 pass
+    selects the ``fb_k`` top chunks, the strongest ``fb_terms`` non-query
+    terms of those chunks (by feedback-tf × idf_bits) expand the query at
+    weight ``beta_e3``/1000, and a weighted round-2 BM25 rescores — the
+    classic recall-boosting query-expansion loop of a retrieval pipeline
+    (the reference's Lucene leg has no PRF; this is the scale-native
+    upgrade path for its fulltext chat mode,
+    /root/reference/backend/src/post_processing.py:149-186).
+
+    Every stage is integer-exact (same idf_bits / staged-division BM25
+    parts as :func:`bm25_search`; weighted contribution =
+    ``w_e3·idf_bits·tfsat_e6 div 1000``) so the DuckDB oracle mirrors
+    bit-for-bit. Scale shape: ONE (chunk, term) tf materialization feeds
+    both rounds; the round-1 top-``fb_k`` and the expansion-term set are
+    driver-tiny broadcast frames; rescoring touches only postings of the
+    ≤ |q|+fb_terms query terms; final rank is TakeOrderedAndProject.
+
+    Output: (chunk_id, score_e6, matched) by (score desc, chunk_id).
+    """
+    import re
+
+    from ..functions.iterutils import materialize
+
+    spark = chunks.sparkSession
+    uniq = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    tf = (
+        uniq.select(
+            "chunk_id", F.explode(_all_terms(F.col("text"))).alias("term")
+        )
+        .groupBy("chunk_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tf, _ = materialize(tf)
+    dl = tf.groupBy("chunk_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dl, _ = materialize(dl)
+    totals = dl.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.expr("sum(dl) * 1000L div count(*)").cast("long").alias("avgdl_e3"),
+    )
+
+    def _weighted_bm25(qweights: DataFrame) -> DataFrame:
+        """qweights: (term, w_e3) — broadcastable query-term frame."""
+        matched = tf.join(F.broadcast(qweights), on="term")
+        dfreq = matched.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        scored = (
+            matched.join(F.broadcast(dfreq), on="term")
+            .join(dl, on="chunk_id")
+            .crossJoin(F.broadcast(totals))
+            .withColumn(
+                "idf_bits",
+                (F.length(F.bin(F.expr("n_chunks div df"))) - 1).cast("long"),
+            )
+            .withColumn(
+                "norm_e3",
+                F.expr(f"1000L - {b_e3}L + ({b_e3}L * dl * 1000L) div avgdl_e3"),
+            )
+            .withColumn(
+                "denom_e3",
+                F.expr(f"tf * 1000L + ({k1_e3}L * norm_e3) div 1000L"),
+            )
+            .withColumn(
+                "tfsat_e6",
+                F.expr(f"(tf * {1000 + k1_e3}L * 1000000L) div denom_e3"),
+            )
+        )
+        return scored.groupBy("chunk_id").agg(
+            F.sum(F.expr("(w_e3 * idf_bits * tfsat_e6) div 1000L"))
+            .cast("long")
+            .alias("score_e6"),
+            F.count("*").cast("long").alias("matched"),
+        )
+
+    qterms = sorted({t for t in re.split(_TERM_SPLIT, (query or "").lower()) if t})
+    q1 = spark.createDataFrame(
+        [(t, 1000) for t in qterms], "term string, w_e3 long"
+    )
+    top1 = (
+        _weighted_bm25(q1)
+        .orderBy(F.desc("score_e6"), F.asc("chunk_id"))
+        .limit(fb_k)
+        .select("chunk_id")
+    )
+    cand = (
+        tf.join(F.broadcast(top1), on="chunk_id")
+        .join(F.broadcast(q1.select("term")), on="term", how="left_anti")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("fbtf"))
+    )
+    cdf = tf.join(F.broadcast(cand.select("term")), on="term").groupBy(
+        "term"
+    ).agg(F.count("*").cast("long").alias("df"))
+    expansion = (
+        cand.join(cdf, on="term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.expr(
+                "fbtf * (length(bin(n_chunks div df)) - 1)"
+            ).cast("long").alias("fbscore"),
+        )
+        .orderBy(F.desc("fbscore"), F.asc("term"))
+        .limit(fb_terms)
+        .select("term", F.lit(beta_e3).cast("long").alias("w_e3"))
+    )
+    q2 = q1.unionByName(expansion)
+    return (
+        _weighted_bm25(q2)
+        .orderBy(F.desc("score_e6"), F.asc("chunk_id"))
+        .limit(limit)
+    )

@@ -8036,3 +8036,91 @@ SELECT part, CAST(bin AS BIGINT) AS bin,
        CAST(sum(bytes) < 65536 AS BIGINT) AS under_target
 FROM cpb GROUP BY 1, 2
 """
+
+
+# mirrors q_prf_retrieval / fulltext.prf_search (query "merge join", fb_k=5,
+# fb_terms=3, beta_e3=500): one tf grain feeds both BM25 rounds; expansion
+# terms by feedback-tf × idf_bits; weighted contribution
+# w_e3·idf_bits·tfsat_e6 // 1000 — staged integers identical to Spark.
+ORACLE_SQL["prf_retrieval"] = PIPELINE_CTE + """
+, puniq AS (SELECT DISTINCT chunk_id, text FROM chunks),
+ptf AS MATERIALIZED (
+  SELECT chunk_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT chunk_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS term
+    FROM puniq
+  )
+  GROUP BY 1, 2
+),
+pdl AS MATERIALIZED (
+  SELECT chunk_id, CAST(sum(tf) AS BIGINT) AS dl FROM ptf GROUP BY 1
+),
+ptot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_e3
+  FROM pdl
+),
+pq1 AS (
+  SELECT unnest(['join', 'merge']) AS term, CAST(1000 AS BIGINT) AS w_e3
+),
+pm1 AS MATERIALIZED (
+  SELECT f.chunk_id, f.term, f.tf, q.w_e3 FROM ptf f JOIN pq1 q USING (term)
+),
+pdf1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pm1 GROUP BY 1),
+ps1 AS (
+  SELECT m.chunk_id,
+         CAST(sum((m.w_e3 * (length(bin(t.n_chunks // d.df)) - 1)
+           * ((m.tf * 2200 * 1000000)
+              // (m.tf * 1000
+                  + (1200 * (1000 - 750 + (750 * l.dl * 1000) // t.avgdl_e3))
+                    // 1000))) // 1000) AS BIGINT) AS score_e6
+  FROM pm1 m
+  JOIN pdf1 d USING (term)
+  JOIN pdl l USING (chunk_id)
+  CROSS JOIN ptot t
+  GROUP BY 1
+),
+ptop1 AS (SELECT chunk_id FROM ps1 ORDER BY score_e6 DESC, chunk_id LIMIT 5),
+pcand AS MATERIALIZED (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS fbtf
+  FROM ptf JOIN ptop1 USING (chunk_id)
+  WHERE term NOT IN (SELECT term FROM pq1)
+  GROUP BY 1
+),
+pcdf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM ptf WHERE term IN (SELECT term FROM pcand) GROUP BY 1
+),
+pexp AS (
+  SELECT term, CAST(500 AS BIGINT) AS w_e3
+  FROM (
+    SELECT c.term,
+           c.fbtf * (length(bin(t.n_chunks // d.df)) - 1) AS fbscore
+    FROM pcand c JOIN pcdf d USING (term) CROSS JOIN ptot t
+  )
+  ORDER BY fbscore DESC, term LIMIT 3
+),
+pq2 AS (SELECT term, w_e3 FROM pq1 UNION ALL SELECT term, w_e3 FROM pexp),
+pm2 AS MATERIALIZED (
+  SELECT f.chunk_id, f.term, f.tf, q.w_e3 FROM ptf f JOIN pq2 q USING (term)
+),
+pdf2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pm2 GROUP BY 1),
+ps2 AS (
+  SELECT m.chunk_id,
+         CAST(sum((m.w_e3 * (length(bin(t.n_chunks // d.df)) - 1)
+           * ((m.tf * 2200 * 1000000)
+              // (m.tf * 1000
+                  + (1200 * (1000 - 750 + (750 * l.dl * 1000) // t.avgdl_e3))
+                    // 1000))) // 1000) AS BIGINT) AS score_e6,
+         CAST(count(*) AS BIGINT) AS matched
+  FROM pm2 m
+  JOIN pdf2 d USING (term)
+  JOIN pdl l USING (chunk_id)
+  CROSS JOIN ptot t
+  GROUP BY 1
+)
+SELECT chunk_id, score_e6, matched
+FROM ps2 ORDER BY score_e6 DESC, chunk_id LIMIT 20
+"""

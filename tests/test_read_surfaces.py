@@ -679,3 +679,35 @@ def test_rrf_fuse_hand_computed(spark):
     assert out["d"].rrf_e6 == 1000000 // 62 and out["d"].vrank is None
     # b outranks a (two legs beat one at comparable ranks)
     assert out["b"].rnk == 1 and out["a"].rnk == 2
+
+
+def test_prf_search_expands_and_reaches_unmatched_chunk(spark):
+    from llm_graph_builder_spark.operators.fulltext import prf_search
+
+    # round 1: only c1/c2 match "merge"; their strongest non-query term is
+    # "shuffle" (feedback tf 4 × idf_bits 1 beats "plan" at 1 × 3) →
+    # expansion pulls in c3, which shares no original query term
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "merge shuffle shuffle shuffle"),
+            ("c2", "merge shuffle plan"),
+            ("c3", "shuffle build probe"),
+            ("c4", "scan filter project"),
+            ("c5", "scan codegen exchange"),
+            ("c6", "vector batch read"),
+            ("c7", "write commit retry"),
+            ("c8", "stats prune skip"),
+        ],
+        "chunk_id string, text string",
+    )
+    # df(shuffle)=3 of N=8 → idf_bits = len(bin(8//3))-1 = 1 > 0, so the
+    # expansion term both wins the fbscore rank and scores in round 2
+    out = prf_search(chunks, "merge", fb_k=2, fb_terms=1, limit=10).collect()
+    got = {r.chunk_id for r in out}
+    assert "c3" in got  # reached only via the expansion term
+    assert "c4" not in got and "c5" not in got
+    # original-term chunks still rank above expansion-only chunks: weight
+    # 1000 vs 500 and merge idf is higher (df 2 vs 3)
+    assert out[0].chunk_id in {"c1", "c2"}
+    by_id = {r.chunk_id: r for r in out}
+    assert by_id["c1"].matched == 2 and by_id["c3"].matched == 1
