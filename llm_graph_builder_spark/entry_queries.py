@@ -1435,6 +1435,15 @@ def q_boruvka_mst(spark, sf_dir):
     return boruvka_mst(t["entity_edges"], rounds=5, hops=6)
 
 
+def q_pca_power(spark, sf_dir):
+    """Top principal embedding direction: one mapInArrow Gram pass +
+    driver power iteration, integer-exact e4 fixed point (oracle unrolls
+    the identical iterations)."""
+    from .operators.ann import pca_power
+
+    return pca_power(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_kcenter_coreset(spark, sf_dir):
     """Gonzalez farthest-first k-center coreset over the embeddings table:
     integer-exact squared L2 on 1e-4 fixed-point components, incremental
@@ -1460,6 +1469,22 @@ def q_compaction_plan(spark, sf_dir):
     from .operators.layout import compaction_plan
 
     return compaction_plan(read_documents(spark, sf_dir))
+
+
+def q_nb_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes lang classifier fit+apply in one plan
+    (floor-log2 bit costs, Laplace-1, lexicographic argmin)."""
+    from .functions.textstats import nb_classifier
+
+    return nb_classifier(read_documents(spark, sf_dir))
+
+
+def q_decision_stump(spark, sf_dir):
+    """Gini decision stump on n_chars vs the lang='en' label — distinct-
+    value-grain prefix sums, integer closed-form split costs."""
+    from .functions.textstats import decision_stump
+
+    return decision_stump(read_documents(spark, sf_dir))
 
 
 def q_keyphrase_rake(spark, sf_dir):
@@ -3217,6 +3242,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kcenter_coreset": q_kcenter_coreset,
+    "pca_power": q_pca_power,
     "topic_clusters": q_topic_clusters,
     "cluster_quality": q_cluster_quality,
     "semantic_dedup": q_semantic_dedup,
@@ -3419,6 +3445,8 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "keyphrase_rake": q_keyphrase_rake,
     "chisq_terms": q_chisq_terms,
+    "nb_classifier": q_nb_classifier,
+    "decision_stump": q_decision_stump,
     "ab_audit": q_ab_audit,
     "compaction_plan": q_compaction_plan,
     "calibration_bins": q_calibration_bins,

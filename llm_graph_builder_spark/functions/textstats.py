@@ -930,3 +930,171 @@ def chisq_terms(
         .orderBy(F.desc("chi2_e3"), F.asc("term"))
         .limit(top_n)
     )
+
+
+def nb_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, fit and applied in one
+    plan — the classic cheap supervised gate of a curation pipeline (and
+    the self-consistency audit of the corpus' own ``lang`` labels). All
+    integer, in the corpus' floor-log2 surprisal convention: with per-class
+    token totals T_l, vocab size V and Laplace-1 counts c,
+
+        cost(t|l)  = length(bin((T_l + V) div (c + 1))) − 1   [bits]
+        prior(l)   = length(bin(N_docs div n_l)) − 1
+
+    and a document's class cost = prior + Σ tf·cost; predicted class =
+    argmin with the lexicographic (cost, lang) string-key min — the same
+    engine-portable tie-break as Borůvka's edge keys.
+
+    Scale shape: one (doc, term) tf exchange (the same grain every text
+    stat here rides), one (term, lang) count aggregate, a broadcastable
+    model table of vocab × |langs| rows joined back to the tf grain, one
+    (doc, lang) partial-sum shuffle, one doc-grain argmin. No UDFs.
+
+    Output: (doc, lang, pred_lang, cost_bits, correct) per document with
+    ≥ 1 alphabetic token.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", " "), " +"),
+        lambda t: F.length(t) > 0,
+    )
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(lang_col).alias("lang"),
+        toks.alias("tk"),
+    ).filter(F.size("tk") > 0)
+    tf = (
+        base.select("doc", "lang", F.explode("tk").alias("term"))
+        .groupBy("doc", "lang", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    counts = tf.groupBy("term", F.col("lang").alias("mlang")).agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    ltot = counts.groupBy("mlang").agg(F.sum("c").cast("long").alias("t_l"))
+    vocab = counts.select("term").distinct()
+    v = vocab.agg(F.count("*").cast("long").alias("v"))
+    dcnt = base.groupBy(F.col("lang").alias("mlang")).agg(
+        F.count("*").cast("long").alias("n_l")
+    )
+    ndocs = base.agg(F.count("*").cast("long").alias("n_docs"))
+    model = (
+        vocab.crossJoin(ltot)
+        .join(counts, on=["term", "mlang"], how="left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            "mlang",
+            (F.length(F.bin(F.expr("(t_l + v) div (c + 1)"))) - 1)
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+    prior = (
+        dcnt.crossJoin(F.broadcast(ndocs))
+        .select(
+            "mlang",
+            (F.length(F.bin(F.expr("n_docs div n_l"))) - 1)
+            .cast("long")
+            .alias("prior"),
+        )
+    )
+    scores = (
+        tf.join(model, on="term")
+        .groupBy("doc", "lang", "mlang")
+        .agg(F.sum(F.expr("tf * cost")).cast("long").alias("bits"))
+        .join(F.broadcast(prior), on="mlang")
+        .select(
+            "doc",
+            "lang",
+            F.concat_ws(
+                "\x02",
+                F.lpad((F.col("bits") + F.col("prior")).cast("string"), 12, "0"),
+                "mlang",
+            ).alias("k"),
+        )
+    )
+    sp = F.split(F.col("k"), "\x02")
+    return (
+        scores.groupBy("doc", "lang")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "doc",
+            "lang",
+            sp.getItem(1).alias("pred_lang"),
+            sp.getItem(0).cast("long").alias("cost_bits"),
+        )
+        .withColumn(
+            "correct", (F.col("pred_lang") == F.col("lang")).cast("long")
+        )
+    )
+
+
+def decision_stump(
+    docs: DataFrame,
+    feature_col: str = "n_chars",
+    lang_col: str = "lang",
+    pos_lang: str = "en",
+    top_n: int = 10,
+) -> DataFrame:
+    """Gini decision stump (1-split tree) on an integer feature — the
+    fit-a-threshold primitive behind weak-label curation rules and boosted
+    ensembles. Every candidate threshold is evaluated in ONE window pass:
+    group to the distinct-feature-value grain, prefix-sum (n, positives),
+    and the weighted Gini cost of splitting at value x is the closed form
+
+        cost_e6 = 2·cp·(cn−cp)·1e6 div cn + 2·rp·(rn−rp)·1e6 div rn
+
+    (cn/cp = left counts from the prefix sums, rn/rp the complements) —
+    integer-exact, mirrored by the oracle. The global window runs on the
+    DISTINCT-VALUE grain (feature cardinality, not row count); for
+    unbounded-cardinality features pre-bucket to percentiles first
+    (``order_statistics``). Thresholds with an empty right side are not
+    splits and are excluded.
+
+    Output: top_n rows (threshold, left_n, left_pos, right_n, right_pos,
+    cost_e6, rnk) by (cost_e6 asc, threshold asc) — rnk 1 is the stump.
+    """
+    from pyspark.sql.window import Window
+
+    vals = docs.select(
+        F.col(feature_col).cast("long").alias("x"),
+        (F.col(lang_col) == pos_lang).cast("long").alias("y"),
+    )
+    grain = vals.groupBy("x").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    totals = grain.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("p").cast("long").alias("tp")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        grain.withColumn("cn", F.sum("n").over(w).cast("long"))
+        .withColumn("cp", F.sum("p").over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("cn") < F.col("tn"))
+        .select(
+            F.col("x").alias("threshold"),
+            F.col("cn").alias("left_n"),
+            F.col("cp").alias("left_pos"),
+            (F.col("tn") - F.col("cn")).alias("right_n"),
+            (F.col("tp") - F.col("cp")).alias("right_pos"),
+            F.expr(
+                "2L * cp * (cn - cp) * 1000000L div cn"
+                " + 2L * (tp - cp) * ((tn - cn) - (tp - cp)) * 1000000L"
+                " div (tn - cn)"
+            ).cast("long").alias("cost_e6"),
+        )
+    )
+    wr = Window.orderBy(F.asc("cost_e6"), F.asc("threshold"))
+    return (
+        cum.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+    )

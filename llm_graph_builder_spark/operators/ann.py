@@ -971,3 +971,97 @@ def kcenter_coreset(
     return corpus.sparkSession.createDataFrame(
         rows, "round long, vec_id long, sel_d2 long, coverage_d2 long"
     )
+
+
+def pca_power(
+    corpus: DataFrame,
+    iters: int = 6,
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Top principal direction of the embedding cloud via the tall-skinny
+    Gram reduction + local power iteration — exactly MLlib's PCA shape
+    (``RowMatrix.computeGramianMatrix`` + driver-side eigensolve): the only
+    distributed work is ONE corpus pass accumulating the dim×dim Gram
+    matrix as per-partition int64 partial sums (mapInArrow, one flattened
+    row per partition — no (row × dim²) explode, the ann_ivf lesson), then
+    the 64×64 integer matrix iterates on the driver. The principal axis is
+    what a curation pipeline reads for embedding-space health (anisotropy /
+    rogue-dimension checks) and what PQ/OPQ rotation fitting starts from.
+
+    Integer-exact end-to-end, mirrored by an unrolled DuckDB SQL loop:
+    components trunc-fixed-pointed at 1e-4 (kcenter/jl convention), Gram
+    entries divided by n_rows in sign-magnitude form (bounds every later
+    product inside BIGINT for any corpus size, and sidesteps DuckDB-//-
+    truncates-vs-Python-//-floors on negatives), v₀ = all ones at e4, and
+    each iteration
+    renormalizes by max-|component| with sign-magnitude division
+    ``sign(u) · (|u|·1e4 div max|u|)`` — floor-vs-truncate never differs
+    on the non-negative magnitudes, so Python // , Spark div and DuckDB //
+    agree. Power iteration's sign is pinned by the all-positive v₀.
+
+    Output: 64 rows (dim_idx 1-based, v_e4) — the unit-∞-norm principal
+    direction after ``iters`` rounds.
+    """
+    import pyarrow as pa
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: (v * F.lit(float(scale))).cast("long"),
+    )
+    qdf = corpus.select(q.alias("q"))
+
+    def kernel(batches):
+        gram = None
+        n = 0
+        for b in batches:
+            col = b.column(0).to_pylist()
+            if not col:
+                continue
+            X = np.asarray(col, dtype=np.int64)
+            if gram is None:
+                gram = np.zeros((X.shape[1], X.shape[1]), dtype=np.int64)
+            gram += X.T @ X
+            n += X.shape[0]
+        if n:
+            yield pa.RecordBatch.from_pydict(
+                {"g": [gram.reshape(-1).tolist()], "n": [n]},
+                schema=pa.schema(
+                    [pa.field("g", pa.list_(pa.int64())), pa.field("n", pa.int64())]
+                ),
+            )
+
+    partials = qdf.mapInArrow(kernel, "g array<long>, n long").collect()
+    if not partials:
+        return corpus.sparkSession.createDataFrame(
+            [], "dim_idx long, v_e4 long"
+        )
+    dim = int(len(partials[0].g) ** 0.5)
+    gsum = [[0] * dim for _ in range(dim)]
+    n_rows = 0
+    for p in partials:
+        n_rows += p.n
+        flat = p.g
+        for i in range(dim):
+            for j in range(dim):
+                gsum[i][j] += flat[i * dim + j]
+    # DuckDB's // truncates toward zero while Python's floors: divide
+    # magnitudes so both mirrors agree on negative Gram entries
+    g = [
+        [
+            (abs(gsum[i][j]) // n_rows) * (1 if gsum[i][j] >= 0 else -1)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    v = [scale] * dim
+    for _ in range(iters):
+        u = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u) or 1
+        v = [
+            (abs(x) * scale // m) * (1 if x >= 0 else -1)
+            for x in u
+        ]
+    return corpus.sparkSession.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], "dim_idx long, v_e4 long"
+    )

@@ -8124,3 +8124,149 @@ ps2 AS (
 SELECT chunk_id, score_e6, matched
 FROM ps2 ORDER BY score_e6 DESC, chunk_id LIMIT 20
 """
+
+
+def _pca_power_sql(iters: int = 6, dim: int = 64, scale: int = 10_000) -> str:
+    """Unrolled power-iteration mirror of ann.pca_power: trunc-e4
+    components, Gram = sum(q_i·q_j) // n_rows (DuckDB // truncates toward
+    zero — the Spark driver divides magnitudes to match), v0 = all ones at
+    e4, renorm by max-|u| in sign-magnitude form each round."""
+    parts = [f"""WITH pcq AS MATERIALIZED (
+  SELECT list_apply(embedding,
+                    x -> CAST(trunc(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pcn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pcq),
+pcij AS (
+  SELECT i.i, j.i AS j
+  FROM (SELECT unnest(range(1, {dim + 1})) AS i) i
+  CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) j
+),
+pcg AS MATERIALIZED (
+  SELECT ij.i, ij.j,
+         CAST(CAST(sum(q[ij.i] * q[ij.j]) AS BIGINT) // n AS BIGINT) AS g
+  FROM pcq CROSS JOIN pcij ij CROSS JOIN pcn
+  GROUP BY ij.i, ij.j, n
+),
+pcv0 AS MATERIALIZED (
+  SELECT unnest(range(1, {dim + 1})) AS i, CAST({scale} AS BIGINT) AS v
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+pcu{t} AS MATERIALIZED (
+  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS u
+  FROM pcg g JOIN pcv{t - 1} v ON v.i = g.j
+  GROUP BY 1
+),
+pcm{t} AS (SELECT greatest(max(abs(u)), 1) AS m FROM pcu{t}),
+pcv{t} AS MATERIALIZED (
+  SELECT i,
+         CAST(CASE WHEN u >= 0 THEN (abs(u) * {scale} // m)
+                   ELSE -(abs(u) * {scale} // m) END AS BIGINT) AS v
+  FROM pcu{t} CROSS JOIN pcm{t}
+)""")
+    parts.append(f"""
+SELECT CAST(i AS BIGINT) AS dim_idx, v AS v_e4 FROM pcv{iters}
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["pca_power"] = _pca_power_sql(6)
+
+
+# mirrors q_nb_classifier / textstats.nb_classifier: Laplace-1 multinomial
+# NB with floor-log2 bit costs and the lexicographic (cost, lang) argmin.
+ORACLE_SQL["nb_classifier"] = """
+WITH nb0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang,
+         list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' +'),
+           t -> len(t) > 0) AS tk
+  FROM documents
+),
+nbb AS MATERIALIZED (SELECT doc, lang, tk FROM nb0 WHERE len(tk) > 0),
+nbtf AS MATERIALIZED (
+  SELECT doc, lang, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc, lang, unnest(tk) AS term FROM nbb)
+  GROUP BY 1, 2, 3
+),
+nbc AS MATERIALIZED (
+  SELECT term, lang AS mlang, CAST(sum(tf) AS BIGINT) AS c
+  FROM nbtf GROUP BY 1, 2
+),
+nblt AS (SELECT mlang, CAST(sum(c) AS BIGINT) AS t_l FROM nbc GROUP BY 1),
+nbv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM nbc),
+nbdc AS (
+  SELECT lang AS mlang, CAST(count(*) AS BIGINT) AS n_l FROM nbb GROUP BY 1
+),
+nbnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nbb),
+nbm AS MATERIALIZED (
+  SELECT t.term, l.mlang,
+         CAST(length(bin((l.t_l + v.v) // (coalesce(c.c, 0) + 1))) - 1
+              AS BIGINT) AS cost
+  FROM (SELECT DISTINCT term FROM nbc) t
+  CROSS JOIN nblt l
+  LEFT JOIN nbc c ON c.term = t.term AND c.mlang = l.mlang
+  CROSS JOIN nbv v
+),
+nbp AS (
+  SELECT d.mlang,
+         CAST(length(bin(n.n_docs // d.n_l)) - 1 AS BIGINT) AS prior
+  FROM nbdc d CROSS JOIN nbnd n
+),
+nbs AS MATERIALIZED (
+  SELECT s.doc, s.lang,
+         lpad(CAST(s.bits + p.prior AS VARCHAR), 12, '0')
+           || chr(2) || s.mlang AS k
+  FROM (
+    SELECT f.doc, f.lang, m.mlang, CAST(sum(f.tf * m.cost) AS BIGINT) AS bits
+    FROM nbtf f JOIN nbm m ON m.term = f.term
+    GROUP BY 1, 2, 3
+  ) s
+  JOIN nbp p ON p.mlang = s.mlang
+)
+SELECT doc, lang,
+       split_part(min(k), chr(2), 2) AS pred_lang,
+       CAST(split_part(min(k), chr(2), 1) AS BIGINT) AS cost_bits,
+       CAST(split_part(min(k), chr(2), 2) = lang AS BIGINT) AS correct
+FROM nbs GROUP BY doc, lang
+"""
+
+
+# mirrors q_decision_stump / textstats.decision_stump: distinct-value-grain
+# prefix sums, closed-form 2·p·(n−p) Gini numerators, staged e6 divisions.
+ORACLE_SQL["decision_stump"] = """
+WITH ds0 AS (
+  SELECT CAST(n_chars AS BIGINT) AS x, CAST(lang = 'en' AS BIGINT) AS y
+  FROM documents
+),
+dsg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+  FROM ds0 GROUP BY 1
+),
+dst AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(p) AS BIGINT) AS tp FROM dsg
+),
+dsc AS (
+  SELECT x,
+         CAST(sum(n) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(sum(p) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+  FROM dsg
+),
+dss AS (
+  SELECT x AS threshold, cn AS left_n, cp AS left_pos,
+         (tn - cn) AS right_n, (tp - cp) AS right_pos,
+         CAST(2 * cp * (cn - cp) * 1000000 // cn
+              + 2 * (tp - cp) * ((tn - cn) - (tp - cp)) * 1000000
+                // (tn - cn) AS BIGINT) AS cost_e6
+  FROM dsc CROSS JOIN dst
+  WHERE cn < tn
+)
+SELECT threshold, left_n, left_pos, right_n, right_pos, cost_e6,
+       CAST(row_number() OVER (ORDER BY cost_e6, threshold) AS BIGINT) AS rnk
+FROM dss
+ORDER BY cost_e6, threshold LIMIT 10
+"""

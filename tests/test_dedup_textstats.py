@@ -2592,3 +2592,34 @@ def test_chisq_terms_discriminative_term_tops(spark):
     # exact staged-integer statistic for the clean 5/0-vs-0/6 split
     # t1 = 5*6 - 0 = 30; chi2 = ((900)//(5*6))*11*1000//(5*6) = 11000
     assert by_term["house"].chi2_e3 == 11000
+
+
+def test_nb_classifier_separates_clean_languages(spark):
+    from llm_graph_builder_spark.functions.textstats import nb_classifier
+
+    rows = [(i, "der hund läuft schnell", "de") for i in range(4)]
+    rows += [(10 + i, "the dog runs fast", "en") for i in range(4)]
+    rows += [(20, "", "en")]  # tokenless → excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classifier(docs).collect()
+    assert len(out) == 8  # the empty doc is out of the universe
+    assert all(r.correct == 1 for r in out)
+    assert {r.pred_lang for r in out if r.lang == "de"} == {"de"}
+    # bits are positive and the doc's own class cost is recorded
+    assert all(r.cost_bits > 0 for r in out)
+
+
+def test_decision_stump_picks_separating_threshold(spark):
+    from llm_graph_builder_spark.functions.textstats import decision_stump
+
+    # en docs short (100, 200), others long (900, 1000): perfect split
+    rows = [(1, 100, "en"), (2, 200, "en"), (3, 900, "de"), (4, 1000, "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long, lang string")
+    out = decision_stump(docs).orderBy("rnk").collect()
+    best = out[0]
+    assert best.threshold == 200  # left = both en docs, right = the others
+    assert (best.left_n, best.left_pos, best.right_n, best.right_pos) == (2, 2, 2, 0)
+    assert best.cost_e6 == 0  # pure split
+    # a mid-class threshold (100) costs more
+    worse = {r.threshold: r.cost_e6 for r in out}
+    assert worse[100] > 0

@@ -231,3 +231,53 @@ class TestCalibrationBins:
         assert b1.abs_gap_e4 == abs(b1.mean_pred_e4 - 5000)
         # p = 1.0 clamps into the top bin with p=0.9999
         assert out[9].n == 2
+
+
+def test_pca_power_finds_dominant_axis(spark):
+    from llm_graph_builder_spark.operators.ann import pca_power
+
+    # points along the (3, 1) axis with a little orthogonal jitter
+    vecs = [
+        (1, [3.0, 1.0]), (2, [-3.0, -1.0]), (3, [6.0, 2.0]),
+        (4, [-6.0, -2.0]), (5, [0.1, -0.3]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.dim_idx: r.v_e4 for r in pca_power(emb, iters=8).collect()}
+    assert set(out) == {1, 2}
+    # ∞-norm: dominant component pinned at ±1e4, ratio ≈ 1/3
+    assert abs(out[1]) == 10_000
+    assert abs(out[2] * 3 - out[1]) <= 30
+    # sign pinned by the all-positive v0 under an all-positive Gram axis
+    assert out[1] > 0 and out[2] > 0
+
+
+def test_pca_power_matches_bruteforce_gram_iteration(spark):
+    import random
+
+    from llm_graph_builder_spark.operators.ann import pca_power
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(5)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = [r.v_e4 for r in pca_power(emb, iters=6).orderBy("dim_idx").collect()]
+
+    # mirror in pure python (float32 cast first, like the parquet column)
+    import numpy as np
+
+    X = np.asarray([np.asarray(v, dtype=np.float32) for _, v in vecs], dtype=np.float64)
+    q = np.trunc(X * 10_000).astype(object)  # python ints via object
+    n = len(vecs)
+    g = [[0] * 5 for _ in range(5)]
+    for row in q:
+        for i in range(5):
+            for j in range(5):
+                g[i][j] += int(row[i]) * int(row[j])
+    g = [[(abs(v) // n) * (1 if v >= 0 else -1) for v in r] for r in g]
+    v = [10_000] * 5
+    for _ in range(6):
+        u = [sum(g[i][j] * v[j] for j in range(5)) for i in range(5)]
+        m = max(abs(x) for x in u) or 1
+        v = [(abs(x) * 10_000 // m) * (1 if x >= 0 else -1) for x in u]
+    assert out == v
