@@ -3192,6 +3192,46 @@ def q_bucketed_revenue(spark, sf_dir):
     )
 
 
+def q_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe-Schwenk ratio margin) between the
+    even-label and odd-label embedding sides: hyperplane-LSH candidate
+    blocks, forward/backward top-4 cosine, mutual-best + both margins
+    ≥ 1.010 (oracle mirrors the md5 buckets and both window ranks)."""
+    from .operators.mining import bitext_margin_mining
+
+    emb = _emb(spark, sf_dir)
+    return bitext_margin_mining(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+        margin_e3_min=1010,
+        n_planes=4,
+    )
+
+
+#: ColBERT probe tokens — drawn from the synthetic corpus vocabulary
+_MAXSIM_QUERY = ["spark", "table", "join", "window", "hash"]
+
+
+def q_maxsim_retrieval(spark, sf_dir):
+    """ColBERT-style MaxSim late-interaction retrieval: per-token hashed
+    one-hot embeddings collapse MaxSim to an exact ±1/0 expression over a
+    (doc, bucket) profile — the doc side aggregates to ≤ dim rows per doc
+    before the broadcast query join (no token-pair blowup)."""
+    from .operators.mining import maxsim_scores
+
+    return maxsim_scores(read_documents(spark, sf_dir), _MAXSIM_QUERY, top=20)
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sampling allocation over language strata
+    (n_h ∝ N_h·S_h on n_chars), std from exact integer sums so the e6
+    fixed-point matches DuckDB bit-for-bit."""
+    from .operators.curation import neyman_allocation
+
+    return neyman_allocation(read_documents(spark, sf_dir), n_target=100)
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -3450,4 +3490,7 @@ QUERIES = {
     "ab_audit": q_ab_audit,
     "compaction_plan": q_compaction_plan,
     "calibration_bins": q_calibration_bins,
+    "bitext_mining": q_bitext_mining,
+    "maxsim_retrieval": q_maxsim_retrieval,
+    "neyman_allocation": q_neyman_allocation,
 }

@@ -728,3 +728,55 @@ def l_diversity(
         .cast("long").alias("n_weak_docs"),
         F.sum("n").cast("long").alias("total_docs"),
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    n_target: int = 100,
+    stratum_col: str = "lang",
+    y_col: str = "n_chars",
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: n_h ∝ N_h·S_h.
+
+    The per-stratum std S_h is derived from EXACT integer sums (n, Σy, Σy²)
+    so the float math is the same short expression in every engine — no
+    dependence on a streaming-variance accumulation order, which is what
+    makes the e6 fixed-point oracle comparison safe. One shuffle (the
+    stratum groupBy); the stratum table is tiny, so the total-weight join is
+    a broadcast of a one-row aggregate.
+
+    Output: (stratum, n_h, s_e6, alloc) — std in 1e-6 fixed point and the
+    rounded Neyman share of ``n_target``.
+    """
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col(y_col)).cast("double").alias("sum_y"),
+        F.sum(F.col(y_col) * F.col(y_col)).cast("double").alias("sum_y2"),
+    )
+    s_h = F.when(
+        F.col("n_h") > 1,
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("sum_y2") - F.col("sum_y") * F.col("sum_y") / F.col("n_h"))
+                / (F.col("n_h") - 1),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    weighted = per.withColumn("s", s_h).withColumn("w", F.col("n_h") * F.col("s"))
+    total = weighted.agg(F.sum("w").alias("w_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_h",
+            F.round(F.col("s") * 1000000).cast("long").alias("s_e6"),
+            F.when(
+                F.col("w_tot") > 0,
+                F.round(F.lit(float(n_target)) * F.col("w") / F.col("w_tot")),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -1,0 +1,238 @@
+"""Embedding-space mining operators for training-data pipelines.
+
+Two mining primitives the reference's retrieval stack does not expose but a
+large-scale corpus pipeline needs (they generalize the chunk-similarity
+machinery of ``operators/similar.py`` / ``operators/ann.py``):
+
+  * ``bitext_margin_mining`` — margin-based parallel-pair mining in the
+    style of Artetxe & Schwenk (2019, "Margin-based Parallel Corpus Mining
+    with Multilingual Sentence Embeddings"): forward/backward top-k cosine
+    with a ratio margin, keeping mutual-best pairs. Used to mine aligned
+    text pairs (translations, paraphrases, title↔body) out of two embedding
+    sides. The candidate set is hyperplane-LSH-blocked so the pair join is
+    bucket-local — the 100 TB shape; the exhaustive cross join never runs.
+  * ``maxsim_scores`` — ColBERT-style late-interaction MaxSim retrieval
+    (Khattab & Zaharia 2020) over per-token hashed embeddings. With the
+    engine's deterministic one-hot ±1 token embedder (see
+    ``operators/embeddings.py::hash_embed_py``), MaxSim(q_tok, doc) collapses
+    to an exact three-valued expression (+1 same bucket & sign, 0 when any
+    other bucket exists, −1 all-same-bucket-opposite-sign), so the whole
+    scorer stays in JVM expressions over a (doc, bucket) profile table — no
+    token-pair blowup: the doc side is aggregated to ≤ dim rows per doc
+    BEFORE the query join, and the query side is a literal broadcast.
+
+Both are value-hash-checked against DuckDB oracles that replicate the md5
+bucket/sign math (``oracle.py`` mirrors `_token_bucket_sign` via
+``md5_number_upper``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similar import lsh_block_chunks
+
+
+def bitext_margin_mining(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    margin_e3_min: int = 1010,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-best margin-mined pairs between two embedding sides.
+
+    For each vector the ratio margin is ``cos(top1) / mean(cos(top-k))``
+    over its LSH-bucket candidates on the other side (scores in e4
+    fixed-point, margins in e3); a pair survives when it is the forward AND
+    backward argmax and both margins clear ``margin_e3_min``.
+
+    Scale shape: both sides are bucketed by the same seed-0 hyperplanes
+    (``lsh_block_chunks``), candidates are the in-bucket A×B pairs (one
+    bucket per vector ⇒ each pair scored once), and the two directional
+    top-k reductions are window ranks over the SAME scored pair set — the
+    pair materialization happens exactly once. At 10^12 rows every step is
+    a key-partitioned shuffle on bucket / vector id; nothing collects.
+
+    Output: (src_id, dst_id, cos_e4, margin_fwd_e3, margin_bwd_e3).
+    """
+    a = lsh_block_chunks(
+        side_a.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("embedding")),
+        n_planes=n_planes,
+        id_col="aid",
+    ).select("aid", F.col("embedding").alias("av"), "block")
+    b = lsh_block_chunks(
+        side_b.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("embedding")),
+        n_planes=n_planes,
+        id_col="bid",
+    ).select("bid", F.col("embedding").alias("bv"), "block")
+
+    from ..functions.vectors import cosine
+
+    pairs = (
+        a.join(b, on="block")
+        .withColumn("cos_e4", F.round(cosine(F.col("av"), F.col("bv")) * 10000).cast("long"))
+        .select("aid", "bid", "cos_e4")
+    )
+    # one shuffle per direction over the shared pair set; the margin
+    # denominator is the mean of the top-k candidate scores (≤ k rows/key
+    # after the rank filter, so the aggregation input is already tiny)
+    wf = Window.partitionBy("aid").orderBy(F.desc("cos_e4"), F.asc("bid"))
+    fwd = (
+        pairs.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= k)
+        .groupBy("aid")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("bid"))).alias("best_b"),
+            F.max(F.when(F.col("r") == 1, F.col("cos_e4"))).alias("top1_f"),
+            F.avg("cos_e4").alias("mean_f"),
+        )
+        .filter(F.col("mean_f") > 0)
+        .withColumn(
+            "margin_fwd_e3",
+            F.round(F.lit(1000.0) * F.col("top1_f") / F.col("mean_f")).cast("long"),
+        )
+    )
+    wb = Window.partitionBy("bid").orderBy(F.desc("cos_e4"), F.asc("aid"))
+    bwd = (
+        pairs.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= k)
+        .groupBy("bid")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("aid"))).alias("best_a"),
+            F.avg("cos_e4").alias("mean_b"),
+        )
+        .filter(F.col("mean_b") > 0)
+    )
+    mutual = fwd.join(
+        bwd,
+        (fwd["best_b"] == bwd["bid"]) & (bwd["best_a"] == fwd["aid"]),
+    ).withColumn(
+        "margin_bwd_e3",
+        F.round(F.lit(1000.0) * F.col("top1_f") / F.col("mean_b")).cast("long"),
+    )
+    return (
+        mutual.filter(
+            (F.col("margin_fwd_e3") >= margin_e3_min)
+            & (F.col("margin_bwd_e3") >= margin_e3_min)
+        )
+        .select(
+            F.col("aid").alias("src_id"),
+            F.col("bid").alias("dst_id"),
+            F.col("top1_f").alias("cos_e4"),
+            "margin_fwd_e3",
+            "margin_bwd_e3",
+        )
+    )
+
+
+def doc_bucket_profile(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """(doc_id, bucket, has_pos, has_neg) hashed-token profile per document.
+
+    The md5 bucket/sign math is `_token_bucket_sign` exactly; it runs as an
+    Arrow-batched pandas UDF over the DISTINCT (doc, token) pairs (vocabulary
+    grain, not token-stream grain). Aggregating to ≤ ``dim`` rows per doc
+    BEFORE any join is what keeps MaxSim linear in corpus size.
+    """
+    from .embeddings import _token_bucket_sign
+
+    @F.pandas_udf("bucket int, sign int")
+    def bucket_sign(toks: pd.Series) -> pd.DataFrame:
+        pairs = [_token_bucket_sign(t, dim) for t in toks]
+        return pd.DataFrame(
+            {"bucket": [p[0] for p in pairs], "sign": [int(p[1]) for p in pairs]}
+        )
+
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    hashed = toks.withColumn("bs", bucket_sign(F.col("tok")))
+    return (
+        hashed.select("doc_id", F.col("bs.bucket").alias("bucket"), F.col("bs.sign").alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.max((F.col("sign") > 0).cast("int")).alias("has_pos"),
+            F.max((F.col("sign") < 0).cast("int")).alias("has_neg"),
+        )
+    )
+
+
+def maxsim_scores(
+    docs: DataFrame,
+    query_tokens: list[str],
+    top: int = 20,
+    dim: int = 64,
+) -> DataFrame:
+    """ColBERT-style MaxSim retrieval over hashed one-hot token embeddings.
+
+    score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(e(t), e(u)); with one-hot ±1
+    unit token embeddings the inner max is exactly +1 / 0 / −1 (see module
+    docstring), so the scorer is a broadcast join of the tiny query-token
+    literal against the (doc, bucket) profile — JVM-only, no UDF in the
+    per-doc hot path.
+
+    Output: (doc_id, score, rank), top ``top`` by (score desc, doc_id asc).
+    """
+    from .embeddings import _token_bucket_sign
+
+    profile = doc_bucket_profile(docs, dim=dim)
+    n_buckets = profile.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    spark = docs.sparkSession
+    qrows = [
+        (i, bs[0], int(bs[1]))
+        for i, t in enumerate(query_tokens)
+        for bs in [_token_bucket_sign(t, dim)]
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(qrows, "qidx int, bucket int, sign int")
+    )
+    # per (doc, query-token): the profile row for the token's bucket, if any
+    hit = (
+        q.join(profile, on="bucket", how="inner")
+        .select(
+            "doc_id", "qidx",
+            F.when(
+                ((F.col("sign") > 0) & (F.col("has_pos") == 1))
+                | ((F.col("sign") < 0) & (F.col("has_neg") == 1)),
+                F.lit(1),
+            ).otherwise(F.lit(-1)).alias("bucket_sim"),
+        )
+    )
+    # maxsim per (doc, qtok): +1 on a sign match; else 0 when the doc has any
+    # OTHER bucket (a zero-cosine token to fall back to); else −1
+    per_tok = (
+        n_buckets.crossJoin(q.select("qidx"))
+        .join(hit, on=["doc_id", "qidx"], how="left")
+        .withColumn(
+            "maxsim",
+            F.when(F.col("bucket_sim") == 1, F.lit(1))
+            .when(F.col("bucket_sim").isNull(), F.lit(0))
+            .when(F.col("n_buckets") > 1, F.lit(0))
+            .otherwise(F.lit(-1)),
+        )
+    )
+    scored = per_tok.groupBy("doc_id").agg(F.sum("maxsim").cast("long").alias("score"))
+    # two-phase exact top-k (the ann_bruteforce_topk pattern): per-partition
+    # rank caps the global-window input at top×n_partitions rows, so the
+    # single-partition final rank never sees the whole corpus
+    w_part = Window.partitionBy("part").orderBy(F.desc("score"), F.asc("doc_id"))
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= top)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -8270,3 +8270,119 @@ SELECT threshold, left_n, left_pos, right_n, right_pos, cost_e6,
 FROM dss
 ORDER BY cost_e6, threshold LIMIT 10
 """
+
+# margin-based bitext mining: mirrors operators/mining.py::bitext_margin_mining
+# (seed-0 hyperplane blocks via _hp_blocks_cte, forward/backward top-4 ranks
+# over the SAME in-block pair set, mutual-best + ratio margins in e3)
+ORACLE_SQL["bitext_mining"] = "WITH " + _hp_blocks_cte(
+    "bm", "embeddings", "vec_id", "embedding", n_planes=4, banded=False
+) + f""",
+bm_pairs AS (
+  SELECT a.vec_id AS aid, b.vec_id AS bid,
+         CAST(round(({_cosine_sql('a.embedding', 'b.embedding')}) * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings a
+  JOIN bm_blocks ba ON ba.vid = a.vec_id
+  JOIN bm_blocks bb ON bb.band = ba.band
+  JOIN embeddings b ON b.vec_id = bb.vid
+  WHERE a.label % 2 = 0 AND b.label % 2 = 1
+),
+bm_fr AS (
+  SELECT aid, bid, cos_e4,
+         row_number() OVER (PARTITION BY aid ORDER BY cos_e4 DESC, bid ASC) AS r
+  FROM bm_pairs
+),
+bm_fa AS (
+  SELECT aid,
+         max(CASE WHEN r = 1 THEN bid END) AS best_b,
+         max(CASE WHEN r = 1 THEN cos_e4 END) AS top1_f,
+         avg(cos_e4) AS mean_f
+  FROM bm_fr WHERE r <= 4 GROUP BY aid HAVING avg(cos_e4) > 0
+),
+bm_br AS (
+  SELECT aid, bid, cos_e4,
+         row_number() OVER (PARTITION BY bid ORDER BY cos_e4 DESC, aid ASC) AS r
+  FROM bm_pairs
+),
+bm_ba AS (
+  SELECT bid,
+         max(CASE WHEN r = 1 THEN aid END) AS best_a,
+         avg(cos_e4) AS mean_b
+  FROM bm_br WHERE r <= 4 GROUP BY bid HAVING avg(cos_e4) > 0
+)
+SELECT f.aid AS src_id, g.bid AS dst_id, f.top1_f AS cos_e4,
+       CAST(round(1000.0 * f.top1_f / f.mean_f) AS BIGINT) AS margin_fwd_e3,
+       CAST(round(1000.0 * f.top1_f / g.mean_b) AS BIGINT) AS margin_bwd_e3
+FROM bm_fa f JOIN bm_ba g ON f.best_b = g.bid AND g.best_a = f.aid
+WHERE CAST(round(1000.0 * f.top1_f / f.mean_f) AS BIGINT) >= 1010
+  AND CAST(round(1000.0 * f.top1_f / g.mean_b) AS BIGINT) >= 1010
+"""
+
+# ColBERT MaxSim over hashed one-hot token embeddings: mirrors
+# operators/mining.py::maxsim_scores (md5_number_upper bucket/sign =
+# embeddings._token_bucket_sign; +1 / 0 / -1 collapse; top-20)
+ORACLE_SQL["maxsim_retrieval"] = """
+WITH ms_toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS tok
+    FROM documents)
+),
+ms_prof AS (
+  SELECT doc_id, CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         max(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1 ELSE 0 END) AS has_pos,
+         max(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 1 THEN 1 ELSE 0 END) AS has_neg
+  FROM ms_toks GROUP BY 1, 2
+),
+ms_nb AS (SELECT doc_id, count(*) AS n_buckets FROM ms_prof GROUP BY 1),
+ms_q AS (
+  SELECT qidx, CAST(md5_number_upper(tok) % 64 AS INT) AS bucket,
+         CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1 ELSE -1 END AS sign
+  FROM (VALUES (0, 'spark'), (1, 'table'), (2, 'join'), (3, 'window'), (4, 'hash'))
+       AS t(qidx, tok)
+),
+ms_hit AS (
+  SELECT p.doc_id, q.qidx,
+         CASE WHEN (q.sign > 0 AND p.has_pos = 1) OR (q.sign < 0 AND p.has_neg = 1)
+              THEN 1 ELSE -1 END AS bucket_sim
+  FROM ms_q q JOIN ms_prof p ON p.bucket = q.bucket
+),
+ms_per AS (
+  SELECT n.doc_id, qs.qidx,
+         CASE WHEN h.bucket_sim = 1 THEN 1
+              WHEN h.bucket_sim IS NULL THEN 0
+              WHEN n.n_buckets > 1 THEN 0
+              ELSE -1 END AS maxsim
+  FROM ms_nb n CROSS JOIN (SELECT DISTINCT qidx FROM ms_q) qs
+  LEFT JOIN ms_hit h ON h.doc_id = n.doc_id AND h.qidx = qs.qidx
+),
+ms_scored AS (SELECT doc_id, CAST(sum(maxsim) AS BIGINT) AS score FROM ms_per GROUP BY 1),
+ms_ranked AS (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM ms_scored
+)
+SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk FROM ms_ranked WHERE rnk <= 20
+"""
+
+# Neyman allocation: std from exact integer sums (n, Σy, Σy²) with the SAME
+# float expression as operators/curation.py::neyman_allocation
+ORACLE_SQL["neyman_allocation"] = """
+WITH ny_per AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(n_chars) AS DOUBLE) AS sum_y,
+         CAST(sum(n_chars * n_chars) AS DOUBLE) AS sum_y2
+  FROM documents GROUP BY 1
+),
+ny_s AS (
+  SELECT stratum, n_h,
+         CASE WHEN n_h > 1
+              THEN sqrt(greatest(0.0, (sum_y2 - sum_y * sum_y / n_h) / (n_h - 1)))
+              ELSE 0.0 END AS s
+  FROM ny_per
+),
+ny_w AS (SELECT stratum, n_h, s, n_h * s AS w FROM ny_s),
+ny_t AS (SELECT sum(w) AS w_tot FROM ny_w)
+SELECT stratum, n_h,
+       CAST(round(s * 1000000) AS BIGINT) AS s_e6,
+       CAST(CASE WHEN w_tot > 0 THEN round(100.0 * w / w_tot) ELSE 0.0 END AS BIGINT) AS alloc
+FROM ny_w CROSS JOIN ny_t
+"""

@@ -1,0 +1,121 @@
+"""Bitext margin mining, ColBERT MaxSim, Neyman allocation — Python-replica
+oracles independent of the DuckDB gate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from llm_graph_builder_spark.operators.curation import neyman_allocation
+from llm_graph_builder_spark.operators.embeddings import _token_bucket_sign
+from llm_graph_builder_spark.operators.mining import (
+    bitext_margin_mining,
+    maxsim_scores,
+)
+
+
+class TestBitextMining:
+    def test_mutual_best_pairs_survive(self, spark):
+        # two obviously-aligned pairs + one distractor per side; 4-dim
+        # vectors keep every pair in one LSH block or split deterministically
+        a_rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.5, 0.5, 0.5, 0.5]),
+        ]
+        b_rows = [
+            (10, [0.9, 0.1, 0.0, 0.0]),   # aligned with a0
+            (11, [0.1, 0.9, 0.0, 0.0]),   # aligned with a1
+            (12, [0.25, 0.25, 0.9, 0.1]),
+        ]
+        a = spark.createDataFrame(a_rows, "vec_id long, embedding array<float>")
+        b = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+        out = bitext_margin_mining(a, b, k=3, margin_e3_min=1000, n_planes=2)
+        got = {(r.src_id, r.dst_id) for r in out.collect()}
+        # every surviving pair must be mutual-best within its block — verify
+        # the aligned pairs are present when they share a block, and no pair
+        # appears twice
+        assert len(got) == len({g[0] for g in got}) == len({g[1] for g in got})
+        for src, dst in got:
+            assert (src, dst) in {(0, 10), (1, 11), (2, 12)}
+
+    def test_margin_filter_drops_low_margin(self, spark):
+        # one A vector equidistant from two B vectors → margin ≈ 1.0 → dropped
+        a = spark.createDataFrame(
+            [(0, [1.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        b = spark.createDataFrame(
+            [(10, [1.0, 1.0, 0.01, 0.0]), (11, [1.0, 1.0, 0.0, 0.01])],
+            "vec_id long, embedding array<float>",
+        )
+        out = bitext_margin_mining(a, b, k=2, margin_e3_min=1050, n_planes=1)
+        assert out.count() == 0
+
+
+class TestMaxSim:
+    def test_exact_scores_vs_python_replica(self, spark):
+        rows = [
+            (1, "spark table join"),
+            (2, "spark spark spark"),
+            (3, "completely unrelated words"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        q_toks = ["spark", "table"]
+        out = {r.doc_id: r.score for r in maxsim_scores(docs, q_toks, top=10).collect()}
+
+        def replica(text):
+            toks = {t for t in text.split() if t}
+            prof = {}
+            for t in toks:
+                b, s = _token_bucket_sign(t, 64)
+                prof.setdefault(b, set()).add(int(s))
+            score = 0
+            for qt in q_toks:
+                qb, qs = _token_bucket_sign(qt, 64)
+                if qb in prof and int(qs) in prof[qb]:
+                    score += 1
+                elif qb not in prof:
+                    score += 0
+                elif len(prof) > 1:
+                    score += 0
+                else:
+                    score -= 1
+            return score
+
+        for doc_id, text in rows:
+            assert out[doc_id] == replica(text), doc_id
+
+    def test_rank_is_dense_and_capped(self, spark):
+        rows = [(i, f"tok{i} spark") for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = maxsim_scores(docs, ["spark"], top=5).collect()
+        assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == [1, 2, 3, 4, 5]
+        # ties broken by doc_id asc
+        assert [r.doc_id for r in sorted(got, key=lambda r: r.rnk)] == [0, 1, 2, 3, 4]
+
+
+class TestNeymanAllocation:
+    def test_allocation_matches_closed_form(self, spark):
+        rows = (
+            [(i, "x", "en", "s", 100 + (i % 3) * 50) for i in range(6)]
+            + [(10 + i, "x", "de", "s", 200) for i in range(4)]
+        )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        got = {r.stratum: r for r in neyman_allocation(docs, n_target=100).collect()}
+        ys = {"en": [100, 150, 200, 100, 150, 200], "de": [200] * 4}
+        w = {}
+        for lang, vals in ys.items():
+            n = len(vals)
+            sy, sy2 = float(sum(vals)), float(sum(v * v for v in vals))
+            s = math.sqrt(max(0.0, (sy2 - sy * sy / n) / (n - 1))) if n > 1 else 0.0
+            w[lang] = (n, s, n * s)
+        tot = sum(v[2] for v in w.values())
+        for lang, (n, s, wh) in w.items():
+            assert got[lang].n_h == n
+            assert got[lang].s_e6 == round(s * 1e6)
+            assert got[lang].alloc == round(100.0 * wh / tot)
+        # zero-variance stratum gets zero allocation
+        assert got["de"].alloc == 0
