@@ -3192,6 +3192,27 @@ def q_bucketed_revenue(spark, sf_dir):
     )
 
 
+def q_graph_coloring(spark, sf_dir):
+    """Jones-Plassmann distributed greedy coloring of the entity graph
+    (fixed 8 rounds, md5 priorities with node-key tie-break; oracle unrolls
+    the identical rounds). Same-color entities are never adjacent, so
+    color batches commit merges in parallel conflict-free."""
+    from .operators.graph_analytics import jones_plassmann_coloring
+
+    t = pipeline_tables(spark, sf_dir)
+    return jones_plassmann_coloring(t["entity_edges"], t["entities"], rounds=8)
+
+
+def q_influence_spread(spark, sf_dir):
+    """Linear-threshold influence cascade from the top-5-degree seeds:
+    integer-exact activation test 1000·|active nbrs| ≥ θ_e3·deg, fixed 6
+    synchronous rounds (oracle unrolls the identical rounds)."""
+    from .operators.graph_analytics import influence_ltm
+
+    t = pipeline_tables(spark, sf_dir)
+    return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
+
+
 def q_bitext_mining(spark, sf_dir):
     """Margin-based bitext mining (Artetxe-Schwenk ratio margin) between the
     even-label and odd-label embedding sides: hyperplane-LSH candidate
@@ -3493,4 +3514,6 @@ QUERIES = {
     "bitext_mining": q_bitext_mining,
     "maxsim_retrieval": q_maxsim_retrieval,
     "neyman_allocation": q_neyman_allocation,
+    "graph_coloring": q_graph_coloring,
+    "influence_spread": q_influence_spread,
 }

@@ -3049,3 +3049,184 @@ def boruvka_mst(
         "w",
         "round",
     )
+
+
+def jones_plassmann_coloring(
+    entity_edges: DataFrame,
+    entities: DataFrame | None = None,
+    rounds: int = 8,
+) -> DataFrame:
+    """Jones-Plassmann distributed greedy graph coloring (Jones & Plassmann
+    1993) over the undirected simple entity graph — conflict-free scheduling
+    of entity-merge / property-update batches (neighboring entities never
+    share a color, so same-color batches commit in parallel with no lock).
+
+    Round r: every still-uncolored node draws the distinct deterministic
+    priority ``md5('jp:r:' || node) || node``; a node takes color r iff its
+    priority is smaller than every uncolored neighbor's (the null-neighbor
+    branch colors isolated nodes in round 1). Colored nodes leave the graph —
+    later rounds assign strictly larger colors, so adjacency conflicts are
+    impossible by construction. A FIXED ``rounds`` budget (no early stop)
+    lets the DuckDB oracle unroll identical rounds; leftovers report color 0.
+
+    This is the MIS machinery (see maximal_independent_set) minus the
+    neighbor-exclusion step: one min-priority aggregation over the active
+    symmetric edges per round, two shrinking semi-joins, everything
+    ``materialize``d. Output: (id, label, color).
+    """
+    und = simple_undirected(entity_edges)
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = und.select(F.col("u").alias("node")).unionByName(
+        und.select(F.col("v").alias("node"))
+    ).dropDuplicates(["node"])
+    if entities is not None:
+        everyone = entities.select(
+            _node_key("id", "label").alias("node")
+        ).dropDuplicates(["node"])
+        nodes = nodes.unionByName(everyone.join(nodes, on="node", how="left_anti"))
+    active, _ = materialize(nodes)
+    edges, n_e = materialize(sym)
+    colored_parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        pri = active.select(
+            "node",
+            F.concat(
+                F.md5(F.concat(F.lit(f"jp:{r}:"), F.col("node"))),
+                F.col("node"),
+            ).alias("pri"),
+        )
+        nbr_min = (
+            edges.join(pri, on=F.col("u") == F.col("node"))
+            .groupBy("v")
+            .agg(F.min("pri").alias("mn"))
+        )
+        sel = (
+            pri.join(nbr_min, on=F.col("node") == F.col("v"), how="left")
+            .filter(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
+            .select("node")
+        )
+        sel, n_sel = materialize(sel)
+        if n_sel:
+            colored_parts.append(
+                sel.select("node", F.lit(r).cast("long").alias("color"))
+            )
+            active, n_a = materialize(
+                active.join(sel, on="node", how="left_anti"), active
+            )
+            if n_a == 0:
+                # nothing left to color — the remaining fixed rounds are
+                # no-ops, so skipping them cannot change the output
+                break
+            if n_e:
+                edges, n_e = materialize(
+                    edges.join(
+                        sel.select(F.col("node").alias("u")), on="u", how="left_anti"
+                    ).join(
+                        sel.select(F.col("node").alias("v")), on="v", how="left_anti"
+                    ),
+                    edges,
+                )
+    colored_parts.append(active.select("node", F.lit(0).cast("long").alias("color")))
+    out = colored_parts[0]
+    for p in colored_parts[1:]:
+        out = out.unionByName(p)
+    sn = F.split(F.col("node"), "\x01")
+    return out.select(
+        sn.getItem(0).alias("id"),
+        sn.getItem(1).alias("label"),
+        "color",
+    )
+
+
+def influence_ltm(
+    entity_edges: DataFrame,
+    entities: DataFrame | None = None,
+    n_seeds: int = 5,
+    rounds: int = 6,
+) -> DataFrame:
+    """Linear-threshold influence cascade (Kempe-Kleinberg-Tardos 2003) over
+    the undirected simple entity graph with degree-normalized edge weights —
+    the standard "how far does a change propagate" primitive (cache/update
+    blast-radius estimation for entity edits at KG scale).
+
+    Node thresholds are deterministic: θ_e3(v) = md5-int('ltm:'||v) % 1000
+    + 1 ∈ [1, 1000]; every incident edge carries weight 1/deg(v) at the
+    receiving end, so an inactive node with deg > 0 activates in round r iff
+    1000 · |active neighbors| ≥ θ_e3 · deg — an EXACT integer comparison,
+    engine-portable. Seeds = top ``n_seeds`` nodes by (degree desc, node
+    asc) (TakeOrdered, distributed), activated at round 0. Synchronous
+    rounds: round r counts neighbors active strictly before r. A FIXED
+    ``rounds`` budget (no early stop) keeps the DuckDB mirror an exact
+    unroll.
+
+    Scale shape per round: one join of the symmetric edges against the
+    (shrinking-complement) active set + one count aggregation; the active
+    set only grows and is re-``materialize``d per round.
+
+    Output: (id, label, round) for activated nodes only — round 0 = seed.
+    """
+    und = simple_undirected(entity_edges)
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    nodes = deg.select("node", "deg")
+    if entities is not None:
+        everyone = entities.select(
+            _node_key("id", "label").alias("node")
+        ).dropDuplicates(["node"])
+        nodes = nodes.unionByName(
+            everyone.join(nodes, on="node", how="left_anti").select(
+                "node", F.lit(0).cast("long").alias("deg")
+            )
+        )
+    nodes = nodes.withColumn(
+        "t_e3",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ltm:"), F.col("node"))), 1, 8), 16, 10
+        ).cast("long")
+        % 1000
+        + 1,
+    )
+    nodes, _ = materialize(nodes)
+    seeds = nodes.orderBy(F.desc("deg"), F.asc("node")).limit(n_seeds).select("node")
+    active, _ = materialize(seeds)  # cumulative active set
+    parts: list[DataFrame] = [
+        active.select("node", F.lit(0).cast("long").alias("round"))
+    ]
+    for r in range(1, rounds + 1):
+        cnt = (
+            sym.join(active.select(F.col("node").alias("u")), on="u")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_act"))
+        )
+        newly = (
+            nodes.join(active, on="node", how="left_anti")
+            .join(cnt, on=F.col("node") == F.col("v"))
+            .filter(
+                (F.col("deg") > 0)
+                & (F.lit(1000) * F.col("n_act") >= F.col("t_e3") * F.col("deg"))
+            )
+            .select("node")
+        )
+        newly, n_new = materialize(newly)
+        if n_new == 0:
+            # LTM is monotone: an unchanged active set reproduces the same
+            # counts next round, so no further round can activate anything —
+            # breaking early is output-equivalent to the fixed budget
+            break
+        parts.append(newly.select("node", F.lit(r).cast("long").alias("round")))
+        active, _ = materialize(active.unionByName(newly), active)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    sn = F.split(F.col("node"), "\x01")
+    return out.select(
+        sn.getItem(0).alias("id"),
+        sn.getItem(1).alias("label"),
+        "round",
+    )

@@ -8386,3 +8386,138 @@ SELECT stratum, n_h,
        CAST(CASE WHEN w_tot > 0 THEN round(100.0 * w / w_tot) ELSE 0.0 END AS BIGINT) AS alloc
 FROM ny_w CROSS JOIN ny_t
 """
+
+
+def _jp_sql(rounds: int = 8) -> str:
+    """Unrolled Jones-Plassmann mirror of
+    graph_analytics.jones_plassmann_coloring: the MIS machinery (priorities
+    md5('jp:r:'||node)||node, min-neighbor aggregation, strict-less
+    selection with the isolated-node branch) WITHOUT the neighbor-exclusion
+    step — selected nodes take color r and leave; leftovers color 0."""
+    parts = [
+        _UND_CTE
+        + """,
+jpsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+jpa0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM und
+    UNION ALL SELECT v AS node FROM und
+    UNION ALL SELECT DISTINCT id || chr(1) || label AS node FROM entities
+  )
+),
+jpe0 AS MATERIALIZED (SELECT u, v FROM jpsym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+jpp{r} AS MATERIALIZED (
+  SELECT node, md5('jp:{r}:' || node) || node AS pri FROM jpa{r - 1}
+),
+jpm{r} AS MATERIALIZED (
+  SELECT e.v AS node, min(p.pri) AS mn
+  FROM jpe{r - 1} e JOIN jpp{r} p ON p.node = e.u
+  GROUP BY 1
+),
+jps{r} AS MATERIALIZED (
+  SELECT p.node FROM jpp{r} p LEFT JOIN jpm{r} m ON m.node = p.node
+  WHERE m.mn IS NULL OR p.pri < m.mn
+),
+jpa{r} AS MATERIALIZED (
+  SELECT node FROM jpa{r - 1}
+  WHERE node NOT IN (SELECT node FROM jps{r})
+),
+jpe{r} AS MATERIALIZED (
+  SELECT u, v FROM jpe{r - 1}
+  WHERE u NOT IN (SELECT node FROM jps{r})
+    AND v NOT IN (SELECT node FROM jps{r})
+)"""
+        )
+    sels = [
+        f"SELECT node, CAST({r} AS BIGINT) AS color FROM jps{r}"
+        for r in range(1, rounds + 1)
+    ]
+    sels.append(f"SELECT node, CAST(0 AS BIGINT) AS color FROM jpa{rounds}")
+    return (
+        "".join(parts)
+        + ",\njpall AS (\n"
+        + "\nUNION ALL\n".join(sels)
+        + """
+)
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       color
+FROM jpall"""
+    )
+
+
+ORACLE_SQL["graph_coloring"] = PIPELINE_CTE + _jp_sql(8)
+
+
+def _ltm_sql(n_seeds: int = 5, rounds: int = 6) -> str:
+    """Unrolled linear-threshold-cascade mirror of
+    graph_analytics.influence_ltm: thresholds θ_e3 = md5-int('ltm:'||node)
+    % 1000 + 1, seeds = top n by (deg desc, node asc), synchronous rounds
+    with the exact integer test 1000·n_act ≥ θ_e3·deg."""
+    parts = [
+        _UND_CTE
+        + f""",
+ltsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+ltd AS MATERIALIZED (
+  SELECT v AS node, CAST(count(*) AS BIGINT) AS deg FROM ltsym GROUP BY 1
+),
+ltn AS MATERIALIZED (
+  SELECT node, deg FROM ltd
+  UNION ALL
+  SELECT e.node, CAST(0 AS BIGINT) AS deg
+  FROM (SELECT DISTINCT id || chr(1) || label AS node FROM entities) e
+  WHERE e.node NOT IN (SELECT node FROM ltd)
+),
+ltt AS MATERIALIZED (
+  SELECT node, deg,
+         CAST('0x' || substr(md5('ltm:' || node), 1, 8) AS BIGINT) % 1000 + 1 AS t_e3
+  FROM ltn
+),
+lta0 AS MATERIALIZED (
+  SELECT node FROM ltt ORDER BY deg DESC, node LIMIT {n_seeds}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+ltc{r} AS MATERIALIZED (
+  SELECT e.v AS node, CAST(count(*) AS BIGINT) AS n_act
+  FROM ltsym e JOIN lta{r - 1} a ON a.node = e.u
+  GROUP BY 1
+),
+ltw{r} AS MATERIALIZED (
+  SELECT t.node FROM ltt t JOIN ltc{r} c ON c.node = t.node
+  WHERE t.node NOT IN (SELECT node FROM lta{r - 1})
+    AND t.deg > 0 AND 1000 * c.n_act >= t.t_e3 * t.deg
+),
+lta{r} AS MATERIALIZED (
+  SELECT node FROM lta{r - 1} UNION ALL SELECT node FROM ltw{r}
+)"""
+        )
+    sels = ["SELECT node, CAST(0 AS BIGINT) AS round FROM lta0"]
+    sels.extend(
+        f"SELECT node, CAST({r} AS BIGINT) AS round FROM ltw{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + ",\nltall AS (\n"
+        + "\nUNION ALL\n".join(sels)
+        + """
+)
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       round
+FROM ltall"""
+    )
+
+
+ORACLE_SQL["influence_spread"] = PIPELINE_CTE + _ltm_sql(5, 6)

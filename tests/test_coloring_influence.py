@@ -1,0 +1,100 @@
+"""Jones-Plassmann coloring and linear-threshold influence cascade —
+structural invariants plus Python-replica parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+from llm_graph_builder_spark.operators.graph_analytics import (
+    influence_ltm,
+    jones_plassmann_coloring,
+)
+
+
+def _edges(spark, pairs):
+    rows = [(a, "E", "REL", b, "E", 1) for a, b in pairs]
+    return spark.createDataFrame(
+        rows,
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+
+
+def _entities(spark, ids):
+    return spark.createDataFrame(
+        [(i, "E", 1, 1) for i in ids],
+        "id string, label string, chunk_count long, doc_count long",
+    )
+
+
+PAIRS = [
+    ("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+    ("c", "d"), ("d", "e"),                       # tail
+    ("f", "g"),                                   # separate component
+]
+
+
+class TestColoring:
+    def test_proper_coloring_and_full_coverage(self, spark):
+        out = jones_plassmann_coloring(
+            _edges(spark, PAIRS), _entities(spark, list("abcdefgh")), rounds=8
+        )
+        colors = {r.id: r.color for r in out.collect()}
+        assert set(colors) == set("abcdefgh")
+        # every node resolved (8 md5 rounds are plenty for 8 nodes)
+        assert all(c > 0 for c in colors.values())
+        # proper: no edge joins two same-colored nodes
+        for a, b in PAIRS:
+            assert colors[a] != colors[b], (a, b)
+        # isolated node colors in round 1 (null-neighbor branch)
+        assert colors["h"] == 1
+
+    def test_triangle_needs_three_colors(self, spark):
+        out = jones_plassmann_coloring(
+            _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]), rounds=8
+        )
+        assert len({r.color for r in out.collect()}) == 3
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+class TestInfluence:
+    def test_matches_python_replica(self, spark):
+        out = influence_ltm(
+            _edges(spark, PAIRS), _entities(spark, list("abcdefgh")),
+            n_seeds=2, rounds=6,
+        )
+        got = {(r.id, r.round) for r in out.collect()}
+
+        # replica
+        sym: dict[str, set[str]] = {}
+        for a, b in PAIRS:
+            sym.setdefault(a, set()).add(b)
+            sym.setdefault(b, set()).add(a)
+        key = {n: f"{n}\x01E" for n in "abcdefgh"}
+        deg = {n: len(sym.get(n, set())) for n in "abcdefgh"}
+        th = {n: _md5_int("ltm:" + key[n]) % 1000 + 1 for n in "abcdefgh"}
+        seeds = sorted("abcdefgh", key=lambda n: (-deg[n], key[n]))[:2]
+        active = set(seeds)
+        expect = {(n, 0) for n in seeds}
+        for r in range(1, 7):
+            newly = {
+                n
+                for n in "abcdefgh"
+                if n not in active
+                and deg[n] > 0
+                and 1000 * len(sym.get(n, set()) & active) >= th[n] * deg[n]
+            }
+            if not newly:
+                break
+            expect |= {(n, r) for n in newly}
+            active |= newly
+        assert got == expect
+
+    def test_seeds_are_top_degree(self, spark):
+        out = influence_ltm(_edges(spark, PAIRS), n_seeds=1, rounds=3)
+        seeds = [r.id for r in out.collect() if r.round == 0]
+        # c has degree 3 — the unique max
+        assert seeds == ["c"]
