@@ -3213,6 +3213,25 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=3 grams, w=4 windows, leftmost-min
+    tie-break) → inverted-index candidate pairs with the max_postings skew
+    guard; oracle mirrors the combined-integer window min exactly."""
+    return dedup.winnow_fingerprint_pairs(
+        read_documents(spark, sf_dir), k=3, w=4, min_shared=2, max_postings=64
+    )
+
+
+def q_landmark_distances(spark, sf_dir):
+    """Landmark distance sketch: frontier BFS (4 hops) from the top-3
+    highest-degree entities; d(a,b) ≈ min_l d(a,l)+d(l,b) at query time
+    (oracle = three unrolled BFS chains)."""
+    from .operators.graph_analytics import landmark_distances
+
+    t = pipeline_tables(spark, sf_dir)
+    return landmark_distances(t["entity_edges"], n_landmarks=3, max_hops=4)
+
+
 def q_bitext_mining(spark, sf_dir):
     """Margin-based bitext mining (Artetxe-Schwenk ratio margin) between the
     even-label and odd-label embedding sides: hyperplane-LSH candidate
@@ -3516,4 +3535,6 @@ QUERIES = {
     "neyman_allocation": q_neyman_allocation,
     "graph_coloring": q_graph_coloring,
     "influence_spread": q_influence_spread,
+    "winnow_pairs": q_winnow_pairs,
+    "landmark_distances": q_landmark_distances,
 }

@@ -1168,3 +1168,87 @@ def cdc_chunk_stats(
         .cast("long")
         .alias("mean_chunk_len_e2"),
     )
+
+
+def winnow_fingerprint_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm) → near-duplicate / plagiarism candidate pairs.
+
+    Per doc: k-token grams are hashed to 32-bit md5-prefix ints; every
+    length-``w`` window of consecutive gram positions selects its minimum
+    (ties broken by LEFTMOST position — a deterministic variant of the
+    paper's rightmost rule, noted here because the guarantee is identical:
+    any shared run of ≥ w+k-1 tokens shares ≥ 1 selected fingerprint).
+    Selection travels as ONE integer ``h·2³¹ + pos`` so the window min is a
+    plain JVM ``min`` — the same combined integer the DuckDB mirror uses.
+
+    Pair generation is an inverted index on the selected hash: one groupBy
+    per hash, self-join inside the posting list, with a ``max_postings``
+    skew guard (a boilerplate fingerprint shared by thousands of docs would
+    otherwise emit d² pairs — the same guard pattern as MinHash
+    ``max_band_size``). Scale shape: gram-grain exchange → window (same
+    partitioning) → hash-grain exchange → doc-pair aggregation; nothing
+    collects.
+
+    Output: (doc_a, doc_b, n_shared) with n_shared ≥ ``min_shared``.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col(id_col).cast("string").alias("doc"), F.posexplode(grams).alias("i0", "gram")
+    ).select(
+        "doc",
+        (F.col("i0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    from pyspark.sql import Window
+
+    # combined integer: h < 2^32, pos < 2^31 ⇒ h·2^31 + pos < 2^63 (fits)
+    comb = (F.col("h") * F.lit(2147483648) + F.col("pos")).alias("c")
+    wfwd = (
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    per_doc_m = Window.partitionBy("doc")
+    sel = (
+        g.select("doc", "pos", comb)
+        .withColumn("m", F.max("pos").over(per_doc_m))
+        .withColumn("minc", F.min("c").over(wfwd))
+        # window j is full only for j ≤ m-w+1 (a single truncated window
+        # covers short docs with m < w)
+        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("m") - (w - 1)))
+        # exact integer extraction (minc ≈ 2^63: float division would lose
+        # low bits) — h = minc >> 31
+        .select("doc", F.shiftright("minc", 31).cast("long").alias("h"))
+        .distinct()
+    )
+    postings_ok = (
+        sel.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_postings)
+        .select("h")
+    )
+    fp = sel.join(postings_ok, on="h")
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), on="h")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -3230,3 +3230,56 @@ def influence_ltm(
         sn.getItem(1).alias("label"),
         "round",
     )
+
+
+def landmark_distances(
+    entity_edges: DataFrame,
+    n_landmarks: int = 3,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Landmark distance sketch (Potamias et al. 2009 "Fast Shortest Path
+    Distance Estimation in Large Networks"): BFS hop distances from the top
+    ``n_landmarks`` highest-degree nodes. d(a,b) is then estimated at query
+    time as min over landmarks of d(a,l)+d(l,b) — the sketch is O(n·k) rows,
+    the estimate a per-pair lookup, which is how pairwise-distance queries
+    survive graphs where any exact all-pairs computation is impossible.
+
+    Landmarks are deterministic: (degree desc, node asc), degree over the
+    symmetric simple graph. The landmark list is a bounded driver collect
+    (``n_landmarks`` rows — same convention as the other seed collects);
+    each landmark reuses the frontier BFS of ``bfs_distances`` (each edge
+    traversed ≤ 2× per landmark).
+
+    Output: (lm_id, lm_label, id, label, hops) — one sketch row per
+    (landmark, reached node).
+    """
+    und, _ = materialize(simple_undirected(entity_edges))
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    lms = [
+        r.node
+        for r in deg.orderBy(F.desc("deg"), F.asc("node")).limit(n_landmarks).collect()
+    ]
+    spark = entity_edges.sparkSession
+    parts: list[DataFrame] = []
+    for lm_key in lms:
+        lm_id, lm_label = lm_key.split("\x01")
+        srcs = spark.createDataFrame([(lm_key,)], "u string")
+        d = bfs_distances(entity_edges, srcs, max_hops=max_hops)
+        parts.append(
+            d.select(
+                F.lit(lm_id).alias("lm_id"),
+                F.lit(lm_label).alias("lm_label"),
+                "id",
+                "label",
+                "hops",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -8521,3 +8521,87 @@ FROM ltall"""
 
 
 ORACLE_SQL["influence_spread"] = PIPELINE_CTE + _ltm_sql(5, 6)
+
+# MOSS winnowing mirror of dedup.winnow_fingerprint_pairs: 32-bit md5-prefix
+# gram hashes, combined-integer h·2^31+pos window min (leftmost tie-break),
+# full windows only (one truncated window for m < w), inverted-index pairs
+# behind the max_postings guard
+ORACLE_SQL["winnow_pairs"] = """
+WITH wn_toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS ts
+  FROM documents
+),
+wn_grams AS (
+  SELECT doc,
+         unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                               i -> array_to_string(ts[i : i + 2], ' '))) AS gram
+  FROM wn_toks WHERE len(ts) >= 3
+),
+wn_h AS (
+  SELECT doc, pos,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 2147483648 + pos AS c
+  FROM wn_grams
+),
+wn_win AS (
+  SELECT doc, pos,
+         min(c) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minc,
+         max(pos) OVER (PARTITION BY doc) AS m
+  FROM wn_h
+),
+wn_sel AS (
+  SELECT DISTINCT doc, minc >> 31 AS h
+  FROM wn_win WHERE pos <= greatest(1, m - 3)
+),
+wn_ok AS (SELECT h FROM wn_sel GROUP BY h HAVING count(*) <= 64),
+wn_fp AS (SELECT s.doc, s.h FROM wn_sel s JOIN wn_ok o ON o.h = s.h)
+SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wn_fp a JOIN wn_fp b ON a.h = b.h AND a.doc < b.doc
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _landmark_sql(n_landmarks: int = 3, max_hops: int = 4) -> str:
+    """Landmark-sketch mirror of graph_analytics.landmark_distances: top-k
+    degree landmarks (deg desc, node asc) over the symmetric simple graph,
+    one unrolled frontier-BFS chain per landmark (_bfs_chain)."""
+    head = (
+        _UND_CTE
+        + """,
+gsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+ldeg AS MATERIALIZED (
+  SELECT v AS node, CAST(count(*) AS BIGINT) AS deg FROM gsym GROUP BY 1
+)"""
+    )
+    chains = []
+    sels = []
+    for i in range(1, n_landmarks + 1):
+        chains.append(
+            f""",
+lm{i} AS MATERIALIZED (
+  SELECT node AS u FROM ldeg ORDER BY deg DESC, node LIMIT 1 OFFSET {i - 1}
+)"""
+        )
+        chains.append(_bfs_chain(f"lm{i}", f"lm{i}", max_hops))
+        sels.append(
+            f"""SELECT split_part(l.u, chr(1), 1) AS lm_id,
+       split_part(l.u, chr(1), 2) AS lm_label,
+       split_part(b.u, chr(1), 1) AS id,
+       split_part(b.u, chr(1), 2) AS label,
+       b.hops
+FROM lm{i} l CROSS JOIN lm{i}b{max_hops} b"""
+        )
+    return (
+        PIPELINE_CTE
+        + head
+        + "".join(chains)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+    )
+
+
+ORACLE_SQL["landmark_distances"] = _landmark_sql(3, 4)

@@ -1,0 +1,85 @@
+"""Winnowing fingerprints and landmark distance sketch — Python-replica
+parity plus the winnowing coverage guarantee."""
+
+from __future__ import annotations
+
+import hashlib
+
+from llm_graph_builder_spark.operators.dedup import winnow_fingerprint_pairs
+from llm_graph_builder_spark.operators.graph_analytics import landmark_distances
+
+
+def _h32(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+
+def _winnow_py(text: str, k: int = 3, w: int = 4) -> set[int]:
+    toks = [t for t in text.split() if t]
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    cs = [(_h32(g) << 31) + i + 1 for i, g in enumerate(grams)]
+    m = len(cs)
+    sel = set()
+    for j in range(max(1, m - w + 1)):
+        sel.add(min(cs[j : j + w]) >> 31)
+    return sel
+
+
+class TestWinnowing:
+    def test_pairs_match_python_replica(self, spark):
+        texts = {
+            1: "a b c d e f g h",
+            2: "x y a b c d e f",     # shares the run "a b c d e f"
+            3: "p q r s t u v w",     # disjoint
+            4: "a b c d e f g h",     # identical to 1
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in winnow_fingerprint_pairs(docs, min_shared=1).collect()
+        }
+        fps = {str(d): _winnow_py(t) for d, t in texts.items()}
+        expect = {}
+        ids = sorted(fps, key=str)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = len(fps[a] & fps[b])
+                if shared >= 1:
+                    expect[(a, b)] = shared
+        assert got == expect
+        # the guarantee: docs 1 and 2 share a run of 6 ≥ w+k-1 tokens
+        assert ("1", "2") in got
+        # identical docs share every fingerprint
+        assert got[("1", "4")] == len(fps["1"])
+
+    def test_short_docs_use_truncated_window(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        )
+        out = winnow_fingerprint_pairs(docs, min_shared=1).collect()
+        # 4 tokens → 2 grams → m=2 < w: one truncated window, one shared fp
+        assert len(out) == 1 and out[0].n_shared == 1
+
+
+class TestLandmarks:
+    def test_sketch_and_triangle_inequality(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "f")]
+        rows = [(x, "E", "R", y, "E", 1) for x, y in pairs]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, subj_label string, pred string, "
+            "obj_id string, obj_label string, weight long",
+        )
+        out = landmark_distances(edges, n_landmarks=2, max_hops=4).collect()
+        lms = {r.lm_id for r in out}
+        # c has degree 3 (unique max); next by (deg, node) is b or d (deg 2,
+        # tie → 'b')
+        assert lms == {"c", "b"}
+        d = {(r.lm_id, r.id): r.hops for r in out}
+        assert d[("c", "c")] == 0 and d[("c", "a")] == 2 and d[("c", "e")] == 2
+        # estimate d(a,e) = min_l d(a,l)+d(l,e) = via c: 2+2 = 4 ≥ true 4
+        est = min(d[(lm, "a")] + d[(lm, "e")] for lm in lms)
+        assert est == 4
