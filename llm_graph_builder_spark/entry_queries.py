@@ -3213,6 +3213,55 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def q_var_paths(spark, sf_dir):
+    """Cypher MATCH (a)-[*1..3]-(b) analog: variable-length SIMPLE-path
+    counts from the entity_paths anchor — unrolled joins with explicit
+    no-repeat guards (oracle = the same three join levels in SQL)."""
+    from .operators.graph_analytics import simple_path_counts
+
+    t = pipeline_tables(spark, sf_dir)
+    anchor = (
+        t["entities"].filter(F.col("label") == "Operation")
+        .orderBy("id").limit(1)
+        .select(F.col("id").alias("aid"), F.col("label").alias("alabel"))
+    )
+    return simple_path_counts(t["entity_edges"], anchor, max_len=3)
+
+
+def q_ahash_pairs(spark, sf_dir):
+    """Perceptual-hash (aHash64) near-duplicate image candidates over the
+    binary-asset table: byte-histogram hash (integer-exact), 16-bit prefix
+    blocks, JVM bit_count Hamming verify — the image analog of SimHash."""
+    from .operators.multimodal import ahash_pairs
+
+    docs = read_documents(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return ahash_pairs(assets, max_hamming=6)
+
+
+def q_dpp_revenue(spark, sf_dir):
+    """Dynamic-partition-pruning demo: year-partitioned lineitem joined to a
+    runtime-derived above-average-urgent-year dim — DPP injects the dim
+    result into the fact scan's partition filters (plan-pinned in
+    tests/test_plans.py). Fact layout written once per (session, sf_dir)."""
+    import tempfile
+
+    from .operators.layout import dpp_revenue
+
+    key = ("dpp_wh", id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = tempfile.mkdtemp(prefix="lgb_dpp_")
+    return dpp_revenue(
+        spark,
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        _CACHE[key],
+    )
+
+
 def q_winnow_pairs(spark, sf_dir):
     """MOSS winnowing fingerprints (k=3 grams, w=4 windows, leftmost-min
     tie-break) → inverted-index candidate pairs with the max_postings skew
@@ -3537,4 +3586,7 @@ QUERIES = {
     "influence_spread": q_influence_spread,
     "winnow_pairs": q_winnow_pairs,
     "landmark_distances": q_landmark_distances,
+    "var_paths": q_var_paths,
+    "ahash_pairs": q_ahash_pairs,
+    "dpp_revenue": q_dpp_revenue,
 }

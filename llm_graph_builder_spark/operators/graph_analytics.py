@@ -3283,3 +3283,75 @@ def landmark_distances(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def simple_path_counts(
+    entity_edges: DataFrame,
+    anchor: DataFrame,
+    max_len: int = 3,
+) -> DataFrame:
+    """Variable-length SIMPLE-path counting from an anchor entity — the
+    Cypher ``MATCH (a)-[*1..3]-(b)`` analog (reference: Neo4j variable-length
+    expansion in GRAPH_QUERY / chat graph-mode; Cypher counts simple paths,
+    i.e. no repeated node, which is exactly the no-repeat guard here).
+
+    The expansion is UNROLLED joins over the symmetric simple edge set with
+    explicit ``node ∉ {previous nodes}`` guards — for the bounded
+    ``max_len ≤ 3`` the guard set is literal columns, no path-array carry,
+    so every level is a plain hash join + the final count is one groupBy.
+    The anchor row is broadcast into level 1; at 10^12 edges every level
+    remains a key-partitioned join against the (shrinking) frontier.
+
+    ``anchor``: one-row frame (aid, alabel). Output: (path_len, dst_id,
+    dst_label, n_paths).
+    """
+    if max_len < 1 or max_len > 3:
+        raise ValueError("max_len must be in 1..3 (bounded unroll)")
+    und = simple_undirected(entity_edges)
+    sym = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    a = F.broadcast(
+        anchor.select(
+            F.concat_ws("\x01", F.col("aid"), F.col("alabel")).alias("a")
+        )
+    )
+    l1 = sym.join(a, on=F.col("u") == F.col("a")).select("a", F.col("v").alias("n1"))
+    levels = {1: l1.groupBy(F.col("n1").alias("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )}
+    if max_len >= 2:
+        l2 = (
+            l1.join(sym, on=F.col("n1") == F.col("u"))
+            .filter((F.col("v") != F.col("a")) & (F.col("v") != F.col("n1")))
+            .select("a", "n1", F.col("v").alias("n2"))
+        )
+        levels[2] = l2.groupBy(F.col("n2").alias("dst")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths")
+        )
+    if max_len >= 3:
+        l3 = (
+            l2.join(sym, on=F.col("n2") == F.col("u"))
+            .filter(
+                (F.col("v") != F.col("a"))
+                & (F.col("v") != F.col("n1"))
+                & (F.col("v") != F.col("n2"))
+            )
+            .select(F.col("v").alias("dst"))
+        )
+        levels[3] = l3.groupBy("dst").agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths")
+        )
+    parts = [
+        df.select(
+            F.lit(ln).cast("long").alias("path_len"),
+            F.split(F.col("dst"), "\x01").getItem(0).alias("dst_id"),
+            F.split(F.col("dst"), "\x01").getItem(1).alias("dst_label"),
+            "n_paths",
+        )
+        for ln, df in levels.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -662,3 +662,60 @@ def compaction_plan(
         F.min("bytes").cast("long").alias("smallest"),
         (F.sum("bytes") < target_bytes).cast("long").alias("under_target"),
     )
+
+
+def dpp_revenue(
+    spark,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    scratch_dir: str,
+) -> DataFrame:
+    """Dynamic-partition-pruning demo: yearly revenue restricted to ship
+    years whose urgent-order volume is above average — where the qualifying
+    year set is only known at RUNTIME, so a static planner must scan every
+    partition while Spark's DPP injects the dim-side result as a partition
+    filter into the fact scan (``dynamicpruningexpression`` — plan-pinned in
+    tests/test_plans.py).
+
+    The fact table is lineitem written once per scratch dir PARTITIONED BY
+    the ship year (the 100 TB layout: date-partitioned facts); the dim side
+    is a tiny above-average-year aggregate of orders, broadcast, with the
+    year-set filter flowing into the fact scan's partition pruning. Revenue
+    is integer-cent exact (e4 = cents × discount-complement-cents).
+
+    Output: (l_year, revenue_e4, n_rows).
+    """
+    import os
+
+    path = os.path.join(scratch_dir, "lineitem_by_year")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            lineitem.withColumn("l_year", F.year("l_shipdate"))
+            .write.mode("overwrite")
+            .partitionBy("l_year")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.year("o_orderdate").alias("l_year"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    avg_c = urgent.agg(F.avg("c").alias("avg_c"))
+    dim = (
+        urgent.crossJoin(F.broadcast(avg_c))
+        .filter(F.col("c") > F.col("avg_c"))
+        .select("l_year")
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        fact.join(F.broadcast(dim), on="l_year")
+        .groupBy(F.col("l_year").cast("long").alias("l_year"))
+        .agg(
+            F.sum(rev).cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

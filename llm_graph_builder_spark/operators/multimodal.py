@@ -211,3 +211,79 @@ def resize_images(
             )
 
     return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
+def ahash64(assets: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """64-bit average-hash (aHash — the classic perceptual-hash family) of
+    each binary payload: bucket b counts payload bytes ≡ b (mod 64); bit b is
+    set iff ``64·count_b > total_bytes`` — a strict integer comparison, so
+    the hash is reproducible from any engine with no float in the loop (for
+    real images, swap the byte histogram for the decoded 8×8 luma grid; the
+    Spark plumbing — Arrow binary batches, signed-int64 bit pattern,
+    prefix blocking — is unchanged).
+
+    Output: (asset_id, h) with h the signed-int64 reinterpretation of the
+    64-bit hash (same bit pattern the DuckDB mirror builds as UBIGINT).
+    """
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def ah(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            b = bytes(p) if p is not None else b""
+            if not b:
+                out.append(0)
+                continue
+            cnt = np.bincount(
+                np.frombuffer(b, dtype=np.uint8) % 64, minlength=64
+            )
+            tot = len(b)
+            h = 0
+            for i in np.nonzero(64 * cnt > tot)[0]:
+                h |= 1 << int(i)
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return pd.Series(out, dtype="int64")
+
+    return assets.select(F.col(id_col).alias("asset_id"), ah("payload").alias("h"))
+
+
+def ahash_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    max_block: int = 1024,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Perceptual near-duplicate candidate pairs: aHash64 + 16-bit prefix
+    blocking + JVM ``bit_count(xor)`` Hamming verification — the image
+    analog of SimHash text dedup (same block-join scale shape: candidates
+    only within a 16-bit block, never the d² cross join). Blocks larger
+    than ``max_block`` are dropped (the max_band_size skew-guard pattern —
+    a monoculture block would otherwise emit d² pairs; production systems
+    widen to banded multi-index before raising the cap).
+
+    Output: (asset_a, asset_b, hamming) with hamming ≤ ``max_hamming``.
+    """
+    fp = ahash64(assets, id_col=id_col).withColumn(
+        "block", F.shiftright("h", 48).bitwiseAND(F.lit(65535))
+    )
+    block_ok = (
+        fp.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_block)
+        .select("block")
+    )
+    fp = fp.join(block_ok, on="block")
+    a = fp.select(
+        F.col("asset_id").alias("asset_a"), F.col("h").alias("h_a"), "block"
+    )
+    b = fp.select(
+        F.col("asset_id").alias("asset_b"), F.col("h").alias("h_b"), "block"
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+    )

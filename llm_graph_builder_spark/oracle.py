@@ -8605,3 +8605,99 @@ FROM lm{i} l CROSS JOIN lm{i}b{max_hops} b"""
 
 
 ORACLE_SQL["landmark_distances"] = _landmark_sql(3, 4)
+
+# variable-length simple-path mirror of graph_analytics.simple_path_counts:
+# anchor = smallest Operation entity id, three unrolled join levels over the
+# symmetric simple edges with explicit no-repeat guards
+ORACLE_SQL["var_paths"] = PIPELINE_CTE + _UND_CTE + """,
+vpsym AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+vpa AS MATERIALIZED (
+  SELECT id || chr(1) || label AS a FROM entities
+  WHERE label = 'Operation' ORDER BY id LIMIT 1
+),
+vp1 AS MATERIALIZED (
+  SELECT a.a, s.v AS n1 FROM vpsym s JOIN vpa a ON s.u = a.a
+),
+vp2 AS MATERIALIZED (
+  SELECT p.a, p.n1, s.v AS n2
+  FROM vp1 p JOIN vpsym s ON s.u = p.n1
+  WHERE s.v <> p.a AND s.v <> p.n1
+),
+vp3 AS (
+  SELECT s.v AS n3
+  FROM vp2 p JOIN vpsym s ON s.u = p.n2
+  WHERE s.v <> p.a AND s.v <> p.n1 AND s.v <> p.n2
+),
+vpall AS (
+  SELECT CAST(1 AS BIGINT) AS path_len, n1 AS dst, CAST(count(*) AS BIGINT) AS n_paths
+  FROM vp1 GROUP BY 2
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), n2, CAST(count(*) AS BIGINT) FROM vp2 GROUP BY 2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), n3, CAST(count(*) AS BIGINT) FROM vp3 GROUP BY 2
+)
+SELECT path_len,
+       split_part(dst, chr(1), 1) AS dst_id,
+       split_part(dst, chr(1), 2) AS dst_label,
+       n_paths
+FROM vpall
+"""
+
+# aHash64 mirror of multimodal.ahash_pairs: bucket = byte % 64 over the
+# utf-8 payload (ASCII corpus ⇒ ascii(char) == byte), bit set iff
+# 64·count > total (strict integer test), UBIGINT hash (same 64-bit pattern
+# as Spark's signed long), 16-bit prefix blocks, bit_count(xor) ≤ 6
+ORACLE_SQL["ahash_pairs"] = """
+WITH ah_b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS asset_id, text,
+         unnest(range(1, len(text) + 1)) AS i
+  FROM documents WHERE len(text) > 0
+),
+ah_cnt AS (
+  SELECT asset_id, ascii(substr(text, i, 1)) % 64 AS bkt,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ah_b GROUP BY 1, 2
+),
+ah_tot AS (SELECT asset_id, sum(c) AS tot FROM ah_cnt GROUP BY 1),
+ah_h AS (
+  SELECT c.asset_id,
+         CAST(sum(CASE WHEN 64 * c.c > t.tot
+                       THEN CAST(1 AS HUGEINT) << CAST(c.bkt AS INT)
+                       ELSE 0 END) AS UBIGINT) AS u
+  FROM ah_cnt c JOIN ah_tot t ON t.asset_id = c.asset_id
+  GROUP BY 1
+),
+ah_fp0 AS (
+  SELECT a.asset_id, coalesce(h.u, 0) AS u,
+         (coalesce(h.u, 0) >> 48) & 65535 AS block
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS asset_id FROM documents) a
+  LEFT JOIN ah_h h ON h.asset_id = a.asset_id
+),
+ah_ok AS (SELECT block FROM ah_fp0 GROUP BY block HAVING count(*) <= 1024),
+ah_fp AS (SELECT f.* FROM ah_fp0 f JOIN ah_ok o ON o.block = f.block)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+FROM ah_fp a JOIN ah_fp b ON a.block = b.block AND a.asset_id < b.asset_id
+WHERE bit_count(xor(a.u, b.u)) <= 6
+"""
+
+# DPP demo mirror: the qualifying-year subquery is plain SQL — the Spark
+# side's value-add is the partition-pruned fact scan, pinned in test_plans
+ORACLE_SQL["dpp_revenue"] = """
+WITH dp_u AS (
+  SELECT year(o_orderdate) AS y, CAST(count(*) AS BIGINT) AS c
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+),
+dp_sel AS (
+  SELECT y FROM dp_u CROSS JOIN (SELECT avg(c) AS ac FROM dp_u)
+  WHERE c > ac
+)
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE year(l_shipdate) IN (SELECT y FROM dp_sel)
+GROUP BY 1
+"""

@@ -1,0 +1,88 @@
+"""DPP plan pin, variable-length simple paths, and aHash near-dup pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.graph_analytics import simple_path_counts
+from llm_graph_builder_spark.operators.layout import dpp_revenue
+from llm_graph_builder_spark.operators.multimodal import ahash64, ahash_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestDPP:
+    def test_partition_filter_is_dynamic(self, spark, tmp_path):
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        df = dpp_revenue(spark, orders, li, str(tmp_path / "wh"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the runtime dim result reaches the fact scan as a partition filter
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the result itself is consistent with the unpartitioned compute
+        u = (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy(F.year("o_orderdate").alias("y"))
+            .count()
+        )
+        rows = u.collect()
+        avg = sum(r["count"] for r in rows) / len(rows)
+        keep = {r.y for r in rows if r["count"] > avg}
+        got = {r.l_year for r in df.collect()}
+        assert got == keep
+
+
+class TestSimplePaths:
+    def test_counts_on_toy_graph(self, spark):
+        # a - b - c, a - c (triangle) plus c - d tail
+        pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        rows = [(x, "E", "R", y, "E", 1) for x, y in pairs]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, subj_label string, pred string, "
+            "obj_id string, obj_label string, weight long",
+        )
+        anchor = spark.createDataFrame([("a", "E")], "aid string, alabel string")
+        got = {
+            (r.path_len, r.dst_id): r.n_paths
+            for r in simple_path_counts(edges, anchor, max_len=3).collect()
+        }
+        # len 1: b, c. len 2: a-b-c, a-c-b, a-c-d. len 3: a-b-c-d, a-c-b? no
+        # (b has no unvisited neighbor from a-c-b except a,c) → only a-b-c-d
+        assert got[(1, "b")] == 1 and got[(1, "c")] == 1
+        assert got[(2, "c")] == 1 and got[(2, "b")] == 1 and got[(2, "d")] == 1
+        assert got[(3, "d")] == 1
+        assert (3, "a") not in got  # no-repeat guard blocks cycles
+
+
+class TestAHash:
+    def test_hash_matches_python_replica(self, spark):
+        texts = [(1, "aa bb"), (2, "aa bb"), (3, "zz qq rr")]
+        assets = spark.createDataFrame(texts, "doc_id long, text string").select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        got = {r.asset_id: r.h for r in ahash64(assets).collect()}
+
+        def replica(t: str) -> int:
+            b = t.encode()
+            cnt = [0] * 64
+            for by in b:
+                cnt[by % 64] += 1
+            h = 0
+            for i in range(64):
+                if 64 * cnt[i] > len(b):
+                    h |= 1 << i
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for d, t in texts:
+            assert got[str(d)] == replica(t)
+
+    def test_identical_payloads_pair_at_hamming_zero(self, spark):
+        texts = [(1, "aa bb cc"), (2, "aa bb cc"), (3, "completely different xyz")]
+        assets = spark.createDataFrame(texts, "doc_id long, text string").select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        got = {(r.asset_a, r.asset_b): r.hamming for r in ahash_pairs(assets).collect()}
+        assert got.get(("1", "2")) == 0
