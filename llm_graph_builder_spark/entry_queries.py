@@ -3213,6 +3213,27 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def q_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation recall@5 audit: first-16-dim prefix ranking vs
+    full-dim exact top-k (the MRL serving accept gate, sq_recall's sibling)."""
+    from .operators.ann import mrl_topk_recall
+
+    emb = _emb(spark, sf_dir)
+    return mrl_topk_recall(
+        emb, emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ), k=5, trunc_dim=16,
+    )
+
+
+def q_approx_group_counts(spark, sf_dir):
+    """Sample-and-scale per-language count estimates (10% md5 sample) with
+    the exact relative error — integer-exact measure-don't-guess audit."""
+    from .operators.warehouse import approx_group_counts
+
+    return approx_group_counts(read_documents(spark, sf_dir), rate_e4=1000)
+
+
 def q_var_paths(spark, sf_dir):
     """Cypher MATCH (a)-[*1..3]-(b) analog: variable-length SIMPLE-path
     counts from the entity_paths anchor — unrolled joins with explicit
@@ -3589,4 +3610,6 @@ QUERIES = {
     "var_paths": q_var_paths,
     "ahash_pairs": q_ahash_pairs,
     "dpp_revenue": q_dpp_revenue,
+    "mrl_recall": q_mrl_recall,
+    "approx_group_counts": q_approx_group_counts,
 }

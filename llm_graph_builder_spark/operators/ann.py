@@ -1065,3 +1065,74 @@ def pca_power(
     return corpus.sparkSession.createDataFrame(
         [(i + 1, v[i]) for i in range(dim)], "dim_idx long, v_e4 long"
     )
+
+
+def mrl_topk_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    trunc_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k audit of Matryoshka-style dimension truncation (Kusupati et
+    al. 2022): rank the corpus for each query by exact cosine over only the
+    FIRST ``trunc_dim`` components — the MRL serving configuration, where a
+    prefix of the embedding doubles as a cheaper index key — and measure how
+    many of the full-dimension exact top-k survive. Like sq_topk_recall this
+    is the accept/reject gate before switching the serving index to the
+    truncated prefix; truncation error is corpus-dependent.
+
+    Both legs broadcast the query set and pre-reduce per (query, scan
+    partition) — the two-phase exact top-k of ``ann_bruteforce_topk``; the
+    recall join moves 2·k rows per query. Scores stay in the mirrored
+    fold-cosine (e4 fixed point) so the DuckDB oracle is bit-identical.
+
+    Output: (query_id, hits, recall_e4) — one row per query.
+    """
+    from ..functions.vectors import cosine
+
+    tq = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.slice(F.col(vec_col), 1, trunc_dim).alias("qv"),
+    )
+    tc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, trunc_dim).alias("cv"),
+    )
+    scored = (
+        tc.crossJoin(F.broadcast(tq))
+        .filter(F.col("neighbor_id").cast("string") != F.col("qid").cast("string"))
+        .withColumn(
+            "cos_e4", F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long")
+        )
+    )
+    w_part = Window.partitionBy("qid", "part").orderBy(
+        F.desc("cos_e4"), F.asc("neighbor_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e4"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id")
+    )
+    exact = ann_bruteforce_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(F.col("query_id").alias("qid"), "neighbor_id")
+    hits = exact.join(approx, on=["qid", "neighbor_id"]).groupBy("qid").agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    return (
+        exact.select("qid").distinct()
+        .join(hits, on="qid", how="left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"coalesce(hits, 0L) * 10000L div {k}").alias("recall_e4"),
+        )
+    )

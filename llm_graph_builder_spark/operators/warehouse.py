@@ -1495,3 +1495,49 @@ def join_cardinality(
             ).alias("amp_e4"),
         )
     )
+
+
+def approx_group_counts(
+    docs: DataFrame,
+    rate_e4: int = 1000,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample-and-scale group counts with an EXACT error audit — the
+    measure-don't-guess primitive for 100 TB profiling: a deterministic
+    md5-bucket sample (``rate_e4``/10000 of rows) estimates per-group
+    counts at a fraction of the scan-and-shuffle cost, and this audit query
+    reports the exact relative error so the sampling rate is chosen from
+    evidence, not guessed. Everything is integer arithmetic (bucket test,
+    scale-up by integer division, e6 relative error), so the DuckDB mirror
+    is bit-identical.
+
+    Output: (group, n_exact, n_sample, n_est, err_e6).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cnt:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    per = docs.select(
+        F.col(group_col).alias("group"),
+        (bucket < rate_e4).cast("long").alias("in_sample"),
+    ).groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("in_sample").cast("long").alias("n_sample"),
+    )
+    return per.select(
+        "group",
+        "n_exact",
+        "n_sample",
+        F.expr(f"n_sample * 10000L div {rate_e4}").alias("n_est"),
+        F.expr(
+            f"CASE WHEN n_exact > 0 THEN abs(n_sample * 10000L div {rate_e4}"
+            " - n_exact) * 1000000L div n_exact ELSE 0L END"
+        ).alias("err_e6"),
+    )

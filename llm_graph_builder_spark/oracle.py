@@ -8701,3 +8701,63 @@ SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
 FROM lineitem WHERE year(l_shipdate) IN (SELECT y FROM dp_sel)
 GROUP BY 1
 """
+
+# Matryoshka-truncation recall mirror of ann.mrl_topk_recall: approx leg
+# ranks by fold-cosine over embedding[1:16], exact leg is the ann_topk
+# mirror; recall_e4 = hits·10000 // k
+ORACLE_SQL["mrl_recall"] = f"""
+WITH mq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+m_approx_s AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CAST(round(({_cosine_sql('q.embedding[1:16]', 'c.embedding[1:16]')}) * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings c CROSS JOIN mq q
+  WHERE CAST(c.vec_id AS VARCHAR) <> CAST(q.qid AS VARCHAR)
+),
+m_approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, neighbor_id ASC) AS rnk
+    FROM m_approx_s
+  ) WHERE rnk <= 5
+),
+m_exact_s AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CAST(round(({_cosine_sql('q.embedding', 'c.embedding')}) * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings c CROSS JOIN mq q
+  WHERE CAST(c.vec_id AS VARCHAR) <> CAST(q.qid AS VARCHAR)
+),
+m_exact AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, neighbor_id ASC) AS rnk
+    FROM m_exact_s
+  ) WHERE rnk <= 5
+),
+m_hits AS (
+  SELECT e.qid, CAST(count(*) AS BIGINT) AS hits
+  FROM m_exact e JOIN m_approx a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT q.qid AS query_id,
+       coalesce(h.hits, 0) AS hits,
+       coalesce(h.hits, 0) * 10000 // 5 AS recall_e4
+FROM (SELECT DISTINCT qid FROM m_exact) q LEFT JOIN m_hits h ON h.qid = q.qid
+"""
+
+# sample-and-scale audit mirror of warehouse.approx_group_counts (10% md5
+# bucket, integer scale-up, e6 relative error)
+ORACLE_SQL["approx_group_counts"] = """
+WITH ag AS (
+  SELECT lang AS "group",
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5('cnt:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+  FROM documents GROUP BY 1
+)
+SELECT "group", n_exact, n_sample,
+       n_sample * 10000 // 1000 AS n_est,
+       CASE WHEN n_exact > 0
+            THEN abs(n_sample * 10000 // 1000 - n_exact) * 1000000 // n_exact
+            ELSE 0 END AS err_e6
+FROM ag
+"""

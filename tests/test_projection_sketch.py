@@ -281,3 +281,45 @@ def test_pca_power_matches_bruteforce_gram_iteration(spark):
         m = max(abs(x) for x in u) or 1
         v = [(abs(x) * 10_000 // m) * (1 if x >= 0 else -1) for x in u]
     assert out == v
+
+
+class TestMrlRecall:
+    def test_full_dim_truncation_is_perfect_recall(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        from llm_graph_builder_spark.operators.ann import mrl_topk_recall
+
+        q = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        # truncating to the full 64 dims changes nothing → recall 1.0
+        out = mrl_topk_recall(emb, q, k=3, trunc_dim=64).collect()
+        assert all(r.recall_e4 == 10000 for r in out)
+
+    def test_truncation_recall_bounded(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        from llm_graph_builder_spark.operators.ann import mrl_topk_recall
+
+        q = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+        out = mrl_topk_recall(emb, q, k=5, trunc_dim=16).collect()
+        assert len(out) == 5
+        assert all(0 <= r.hits <= 5 and r.recall_e4 == r.hits * 2000 for r in out)
+
+
+class TestApproxGroupCounts:
+    def test_estimate_and_error_are_exact_integers(self, spark):
+        import hashlib
+
+        from llm_graph_builder_spark.operators.warehouse import approx_group_counts
+
+        rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {r.group: r for r in approx_group_counts(docs, rate_e4=2000).collect()}
+
+        def bucket(i):
+            return int(hashlib.md5(f"cnt:{i}".encode()).hexdigest()[:8], 16) % 10000
+
+        for lang in ("en", "de"):
+            ids = [i for i, l in rows if l == lang]
+            n_s = sum(1 for i in ids if bucket(i) < 2000)
+            assert got[lang].n_exact == len(ids)
+            assert got[lang].n_sample == n_s
+            assert got[lang].n_est == n_s * 10000 // 2000
+            assert got[lang].err_e6 == abs(n_s * 5 - len(ids)) * 1000000 // len(ids)
