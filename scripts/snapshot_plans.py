@@ -490,6 +490,40 @@ def main() -> None:
         q["sq_recall"](spark, SF),
     )
 
+    snap(
+        "ColBERT MaxSim (profile aggregated BEFORE the query join)",
+        "The (doc, bucket) profile is a hashAggregate over distinct "
+        "(doc, token) rows — ≤ dim rows per doc — and the query side is a "
+        "broadcast literal, so the late-interaction scorer never "
+        "materializes token×token pairs; the final top-k is the two-phase "
+        "partial-rank pattern, not a corpus-wide single-partition window.",
+        q["maxsim_retrieval"](spark, SF),
+    )
+    snap(
+        "Bitext margin mining (one pair materialization, two window ranks)",
+        "Both sides carry the same seed-0 hyperplane block; the in-block "
+        "A×B join is the ONLY pair-grain operator — the forward and "
+        "backward top-k ranks are windows over that one scored set, and "
+        "the mutual-best join moves only per-node argmax rows.",
+        q["bitext_mining"](spark, SF),
+    )
+    snap(
+        "Dynamic partition pruning (runtime dim → fact partition filter)",
+        "The above-average-urgent-year dim is derived at runtime, yet the "
+        "fact scan must show `dynamicpruningexpression(l_year IN "
+        "subquery…)` in its partition filters — a static planner would "
+        "scan all year partitions.",
+        q["dpp_revenue"](spark, SF),
+    )
+    snap(
+        "MOSS winnowing (gram-grain window, skew-guarded inverted index)",
+        "Gram hashing and the h·2³¹+pos combined-integer window min ride "
+        "ONE doc-grain sort/partitioning; pair generation is a hash-grain "
+        "self-join gated by the max_postings aggregate — no d² blowup on "
+        "boilerplate fingerprints.",
+        q["winnow_pairs"](spark, SF),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",
