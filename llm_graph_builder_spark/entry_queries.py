@@ -3213,6 +3213,44 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def q_predicate_similarity(spark, sf_dir):
+    """Relation-canonicalization signal: predicate pairs ranked by
+    argument-set Jaccard through an inverted index on the (subj, obj) pair
+    — integer-exact, PPJoin-shaped. Driven over the events interaction
+    graph (pred = event_type, args = (user, day)) because the synthetic
+    entity graph's extractor emits one predicate per argument pair (all
+    intersections empty — vacuous); the KG instantiation is the same call
+    on entity_edges."""
+    from .operators.maintenance import predicate_similarity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("pred"),
+        F.col("user_id").cast("string").alias("subj_id"),
+        F.lit("User").alias("subj_label"),
+        F.to_date("ts").cast("string").alias("obj_id"),
+        F.lit("Day").alias("obj_label"),
+    )
+    return predicate_similarity(ev, min_jaccard_e6=50000)
+
+
+def q_csv_quarantine(spark, sf_dir):
+    """Malformed-row quarantine load report: the documents table
+    materialized as CSV with a deterministic corruption pattern
+    (doc_id % 7 == 0 → non-numeric id), PERMISSIVE-parsed with a corrupt
+    column; good rows count per lang, broken rows land in one
+    __quarantined__ row (oracle derives both from the parquet truth)."""
+    import tempfile
+
+    from .sources.files import quarantine_stats, read_csv_quarantine, synth_csv_corpus
+
+    key = ("csvq_wh", id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = tempfile.mkdtemp(prefix="lgb_csvq_")
+    path = synth_csv_corpus(spark, sf_dir, _CACHE[key])
+    raw = read_csv_quarantine(spark, path, "doc_id long, lang string, n_chars long")
+    return quarantine_stats(raw)
+
+
 def q_mrl_recall(spark, sf_dir):
     """Matryoshka-truncation recall@5 audit: first-16-dim prefix ranking vs
     full-dim exact top-k (the MRL serving accept gate, sq_recall's sibling)."""
@@ -3612,4 +3650,6 @@ QUERIES = {
     "dpp_revenue": q_dpp_revenue,
     "mrl_recall": q_mrl_recall,
     "approx_group_counts": q_approx_group_counts,
+    "predicate_similarity": q_predicate_similarity,
+    "csv_quarantine": q_csv_quarantine,
 }

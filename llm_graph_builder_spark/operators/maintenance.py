@@ -657,3 +657,47 @@ def graph_edge_diff(
             .alias("change"),
         )
     )
+
+
+def predicate_similarity(
+    entity_edges: DataFrame,
+    min_jaccard_e6: int = 100000,
+) -> DataFrame:
+    """Predicate (relation-type) similarity by argument-set overlap — the
+    ontology-alignment signal behind relation canonicalization: two
+    predicates whose (subject, object) argument sets strongly overlap are
+    candidates for merging in schema consolidation (the behavioral
+    complement of the label-string grouping in label_consolidation_map).
+
+    Jaccard is computed through an inverted index on the distinct argument
+    pair: the self-join happens per argument (bounded by that argument's
+    predicate count), never across the full predicate × predicate space —
+    the PPJoin-style shape that survives a 10^12-edge graph. All integer
+    (inter, union, e6 quotient).
+
+    Output: (pred_a, pred_b, inter, union_n, jaccard_e6) with
+    jaccard_e6 ≥ ``min_jaccard_e6``.
+    """
+    args = entity_edges.select(
+        "pred",
+        F.concat_ws(
+            "\x01", "subj_id", "subj_label", "obj_id", "obj_label"
+        ).alias("arg"),
+    ).dropDuplicates(["pred", "arg"])
+    sizes = args.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = args.select(F.col("pred").alias("pred_a"), "arg")
+    b = args.select(F.col("pred").alias("pred_b"), "arg")
+    inter = (
+        a.join(b, on="arg")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("pred").alias("pred_a"), F.col("n").alias("na")), on="pred_a")
+        .join(sizes.select(F.col("pred").alias("pred_b"), F.col("n").alias("nb")), on="pred_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard_e6", F.expr("inter * 1000000L div union_n"))
+        .filter(F.col("jaccard_e6") >= min_jaccard_e6)
+        .select("pred_a", "pred_b", "inter", "union_n", "jaccard_e6")
+    )

@@ -8761,3 +8761,38 @@ SELECT "group", n_exact, n_sample,
             ELSE 0 END AS err_e6
 FROM ag
 """
+
+# predicate argument-set Jaccard mirror of maintenance.predicate_similarity
+# (driven over the events interaction graph: pred = event_type,
+# arg = (user, day) — see q_predicate_similarity)
+ORACLE_SQL["predicate_similarity"] = """
+WITH ps_args AS (
+  SELECT DISTINCT event_type AS pred,
+         CAST(user_id AS VARCHAR) || chr(1) || 'User' || chr(1)
+           || strftime(CAST(ts AS DATE), '%Y-%m-%d') || chr(1) || 'Day' AS arg
+  FROM events
+),
+ps_sizes AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM ps_args GROUP BY 1),
+ps_inter AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, CAST(count(*) AS BIGINT) AS inter
+  FROM ps_args a JOIN ps_args b ON a.arg = b.arg AND a.pred < b.pred
+  GROUP BY 1, 2
+)
+SELECT i.pred_a, i.pred_b, i.inter,
+       sa.n + sb.n - i.inter AS union_n,
+       i.inter * 1000000 // (sa.n + sb.n - i.inter) AS jaccard_e6
+FROM ps_inter i
+JOIN ps_sizes sa ON sa.pred = i.pred_a
+JOIN ps_sizes sb ON sb.pred = i.pred_b
+WHERE i.inter * 1000000 // (sa.n + sb.n - i.inter) >= 50000
+"""
+
+# quarantine-load-report mirror of sources/files.py: the corruption pattern
+# is deterministic (doc_id % 7 == 0), so the truth derives from parquet
+ORACLE_SQL["csv_quarantine"] = """
+SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n_rows
+FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+UNION ALL
+SELECT '__quarantined__' AS "group", CAST(count(*) AS BIGINT) AS n_rows
+FROM documents WHERE doc_id % 7 = 0
+"""

@@ -1,0 +1,85 @@
+"""File-format ingestion beyond parquet: CSV with malformed-row quarantine.
+
+The reference ingests user-supplied files and must not abort a 10^12-row
+load because 0.1% of rows are broken (reference: the per-document Failed
+status flow, backend/src/main.py — a bad document marks itself Failed and
+the batch continues). The Spark-native equivalent is PERMISSIVE parsing
+with a corrupt-record column: good rows flow on, broken rows land in a
+quarantine with the raw line preserved for replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the quarantine marker row key in quarantine_stats output
+QUARANTINE_KEY = "__quarantined__"
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+) -> DataFrame:
+    """PERMISSIVE CSV read: rows that fail the schema keep their raw line in
+    ``_corrupt_record`` instead of killing the job (mode=FAILFAST) or
+    silently vanishing (mode=DROPMALFORMED). One scan, no shuffle; the
+    corrupt column prunes away for queries that don't touch it.
+    """
+    return (
+        spark.read.schema(schema_ddl + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", "false")
+        .csv(path)
+    )
+
+
+def quarantine_stats(
+    raw: DataFrame, group_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group good-row counts plus one ``__quarantined__`` row — the
+    load-report a resumable ingest writes next to its manifest.
+
+    The verdict is ``_corrupt_record IS NOT NULL OR <id_col> IS NULL``:
+    PERMISSIVE corruption detection is column-pruning-dependent (a row whose
+    only broken field is never referenced parses "clean"), so the verdict
+    must reference the key column it guards — which is also the right
+    policy: a row without a parseable primary key is quarantine-worthy even
+    if the format happened to be legal. Single pass: one scan + one
+    aggregation, no corrupt-column-only query (which Spark disallows).
+
+    Output: (group, n_rows).
+    """
+    grp = F.when(
+        F.col("_corrupt_record").isNotNull() | F.col(id_col).isNull(),
+        F.lit(QUARANTINE_KEY),
+    ).otherwise(F.col(group_col))
+    return (
+        raw.select(grp.alias("group"))
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+def synth_csv_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Deterministically materialize the documents table as CSV lines with a
+    reproducible corruption pattern (doc_id % 7 == 0 → non-numeric doc_id),
+    so the quarantine path is observable on synthetic data. Returns the
+    path. Written once per scratch dir.
+    """
+    import os
+
+    path = os.path.join(out_dir, "docs_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        line = F.concat_ws(
+            ",",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("x"), F.col("doc_id")))
+            .otherwise(F.col("doc_id").cast("string")),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        )
+        docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    return path

@@ -1,0 +1,83 @@
+"""CSV quarantine source and predicate argument-set similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.maintenance import predicate_similarity
+from llm_graph_builder_spark.sources.files import (
+    QUARANTINE_KEY,
+    quarantine_stats,
+    read_csv_quarantine,
+)
+
+
+class TestCsvQuarantine:
+    def test_malformed_rows_quarantined_good_rows_flow(self, spark, tmp_path):
+        lines = [
+            "1,en,100",
+            "2,de,200",
+            "broken,en,300",      # non-numeric id → corrupt
+            "4,en,notanint",      # non-numeric n_chars → corrupt
+            "5,fr,500",
+        ]
+        p = tmp_path / "in"
+        p.mkdir()
+        (p / "part.csv").write_text("\n".join(lines) + "\n")
+        raw = read_csv_quarantine(
+            spark, str(p), "doc_id long, lang string, n_chars long"
+        )
+        got = {r.group: r.n_rows for r in quarantine_stats(raw).collect()}
+        # row 3 fails on the referenced key column; row 4's broken field is
+        # n_chars, which this report never references — PERMISSIVE parsing
+        # is pruning-dependent, so it flows as a good row (the docstring
+        # documents exactly this: the verdict guards the columns it reads)
+        assert got[QUARANTINE_KEY] == 1
+        assert got["en"] == 2 and got["de"] == 1 and got["fr"] == 1
+
+    def test_full_row_projection_catches_all_malformed(self, spark, tmp_path):
+        lines = ["1,en,100", "broken,en,300", "4,en,notanint"]
+        p = tmp_path / "in"
+        p.mkdir()
+        (p / "part.csv").write_text("\n".join(lines) + "\n")
+        raw = read_csv_quarantine(
+            spark, str(p), "doc_id long, lang string, n_chars long"
+        )
+        # referencing every column makes corruption detection complete
+        # (collect, not count — count() would prune back to the corrupt
+        # column alone, which Spark disallows)
+        bad = raw.select(
+            "doc_id", "lang", "n_chars", "_corrupt_record"
+        ).filter(F.col("_corrupt_record").isNotNull())
+        assert len(bad.collect()) == 2
+
+
+class TestPredicateSimilarity:
+    def test_jaccard_exact(self, spark):
+        rows = (
+            [("A", str(i)) for i in range(4)]          # A: {0,1,2,3}
+            + [("B", str(i)) for i in range(2, 6)]     # B: {2,3,4,5} — inter 2, union 6
+            + [("C", "9")]                             # C: disjoint
+        )
+        ee = spark.createDataFrame(rows, "pred string, subj_id string").select(
+            "pred", "subj_id",
+            F.lit("E").alias("subj_label"),
+            F.lit("x").alias("obj_id"),
+            F.lit("E").alias("obj_label"),
+        )
+        got = {
+            (r.pred_a, r.pred_b): (r.inter, r.union_n, r.jaccard_e6)
+            for r in predicate_similarity(ee, min_jaccard_e6=0).collect()
+        }
+        assert got == {("A", "B"): (2, 6, 333333)}
+
+    def test_duplicate_edges_collapse(self, spark):
+        rows = [("A", "1"), ("A", "1"), ("B", "1")]
+        ee = spark.createDataFrame(rows, "pred string, subj_id string").select(
+            "pred", "subj_id",
+            F.lit("E").alias("subj_label"),
+            F.lit("x").alias("obj_id"),
+            F.lit("E").alias("obj_label"),
+        )
+        got = predicate_similarity(ee, min_jaccard_e6=0).collect()
+        assert len(got) == 1 and got[0].inter == 1 and got[0].union_n == 1
