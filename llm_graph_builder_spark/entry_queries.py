@@ -3213,6 +3213,34 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (data-valuation signal): mirror
+    sources deterministically re-serve doc_id % 4 == 0 content (the
+    synth-augmentation convention — the raw corpus has no exact dups), and
+    the matrix attributes every copy to its keeper's source."""
+    docs = read_documents(spark, sf_dir).select("doc_id", "text", "source")
+    mirror = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("mirror"), (F.col("doc_id") % 3).cast("string")).alias("source"),
+    )
+    return dedup.source_dup_attribution(docs.unionByName(mirror))
+
+
+def q_hybrid_skew_join(spark, sf_dir):
+    """Heavy-hitter-aware hybrid join: top-5 hot order keys take a
+    broadcast path, the cold tail a shuffle join; the union equals the
+    plain join (the oracle IS the plain join — semantics-neutral, same
+    proof pattern as salted_join). Plan pinned in tests/test_plans.py."""
+    from .operators.layout import hybrid_skew_join
+
+    return hybrid_skew_join(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        hot_k=5,
+    )
+
+
 def q_predicate_similarity(spark, sf_dir):
     """Relation-canonicalization signal: predicate pairs ranked by
     argument-set Jaccard through an inverted index on the (subj, obj) pair
@@ -3652,4 +3680,6 @@ QUERIES = {
     "approx_group_counts": q_approx_group_counts,
     "predicate_similarity": q_predicate_similarity,
     "csv_quarantine": q_csv_quarantine,
+    "source_overlap": q_source_overlap,
+    "hybrid_skew_join": q_hybrid_skew_join,
 }

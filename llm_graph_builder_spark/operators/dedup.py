@@ -1252,3 +1252,41 @@ def winnow_fingerprint_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def source_dup_attribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the data-valuation signal behind
+    source curation at corpus scale: for every duplicated document, WHICH
+    source owns the keeper and WHICH source re-served the copy. A source
+    whose column is mostly other sources' keepers adds little unique
+    content; the matrix is the evidence for dropping or down-weighting it.
+
+    Keeper election is the exact-dedup rule (min zero-padded id per
+    sha256), so attribution composes with ``exact_dedup_groups``. Scale
+    shape: one sha-grain aggregation + one sha-grain join + one matrix
+    aggregation bounded by |sources|² — the corpus never moves at doc
+    grain twice.
+
+    Output: (src_keeper, src_dup, n_docs) over non-keeper duplicates only.
+    """
+    hashed = docs.select(
+        F.lpad(F.col(id_col).cast("string"), 12, "0").alias("doc"),
+        F.col(source_col).alias("src"),
+        F.sha2(F.col(text_col), 256).alias("h"),
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc").alias("keeper"))
+    keeper_src = hashed.select(
+        F.col("doc").alias("keeper"), F.col("src").alias("src_keeper")
+    )
+    return (
+        hashed.join(keepers, on="h")
+        .filter(F.col("doc") != F.col("keeper"))
+        .join(keeper_src, on="keeper")
+        .groupBy("src_keeper", F.col("src").alias("src_dup"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

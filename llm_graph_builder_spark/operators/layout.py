@@ -719,3 +719,45 @@ def dpp_revenue(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+def hybrid_skew_join(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    hot_k: int = 5,
+) -> DataFrame:
+    """Heavy-hitter-aware HYBRID join — the third skew strategy beside
+    AQE skew splitting and salting: the ``hot_k`` hottest join keys (by
+    fact-side frequency) take a BROADCAST path (their dim rows are by
+    definition few — one per key), while the cold long tail takes the
+    normal shuffle join; the union is exactly the plain join (the oracle
+    IS the plain join, proving semantics-neutrality — same proof pattern
+    as salted_join). At 10^12 rows this avoids both the hot-key straggler
+    of the plain SMJ and the global replication cost of full salting.
+
+    Plan shape (pinned in tests/test_plans.py): one BroadcastHashJoin (hot
+    leg) + one shuffle join (cold leg) under a Union.
+
+    Output: (o_orderpriority, revenue_e4, n_rows).
+    """
+    counts = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    hot = F.broadcast(
+        counts.orderBy(F.desc("c"), F.asc("l_orderkey")).limit(hot_k)
+        .select("l_orderkey")
+    )
+    li_hot = lineitem.join(hot, on="l_orderkey")
+    li_cold = lineitem.join(hot, on="l_orderkey", how="left_anti")
+    o = orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    o_hot = F.broadcast(o.join(hot, on="l_orderkey"))
+    o_cold = o.join(hot, on="l_orderkey", how="left_anti")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    joined = li_hot.join(o_hot, on="l_orderkey").unionByName(
+        li_cold.hint("shuffle_merge").join(o_cold, on="l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(rev).cast("long").alias("revenue_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

@@ -8796,3 +8796,38 @@ UNION ALL
 SELECT '__quarantined__' AS "group", CAST(count(*) AS BIGINT) AS n_rows
 FROM documents WHERE doc_id % 7 = 0
 """
+
+# cross-source duplication matrix mirror of dedup.source_dup_attribution
+# with q_source_overlap's deterministic mirror-source augmentation
+ORACLE_SQL["source_overlap"] = """
+WITH so_all AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text,
+         'mirror' || CAST(doc_id % 3 AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 4 = 0
+),
+so_h AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc, source AS src,
+         sha256(text) AS h
+  FROM so_all
+),
+so_k AS (SELECT h, min(doc) AS keeper FROM so_h GROUP BY 1),
+so_ks AS (SELECT doc AS keeper, src AS src_keeper FROM so_h)
+SELECT ks.src_keeper, d.src AS src_dup, CAST(count(*) AS BIGINT) AS n_docs
+FROM so_h d
+JOIN so_k k ON k.h = d.h AND d.doc <> k.keeper
+JOIN so_ks ks ON ks.keeper = k.keeper
+GROUP BY 1, 2
+"""
+
+# hybrid skew join: the oracle IS the plain join — proving the hot/cold
+# split is semantics-neutral
+ORACLE_SQL["hybrid_skew_join"] = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""

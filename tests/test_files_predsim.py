@@ -81,3 +81,48 @@ class TestPredicateSimilarity:
         )
         got = predicate_similarity(ee, min_jaccard_e6=0).collect()
         assert len(got) == 1 and got[0].inter == 1 and got[0].union_n == 1
+
+
+class TestSourceAttribution:
+    def test_matrix_on_toy_corpus(self, spark):
+        from llm_graph_builder_spark.operators.dedup import source_dup_attribution
+
+        rows = [
+            (1, "same text", "a"),
+            (2, "same text", "b"),     # b re-serves a's keeper (id 1 < 2)
+            (3, "same text", "b"),     # again
+            (4, "unique", "b"),
+            (5, "other", "c"),
+            (6, "other", "c"),         # within-source dup
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r.src_keeper, r.src_dup): r.n_docs
+            for r in source_dup_attribution(docs).collect()
+        }
+        assert got == {("a", "b"): 2, ("c", "c"): 1}
+
+
+class TestHybridSkewJoin:
+    def test_plan_has_both_join_paths_and_matches_plain(self, spark):
+        from llm_graph_builder_spark.operators.layout import hybrid_skew_join
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        df = hybrid_skew_join(orders, li, hot_k=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # semantics-neutral vs the plain join
+        rev = (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        )
+        plain = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_rows"))
+        )
+        a = {(r.o_orderpriority): (r.revenue_e4, r.n_rows) for r in df.collect()}
+        b = {(r.o_orderpriority): (r.revenue_e4, r.n_rows) for r in plain.collect()}
+        assert a == b
