@@ -3213,6 +3213,19 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def q_temporal_split(spark, sf_dir):
+    """Purged/embargoed temporal split of the event stream: train < cut,
+    3-day embargo excluded from both sides, test after — per-type counts
+    (pushdown-friendly timestamp comparisons only)."""
+    from .operators.curation import temporal_split
+
+    return temporal_split(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        cut="2024-01-15",
+        embargo_days=3,
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix (data-valuation signal): mirror
     sources deterministically re-serve doc_id % 4 == 0 content (the
@@ -3682,4 +3695,5 @@ QUERIES = {
     "csv_quarantine": q_csv_quarantine,
     "source_overlap": q_source_overlap,
     "hybrid_skew_join": q_hybrid_skew_join,
+    "temporal_split": q_temporal_split,
 }

@@ -780,3 +780,38 @@ def neyman_allocation(
             .alias("alloc"),
         )
     )
+
+
+def temporal_split(
+    events: DataFrame,
+    cut: str,
+    embargo_days: int = 3,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Backtesting-grade temporal train/test split with an EMBARGO gap —
+    the time-series complement of leakage_safe_split: train strictly before
+    ``cut``, test at or after ``cut`` + ``embargo_days``, and the embargo
+    band in between EXCLUDED from both sides so label horizons and
+    autocorrelated features cannot leak across the boundary (the standard
+    purged/embargoed split of financial ML, applied here to event-stream
+    training data).
+
+    Map-only classification + one small aggregation; the split column is a
+    pure timestamp comparison, so it pushes down and the same expression
+    gates the actual training read.
+
+    Output: (split, group, n_events) with split ∈ train|embargo|test.
+    """
+    cut_ts = F.lit(cut).cast("timestamp")
+    gap_end = F.timestamp_add("DAY", F.lit(embargo_days), cut_ts)
+    split = (
+        F.when(F.col(ts_col) < cut_ts, F.lit("train"))
+        .when(F.col(ts_col) < gap_end, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        events.select(split.alias("split"), F.col(group_col).alias("group"))
+        .groupBy("split", "group")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )

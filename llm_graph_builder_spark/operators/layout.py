@@ -761,3 +761,54 @@ def hybrid_skew_join(
         F.sum(rev).cast("long").alias("revenue_e4"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+def parquet_layout_stats(spark, path: str) -> DataFrame:
+    """Footer-level parquet layout audit — the ground truth behind
+    compaction/row-group tuning decisions: per file, the row-group count,
+    row count, and compressed/uncompressed byte totals read from the
+    parquet FOOTER only (metadata pass — no data pages are touched).
+
+    Driver-side file walk: bounded by file count, the right shape for one
+    stage directory; for a 10^12-row lake, distribute the same pyarrow
+    footer read over a file-list DataFrame with mapInPandas (one footer
+    per row — the read itself never changes).
+
+    Output: (file, row_groups, n_rows, compressed_bytes,
+    uncompressed_bytes).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            md = pq.ParquetFile(fp).metadata
+            comp = sum(
+                md.row_group(i).column(j).total_compressed_size
+                for i in range(md.num_row_groups)
+                for j in range(md.num_columns)
+            )
+            uncomp = sum(
+                md.row_group(i).column(j).total_uncompressed_size
+                for i in range(md.num_row_groups)
+                for j in range(md.num_columns)
+            )
+            rows.append(
+                (
+                    os.path.relpath(fp, path),
+                    int(md.num_row_groups),
+                    int(md.num_rows),
+                    int(comp),
+                    int(uncomp),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "file string, row_groups int, n_rows bigint, "
+        "compressed_bytes bigint, uncompressed_bytes bigint",
+    )

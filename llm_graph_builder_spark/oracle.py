@@ -8831,3 +8831,15 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 """
+
+# purged/embargoed temporal split mirror of curation.temporal_split
+ORACLE_SQL["temporal_split"] = """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-15'
+            THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-15' + INTERVAL 3 DAY
+            THEN 'embargo'
+            ELSE 'test' END AS split,
+       event_type AS "group",
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""

@@ -312,6 +312,20 @@ class PipelineRunner:
                 f.write(json.dumps(row) + "\n")
         return total
 
+    def _observed(self, name: str, df: DataFrame):
+        """(df_with_observation, rows_getter) — the row count is captured
+        DURING the write action via the Observation API, so the Iceberg
+        branches need no post-commit ``count()`` re-scan (at 10^12 rows
+        that re-read is a second full table pass). The getter blocks until
+        the write action has run."""
+        from pyspark.sql import Observation
+
+        obs = Observation(f"rows:{name}:{self.run_id}")
+        return (
+            df.observe(obs, F.count(F.lit(1)).alias("rows")),
+            lambda: int(obs.get["rows"]),
+        )
+
     def _write_stage(self, name: str, df: DataFrame, resume: bool, done: dict, **extra) -> StageResult:
         path = self._table(name)
         if resume and name in done and self._stage_output_exists(name):
@@ -330,12 +344,13 @@ class PipelineRunner:
                 # _partition_lineage collects for parquet
                 # (distribution to one file per bucket is Iceberg's own
                 # write.distribution-mode=hash — no manual repartition here)
-                df.writeTo(
+                dfo, rows_of = self._observed(name, df)
+                dfo.writeTo(
                     self._catalog_table(name)
                 ).using("iceberg").partitionedBy(
                     F.bucket(buckets, key)
                 ).createOrReplace()
-                rows = self.spark.table(self._catalog_table(name)).count()
+                rows = rows_of()
                 ms = int((time.time() - t0) * 1000)
                 self._record(name, rows, ms, **extra)
                 return StageResult(name, rows, ms, skipped=False)
@@ -358,8 +373,9 @@ class PipelineRunner:
                 df.write.mode("overwrite").parquet(path)
         else:
             if self.table_format == "iceberg":
-                df.writeTo(self._catalog_table(name)).using("iceberg").createOrReplace()
-                rows = self.spark.table(self._catalog_table(name)).count()
+                dfo, rows_of = self._observed(name, df)
+                dfo.writeTo(self._catalog_table(name)).using("iceberg").createOrReplace()
+                rows = rows_of()
                 ms = int((time.time() - t0) * 1000)
                 self._record(name, rows, ms, **extra)
                 return StageResult(name, rows, ms, skipped=False)

@@ -144,3 +144,16 @@ def test_compaction_plan_next_fit_decreasing_bins(spark):
     assert out[("s", 1)].n_files == 3 and out[("s", 1)].bytes == 60_000
     assert out[("s", 2)].n_files == 1 and out[("s", 2)].under_target == 1
     assert out[("s", 0)].under_target == 0
+
+
+def test_parquet_layout_stats_footer_audit(spark, tmp_path):
+    from llm_graph_builder_spark.operators.layout import parquet_layout_stats
+
+    p = str(tmp_path / "t")
+    spark.range(1000).repartition(3).write.parquet(p)
+    got = parquet_layout_stats(spark, p).collect()
+    assert len(got) == 3
+    assert sum(r.n_rows for r in got) == 1000
+    assert all(r.row_groups >= 1 and r.compressed_bytes > 0 for r in got)
+    # uncompressed ≥ compressed for the integer column
+    assert all(r.uncompressed_bytes >= r.compressed_bytes for r in got)

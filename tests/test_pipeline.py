@@ -221,3 +221,16 @@ def test_cancel_mid_run_then_resume(spark, sf_dir, tmp_path):
         st2[s]["status"] == "COMPLETED"
         for s in set(PipelineRunner.STAGES) - {"code_extractions"}
     )
+
+
+def test_observed_write_captures_rows_without_rescan(spark, tmp_path):
+    """The Observation helper captures the stage row count DURING the write
+    action (the Iceberg branches use it in place of a post-commit count()
+    re-scan)."""
+    from llm_graph_builder_spark.plans.pipeline import PipelineRunner
+
+    r = PipelineRunner(spark, str(tmp_path / "wh"))
+    df = spark.range(137).selectExpr("id", "id * 2 AS v")
+    dfo, rows_of = r._observed("probe", df)
+    dfo.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert rows_of() == 137
