@@ -3213,6 +3213,46 @@ def q_influence_spread(spark, sf_dir):
     return influence_ltm(t["entity_edges"], t["entities"], n_seeds=5, rounds=6)
 
 
+def _code_repos(spark, sf_dir):
+    """Synthetic code corpus with deterministically injected license
+    headers / credentials / comment lines (marker convention mirrored in
+    oracle SQL — see operators/code_quality.py::synth_code_markers)."""
+    from .operators.code_quality import synth_code_markers
+    from .sources.repos import N_SYNTH_REPOS
+
+    aug = synth_code_markers(read_documents(spark, sf_dir))
+    return aug.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % N_SYNTH_REPOS).cast("string")).alias("repo"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+
+def q_license_profile(spark, sf_dir):
+    """Per-repo license inventory (SPDX tag / license-phrase first-match
+    detection) — the permissive-license gate of a code pretraining corpus."""
+    from .operators.code_quality import license_profile
+
+    return license_profile(_code_repos(spark, sf_dir))
+
+
+def q_secret_scan(spark, sf_dir):
+    """Per-repo credential-leak report: AWS access-key-id and PEM
+    private-key pattern hits + flagged-file counts (JVM regexp pass)."""
+    from .operators.code_quality import secret_scan
+
+    return secret_scan(_code_repos(spark, sf_dir))
+
+
+def q_comment_density(spark, sf_dir):
+    """Per-language comment/blank/code line profile — the documentation-
+    density quality signal for code corpora; zero shuffle until the
+    per-language rollup."""
+    from .operators.code_quality import comment_density
+
+    return comment_density(_code_repos(spark, sf_dir))
+
+
 def q_temporal_split(spark, sf_dir):
     """Purged/embargoed temporal split of the event stream: train < cut,
     3-day embargo excluded from both sides, test after — per-type counts
@@ -3696,4 +3736,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "hybrid_skew_join": q_hybrid_skew_join,
     "temporal_split": q_temporal_split,
+    "license_profile": q_license_profile,
+    "secret_scan": q_secret_scan,
+    "comment_density": q_comment_density,
 }

@@ -1,0 +1,148 @@
+"""Code-corpus curation operators — the license / secret / comment-density
+gates a source-code pretraining pipeline (The Stack-style) runs before
+extraction, over the (repo, path, commit, lang, content) table of
+``sources/repos.py``.
+
+All three are map-only JVM expression passes + one small aggregation — the
+shape that scans 10^12 files once with full predicate pushdown. The
+synthetic corpus carries no real licenses/secrets/comments, so
+``synth_code_markers`` injects them deterministically from doc_id (the
+synth_pii convention; the oracle replicates the injection in SQL from the
+documents table, keeping the value-hash check honest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: detection order matters: first match wins (SPDX tag is the most specific)
+LICENSE_RULES = [
+    ("mit", "SPDX-License-Identifier: MIT"),
+    ("apache-2.0", "Apache License"),
+    ("gpl", "GNU General Public"),
+]
+
+AWS_KEY_RE = "AKIA[0-9A-F]{16}"
+PRIVATE_KEY_RE = "BEGIN (RSA )?PRIVATE KEY"
+
+
+def synth_code_markers(docs: DataFrame) -> DataFrame:
+    """Deterministically prepend license headers, a fake credential, and
+    comment/blank lines to the document text (doc_id-derived, mirrored
+    exactly in oracle SQL). Returns the docs frame with ``text`` replaced.
+    """
+    did = F.col("doc_id")
+    lic = (
+        F.when(did % 5 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(did % 5 == 1, F.lit("# Licensed under the Apache License, Version 2.0\n"))
+        .when(did % 5 == 2, F.lit("/* GNU General Public License v3 */\n"))
+        .otherwise(F.lit(""))
+    )
+    sec = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit('key = "AKIA'),
+            F.upper(
+                F.substring(
+                    F.sha2(F.concat(F.lit("k:"), did.cast("string")), 256), 1, 16
+                )
+            ),
+            F.lit('"\n'),
+        ),
+    ).otherwise(F.lit(""))
+    com = F.concat(
+        F.repeat(F.lit("# synthetic note\n"), (did % 3).cast("int")),
+        F.when(did % 4 == 0, F.lit("\n")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", F.concat(lic, sec, com, F.col("text")))
+
+
+def license_profile(repos: DataFrame) -> DataFrame:
+    """Per-repo license inventory: first-match keyword detection over the
+    file content (SPDX tag, then license-name phrases), ``unknown`` when
+    nothing matches — the gate a code pipeline uses to keep
+    permissively-licensed repos only. Map-only classify + one (repo,
+    license) aggregation.
+
+    Output: (repo, license, n_files).
+    """
+    det = F.lit("unknown")
+    for name, needle in reversed(LICENSE_RULES):
+        det = F.when(F.col("content").contains(needle), F.lit(name)).otherwise(det)
+    return (
+        repos.select("repo", det.alias("license"))
+        .groupBy("repo", "license")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+
+
+def secret_scan(repos: DataFrame) -> DataFrame:
+    """Per-repo credential-leak report: pattern hit counts (AWS access-key
+    ids, PEM private-key headers) and the flagged-file count — the scrub
+    gate before code ships into a training mix. Pure JVM regexp pass
+    (java.util.regex and RE2 agree on this subset), one aggregation.
+
+    Output: (repo, n_files, n_aws_hits, n_privkey_hits, n_flagged_files).
+    """
+    aws = F.size(F.regexp_extract_all("content", F.lit(AWS_KEY_RE), F.lit(0)))
+    pk = F.size(F.regexp_extract_all("content", F.lit(PRIVATE_KEY_RE), F.lit(0)))
+    per_file = repos.select(
+        "repo", aws.alias("n_aws"), pk.alias("n_pk")
+    )
+    return per_file.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_aws").cast("long").alias("n_aws_hits"),
+        F.sum("n_pk").cast("long").alias("n_privkey_hits"),
+        F.sum(((F.col("n_aws") + F.col("n_pk")) > 0).cast("int"))
+        .cast("long")
+        .alias("n_flagged_files"),
+    )
+
+
+def comment_density(repos: DataFrame) -> DataFrame:
+    """Per-language comment/blank/code line profile — the
+    documentation-density quality signal for code corpora (well-commented
+    code is preferentially retained). Row-local array ops (split, filter,
+    size): ZERO shuffle until the per-language rollup.
+
+    A line is blank if it trims empty; a comment if the trimmed line starts
+    with ``#``, ``//``, ``/*`` or ``*``; code otherwise.
+
+    Output: (lang, n_files, code_lines, comment_lines, blank_lines,
+    comment_ratio_e4) with ratio = comments / (code + comments).
+    """
+    lines = F.split(F.col("content"), "\n")
+
+    def trimmed(line):
+        return F.trim(line)
+
+    is_blank = lambda t: trimmed(t) == ""  # noqa: E731
+    is_comment = lambda t: (  # noqa: E731
+        trimmed(t).startswith("#")
+        | trimmed(t).startswith("//")
+        | trimmed(t).startswith("/*")
+        | trimmed(t).startswith("*")
+    )
+    n_lines = F.size(lines)
+    n_blank = F.size(F.filter(lines, is_blank))
+    n_comment = F.size(F.filter(lines, lambda t: is_comment(t) & ~is_blank(t)))
+    per_file = repos.select(
+        "lang",
+        n_blank.alias("b"),
+        n_comment.alias("c"),
+        (n_lines - n_blank - n_comment).alias("k"),
+    )
+    agg = per_file.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("k").cast("long").alias("code_lines"),
+        F.sum("c").cast("long").alias("comment_lines"),
+        F.sum("b").cast("long").alias("blank_lines"),
+    )
+    return agg.withColumn(
+        "comment_ratio_e4",
+        F.when(
+            (F.col("code_lines") + F.col("comment_lines")) > 0,
+            F.expr("comment_lines * 10000L div (code_lines + comment_lines)"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

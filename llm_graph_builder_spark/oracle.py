@@ -8843,3 +8843,69 @@ SELECT CASE WHEN ts < TIMESTAMP '2024-01-15'
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+# shared CTE: the synth_code_markers injection + repo key, from documents
+_CODEQ_CTE = """
+WITH cq AS (
+  SELECT 'repo-' || CAST(doc_id % 37 AS VARCHAR) AS repo, lang,
+         CASE WHEN doc_id % 5 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+              WHEN doc_id % 5 = 1 THEN '# Licensed under the Apache License, Version 2.0' || chr(10)
+              WHEN doc_id % 5 = 2 THEN '/* GNU General Public License v3 */' || chr(10)
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN 'key = "AKIA' || upper(substr(sha256('k:' || CAST(doc_id AS VARCHAR)), 1, 16)) || '"' || chr(10)
+                 ELSE '' END
+         || repeat('# synthetic note' || chr(10), CAST(doc_id % 3 AS INT))
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE '' END
+         || text AS content
+  FROM documents
+)"""
+
+ORACLE_SQL["license_profile"] = _CODEQ_CTE + """
+SELECT repo,
+       CASE WHEN contains(content, 'SPDX-License-Identifier: MIT') THEN 'mit'
+            WHEN contains(content, 'Apache License') THEN 'apache-2.0'
+            WHEN contains(content, 'GNU General Public') THEN 'gpl'
+            ELSE 'unknown' END AS license,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM cq GROUP BY 1, 2
+"""
+
+ORACLE_SQL["secret_scan"] = _CODEQ_CTE + """,
+cq_hits AS (
+  SELECT repo,
+         len(regexp_extract_all(content, 'AKIA[0-9A-F]{16}')) AS n_aws,
+         len(regexp_extract_all(content, 'BEGIN (RSA )?PRIVATE KEY')) AS n_pk
+  FROM cq
+)
+SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_aws) AS BIGINT) AS n_aws_hits,
+       CAST(sum(n_pk) AS BIGINT) AS n_privkey_hits,
+       CAST(sum(CASE WHEN n_aws + n_pk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_files
+FROM cq_hits GROUP BY 1
+"""
+
+ORACLE_SQL["comment_density"] = _CODEQ_CTE + """,
+cq_lines AS (
+  SELECT lang,
+         len(list_filter(string_split(content, chr(10)), l -> trim(l) = '')) AS b,
+         len(list_filter(string_split(content, chr(10)),
+             l -> trim(l) <> '' AND (starts_with(trim(l), '#')
+                  OR starts_with(trim(l), '//') OR starts_with(trim(l), '/*')
+                  OR starts_with(trim(l), '*')))) AS c,
+         len(string_split(content, chr(10))) AS n
+  FROM cq
+),
+cq_agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n - b - c) AS BIGINT) AS code_lines,
+         CAST(sum(c) AS BIGINT) AS comment_lines,
+         CAST(sum(b) AS BIGINT) AS blank_lines
+  FROM cq_lines GROUP BY 1
+)
+SELECT lang, n_files, code_lines, comment_lines, blank_lines,
+       CAST(CASE WHEN code_lines + comment_lines > 0
+                 THEN comment_lines * 10000 // (code_lines + comment_lines)
+                 ELSE 0 END AS BIGINT) AS comment_ratio_e4
+FROM cq_agg
+"""
