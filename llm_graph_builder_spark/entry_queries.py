@@ -3228,6 +3228,25 @@ def _code_repos(spark, sf_dir):
     )
 
 
+def q_repo_forks(spark, sf_dir):
+    """Repo-grain fork detection: deterministic 'fork-N' mirrors re-serve
+    the even-doc_id half of each repo (synth convention); Jaccard over
+    file content-hash sets via the shared-hash inverted index."""
+    from .operators.code_quality import repo_fork_candidates
+    from .sources.repos import N_SYNTH_REPOS
+
+    docs = read_documents(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % N_SYNTH_REPOS).cast("string")).alias("repo"),
+        F.col("text").alias("content"),
+    )
+    forks = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("fork-"), (F.col("doc_id") % N_SYNTH_REPOS).cast("string")).alias("repo"),
+        F.col("text").alias("content"),
+    )
+    return repo_fork_candidates(base.unionByName(forks), threshold_e4=2000)
+
+
 def q_license_profile(spark, sf_dir):
     """Per-repo license inventory (SPDX tag / license-phrase first-match
     detection) — the permissive-license gate of a code pretraining corpus."""
@@ -3739,4 +3758,5 @@ QUERIES = {
     "license_profile": q_license_profile,
     "secret_scan": q_secret_scan,
     "comment_density": q_comment_density,
+    "repo_forks": q_repo_forks,
 }

@@ -146,3 +146,42 @@ def comment_density(repos: DataFrame) -> DataFrame:
             F.expr("comment_lines * 10000L div (code_lines + comment_lines)"),
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def repo_fork_candidates(
+    repos: DataFrame,
+    threshold_e4: int = 2000,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fork/mirror detection at REPO grain — the repo-level dedup a code
+    corpus runs before file-level passes (GitHub-scale corpora are full of
+    forks that differ in a handful of files; training on all of them
+    over-weights the upstream). Each repo is the SET of its distinct file
+    content hashes; candidate pairs come from an inverted index on the
+    hash (only repos sharing ≥ 1 file ever pair — never the repo² cross
+    join), and Jaccard is verified exactly from integer set sizes.
+
+    Output: (repo_a, repo_b, inter, union_n, jaccard_e4) with
+    jaccard_e4 ≥ ``threshold_e4``.
+    """
+    fh = repos.select(
+        F.col(repo_col).alias("r"), F.sha2(F.col(content_col), 256).alias("h")
+    ).dropDuplicates(["r", "h"])
+    sizes = fh.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = fh.select(F.col("r").alias("repo_a"), "h")
+    b = fh.select(F.col("r").alias("repo_b"), "h")
+    inter = (
+        a.join(b, on="h")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("r").alias("repo_a"), F.col("n").alias("na")), on="repo_a")
+        .join(sizes.select(F.col("r").alias("repo_b"), F.col("n").alias("nb")), on="repo_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard_e4", F.expr("inter * 10000L div union_n"))
+        .filter(F.col("jaccard_e4") >= threshold_e4)
+        .select("repo_a", "repo_b", "inter", "union_n", "jaccard_e4")
+    )

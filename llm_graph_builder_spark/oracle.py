@@ -8909,3 +8909,29 @@ SELECT lang, n_files, code_lines, comment_lines, blank_lines,
                  ELSE 0 END AS BIGINT) AS comment_ratio_e4
 FROM cq_agg
 """
+
+# repo-fork mirror of code_quality.repo_fork_candidates with
+# q_repo_forks' deterministic fork-mirror augmentation
+ORACLE_SQL["repo_forks"] = """
+WITH rf_all AS (
+  SELECT 'repo-' || CAST(doc_id % 37 AS VARCHAR) AS r, sha256(text) AS h
+  FROM documents
+  UNION ALL
+  SELECT 'fork-' || CAST(doc_id % 37 AS VARCHAR) AS r, sha256(text) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+rf_fh AS (SELECT DISTINCT r, h FROM rf_all),
+rf_sz AS (SELECT r, CAST(count(*) AS BIGINT) AS n FROM rf_fh GROUP BY 1),
+rf_in AS (
+  SELECT a.r AS repo_a, b.r AS repo_b, CAST(count(*) AS BIGINT) AS inter
+  FROM rf_fh a JOIN rf_fh b ON a.h = b.h AND a.r < b.r
+  GROUP BY 1, 2
+)
+SELECT i.repo_a, i.repo_b, i.inter,
+       sa.n + sb.n - i.inter AS union_n,
+       i.inter * 10000 // (sa.n + sb.n - i.inter) AS jaccard_e4
+FROM rf_in i
+JOIN rf_sz sa ON sa.r = i.repo_a
+JOIN rf_sz sb ON sb.r = i.repo_b
+WHERE i.inter * 10000 // (sa.n + sb.n - i.inter) >= 2000
+"""

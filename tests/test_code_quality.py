@@ -66,3 +66,35 @@ class TestCommentDensity:
         assert got.blank_lines == 2
         assert got.code_lines == 2
         assert got.comment_ratio_e4 == 3 * 10000 // 5
+
+
+class TestRepoForks:
+    def test_fork_jaccard_exact(self, spark):
+        from llm_graph_builder_spark.operators.code_quality import (
+            repo_fork_candidates,
+        )
+
+        rows = (
+            [("up", f"file {i}") for i in range(4)]       # upstream: 4 files
+            + [("fk", f"file {i}") for i in range(2)]      # fork keeps 2
+            + [("fk", "new file")]                         # plus 1 new
+            + [("other", "unrelated")]
+        )
+        repos = spark.createDataFrame(rows, "repo string, content string")
+        got = {
+            (r.repo_a, r.repo_b): (r.inter, r.union_n, r.jaccard_e4)
+            for r in repo_fork_candidates(repos, threshold_e4=0).collect()
+        }
+        # inter 2, union 4 + 3 - 2 = 5 → 4000
+        assert got == {("fk", "up"): (2, 5, 4000)}
+
+    def test_threshold_filters(self, spark):
+        from llm_graph_builder_spark.operators.code_quality import (
+            repo_fork_candidates,
+        )
+
+        rows = [("a", "x"), ("a", "y1"), ("a", "y2"), ("a", "y3"),
+                ("b", "x"), ("b", "z1"), ("b", "z2"), ("b", "z3")]
+        repos = spark.createDataFrame(rows, "repo string, content string")
+        # jaccard = 1/7 ≈ 1428 < 2000 → filtered
+        assert repo_fork_candidates(repos, threshold_e4=2000).count() == 0
