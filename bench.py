@@ -564,6 +564,33 @@ def main():
 
     best_of(_bucketed_join, "bucketed_join")
 
+    # --- late-r3 additions: mining / code-curation / hybrid-skew stages
+    from llm_graph_builder_spark.entry_queries import (
+        q_ahash_pairs,
+        q_comment_density,
+        q_hybrid_skew_join,
+        q_license_profile,
+        q_maxsim_retrieval,
+        q_repo_forks,
+        q_winnow_pairs,
+    )
+
+    for qfn, qname in [
+        (q_maxsim_retrieval, "maxsim_retrieval"),
+        (q_winnow_pairs, "winnow_pairs"),
+        (q_ahash_pairs, "ahash_pairs"),
+        (q_license_profile, "license_profile"),
+        (q_comment_density, "comment_density"),
+        (q_repo_forks, "repo_forks"),
+        (q_hybrid_skew_join, "hybrid_skew_join"),
+    ]:
+        best_of(
+            lambda qfn=qfn: qfn(spark, sf_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{qname}"),
+            qname,
+        )
+
     # attach the latest two-parallelism scaling evidence (north rule) if
     # scripts/scaling_bench.py has produced it
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
