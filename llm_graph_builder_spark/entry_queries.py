@@ -3272,6 +3272,31 @@ def q_comment_density(spark, sf_dir):
     return comment_density(_code_repos(spark, sf_dir))
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read audit: two parquet batches (v2 adds a column)
+    merged with mergeSchema; pre-upgrade rows surface the new column as
+    NULL — per-batch null counts drive the backfill decision."""
+    import tempfile
+
+    from .sources.files import schema_evolution_report, synth_evolving_table
+
+    key = ("schemaev_wh", id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = tempfile.mkdtemp(prefix="lgb_sev_")
+    path = synth_evolving_table(spark, sf_dir, _CACHE[key])
+    return schema_evolution_report(spark, path)
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Distributed greedy maximal matching over the entity graph — the
+    conflict-free pairwise merge schedule (local-minimum edge rounds;
+    oracle unrolls the identical rounds)."""
+    from .operators.graph_analytics import maximal_matching
+
+    t = pipeline_tables(spark, sf_dir)
+    return maximal_matching(t["entity_edges"], rounds=6)
+
+
 def q_temporal_split(spark, sf_dir):
     """Purged/embargoed temporal split of the event stream: train < cut,
     3-day embargo excluded from both sides, test after — per-type counts
@@ -3759,4 +3784,6 @@ QUERIES = {
     "secret_scan": q_secret_scan,
     "comment_density": q_comment_density,
     "repo_forks": q_repo_forks,
+    "maximal_matching": q_maximal_matching,
+    "schema_evolution": q_schema_evolution,
 }

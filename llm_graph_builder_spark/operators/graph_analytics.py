@@ -3355,3 +3355,88 @@ def simple_path_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def maximal_matching(
+    entity_edges: DataFrame,
+    rounds: int = 6,
+) -> DataFrame:
+    """Distributed greedy maximal matching (Israeli-Itai style local-minimum
+    rounds) over the undirected simple entity graph — pairs duplicate-entity
+    merge candidates so each batch touches every entity at most ONCE
+    (conflict-free pairwise merges commit in parallel; the matching is the
+    schedule).
+
+    Round r: every remaining edge draws the distinct priority
+    ``md5('mm:r:' || u || chr(2) || v) || u || chr(2) || v``; an edge joins
+    the matching iff its priority is the minimum among ALL edges incident to
+    either endpoint (strictly-distinct priorities ⇒ per-node minima collide
+    only at the edge itself). Matched endpoints leave the graph. FIXED
+    ``rounds`` budget with an empty-graph early exit (output-equivalent);
+    the DuckDB oracle unrolls identical rounds.
+
+    Scale shape per round: one edge→endpoint explode + per-node min
+    aggregation + two semi-joins — all key-partitioned, the Luby-MIS cost
+    profile on the edge grain.
+
+    Output: (u_id, u_label, v_id, v_label, round).
+    """
+    edges, n_e = materialize(simple_undirected(entity_edges))
+    matched_parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        if not n_e:
+            break
+        pri = edges.select(
+            "u", "v",
+            F.concat(
+                F.md5(
+                    F.concat(
+                        F.lit(f"mm:{r}:"), F.col("u"), F.lit("\x02"), F.col("v")
+                    )
+                ),
+                F.col("u"), F.lit("\x02"), F.col("v"),
+            ).alias("p"),
+        )
+        node_min = (
+            pri.select(F.col("u").alias("node"), "p")
+            .unionByName(pri.select(F.col("v").alias("node"), "p"))
+            .groupBy("node")
+            .agg(F.min("p").alias("mn"))
+        )
+        sel = (
+            pri.join(node_min.select(F.col("node").alias("u"), F.col("mn").alias("mu")), on="u")
+            .join(node_min.select(F.col("node").alias("v"), F.col("mn").alias("mv")), on="v")
+            .filter((F.col("p") == F.col("mu")) & (F.col("p") == F.col("mv")))
+            .select("u", "v")
+        )
+        sel, n_sel = materialize(sel)
+        if n_sel:
+            matched_parts.append(
+                sel.select("u", "v", F.lit(r).cast("long").alias("round"))
+            )
+            gone = sel.select(F.col("u").alias("node")).unionByName(
+                sel.select(F.col("v").alias("node"))
+            )
+            edges, n_e = materialize(
+                edges.join(
+                    gone.select(F.col("node").alias("u")), on="u", how="left_anti"
+                ).join(
+                    gone.select(F.col("node").alias("v")), on="v", how="left_anti"
+                ),
+                edges,
+            )
+    spark = entity_edges.sparkSession
+    if not matched_parts:
+        out = spark.createDataFrame([], "u string, v string, round long")
+    else:
+        out = matched_parts[0]
+        for p in matched_parts[1:]:
+            out = out.unionByName(p)
+    su, sv = F.split(F.col("u"), "\x01"), F.split(F.col("v"), "\x01")
+    return out.select(
+        su.getItem(0).alias("u_id"),
+        su.getItem(1).alias("u_label"),
+        sv.getItem(0).alias("v_id"),
+        sv.getItem(1).alias("v_label"),
+        "round",
+    )

@@ -8935,3 +8935,71 @@ JOIN rf_sz sa ON sa.r = i.repo_a
 JOIN rf_sz sb ON sb.r = i.repo_b
 WHERE i.inter * 10000 // (sa.n + sb.n - i.inter) >= 2000
 """
+
+
+def _mm_sql(rounds: int = 6) -> str:
+    """Unrolled maximal-matching mirror of graph_analytics.maximal_matching
+    (local-minimum edge rounds, per-node min over incident edges, matched
+    endpoints leave)."""
+    parts = [
+        _UND_CTE
+        + """,
+mme0 AS MATERIALIZED (SELECT u, v FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+mmp{r} AS MATERIALIZED (
+  SELECT u, v,
+         md5('mm:{r}:' || u || chr(2) || v) || u || chr(2) || v AS p
+  FROM mme{r - 1}
+),
+mmn{r} AS MATERIALIZED (
+  SELECT node, min(p) AS mn FROM (
+    SELECT u AS node, p FROM mmp{r}
+    UNION ALL SELECT v AS node, p FROM mmp{r}
+  ) GROUP BY 1
+),
+mms{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM mmp{r} e
+  JOIN mmn{r} a ON a.node = e.u AND a.mn = e.p
+  JOIN mmn{r} b ON b.node = e.v AND b.mn = e.p
+),
+mmg{r} AS MATERIALIZED (
+  SELECT u AS node FROM mms{r} UNION ALL SELECT v AS node FROM mms{r}
+),
+mme{r} AS MATERIALIZED (
+  SELECT u, v FROM mme{r - 1}
+  WHERE u NOT IN (SELECT node FROM mmg{r})
+    AND v NOT IN (SELECT node FROM mmg{r})
+)"""
+        )
+    sels = [
+        f"SELECT u, v, CAST({r} AS BIGINT) AS round FROM mms{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "".join(parts)
+        + ",\nmmall AS (\n"
+        + "\nUNION ALL\n".join(sels)
+        + """
+)
+SELECT split_part(u, chr(1), 1) AS u_id,
+       split_part(u, chr(1), 2) AS u_label,
+       split_part(v, chr(1), 1) AS v_id,
+       split_part(v, chr(1), 2) AS v_label,
+       round
+FROM mmall"""
+    )
+
+
+ORACLE_SQL["maximal_matching"] = PIPELINE_CTE + _mm_sql(6)
+
+# schema-evolution audit mirror: v1 = even doc_ids (no quality column →
+# all NULL after the merge), v2 = odd with quality populated
+ORACLE_SQL["schema_evolution"] = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'b1' ELSE 'b2' END AS batch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_nulls
+FROM documents GROUP BY 1
+"""

@@ -83,3 +83,47 @@ def synth_csv_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
         )
         docs.select(line.alias("value")).write.mode("overwrite").text(path)
     return path
+
+
+def synth_evolving_table(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Two parquet batches with EVOLVED schemas in one table directory —
+    batch v1 (doc_id, lang, n_chars), batch v2 adds a ``quality`` column —
+    the layout a long-lived lake table actually has after a writer upgrade.
+    Deterministic split: even doc_ids are v1, odd are v2 with
+    quality = n_chars % 100. Written once per scratch dir.
+    """
+    import os
+
+    path = os.path.join(out_dir, "evolving")
+    if not os.path.exists(os.path.join(path, "b2", "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars", (F.col("n_chars") % 100).alias("quality")
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(path, "b1"))
+        v2.write.mode("overwrite").parquet(os.path.join(path, "b2"))
+    return path
+
+
+def schema_evolution_report(spark: SparkSession, path: str) -> DataFrame:
+    """Read the evolved table with ``mergeSchema`` (schema union across
+    footers — pre-upgrade files surface the new column as NULL) and report
+    per-batch row/null counts: the audit a backfill decision is made from.
+
+    Output: (batch, n_rows, n_quality_nulls).
+    """
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(f"{path}/b1", f"{path}/b2")
+    )
+    batch = F.when(F.col("doc_id") % 2 == 0, F.lit("b1")).otherwise(F.lit("b2"))
+    return (
+        df.select(batch.alias("batch"), F.col("quality").isNull().cast("int").alias("qn"))
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("qn").cast("long").alias("n_quality_nulls"),
+        )
+    )

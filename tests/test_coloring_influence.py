@@ -8,6 +8,7 @@ import hashlib
 from llm_graph_builder_spark.operators.graph_analytics import (
     influence_ltm,
     jones_plassmann_coloring,
+    maximal_matching,
 )
 
 
@@ -98,3 +99,25 @@ class TestInfluence:
         seeds = [r.id for r in out.collect() if r.round == 0]
         # c has degree 3 — the unique max
         assert seeds == ["c"]
+
+
+class TestMaximalMatching:
+    def test_matching_is_valid_and_maximal(self, spark):
+        out = maximal_matching(_edges(spark, PAIRS), rounds=6)
+        pairs = [(r.u_id, r.v_id) for r in out.collect()]
+        used = [n for p in pairs for n in p]
+        # valid: no node matched twice
+        assert len(used) == len(set(used))
+        # every matched pair is an actual edge (canonical order u < v)
+        eset = {tuple(sorted(p)) for p in PAIRS}
+        assert all(tuple(sorted(p)) in eset for p in pairs)
+        # maximal: no remaining edge has both endpoints unmatched
+        unmatched_edges = [
+            p for p in PAIRS
+            if p[0] not in used and p[1] not in used
+        ]
+        assert unmatched_edges == []
+
+    def test_single_edge_matches_round_one(self, spark):
+        out = maximal_matching(_edges(spark, [("x", "y")]), rounds=3).collect()
+        assert len(out) == 1 and out[0].round == 1

@@ -126,3 +126,17 @@ class TestHybridSkewJoin:
         a = {(r.o_orderpriority): (r.revenue_e4, r.n_rows) for r in df.collect()}
         b = {(r.o_orderpriority): (r.revenue_e4, r.n_rows) for r in plain.collect()}
         assert a == b
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_nulls_pre_upgrade_rows(self, spark, tmp_path):
+        from llm_graph_builder_spark.sources.files import (
+            schema_evolution_report,
+            synth_evolving_table,
+        )
+
+        path = synth_evolving_table(spark, "/root/testdata/sf0.001", str(tmp_path))
+        got = {r.batch: r for r in schema_evolution_report(spark, path).collect()}
+        assert got["b1"].n_rows == got["b1"].n_quality_nulls  # all NULL pre-upgrade
+        assert got["b2"].n_quality_nulls == 0
+        assert got["b1"].n_rows + got["b2"].n_rows == 500
