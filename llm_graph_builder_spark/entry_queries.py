@@ -3272,6 +3272,15 @@ def q_comment_density(spark, sf_dir):
     return comment_density(_code_repos(spark, sf_dir))
 
 
+def q_shard_ring(spark, sf_dir):
+    """Consistent-hash ring placement audit (8 shards x 32 vnodes): the
+    per-shard load the vnode count achieves over the documents table —
+    integer md5 ring, broadcast vnode table, one min-agg per item."""
+    from .operators.layout import consistent_hash_shards
+
+    return consistent_hash_shards(read_documents(spark, sf_dir))
+
+
 def q_schema_evolution(spark, sf_dir):
     """Schema-evolution read audit: two parquet batches (v2 adds a column)
     merged with mergeSchema; pre-upgrade rows surface the new column as
@@ -3786,4 +3795,5 @@ QUERIES = {
     "repo_forks": q_repo_forks,
     "maximal_matching": q_maximal_matching,
     "schema_evolution": q_schema_evolution,
+    "shard_ring": q_shard_ring,
 }

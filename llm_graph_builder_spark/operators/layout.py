@@ -812,3 +812,71 @@ def parquet_layout_stats(spark, path: str) -> DataFrame:
         "file string, row_groups int, n_rows bigint, "
         "compressed_bytes bigint, uncompressed_bytes bigint",
     )
+
+
+def consistent_hash_shards(
+    items: DataFrame,
+    n_shards: int = 8,
+    vnodes: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Consistent-hash ring placement audit with virtual nodes — the
+    partitioning design check for sharding entities/documents across
+    services: each item lands on the first vnode clockwise on the 32-bit
+    md5 ring (wrapping to the global minimum), and the audit reports the
+    per-shard load the vnode count actually achieves (raise ``vnodes``
+    until the imbalance is acceptable — measured, not guessed).
+
+    The ring is ``n_shards × vnodes`` literal rows BROADCAST against the
+    item scan; assignment is one min-aggregation per item — no shuffle of
+    the item table beyond the final per-shard count. Pure integer md5
+    arithmetic, mirrored exactly in DuckDB.
+
+    Output: (shard, n_items).
+    """
+    spark = items.sparkSession
+    ring = F.broadcast(
+        spark.range(n_shards * vnodes).select(
+            (F.col("id") % n_shards).cast("int").alias("shard"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("vn:"),
+                            (F.col("id") % n_shards).cast("string"),
+                            F.lit(":"),
+                            (F.col("id") / n_shards).cast("int").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long").alias("hv"),
+        )
+    )
+    it = items.select(
+        F.col(id_col).cast("string").alias("item"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("itm:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    # clockwise-first ordering key: vnodes at-or-after the item hash rank
+    # before the wrap-around candidates; shard id packed into the low
+    # digits for a deterministic total order
+    okey = (
+        F.when(F.col("hv") >= F.col("h"), F.col("hv"))
+        .otherwise(F.col("hv") + F.lit(2 ** 33))
+        * 1000
+        + F.col("shard")
+    )
+    assigned = (
+        it.crossJoin(ring)
+        .groupBy("item")
+        .agg((F.min(okey) % 1000).cast("int").alias("shard"))
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )

@@ -9003,3 +9003,27 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'b1' ELSE 'b2' END AS batch,
        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_nulls
 FROM documents GROUP BY 1
 """
+
+# consistent-hash ring mirror of layout.consistent_hash_shards (8×32 ring,
+# clockwise-first okey with wrap, shard packed in the low digits)
+ORACLE_SQL["shard_ring"] = """
+WITH chr_ring AS (
+  SELECT CAST(v % 8 AS INT) AS shard,
+         CAST(('0x' || substr(md5('vn:' || CAST(v % 8 AS VARCHAR) || ':'
+                || CAST(v // 8 AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM (SELECT unnest(range(0, 256)) AS v)
+),
+chr_it AS (
+  SELECT CAST(doc_id AS VARCHAR) AS item,
+         CAST(('0x' || substr(md5('itm:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+chr_asn AS (
+  SELECT i.item,
+         CAST(min(CASE WHEN r.hv >= i.h THEN r.hv ELSE r.hv + 8589934592 END * 1000
+                  + r.shard) % 1000 AS INT) AS shard
+  FROM chr_it i CROSS JOIN chr_ring r
+  GROUP BY 1
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_items FROM chr_asn GROUP BY 1
+"""

@@ -87,3 +87,32 @@ def start_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_watermarked_dedup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+):
+    """Native exactly-once-per-key streaming dedup via
+    ``dropDuplicatesWithinWatermark`` — the engine-managed complement of the
+    Bloom-filter path above: state for a key is retained only within the
+    watermark horizon, so state size is bounded by the event-time window
+    (the Bloom path instead bounds state by filter bits and never expires).
+    Use this when duplicates arrive close together (retries, at-least-once
+    sources); use the Bloom path for corpus-lifetime dedup.
+    """
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

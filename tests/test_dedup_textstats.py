@@ -2623,3 +2623,32 @@ def test_decision_stump_picks_separating_threshold(spark):
     # a mid-class threshold (100) costs more
     worse = {r.threshold: r.cost_e6 for r in out}
     assert worse[100] > 0
+
+
+def test_streaming_watermarked_dedup(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark: retried rows inside the
+    watermark horizon emit ONCE; the first occurrence wins."""
+    from datetime import datetime
+
+    from llm_graph_builder_spark.streaming.dedup import start_watermarked_dedup
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "win"), str(tmp_path / "wout"), str(tmp_path / "wck"),
+    )
+    cols = "event_time timestamp, doc_id string, content string"
+    t = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+    rows = [
+        (t(0, 10), "d1", "v1"),
+        (t(0, 30), "d1", "retry of d1"),     # dup within watermark → dropped
+        (t(1, 0), "d2", "v1"),
+        (t(2, 0), "d1", "third send"),       # still within 10-min horizon
+        (t(30, 0), "d9", "watermark pusher"),
+    ]
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_watermarked_dedup(
+        spark.readStream.schema(cols).parquet(in_dir), out_dir, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.content for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {"d1", "d2", "d9"}
+    assert got["d1"] == "v1"  # first occurrence wins

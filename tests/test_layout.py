@@ -157,3 +157,19 @@ def test_parquet_layout_stats_footer_audit(spark, tmp_path):
     assert all(r.row_groups >= 1 and r.compressed_bytes > 0 for r in got)
     # uncompressed ≥ compressed for the integer column
     assert all(r.uncompressed_bytes >= r.compressed_bytes for r in got)
+
+
+def test_consistent_hash_ring_stability(spark):
+    """Adding items never reassigns existing ones (ring property), and the
+    shard set covers all shards at reasonable vnode counts."""
+    from llm_graph_builder_spark.operators.layout import consistent_hash_shards
+
+    base = spark.range(500).selectExpr("id AS doc_id")
+    more = spark.range(1000).selectExpr("id AS doc_id")
+    a = {r.shard: r.n_items for r in consistent_hash_shards(base).collect()}
+    b = {r.shard: r.n_items for r in consistent_hash_shards(more).collect()}
+    # monotone: each shard's load only grows when items are added (placement
+    # of existing items is item-hash-determined, independent of corpus)
+    assert all(b.get(s, 0) >= n for s, n in a.items())
+    assert sum(a.values()) == 500 and sum(b.values()) == 1000
+    assert set(b) == set(range(8))
