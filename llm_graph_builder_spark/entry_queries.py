@@ -3272,6 +3272,24 @@ def q_comment_density(spark, sf_dir):
     return comment_density(_code_repos(spark, sf_dir))
 
 
+def q_label_noise(spark, sf_dir):
+    """Confident-Learning label-noise matrix over the embeddings table:
+    predicted = nearest class-SUM vector by cosine (e4-quantized integer
+    sums — exact in any engine; cosine is scale-invariant so sums ==
+    means), off-diagonal mass = suspected annotation errors."""
+    from .operators.ann import label_noise_audit
+
+    return label_noise_audit(_emb(spark, sf_dir))
+
+
+def q_autocorrelation(spark, sf_dir):
+    """Lag-1..3 autocorrelation of daily revenue (dollar-quantized integer
+    moments, one mirrored float quotient per lag)."""
+    from .operators.warehouse import autocorrelation
+
+    return autocorrelation(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def q_shard_ring(spark, sf_dir):
     """Consistent-hash ring placement audit (8 shards x 32 vnodes): the
     per-shard load the vnode count achieves over the documents table —
@@ -3796,4 +3814,6 @@ QUERIES = {
     "maximal_matching": q_maximal_matching,
     "schema_evolution": q_schema_evolution,
     "shard_ring": q_shard_ring,
+    "label_noise": q_label_noise,
+    "autocorrelation": q_autocorrelation,
 }

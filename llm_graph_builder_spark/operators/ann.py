@@ -1136,3 +1136,61 @@ def mrl_topk_recall(
             F.expr(f"coalesce(hits, 0L) * 10000L div {k}").alias("recall_e4"),
         )
     )
+
+
+def label_noise_audit(
+    emb: DataFrame,
+    q_scale: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Confident-Learning-style label-noise matrix (Northcutt et al. 2021,
+    nearest-class-mean variant): each vector's predicted label is the class
+    whose CENTROID is nearest by cosine; the (given, predicted) count
+    matrix localizes suspected annotation errors (off-diagonal mass) before
+    a labeled set enters training.
+
+    Integer-exactness: components quantize to e4 BIGINTs first, and the
+    class "centroid" is the class SUM vector (cosine is scale-invariant, so
+    argmax over sums == argmax over means) — sums of integers are exact in
+    any engine, which is what makes the DuckDB mirror bit-identical (a
+    float mean would be accumulation-order-dependent). Ties break to the
+    smaller label.
+
+    Scale shape: one posexplode sum per (label, dim) — bounded at
+    |labels|·dim rows (the mapInArrow partial-sum kernel of the Lloyd fit
+    is the drop-in for real embedding dims); scoring joins the tiny class
+    table broadcast against the item scan.
+
+    Output: (given_label, pred_label, n_items).
+    """
+    q = emb.select(
+        F.col(id_col).alias("item"),
+        F.col(label_col).alias("given"),
+        F.transform(
+            F.col(vec_col), lambda v: F.round(v * q_scale).cast("long")
+        ).alias("qv"),
+    )
+    sums = (
+        q.select("given", F.posexplode("qv").alias("dim", "val"))
+        .groupBy(F.col("given").alias("cls"), "dim")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("cls")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
+        .select("cls", F.transform("ds", lambda x: x["s"]).alias("cv"))
+    )
+    from ..functions.vectors import cosine
+
+    scored = q.crossJoin(F.broadcast(sums)).withColumn(
+        "cos_e4", F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long")
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cos_e4"), F.asc("cls"))
+    pred = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("item", "given", F.col("cls").alias("pred"))
+    )
+    return pred.groupBy(
+        F.col("given").alias("given_label"), F.col("pred").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_items"))

@@ -1541,3 +1541,67 @@ def approx_group_counts(
             " - n_exact) * 1000000L div n_exact ELSE 0L END"
         ).alias("err_e6"),
     )
+
+
+def autocorrelation(
+    lineitem: DataFrame,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily revenue series — the seasonality/
+    momentum diagnostic behind forecasting-model choice. Pearson r per lag
+    from EXACT integer moments (daily revenue in e4 cents; the
+    degree_assortativity pattern: integer numerator/denominator sums, ONE
+    mirrored float quotient at the end), so the e6 fixed-point matches
+    DuckDB bit-for-bit. The daily series is a bounded aggregate (one row
+    per day); the lag join is day-key arithmetic, no window over the fact
+    table.
+
+    The daily value is quantized to whole dollars (integer div of the e4
+    sum) BEFORE the moment sums: xa·xb products of raw e4 values would
+    overflow int64, and a double accumulation would be order-dependent —
+    dollar-grain integers keep every moment exact and well inside 2^63.
+
+    Output: (lag, n_pairs, corr_e6).
+    """
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    daily = (
+        lineitem.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(rev).alias("x_e4"))
+        .select("d", F.expr("x_e4 div 10000").alias("x"))
+    )
+    parts = []
+    for k in range(1, max_lag + 1):
+        a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+        b = daily.select(
+            F.date_sub(F.col("d"), k).alias("da"), F.col("x").alias("xb")
+        )
+        j = a.join(b, on="da")
+        m = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").cast("double").alias("sa"),
+            F.sum("xb").cast("double").alias("sb"),
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sab"),
+            F.sum(F.col("xa") * F.col("xa")).cast("double").alias("saa"),
+            F.sum(F.col("xb") * F.col("xb")).cast("double").alias("sbb"),
+        )
+        corr = (
+            (F.col("sab") - F.col("sa") * F.col("sb") / F.col("n"))
+            / F.sqrt(
+                (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n"))
+                * (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("n"))
+            )
+        )
+        parts.append(
+            m.select(
+                F.lit(k).cast("long").alias("lag"),
+                F.col("n").cast("long").alias("n_pairs"),
+                F.round(corr * 1000000).cast("long").alias("corr_e6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

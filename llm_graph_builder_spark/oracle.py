@@ -9027,3 +9027,68 @@ chr_asn AS (
 )
 SELECT shard, CAST(count(*) AS BIGINT) AS n_items FROM chr_asn GROUP BY 1
 """
+
+# label-noise matrix mirror of ann.label_noise_audit: e4-quantized integer
+# class-sum vectors (exact), cosine argmax with smaller-label tie-break
+ORACLE_SQL["label_noise"] = f"""
+WITH ln_q AS (
+  SELECT vec_id AS item, label AS given,
+         list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ln_e AS (
+  SELECT given, unnest(qv) AS val,
+         unnest(range(1, len(qv) + 1)) AS dim
+  FROM ln_q
+),
+ln_s AS (
+  SELECT given AS cls, dim, sum(val) AS s FROM ln_e GROUP BY 1, 2
+),
+ln_c AS (
+  SELECT cls, array_agg(s ORDER BY dim) AS cv FROM ln_s GROUP BY 1
+),
+ln_sc AS (
+  SELECT q.item, q.given, c.cls,
+         CAST(round(({_cosine_sql('q.qv', 'c.cv')}) * 10000) AS BIGINT) AS cos_e4
+  FROM ln_q q CROSS JOIN ln_c c
+),
+ln_p AS (
+  SELECT item, given, cls AS pred FROM (
+    SELECT item, given, cls,
+           row_number() OVER (PARTITION BY item ORDER BY cos_e4 DESC, cls ASC) AS r
+    FROM ln_sc
+  ) WHERE r = 1
+)
+SELECT given AS given_label, pred AS pred_label, CAST(count(*) AS BIGINT) AS n_items
+FROM ln_p GROUP BY 1, 2
+"""
+
+# autocorrelation mirror of warehouse.autocorrelation: dollar-quantized
+# integer moments, identical float quotient
+ORACLE_SQL["autocorrelation"] = """
+WITH ac_d AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 10000 AS x
+  FROM lineitem GROUP BY 1
+),
+ac_l AS (SELECT unnest(range(1, 4)) AS lag),
+ac_j AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM ac_l l
+  JOIN ac_d a ON TRUE
+  JOIN ac_d b ON b.d = a.d + CAST(l.lag AS INT)
+),
+ac_m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xa) AS DOUBLE) AS sa, CAST(sum(xb) AS DOUBLE) AS sb,
+         CAST(sum(xa * xb) AS DOUBLE) AS sab,
+         CAST(sum(xa * xa) AS DOUBLE) AS saa,
+         CAST(sum(xb * xb) AS DOUBLE) AS sbb
+  FROM ac_j GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CAST(round((sab - sa * sb / n) / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))
+                  * 1000000) AS BIGINT) AS corr_e6
+FROM ac_m
+"""

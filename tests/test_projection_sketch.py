@@ -323,3 +323,50 @@ class TestApproxGroupCounts:
             assert got[lang].n_sample == n_s
             assert got[lang].n_est == n_s * 10000 // 2000
             assert got[lang].err_e6 == abs(n_s * 5 - len(ids)) * 1000000 // len(ids)
+
+
+class TestLabelNoise:
+    def test_clean_separable_labels_have_diagonal_matrix(self, spark):
+        from llm_graph_builder_spark.operators.ann import label_noise_audit
+
+        # two perfectly separated classes on orthogonal axes
+        rows = (
+            [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(5)]
+            + [(10 + i, [0.0, 1.0, 0.0, 0.0], 1) for i in range(5)]
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            (r.given_label, r.pred_label): r.n_items
+            for r in label_noise_audit(emb).collect()
+        }
+        assert got == {(0, 0): 5, (1, 1): 5}
+
+    def test_flipped_label_lands_off_diagonal(self, spark):
+        from llm_graph_builder_spark.operators.ann import label_noise_audit
+
+        rows = (
+            [(i, [1.0, 0.0], 0) for i in range(5)]
+            + [(10 + i, [0.0, 1.0], 1) for i in range(5)]
+            + [(99, [0.0, 1.0], 0)]   # mislabeled: looks like class 1
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            (r.given_label, r.pred_label): r.n_items
+            for r in label_noise_audit(emb).collect()
+        }
+        assert got[(0, 1)] == 1  # the suspect
+
+
+class TestAutocorrelation:
+    def test_constant_series_and_bounds(self, spark):
+        from llm_graph_builder_spark.operators.warehouse import autocorrelation
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        got = {r.lag: r for r in autocorrelation(li).collect()}
+        assert set(got) == {1, 2, 3}
+        for r in got.values():
+            assert r.n_pairs > 0 and abs(r.corr_e6) <= 1000000
