@@ -3272,6 +3272,16 @@ def q_comment_density(spark, sf_dir):
     return comment_density(_code_repos(spark, sf_dir))
 
 
+def q_partition_edgecut(spark, sf_dir):
+    """Edge-cut audit: hash-partition vs group-co-located partition of the
+    entity graph — the measured justification for pre-partitioning by a
+    coarse group key (the repo-hash analog)."""
+    from .operators.layout import partition_edgecut
+
+    t = pipeline_tables(spark, sf_dir)
+    return partition_edgecut(t["entity_edges"], n_parts=8)
+
+
 def q_label_noise(spark, sf_dir):
     """Confident-Learning label-noise matrix over the embeddings table:
     predicted = nearest class-SUM vector by cosine (e4-quantized integer
@@ -3816,4 +3826,5 @@ QUERIES = {
     "shard_ring": q_shard_ring,
     "label_noise": q_label_noise,
     "autocorrelation": q_autocorrelation,
+    "partition_edgecut": q_partition_edgecut,
 }

@@ -9092,3 +9092,26 @@ SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
                   * 1000000) AS BIGINT) AS corr_e6
 FROM ac_m
 """
+
+# edge-cut audit mirror of layout.partition_edgecut (md5 'p:' prefix,
+# label = second chr(1) field of the node key)
+ORACLE_SQL["partition_edgecut"] = PIPELINE_CTE + _UND_CTE + """,
+pc_c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5('p:' || u), 1, 8)) AS BIGINT) % 8
+                     <> CAST(('0x' || substr(md5('p:' || v), 1, 8)) AS BIGINT) % 8
+                   THEN 1 ELSE 0 END) AS BIGINT) AS hash_cut,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5('p:' || split_part(u, chr(1), 2)), 1, 8)) AS BIGINT) % 8
+                     <> CAST(('0x' || substr(md5('p:' || split_part(v, chr(1), 2)), 1, 8)) AS BIGINT) % 8
+                   THEN 1 ELSE 0 END) AS BIGINT) AS group_cut
+  FROM und
+)
+SELECT 'hash' AS strategy, CAST(8 AS BIGINT) AS n_parts, n_edges,
+       hash_cut AS cut_edges,
+       CASE WHEN n_edges > 0 THEN hash_cut * 10000 // n_edges ELSE 0 END AS cut_e4
+FROM pc_c
+UNION ALL
+SELECT 'group', CAST(8 AS BIGINT), n_edges, group_cut,
+       CASE WHEN n_edges > 0 THEN group_cut * 10000 // n_edges ELSE 0 END
+FROM pc_c
+"""

@@ -173,3 +173,25 @@ def test_consistent_hash_ring_stability(spark):
     assert all(b.get(s, 0) >= n for s, n in a.items())
     assert sum(a.values()) == 500 and sum(b.values()) == 1000
     assert set(b) == set(range(8))
+
+
+def test_partition_edgecut_group_colocation_wins(spark):
+    """A graph whose edges stay within groups must show 0 cut under the
+    group strategy and >0 under hash (with high probability given distinct
+    node hashes)."""
+    from llm_graph_builder_spark.operators.layout import partition_edgecut
+
+    rows = [
+        (f"n{i}", lbl, "R", f"n{i+1}", lbl, 1)
+        for lbl in ("A", "B", "C")
+        for i in range(0, 8, 2)
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    got = {r.strategy: r for r in partition_edgecut(edges, n_parts=4).collect()}
+    assert got["group"].cut_edges == 0          # intra-label edges never cut
+    assert got["hash"].n_edges == got["group"].n_edges == 12
+    assert 0 <= got["hash"].cut_e4 <= 10000
