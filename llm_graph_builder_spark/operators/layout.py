@@ -912,25 +912,35 @@ def partition_edgecut(
         )
 
     label_of = lambda c: F.split(F.col(c), "\x01").getItem(1)  # noqa: E731
-    parts = []
-    for strat, pu, pv in [
-        ("hash", mdmod(F.col("u")), mdmod(F.col("v"))),
-        ("group", mdmod(label_of("u")), mdmod(label_of("v"))),
-    ]:
-        agg = und.select((pu != pv).cast("int").alias("cut")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_edges"),
-            F.sum("cut").cast("long").alias("cut_edges"),
-        )
-        parts.append(
-            agg.select(
-                F.lit(strat).alias("strategy"),
-                F.lit(n_parts).cast("long").alias("n_parts"),
-                "n_edges",
-                "cut_edges",
-                F.expr("CASE WHEN n_edges > 0 THEN cut_edges * 10000L div n_edges ELSE 0L END").alias("cut_e4"),
+    # ONE scan of the (already-shuffled) simple edge set: both strategies'
+    # cut flags are computed side-by-side and unpivoted after the aggregate
+    # — the same single-pass shape as the oracle
+    agg = und.select(
+        (mdmod(F.col("u")) != mdmod(F.col("v"))).cast("int").alias("hash_cut"),
+        (mdmod(label_of("u")) != mdmod(label_of("v"))).cast("int").alias("group_cut"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("hash_cut").cast("long").alias("hc"),
+        F.sum("group_cut").cast("long").alias("gc"),
+    )
+    rate = "CASE WHEN n_edges > 0 THEN {c} * 10000L div n_edges ELSE 0L END"
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hash").alias("strategy"),
+                    F.lit(n_parts).cast("long").alias("n_parts"),
+                    F.col("n_edges"),
+                    F.col("hc").alias("cut_edges"),
+                    F.expr(rate.format(c="hc")).alias("cut_e4"),
+                ),
+                F.struct(
+                    F.lit("group").alias("strategy"),
+                    F.lit(n_parts).cast("long").alias("n_parts"),
+                    F.col("n_edges"),
+                    F.col("gc").alias("cut_edges"),
+                    F.expr(rate.format(c="gc")).alias("cut_e4"),
+                ),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        ).alias("r")
+    ).select("r.*")
