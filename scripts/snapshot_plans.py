@@ -524,6 +524,23 @@ def main() -> None:
         q["winnow_pairs"](spark, SF),
     )
 
+    snap(
+        "Hybrid skew join (hot keys broadcast, cold tail shuffled)",
+        "Two join paths under one Union: the top-k hot order keys take a "
+        "BroadcastHashJoin (their dim rows are few by construction) while "
+        "the cold tail runs the normal shuffle join — the third skew "
+        "strategy beside AQE splitting and salting; the result equals the "
+        "plain join (oracle-proved).",
+        q["hybrid_skew_join"](spark, SF),
+    )
+    snap(
+        "Partition edge-cut audit (single scan, unpivoted strategies)",
+        "Both partition strategies' cut flags are computed side-by-side in "
+        "ONE pass over the simple edge set and unpivoted after the "
+        "aggregate — one scan, one aggregate, two result rows.",
+        q["partition_edgecut"](spark, SF),
+    )
+
     out = [
         "# PLANS — physical-plan audit of the key stages",
         "",
