@@ -1,0 +1,135 @@
+"""Edge/hazard cases for the late-round-3 operator families: degenerate
+inputs, guard activation, empty sides — the failure shapes a 100 TB corpus
+WILL contain somewhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_graph_builder_spark.operators.code_quality import repo_fork_candidates
+from llm_graph_builder_spark.operators.dedup import winnow_fingerprint_pairs
+from llm_graph_builder_spark.operators.graph_analytics import (
+    influence_ltm,
+    landmark_distances,
+    maximal_matching,
+)
+from llm_graph_builder_spark.operators.layout import consistent_hash_shards
+from llm_graph_builder_spark.operators.mining import (
+    bitext_margin_mining,
+    maxsim_scores,
+)
+from llm_graph_builder_spark.operators.multimodal import ahash_pairs
+
+
+def _edges(spark, pairs):
+    rows = [(a, "E", "R", b, "E", 1) for a, b in pairs]
+    return spark.createDataFrame(
+        rows,
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+
+
+class TestWinnowHazards:
+    def test_short_and_degenerate_docs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b"),                     # < k tokens: no grams at all
+                (2, "x x x x x x x x"),         # all-identical grams
+                (3, "x x x x x x x x"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {(r.doc_a, r.doc_b) for r in winnow_fingerprint_pairs(docs, min_shared=1).collect()}
+        # doc 1 contributes nothing; the degenerate docs still pair exactly
+        assert got == {("2", "3")}
+
+    def test_postings_guard_drops_boilerplate_hash(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "same boiler plate text here") for i in range(6)],
+            "doc_id long, text string",
+        )
+        # every doc shares every fingerprint → postings lists of size 6 > 2
+        out = winnow_fingerprint_pairs(docs, min_shared=1, max_postings=2)
+        assert out.count() == 0
+
+
+class TestAHashHazards:
+    def test_max_block_guard_drops_monoculture(self, spark):
+        assets = spark.createDataFrame(
+            [(str(i), bytearray(b"identical payload")) for i in range(5)],
+            "asset_id string, payload binary",
+        )
+        # all 5 share one block; guard 3 drops it entirely
+        assert ahash_pairs(assets, max_block=3).count() == 0
+        # with the guard open the 10 hamming-0 pairs appear
+        assert ahash_pairs(assets, max_block=1024).count() == 10
+
+    def test_empty_payload_hashes_to_zero(self, spark):
+        from llm_graph_builder_spark.operators.multimodal import ahash64
+
+        assets = spark.createDataFrame(
+            [("a", bytearray(b"")), ("b", None)],
+            "asset_id string, payload binary",
+        )
+        got = {r.asset_id: r.h for r in ahash64(assets).collect()}
+        assert got == {"a": 0, "b": 0}
+
+
+class TestMiningHazards:
+    def test_bitext_empty_side_yields_empty(self, spark):
+        a = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        b = a.filter("vec_id < 0")
+        assert bitext_margin_mining(a, b).count() == 0
+
+    def test_maxsim_all_unknown_query_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.score for r in maxsim_scores(docs, ["zzznotoken"]).collect()}
+        # doc 2 has no tokens → excluded; doc 1 scores 0 or -1 depending on
+        # bucket collision — never positive
+        assert set(got) == {1} and got[1] <= 0
+
+
+class TestGraphHazards:
+    def test_influence_zero_seeds(self, spark):
+        out = influence_ltm(_edges(spark, [("a", "b")]), n_seeds=0, rounds=3)
+        assert out.count() == 0
+
+    def test_landmarks_more_than_nodes(self, spark):
+        out = landmark_distances(_edges(spark, [("a", "b")]), n_landmarks=5)
+        assert {r.lm_id for r in out.collect()} == {"a", "b"}
+
+    def test_matching_empty_graph(self, spark):
+        edges = _edges(spark, []).filter("subj_id IS NOT NULL")
+        assert maximal_matching(edges).count() == 0
+
+
+class TestMiscHazards:
+    def test_fork_single_repo_no_pairs(self, spark):
+        repos = spark.createDataFrame(
+            [("only", "x"), ("only", "y")], "repo string, content string"
+        )
+        assert repo_fork_candidates(repos, threshold_e4=0).count() == 0
+
+    def test_ring_single_item(self, spark):
+        items = spark.createDataFrame([(1,)], "doc_id long")
+        got = consistent_hash_shards(items).collect()
+        assert len(got) == 1 and got[0].n_items == 1
+
+    def test_csv_all_rows_corrupt(self, spark, tmp_path):
+        from llm_graph_builder_spark.sources.files import (
+            QUARANTINE_KEY,
+            quarantine_stats,
+            read_csv_quarantine,
+        )
+
+        p = tmp_path / "in"
+        p.mkdir()
+        (p / "x.csv").write_text("bad,en,1\nworse,de,2\n")
+        raw = read_csv_quarantine(spark, str(p), "doc_id long, lang string, n_chars long")
+        got = {r.group: r.n_rows for r in quarantine_stats(raw).collect()}
+        assert got == {QUARANTINE_KEY: 2}
