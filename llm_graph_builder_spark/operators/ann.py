@@ -1194,3 +1194,38 @@ def label_noise_audit(
     return pred.groupBy(
         F.col("given").alias("given_label"), F.col("pred").alias("pred_label")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF maintenance: assign a NEW vector batch to the
+    EXISTING centroids and append into the bucket-partitioned corpus — the
+    index-freshness operation a living corpus needs between (much rarer)
+    full refits. No refit, no rewrite of existing buckets: the append
+    touches only the bucket directories the new batch lands in, and
+    ``search_ivf_index`` sees the union immediately (dynamic partition
+    discovery on read).
+
+    Assignment parity is exact: the same ``_topc_udf`` kernel against the
+    same persisted centroids means an appended index is file-identical in
+    CONTENT to rebuilding with those centroids (tested). Returns the number
+    of appended rows.
+    """
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cidx
+    )
+    cents = np.array([r.cv for r in cent_rows], dtype=np.float64)
+    c = new_vectors.select(
+        F.col(id_col).cast("string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    out = c.withColumn("bucket", _topc_udf(cents, 1)(F.col("cv"))[0])
+    out.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
+    return out.count()

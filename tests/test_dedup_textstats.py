@@ -2652,3 +2652,39 @@ def test_streaming_watermarked_dedup(spark, tmp_path):
     got = {r.doc_id: r.content for r in spark.read.parquet(out_dir).collect()}
     assert set(got) == {"d1", "d2", "d9"}
     assert got["d1"] == "v1"  # first occurrence wins
+
+
+def test_ivf_append_matches_rebuild(spark, tmp_path):
+    """Appending a new batch to a persisted IVF index (no refit) yields
+    search results identical to rebuilding the bucket layout with the SAME
+    centroids over the union corpus."""
+    from llm_graph_builder_spark.operators.ann import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 5 != 0")
+    extra = emb.filter("vec_id % 5 = 0")
+    q = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+
+    p_inc = str(tmp_path / "inc")
+    build_ivf_index(base, p_inc, n_centroids=8)
+    n = append_ivf_index(extra, p_inc)
+    assert n == extra.count()
+
+    # rebuild path: same centroid fit input (base) → same centroids, full
+    # union corpus assigned in one shot
+    import shutil
+
+    p_full = str(tmp_path / "full")
+    build_ivf_index(base, p_full, n_centroids=8)
+    shutil.rmtree(f"{p_full}/corpus")
+    append_ivf_index(emb, p_full)
+
+    a = {(r.query_id, r.neighbor_id, r.cos_e4, r.rank)
+         for r in search_ivf_index(spark, p_inc, q, k=5, n_probe=3).collect()}
+    b = {(r.query_id, r.neighbor_id, r.cos_e4, r.rank)
+         for r in search_ivf_index(spark, p_full, q, k=5, n_probe=3).collect()}
+    assert a == b and len(a) > 0

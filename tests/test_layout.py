@@ -195,3 +195,15 @@ def test_partition_edgecut_group_colocation_wins(spark):
     assert got["group"].cut_edges == 0          # intra-label edges never cut
     assert got["hash"].n_edges == got["group"].n_edges == 12
     assert 0 <= got["hash"].cut_e4 <= 10000
+
+
+def test_compression_audit_zstd_beats_snappy_on_text(spark, tmp_path):
+    from llm_graph_builder_spark.operators.layout import compression_audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.codec: r for r in compression_audit(spark, docs, str(tmp_path)).collect()}
+    assert got["snappy"].n_rows == got["zstd"].n_rows == 500
+    # near-identical logical bytes (page-header accounting differs by a few
+    # bytes per codec), materially different physical bytes
+    assert abs(got["snappy"].uncompressed_bytes - got["zstd"].uncompressed_bytes) < 100
+    assert got["zstd"].compressed_bytes < got["snappy"].compressed_bytes
