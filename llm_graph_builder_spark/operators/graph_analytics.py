@@ -3055,6 +3055,7 @@ def jones_plassmann_coloring(
     entity_edges: DataFrame,
     entities: DataFrame | None = None,
     rounds: int = 8,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Jones-Plassmann distributed greedy graph coloring (Jones & Plassmann
     1993) over the undirected simple entity graph — conflict-free scheduling
@@ -3088,6 +3089,21 @@ def jones_plassmann_coloring(
         nodes = nodes.unionByName(everyone.join(nodes, on="node", how="left_anti"))
     active, _ = materialize(nodes)
     edges, n_e = materialize(sym)
+    if driver_max_edges and n_e <= 2 * driver_max_edges:
+        # size gate (same convention as CC/LPA/BFS): a small graph runs the
+        # parity-equal driver replica — the fixed cost of rounds × four
+        # distributed jobs dwarfs the data at this size
+        out_py = _jp_py(
+            [r.node for r in active.collect()],
+            [(r.u, r.v) for r in edges.collect()],
+            rounds,
+        )
+        spark = entity_edges.sparkSession
+        df = spark.createDataFrame(out_py or [], "node string, color long")
+        sn = F.split(F.col("node"), "\x01")
+        return df.select(
+            sn.getItem(0).alias("id"), sn.getItem(1).alias("label"), "color"
+        )
     colored_parts: list[DataFrame] = []
     for r in range(1, rounds + 1):
         pri = active.select(
@@ -3145,6 +3161,7 @@ def influence_ltm(
     entities: DataFrame | None = None,
     n_seeds: int = 5,
     rounds: int = 6,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Linear-threshold influence cascade (Kempe-Kleinberg-Tardos 2003) over
     the undirected simple entity graph with degree-normalized edge weights —
@@ -3167,7 +3184,7 @@ def influence_ltm(
 
     Output: (id, label, round) for activated nodes only — round 0 = seed.
     """
-    und = simple_undirected(entity_edges)
+    und, n_und = materialize(simple_undirected(entity_edges))
     sym = und.select("u", "v").unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -3192,7 +3209,21 @@ def influence_ltm(
         % 1000
         + 1,
     )
-    nodes, _ = materialize(nodes)
+    nodes, n_nodes = materialize(nodes)
+    if driver_max_edges and n_und <= driver_max_edges and n_nodes <= driver_max_edges:
+        # size gate: replica runs the identical md5 thresholds/rounds
+        out_py = _ltm_py(
+            [r.node for r in nodes.select("node").collect()],
+            [(r.u, r.v) for r in und.collect()],
+            n_seeds,
+            rounds,
+        )
+        spark = entity_edges.sparkSession
+        df = spark.createDataFrame(out_py or [], "node string, round long")
+        sn = F.split(F.col("node"), "\x01")
+        return df.select(
+            sn.getItem(0).alias("id"), sn.getItem(1).alias("label"), "round"
+        )
     seeds = nodes.orderBy(F.desc("deg"), F.asc("node")).limit(n_seeds).select("node")
     active, _ = materialize(seeds)  # cumulative active set
     parts: list[DataFrame] = [
@@ -3360,6 +3391,7 @@ def simple_path_counts(
 def maximal_matching(
     entity_edges: DataFrame,
     rounds: int = 6,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Distributed greedy maximal matching (Israeli-Itai style local-minimum
     rounds) over the undirected simple entity graph — pairs duplicate-entity
@@ -3382,6 +3414,19 @@ def maximal_matching(
     Output: (u_id, u_label, v_id, v_label, round).
     """
     edges, n_e = materialize(simple_undirected(entity_edges))
+    if driver_max_edges and n_e <= driver_max_edges:
+        # size gate: identical local-minimum rounds on the driver
+        out_py = _mm_py([(r.u, r.v) for r in edges.collect()], rounds)
+        spark = entity_edges.sparkSession
+        df = spark.createDataFrame(out_py or [], "u string, v string, round long")
+        su, sv = F.split(F.col("u"), "\x01"), F.split(F.col("v"), "\x01")
+        return df.select(
+            su.getItem(0).alias("u_id"),
+            su.getItem(1).alias("u_label"),
+            sv.getItem(0).alias("v_id"),
+            sv.getItem(1).alias("v_label"),
+            "round",
+        )
     matched_parts: list[DataFrame] = []
     for r in range(1, rounds + 1):
         if not n_e:
@@ -3440,3 +3485,103 @@ def maximal_matching(
         sv.getItem(1).alias("v_label"),
         "round",
     )
+
+
+def _jp_py(
+    nodes: list[str], edges: list[tuple[str, str]], rounds: int
+) -> list[tuple[str, int]]:
+    """Driver replica of the Jones-Plassmann rounds — identical priorities
+    (hashlib.md5 hex == F.md5) and selection rule, so the size-gated switch
+    never changes results (parity-tested)."""
+    import hashlib
+
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(nodes)
+    out: list[tuple[str, int]] = []
+    for r in range(1, rounds + 1):
+        pri = {
+            n: hashlib.md5(f"jp:{r}:{n}".encode()).hexdigest() + n for n in active
+        }
+        sel = [
+            n
+            for n in active
+            if all(pri[n] < pri[m] for m in adj.get(n, ()) if m in active)
+        ]
+        out.extend((n, r) for n in sel)
+        active -= set(sel)
+        if not active:
+            break
+    out.extend((n, 0) for n in active)
+    return out
+
+
+def _ltm_py(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    n_seeds: int,
+    rounds: int,
+) -> list[tuple[str, int]]:
+    """Driver replica of the linear-threshold cascade — identical md5
+    thresholds, degree rule, and synchronous rounds."""
+    import hashlib
+
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(adj.get(n, ())) for n in nodes}
+    t = {
+        n: int(hashlib.md5(f"ltm:{n}".encode()).hexdigest()[:8], 16) % 1000 + 1
+        for n in nodes
+    }
+    seeds = sorted(nodes, key=lambda n: (-deg[n], n))[:n_seeds]
+    active = set(seeds)
+    out = [(n, 0) for n in seeds]
+    for r in range(1, rounds + 1):
+        newly = [
+            n
+            for n in nodes
+            if n not in active
+            and deg[n] > 0
+            and 1000 * len(adj.get(n, set()) & active) >= t[n] * deg[n]
+        ]
+        if not newly:
+            break
+        out.extend((n, r) for n in newly)
+        active |= set(newly)
+    return out
+
+
+def _mm_py(
+    edges: list[tuple[str, str]], rounds: int
+) -> list[tuple[str, str, int]]:
+    """Driver replica of the local-minimum maximal-matching rounds."""
+    import hashlib
+
+    rem = list(edges)
+    out: list[tuple[str, str, int]] = []
+    for r in range(1, rounds + 1):
+        if not rem:
+            break
+        pri = {
+            (u, v): hashlib.md5(f"mm:{r}:{u}\x02{v}".encode()).hexdigest()
+            + u + "\x02" + v
+            for u, v in rem
+        }
+        node_min: dict[str, str] = {}
+        for (u, v), p in pri.items():
+            for n in (u, v):
+                if n not in node_min or p < node_min[n]:
+                    node_min[n] = p
+        sel = [
+            (u, v)
+            for (u, v), p in pri.items()
+            if node_min[u] == p and node_min[v] == p
+        ]
+        out.extend((u, v, r) for u, v in sel)
+        gone = {n for e in sel for n in e}
+        rem = [(u, v) for u, v in rem if u not in gone and v not in gone]
+    return out

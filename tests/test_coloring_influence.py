@@ -121,3 +121,37 @@ class TestMaximalMatching:
     def test_single_edge_matches_round_one(self, spark):
         out = maximal_matching(_edges(spark, [("x", "y")]), rounds=3).collect()
         assert len(out) == 1 and out[0].round == 1
+
+
+class TestDriverReplicaParity:
+    """The size-gated driver replicas must be bit-identical to the
+    distributed fixpoints (same md5 priorities, same rounds)."""
+
+    def test_coloring_parity(self, spark):
+        e = _edges(spark, PAIRS)
+        ent = _entities(spark, list("abcdefgh"))
+        a = {(r.id, r.color) for r in jones_plassmann_coloring(e, ent).collect()}
+        b = {
+            (r.id, r.color)
+            for r in jones_plassmann_coloring(e, ent, driver_max_edges=0).collect()
+        }
+        assert a == b
+
+    def test_influence_parity(self, spark):
+        e = _edges(spark, PAIRS)
+        ent = _entities(spark, list("abcdefgh"))
+        a = {(r.id, r.round) for r in influence_ltm(e, ent, n_seeds=2).collect()}
+        b = {
+            (r.id, r.round)
+            for r in influence_ltm(e, ent, n_seeds=2, driver_max_edges=0).collect()
+        }
+        assert a == b
+
+    def test_matching_parity(self, spark):
+        e = _edges(spark, PAIRS)
+        a = {(r.u_id, r.v_id, r.round) for r in maximal_matching(e).collect()}
+        b = {
+            (r.u_id, r.v_id, r.round)
+            for r in maximal_matching(e, driver_max_edges=0).collect()
+        }
+        assert a == b
