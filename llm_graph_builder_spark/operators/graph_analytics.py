@@ -2734,6 +2734,7 @@ def maximal_independent_set(
     entity_edges: DataFrame,
     entities: DataFrame | None = None,
     rounds: int = 6,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Luby-style maximal-independent-set rounds over the undirected simple
     entity graph — the foundational symmetry-breaking primitive of parallel
@@ -2776,6 +2777,23 @@ def maximal_independent_set(
         )
     active, _ = materialize(nodes)
     edges, n_e = materialize(sym)
+    if driver_max_edges and n_e <= 2 * driver_max_edges:
+        # size gate (CC/LPA/BFS convention): parity-equal driver replica
+        out_py = _mis_py(
+            [r.node for r in active.collect()],
+            [(r.u, r.v) for r in edges.collect()],
+            rounds,
+        )
+        df = entity_edges.sparkSession.createDataFrame(
+            out_py or [], "node string, status string, round long"
+        )
+        sn = F.split(F.col("node"), "\x01")
+        return df.select(
+            sn.getItem(0).alias("id"),
+            sn.getItem(1).alias("label"),
+            "status",
+            "round",
+        )
     spark = entity_edges.sparkSession
     resolved_parts: list[DataFrame] = []
     for r in range(1, rounds + 1):
@@ -3584,4 +3602,38 @@ def _mm_py(
         out.extend((u, v, r) for u, v in sel)
         gone = {n for e in sel for n in e}
         rem = [(u, v) for u, v in rem if u not in gone and v not in gone]
+    return out
+
+
+def _mis_py(
+    nodes: list[str], edges: list[tuple[str, str]], rounds: int
+) -> list[tuple[str, str, int]]:
+    """Driver replica of the Luby-MIS rounds (identical md5 priorities,
+    selection, and neighbor-exclusion rule)."""
+    import hashlib
+
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(nodes)
+    out: list[tuple[str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pri = {
+            n: hashlib.md5(f"mis:{r}:{n}".encode()).hexdigest() + n for n in active
+        }
+        sel = [
+            n
+            for n in active
+            if all(pri[n] < pri[m] for m in adj.get(n, ()) if m in active)
+        ]
+        if not sel:
+            continue
+        exc = sorted(
+            {m for n in sel for m in adj.get(n, ()) if m in active} - set(sel)
+        )
+        out.extend((n, "selected", r) for n in sel)
+        out.extend((n, "excluded", r) for n in exc)
+        active -= set(sel) | set(exc)
+    out.extend((n, "unresolved", 0) for n in active)
     return out

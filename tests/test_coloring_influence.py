@@ -155,3 +155,20 @@ class TestDriverReplicaParity:
             for r in maximal_matching(e, driver_max_edges=0).collect()
         }
         assert a == b
+
+    def test_mis_parity(self, spark):
+        from llm_graph_builder_spark.operators.graph_analytics import (
+            maximal_independent_set,
+        )
+
+        e = _edges(spark, PAIRS)
+        ent = _entities(spark, list("abcdefgh"))
+        a = {
+            (r.id, r.status, r.round)
+            for r in maximal_independent_set(e, ent).collect()
+        }
+        b = {
+            (r.id, r.status, r.round)
+            for r in maximal_independent_set(e, ent, driver_max_edges=0).collect()
+        }
+        assert a == b
