@@ -2014,7 +2014,13 @@ def q_similar_chunks(spark, sf_dir):
     pipeline bit-for-bit."""
     from .operators.similar import lsh_block_chunks
 
-    blocked = lsh_block_chunks(_chunk_embeddings(spark, sf_dir))
+    # memoized: similar_edges references its input several times (block-size
+    # probe + main path + both degree-cap directions); without a cache each
+    # reference re-runs the embed/block pandas-UDF lineage (~4× the work)
+    blocked = _memo(
+        spark, sf_dir, "blocked_chunks",
+        lambda: lsh_block_chunks(_chunk_embeddings(spark, sf_dir)),
+    )
     out = similar_edges(blocked, block_col="block", max_block_rows=100_000)
     return out.select(
         "src", "rel_type", "dst",
