@@ -1853,6 +1853,19 @@ def q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(read_documents(spark, sf_dir))
 
 
+def q_suffix_repeats(spark, sf_dir):
+    """Exact repeated substrings via a distributed prefix-doubling suffix
+    array (Lee et al. 2022's index, vs duplicate_spans' fixed-k windows) —
+    the doc_id % 10 subset keeps the gate's suffix count bounded while the
+    O(log L) rank-join rounds are the genuine 100 TB article. Oracle: DuckDB
+    sorts the materialized suffixes directly and replays the same
+    SA-adjacency LCP arithmetic."""
+    from .operators.suffix import repeated_substrings
+
+    docs = read_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return repeated_substrings(docs)
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Incremental Bloom-filter dedup: the filter is built over the whole
     corpus; the 'next ingest batch' is doc_id % 4 == 0 re-submitted unchanged
@@ -3833,4 +3846,5 @@ QUERIES = {
     "label_noise": q_label_noise,
     "autocorrelation": q_autocorrelation,
     "partition_edgecut": q_partition_edgecut,
+    "suffix_repeats": q_suffix_repeats,
 }

@@ -667,9 +667,11 @@ def duplicate_spans(
     a window whose hash occurs more than once ANYWHERE in the corpus
     (including elsewhere in the same document) is a duplicated span.
 
-    The suffix array is inherently sequential; the standard distributed
-    reformulation is fixed-k window counting, which upper-bounds the paper's
-    "duplicate substring of length >= k" relation exactly. Windows travel as
+    Fixed-k window counting is the cheap one-shuffle reformulation, and
+    upper-bounds the paper's "duplicate substring of length >= k" relation
+    exactly; the paper's actual index — the suffix array — is also built
+    distributed via prefix doubling in ``operators/suffix.py`` (O(log L)
+    rank-join rounds) when the longest repeats themselves are wanted. Windows travel as
     48-bit md5 prefixes (grams never shuffle as strings); the explicit
     ``repartition(gh)`` is the ONE gram-grain exchange — both the
     per-(gram, doc) count and the global-gram-total window sum are computed

@@ -1,0 +1,214 @@
+"""Distributed suffix array (prefix doubling) + exact repeated substrings.
+
+``duplicate_spans`` (dedup.py) implements the fixed-k-window reformulation of
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models Better");
+this module implements the paper's actual index: a SUFFIX ARRAY, built with
+the classic distributed prefix-doubling recipe (Manber-Myers order, each round
+one rank join + one re-rank — O(log L) rounds of pure shuffles, never
+materializing a suffix string longer than the seed key). Adjacent suffixes in
+SA order with a long common prefix ARE the corpus's exact repeated substrings
+— the operator surfaces the top pairs, i.e. the longest verbatim repetitions a
+span-level deduper should cut.
+
+Scale shape (the reason prefix doubling over "sort the suffix strings"): a
+naive sort materializes O(corpus²) bytes of suffix keys; prefix doubling keeps
+every row at (doc, off, rank:long, rank2:long) forever — each round is one
+equi-join on (doc, off+k) plus one dense re-rank. The dense rank itself is
+never a single-partition window: ranks use the house two-level prefix-sum
+(order-preserving bucket prefix → ≤ thousands of offset rows + per-bucket
+windows), the same shape as ``maintenance.surrogate_keys`` /
+``graph_analytics.lp_training_pairs``. Early exit: once every suffix has a
+distinct rank (the common case long before k reaches the cap), remaining
+rounds are skipped.
+
+Determinism / oracle parity: texts are capped at ``text_cap`` ASCII chars, so
+the final rank (prefix length ≥ cap) is the dense rank of the FULL suffix
+string, and DuckDB can mirror the whole operator by sorting the materialized
+suffixes directly (the luxury the oracle has at sf0.01 that a 100 TB corpus
+does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.iterutils import materialize
+
+#: rank-bucket width for the two-level prefix sum over (rank, rank2) keys —
+#: offsets table is n_keys/65536 rows (a third level would bound that too;
+#: not needed below ~10^11 suffixes)
+_RANK_BUCKET = 65536
+
+
+def _global_rank(rows: DataFrame, bucket, order_cols: list[str]) -> DataFrame:
+    """0-based global rank (column ``_gr``) of ``rows`` ordered by
+    ``order_cols``, via the two-level prefix sum: ``bucket`` must be an
+    order-preserving prefix of the sort key (bucket asc ⊇ key asc), so
+    bucket offsets + per-bucket row_numbers compose to the exact global
+    rank without any single-partition window over the data grain. Pass
+    DISTINCT rows to get a dense key rank; pass all rows for a row number.
+    """
+    base = rows.withColumn("_bkt", bucket)
+    btot = base.groupBy("_bkt").agg(F.count("*").alias("_bn"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(*order_cols)
+    return (
+        base.withColumn("_rin", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(offs), on="_bkt")
+        .withColumn("_gr", (F.col("_off") + F.col("_rin")).cast("long"))
+        .drop("_bkt", "_rin", "_off")
+    )
+
+
+def suffix_array(
+    docs: DataFrame,
+    text_cap: int = 128,
+    k0: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc, off, r): r = dense rank of suffix ``substr(text, off+1)``
+    in global lexicographic (bytewise) order across the whole corpus,
+    ties (identical suffixes in different docs) sharing a rank.
+
+    Prefix doubling: seed rank = dense rank of the first ``k0`` chars;
+    round k doubles the compared prefix by joining each suffix's rank with
+    the rank at offset+k (−1 past the end — a terminated suffix sorts
+    before every extension, matching bytewise string order) and re-ranking
+    the (r, r2) pairs. Texts are capped at ``text_cap`` so the fixed
+    ⌈log2(cap/k0)⌉ rounds rank the full suffix.
+    """
+    t = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.substring(F.col(text_col), 1, text_cap).alias("t"),
+    ).filter(F.length("t") > 0)
+    sfx = t.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.length("t") - 1)).alias("off"),
+        F.expr(f"substr(t, off + 1, {k0})").alias("k0"),
+    )
+    seed = _global_rank(
+        sfx.select("k0").distinct(), F.substring("k0", 1, 2), ["k0"]
+    )
+    cur, n = materialize(
+        sfx.join(seed, on="k0").select("doc", "off", F.col("_gr").alias("r"))
+    )
+    k = k0
+    while k < text_cap:
+        if cur.agg(F.max("r")).collect()[0][0] == n - 1:
+            break  # every suffix already has a distinct rank
+        shifted = cur.select(
+            "doc", (F.col("off") - k).alias("off"), F.col("r").alias("r2")
+        ).filter(F.col("off") >= 0)
+        paired = (
+            cur.join(shifted, on=["doc", "off"], how="left")
+            .withColumn("r2", F.coalesce("r2", F.lit(-1).cast("long")))
+        )
+        rk = _global_rank(
+            paired.select("r", "r2").distinct(),
+            (F.col("r") / _RANK_BUCKET).cast("long"),
+            ["r", "r2"],
+        )
+        cur, _ = materialize(
+            paired.join(rk, on=["r", "r2"])
+            .select("doc", "off", F.col("_gr").alias("r")),
+            previous=cur,
+        )
+        k *= 2
+    return cur
+
+
+def repeated_substrings(
+    docs: DataFrame,
+    top_n: int = 30,
+    min_lcp: int = 4,
+    lcp_cap: int = 64,
+    text_cap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top verbatim repeated substrings via SA adjacency: sort suffixes by
+    (rank, doc, off), pair each with its successor, and keep the ``top_n``
+    pairs by longest common prefix (``lcp``, capped at ``lcp_cap``). The
+    LCP of SA-adjacent suffixes is the length of an exact substring that
+    occurs ≥ 2 times in the corpus — the span an exact-substring deduper
+    (Lee et al. 2022) would cut.
+
+    LCP is the count of prefix lengths i ∈ [1, cap] at which the two
+    (capped) suffixes agree — prefix equality is monotone in i, so the
+    count IS the common-prefix length — clamped by both suffix lengths
+    (two IDENTICAL short suffixes agree at every i and would otherwise
+    saturate at the cap); the identical arithmetic runs in the DuckDB
+    oracle. Top-n uses the two-phase partial rank (per-partition
+    prefilter, then a ≤ top_n·parts-row final window).
+
+    Output: (rnk, doc_a, off_a, doc_b, off_b, lcp, dup_sub).
+    """
+    sa = suffix_array(docs, text_cap=text_cap, text_col=text_col, id_col=id_col)
+    pos = _global_rank(
+        sa, (F.col("r") / _RANK_BUCKET).cast("long"), ["r", "doc", "off"]
+    )
+    cur = pos.select(
+        F.col("doc").alias("doc_a"), F.col("off").alias("off_a"),
+        F.col("_gr").alias("pos"),
+    )
+    nxt = pos.select(
+        F.col("doc").alias("doc_b"), F.col("off").alias("off_b"),
+        (F.col("_gr") - 1).alias("pos"),
+    )
+    texts = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.substring(F.col(text_col), 1, text_cap).alias("t"),
+    )
+    adj = (
+        cur.join(nxt, on="pos")
+        .join(
+            texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("t", "ta"),
+            on="doc_a",
+        )
+        .join(
+            texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("t", "tb"),
+            on="doc_b",
+        )
+        .select(
+            "doc_a", "off_a", "doc_b", "off_b",
+            F.expr(f"substr(ta, off_a + 1, {lcp_cap})").alias("sa"),
+            F.expr(f"substr(tb, off_b + 1, {lcp_cap})").alias("sb"),
+        )
+        .withColumn(
+            "lcp",
+            F.least(
+                F.expr(
+                    f"size(filter(sequence(1, {lcp_cap}), "
+                    "i -> substr(sa, 1, i) = substr(sb, 1, i)))"
+                ),
+                F.length("sa"),
+                F.length("sb"),
+            ).cast("long"),
+        )
+        .filter(F.col("lcp") >= min_lcp)
+    )
+    order = [
+        F.desc("lcp"), F.asc("doc_a"), F.asc("off_a"),
+        F.asc("doc_b"), F.asc("off_b"),
+    ]
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    final = Window.orderBy(*order)
+    return (
+        adj.withColumn("_prn", F.row_number().over(pre))
+        .filter(F.col("_prn") <= top_n)
+        .withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_a", F.col("off_a").cast("long").alias("off_a"),
+            "doc_b", F.col("off_b").cast("long").alias("off_b"),
+            "lcp",
+            F.expr("substr(sa, 1, cast(lcp as int))").alias("dup_sub"),
+        )
+    )

@@ -9115,3 +9115,47 @@ SELECT 'group', CAST(8 AS BIGINT), n_edges, group_cut,
        CASE WHEN n_edges > 0 THEN group_cut * 10000 // n_edges ELSE 0 END
 FROM pc_c
 """
+
+# mirrors q_suffix_repeats / suffix.repeated_substrings: the oracle sorts the
+# materialized (128-capped) suffixes of the doc_id % 10 subset directly —
+# bytewise ASCII order matches the Spark prefix-doubling rank exactly — then
+# replays the SA-adjacency LCP count (agree-at-i over i in 1..64, clamped by
+# both capped suffix lengths) and the (lcp desc, pair asc) top-30.
+ORACLE_SQL["suffix_repeats"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, substr(text, 1, 128) AS t
+  FROM documents WHERE doc_id % 10 = 0 AND length(substr(text, 1, 128)) > 0
+),
+s AS (
+  SELECT doc, CAST(i AS BIGINT) AS off, substr(t, CAST(i AS INT) + 1) AS suf
+  FROM d, unnest(range(length(t))) AS u(i)
+),
+o AS (
+  SELECT doc, off, suf,
+         lead(doc) OVER w AS nb_doc, lead(off) OVER w AS nb_off,
+         lead(suf) OVER w AS nb_suf
+  FROM s WINDOW w AS (ORDER BY suf, doc, off)
+),
+p AS (
+  SELECT doc AS doc_a, off AS off_a, nb_doc AS doc_b, nb_off AS off_b,
+         substr(suf, 1, 64) AS sa, substr(nb_suf, 1, 64) AS sb
+  FROM o WHERE nb_doc IS NOT NULL
+),
+l AS (
+  SELECT doc_a, off_a, doc_b, off_b, sa,
+         least(
+           len(list_filter(range(1, 65), i -> substr(sa, 1, CAST(i AS INT))
+                                            = substr(sb, 1, CAST(i AS INT)))),
+           length(sa), length(sb)
+         ) AS lcp
+  FROM p
+),
+r AS (
+  SELECT *, row_number() OVER (
+           ORDER BY lcp DESC, doc_a, off_a, doc_b, off_b) AS rnk
+  FROM l WHERE lcp >= 4
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, doc_a, off_a, doc_b, off_b,
+       CAST(lcp AS BIGINT) AS lcp, substr(sa, 1, CAST(lcp AS INT)) AS dup_sub
+FROM r WHERE rnk <= 30
+"""

@@ -1,0 +1,80 @@
+"""Distributed suffix array (prefix doubling) + repeated-substring tests."""
+
+from __future__ import annotations
+
+import random
+
+from llm_graph_builder_spark.operators.suffix import (
+    repeated_substrings,
+    suffix_array,
+)
+
+
+def _truth_ranks(docs):
+    """Dense rank of every suffix string across the corpus (Python mirror)."""
+    sufs = sorted({t[o:] for _, t in docs for o in range(len(t))})
+    rank_of = {s: i for i, s in enumerate(sufs)}
+    return {
+        (str(d), o): rank_of[t[o:]] for d, t in docs for o in range(len(t))
+    }
+
+
+def test_suffix_array_matches_python_dense_rank(spark):
+    random.seed(11)
+    docs = [
+        (i, "".join(random.choice("abcd ") for _ in range(random.randint(1, 70))))
+        for i in range(15)
+    ]
+    docs.append((15, "aaaaaa"))  # overlapping self-similar suffixes
+    docs.append((16, docs[0][1]))  # identical doc → tied (shared) ranks
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc"], r["off"]): r["r"] for r in suffix_array(df).collect()}
+    assert got == _truth_ranks(docs)
+
+
+def test_suffix_array_early_exit_all_distinct(spark):
+    # every suffix distinct within the seed prefix → loop exits after round 0
+    docs = [(0, "abcdefgh"), (1, "ijklmnop")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc"], r["off"]): r["r"] for r in suffix_array(df, k0=16).collect()}
+    assert got == _truth_ranks(docs)
+
+
+def test_repeated_substrings_finds_shared_phrase(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (0, "alpha " + shared + " omega"),
+        (1, "start " + shared + " finish"),
+        (2, "unrelated text here with no overlap at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = repeated_substrings(df, top_n=5, min_lcp=10).collect()
+    assert top, "shared phrase not surfaced"
+    best = top[0]
+    # the top pair is the two occurrences of the shared phrase (either the
+    # phrase itself or its longest repeated extension/suffix)
+    assert best["lcp"] >= len(shared)
+    assert shared.startswith(best["dup_sub"][: len(shared)]) or (
+        best["dup_sub"] in ("alpha " + shared + " omega")
+        or best["dup_sub"] in ("start " + shared + " finish")
+    )
+    assert {best["doc_a"], best["doc_b"]} == {"0", "1"}
+
+
+def test_lcp_clamped_to_suffix_length_for_identical_docs(spark):
+    # identical 10-char docs: the deepest pair is the two full-text suffixes;
+    # lcp must be 10 (the suffix length), NOT the 64-char comparison cap
+    docs = [(0, "abcabcabca"), (1, "abcabcabca")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = repeated_substrings(df, top_n=3, min_lcp=2).collect()
+    assert top[0]["lcp"] == 10
+    assert top[0]["dup_sub"] == "abcabcabca"
+    assert (top[0]["off_a"], top[0]["off_b"]) == (0, 0)
+
+
+def test_dup_sub_is_the_actual_substring(spark):
+    docs = [(0, "xxHELLOWORLDxx"), (1, "yyHELLOWORLDyy")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = repeated_substrings(df, top_n=3, min_lcp=4).collect()
+    assert top[0]["lcp"] == len("HELLOWORLD")
+    assert top[0]["dup_sub"] == "HELLOWORLD"
