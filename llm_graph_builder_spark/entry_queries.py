@@ -1761,6 +1761,16 @@ def q_surprisal_bits(spark, sf_dir):
     return surprisal_bits(read_documents(spark, sf_dir))
 
 
+def q_kn_bits(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram cross-entropy gate — the full KenLM
+    math (absolute discount 3/4, continuation counts, backoff mass) as one
+    integer-exact fraction per token; the strongest of the three LM-gate
+    signals (unigram surprisal_bits, rarity bigram_novelty, KN kn_bits)."""
+    from .functions.textstats import kneser_ney_bits
+
+    return kneser_ney_bits(read_documents(spark, sf_dir))
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-doc salient terms: integer TF-IDF (floor-log2 idf bits), per-doc
     window top-5, deterministic tie-break."""
@@ -3847,4 +3857,5 @@ QUERIES = {
     "autocorrelation": q_autocorrelation,
     "partition_edgecut": q_partition_edgecut,
     "suffix_repeats": q_suffix_repeats,
+    "kn_bits": q_kn_bits,
 }

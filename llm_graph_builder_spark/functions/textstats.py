@@ -1098,3 +1098,97 @@ def decision_stump(
         cum.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= top_n)
     )
+
+
+def kneser_ney_bits(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per document — the real
+    KenLM math behind the CCNet perplexity gate (:func:`surprisal_bits` is
+    the unigram stand-in; :func:`bigram_novelty` scores raw transition
+    rarity; this adds absolute discounting, continuation counts, and the
+    backoff mass):
+
+        p(b|a) = max(c(ab) - D, 0)/c(a) + (D·N1+(a·)/c(a)) · N1+(·b)/Nt
+
+    with D = 3/4, c(a) = Σ_b c(ab), N1+(a·) = |{b : c(ab)>0}| (right types
+    after a), N1+(·b) = |{a : c(ab)>0}| (the CONTINUATION count — how many
+    contexts b completes, the KN signature), Nt = bigram type count.
+
+    INTEGER-EXACT: with D = 3/4 the probability is one fraction of BIGINTs
+
+        num = max(4·c(ab) - 3, 0)·Nt + 3·N1+(a·)·N1+(·b)
+        den = 4·c(a)·Nt
+
+    and the per-token bit cost is ``length(bin(den div num)) - 1`` (the
+    ``surprisal_bits`` floor-log2 trick) — no FP anywhere, so the DuckDB
+    oracle hash-matches bit-for-bit. Interpolated KN guarantees
+    Σ_b p(b|a) = 1, so den div num ≥ 1 always. NB: den = 4·c(a)·Nt needs
+    c(a)·Nt ≤ ~2·10¹⁸ — beyond ~10⁹-token corpora widen num/den to
+    DECIMAL(38,0); every comparison is unaffected.
+
+    Scale shape: ONE bigram-grain shuffle builds c(ab); the a-grain and
+    b-grain stats are aggregations OF THE TYPE TABLE (vocab²-bounded, far
+    below the data grain); the enriched LM re-joins the exploded bigrams
+    on the (a, b) key — the same two-shuffle recipe as the other LM gates,
+    plus two type-grain joins. Self-scored corpus → every doc bigram is in
+    the LM (num ≥ Nt ≥ 1); docs with <2 tokens emit zeros with NULL
+    ``max_bits``.
+
+    Output: (doc_id, n_bigrams, sum_bits, mean_bits_x100, max_bits).
+    """
+    from .iterutils import materialize
+
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).cast("string").alias("doc"), toks.alias("tk"))
+    pairs = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1), "
+            "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+    exploded, _ = materialize(
+        base.select("doc", F.explode(pairs).alias("p"))
+        .select("doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    c_ab = exploded.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    lm, _ = materialize(c_ab)
+    a_stats = lm.groupBy("a").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count("*").cast("long").alias("n1a"),
+    )
+    b_cont = lm.groupBy("b").agg(F.count("*").cast("long").alias("contb"))
+    nt = lm.agg(F.count("*").cast("long").alias("nt"))
+    enriched = (
+        lm.join(a_stats, on="a")
+        .join(b_cont, on="b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a", "b",
+            (
+                F.greatest(F.lit(4) * F.col("c_ab") - 3, F.lit(0)) * F.col("nt")
+                + F.lit(3) * F.col("n1a") * F.col("contb")
+            ).cast("long").alias("num"),
+            (F.lit(4) * F.col("c_a") * F.col("nt")).cast("long").alias("den"),
+        )
+    )
+    bits = (F.length(F.bin(F.expr("den div num"))) - 1).cast("long")
+    scored = exploded.join(enriched, on=["a", "b"]).groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(bits).cast("long").alias("sum_bits"),
+        F.max(bits).cast("long").alias("max_bits"),
+    )
+    return (
+        base.select("doc")
+        .join(scored, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
+            F.expr(
+                "coalesce(sum_bits, 0L) * 100L div greatest(coalesce(n_bigrams, 0L), 1L)"
+            ).cast("long").alias("mean_bits_x100"),
+            F.col("max_bits"),
+        )
+    )

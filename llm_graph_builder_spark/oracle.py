@@ -9159,3 +9159,47 @@ SELECT CAST(rnk AS BIGINT) AS rnk, doc_a, off_a, doc_b, off_b,
        CAST(lcp AS BIGINT) AS lcp, substr(sa, 1, CAST(lcp AS INT)) AS dup_sub
 FROM r WHERE rnk <= 30
 """
+
+# mirrors q_kn_bits / textstats.kneser_ney_bits: interpolated Kneser-Ney
+# bigram probability as ONE integer fraction (D = 3/4 →
+# num = max(4c_ab-3,0)·Nt + 3·N1a·contb, den = 4·c_a·Nt), per-token bits =
+# floor-log2(den // num) via the bin-length trick; identical stage order.
+ORACLE_SQL["kn_bits"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc, toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+  FROM base, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+lm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+a_stats AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a, CAST(count(*) AS BIGINT) AS n1a
+  FROM lm GROUP BY 1
+),
+b_cont AS (SELECT b, CAST(count(*) AS BIGINT) AS contb FROM lm GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM lm),
+enriched AS (
+  SELECT lm.a, lm.b,
+         greatest(4 * lm.c_ab - 3, 0) * nt.nt + 3 * a_stats.n1a * b_cont.contb AS num,
+         4 * a_stats.c_a * nt.nt AS den
+  FROM lm JOIN a_stats USING (a) JOIN b_cont USING (b) CROSS JOIN nt
+),
+scored AS (
+  SELECT g.doc, count(*) AS n_bigrams,
+         sum(length(bin(e.den // e.num)) - 1) AS sum_bits,
+         max(length(bin(e.den // e.num)) - 1) AS max_bits
+  FROM bg g JOIN enriched e ON e.a = g.a AND e.b = g.b
+  GROUP BY 1
+)
+SELECT b.doc AS doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.sum_bits, 0) AS BIGINT) AS sum_bits,
+       CAST(coalesce(s.sum_bits, 0) * 100 // greatest(coalesce(s.n_bigrams, 0), 1)
+            AS BIGINT) AS mean_bits_x100,
+       CAST(s.max_bits AS BIGINT) AS max_bits
+FROM base b LEFT JOIN scored s ON s.doc = b.doc
+"""

@@ -2688,3 +2688,56 @@ def test_ivf_append_matches_rebuild(spark, tmp_path):
     b = {(r.query_id, r.neighbor_id, r.cos_e4, r.rank)
          for r in search_ivf_index(spark, p_full, q, k=5, n_probe=3).collect()}
     assert a == b and len(a) > 0
+
+
+def test_kneser_ney_bits_matches_python_reference(spark):
+    from collections import Counter, defaultdict
+    from math import floor, log2
+
+    from llm_graph_builder_spark.functions.textstats import kneser_ney_bits
+
+    docs = [
+        (0, "a b a b c"),
+        (1, "a b c d"),
+        (2, "d d d a b"),
+        (3, "x"),          # <2 tokens → zeros
+        (4, ""),           # empty → zeros
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kneser_ney_bits(df).collect()}
+
+    # python mirror of the integer KN fraction
+    bgs = []
+    per_doc = defaultdict(list)
+    for d, t in docs:
+        tk = t.split()
+        for i in range(len(tk) - 1):
+            bgs.append((tk[i], tk[i + 1]))
+            per_doc[d].append((tk[i], tk[i + 1]))
+    c_ab = Counter(bgs)
+    c_a = Counter(); n1a = Counter(); contb = Counter()
+    for (a, b), c in c_ab.items():
+        c_a[a] += c; n1a[a] += 1; contb[b] += 1
+    nt = len(c_ab)
+    for d, _ in docs:
+        pairs = per_doc[d]
+        bits = [
+            floor(log2((4 * c_a[a] * nt) // (max(4 * c_ab[(a, b)] - 3, 0) * nt
+                                             + 3 * n1a[a] * contb[b])))
+            for a, b in pairs
+        ]
+        r = got[str(d)]
+        assert r["n_bigrams"] == len(pairs)
+        assert r["sum_bits"] == sum(bits)
+        assert r["max_bits"] == (max(bits) if bits else None)
+        assert r["mean_bits_x100"] == (sum(bits) * 100) // max(len(pairs), 1)
+
+    # interpolated KN sums to 1 over each context (sanity of the fraction)
+    for a in c_a:
+        tot_num = sum(
+            max(4 * c_ab[(a, b)] - 3, 0) * nt + 3 * n1a[a] * contb[b]
+            for b in contb if (a, b) in c_ab
+        )
+        # plus the backoff mass spread over UNSEEN b's completes to den
+        unseen = sum(3 * n1a[a] * contb[b] for b in contb if (a, b) not in c_ab)
+        assert tot_num + unseen == 4 * c_a[a] * nt
