@@ -1876,6 +1876,16 @@ def q_suffix_repeats(spark, sf_dir):
     return repeated_substrings(docs)
 
 
+def q_bwt_runs(spark, sf_dir):
+    """Burrows-Wheeler run-length compressibility audit (one row) over the
+    same doc_id % 10 suffix-array subset — n_runs/n as the corpus-level
+    exact-duplication signal (bzip2/FM-index r ≪ n folklore)."""
+    from .operators.suffix import bwt_runs
+
+    docs = read_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return bwt_runs(docs)
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Incremental Bloom-filter dedup: the filter is built over the whole
     corpus; the 'next ingest batch' is doc_id % 4 == 0 re-submitted unchanged
@@ -3858,4 +3868,5 @@ QUERIES = {
     "partition_edgecut": q_partition_edgecut,
     "suffix_repeats": q_suffix_repeats,
     "kn_bits": q_kn_bits,
+    "bwt_runs": q_bwt_runs,
 }

@@ -212,3 +212,76 @@ def repeated_substrings(
             F.expr("substr(sa, 1, cast(lcp as int))").alias("dup_sub"),
         )
     )
+
+
+def bwt_runs(
+    docs: DataFrame,
+    text_cap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Burrows-Wheeler run-length compressibility audit over the corpus —
+    BWT(i) = the character PRECEDING suffix SA[i] (start-of-doc → a \\x02
+    sentinel), read in suffix-array order. Heavily duplicated corpora
+    cluster equal characters into long BWT runs (the r ≪ n of bzip2/
+    FM-index folklore), so ``n_runs / n`` is a one-row exact-duplication
+    signal that complements ``repeated_substrings``'s top pairs.
+
+    Run boundaries need "previous char in SA order" and a running count of
+    run starts — both via the same two-level prefix-sum position machinery
+    as the SA itself (bucket = pos div 65536 is order-preserving), never a
+    single-partition window over the suffix grain.
+
+    Output: one row (n, n_runs, max_run, rle_ratio_e6) — ratio =
+    n_runs·10⁶ div n (lower = more compressible = more duplication).
+    """
+    sa = suffix_array(docs, text_cap=text_cap, text_col=text_col, id_col=id_col)
+    pos = _global_rank(
+        sa, (F.col("r") / _RANK_BUCKET).cast("long"), ["r", "doc", "off"]
+    ).select("doc", "off", F.col("_gr").alias("pos"))
+    texts = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.substring(F.col(text_col), 1, text_cap).alias("t"),
+    )
+    bwt = pos.join(texts, on="doc").select(
+        "pos",
+        F.when(F.col("off") == 0, F.lit("\x02"))
+        .otherwise(F.expr("substr(t, off, 1)"))
+        .alias("ch"),
+    )
+    prev = bwt.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("prev_ch"))
+    flags, _ = materialize(
+        bwt.join(prev, on="pos", how="left")
+        .select(
+            "pos",
+            (
+                F.col("prev_ch").isNull() | (F.col("ch") != F.col("prev_ch"))
+            ).cast("long").alias("is_start"),
+        )
+    )
+    # run id = running sum of starts in pos order (two-level prefix sum)
+    b = flags.withColumn("_bkt", (F.col("pos") / _RANK_BUCKET).cast("long"))
+    btot = b.groupBy("_bkt").agg(F.sum("is_start").alias("_bn"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        b.withColumn("_rin", F.sum("is_start").over(w_in))
+        .join(F.broadcast(offs), on="_bkt")
+        .select((F.col("_off") + F.col("_rin")).alias("run_id"))
+    )
+    per_run = runs.groupBy("run_id").agg(F.count("*").cast("long").alias("len"))
+    return per_run.agg(
+        F.sum("len").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("len").cast("long").alias("max_run"),
+    ).select(
+        "n", "n_runs", "max_run",
+        F.expr("n_runs * 1000000L div greatest(n, 1L)").cast("long").alias("rle_ratio_e6"),
+    )

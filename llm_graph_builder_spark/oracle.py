@@ -9203,3 +9203,39 @@ SELECT b.doc AS doc_id,
        CAST(s.max_bits AS BIGINT) AS max_bits
 FROM base b LEFT JOIN scored s ON s.doc = b.doc
 """
+
+# mirrors q_bwt_runs / suffix.bwt_runs: BWT char = char before each suffix in
+# SA order (off 0 → \x02 sentinel); runs counted via lag() boundaries; the
+# oracle sorts the materialized suffixes directly.
+ORACLE_SQL["bwt_runs"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, substr(text, 1, 128) AS t
+  FROM documents WHERE doc_id % 10 = 0 AND length(substr(text, 1, 128)) > 0
+),
+s AS (
+  SELECT doc, CAST(i AS BIGINT) AS off, substr(t, CAST(i AS INT) + 1) AS suf,
+         CASE WHEN i = 0 THEN chr(2) ELSE substr(t, CAST(i AS INT), 1) END AS ch
+  FROM d, unnest(range(length(t))) AS u(i)
+),
+o AS (
+  SELECT doc, off, suf, ch,
+         lag(ch) OVER (ORDER BY suf, doc, off) AS prev_ch
+  FROM s
+),
+f AS (
+  SELECT doc, off, suf,
+         CASE WHEN prev_ch IS NULL OR ch <> prev_ch THEN 1 ELSE 0 END AS is_start
+  FROM o
+),
+runs AS (
+  SELECT sum(is_start) OVER (ORDER BY suf, doc, off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM f
+),
+per AS (SELECT run_id, CAST(count(*) AS BIGINT) AS len FROM runs GROUP BY 1)
+SELECT CAST(sum(len) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST(count(*) * 1000000 // greatest(sum(len), 1) AS BIGINT) AS rle_ratio_e6
+FROM per
+"""

@@ -78,3 +78,44 @@ def test_dup_sub_is_the_actual_substring(spark):
     top = repeated_substrings(df, top_n=3, min_lcp=4).collect()
     assert top[0]["lcp"] == len("HELLOWORLD")
     assert top[0]["dup_sub"] == "HELLOWORLD"
+
+
+def test_bwt_runs_known_corpus(spark):
+    from llm_graph_builder_spark.operators.suffix import bwt_runs
+
+    # python truth for a small corpus
+    docs = [(0, "banana"), (1, "bananas"), (2, "abcabc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sufs = sorted(
+        ((t[o:], str(d), o) for d, t in docs for o in range(len(t))),
+    )
+    bwt = ["\x02" if o == 0 else t_of[o - 1] for (_, d, o) in sufs
+           for t_of in [dict((str(dd), tt) for dd, tt in docs)[d]]]
+    runs, prev = 0, None
+    mx = cur = 0
+    for ch in bwt:
+        if ch != prev:
+            runs += 1
+            cur = 1
+            prev = ch
+        else:
+            cur += 1
+        mx = max(mx, cur)
+    row = bwt_runs(df).collect()[0]
+    assert row["n"] == len(bwt)
+    assert row["n_runs"] == runs
+    assert row["max_run"] == mx
+    assert row["rle_ratio_e6"] == runs * 1_000_000 // len(bwt)
+
+
+def test_bwt_runs_duplication_lowers_ratio(spark):
+    from llm_graph_builder_spark.operators.suffix import bwt_runs
+
+    import random
+    random.seed(3)
+    uniq = [(i, "".join(random.choice("abcdefgh ") for _ in range(80)))
+            for i in range(8)]
+    dup = [(i, uniq[0][1]) for i in range(8)]  # 8 copies of one doc
+    r_u = bwt_runs(spark.createDataFrame(uniq, "doc_id long, text string")).collect()[0]
+    r_d = bwt_runs(spark.createDataFrame(dup, "doc_id long, text string")).collect()[0]
+    assert r_d["rle_ratio_e6"] < r_u["rle_ratio_e6"]
