@@ -567,11 +567,14 @@ def main():
     # --- late-r3 additions: mining / code-curation / hybrid-skew stages
     from llm_graph_builder_spark.entry_queries import (
         q_ahash_pairs,
+        q_bwt_runs,
         q_comment_density,
         q_hybrid_skew_join,
+        q_kn_bits,
         q_license_profile,
         q_maxsim_retrieval,
         q_repo_forks,
+        q_suffix_repeats,
         q_winnow_pairs,
     )
 
@@ -583,6 +586,12 @@ def main():
         (q_comment_density, "comment_density"),
         (q_repo_forks, "repo_forks"),
         (q_hybrid_skew_join, "hybrid_skew_join"),
+        # suffix_repeats at sf0.1 = ~640k suffixes through the full
+        # prefix-doubling rank-join rounds; kn_bits = ~15M doc bigrams
+        # through the type-grain KN stats + data-grain re-join
+        (q_suffix_repeats, "suffix_repeats"),
+        (q_kn_bits, "kn_bits"),
+        (q_bwt_runs, "bwt_runs"),
     ]:
         best_of(
             lambda qfn=qfn: qfn(spark, sf_dir)

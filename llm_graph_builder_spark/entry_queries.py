@@ -1863,6 +1863,22 @@ def q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(read_documents(spark, sf_dir))
 
 
+def _suffix_docs(spark, sf_dir):
+    return read_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+
+
+def _suffix_sa(spark, sf_dir):
+    """Memoized suffix array over the doc_id % 10 subset — the prefix-
+    doubling fixpoint runs once per session, shared by suffix_repeats and
+    bwt_runs."""
+    from .operators.suffix import suffix_array
+
+    return _memo(
+        spark, sf_dir, "suffix_sa",
+        lambda: suffix_array(_suffix_docs(spark, sf_dir)),
+    )
+
+
 def q_suffix_repeats(spark, sf_dir):
     """Exact repeated substrings via a distributed prefix-doubling suffix
     array (Lee et al. 2022's index, vs duplicate_spans' fixed-k windows) —
@@ -1872,8 +1888,9 @@ def q_suffix_repeats(spark, sf_dir):
     SA-adjacency LCP arithmetic."""
     from .operators.suffix import repeated_substrings
 
-    docs = read_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    return repeated_substrings(docs)
+    return repeated_substrings(
+        _suffix_docs(spark, sf_dir), sa=_suffix_sa(spark, sf_dir)
+    )
 
 
 def q_bwt_runs(spark, sf_dir):
@@ -1882,8 +1899,7 @@ def q_bwt_runs(spark, sf_dir):
     exact-duplication signal (bzip2/FM-index r ≪ n folklore)."""
     from .operators.suffix import bwt_runs
 
-    docs = read_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    return bwt_runs(docs)
+    return bwt_runs(_suffix_docs(spark, sf_dir), sa=_suffix_sa(spark, sf_dir))
 
 
 def q_bloom_dedup(spark, sf_dir):

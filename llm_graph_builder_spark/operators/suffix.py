@@ -131,6 +131,7 @@ def repeated_substrings(
     text_cap: int = 128,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sa: DataFrame | None = None,
 ) -> DataFrame:
     """Top verbatim repeated substrings via SA adjacency: sort suffixes by
     (rank, doc, off), pair each with its successor, and keep the ``top_n``
@@ -147,9 +148,13 @@ def repeated_substrings(
     oracle. Top-n uses the two-phase partial rank (per-partition
     prefilter, then a ≤ top_n·parts-row final window).
 
+    Pass a prebuilt ``sa`` (from :func:`suffix_array` over the SAME docs
+    and cap) to share one SA across this and :func:`bwt_runs`.
+
     Output: (rnk, doc_a, off_a, doc_b, off_b, lcp, dup_sub).
     """
-    sa = suffix_array(docs, text_cap=text_cap, text_col=text_col, id_col=id_col)
+    if sa is None:
+        sa = suffix_array(docs, text_cap=text_cap, text_col=text_col, id_col=id_col)
     pos = _global_rank(
         sa, (F.col("r") / _RANK_BUCKET).cast("long"), ["r", "doc", "off"]
     )
@@ -219,6 +224,7 @@ def bwt_runs(
     text_cap: int = 128,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sa: DataFrame | None = None,
 ) -> DataFrame:
     """Burrows-Wheeler run-length compressibility audit over the corpus —
     BWT(i) = the character PRECEDING suffix SA[i] (start-of-doc → a \\x02
@@ -234,8 +240,10 @@ def bwt_runs(
 
     Output: one row (n, n_runs, max_run, rle_ratio_e6) — ratio =
     n_runs·10⁶ div n (lower = more compressible = more duplication).
+    Pass a prebuilt ``sa`` to share one SA with :func:`repeated_substrings`.
     """
-    sa = suffix_array(docs, text_cap=text_cap, text_col=text_col, id_col=id_col)
+    if sa is None:
+        sa = suffix_array(docs, text_cap=text_cap, text_col=text_col, id_col=id_col)
     pos = _global_rank(
         sa, (F.col("r") / _RANK_BUCKET).cast("long"), ["r", "doc", "off"]
     ).select("doc", "off", F.col("_gr").alias("pos"))

@@ -534,6 +534,23 @@ def main() -> None:
         q["hybrid_skew_join"](spark, SF),
     )
     snap(
+        "Suffix-array repeated substrings (prefix doubling, no suffix strings)",
+        "Every prefix-doubling round is one equi-join on (doc, off+k) plus a "
+        "two-level prefix-sum dense re-rank (bucket offsets broadcast, "
+        "per-bucket windows) — rows stay (doc, off, rank, rank2) longs; no "
+        "suffix string longer than the 16-char seed key is ever shuffled, and "
+        "no single-partition window touches the suffix grain.",
+        q["suffix_repeats"](spark, SF),
+    )
+    snap(
+        "Kneser-Ney bigram gate (type-grain stats, one data-grain re-join)",
+        "c(ab) is ONE bigram-grain aggregation; c(a)/N1+(a·)/N1+(·b)/Nt are "
+        "aggregations of the TYPE table (vocab²-bounded); the enriched LM "
+        "re-joins the exploded bigrams on (a, b) and the per-doc rollup is "
+        "one doc-grain aggregation — integer-only arithmetic end to end.",
+        q["kn_bits"](spark, SF),
+    )
+    snap(
         "Partition edge-cut audit (single scan, unpivoted strategies)",
         "Both partition strategies' cut flags are computed side-by-side in "
         "ONE pass over the simple edge set and unpivoted after the "
