@@ -119,3 +119,25 @@ def test_bwt_runs_duplication_lowers_ratio(spark):
     r_u = bwt_runs(spark.createDataFrame(uniq, "doc_id long, text string")).collect()[0]
     r_d = bwt_runs(spark.createDataFrame(dup, "doc_id long, text string")).collect()[0]
     assert r_d["rle_ratio_e6"] < r_u["rle_ratio_e6"]
+
+
+def test_prefix_sum_rank_multi_bucket_path(spark, monkeypatch):
+    # shrink the rank-bucket width so the two-level prefix sum actually
+    # crosses bucket boundaries (the default 65536 keeps unit-sized corpora
+    # in one bucket and would leave the offset logic untested)
+    import llm_graph_builder_spark.operators.suffix as sx
+
+    monkeypatch.setattr(sx, "_RANK_BUCKET", 4)
+    random.seed(23)
+    docs = [
+        (i, "".join(random.choice("abc") for _ in range(random.randint(5, 40))))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc"], r["off"]): r["r"] for r in sx.suffix_array(df).collect()}
+    assert got == _truth_ranks(docs)
+    # bwt through the same narrowed buckets
+    row = sx.bwt_runs(df).collect()[0]
+    assert row["n"] == sum(len(t) for _, t in docs)
+    assert 1 <= row["n_runs"] <= row["n"]
+    assert row["max_run"] >= 1
