@@ -910,6 +910,15 @@ def q_kmv_sketch(spark, sf_dir):
     return kmv_distinct_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_seq_patterns(spark, sf_dir):
+    """Sequential-pattern support + lift (PrefixSpan length-2 core): users
+    with SOME ante event strictly before SOME cons event — first/last-
+    position trick, type-grain self-join, never an event-grain pair join."""
+    from .operators.sessions import seq_patterns
+
+    return seq_patterns(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transitions over per-user event sequences
     (one user-hash exchange, |types|²-bounded output, integer shares)."""
@@ -3885,4 +3894,5 @@ QUERIES = {
     "suffix_repeats": q_suffix_repeats,
     "kn_bits": q_kn_bits,
     "bwt_runs": q_bwt_runs,
+    "seq_patterns": q_seq_patterns,
 }

@@ -1549,3 +1549,73 @@ def ab_test_audit(events: DataFrame) -> DataFrame:
             " * (n_a + n_b - conv_a - conv_b), 1L)"
         ).alias("z2_e3"),
     )
+
+
+def seq_patterns(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Sequential-pattern support (PrefixSpan's length-2 core): for each
+    ordered type pair (ante → cons), how many users have SOME ante event
+    strictly before SOME cons event — the non-adjacent generalization of
+    :func:`event_transitions` (a → b counts even with other events between),
+    plus the sequence lift vs independent presence.
+
+    Scale shape — NO per-user event self-join: (ante before cons) for a
+    user ⟺ first_pos(ante) < last_pos(cons), so one user-grain window
+    assigns positions, one (user, type) aggregation keeps only first/last,
+    and the pair test is a per-user self-join of the TYPE-GRAIN table
+    (|types|² rows per user, bounded by the event-type vocabulary — never
+    the event count). Support/lift roll up map-side-combined.
+
+    lift_e6 = support·n_users·10⁶ div (ante_users·cons_users) — all BIGINT,
+    toward-zero division (portable to the oracle).
+
+    Output: (ante, cons, support, ante_users, cons_users, lift_e6),
+    ante ≠ cons.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        _ntz_micros(F.col(ts_col)), F.col(order_tiebreak)
+    )
+    pos = events.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(type_col).alias("t"),
+        F.row_number().over(w).alias("p"),
+    )
+    span = pos.groupBy("u", "t").agg(
+        F.min("p").alias("first_p"), F.max("p").alias("last_p")
+    )
+    a = span.select("u", F.col("t").alias("ante"), "first_p")
+    b = span.select("u", F.col("t").alias("cons"), "last_p")
+    supported = (
+        a.join(b, on="u")
+        .filter((F.col("ante") != F.col("cons")) & (F.col("first_p") < F.col("last_p")))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    presence = span.groupBy("t").agg(F.count("*").cast("long").alias("n_u"))
+    n_users = span.select("u").distinct().agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    return (
+        supported.join(
+            F.broadcast(presence.select(F.col("t").alias("ante"), F.col("n_u").alias("ante_users"))),
+            on="ante",
+        )
+        .join(
+            F.broadcast(presence.select(F.col("t").alias("cons"), F.col("n_u").alias("cons_users"))),
+            on="cons",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante", "cons", "support", "ante_users", "cons_users",
+            F.expr(
+                "support * n_users * 1000000L div greatest(ante_users * cons_users, 1L)"
+            ).cast("long").alias("lift_e6"),
+        )
+    )

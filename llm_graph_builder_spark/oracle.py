@@ -9239,3 +9239,35 @@ SELECT CAST(sum(len) AS BIGINT) AS n,
        CAST(count(*) * 1000000 // greatest(sum(len), 1) AS BIGINT) AS rle_ratio_e6
 FROM per
 """
+
+# mirrors q_seq_patterns / sessions.seq_patterns: (ante before cons) per user
+# ⟺ first_pos(ante) < last_pos(cons) over (epoch_us, event_id)-ordered
+# positions; support = user count; lift = support·n_users·1e6 // (ua·uc).
+ORACLE_SQL["seq_patterns"] = """
+WITH pos AS (
+  SELECT user_id AS u, event_type AS t,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS p
+  FROM events
+),
+span AS (
+  SELECT u, t, min(p) AS first_p, max(p) AS last_p FROM pos GROUP BY 1, 2
+),
+sup AS (
+  SELECT a.t AS ante, b.t AS cons, CAST(count(*) AS BIGINT) AS support
+  FROM span a JOIN span b ON a.u = b.u
+  WHERE a.t <> b.t AND a.first_p < b.last_p
+  GROUP BY 1, 2
+),
+pres AS (SELECT t, CAST(count(*) AS BIGINT) AS n_u FROM span GROUP BY 1),
+nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM span)
+SELECT s.ante, s.cons, s.support,
+       pa.n_u AS ante_users, pc.n_u AS cons_users,
+       CAST(s.support * nu.n_users * 1000000
+            // greatest(pa.n_u * pc.n_u, 1) AS BIGINT) AS lift_e6
+FROM sup s
+JOIN pres pa ON pa.t = s.ante
+JOIN pres pc ON pc.t = s.cons
+CROSS JOIN nu
+"""

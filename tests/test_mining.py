@@ -119,3 +119,35 @@ class TestNeymanAllocation:
             assert got[lang].alloc == round(100.0 * wh / tot)
         # zero-variance stratum gets zero allocation
         assert got["de"].alloc == 0
+
+
+def test_seq_patterns_first_last_trick(spark):
+    from datetime import datetime
+
+    from llm_graph_builder_spark.operators.sessions import seq_patterns
+
+    T = datetime
+    rows = [
+        # user 1: a, b, a  → a→b (a@1 < b@2), b→a (b@2 < a@3)
+        (1, T(2024, 1, 1, 0, 0), 1, "a", 0.0, "{}"),
+        (2, T(2024, 1, 1, 0, 1), 1, "b", 0.0, "{}"),
+        (3, T(2024, 1, 1, 0, 2), 1, "a", 0.0, "{}"),
+        # user 2: b, a      → b→a only
+        (4, T(2024, 1, 1, 0, 0), 2, "b", 0.0, "{}"),
+        (5, T(2024, 1, 1, 0, 1), 2, "a", 0.0, "{}"),
+        # user 3: a only    → nothing
+        (6, T(2024, 1, 1, 0, 0), 3, "a", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    )
+    got = {(r["ante"], r["cons"]): r for r in seq_patterns(df).collect()}
+    assert set(got) == {("a", "b"), ("b", "a")}
+    assert got[("a", "b")]["support"] == 1
+    assert got[("b", "a")]["support"] == 2
+    # a present for 3 users, b for 2; n_users = 3
+    assert got[("a", "b")]["ante_users"] == 3
+    assert got[("a", "b")]["cons_users"] == 2
+    assert got[("a", "b")]["lift_e6"] == 1 * 3 * 1_000_000 // (3 * 2)
+    assert got[("b", "a")]["lift_e6"] == 2 * 3 * 1_000_000 // (2 * 3)
