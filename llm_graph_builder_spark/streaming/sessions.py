@@ -116,3 +116,42 @@ def session_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_window_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark_minutes: int = 60
+) -> DataFrame:
+    """Spark's NATIVE gap sessionization — ``F.session_window`` + watermark
+    — beside the custom :func:`session_stream` stateful operator: the
+    built-in merges per-key windows whose events fall within ``gap`` of
+    each other and, in append mode, emits a session only once the
+    watermark passes its end (guaranteed-final rows, late events within
+    ``watermark_minutes`` still merge). Prefer this one when the built-in
+    grain (start/end/counts) suffices; the custom operator exists for the
+    batch-parity session_seq numbering the built-in cannot produce.
+
+    Output: (user_id, session_start, session_end, n_events, n_types).
+    """
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (not NTZ); the session zone is pinned
+    # UTC (session.py), so the NTZ→TIMESTAMP cast is a deterministic UTC
+    # reinterpretation, and the outputs cast back to NTZ to round-trip
+    evt = events.withColumn("_wts", F.col("ts").cast("timestamp"))
+    return (
+        evt.withWatermark("_wts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.session_window("_wts", f"{gap_minutes} minutes").alias("sw"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events", "n_types",
+        )
+    )

@@ -2741,3 +2741,49 @@ def test_kneser_ney_bits_matches_python_reference(spark):
         # plus the backoff mass spread over UNSEEN b's completes to den
         unseen = sum(3 * n1a[a] * contb[b] for b in contb if (a, b) not in c_ab)
         assert tot_num + unseen == 4 * c_a[a] * nt
+
+
+def test_streaming_native_session_window(spark, tmp_path):
+    """F.session_window + watermark (append mode): sessions finalize only
+    after the watermark passes, and in-gap events merge into one session."""
+    from datetime import datetime
+
+    from llm_graph_builder_spark.streaming.sessions import session_window_stream
+
+    cols = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    t = lambda m: datetime(2026, 1, 1, 10 + m // 60, m % 60)
+    batch1 = [
+        (1, 7, t(0), "view"), (2, 7, t(5), "click"),   # one session (gap 30)
+        (3, 9, t(0), "view"),
+    ]
+    batch2 = [
+        (4, 7, t(600), "view"),  # far future: advances watermark past batch1
+    ]
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "win"), str(tmp_path / "wout"), str(tmp_path / "wck"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(cols).parquet(in_dir)
+        q = (
+            session_window_stream(stream, gap_minutes=30, watermark_minutes=60)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()  # watermark still at epoch → nothing finalized yet
+    batch1_out = spark.read.parquet(out_dir).count() if \
+        any(f.suffix == ".parquet" for f in (tmp_path / "wout").glob("*")) else 0
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()  # watermark jumps to t(600)-60min → batch1 sessions finalize
+    rows = {(r.user_id): (r.n_events, r.n_types, r.session_start, r.session_end)
+            for r in spark.read.parquet(out_dir).collect()}
+    assert batch1_out == 0
+    assert rows[7] == (2, 2, t(0), t(35))   # merged 2-event session, end+gap
+    assert rows[9] == (1, 1, t(0), t(30))
