@@ -567,16 +567,23 @@ def main():
     # --- late-r3 additions: mining / code-curation / hybrid-skew stages
     from llm_graph_builder_spark.entry_queries import (
         q_ahash_pairs,
-        q_bwt_runs,
         q_comment_density,
         q_hybrid_skew_join,
         q_kn_bits,
         q_license_profile,
         q_maxsim_retrieval,
         q_repo_forks,
-        q_suffix_repeats,
+        q_seq_patterns,
         q_winnow_pairs,
     )
+    from llm_graph_builder_spark.operators.suffix import repeated_substrings
+
+    def q_suffix_repeats_fresh(spark, sf_dir):
+        # direct operator call (NOT the memoized q_suffix_repeats wrapper):
+        # every best-of iteration rebuilds the full prefix-doubling suffix
+        # array over ~640k suffixes — the stage measures the SA, not a cache
+        docs = read_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+        return repeated_substrings(docs)
 
     for qfn, qname in [
         (q_maxsim_retrieval, "maxsim_retrieval"),
@@ -586,12 +593,12 @@ def main():
         (q_comment_density, "comment_density"),
         (q_repo_forks, "repo_forks"),
         (q_hybrid_skew_join, "hybrid_skew_join"),
-        # suffix_repeats at sf0.1 = ~640k suffixes through the full
-        # prefix-doubling rank-join rounds; kn_bits = ~15M doc bigrams
-        # through the type-grain KN stats + data-grain re-join
-        (q_suffix_repeats, "suffix_repeats"),
+        # kn_bits = ~15M doc bigrams through the type-grain KN stats +
+        # data-grain re-join; seq_patterns = one user exchange + type-grain
+        # pair join; suffix = the prefix-doubling rank-join rounds
+        (q_suffix_repeats_fresh, "suffix_repeats"),
         (q_kn_bits, "kn_bits"),
-        (q_bwt_runs, "bwt_runs"),
+        (q_seq_patterns, "seq_patterns"),
     ]:
         best_of(
             lambda qfn=qfn: qfn(spark, sf_dir)

@@ -2439,6 +2439,15 @@ def q_personalized_pagerank(spark, sf_dir):
     )
 
 
+def q_densest_subgraph(spark, sf_dir):
+    """Bahmani parallel-peel densest-subgraph trace over the entity graph
+    (2(1+1/4)-approx; per-round density, is_best marks the kept round)."""
+    from .operators.graph_analytics import densest_subgraph
+
+    t = pipeline_tables(spark, sf_dir)
+    return densest_subgraph(t["entity_edges"])
+
+
 def q_kcore(spark, sf_dir):
     """k-core membership (bounded-round peel; both engines run identical
     rounds, so the value check holds whether or not the peel converged)."""
@@ -3895,4 +3904,5 @@ QUERIES = {
     "kn_bits": q_kn_bits,
     "bwt_runs": q_bwt_runs,
     "seq_patterns": q_seq_patterns,
+    "densest_subgraph": q_densest_subgraph,
 }

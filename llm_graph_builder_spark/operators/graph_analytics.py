@@ -3637,3 +3637,63 @@ def _mis_py(
         active -= set(sel) | set(exc)
     out.extend((n, "unresolved", 0) for n in active)
     return out
+
+
+def densest_subgraph(
+    entity_edges: DataFrame,
+    rounds: int = 16,
+) -> DataFrame:
+    """Densest-subgraph 2(1+ε) approximation by parallel peeling (Bahmani,
+    Kumar & Vassilvitskii, VLDB 2012 — THE MapReduce densest-subgraph
+    recipe; GDS has no direct analog): each round reports the surviving
+    subgraph's density, then drops every node whose degree is below
+    (1+ε)·avg = 2(1+ε)·m/n with ε = 1/4 — integer test 2·deg·n ≥ 5·m —
+    so the node set shrinks geometrically and O(log n) rounds reach empty.
+    The best-density round is the approximate densest subgraph (dense
+    community / boilerplate hub detector on the entity graph).
+
+    Both engines run IDENTICAL fixed rounds (the loop early-exits when the
+    edge set empties; the oracle's post-empty rounds emit no rows), and
+    every value is integer (density_e6 = m·10⁶ div n; is_best picks the
+    max e6 density, earliest round on ties) — the kcore mirror argument.
+
+    Nodes without edges never enter (density over the edge-bearing
+    subgraph — removing an isolated node only raises density). Scale
+    shape per round: one degree aggregation + two semi-joins on the
+    shrinking edge set; the per-round trace is ≤ ``rounds`` driver rows.
+
+    Output: (rnd, n_nodes, n_edges, density_e6, is_best).
+    """
+    und, m = materialize(simple_undirected(entity_edges))
+    spark = entity_edges.sparkSession
+    trace: list[tuple[int, int, int]] = []
+    cur, m_cur = und, m
+    for i in range(1, rounds + 1):
+        if m_cur == 0:
+            break
+        deg = degree_table(cur)
+        n_cur = deg.count()
+        trace.append((i, n_cur, m_cur))
+        keep = deg.filter(
+            F.lit(2) * F.col("degree") * F.lit(n_cur) >= F.lit(5) * F.lit(m_cur)
+        ).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), on="u", how="left_semi")
+            .join(keep.withColumnRenamed("node", "v"), on="v", how="left_semi")
+            .select("u", "v")
+        )
+        nxt, m_nxt = materialize(nxt, previous=cur)
+        cur, m_cur = nxt, m_nxt
+    cur.unpersist()
+    rows = [
+        (i, n, m_, m_ * 1_000_000 // n) for (i, n, m_) in trace
+    ]
+    best = max(((d, -i) for (i, _, _, d) in rows), default=None)
+    out = [
+        (i, n, m_, d, best is not None and (d, -i) == best)
+        for (i, n, m_, d) in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "rnd long, n_nodes long, n_edges long, density_e6 long, is_best boolean",
+    )

@@ -9271,3 +9271,46 @@ JOIN pres pa ON pa.t = s.ante
 JOIN pres pc ON pc.t = s.cons
 CROSS JOIN nu
 """
+
+
+def _densest_sql(rounds: int = 16) -> str:
+    """Unrolled Bahmani peel mirror (identical fixed rounds to the Spark
+    loop; post-empty rounds emit no rows), MATERIALIZED per round."""
+    parts = [_UND_CTE + """,
+de0 AS MATERIALIZED (SELECT u, v FROM und)"""]
+    selects = []
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+dd{i} AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM de{i - 1} UNION ALL SELECT v AS node FROM de{i - 1}
+  ) GROUP BY node
+),
+ds{i} AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM dd{i}) AS n,
+         (SELECT count(*) FROM de{i - 1}) AS m
+),
+de{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM de{i - 1} e
+  JOIN dd{i} a ON a.node = e.u
+  JOIN dd{i} b ON b.node = e.v
+  CROSS JOIN ds{i} s
+  WHERE 2 * a.degree * s.n >= 5 * s.m AND 2 * b.degree * s.n >= 5 * s.m
+)""")
+        selects.append(
+            f"SELECT {i} AS rnd, n, m FROM ds{i} WHERE m > 0"
+        )
+    parts.append(f""",
+trace AS ({' UNION ALL '.join(selects)})
+SELECT CAST(rnd AS BIGINT) AS rnd, CAST(n AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       CAST(m * 1000000 // n AS BIGINT) AS density_e6,
+       (row_number() OVER (ORDER BY m * 1000000 // n DESC, rnd ASC) = 1)
+         AS is_best
+FROM trace
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+# mirrors q_densest_subgraph / graph_analytics.densest_subgraph
+ORACLE_SQL["densest_subgraph"] = _densest_sql()

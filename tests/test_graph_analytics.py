@@ -1136,3 +1136,49 @@ def test_boruvka_driver_and_distributed_paths_agree(spark):
         for u, v, w in _kruskal(pairs)
     }
     assert {(r.u_id, r.u_label, r.v_id, r.v_label, r.w) for r in drv.collect()} == want
+
+
+def test_densest_subgraph_peel_finds_clique(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import densest_subgraph
+
+    # 6-clique (density 15/6 = 2.5) + a 12-node path tail hanging off it
+    # (path nodes have degree <= 2 and peel away first)
+    edges = []
+    clique = [f"c{i}" for i in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.append((clique[i], clique[j]))
+    tail = ["c0"] + [f"t{i}" for i in range(12)]
+    for a, b in zip(tail, tail[1:]):
+        edges.append((a, b))
+    df = spark.createDataFrame(
+        [(a, "L", "REL", b, "L", 1) for a, b in edges],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    rows = densest_subgraph(df).collect()
+    assert len(rows) >= 2, "expected a multi-round peel"
+    # python mirror of the integer peel
+    und = {tuple(sorted((f"{a}\x01L", f"{b}\x01L"))) for a, b in edges}
+    trace = []
+    cur = set(und)
+    for i in range(1, 17):
+        if not cur:
+            break
+        deg = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        n, m = len(deg), len(cur)
+        trace.append((i, n, m, m * 1_000_000 // n))
+        keep = {x for x, d in deg.items() if 2 * d * n >= 5 * m}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    best = max(((d, -i) for i, _, _, d in trace))
+    got = sorted((r.rnd, r.n_nodes, r.n_edges, r.density_e6) for r in rows)
+    assert got == trace
+    for r in rows:
+        assert r.is_best == ((r.density_e6, -r.rnd) == best)
+    # the best round's subgraph is the clique: density 2.5 > initial
+    best_row = [r for r in rows if r.is_best][0]
+    assert best_row.density_e6 == 2_500_000
+    assert best_row.n_nodes == 6 and best_row.n_edges == 15
