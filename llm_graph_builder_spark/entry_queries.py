@@ -919,6 +919,14 @@ def q_seq_patterns(spark, sf_dir):
     return seq_patterns(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_poisson_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap replicate means of order value (one-pass web-scale
+    bootstrap; exact md5 inverse-CDF weights, integer-cent means)."""
+    from .operators.mining import poisson_bootstrap
+
+    return poisson_bootstrap(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transitions over per-user event sequences
     (one user-hash exchange, |types|²-bounded output, integer shares)."""
@@ -3905,4 +3913,5 @@ QUERIES = {
     "bwt_runs": q_bwt_runs,
     "seq_patterns": q_seq_patterns,
     "densest_subgraph": q_densest_subgraph,
+    "poisson_bootstrap": q_poisson_bootstrap,
 }

@@ -236,3 +236,65 @@ def maxsim_scores(
         .filter(F.col("rnk") <= top)
         .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^48 — w = #{thresholds < u48} gives
+#: an exact inverse-CDF draw from a 48-bit md5 uniform (P(w=k) = e^-1/k!,
+#: truncated at 8 — tail mass < 1e-8). Inlined as constants so the DuckDB
+#: oracle replays the identical integers.
+_POIS1_T48 = [
+    103548857136060, 207097714272121, 258872142840152, 276130285696162,
+    280444821410164, 281307728552965, 281451546410098, 281472091818260,
+]
+
+
+def poisson_bootstrap(
+    orders: DataFrame,
+    n_reps: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap of the mean order value — the ONE-PASS resampling
+    scheme for data too large to index (each row independently receives a
+    Poisson(1) multiplicity per replicate, so no global n is needed and
+    the draw streams; the classic web-scale bootstrap). Deterministic:
+    replicate b's weight for order o is the exact inverse-CDF of a 48-bit
+    md5(salt:o:b) uniform against the inlined Poisson(1) thresholds.
+
+    Money is integer cents; each replicate's mean is one integer division
+    (sum(w·cents) div sum(w)) — the replicate SPREAD (compare the 32 means'
+    min/max/deciles downstream) is the standard error estimate, with zero
+    FP anywhere.
+
+    Scale shape: the explode to (row × replicate) feeds a map-side-combined
+    aggregation whose output is ``n_reps`` groups — the shuffle carries
+    n_reps rows per task regardless of data size.
+
+    Output: (rep, n_rows, w_total, mean_cents), one row per replicate.
+    """
+    th = ", ".join(str(t) for t in _POIS1_T48)
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("okey"), cents.alias("cents")
+    ).withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))))
+    u48 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), "okey", "rep")), 1, 12),
+        16, 10,
+    ).cast("long")
+    w = F.expr(
+        f"size(filter(array({th}), t -> t < u48))"
+    ).cast("long")
+    return (
+        base.withColumn("u48", u48)
+        .withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("w").cast("long").alias("w_total"),
+            F.expr("sum(w * cents) div greatest(sum(w), 1L)")
+            .cast("long").alias("mean_cents"),
+        )
+        .select(
+            F.col("rep").cast("long").alias("rep"), "n_rows", "w_total",
+            "mean_cents",
+        )
+    )

@@ -9314,3 +9314,30 @@ FROM trace
 
 # mirrors q_densest_subgraph / graph_analytics.densest_subgraph
 ORACLE_SQL["densest_subgraph"] = _densest_sql()
+
+# mirrors q_poisson_bootstrap / mining.poisson_bootstrap: identical md5
+# 48-bit uniforms vs the same inlined Poisson(1) CDF thresholds; integer
+# cents and integer replicate means.
+ORACLE_SQL["poisson_bootstrap"] = """
+WITH reps AS (
+  SELECT o_orderkey AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(r AS BIGINT) AS rep
+  FROM orders, unnest(range(32)) AS t(r)
+),
+drawn AS (
+  SELECT rep, cents,
+         len(list_filter(
+           [103548857136060, 207097714272121, 258872142840152,
+            276130285696162, 280444821410164, 281307728552965,
+            281451546410098, 281472091818260],
+           t -> t < CAST(('0x' || substr(md5('boot:' || okey || ':' || rep), 1, 12))
+                         AS BIGINT)
+         )) AS w
+  FROM reps
+)
+SELECT rep, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(w) AS BIGINT) AS w_total,
+       CAST(sum(w * cents) // greatest(sum(w), 1) AS BIGINT) AS mean_cents
+FROM drawn GROUP BY rep
+"""

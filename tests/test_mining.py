@@ -151,3 +151,30 @@ def test_seq_patterns_first_last_trick(spark):
     assert got[("a", "b")]["cons_users"] == 2
     assert got[("a", "b")]["lift_e6"] == 1 * 3 * 1_000_000 // (3 * 2)
     assert got[("b", "a")]["lift_e6"] == 2 * 3 * 1_000_000 // (2 * 3)
+
+
+def test_poisson_bootstrap_weights_and_means(spark):
+    import hashlib
+
+    from llm_graph_builder_spark.operators.mining import (
+        _POIS1_T48,
+        poisson_bootstrap,
+    )
+
+    rows = [(k, 10.0 + k) for k in range(40)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    got = {r["rep"]: r for r in poisson_bootstrap(df, n_reps=4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for b in range(4):
+        ws, num = [], 0
+        for k, price in rows:
+            u = int(hashlib.md5(f"boot:{k}:{b}".encode()).hexdigest()[:12], 16)
+            w = sum(1 for t in _POIS1_T48 if t < u)
+            ws.append(w)
+            num += w * round(price * 100)
+        assert got[b]["n_rows"] == 40
+        assert got[b]["w_total"] == sum(ws)
+        assert got[b]["mean_cents"] == num // max(sum(ws), 1)
+    # weights across replicates average near 1 (Poisson(1) law sanity)
+    totals = [got[b]["w_total"] for b in range(4)]
+    assert 0.6 * 40 <= sum(totals) / 4 <= 1.4 * 40
