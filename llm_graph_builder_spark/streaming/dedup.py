@@ -116,3 +116,104 @@ def start_watermarked_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_incremental_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_hashes: int = 9,
+    band_size: int = 3,
+    min_matches: int = 6,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming NEAR-duplicate detection — the MinHash-LSH complement of
+    :func:`start_incremental_dedup`'s exact-hash Bloom stream: each
+    micro-batch's docs are banded (same band-key law as
+    ``operators/dedup.py::_minhash_banded``) and joined against the band
+    log of everything seen so far; candidates are verified by SIGNATURE
+    AGREEMENT (matching minhashes / n_hashes estimates Jaccard — no
+    shingle re-read of history), flagged when ≥ ``min_matches`` agree.
+
+    State: two append-only parquet logs, both bounded by DISTINCT content
+    — ``bands`` (doc, band) and ``sigs`` (doc, mh0..mh{n-1}); the
+    historical corpus text is never re-read, the logs are distinct-ed on
+    read so at-least-once foreachBatch retries stay idempotent.
+
+    Output log: ``near_flags`` (doc, old_doc, n_match, est_jaccard_e4,
+    batch_id) — cross-batch candidates only (intra-batch dups are the
+    batch operators' job, as in the Bloom stream).
+    """
+    from ..operators.dedup import minhash_signatures
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    bands_dir = f"{output_dir}/bands"
+    sigs_dir = f"{output_dir}/sigs"
+    flags_dir = f"{output_dir}/near_flags"
+    n_bands = n_hashes // band_size
+    mh_cols = [f"mh{i}" for i in range(n_hashes)]
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        keys = [
+            F.concat_ws(
+                "|", F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+        return sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+
+    def process(batch_df: DataFrame, batch_id: int):
+        sigs_new = minhash_signatures(batch_df, n_hashes=n_hashes).drop(
+            "shingles"
+        ).localCheckpoint(eager=True)
+        banded_new = _banded(sigs_new)
+        try:
+            old_bands = spark.read.parquet(bands_dir).distinct()
+            old_sigs = spark.read.parquet(sigs_dir).distinct()
+        except Exception:  # first batch: no state yet
+            old_bands = old_sigs = None
+        if old_bands is not None:
+            cands = (
+                banded_new.join(
+                    old_bands.withColumnRenamed("doc", "old_doc"), on="band"
+                )
+                .select("doc", "old_doc")
+                .dropDuplicates(["doc", "old_doc"])
+            )
+            agree = sum(
+                (F.col(f"n.{c}") == F.col(f"o.{c}")).cast("int") for c in mh_cols
+            )
+            flags = (
+                cands.join(sigs_new.alias("n"), on="doc")
+                .join(
+                    old_sigs.withColumnRenamed("doc", "old_doc").alias("o"),
+                    on="old_doc",
+                )
+                .select(
+                    "doc", "old_doc",
+                    agree.cast("long").alias("n_match"),
+                )
+                .filter(F.col("n_match") >= min_matches)
+                .withColumn(
+                    "est_jaccard_e4",
+                    F.expr(f"n_match * 10000L div {n_hashes}").cast("long"),
+                )
+            )
+            flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(flags_dir)
+        banded_new.write.mode("append").parquet(bands_dir)
+        sigs_new.write.mode("append").parquet(sigs_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2787,3 +2787,44 @@ def test_streaming_native_session_window(spark, tmp_path):
     assert batch1_out == 0
     assert rows[7] == (2, 2, t(0), t(35))   # merged 2-event session, end+gap
     assert rows[9] == (1, 1, t(0), t(30))
+
+
+def test_streaming_incremental_neardup(spark, tmp_path):
+    """Cross-batch NEAR-duplicates (one word changed) are flagged via band
+    match + signature agreement; unrelated content is not; state logs are
+    bounded by distinct content and re-runs append nothing."""
+    from llm_graph_builder_spark.streaming.dedup import start_incremental_neardup
+
+    inp, out, ckpt = str(tmp_path / "nin"), str(tmp_path / "nout"), str(tmp_path / "nck")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, "completely different words entirely here nothing shared at all "
+             "with any other document in this corpus whatsoever", "en", "s", 50)],
+        schema,
+    ).coalesce(1).write.parquet(inp)
+    q = start_incremental_neardup(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    # batch 2: near-dup of doc 1 (one token changed) + unrelated doc
+    near = base.replace("epsilon", "CHANGED")
+    spark.createDataFrame(
+        [(3, near, "en", "s", len(near)),
+         (4, "yet more unrelated text tokens that match nothing prior "
+             "in any shingle window of this streaming corpus", "en", "s", 50)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = start_incremental_neardup(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    flags = spark.read.parquet(f"{out}/near_flags").collect()
+    pairs = {(r.doc, r.old_doc): r for r in flags}
+    assert ("3", "1") in pairs, f"near-dup not flagged: {pairs}"
+    r = pairs[("3", "1")]
+    assert r.n_match >= 6 and r.est_jaccard_e4 == r.n_match * 10000 // 9
+    assert not any(d == "4" for d, _ in pairs)
+    # re-run with no new files: nothing appended (exactly-once)
+    n_before = len(flags)
+    q3 = start_incremental_neardup(spark, inp, out, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/near_flags").count() == n_before
