@@ -2316,6 +2316,57 @@ def q_ann_lsh(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk").withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph (adjacent whitespace tokens, canonical pair
+    weights) — reuses the GDS-analog pagerank operator verbatim by shaping
+    words as 'W'-labeled entities; top-30 by e6-quantized rank, word-asc
+    ties. Oracle: the same word-graph prefix through the identical
+    unrolled PageRank round chain (_pr_rounds)."""
+    from .functions.textstats import _tokens
+    from .operators.graph_analytics import pagerank
+
+    docs = read_documents(spark, sf_dir)
+    base = docs.select(_tokens(F.col("text")).alias("tk"))
+    bg = base.filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    edges = (
+        bg.select(F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .select(
+            F.col("w1").alias("subj_id"), F.lit("W").alias("subj_label"),
+            F.lit("COOC").alias("pred"),
+            F.col("w2").alias("obj_id"), F.lit("W").alias("obj_label"),
+            "weight",
+        )
+    )
+    nodes = base.select(F.explode("tk").alias("id")).distinct().select(
+        "id", F.lit("W").alias("label")
+    )
+    pr = pagerank(edges, nodes, iterations=6).select(
+        F.col("id").alias("word"),
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
+    )
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("rank_e6"), F.asc("word")
+    )
+    final = Window.orderBy(F.desc("rank_e6"), F.asc("word"))
+    return (
+        pr.withColumn("_p", F.row_number().over(pre))
+        .filter(F.col("_p") <= 30)
+        .withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= 30)
+        .select(F.col("rnk").cast("long").alias("rnk"), "word", "rank_e6")
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """GDS-analog weighted PageRank over the symmetric entity graph (fixed
     6 rounds, no early stop) — the oracle unrolls the identical rounds as
@@ -3914,4 +3965,5 @@ QUERIES = {
     "seq_patterns": q_seq_patterns,
     "densest_subgraph": q_densest_subgraph,
     "poisson_bootstrap": q_poisson_bootstrap,
+    "textrank_keywords": q_textrank_keywords,
 }

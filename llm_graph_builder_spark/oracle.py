@@ -2838,6 +2838,33 @@ JOIN edeg db ON db.entity_id = p.id_b AND db.entity_label = p.label_b
 """
 
 
+def _pr_rounds(iterations: int, damping: float) -> str:
+    """The d{i}/c{i}/r{i} PageRank round chain — references only the
+    ``nodes``/``nn``/``shares``/``r0`` CTEs, so any graph prefix that
+    defines those (entity graph, word co-occurrence graph) can reuse it."""
+    parts = []
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.pr), 0.0) AS dmass FROM r{i - 1} r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM shares s WHERE s.uid = r.id AND s.ulab = r.label)
+),
+c{i} AS MATERIALIZED (
+  SELECT s.vid AS id, s.vlab AS label, sum(r.pr * s.share) AS inflow
+  FROM r{i - 1} r JOIN shares s ON s.uid = r.id AND s.ulab = r.label
+  GROUP BY 1, 2
+),
+r{i} AS MATERIALIZED (
+  SELECT n.id, n.label,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (coalesce(c.inflow, 0.0) + d.dmass / nn.n) AS pr
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d
+  LEFT JOIN c{i} c ON c.id = n.id AND c.label = n.label
+)""")
+    return "".join(parts)
+
+
 def _pagerank_sql(iterations: int = 6, damping: float = 0.85) -> str:
     """Unrolled PageRank mirror: one (dangling-mass, inflow, rank) CTE triple
     per round, expressions shaped exactly like the Spark operator's
@@ -2868,25 +2895,7 @@ shares AS MATERIALIZED (
   FROM sym0 s JOIN wdeg d ON d.uid = s.uid AND d.ulab = s.ulab
 ),
 r0 AS MATERIALIZED (SELECT id, label, 1.0 / nn.n AS pr FROM nodes, nn)"""]
-    for i in range(1, iterations + 1):
-        parts.append(f""",
-d{i} AS MATERIALIZED (
-  SELECT coalesce(sum(r.pr), 0.0) AS dmass FROM r{i - 1} r
-  WHERE NOT EXISTS (
-    SELECT 1 FROM shares s WHERE s.uid = r.id AND s.ulab = r.label)
-),
-c{i} AS MATERIALIZED (
-  SELECT s.vid AS id, s.vlab AS label, sum(r.pr * s.share) AS inflow
-  FROM r{i - 1} r JOIN shares s ON s.uid = r.id AND s.ulab = r.label
-  GROUP BY 1, 2
-),
-r{i} AS MATERIALIZED (
-  SELECT n.id, n.label,
-         (1.0 - {damping}) / nn.n
-           + {damping} * (coalesce(c.inflow, 0.0) + d.dmass / nn.n) AS pr
-  FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d
-  LEFT JOIN c{i} c ON c.id = n.id AND c.label = n.label
-)""")
+    parts.append(_pr_rounds(iterations, damping))
     parts.append(f"""
 SELECT id, label, CAST(round(pr * 1000000) AS BIGINT) AS rank_e6
 FROM r{iterations}
@@ -9341,3 +9350,61 @@ SELECT rep, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(w * cents) // greatest(sum(w), 1) AS BIGINT) AS mean_cents
 FROM drawn GROUP BY rep
 """
+
+
+def _textrank_sql(iterations: int = 6, damping: float = 0.85, top_n: int = 30) -> str:
+    """TextRank keywords mirror: the word co-occurrence graph (adjacent
+    whitespace tokens, canonical pair counts) fed through the SAME
+    PageRank round chain as the entity-graph mirror (_pr_rounds), then the
+    e6-quantized top-``top_n`` (ties by word asc)."""
+    prefix = """
+WITH base AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+  FROM base, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+cpairs AS (
+  SELECT least(a, b) AS w1, greatest(a, b) AS w2, CAST(count(*) AS BIGINT) AS w
+  FROM bg WHERE a <> b GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT unnest(toks) AS id, 'W' AS label FROM base
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+sd AS (
+  SELECT w1 AS uid, 'W' AS ulab, w2 AS vid, 'W' AS vlab, w FROM cpairs
+  UNION ALL
+  SELECT w2, 'W', w1, 'W', w FROM cpairs
+),
+sym0 AS MATERIALIZED (
+  SELECT uid, ulab, vid, vlab, CAST(sum(w) AS BIGINT) AS w
+  FROM sd GROUP BY 1, 2, 3, 4
+),
+wdeg AS (SELECT uid, ulab, CAST(sum(w) AS BIGINT) AS wd FROM sym0 GROUP BY 1, 2),
+shares AS MATERIALIZED (
+  SELECT s.uid, s.ulab, s.vid, s.vlab, s.w / d.wd AS share
+  FROM sym0 s JOIN wdeg d ON d.uid = s.uid AND d.ulab = s.ulab
+),
+r0 AS MATERIALIZED (SELECT id, label, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    tail = f""",
+ranked AS (
+  SELECT id AS word, CAST(round(pr * 1000000) AS BIGINT) AS rank_e6
+  FROM r{iterations}
+),
+topn AS (
+  SELECT word, rank_e6,
+         row_number() OVER (ORDER BY rank_e6 DESC, word ASC) AS rnk
+  FROM ranked
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, word, rank_e6 FROM topn WHERE rnk <= {top_n}
+"""
+    return prefix + _pr_rounds(iterations, damping) + tail
+
+
+# mirrors q_textrank_keywords: word-graph PageRank (TextRank, Mihalcea &
+# Tarau 2004) through the identical unrolled rounds.
+ORACLE_SQL["textrank_keywords"] = _textrank_sql()

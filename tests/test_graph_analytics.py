@@ -1182,3 +1182,23 @@ def test_densest_subgraph_peel_finds_clique(spark):
     best_row = [r for r in rows if r.is_best][0]
     assert best_row.density_e6 == 2_500_000
     assert best_row.n_nodes == 6 and best_row.n_edges == 15
+
+
+def test_textrank_keywords_hub_word_wins(spark):
+    from llm_graph_builder_spark.entry_queries import q_textrank_keywords
+
+    # build a corpus where "hub" co-occurs with everything; write it as the
+    # documents table a q_ wrapper expects
+    import tempfile
+
+    rows = [(i, f"hub w{i} hub w{i} filler{i}", "en", "s", 20) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = q_textrank_keywords(spark, d).collect()
+    assert out[0]["word"] == "hub" and out[0]["rnk"] == 1
+    ranks = [r["rnk"] for r in out]
+    assert ranks == sorted(ranks)
+    assert all(out[i]["rank_e6"] >= out[i + 1]["rank_e6"] for i in range(len(out) - 1))
