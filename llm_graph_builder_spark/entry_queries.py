@@ -2507,6 +2507,16 @@ def q_densest_subgraph(spark, sf_dir):
     return densest_subgraph(t["entity_edges"])
 
 
+def q_attack_robustness(spark, sf_dir):
+    """Targeted-attack robustness: remove the top-10 degree hubs, measure
+    the largest-component collapse (one row; both CC runs value-checked
+    via the recursive-CTE reachability mirror)."""
+    from .operators.graph_analytics import attack_robustness
+
+    t = pipeline_tables(spark, sf_dir)
+    return attack_robustness(t["entity_edges"])
+
+
 def q_kcore(spark, sf_dir):
     """k-core membership (bounded-round peel; both engines run identical
     rounds, so the value check holds whether or not the peel converged)."""
@@ -3966,4 +3976,5 @@ QUERIES = {
     "densest_subgraph": q_densest_subgraph,
     "poisson_bootstrap": q_poisson_bootstrap,
     "textrank_keywords": q_textrank_keywords,
+    "attack_robustness": q_attack_robustness,
 }

@@ -3697,3 +3697,72 @@ def densest_subgraph(
         out,
         "rnd long, n_nodes long, n_edges long, density_e6 long, is_best boolean",
     )
+
+
+def attack_robustness(
+    entity_edges: DataFrame,
+    top_k: int = 10,
+) -> DataFrame:
+    """Targeted-attack robustness (Albert-Jeong-Barabási style): remove the
+    ``top_k`` highest-degree hubs and measure how much of the largest
+    connected component survives — the one-row audit separating a
+    hub-dependent KG (scale-free: catastrophic LCC collapse) from a
+    resilient mesh. Complements :func:`rich_club` (hub INTERCONNECTION)
+    with hub LOAD-BEARING.
+
+    Hub set: two-phase partial rank by (degree desc, node asc) — identical
+    tie law in the oracle. LCC sizes count edge-bearing nodes (an attack
+    that isolates a node removes it from every component); an emptied edge
+    set → lcc_after = 0. drop_e6 = (before − after)·10⁶ div before.
+
+    Scale shape: one degree aggregation, a broadcast hub anti-join on the
+    edge list, and two CC runs (the linking module's pointer-jumping
+    fixpoint with its size-gated driver union-find).
+
+    Output: one row (n_nodes, n_hubs_removed, lcc_before, lcc_after,
+    drop_e6).
+    """
+    from .linking import connected_components
+
+    und, _ = materialize(simple_undirected(entity_edges))
+    deg = degree_table(und)
+    n_nodes = deg.count()
+    pre = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("degree"), F.asc("node")
+    )
+    final = Window.orderBy(F.desc("degree"), F.asc("node"))
+    hubs = (
+        deg.withColumn("_p", F.row_number().over(pre))
+        .filter(F.col("_p") <= top_k)
+        .withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= top_k)
+        .select("node")
+    )
+    hb = F.broadcast(hubs)
+
+    def _lcc(edges: DataFrame) -> int:
+        pairs = edges.select(
+            F.lit("").alias("label"),
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+        )
+        comp = connected_components(pairs, entity_edges.sparkSession)
+        row = (
+            comp.groupBy("component").agg(F.count("*").alias("sz"))
+            .agg(F.max("sz").alias("m")).collect()
+        )
+        return int(row[0]["m"]) if row and row[0]["m"] is not None else 0
+
+    lcc_before = _lcc(und)
+    attacked = (
+        und.join(hb.withColumnRenamed("node", "u"), on="u", how="left_anti")
+        .join(hb.withColumnRenamed("node", "v"), on="v", how="left_anti")
+    )
+    lcc_after = _lcc(attacked)
+    n_removed = hubs.count()
+    drop = (lcc_before - lcc_after) * 1_000_000 // max(lcc_before, 1)
+    return entity_edges.sparkSession.createDataFrame(
+        [(n_nodes, n_removed, lcc_before, lcc_after, drop)],
+        "n_nodes long, n_hubs_removed long, lcc_before long, "
+        "lcc_after long, drop_e6 long",
+    )

@@ -9408,3 +9408,58 @@ SELECT CAST(rnk AS BIGINT) AS rnk, word, rank_e6 FROM topn WHERE rnk <= {top_n}
 # mirrors q_textrank_keywords: word-graph PageRank (TextRank, Mihalcea &
 # Tarau 2004) through the identical unrolled rounds.
 ORACLE_SQL["textrank_keywords"] = _textrank_sql()
+
+# mirrors q_attack_robustness / graph_analytics.attack_robustness: top-10
+# degree hubs ((degree desc, node asc) ties), recursive reachability LCC
+# before/after the hub anti-join; empty after-edges → lcc_after 0.
+ORACLE_SQL["attack_robustness"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _UND_CTE + """,
+adeg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+hubs AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY degree DESC, node ASC) AS r
+    FROM adeg
+  ) WHERE r <= 10
+),
+gsym AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+reach(node, lab) AS (
+  SELECT u, u FROM gsym
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN gsym e ON e.u = r.node
+),
+lccb AS (
+  SELECT coalesce(max(sz), 0) AS m FROM (
+    SELECT count(*) AS sz FROM (
+      SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ) GROUP BY component
+  )
+),
+und2 AS (
+  SELECT u, v FROM und
+  WHERE u NOT IN (SELECT node FROM hubs) AND v NOT IN (SELECT node FROM hubs)
+),
+gsym2 AS (SELECT u, v FROM und2 UNION SELECT v AS u, u AS v FROM und2),
+reach2(node, lab) AS (
+  SELECT u, u FROM gsym2
+  UNION
+  SELECT e.v, r.lab FROM reach2 r JOIN gsym2 e ON e.u = r.node
+),
+lcca AS (
+  SELECT coalesce(max(sz), 0) AS m FROM (
+    SELECT count(*) AS sz FROM (
+      SELECT node, min(lab) AS component FROM reach2 GROUP BY node
+    ) GROUP BY component
+  )
+)
+SELECT CAST((SELECT count(*) FROM adeg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM hubs) AS BIGINT) AS n_hubs_removed,
+       CAST(b.m AS BIGINT) AS lcc_before,
+       CAST(a.m AS BIGINT) AS lcc_after,
+       CAST((b.m - a.m) * 1000000 // greatest(b.m, 1) AS BIGINT) AS drop_e6
+FROM lccb b, lcca a
+"""

@@ -1202,3 +1202,41 @@ def test_textrank_keywords_hub_word_wins(spark):
     ranks = [r["rnk"] for r in out]
     assert ranks == sorted(ranks)
     assert all(out[i]["rank_e6"] >= out[i + 1]["rank_e6"] for i in range(len(out) - 1))
+
+
+def test_attack_robustness_star_shatters(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import attack_robustness
+
+    # star: hub connected to 12 leaves; removing the single top hub (top_k=1)
+    # leaves no edges → lcc_after = 0, drop = 100%
+    edges = [("hub", f"leaf{i}") for i in range(12)]
+    df = spark.createDataFrame(
+        [(a, "L", "REL", b, "L", 1) for a, b in edges],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    row = attack_robustness(df, top_k=1).collect()[0]
+    assert row.n_nodes == 13
+    assert row.n_hubs_removed == 1
+    assert row.lcc_before == 13
+    assert row.lcc_after == 0
+    assert row.drop_e6 == 1_000_000
+
+
+def test_attack_robustness_resilient_cycle(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import attack_robustness
+
+    # a 20-cycle: removing any 2 nodes leaves an 18-node path — mild drop
+    n = 20
+    edges = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(
+        [(a, "L", "REL", b, "L", 1) for a, b in edges],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    row = attack_robustness(df, top_k=2).collect()[0]
+    assert row.lcc_before == n
+    # all degrees equal → ties by node asc remove n00, n01 (adjacent):
+    # remaining is one 18-node path
+    assert row.lcc_after == 18
+    assert row.drop_e6 == (20 - 18) * 1_000_000 // 20
