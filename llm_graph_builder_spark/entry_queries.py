@@ -927,6 +927,16 @@ def q_poisson_bootstrap(spark, sf_dir):
     return poisson_bootstrap(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
+def q_chat_history(spark, sf_dir):
+    """Chat-history condensation (reference summarize_and_log analog,
+    QA_integration.py:511-556): newest 4 turns verbatim + one deterministic
+    extractive summary row per session over the synthesized chat log."""
+    from .operators.retrieval import condense_chat_history, synth_chat_history
+
+    chat = synth_chat_history(read_documents(spark, sf_dir))
+    return condense_chat_history(chat)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transitions over per-user event sequences
     (one user-hash exchange, |types|²-bounded output, integer shares)."""
@@ -3977,4 +3987,5 @@ QUERIES = {
     "poisson_bootstrap": q_poisson_bootstrap,
     "textrank_keywords": q_textrank_keywords,
     "attack_robustness": q_attack_robustness,
+    "chat_history": q_chat_history,
 }

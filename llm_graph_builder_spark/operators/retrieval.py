@@ -551,3 +551,83 @@ def rrf_fuse(
         .filter(F.col("rnk") <= top)
         .select("chunk_id", "vrank", "krank", "rrf_e6", "rnk")
     )
+
+
+def synth_chat_history(
+    docs: DataFrame, n_sessions: int = 20, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic chat-history table from the documents corpus (the
+    FIXTURES synth convention): session = doc_id % n_sessions, turn =
+    doc_id div n_sessions, roles alternate human/ai, message = the doc's
+    first 12 whitespace tokens. Output: (session_id, turn, role, message).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    return docs.select(
+        (F.col(id_col) % n_sessions).cast("long").alias("session_id"),
+        (F.col(id_col) / n_sessions).cast("long").alias("turn"),
+        F.when((F.col(id_col) / n_sessions).cast("long") % 2 == 0, "human")
+        .otherwise("ai").alias("role"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("message"),
+    )
+
+
+def condense_chat_history(
+    chat: DataFrame,
+    keep_last: int = 4,
+    summary_frag_tokens: int = 6,
+    summary_max_chars: int = 400,
+    summarizer_udf=None,
+) -> DataFrame:
+    """Chat-history condensation — the reference keeps conversations usable
+    by replacing old turns with ONE LLM summary message and retaining the
+    recent turns verbatim (summarize_and_log,
+    /root/reference/backend/src/QA_integration.py:511-556, invoked from the
+    chat modes at :470 and :622). Analog: per session, the newest
+    ``keep_last`` turns survive unchanged; every older turn is folded into
+    a single ``role='summary'`` row.
+
+    The default summarizer is the deterministic extractive stand-in (first
+    ``summary_frag_tokens`` tokens of each old turn, ' | '-joined in turn
+    order, capped at ``summary_max_chars``) so the whole operator is
+    oracle-checkable; pass ``summarizer_udf`` (a Column function over an
+    array<string> of old messages, e.g. a batched LLM pandas UDF) to swap
+    in a real model — the same seam pattern as the RAGAS judge.
+
+    Scale shape: one session-grain window (rank from the newest turn) and
+    one session-grain aggregation of the old slice — two exchanges on the
+    session key, nothing at corpus grain.
+
+    Output: (session_id, turn, role, message, is_summary).
+    """
+    w = Window.partitionBy("session_id").orderBy(F.desc("turn"))
+    ranked = chat.withColumn("_recency", F.row_number().over(w))
+    kept = ranked.filter(F.col("_recency") <= keep_last).select(
+        "session_id", "turn", "role", "message", F.lit(False).alias("is_summary")
+    )
+    old = ranked.filter(F.col("_recency") > keep_last)
+    toks = F.filter(F.split(F.col("message"), r"\s+"), lambda t: F.length(t) > 0)
+    frags = old.select(
+        "session_id", "turn",
+        F.concat_ws(" ", F.slice(toks, 1, summary_frag_tokens)).alias("frag"),
+    )
+    agg = frags.groupBy("session_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn", "frag"))),
+            lambda s: s["frag"],
+        ).alias("frag_list")
+    )
+    if summarizer_udf is not None:
+        summary_col = summarizer_udf(F.col("frag_list"))
+    else:
+        summary_col = F.substring(
+            F.concat_ws(" | ", F.col("frag_list")), 1, summary_max_chars
+        )
+    summaries = agg.select(
+        "session_id",
+        F.lit(0).cast("long").alias("turn"),
+        F.lit("summary").alias("role"),
+        summary_col.alias("message"),
+        F.lit(True).alias("is_summary"),
+    )
+    return kept.unionByName(summaries)

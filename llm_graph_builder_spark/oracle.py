@@ -9463,3 +9463,43 @@ SELECT CAST((SELECT count(*) FROM adeg) AS BIGINT) AS n_nodes,
        CAST((b.m - a.m) * 1000000 // greatest(b.m, 1) AS BIGINT) AS drop_e6
 FROM lccb b, lcca a
 """
+
+# mirrors q_chat_history / retrieval.condense_chat_history over the
+# synth_chat_history log: newest 4 turns verbatim per session + one
+# extractive summary row (first 6 tokens of each older turn, ' | '-joined
+# in turn order, 400-char cap).
+ORACLE_SQL["chat_history"] = """
+WITH chat AS (
+  SELECT CAST(doc_id % 20 AS BIGINT) AS session_id,
+         CAST(doc_id // 20 AS BIGINT) AS turn,
+         CASE WHEN (doc_id // 20) % 2 = 0 THEN 'human' ELSE 'ai' END AS role,
+         array_to_string(
+           list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)[1:12],
+           ' ') AS message
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY session_id ORDER BY turn DESC) AS recency
+  FROM chat
+),
+kept AS (
+  SELECT session_id, turn, role, message, FALSE AS is_summary
+  FROM ranked WHERE recency <= 4
+),
+old AS (
+  SELECT session_id, turn,
+         array_to_string(
+           list_filter(string_split_regex(message, '\\s+'), t -> len(t) > 0)[1:6],
+           ' ') AS frag
+  FROM ranked WHERE recency > 4
+),
+summaries AS (
+  SELECT session_id, CAST(0 AS BIGINT) AS turn, 'summary' AS role,
+         substr(array_to_string(list(frag ORDER BY turn), ' | '), 1, 400)
+           AS message,
+         TRUE AS is_summary
+  FROM old GROUP BY session_id
+)
+SELECT * FROM kept UNION ALL SELECT * FROM summaries
+"""

@@ -434,3 +434,46 @@ def test_derived_partsupp_law_and_q2_min(spark):
         by_part.setdefault(r.ps_partkey, []).append(r.ps_supplycost_cents)
     for r in out:
         assert r.ps_supplycost_cents == min(by_part[r.p_partkey])
+
+
+def test_chat_history_condense_keeps_recent_and_summarizes_old(spark):
+    from llm_graph_builder_spark.operators.retrieval import condense_chat_history
+
+    chat = spark.createDataFrame(
+        [(1, t, "human" if t % 2 == 0 else "ai",
+          f"turn{t} alpha beta gamma delta epsilon zeta eta") for t in range(7)]
+        + [(2, 0, "human", "only one short message")],
+        "session_id long, turn long, role string, message string",
+    )
+    rows = condense_chat_history(chat, keep_last=4, summary_frag_tokens=3).collect()
+    by_sess = {}
+    for r in rows:
+        by_sess.setdefault(r.session_id, []).append(r)
+    s1 = sorted(by_sess[1], key=lambda r: (r.is_summary, r.turn))
+    kept_turns = [r.turn for r in s1 if not r.is_summary]
+    assert kept_turns == [3, 4, 5, 6]
+    summ = [r for r in s1 if r.is_summary]
+    assert len(summ) == 1
+    # old turns 0,1,2 → first-3-token fragments in turn order
+    assert summ[0].message == "turn0 alpha beta | turn1 alpha beta | turn2 alpha beta"
+    assert summ[0].role == "summary"
+    # a session with fewer than keep_last turns: no summary row
+    s2 = by_sess[2]
+    assert len(s2) == 1 and not s2[0].is_summary
+
+
+def test_chat_history_summarizer_seam(spark):
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.retrieval import condense_chat_history
+
+    chat = spark.createDataFrame(
+        [(1, t, "human", f"m{t} x y z") for t in range(6)],
+        "session_id long, turn long, role string, message string",
+    )
+    out = condense_chat_history(
+        chat, keep_last=2,
+        summarizer_udf=lambda frags: F.concat(F.lit("LLM["), F.size(frags).cast("string"), F.lit("]")),
+    ).collect()
+    summ = [r for r in out if r.is_summary]
+    assert len(summ) == 1 and summ[0].message == "LLM[4]"
