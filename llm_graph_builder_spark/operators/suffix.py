@@ -286,7 +286,7 @@ def bwt_runs(
     )
     per_run = runs.groupBy("run_id").agg(F.count("*").cast("long").alias("len"))
     return per_run.agg(
-        F.sum("len").cast("long").alias("n"),
+        F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("n"),
         F.count("*").cast("long").alias("n_runs"),
         F.max("len").cast("long").alias("max_run"),
     ).select(

@@ -9242,10 +9242,11 @@ runs AS (
   FROM f
 ),
 per AS (SELECT run_id, CAST(count(*) AS BIGINT) AS len FROM runs GROUP BY 1)
-SELECT CAST(sum(len) AS BIGINT) AS n,
+SELECT CAST(coalesce(sum(len), 0) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_runs,
        CAST(max(len) AS BIGINT) AS max_run,
-       CAST(count(*) * 1000000 // greatest(sum(len), 1) AS BIGINT) AS rle_ratio_e6
+       CAST(count(*) * 1000000 // greatest(coalesce(sum(len), 0), 1) AS BIGINT)
+         AS rle_ratio_e6
 FROM per
 """
 

@@ -133,3 +133,89 @@ class TestMiscHazards:
         raw = read_csv_quarantine(spark, str(p), "doc_id long, lang string, n_chars long")
         got = {r.group: r.n_rows for r in quarantine_stats(raw).collect()}
         assert got == {QUARANTINE_KEY: 2}
+
+
+class TestLateR3Hazards:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_suffix_array_empty_and_blank_docs(self, spark):
+        from llm_graph_builder_spark.operators.suffix import (
+            bwt_runs,
+            repeated_substrings,
+            suffix_array,
+        )
+
+        empty = self._docs(spark, []).filter("doc_id IS NOT NULL")
+        assert suffix_array(empty).count() == 0
+        assert repeated_substrings(empty).count() == 0
+        r = bwt_runs(empty).collect()  # global agg: one zero row, never crash
+        assert len(r) == 1 and (r[0].n, r[0].n_runs, r[0].max_run) == (0, 0, None)
+        blank = self._docs(spark, [(1, ""), (2, "x")])
+        got = {(r["doc"], r["off"]): r["r"] for r in suffix_array(blank).collect()}
+        assert got == {("2", 0): 0}  # empty text contributes no suffixes
+
+    def test_kn_bits_degenerate_docs(self, spark):
+        from llm_graph_builder_spark.functions.textstats import kneser_ney_bits
+
+        docs = self._docs(spark, [(1, ""), (2, "solo"), (3, "a a")])
+        got = {r["doc_id"]: r for r in kneser_ney_bits(docs).collect()}
+        assert got["1"]["n_bigrams"] == 0 and got["1"]["max_bits"] is None
+        assert got["2"]["n_bigrams"] == 0
+        # single bigram type (a,a): p = 1 exactly → 0 bits
+        assert got["3"]["n_bigrams"] == 1 and got["3"]["sum_bits"] == 0
+
+    def test_seq_patterns_no_events(self, spark):
+        from llm_graph_builder_spark.operators.sessions import seq_patterns
+
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp_ntz, user_id long, event_type string"
+        )
+        assert seq_patterns(ev).count() == 0
+
+    def test_densest_subgraph_empty_graph(self, spark):
+        from llm_graph_builder_spark.operators.graph_analytics import (
+            densest_subgraph,
+        )
+
+        edges = spark.createDataFrame(
+            [],
+            "subj_id string, subj_label string, pred string, "
+            "obj_id string, obj_label string, weight long",
+        )
+        assert densest_subgraph(edges).count() == 0
+
+    def test_attack_robustness_empty_graph(self, spark):
+        from llm_graph_builder_spark.operators.graph_analytics import (
+            attack_robustness,
+        )
+
+        edges = spark.createDataFrame(
+            [],
+            "subj_id string, subj_label string, pred string, "
+            "obj_id string, obj_label string, weight long",
+        )
+        row = attack_robustness(edges).collect()[0]
+        assert (row.n_nodes, row.lcc_before, row.lcc_after, row.drop_e6) == (0, 0, 0, 0)
+
+    def test_poisson_bootstrap_single_row(self, spark):
+        from llm_graph_builder_spark.operators.mining import poisson_bootstrap
+
+        df = spark.createDataFrame([(1, 50.0)], "o_orderkey long, o_totalprice double")
+        rows = poisson_bootstrap(df, n_reps=8).collect()
+        assert len(rows) == 8
+        for r in rows:
+            # a zero draw gives w_total 0 → guarded mean 0, never a crash
+            assert r.mean_cents in (0, 5000)
+
+    def test_textrank_single_word_corpus(self, spark, tmp_path):
+        from llm_graph_builder_spark.entry_queries import q_textrank_keywords
+
+        df = spark.createDataFrame(
+            [(1, "word", "en", "s", 4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+        out = q_textrank_keywords(spark, str(tmp_path)).collect()
+        # one isolated node, no edges: dangling mass → rank 1.0
+        assert len(out) == 1 and out[0]["word"] == "word"
