@@ -273,9 +273,15 @@ def poisson_bootstrap(
     """
     th = ", ".join(str(t) for t in _POIS1_T48)
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    # repartition before the ×n_reps explode: the sf tables are single
+    # parquet files, and the md5-draw projection is CPU-bound — without
+    # this the whole draw runs in ONE task
+    dp = orders.sparkSession.sparkContext.defaultParallelism
     base = orders.select(
         F.col("o_orderkey").cast("long").alias("okey"), cents.alias("cents")
-    ).withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))))
+    ).repartition(dp).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1)))
+    )
     u48 = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(salt), "okey", "rep")), 1, 12),
         16, 10,
