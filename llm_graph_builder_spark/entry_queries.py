@@ -2527,6 +2527,15 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(t["entity_edges"])
 
 
+def q_butterflies(spark, sf_dir):
+    """Bipartite butterfly counts over doc–entity incidence: top entity
+    pairs by co-occurring docs, butterflies = C(shared, 2)."""
+    from .operators.graph_analytics import bipartite_butterflies
+
+    t = pipeline_tables(spark, sf_dir)
+    return bipartite_butterflies(t["mentions"])
+
+
 def q_kcore(spark, sf_dir):
     """k-core membership (bounded-round peel; both engines run identical
     rounds, so the value check holds whether or not the peel converged)."""
@@ -3988,4 +3997,5 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "attack_robustness": q_attack_robustness,
     "chat_history": q_chat_history,
+    "butterflies": q_butterflies,
 }

@@ -9504,3 +9504,29 @@ summaries AS (
 )
 SELECT * FROM kept UNION ALL SELECT * FROM summaries
 """
+
+# mirrors q_butterflies / graph_analytics.bipartite_butterflies: doc-side
+# wedge generation over distinct doc-entity incidence, C(c,2) per pair,
+# (shared desc, keys asc) top-10.
+ORACLE_SQL["butterflies"] = PIPELINE_CTE + """,
+de AS (
+  SELECT DISTINCT doc_id, entity_id || chr(1) || entity_label AS k
+  FROM mentions
+),
+shared AS (
+  SELECT a.k AS ka, b.k AS kb, CAST(count(*) AS BIGINT) AS shared_docs
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.k < b.k
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           ORDER BY shared_docs DESC, ka ASC, kb ASC) AS rnk
+  FROM shared
+)
+SELECT CAST(rnk AS BIGINT) AS rnk,
+       split_part(ka, chr(1), 1) AS e1_id, split_part(ka, chr(1), 2) AS e1_label,
+       split_part(kb, chr(1), 1) AS e2_id, split_part(kb, chr(1), 2) AS e2_label,
+       shared_docs,
+       CAST(shared_docs * (shared_docs - 1) // 2 AS BIGINT) AS butterflies
+FROM ranked WHERE rnk <= 10
+"""

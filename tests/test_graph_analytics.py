@@ -1240,3 +1240,25 @@ def test_attack_robustness_resilient_cycle(spark):
     # remaining is one 18-node path
     assert row.lcc_after == 18
     assert row.drop_e6 == (20 - 18) * 1_000_000 // 20
+
+
+def test_bipartite_butterflies_known_counts(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import (
+        bipartite_butterflies,
+    )
+
+    # docs d1..d3 all contain {A, B}; d3 also contains C → (A,B) shared by 3
+    # docs (C(3,2)=3 butterflies); (A,C)/(B,C) shared by 1 (0 butterflies)
+    rows = []
+    for d in ("d1", "d2", "d3"):
+        rows += [("c", d, "A", "L"), ("c", d, "B", "L")]
+    rows.append(("c", "d3", "C", "L"))
+    m = spark.createDataFrame(
+        rows, "chunk_id string, doc_id string, entity_id string, entity_label string"
+    )
+    out = bipartite_butterflies(m).collect()
+    assert (out[0].e1_id, out[0].e2_id) == ("A", "B")
+    assert out[0].shared_docs == 3 and out[0].butterflies == 3
+    rest = {(r.e1_id, r.e2_id): r for r in out[1:]}
+    assert rest[("A", "C")].butterflies == 0
+    assert rest[("B", "C")].butterflies == 0
