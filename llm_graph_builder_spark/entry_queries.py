@@ -2536,6 +2536,15 @@ def q_butterflies(spark, sf_dir):
     return bipartite_butterflies(t["mentions"])
 
 
+def q_katz(spark, sf_dir):
+    """Katz centrality (walk counting, damped alpha=0.1, 6 unrolled rounds
+    both engines — the PageRank mirror protocol without normalization)."""
+    from .operators.graph_analytics import katz_centrality
+
+    t = pipeline_tables(spark, sf_dir)
+    return katz_centrality(t["entity_edges"], t["entities"])
+
+
 def q_kcore(spark, sf_dir):
     """k-core membership (bounded-round peel; both engines run identical
     rounds, so the value check holds whether or not the peel converged)."""
@@ -3998,4 +4007,5 @@ QUERIES = {
     "attack_robustness": q_attack_robustness,
     "chat_history": q_chat_history,
     "butterflies": q_butterflies,
+    "katz": q_katz,
 }

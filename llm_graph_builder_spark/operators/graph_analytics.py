@@ -3819,3 +3819,69 @@ def bipartite_butterflies(
             .cast("long").alias("butterflies"),
         )
     )
+
+
+def katz_centrality(
+    entity_edges: DataFrame,
+    entities: DataFrame,
+    iterations: int = 6,
+    beta: float = 1.0,
+) -> DataFrame:
+    """Katz centrality over the symmetric weighted entity graph — the
+    walk-counting member of the centrality family (x ← β + α·A·x,
+    counting walks of every length damped by α^len; unlike PageRank there
+    is no degree normalization, so high-degree neighbors contribute their
+    FULL weight). α is the standard convergence-safe data-dependent
+    choice 0.5 / max_weighted_degree (≥ 1/λ_max bound ⇒ αλ ≤ 0.5 < 1);
+    both engines derive it from the same exact BIGINT degree, so the
+    IEEE division — and every subsequent multiply — is bit-identical.
+    Fixed ``iterations`` rounds, no early stop — the oracle unrolls the
+    identical rounds, the PageRank mirror protocol; e6 rounding at the
+    edge absorbs summation-order double drift.
+
+    Scale shape per round: one join of the rank vector against the
+    symmetric edge list + one node-grain aggregation — PageRank's inflow
+    step without the share projection.
+
+    Output: (id, label, katz_e6).
+    """
+    ku = F.concat_ws("\x01", "subj_id", "subj_label")
+    kv = F.concat_ws("\x01", "obj_id", "obj_label")
+    sd = entity_edges.select(ku.alias("u"), kv.alias("v"), "weight").unionByName(
+        entity_edges.select(kv.alias("u"), ku.alias("v"), "weight")
+    )
+    sym, _ = materialize(
+        sd.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    nodes, _ = materialize(
+        entities.select(
+            F.concat_ws("\x01", "id", "label").alias("node")
+        ).distinct()
+    )
+    maxwd = (
+        sym.groupBy("u").agg(F.sum("w").alias("wd"))
+        .agg(F.max("wd")).collect()[0][0]
+    )
+    alpha = 0.5 / float(maxwd) if maxwd else 0.0
+    x = nodes.withColumn("x", F.lit(float(beta)))
+    for _ in range(iterations):
+        inflow = (
+            sym.join(x.withColumnRenamed("node", "v").withColumnRenamed("x", "xv"), on="v")
+            .groupBy("u")
+            .agg(F.sum(F.col("xv") * F.col("w")).alias("inflow"))
+            .withColumnRenamed("u", "node")
+        )
+        x, _ = materialize(
+            nodes.join(inflow, on="node", how="left").select(
+                "node",
+                (F.lit(float(beta)) + F.lit(float(alpha)) * F.coalesce("inflow", F.lit(0.0))).alias("x"),
+            ),
+            previous=x,
+        )
+    split = F.split(F.col("node"), "\x01")
+    return x.select(
+        split.getItem(0).alias("id"), split.getItem(1).alias("label"),
+        F.round(F.col("x") * 1000000).cast("long").alias("katz_e6"),
+    )

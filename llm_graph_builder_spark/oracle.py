@@ -9530,3 +9530,55 @@ SELECT CAST(rnk AS BIGINT) AS rnk,
        CAST(shared_docs * (shared_docs - 1) // 2 AS BIGINT) AS butterflies
 FROM ranked WHERE rnk <= 10
 """
+
+
+def _katz_sql(iterations: int = 6, beta: float = 1.0) -> str:
+    """Unrolled Katz mirror: x ← beta + alpha·A·x per round over the
+    symmetric weighted graph, alpha = 0.5 / max weighted degree (exact
+    BIGINT → identical IEEE division); identical literal ops to the
+    Spark loop."""
+    parts = ["""
+, knodes AS MATERIALIZED (
+  SELECT DISTINCT id || chr(1) || label AS node FROM entities
+),
+ksd AS (
+  SELECT subj_id || chr(1) || subj_label AS u,
+         obj_id || chr(1) || obj_label AS v, weight
+  FROM entity_edges
+  UNION ALL
+  SELECT obj_id || chr(1) || obj_label, subj_id || chr(1) || subj_label, weight
+  FROM entity_edges
+),
+ksym AS MATERIALIZED (
+  SELECT u, v, CAST(sum(weight) AS BIGINT) AS w
+  FROM ksd WHERE u <> v GROUP BY 1, 2
+),
+kalpha AS MATERIALIZED (
+  SELECT CAST(0.5 AS DOUBLE) / CAST(max(wd) AS DOUBLE) AS a FROM (
+    SELECT u, sum(w) AS wd FROM ksym GROUP BY u)
+),
+kx0 AS MATERIALIZED (SELECT node, CAST(%(beta)s AS DOUBLE) AS x FROM knodes)"""
+             % {"beta": beta}]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+ki{i} AS MATERIALIZED (
+  SELECT s.u AS node, sum(x.x * s.w) AS inflow
+  FROM ksym s JOIN kx{i - 1} x ON x.node = s.v
+  GROUP BY 1
+),
+kx{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({beta} AS DOUBLE) + kalpha.a * coalesce(i.inflow, 0.0) AS x
+  FROM knodes n CROSS JOIN kalpha LEFT JOIN ki{i} i ON i.node = n.node
+)""")
+    parts.append(f"""
+SELECT split_part(node, chr(1), 1) AS id,
+       split_part(node, chr(1), 2) AS label,
+       CAST(round(x * 1000000) AS BIGINT) AS katz_e6
+FROM kx{iterations}
+""")
+    return PIPELINE_CTE + "".join(parts)
+
+
+# mirrors q_katz / graph_analytics.katz_centrality
+ORACLE_SQL["katz"] = _katz_sql()

@@ -1262,3 +1262,24 @@ def test_bipartite_butterflies_known_counts(spark):
     rest = {(r.e1_id, r.e2_id): r for r in out[1:]}
     assert rest[("A", "C")].butterflies == 0
     assert rest[("B", "C")].butterflies == 0
+
+
+def test_katz_centrality_hub_outranks_leaves(spark):
+    from llm_graph_builder_spark.operators.graph_analytics import katz_centrality
+
+    edges = [("hub", f"leaf{i}") for i in range(6)]
+    edf = spark.createDataFrame(
+        [(a, "L", "REL", b, "L", 1) for a, b in edges],
+        "subj_id string, subj_label string, pred string, "
+        "obj_id string, obj_label string, weight long",
+    )
+    ents = spark.createDataFrame(
+        [("hub", "L")] + [(f"leaf{i}", "L") for i in range(6)] + [("iso", "L")],
+        "id string, label string",
+    )
+    got = {r.id: r.katz_e6 for r in katz_centrality(edf, ents).collect()}
+    assert got["hub"] > got["leaf0"] > got["iso"]
+    # isolated node receives only the beta source term
+    assert got["iso"] == 1_000_000
+    # leaves are symmetric: identical scores
+    assert len({got[f"leaf{i}"] for i in range(6)}) == 1
