@@ -551,6 +551,21 @@ def main() -> None:
         q["kn_bits"](spark, SF),
     )
     snap(
+        "Bipartite butterflies (doc-side wedge generation)",
+        "Wedges come from the DOC side (per-doc entity sets are bounded; "
+        "entity doc-lists are not): one doc-grain self-join + one pair-grain "
+        "count, then the two-phase partial top-k — no entity-side blowup.",
+        q["butterflies"](spark, SF),
+    )
+    snap(
+        "Katz centrality round (edge join + node aggregation, no shares)",
+        "Each unrolled round is one join of the rank vector against the "
+        "symmetric weighted edge list and one node-grain sum — PageRank's "
+        "inflow shape without the share projection; alpha is a broadcast "
+        "scalar derived from the exact max weighted degree.",
+        q["katz"](spark, SF),
+    )
+    snap(
         "Partition edge-cut audit (single scan, unpivoted strategies)",
         "Both partition strategies' cut flags are computed side-by-side in "
         "ONE pass over the simple edge set and unpivoted after the "
