@@ -2060,6 +2060,22 @@ def q_dedup_cluster_invariants(spark, sf_dir):
 # mirrors, unrolled Lloyd, md5-parity LSH replicas in oracle.py)
 # ---------------------------------------------------------------------------
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood (merge/purge) candidate blocking over the
+    entity table augmented with deterministic last-char-doubled typo
+    variants (the corpus has no natural dups) — the third blocking method
+    beside exact and LSH, same pair predicates."""
+    from .operators.linking import sorted_neighborhood_pairs
+
+    ents = pipeline_tables(spark, sf_dir)["entities"].select("id", "label")
+    variants = ents.select(
+        F.concat(F.col("id"), F.substring(F.col("id"), -1, 1)).alias("id"),
+        "label",
+    )
+    aug = ents.unionByName(variants).dropDuplicates(["id", "label"])
+    return sorted_neighborhood_pairs(aug)
+
+
 def q_linked_entities(spark, sf_dir):
     """Full entity-linking stage: candidates → CC → canonical map → merged
     entities (iterative; no SQL oracle — driver records rows-only)."""
@@ -4008,4 +4024,5 @@ QUERIES = {
     "chat_history": q_chat_history,
     "butterflies": q_butterflies,
     "katz": q_katz,
+    "sorted_neighborhood": q_sorted_neighborhood,
 }

@@ -564,3 +564,73 @@ def fs_weights(docs: DataFrame, n_blocks: int = 25) -> DataFrame:
             "CASE WHEN u_e6 > 0 THEN m_e6 * 1000L div u_e6 ELSE -1L END"
         ).alias("ratio_e3"),
     )
+
+
+def sorted_neighborhood_pairs(
+    entities: DataFrame,
+    window: int = 3,
+    min_cosine: float = DUPLICATE_SCORE_VALUE,
+    max_distance: int = DUPLICATE_TEXT_DISTANCE,
+    min_contain_len: int = DUPLICATE_CONTAIN_MIN_LEN,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo merge/purge) — the
+    third classic candidate-generation method beside the exhaustive scan
+    and MinHash-LSH bands (and SymSpell deletion blocking in fuzzy.py):
+    sort entities by (label, lower(id), id) and compare only pairs within
+    ``window`` positions of each other, then apply the SAME exact pair
+    predicates as every other blocking path. Catches prefix-typo families
+    that share a sort prefix; misses transposed-head typos (LSH's job) —
+    the standard multi-pass trade-off.
+
+    The global sort position is the two-level prefix-sum rank (bucket =
+    the sort key's own 2-char prefix — order-preserving), never a
+    single-partition window; neighbor pairs are ``window−1`` equi-joins on
+    pos+δ (δ is a literal, so each join is one co-partitioned exchange).
+
+    Output: (label, id_a, id_b) with id_a < id_b — same contract as
+    ``candidate_pairs_exact``.
+    """
+    keyed = entities.select(
+        "id", "label",
+        F.concat_ws("\x01", "label", F.lower("id"), "id").alias("sk"),
+    )
+    base = keyed.withColumn("_bkt", F.substring("sk", 1, 2))
+    btot = base.groupBy("_bkt").agg(F.count("*").alias("_bn"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("sk")
+    # checkpoint once: the window-1 neighbor joins below reference this
+    # frame window times on each side — without it every join replays the
+    # whole upstream entity lineage (same discipline as _minhash_banded)
+    pos = (
+        base.withColumn("_rin", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(offs), on="_bkt")
+        .select(
+            "id", "label", (F.col("_off") + F.col("_rin")).cast("long").alias("pos")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = pos.select(
+        F.col("id").alias("id_a"), F.col("label").alias("label_a"), "pos"
+    )
+    cands = None
+    for d in range(1, window):
+        b = pos.select(
+            F.col("id").alias("id_b"), F.col("label").alias("label_b"),
+            (F.col("pos") - d).alias("pos"),
+        )
+        step = a.join(b, on="pos").filter(F.col("label_a") == F.col("label_b"))
+        cands = step if cands is None else cands.unionByName(step)
+    pairs = (
+        cands.select(
+            F.col("label_a").alias("label"),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["label", "id_a", "id_b"])
+    )
+    pred = _pair_predicates(min_contain_len, max_distance, min_cosine, False)
+    return pairs.filter(pred).select("label", "id_a", "id_b")

@@ -9582,3 +9582,36 @@ FROM kx{iterations}
 
 # mirrors q_katz / graph_analytics.katz_centrality
 ORACLE_SQL["katz"] = _katz_sql()
+
+# mirrors q_sorted_neighborhood / linking.sorted_neighborhood_pairs: global
+# row_number over (label, lower(id), id) on entities ∪ last-char-doubled
+# variants; pairs within window 3 sharing a label; identical predicates to
+# link_candidates.
+ORACLE_SQL["sorted_neighborhood"] = PIPELINE_CTE + """,
+snaug AS (
+  SELECT DISTINCT id, label FROM (
+    SELECT id, label FROM entities
+    UNION ALL
+    SELECT id || substr(id, -1, 1) AS id, label FROM entities
+  )
+),
+snpos AS (
+  SELECT id, label,
+         row_number() OVER (
+           ORDER BY label || chr(1) || lower(id) || chr(1) || id
+         ) - 1 AS pos
+  FROM snaug
+),
+snc AS (
+  SELECT a.label,
+         least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+  FROM snpos a JOIN snpos b
+    ON b.pos - a.pos IN (1, 2) AND a.label = b.label
+  WHERE a.id <> b.id
+)
+SELECT DISTINCT label, id_a, id_b FROM snc
+WHERE ((length(id_b) > 2 AND contains(lower(id_a), lower(id_b)))
+    OR (length(id_a) > 2 AND contains(lower(id_b), lower(id_a)))
+    OR (length(id_a) > 5 AND length(id_b) > 5
+        AND levenshtein(lower(id_a), lower(id_b)) < 3))
+"""

@@ -116,3 +116,27 @@ def test_fs_weights_discriminating_feature(spark):
     # lang: agrees on everything -> m == u == 1e6, ratio 1000 (= 1.0 e3)
     assert out["lang"].m_e6 == 1000000 and out["lang"].u_e6 == 1000000
     assert out["lang"].ratio_e3 == 1000
+
+
+def test_sorted_neighborhood_catches_adjacent_typos(spark):
+    from llm_graph_builder_spark.operators.linking import (
+        candidate_pairs_exact,
+        sorted_neighborhood_pairs,
+    )
+
+    ents = spark.createDataFrame(
+        [("scanner", "Op"), ("scannerr", "Op"),   # lev 1, sort-adjacent
+         ("filter", "Op"), ("filterx", "Op"),     # containment, adjacent
+         ("alpha", "Op"), ("zebra", "Op"),        # unrelated
+         ("scanner", "Other")],                   # same id, other label
+        "id string, label string",
+    )
+    got = {(r.label, r.id_a, r.id_b) for r in sorted_neighborhood_pairs(ents).collect()}
+    assert ("Op", "scanner", "scannerr") in got
+    assert ("Op", "filter", "filterx") in got
+    assert not any(a == "alpha" or b == "zebra" for _, a, b in got)
+    # within-window recall vs the exhaustive scan: every exhaustive pair that
+    # is sort-adjacent must be found (here: all of them)
+    exact = {(r.label, r.id_a, r.id_b) for r in candidate_pairs_exact(
+        ents.select("id", "label")).collect()}
+    assert got == exact
