@@ -1929,6 +1929,28 @@ def q_bwt_runs(spark, sf_dir):
     return bwt_runs(_suffix_docs(spark, sf_dir), sa=_suffix_sa(spark, sf_dir))
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    """Frequency-aware near-dup pairs under weighted Jaccard (capped-count
+    multiset-expansion MinHash — exact, no ICWS floats). Corpus synth: the
+    doc_id % 6 == 0 docs are re-served at doc_id + 10^6 with their first
+    8 tokens REPEATED twice (set-Jaccard-identical, weighted-lower)."""
+    from .operators.dedup import weighted_jaccard_pairs
+
+    docs = read_documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+    reps = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(toks, 1, 8)),
+            F.concat_ws(" ", F.slice(toks, 1, 8)),
+            F.col("text"),
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(reps)
+    return weighted_jaccard_pairs(aug, threshold_e4=6000)
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Incremental Bloom-filter dedup: the filter is built over the whole
     corpus; the 'next ingest batch' is doc_id % 4 == 0 re-submitted unchanged
@@ -4025,4 +4047,5 @@ QUERIES = {
     "butterflies": q_butterflies,
     "katz": q_katz,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "weighted_jaccard": q_weighted_jaccard,
 }

@@ -1292,3 +1292,117 @@ def source_dup_attribution(
         .groupBy("src_keeper", F.col("src").alias("src_dup"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    threshold_e4: int = 7000,
+    count_cap: int = 3,
+    n_hashes: int = 9,
+    band_size: int = 3,
+    k: int = SHINGLE_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-aware near-dup pairs under WEIGHTED Jaccard — plain MinHash
+    treats shingles as a SET, so two docs that differ only in how often
+    they repeat a passage look identical; weighted Jaccard
+    (Σ min(c_a, c_b) / Σ max(c_a, c_b) over capped shingle counts) keeps
+    repetition structure. The classic exact reduction: expand each shingle
+    into min(count, cap) tagged copies ('shingle␟k'), and unweighted
+    MinHash/Jaccard over the expanded multiset IS the weighted measure on
+    capped counts — no ICWS float sampling, so the DuckDB oracle replays
+    it bit-for-bit (same md5-hex min protocol as minhash_signatures).
+
+    Banded LSH candidates (n_hashes/band_size bands) + exact capped-count
+    verification; one shingle-grain explode and one band-grain exchange —
+    the minhash_lsh_pairs shapes with the weighted verify.
+
+    Output: (doc_a, doc_b, wjacc_e4) with wjacc_e4 ≥ threshold_e4.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # NB: _word_shingles dedups (set semantics); weighted Jaccard needs the
+    # raw multiset, so grams stay undistincted here
+    base = docs.select(F.col(id_col).cast("string").alias("doc"), grams.alias("sh"))
+    # capped multiset expansion: shingle counts via in-array aggregation,
+    # then explode (shingle, min(count, cap)) → tagged copies
+    counted = base.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.array_distinct("sh"),
+                lambda s: F.struct(
+                    s.alias("g"),
+                    F.least(
+                        F.size(F.filter("sh", lambda x: x == s)), F.lit(count_cap)
+                    ).alias("c"),
+                ),
+            )
+        ).alias("gc"),
+    ).select("doc", F.col("gc.g").alias("g"), F.col("gc.c").alias("c"))
+    from ..functions.iterutils import materialize
+
+    tagged, _ = materialize(
+        counted.select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("c")),
+                    lambda i: F.concat_ws("\x1f", F.col("g"), i.cast("string")),
+                )
+            ).alias("t"),
+        )
+    )
+    # md5-hex min signatures over the tagged multiset (portable protocol)
+    sigs = tagged.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), "t"))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    ).localCheckpoint(eager=True)
+    n_bands = n_hashes // band_size
+    keys = [
+        F.concat_ws(
+            "|", F.lit(str(b)),
+            *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on="band")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact weighted-Jaccard verify on capped counts
+    ca = counted.select(F.col("doc").alias("doc_a"), "g", F.col("c").alias("c_a"))
+    cb = counted.select(F.col("doc").alias("doc_b"), "g", F.col("c").alias("c_b"))
+    inter = (
+        cand.join(ca, on="doc_a")
+        .join(cb, on=["doc_b", "g"], how="left")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.least("c_a", F.coalesce("c_b", F.lit(0)))).alias("s_min"),
+            F.sum("c_a").alias("s_a"),
+        )
+    )
+    tot_b = counted.groupBy("doc").agg(F.sum("c").alias("s_b")).withColumnRenamed(
+        "doc", "doc_b"
+    )
+    return (
+        inter.join(tot_b, on="doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr(
+                "s_min * 10000L div greatest(s_a + s_b - s_min, 1L)"
+            ).cast("long").alias("wjacc_e4"),
+        )
+        .filter(F.col("wjacc_e4") >= threshold_e4)
+    )

@@ -9615,3 +9615,77 @@ WHERE ((length(id_b) > 2 AND contains(lower(id_a), lower(id_b)))
     OR (length(id_a) > 5 AND length(id_b) > 5
         AND levenshtein(lower(id_a), lower(id_b)) < 3))
 """
+
+# mirrors q_weighted_jaccard / dedup.weighted_jaccard_pairs: capped-count
+# multiset expansion → md5-hex-min signatures → 3-band LSH → exact weighted
+# Jaccard (sum min / sum max over capped counts) at e4.
+ORACLE_SQL["weighted_jaccard"] = """
+WITH raw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR) AS doc,
+         array_to_string(tk8, ' ') || ' ' || array_to_string(tk8, ' ')
+           || ' ' || text AS text
+  FROM (
+    SELECT doc_id, text,
+           (list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))[1:8]
+             AS tk8
+    FROM documents WHERE doc_id % 6 = 0
+  )
+),
+tg AS (
+  SELECT doc, list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS tk
+  FROM raw
+),
+grams AS (
+  SELECT doc,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+         )) AS g
+  FROM tg
+),
+counted AS (
+  SELECT doc, g, CAST(least(count(*), 3) AS BIGINT) AS c
+  FROM grams GROUP BY 1, 2
+),
+tagged AS (
+  SELECT doc, g || chr(31) || CAST(i AS VARCHAR) AS t
+  FROM counted, unnest(range(1, CAST(c AS INT) + 1)) AS u(i)
+),
+sigs AS (
+  SELECT doc,
+         min(md5('0:' || t)) AS mh0, min(md5('1:' || t)) AS mh1,
+         min(md5('2:' || t)) AS mh2, min(md5('3:' || t)) AS mh3,
+         min(md5('4:' || t)) AS mh4, min(md5('5:' || t)) AS mh5,
+         min(md5('6:' || t)) AS mh6, min(md5('7:' || t)) AS mh7,
+         min(md5('8:' || t)) AS mh8
+  FROM tagged GROUP BY doc
+),
+banded AS (
+  SELECT doc, '0|' || mh0 || '|' || mh1 || '|' || mh2 AS band FROM sigs
+  UNION ALL
+  SELECT doc, '1|' || mh3 || '|' || mh4 || '|' || mh5 FROM sigs
+  UNION ALL
+  SELECT doc, '2|' || mh6 || '|' || mh7 || '|' || mh8 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.doc < y.doc
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(least(a.c, coalesce(b.c, 0))) AS s_min,
+         sum(a.c) AS s_a
+  FROM cand c
+  JOIN counted a ON a.doc = c.doc_a
+  LEFT JOIN counted b ON b.doc = c.doc_b AND b.g = a.g
+  GROUP BY 1, 2
+),
+tot AS (SELECT doc, sum(c) AS s_b FROM counted GROUP BY doc)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.s_min * 10000 // greatest(i.s_a + t.s_b - i.s_min, 1) AS BIGINT)
+         AS wjacc_e4
+FROM inter i JOIN tot t ON t.doc = i.doc_b
+WHERE i.s_min * 10000 // greatest(i.s_a + t.s_b - i.s_min, 1) >= 6000
+"""

@@ -2828,3 +2828,31 @@ def test_streaming_incremental_neardup(spark, tmp_path):
     q3 = start_incremental_neardup(spark, inp, out, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(f"{out}/near_flags").count() == n_before
+
+
+def test_weighted_jaccard_is_frequency_sensitive(spark):
+    from collections import Counter
+
+    from llm_graph_builder_spark.operators.dedup import weighted_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rep = " ".join(base.split()[:4] * 3) + " " + base  # head repeated 3x
+    docs = spark.createDataFrame(
+        [(1, base), (2, rep), (3, base)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b): r.wjacc_e4
+           for r in weighted_jaccard_pairs(docs, threshold_e4=0).collect()}
+    # identical docs: weighted jaccard exactly 1
+    assert got[("1", "3")] == 10000
+    # repetition-only variant: same shingle SET, lower weighted score
+    assert 0 < got[("1", "2")] < 10000
+
+    # python mirror of the capped-count measure for the (1, 2) pair
+    def caps(text):
+        toks = text.split()
+        grams = [" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))]
+        return {g: min(c, 3) for g, c in Counter(grams).items()}
+    ca, cb = caps(base), caps(rep)
+    s_min = sum(min(ca[g], cb.get(g, 0)) for g in ca)
+    s_max = sum(ca.values()) + sum(cb.values()) - s_min
+    assert got[("1", "2")] == s_min * 10000 // max(s_max, 1)
