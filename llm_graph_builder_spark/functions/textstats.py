@@ -30,6 +30,37 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
 
 
+def bound_ngrams(toks: Column, k: int, empty_below_k: bool = False) -> Column:
+    """Word k-gram array with the token-array expression bound to a lambda
+    variable via a 1-element ``transform``.
+
+    Why the binding: writing ``F.transform(F.sequence(...), lambda i:
+    F.slice(toks, i, k))`` inlines the ``toks`` expression (split+filter
+    tokenization) into the per-gram lambda, and Catalyst re-evaluates it
+    once PER GRAM — O(d²) on long documents (measured: one size() over the
+    grams of a single 30k-token doc took 147 s inlined vs 0.56 s bound).
+    Binding through a lambda variable makes the tokenizer run once per row.
+
+    ``empty_below_k=True`` reproduces the ``F.when(n >= k, ...)``-guarded
+    gram form (rows shorter than ``k`` tokens yield an empty array);
+    ``False`` reproduces the ``greatest(n-k+1, 1)`` form (short rows yield
+    one gram of all tokens). Values are bit-identical to the former inlined
+    expressions, so every DuckDB oracle replays unchanged.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+        )
+        if empty_below_k:
+            return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+        return grams
+
+    return F.get(F.transform(F.array(toks), build), 0)
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language ID. For each language lexicon compute the hit
     ratio; predict the argmax (ties → lexicographically first lang), or
@@ -98,12 +129,7 @@ def fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: min md5 over word k-gram shingles
     (portable across engines — same value in DuckDB/Python)."""
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    grams = bound_ngrams(_tokens(F.col(text_col)), k)
     return docs.select(
         F.col(id_col).cast("string").alias("doc"),
         F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
@@ -134,15 +160,7 @@ def bigram_novelty(
     same two-shuffle recipe at any corpus size. Docs with <2 tokens emit
     n_bigrams = 0 with NULL min count and 0 ratio.
     """
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = bound_ngrams(_tokens(F.col(text_col)), 2, empty_below_k=True)
     base = docs.select(F.col(id_col).cast("string").alias("doc"), grams.alias("bg"))
     # the exploded gram table feeds BOTH the LM count and the re-join —
     # materialize it once (tokenize/explode run a single time; tiny frames
@@ -241,13 +259,7 @@ def repetition_signals(
     """
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = bound_ngrams(toks, 2, empty_below_k=True)
     n_words = n.cast("long")
     distinct_words = F.size(F.array_distinct(toks)).cast("long")
     top_word = _top_run(F.array_sort(toks)).cast("long")

@@ -577,8 +577,17 @@ def int8_quantize(
     """
     v = F.col(vec_col)
     m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    qz = F.transform(
-        v, lambda x: (x.cast("double") * F.lit(127.0) / m).cast("long")
+    # bind the max-abs scalar to a lambda variable: referenced inside the
+    # per-element lambda it would be inlined and the O(dim) array_max
+    # re-evaluated per element — O(dim²) per row on wide embeddings
+    qz = F.get(
+        F.transform(
+            F.array(m),
+            lambda mm: F.transform(
+                v, lambda x: (x.cast("double") * F.lit(127.0) / mm).cast("long")
+            ),
+        ),
+        0,
     )
     zero = F.transform(v, lambda x: F.lit(0).cast("long"))
     return df.withColumn(out_col, F.when(m > 0, qz).otherwise(zero))

@@ -288,13 +288,23 @@ def importance_weights(
 
     def feats(df: DataFrame) -> DataFrame:
         toks = _toks(F.col(text_col))
-        bi = F.when(
-            F.size(toks) >= 2,
+        # token array bound to a lambda variable: inlined, the tokenizer
+        # would re-run once per bigram — O(d²) on long documents
+        bi = F.get(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+                F.array(toks),
+                lambda tk: F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.get(tk, i), F.get(tk, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+            0,
+        )
         return df.select(
             F.col(id_col).cast("string").alias("doc"),
             F.explode(F.concat(toks, bi)).alias("feat"),
@@ -585,14 +595,9 @@ def coverage_select(
         # ``grain="bigram"`` widens the universe so greedy runs several
         # non-degenerate rounds even on a tiny vocabulary; the gram
         # expression is bigram_novelty's (same slice form as its oracle)
-        n = F.size(toks)
-        grams = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        from ..functions.textstats import bound_ngrams
+
+        grams = bound_ngrams(toks, 2, empty_below_k=True)
         td = (
             docs.select(
                 F.col(id_col).cast("long").alias("doc"),

@@ -39,14 +39,12 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _word_shingles(col: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles of a text column (JVM-side)."""
-    toks = F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(grams)
+    """Distinct word k-gram shingles of a text column (JVM-side; tokenizer
+    bound once per row via :func:`~..functions.textstats.bound_ngrams` —
+    the inlined form re-tokenized per gram, O(d²) on long docs)."""
+    from ..functions.textstats import _tokens, bound_ngrams
+
+    return F.array_distinct(bound_ngrams(_tokens(col), k))
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -575,18 +573,25 @@ def synth_paragraphs(
     ``doc_id % 5 == 0`` (cookie notice). Integer arithmetic only — the DuckDB
     oracle rebuilds the identical text. Production corpora already carry
     newline paragraph structure and skip this step."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    n_paras = F.floor((n + (para_tokens - 1)) / para_tokens).cast("int")
-    paras = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_paras, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, (i - 1) * para_tokens + 1, para_tokens)
+    from ..functions.textstats import _tokens
+
+    # token array bound to a lambda variable so tokenization runs once per
+    # row, not once per paragraph (the inlined form is O(d²/para) on long
+    # docs — same CollapseProject hazard as bound_ngrams documents)
+    def _paras(tk: Column) -> Column:
+        n = F.size(tk)
+        n_paras = F.floor((n + (para_tokens - 1)) / para_tokens).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_paras, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tk, (i - 1) * para_tokens + 1, para_tokens)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    paras = F.get(F.transform(F.array(_tokens(F.col(text_col))), _paras), 0)
     d = F.col(id_col).cast("long")
     text = F.array_join(paras, "\n")
     text = F.when(
@@ -681,15 +686,9 @@ def duplicate_spans(
 
     Output: (doc, n_windows, n_dup_windows, dup_frac_e6).
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.textstats import _tokens, bound_ngrams
+
+    grams = bound_ngrams(_tokens(F.col(text_col)), k, empty_below_k=True)
     g = docs.select(
         F.col(id_col).cast("string").alias("doc"), F.explode(grams).alias("gram")
     ).select(
@@ -1202,15 +1201,9 @@ def winnow_fingerprint_pairs(
 
     Output: (doc_a, doc_b, n_shared) with n_shared ≥ ``min_shared``.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.textstats import _tokens, bound_ngrams
+
+    grams = bound_ngrams(_tokens(F.col(text_col)), k, empty_below_k=True)
     g = docs.select(
         F.col(id_col).cast("string").alias("doc"), F.posexplode(grams).alias("i0", "gram")
     ).select(
@@ -1320,30 +1313,42 @@ def weighted_jaccard_pairs(
 
     Output: (doc_a, doc_b, wjacc_e4) with wjacc_e4 ≥ threshold_e4.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    from ..functions.textstats import _tokens, bound_ngrams
+
+    grams = bound_ngrams(_tokens(F.col(text_col)), k)
     # NB: _word_shingles dedups (set semantics); weighted Jaccard needs the
-    # raw multiset, so grams stay undistincted here
-    base = docs.select(F.col(id_col).cast("string").alias("doc"), grams.alias("sh"))
-    # capped multiset expansion: shingle counts via in-array aggregation,
-    # then explode (shingle, min(count, cap)) → tagged copies
-    counted = base.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.array_distinct("sh"),
-                lambda s: F.struct(
-                    s.alias("g"),
-                    F.least(
-                        F.size(F.filter("sh", lambda x: x == s)), F.lit(count_cap)
-                    ).alias("c"),
-                ),
-            )
-        ).alias("gc"),
+    # raw multiset, so grams stay undistincted here. Counts come from a
+    # sort + positional run-length collapse — O(d log d) row-local, zero
+    # extra shuffle (the former distinct×filter scan rescanned the full
+    # array once per distinct shingle: O(d²) on a long-document tail).
+    def _capped_runs(s):
+        # run heads = positions where the sorted value changes; consecutive
+        # heads (plus the array end) bound each run, so the capped count is
+        # pure index arithmetic — no per-distinct rescan. ``s`` is a lambda
+        # variable (see below), so every F.get reads a bound array, O(1).
+        heads = F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)),
+        )
+        run_ends = F.concat(
+            F.slice(heads, F.lit(2), F.size(heads) - 1), F.array(F.size(s))
+        )
+        return F.zip_with(
+            heads,
+            run_ends,
+            lambda p, q: F.struct(
+                F.get(s, p).alias("g"),
+                F.least(q - p, F.lit(count_cap)).cast("int").alias("c"),
+            ),
+        )
+
+    # bind the sorted array to a lambda variable via a 1-element transform:
+    # CollapseProject would otherwise inline array_sort(grams) into every
+    # F.get reference, re-evaluating the O(d log d) sort per element —
+    # turning the linear pass back into a quadratic one.
+    runs = F.get(F.transform(F.array(F.array_sort(grams)), _capped_runs), 0)
+    counted = docs.select(
+        F.col(id_col).cast("string").alias("doc"), F.explode(runs).alias("gc")
     ).select("doc", F.col("gc.g").alias("g"), F.col("gc.c").alias("c"))
     from ..functions.iterutils import materialize
 

@@ -8,12 +8,15 @@ Bloom-filter membership operators into the foreachBatch pattern used by
 everything seen so far, then contributes its own bit positions — the
 historical corpus itself is never re-read.
 
-State is the Bloom position table (<= ``m_bits`` rows regardless of corpus
-size), persisted as an append-only parquet log under
-``{output_dir}/bloom_bits``; positions are distinct-ed on read, so appends
-are idempotent under at-least-once foreachBatch retries (set-bit union is
-monotone — re-adding a position is a no-op). Flags for each batch land in
-``{output_dir}/dup_flags`` with the batch id for lineage.
+State is the Bloom position table (<= ``m_bits`` distinct positions
+regardless of corpus size), persisted as an append-only parquet log under
+``{output_dir}/bloom_bits`` with the contributing ``batch_id``. Replay
+safety (foreachBatch is at-least-once): each batch reads state filtered to
+``batch_id < current`` — so a batch retried AFTER its own state append
+committed still sees exactly the pre-batch filter and computes the same
+flags — and flags land in ``{output_dir}/dup_flags`` partitioned by
+``batch_id`` with dynamic partition overwrite, so a replay overwrites its
+own partition instead of duplicating rows.
 
 Extension beyond the reference (which has no streaming semantics — SURVEY
 §2.13); the dedup semantics mirror ``operators/dedup.py::bloom_dedup``
@@ -40,6 +43,52 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+def _dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    bits_dir: str,
+    flags_dir: str,
+    m_bits: int,
+    k_hashes: int,
+) -> None:
+    """One idempotent Bloom-dedup micro-batch (module-level so tests can
+    replay a batch id and assert retry safety directly).
+
+    State read is filtered to ``batch_id < current``: if this batch already
+    ran to (partial) completion, its own committed bit positions are
+    invisible to the retry, so the flag computation is a pure function of
+    (pre-batch state, batch input) — deterministic across attempts. The
+    flag write is then safe to make an overwrite of this batch's partition.
+    """
+    try:
+        seen_bits = (
+            spark.read.parquet(bits_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("pos")
+            .distinct()
+        )
+    except Exception:  # first batch: no state yet
+        seen_bits = spark.createDataFrame([], "pos long")
+    flags = bloom_dedup(batch_df, seen_bits, m_bits=m_bits, k_hashes=k_hashes)
+    (
+        flags.withColumn("batch_id", F.lit(batch_id))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(flags_dir)
+    )
+    (
+        bloom_build(batch_df, m_bits=m_bits, k_hashes=k_hashes)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(bits_dir)
+    )
+
+
 def start_incremental_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -51,13 +100,15 @@ def start_incremental_dedup(
 ):
     """documents parquet drops → per-batch dup flags + monotone Bloom state.
 
-    Each micro-batch: (1) read the accumulated position log (empty on the
-    first batch), (2) flag the batch's docs whose ``k_hashes`` probe
-    positions are all set (``bloom_dup`` — one-sided error, new docs are
-    never flagged), (3) append the batch's own positions. Batches within a
-    query run sequentially, so a doc re-submitted in a LATER drop is always
-    flagged; duplicates within one micro-batch are the batch operators' job
-    (run :func:`~..operators.dedup.exact_dedup_groups` inside the batch if
+    Each micro-batch: (1) read the position log contributed by EARLIER
+    batches (empty on the first batch; the current batch id is excluded so
+    retries see pre-batch state), (2) flag the batch's docs whose
+    ``k_hashes`` probe positions are all set (``bloom_dup`` — one-sided
+    error, new docs are never flagged), (3) write the batch's own positions
+    under its batch id. Batches within a query run sequentially, so a doc
+    re-submitted in a LATER drop is always flagged; duplicates within one
+    micro-batch are the batch operators' job (run
+    :func:`~..operators.dedup.exact_dedup_groups` inside the batch if
     intra-drop dups matter).
     """
     stream = (
@@ -69,17 +120,7 @@ def start_incremental_dedup(
     flags_dir = f"{output_dir}/dup_flags"
 
     def process(batch_df: DataFrame, batch_id: int):
-        try:
-            seen_bits = spark.read.parquet(bits_dir).distinct()
-        except Exception:  # first batch: no state yet
-            seen_bits = spark.createDataFrame([], "pos long")
-        flags = bloom_dedup(batch_df, seen_bits, m_bits=m_bits, k_hashes=k_hashes)
-        flags.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            flags_dir
-        )
-        bloom_build(batch_df, m_bits=m_bits, k_hashes=k_hashes).write.mode(
-            "append"
-        ).parquet(bits_dir)
+        _dedup_batch(spark, batch_df, batch_id, bits_dir, flags_dir, m_bits, k_hashes)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -118,6 +159,97 @@ def start_watermarked_dedup(
     )
 
 
+def _neardup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    n_hashes: int = 9,
+    band_size: int = 3,
+    min_matches: int = 6,
+) -> None:
+    """One idempotent near-dup micro-batch (module-level so tests can replay
+    a batch id and assert retry safety directly — see
+    :func:`start_incremental_neardup` for the protocol)."""
+    from ..operators.dedup import minhash_signatures
+
+    bands_dir = f"{output_dir}/bands"
+    sigs_dir = f"{output_dir}/sigs"
+    flags_dir = f"{output_dir}/near_flags"
+    n_bands = n_hashes // band_size
+    mh_cols = [f"mh{i}" for i in range(n_hashes)]
+
+    sigs_new = minhash_signatures(batch_df, n_hashes=n_hashes).drop(
+        "shingles"
+    ).localCheckpoint(eager=True)
+    band_keys = [
+        F.concat_ws(
+            "|", F.lit(str(b)),
+            *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+        )
+        for b in range(n_bands)
+    ]
+    banded_new = sigs_new.select(
+        "doc", F.explode(F.array(*band_keys)).alias("band")
+    )
+    new_docs = sigs_new.select("doc")
+    try:
+        # anti-join on this batch's docs: a retry whose own appends
+        # already committed still joins against the PRE-batch state
+        old_bands = (
+            spark.read.parquet(bands_dir)
+            .distinct()
+            .join(new_docs, on="doc", how="left_anti")
+        )
+        old_sigs = (
+            spark.read.parquet(sigs_dir)
+            .distinct()
+            .join(new_docs, on="doc", how="left_anti")
+        )
+        has_state = len(old_bands.take(1)) > 0
+    except Exception:  # first batch: no state yet
+        old_bands = old_sigs = None
+        has_state = False
+    if has_state:
+        cands = (
+            banded_new.join(
+                old_bands.withColumnRenamed("doc", "old_doc"), on="band"
+            )
+            .select("doc", "old_doc")
+            .filter(F.col("doc") != F.col("old_doc"))
+            .dropDuplicates(["doc", "old_doc"])
+        )
+        agree = sum(
+            (F.col(f"n.{c}") == F.col(f"o.{c}")).cast("int") for c in mh_cols
+        )
+        flags = (
+            cands.join(sigs_new.alias("n"), on="doc")
+            .join(
+                old_sigs.withColumnRenamed("doc", "old_doc").alias("o"),
+                on="old_doc",
+            )
+            .select(
+                "doc", "old_doc",
+                agree.cast("long").alias("n_match"),
+            )
+            .filter(F.col("n_match") >= min_matches)
+            .withColumn(
+                "est_jaccard_e4",
+                F.expr(f"n_match * 10000L div {n_hashes}").cast("long"),
+            )
+        )
+        (
+            flags.withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flags_dir)
+        )
+    banded_new.write.mode("append").parquet(bands_dir)
+    sigs_new.write.mode("append").parquet(sigs_dir)
+
+
 def start_incremental_neardup(
     spark: SparkSession,
     input_dir: str,
@@ -138,78 +270,32 @@ def start_incremental_neardup(
 
     State: two append-only parquet logs, both bounded by DISTINCT content
     — ``bands`` (doc, band) and ``sigs`` (doc, mh0..mh{n-1}); the
-    historical corpus text is never re-read, the logs are distinct-ed on
-    read so at-least-once foreachBatch retries stay idempotent.
+    historical corpus text is never re-read.
+
+    Replay safety (foreachBatch is at-least-once): the state view joined
+    against is anti-joined on the current batch's doc keys — a batch
+    retried AFTER its own bands/sigs appends committed sees exactly the
+    pre-batch state, so no doc can match itself and the flag computation is
+    deterministic across attempts — plus a ``doc != old_doc`` belt on the
+    candidate join. Flags are written partitioned by ``batch_id`` with
+    dynamic partition overwrite (a replay overwrites its own partition);
+    bands/sigs appends are distinct-ed on read, so re-appends are no-ops.
 
     Output log: ``near_flags`` (doc, old_doc, n_match, est_jaccard_e4,
     batch_id) — cross-batch candidates only (intra-batch dups are the
     batch operators' job, as in the Bloom stream).
     """
-    from ..operators.dedup import minhash_signatures
-
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    bands_dir = f"{output_dir}/bands"
-    sigs_dir = f"{output_dir}/sigs"
-    flags_dir = f"{output_dir}/near_flags"
-    n_bands = n_hashes // band_size
-    mh_cols = [f"mh{i}" for i in range(n_hashes)]
-
-    def _banded(sigs: DataFrame) -> DataFrame:
-        keys = [
-            F.concat_ws(
-                "|", F.lit(str(b)),
-                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
-            )
-            for b in range(n_bands)
-        ]
-        return sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
 
     def process(batch_df: DataFrame, batch_id: int):
-        sigs_new = minhash_signatures(batch_df, n_hashes=n_hashes).drop(
-            "shingles"
-        ).localCheckpoint(eager=True)
-        banded_new = _banded(sigs_new)
-        try:
-            old_bands = spark.read.parquet(bands_dir).distinct()
-            old_sigs = spark.read.parquet(sigs_dir).distinct()
-        except Exception:  # first batch: no state yet
-            old_bands = old_sigs = None
-        if old_bands is not None:
-            cands = (
-                banded_new.join(
-                    old_bands.withColumnRenamed("doc", "old_doc"), on="band"
-                )
-                .select("doc", "old_doc")
-                .dropDuplicates(["doc", "old_doc"])
-            )
-            agree = sum(
-                (F.col(f"n.{c}") == F.col(f"o.{c}")).cast("int") for c in mh_cols
-            )
-            flags = (
-                cands.join(sigs_new.alias("n"), on="doc")
-                .join(
-                    old_sigs.withColumnRenamed("doc", "old_doc").alias("o"),
-                    on="old_doc",
-                )
-                .select(
-                    "doc", "old_doc",
-                    agree.cast("long").alias("n_match"),
-                )
-                .filter(F.col("n_match") >= min_matches)
-                .withColumn(
-                    "est_jaccard_e4",
-                    F.expr(f"n_match * 10000L div {n_hashes}").cast("long"),
-                )
-            )
-            flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(flags_dir)
-        banded_new.write.mode("append").parquet(bands_dir)
-        sigs_new.write.mode("append").parquet(sigs_dir)
+        _neardup_batch(
+            spark, batch_df, batch_id, output_dir,
+            n_hashes=n_hashes, band_size=band_size, min_matches=min_matches,
+        )
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -1057,12 +1057,28 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert flags["4"].bloom_dup == 0
     # state is the distinct position log: 3 texts * 3 hashes (no collisions
     # at m=1M) regardless of how many batches appended
-    bits = spark.read.parquet(f"{out}/bloom_bits").distinct().count()
+    bits = spark.read.parquet(f"{out}/bloom_bits").select("pos").distinct().count()
     assert bits == 9
     # exactly-once: re-running with no new files appends nothing
     q3 = start_incremental_dedup(spark, inp, out, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(f"{out}/dup_flags").count() == 4
+    # at-least-once replay: re-running batch 1's body AFTER its state append
+    # committed must produce identical flags (state read excludes own batch;
+    # flag write overwrites its own partition) — not self-flag every doc
+    from llm_graph_builder_spark.streaming.dedup import _dedup_batch
+
+    batch1 = spark.createDataFrame(
+        [(3, "first drop document one", "en", "s", 23),
+         (4, "brand new second drop text", "en", "s", 26)],
+        schema,
+    )
+    _dedup_batch(spark, batch1, 1, f"{out}/bloom_bits", f"{out}/dup_flags",
+                 m_bits=1 << 20, k_hashes=3)
+    replay = {r.doc: r for r in spark.read.parquet(f"{out}/dup_flags").collect()}
+    assert len(replay) == 4
+    assert replay["3"].bloom_dup == 1 and replay["4"].bloom_dup == 0
+    assert spark.read.parquet(f"{out}/bloom_bits").select("pos").distinct().count() == 9
 
 
 def test_leakage_safe_split_cluster_coherent_and_deterministic(spark):
@@ -2828,6 +2844,23 @@ def test_streaming_incremental_neardup(spark, tmp_path):
     q3 = start_incremental_neardup(spark, inp, out, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(f"{out}/near_flags").count() == n_before
+    # at-least-once replay: re-running batch 1's body AFTER its bands/sigs
+    # appends committed must not self-flag its docs (anti-join restores the
+    # pre-batch state view) and must overwrite, not duplicate, its flags
+    from llm_graph_builder_spark.streaming.dedup import _neardup_batch
+
+    batch1 = spark.createDataFrame(
+        [(3, near, "en", "s", len(near)),
+         (4, "yet more unrelated text tokens that match nothing prior "
+             "in any shingle window of this streaming corpus", "en", "s", 50)],
+        schema,
+    )
+    _neardup_batch(spark, batch1, 1, out)
+    replay = spark.read.parquet(f"{out}/near_flags").collect()
+    rpairs = {(r.doc, r.old_doc): r for r in replay}
+    assert len(replay) == n_before, f"replay duplicated flags: {rpairs}"
+    assert not any(d == o for d, o in rpairs), f"self-flag on replay: {rpairs}"
+    assert ("3", "1") in rpairs and rpairs[("3", "1")].n_match >= 6
 
 
 def test_weighted_jaccard_is_frequency_sensitive(spark):
@@ -2856,3 +2889,21 @@ def test_weighted_jaccard_is_frequency_sensitive(spark):
     s_min = sum(min(ca[g], cb.get(g, 0)) for g in ca)
     s_max = sum(ca.values()) + sum(cb.values()) - s_min
     assert got[("1", "2")] == s_min * 10000 // max(s_max, 1)
+
+
+def test_weighted_jaccard_long_document_tail(spark):
+    """Counts collapse via sort + positional run-length (O(d log d) row-
+    local) — a 30k-token document with heavy repetition must verify exactly
+    and quickly; the former per-distinct rescan was O(d²) here (~9x10^8
+    comparisons in one task) and would stall this test."""
+    from llm_graph_builder_spark.operators.dedup import weighted_jaccard_pairs
+
+    vocab = ["tok%03d" % i for i in range(997)]
+    long_a = " ".join(vocab[(i * 31) % 997] for i in range(30000))
+    long_b = long_a + " extra tail tokens appended here"
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b): r.wjacc_e4
+           for r in weighted_jaccard_pairs(docs, threshold_e4=9000).collect()}
+    assert ("1", "2") in got and got[("1", "2")] >= 9000
