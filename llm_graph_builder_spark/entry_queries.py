@@ -2575,8 +2575,10 @@ def q_butterflies(spark, sf_dir):
 
 
 def q_katz(spark, sf_dir):
-    """Katz centrality (walk counting, damped alpha=0.1, 6 unrolled rounds
-    both engines — the PageRank mirror protocol without normalization)."""
+    """Katz centrality (walk counting; data-dependent damping
+    alpha = 0.5 / max weighted degree — the convergence-safe choice, NOT a
+    fixed constant; 6 unrolled rounds both engines — the PageRank mirror
+    protocol without normalization)."""
     from .operators.graph_analytics import katz_centrality
 
     t = pipeline_tables(spark, sf_dir)

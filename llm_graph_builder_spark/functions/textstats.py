@@ -1135,9 +1135,11 @@ def kneser_ney_bits(
     and the per-token bit cost is ``length(bin(den div num)) - 1`` (the
     ``surprisal_bits`` floor-log2 trick) — no FP anywhere, so the DuckDB
     oracle hash-matches bit-for-bit. Interpolated KN guarantees
-    Σ_b p(b|a) = 1, so den div num ≥ 1 always. NB: den = 4·c(a)·Nt needs
-    c(a)·Nt ≤ ~2·10¹⁸ — beyond ~10⁹-token corpora widen num/den to
-    DECIMAL(38,0); every comparison is unaffected.
+    Σ_b p(b|a) = 1, so den div num ≥ 1 always. num/den are DECIMAL(38,0)
+    (operands widened before multiplying), so c(a)·Nt products are exact
+    far past the ~10⁹-token corpora where plain long math would silently
+    wrap; ``den div num`` still yields BIGINT and every downstream
+    comparison is unaffected.
 
     Scale shape: ONE bigram-grain shuffle builds c(ab); the a-grain and
     b-grain stats are aggregations OF THE TYPE TABLE (vocab²-bounded, far
@@ -1172,6 +1174,13 @@ def kneser_ney_bits(
     )
     b_cont = lm.groupBy("b").agg(F.count("*").cast("long").alias("contb"))
     nt = lm.agg(F.count("*").cast("long").alias("nt"))
+    # num/den in DECIMAL(38,0): plain long products silently wrap past
+    # ~1e9-token corpora (Spark long multiply does not raise), corrupting
+    # bit costs; decimal(19,0)×decimal(19,0) widens to decimal(38,0), so
+    # the former documented bound disappears instead of failing silently.
+    # ``den div num`` on decimals still yields BIGINT (the quotient is
+    # 1/p(b|a) ≤ 4·c(a), always in long range), so ``bits`` is unchanged.
+    d19 = "decimal(19,0)"
     enriched = (
         lm.join(a_stats, on="a")
         .join(b_cont, on="b")
@@ -1179,10 +1188,13 @@ def kneser_ney_bits(
         .select(
             "a", "b",
             (
-                F.greatest(F.lit(4) * F.col("c_ab") - 3, F.lit(0)) * F.col("nt")
-                + F.lit(3) * F.col("n1a") * F.col("contb")
-            ).cast("long").alias("num"),
-            (F.lit(4) * F.col("c_a") * F.col("nt")).cast("long").alias("den"),
+                F.greatest(F.lit(4) * F.col("c_ab") - 3, F.lit(0)).cast(d19)
+                * F.col("nt").cast(d19)
+                + (F.lit(3) * F.col("n1a")).cast(d19) * F.col("contb").cast(d19)
+            ).alias("num"),
+            ((F.lit(4) * F.col("c_a")).cast(d19) * F.col("nt").cast(d19)).alias(
+                "den"
+            ),
         )
     )
     bits = (F.length(F.bin(F.expr("den div num"))) - 1).cast("long")

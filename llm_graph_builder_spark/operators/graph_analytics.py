@@ -3641,7 +3641,7 @@ def _mis_py(
 
 def densest_subgraph(
     entity_edges: DataFrame,
-    rounds: int = 16,
+    rounds: int | None = None,
 ) -> DataFrame:
     """Densest-subgraph 2(1+ε) approximation by parallel peeling (Bahmani,
     Kumar & Vassilvitskii, VLDB 2012 — THE MapReduce densest-subgraph
@@ -3651,6 +3651,15 @@ def densest_subgraph(
     so the node set shrinks geometrically and O(log n) rounds reach empty.
     The best-density round is the approximate densest subgraph (dense
     community / boilerplate hub detector on the entity graph).
+
+    ``rounds=None`` (default) derives the bound from the initial
+    edge-bearing node count: survivors shrink by ≥ 1/(1+ε) = 0.8 per
+    round, so ``ceil(log(n₀)/log(1.25)) + 1`` rounds provably peel to
+    empty and the 2(1+ε) approximation guarantee holds on any graph (a
+    fixed small constant truncates the trace early on large graphs and
+    silently weakens the guarantee). Passing an explicit ``rounds`` keeps
+    the fixed-bound behavior; the loop still early-exits when the edge set
+    empties, so an over-estimate costs nothing.
 
     Both engines run IDENTICAL fixed rounds (the loop early-exits when the
     edge set empties; the oracle's post-empty rounds emit no rows), and
@@ -3666,6 +3675,11 @@ def densest_subgraph(
     """
     und, m = materialize(simple_undirected(entity_edges))
     spark = entity_edges.sparkSession
+    if rounds is None:
+        import math
+
+        n0 = degree_table(und).count()
+        rounds = int(math.ceil(math.log(max(n0, 2)) / math.log(1.25))) + 1
     trace: list[tuple[int, int, int]] = []
     cur, m_cur = und, m
     for i in range(1, rounds + 1):

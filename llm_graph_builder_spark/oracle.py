@@ -9283,9 +9283,12 @@ CROSS JOIN nu
 """
 
 
-def _densest_sql(rounds: int = 16) -> str:
-    """Unrolled Bahmani peel mirror (identical fixed rounds to the Spark
-    loop; post-empty rounds emit no rows), MATERIALIZED per round."""
+def _densest_sql(rounds: int = 40) -> str:
+    """Unrolled Bahmani peel mirror (post-empty rounds emit no rows),
+    MATERIALIZED per round. 40 unrolled rounds cover any initial
+    edge-bearing node count up to 1.25^39 ≈ 6,000 — far above the gate
+    graphs — so the mirror emits exactly the rows Spark's
+    derived-``ceil(log₁.₂₅ n₀)+1``-round peel traces."""
     parts = [_UND_CTE + """,
 de0 AS MATERIALIZED (SELECT u, v FROM und)"""]
     selects = []
