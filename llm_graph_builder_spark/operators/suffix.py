@@ -25,7 +25,13 @@ Determinism / oracle parity: texts are capped at ``text_cap`` ASCII chars, so
 the final rank (prefix length ≥ cap) is the dense rank of the FULL suffix
 string, and DuckDB can mirror the whole operator by sorting the materialized
 suffixes directly (the luxury the oracle has at sf0.01 that a 100 TB corpus
-does not).
+does not). The default cap is 2048 — larger than every testdata document, so
+the index covers FULL documents (Lee et al.'s exact-substring dedup is
+corpus-wide; the former 128-char default indexed doc *prefixes* only). For
+corpora with genuinely long documents, either raise the cap (the doubling
+rounds grow as ⌈log₂ cap/k0⌉ but early-exit when ranks go distinct — the
+common case long before that) or run at chunk grain over the sha1-chunk
+table, whose rows are bounded by construction.
 """
 
 from __future__ import annotations
@@ -65,62 +71,214 @@ def _global_rank(rows: DataFrame, bucket, order_cols: list[str]) -> DataFrame:
     )
 
 
+def _group_base(
+    groups: DataFrame, bucket, order_cols: list[str], n_col: str
+) -> DataFrame:
+    """Smaller-count rank (column ``_gr``) of key GROUPS ordered by
+    ``order_cols``: for each group, the total ``n_col`` weight of strictly
+    smaller groups — i.e. the number of underlying ROWS whose key sorts
+    before this group's key. Same two-level prefix-sum shape as
+    :func:`_global_rank` (``bucket`` must be an order-preserving prefix of
+    the sort key), but weighted, so the rank is an order-preserving
+    row-count base rather than a dense key index.
+    """
+    base = groups.withColumn("_bkt", bucket)
+    btot = base.groupBy("_bkt").agg(F.sum(n_col).alias("_bn"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("_rin", F.coalesce(F.sum(n_col).over(w_in), F.lit(0)))
+        .join(F.broadcast(offs), on="_bkt")
+        .withColumn("_gr", (F.col("_boff") + F.col("_rin")).cast("long"))
+        .drop("_bkt", "_rin", "_boff")
+    )
+
+
 def suffix_array(
     docs: DataFrame,
-    text_cap: int = 128,
-    k0: int = 16,
+    text_cap: int = 2048,
+    k0: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tie_broadcast_rows: int = 2_000_000,
+    direct_seed_bytes: int = 1_000_000_000,
 ) -> DataFrame:
-    """→ (doc, off, r): r = dense rank of suffix ``substr(text, off+1)``
-    in global lexicographic (bytewise) order across the whole corpus,
-    ties (identical suffixes in different docs) sharing a rank.
+    """→ (doc, off, r): r = SMALLER-COUNT rank of suffix
+    ``substr(text, off+1)`` in global lexicographic (bytewise) order across
+    the whole corpus — the number of corpus suffixes that sort strictly
+    before it, ties (identical suffixes) sharing a rank. Order-preserving
+    and 0-based; when all suffixes are distinct the ranks are exactly the
+    permutation 0..n-1. Consumers sort by (r, doc, off), so only the order
+    matters.
 
-    Prefix doubling: seed rank = dense rank of the first ``k0`` chars;
-    round k doubles the compared prefix by joining each suffix's rank with
-    the rank at offset+k (−1 past the end — a terminated suffix sorts
-    before every extension, matching bytewise string order) and re-ranking
-    the (r, r2) pairs. Texts are capped at ``text_cap`` so the fixed
-    ⌈log2(cap/k0)⌉ rounds rank the full suffix.
+    Prefix doubling with TIE-RESTRICTED rounds (Manber-Myers): the seed
+    ranks the first ``k0`` chars (weighted two-level prefix sum over the
+    k0-gram GROUPS — dedup before ranking, so heavy duplication shrinks the
+    sort); each round doubles the compared prefix, but only suffixes still
+    in TIE GROUPS do any work — a suffix whose rank is already unique is
+    final, and a tied group refines group-locally to ``r + rank-within-
+    group(r2)`` where r2 is the rank at offset+k (−1 past the end: a
+    terminated suffix sorts before every extension, matching bytewise
+    order). Tie rows shrink geometrically, so per-round cost tracks the
+    corpus's REPEATED mass, not its size — the property that makes
+    full-document caps affordable (the fixed-round ancestor re-shuffled all
+    n suffixes every round).
+
+    When the tie set fits ``tie_broadcast_rows`` the round runs as
+    broadcast joins against the cached rank table (no full-data shuffle at
+    all); above the gate it falls back to the full pairing join with the
+    identical weighted re-rank (same values — the group-local refinement
+    equals the global smaller-count re-rank by (r, r2)).
+
+    ``k0=None`` picks the seed width by a size gate: inputs whose
+    full-suffix seed keys fit ``direct_seed_bytes`` seed in ONE pass over
+    entire suffixes (zero doubling rounds — at small scale fixed per-round
+    job overhead dominates); larger corpora seed 32 chars and let the
+    tie-restricted rounds refine. Both paths produce identical ranks.
     """
     t = docs.select(
         F.col(id_col).cast("string").alias("doc"),
         F.substring(F.col(text_col), 1, text_cap).alias("t"),
     ).filter(F.length("t") > 0)
+    pre = t.agg(
+        F.coalesce(F.sum(F.length("t")), F.lit(0)).alias("n_sfx"),
+        F.coalesce(F.max(F.length("t")), F.lit(0)).alias("l_max"),
+    ).collect()[0]
+    n_sfx, l_max = pre["n_sfx"], pre["l_max"]
+    if k0 is None:
+        # size-gated seed width: when the full-suffix seed keys fit
+        # ``direct_seed_bytes``, ONE seed pass ranks entire suffixes and
+        # the doubling loop is skipped — at tiny scale the fixed per-round
+        # job overhead dominates the wall, so rounds are pure loss. Above
+        # the gate, a 32-byte seed + tie-restricted rounds is the 100 TB
+        # path: seed bytes stay O(32·n) and each round's shuffle tracks
+        # the remaining REPEATED mass (the same size-gated two-path
+        # pattern as linking's union-find and the LPA replicas).
+        if n_sfx * max(l_max, 1) <= direct_seed_bytes:
+            k0 = max(int(l_max), 1)
+        else:
+            k0 = 32
+    # build the per-text k0-gram array FIRST, then posexplode it: exploding
+    # a (doc, off) sequence and projecting substr(t, ...) afterwards makes
+    # the Generate stage carry the full text once PER SUFFIX ROW (~cap
+    # bytes × n rows of in-memory traffic); the array form drops ``t``
+    # before the explode. ``len`` rides along (8 bytes) so rounds can tell
+    # a past-the-end extension apart by arithmetic instead of an anti-join.
     sfx = t.select(
         "doc",
-        F.explode(F.sequence(F.lit(0), F.length("t") - 1)).alias("off"),
-        F.expr(f"substr(t, off + 1, {k0})").alias("k0"),
-    )
-    seed = _global_rank(
-        sfx.select("k0").distinct(), F.substring("k0", 1, 2), ["k0"]
-    )
+        F.length("t").alias("len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, length(t) - 1), i -> substr(t, i + 1, {k0}))"
+            )
+        ).alias("off", "k0"),
+    ).cache()  # the seed reads it twice: the gram groupBy and the join back
+    grp0 = sfx.groupBy("k0").agg(F.count("*").alias("_n"))
+    seed = _group_base(grp0, F.substring("k0", 1, 2), ["k0"], "_n")
     cur, n = materialize(
-        sfx.join(seed, on="k0").select("doc", "off", F.col("_gr").alias("r"))
+        sfx.join(seed, on="k0").select("doc", "off", "len", F.col("_gr").alias("r"))
     )
+    sfx.unpersist()
+    # the loop runs many small jobs over this frame; right-size the task
+    # waves to the data (32 near-empty tasks per job otherwise dominate
+    # the wall at gate scale — harmless at cluster scale)
+    parts = max(4, min(n // 50_000, 2048))
+    if cur.rdd.getNumPartitions() > parts:
+        cur = cur.coalesce(parts)
     k = k0
-    while k < text_cap:
-        if cur.agg(F.max("r")).collect()[0][0] == n - 1:
+    prev_rank_sum = None
+    rounds = 0
+    prev_frames: list[DataFrame] = []
+    while k < min(text_cap, l_max):
+        # one job for the round's stats: tie groups + tied-row total + a
+        # rank-sum checksum (tg is round-local — it never feeds the next
+        # iteration's plan — so a plain cache suffices; no checkpoint).
+        # This job also materializes the previous round's cached ``cur``.
+        g = cur.groupBy("r").agg(F.count("*").alias("_n")).cache()
+        stats = g.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("g"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, F.col("_n"))), F.lit(0)
+            ).alias("s"),
+            F.coalesce(F.sum(F.col("r") * F.col("_n")), F.lit(0)).alias("rsum"),
+        ).collect()[0]
+        n_groups, n_tied, rank_sum = stats["g"], stats["s"], stats["rsum"]
+        for f in prev_frames:
+            f.unpersist()
+        prev_frames = []
+        if n_groups == 0:
+            g.unpersist()
             break  # every suffix already has a distinct rank
-        shifted = cur.select(
-            "doc", (F.col("off") - k).alias("off"), F.col("r").alias("r2")
-        ).filter(F.col("off") >= 0)
-        paired = (
-            cur.join(shifted, on=["doc", "off"], how="left")
-            .withColumn("r2", F.coalesce("r2", F.lit(-1).cast("long")))
+        if rank_sum == prev_rank_sum:
+            # no rank changed last round ⇒ every remaining tie group's
+            # members agree at +k forever (identical suffixes, or the same
+            # unresolvable extension pattern) — a round that separates
+            # nothing now separates nothing ever after
+            g.unpersist()
+            break
+        prev_rank_sum = rank_sum
+        tg = g.filter(F.col("_n") > 1)
+        # tie-group table: broadcast only while it is actually small
+        tgr = (
+            F.broadcast(tg.select("r"))
+            if n_groups <= tie_broadcast_rows
+            else tg.select("r")
         )
-        rk = _global_rank(
-            paired.select("r", "r2").distinct(),
-            (F.col("r") / _RANK_BUCKET).cast("long"),
-            ["r", "r2"],
+        # tie-restricted pairing: only members of tie groups look up their
+        # +k rank; rows with a unique rank are final and bypass the round.
+        # Past-the-end extensions (off+k ≥ len) take r2 = −1 by FILTER (no
+        # anti-join — ``len`` rides in the row); in-range probes join the
+        # full rank table — broadcast-hash (table only scanned) while the
+        # tie set fits, plain equi-join above the gate. Either way the
+        # per-round shuffle tracks the REPEATED mass, not the corpus.
+        tied = cur.join(tgr, on="r", how="left_semi")
+        has_next = F.col("off") + k < F.col("len")
+        probe = tied.filter(has_next).select(
+            "doc", "off", "len", "r", (F.col("off") + k).alias("_noff")
         )
-        cur, _ = materialize(
-            paired.join(rk, on=["r", "r2"])
-            .select("doc", "off", F.col("_gr").alias("r")),
-            previous=cur,
+        if n_tied <= tie_broadcast_rows:
+            probe = F.broadcast(probe)
+        lookup = cur.select(
+            "doc", F.col("off").alias("_noff"), F.col("r").alias("r2")
         )
+        found = lookup.join(probe, on=["doc", "_noff"]).select(
+            "doc", "off", "len", "r", "r2"
+        )
+        ended = tied.filter(~has_next).select(
+            "doc", "off", "len", "r", F.lit(-1).cast("long").alias("r2")
+        )
+        paired = found.unionByName(ended)
+        w_grp = Window.partitionBy("r").orderBy("r2")
+        tied_new = paired.select(
+            "doc", "off", "len",
+            (F.col("r") + F.rank().over(w_grp) - 1).cast("long").alias("r"),
+        )
+        untied = cur.join(tgr, on="r", how="left_anti")
+        nxt = untied.select("doc", "off", "len", "r").unionByName(tied_new)
+        rounds += 1
+        if rounds % 2 == 0:
+            # truncate plan + stats every other round (each uncheckpointed
+            # round references the prior frame 3×, so two rounds grow the
+            # tree 9× — fine; more would compound)
+            cur, _ = materialize(nxt, previous=cur)
+        else:
+            old = cur
+            cur = nxt.cache()
+            prev_frames = [old, g]
+            k *= 2
+            continue
+        g.unpersist()
         k *= 2
-    return cur
+    return cur.select("doc", "off", "r")
 
 
 def repeated_substrings(
@@ -128,7 +286,7 @@ def repeated_substrings(
     top_n: int = 30,
     min_lcp: int = 4,
     lcp_cap: int = 64,
-    text_cap: int = 128,
+    text_cap: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
     sa: DataFrame | None = None,
@@ -170,7 +328,10 @@ def repeated_substrings(
         F.col(id_col).cast("string").alias("doc"),
         F.substring(F.col(text_col), 1, text_cap).alias("t"),
     )
-    adj = (
+    # repartition before the per-row LCP projection: AQE coalesces the
+    # small adjacency-join shuffle to very few partitions (rows are narrow),
+    # which would funnel the CPU-heavy compare through one task
+    paired_txt = (
         cur.join(nxt, on="pos")
         .join(
             texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("t", "ta"),
@@ -185,13 +346,26 @@ def repeated_substrings(
             F.expr(f"substr(ta, off_a + 1, {lcp_cap})").alias("sa"),
             F.expr(f"substr(tb, off_b + 1, {lcp_cap})").alias("sb"),
         )
-        .withColumn(
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            F.col("doc_a"), F.col("off_a"),
+        )
+    )
+    # LCP in O(cap) per row: first char mismatch position via a char-array
+    # zip (the former agree-at-every-prefix filter re-compared O(cap²)
+    # chars per pair). Identical values: prefix equality is monotone, so
+    # (first mismatch − 1) clamped by both lengths IS the agree count; an
+    # exact-prefix pair mismatches at the shorter side's trailing ""
+    # split artifact, landing on length(shorter) — same clamp.
+    eq = F.zip_with(
+        F.split(F.col("sa"), ""), F.split(F.col("sb"), ""), lambda x, y: x == y
+    )
+    mis = F.array_position(eq, False)
+    adj = (
+        paired_txt.withColumn(
             "lcp",
             F.least(
-                F.expr(
-                    f"size(filter(sequence(1, {lcp_cap}), "
-                    "i -> substr(sa, 1, i) = substr(sb, 1, i)))"
-                ),
+                F.when(mis > 0, mis - 1).otherwise(F.lit(lcp_cap)),
                 F.length("sa"),
                 F.length("sb"),
             ).cast("long"),
@@ -221,7 +395,7 @@ def repeated_substrings(
 
 def bwt_runs(
     docs: DataFrame,
-    text_cap: int = 128,
+    text_cap: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
     sa: DataFrame | None = None,

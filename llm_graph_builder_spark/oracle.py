@@ -9126,14 +9126,14 @@ FROM pc_c
 """
 
 # mirrors q_suffix_repeats / suffix.repeated_substrings: the oracle sorts the
-# materialized (128-capped) suffixes of the doc_id % 10 subset directly —
+# materialized (2048-capped, i.e. full-document here) suffixes of the doc_id % 10 subset directly —
 # bytewise ASCII order matches the Spark prefix-doubling rank exactly — then
 # replays the SA-adjacency LCP count (agree-at-i over i in 1..64, clamped by
 # both capped suffix lengths) and the (lcp desc, pair asc) top-30.
 ORACLE_SQL["suffix_repeats"] = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc, substr(text, 1, 128) AS t
-  FROM documents WHERE doc_id % 10 = 0 AND length(substr(text, 1, 128)) > 0
+  SELECT CAST(doc_id AS VARCHAR) AS doc, substr(text, 1, 2048) AS t
+  FROM documents WHERE doc_id % 10 = 0 AND length(substr(text, 1, 2048)) > 0
 ),
 s AS (
   SELECT doc, CAST(i AS BIGINT) AS off, substr(t, CAST(i AS INT) + 1) AS suf
@@ -9218,8 +9218,8 @@ FROM base b LEFT JOIN scored s ON s.doc = b.doc
 # oracle sorts the materialized suffixes directly.
 ORACLE_SQL["bwt_runs"] = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc, substr(text, 1, 128) AS t
-  FROM documents WHERE doc_id % 10 = 0 AND length(substr(text, 1, 128)) > 0
+  SELECT CAST(doc_id AS VARCHAR) AS doc, substr(text, 1, 2048) AS t
+  FROM documents WHERE doc_id % 10 = 0 AND length(substr(text, 1, 2048)) > 0
 ),
 s AS (
   SELECT doc, CAST(i AS BIGINT) AS off, substr(t, CAST(i AS INT) + 1) AS suf,

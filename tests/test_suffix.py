@@ -11,11 +11,17 @@ from llm_graph_builder_spark.operators.suffix import (
 
 
 def _truth_ranks(docs):
-    """Dense rank of every suffix string across the corpus (Python mirror)."""
-    sufs = sorted({t[o:] for _, t in docs for o in range(len(t))})
-    rank_of = {s: i for i, s in enumerate(sufs)}
+    """Smaller-count rank of every suffix string across the corpus (Python
+    mirror of the operator's contract): the number of corpus suffixes that
+    sort strictly before it, identical suffixes sharing a rank. Equals the
+    dense rank 0..n-1 whenever all suffixes are distinct."""
+    import bisect
+
+    all_sufs = sorted(t[o:] for _, t in docs for o in range(len(t)))
     return {
-        (str(d), o): rank_of[t[o:]] for d, t in docs for o in range(len(t))
+        (str(d), o): bisect.bisect_left(all_sufs, t[o:])
+        for d, t in docs
+        for o in range(len(t))
     }
 
 
@@ -30,6 +36,10 @@ def test_suffix_array_matches_python_dense_rank(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {(r["doc"], r["off"]): r["r"] for r in suffix_array(df).collect()}
     assert got == _truth_ranks(docs)
+    # forced narrow seed exercises the tie-restricted doubling rounds (the
+    # 100 TB path) — identical ranks to the size-gated direct seed
+    got4 = {(r["doc"], r["off"]): r["r"] for r in suffix_array(df, k0=4).collect()}
+    assert got4 == got
 
 
 def test_suffix_array_early_exit_all_distinct(spark):
