@@ -2625,6 +2625,31 @@ def q_bpe_merges(spark, sf_dir):
     return _bpe_merge_table(spark, sf_dir)
 
 
+def q_chunks_bpe(spark, sf_dir):
+    """Token-window chunking with the in-repo LEARNED BPE tokenizer on the
+    checked path (C2 with a real merge-table tokenizer, no external dep):
+    the 8 corpus-learned merge rules (bpe_merges, memoized) drive
+    functions/text.BpeTokenizer through the standard mapInArrow chunk
+    kernel — sep='' piece windows, content-addressed sha256 chunk ids,
+    offsets in the normalized stream. Oracle replays the merge chain per
+    alpha segment and re-windows the token lists in SQL. Reference
+    semantics: create_chunks.py:42 token windows (tiktoken cl100k stays
+    available through the import-gated seam)."""
+    from .functions.text import BpeTokenizer
+    from .operators.chunking import chunk_documents
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in _bpe_merge_table(spark, sf_dir).orderBy("round").collect()
+    ]
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return chunk_documents(
+        docs, size=32, overlap=8, tokenizer=BpeTokenizer(merges)
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Apply the learned BPE merge table to the corpus: per-document token
     counts after 8 merges — map-only chained literal replaces (the shape
@@ -3828,6 +3853,7 @@ QUERIES = {
     "vocab_stats": q_vocab_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_tokens": q_bpe_tokens,
+    "chunks_bpe": q_chunks_bpe,
     "clustering_coefficient": q_clustering_coefficient,
     "random_walks": q_random_walks,
     "graph_summary": q_graph_summary,
@@ -4077,6 +4103,7 @@ _CORE = [
 #: driver-checked), a graph-analytics slice, a TPC-H-shaped warehouse
 #: slice, and the core training-data ops.
 _ROTATE = [
+    "chunks_bpe",
     "weighted_jaccard", "sorted_neighborhood", "katz", "butterflies",
     "densest_subgraph", "kn_bits", "seq_patterns", "poisson_bootstrap",
     "textrank_keywords", "attack_robustness", "chat_history", "bwt_runs",

@@ -64,6 +64,70 @@ class TiktokenTokenizer:
         ]
 
 
+class BpeTokenizer:
+    """In-repo deterministic BPE window tokenizer — a REAL merge-table BPE
+    on the chunker's checked path with no external dependency: the merge
+    table is LEARNED from the corpus (``operators/bpe.py::
+    bpe_merge_learner``) instead of shipped as a frozen encoding, which is
+    what a 100 TB pipeline does anyway (the reference's fixed cl100k
+    tokenizer stays available through the tiktoken seam).
+
+    Tokenization: the sanitized text is segmented by
+    ``[A-Za-z]+|[0-9]+|\\s+|[^A-Za-z0-9\\s]`` (every char belongs to
+    exactly one segment; the alternatives are disjoint char classes, so
+    Python re and DuckDB RE2 agree); alphabetic segments are lowercased
+    and split by the merge rules with the same non-overlapping
+    left-to-right greedy application as the learner's fenced ``replace``
+    ('a a a' merges only the leftmost pair, 'a b a b' merges both);
+    other segments pass through verbatim. ``sep = ''`` — windows are
+    piece concatenations, so offsets index the normalized (quote-stripped,
+    alpha-lowercased) stream.
+    """
+
+    sep = ""
+
+    def __init__(self, merges):
+        #: [(left_sym, right_sym)] in learning order
+        self._merges = [(m[0], m[1]) for m in merges]
+        self._word_cache: dict[str, list[str]] = {}
+
+    def _split_word(self, w: str) -> list[str]:
+        cached = self._word_cache.get(w)
+        if cached is not None:
+            return cached
+        pieces = list(w)
+        for left, right in self._merges:
+            i, res = 0, []
+            while i < len(pieces):
+                if (
+                    i + 1 < len(pieces)
+                    and pieces[i] == left
+                    and pieces[i + 1] == right
+                ):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(pieces[i])
+                    i += 1
+            pieces = res
+        self._word_cache[w] = pieces
+        return pieces
+
+    def encode(self, text: str) -> list[str]:
+        import re as _re
+
+        out: list[str] = []
+        for seg in _re.findall(
+            r"[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]", sanitize_py(text)
+        ):
+            c = seg[0]
+            if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+                out.extend(self._split_word(seg.lower()))
+            else:
+                out.append(seg)
+        return out
+
+
 _TOKENIZER_CACHE: dict = {}
 
 

@@ -676,56 +676,57 @@ def duplicate_spans(
     upper-bounds the paper's "duplicate substring of length >= k" relation
     exactly; the paper's actual index — the suffix array — is also built
     distributed via prefix doubling in ``operators/suffix.py`` (O(log L)
-    rank-join rounds) when the longest repeats themselves are wanted. Windows travel as
-    48-bit md5 prefixes (grams never shuffle as strings); the explicit
-    ``repartition(gh)`` is the ONE gram-grain exchange — both the
-    per-(gram, doc) count and the global-gram-total window sum are computed
-    inside that partitioning without further shuffles, so the whole operator
-    is one gram-grain shuffle plus one doc-grain aggregation at any corpus
-    size.
+    rank-join rounds) when the longest repeats themselves are wanted.
+
+    Scale shape — ONE gram-grain exchange, built to move the fewest bytes
+    through it: windows travel as 48-bit md5 prefixes and the document key
+    rides as a LONG (two fixed 8-byte columns per occurrence — the former
+    shape shuffled the padded doc STRING, ~2.5× the row bytes), the
+    explicit ``repartition(gh)`` satisfies both the (gh, doc) aggregation's
+    clustering AND the global-total window's, so neither adds its own
+    shuffle (asserted in tests), and per-doc window totals are row-local
+    array sizes that never enter the gram-grain exchange at all. Requires
+    an integral ``id_col`` (it is cast to long for the exchange; the
+    output keeps the string form).
 
     Output: (doc, n_windows, n_dup_windows, dup_frac_e6).
     """
+    from pyspark.sql import Window
+
     from ..functions.textstats import _tokens, bound_ngrams
 
     grams = bound_ngrams(_tokens(F.col(text_col)), k, empty_below_k=True)
     g = docs.select(
-        F.col(id_col).cast("string").alias("doc"), F.explode(grams).alias("gram")
+        F.col(id_col).cast("long").alias("did"), F.explode(grams).alias("gram")
     ).select(
-        "doc",
+        "did",
         F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long").alias("gh"),
     )
-    from pyspark.sql import Window
-
-    # ONE gram-grain exchange: hashpartitioning(gh) satisfies both the
-    # (gh, doc) aggregation's clustering AND the window's, so neither adds
-    # its own shuffle (asserted in tests). Map-side combine would save
-    # nothing here — per-(gram, doc) counts are almost always 1.
     per = (
         g.repartition(F.col("gh"))
-        .groupBy("gh", "doc")
+        .groupBy("gh", "did")
         .agg(F.count("*").alias("c"))
         .withColumn("t", F.sum("c").over(Window.partitionBy("gh")))
     )
-    stats = per.groupBy("doc").agg(
-        F.sum("c").cast("long").alias("n_windows"),
+    dstats = per.groupBy("did").agg(
         F.sum(F.when(F.col("t") > 1, F.col("c")).otherwise(0))
         .cast("long")
         .alias("n_dup_windows"),
     )
-    return (
-        docs.select(F.col(id_col).cast("string").alias("doc"))
-        .join(stats, on="doc", how="left")
-        .select(
-            "doc",
-            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
-            F.coalesce(F.col("n_dup_windows"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_windows"),
-            F.expr(
-                "coalesce(n_dup_windows, 0L) * 1000000L div greatest(coalesce(n_windows, 0L), 1L)"
-            ).alias("dup_frac_e6"),
-        )
+    nw = docs.select(
+        F.col(id_col).cast("long").alias("did"),
+        F.col(id_col).cast("string").alias("doc"),
+        F.greatest(F.size(grams), F.lit(0)).cast("long").alias("n_windows"),
+    )
+    return nw.join(dstats, on="did", how="left").select(
+        "doc",
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.expr(
+            "coalesce(n_dup_windows, 0L) * 1000000L div greatest(n_windows, 1L)"
+        ).alias("dup_frac_e6"),
     )
 
 

@@ -4201,6 +4201,85 @@ GROUP BY 1, 2
 ORACLE_SQL["bpe_tokens"] = _bpe_tokens_sql()
 
 
+def _chunks_bpe_sql(n_merges: int = 8, size: int = 32, overlap: int = 8) -> str:
+    """Mirror of q_chunks_bpe / chunking.chunk_documents with the learned
+    BpeTokenizer (functions/text.py): the same m{i} merge chain as
+    _bpe_sql, applied per ALPHA SEGMENT of the sanitized text (segment
+    regex ``[A-Za-z]+|[0-9]+|\\s+|[^A-Za-z0-9\\s]`` — disjoint classes, so
+    RE2 and Python re agree); non-alpha segments pass through verbatim;
+    the per-doc ordered token list is re-windowed with the split_tokens
+    law (stride = size − overlap, sep = '' ⇒ offset = concat length of
+    the preceding tokens) and chunk_id = sha256(text)."""
+    learn = _bpe_sql(n_merges)
+    head, _ = learn.rsplit("\nSELECT * FROM m1", 1)
+    stride = size - overlap
+    parts = [head, r""",
+cb_segs AS MATERIALIZED (
+  SELECT doc_id, CAST(si AS BIGINT) AS si, sg[CAST(si AS INT)] AS seg
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(
+             replace(replace(text, '"', ''), chr(39), ''),
+             '[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]') AS sg
+    FROM documents),
+  unnest(range(1, len(sg) + 1)) AS u(si)
+),
+cbw0 AS MATERIALIZED (
+  SELECT doc_id, si, seg,
+         CASE WHEN regexp_matches(seg, '^[A-Za-z]')
+              THEN regexp_replace(lower(seg), '(.)', chr(1) || '\1' || chr(1), 'g')
+              ELSE NULL END AS s
+  FROM cb_segs
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+cbw{i} AS MATERIALIZED (
+  SELECT t.doc_id, t.si, t.seg,
+         CASE WHEN t.s IS NULL OR m.left_sym IS NULL THEN t.s
+         ELSE replace(t.s,
+                      chr(1) || m.left_sym || chr(1) || chr(1)
+                             || m.right_sym || chr(1),
+                      chr(1) || m.merged || chr(1)) END AS s
+  FROM cbw{i - 1} t LEFT JOIN m{i} m ON TRUE
+)""")
+    parts.append(f""",
+cb_tokens AS MATERIALIZED (
+  SELECT doc_id, si, CAST(pi AS BIGINT) AS pi, pieces[CAST(pi AS INT)] AS piece
+  FROM (
+    SELECT doc_id, si,
+           CASE WHEN s IS NULL THEN [seg]
+                ELSE string_split(substr(s, 2, length(s) - 2),
+                                  chr(1) || chr(1)) END AS pieces
+    FROM cbw{n_merges}),
+  unnest(range(1, len(pieces) + 1)) AS u(pi)
+),
+cb_lists AS MATERIALIZED (
+  SELECT doc_id, list(piece ORDER BY si, pi) AS toks
+  FROM cb_tokens GROUP BY doc_id
+),
+cb_chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         array_to_string(toks[CAST(i * {stride} + 1 AS INT)
+                              : CAST(i * {stride} + {size} AS INT)], '') AS text,
+         CAST(coalesce(length(array_to_string(
+             toks[1 : CAST(i * {stride} AS INT)], '')), 0) AS BIGINT)
+           AS content_offset
+  FROM cb_lists,
+       unnest(range(0, 1 + (greatest(len(toks) - {size}, 0) + {stride} - 1)
+                         // {stride})) AS u(i)
+  WHERE len(toks) > 0
+)
+SELECT sha256(text) AS chunk_id, doc_id, text,
+       CAST(idx + 1 AS BIGINT) AS position, content_offset,
+       CAST(length(text) AS BIGINT) AS length
+FROM cb_chunks
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["chunks_bpe"] = _chunks_bpe_sql()
+
+
 # mirrors q_community_quality / communities.community_quality (level 0):
 # per-community modularity contribution and conductance over the symmetrized
 # projection; both engines truncate integer division toward zero, so the

@@ -231,3 +231,50 @@ def test_get_tokenizer_specs():
         get_tokenizer("bpe9000")
     obj = WhitespaceTokenizer()
     assert get_tokenizer(obj) is obj  # injected object passes through
+
+
+def test_bpe_tokenizer_learned_merges_chunk_path(spark):
+    """BpeTokenizer (in-repo learned-merge BPE) through the real chunk
+    kernel: greedy left-to-right merge application, lossless segment cover
+    (concat of tokens == normalized text), and window/offset law."""
+    from llm_graph_builder_spark.functions.text import BpeTokenizer, sanitize_py
+    from llm_graph_builder_spark.operators.bpe import bpe_merge_learner
+    from llm_graph_builder_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "the there then other " * 6), (2, "mother weather 123 !! x")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merge_learner(docs, n_merges=4).orderBy("round").collect()
+    ]
+    assert merges, "no merges learned"
+    tk = BpeTokenizer(merges)
+    # greedy left-to-right per rule: 'aaa' with (a,a) merges leftmost only
+    tk2 = BpeTokenizer([("a", "a")])
+    assert tk2._split_word("aaa") == ["aa", "a"]
+    assert tk2._split_word("aaaa") == ["aa", "aa"]
+    # lossless normalized cover: concat == sanitized lowercase-alpha stream
+    s = 'The "quick" mother!  42x'
+    joined = "".join(tk.encode(s))
+    expect = sanitize_py(s)
+    # alpha segments lowercase, everything else verbatim
+    import re
+    norm = "".join(
+        seg.lower() if re.match(r"[A-Za-z]", seg[0]) else seg
+        for seg in re.findall(r"[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]", expect)
+    )
+    assert joined == norm
+    # through the chunk kernel: content-addressed ids, 1-based positions,
+    # offsets = concat length of preceding tokens
+    ch = chunk_documents(
+        docs.select("doc_id", docs.text.alias("content")),
+        size=8, overlap=2, tokenizer=tk,
+    ).collect()
+    assert ch and all(r.position >= 1 for r in ch)
+    toks1 = tk.encode("the there then other " * 6)
+    first = min((r for r in ch if r.doc_id == 1), key=lambda r: r.position)
+    assert first.text == "".join(toks1[:8]) and first.content_offset == 0
+    second = sorted((r for r in ch if r.doc_id == 1), key=lambda r: r.position)[1]
+    assert second.content_offset == sum(len(t) for t in toks1[:6])

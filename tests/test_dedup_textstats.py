@@ -994,7 +994,8 @@ def test_duplicate_spans(spark):
     assert out["3"].n_windows == 2 and out["3"].n_dup_windows == 0
     assert out["4"].n_windows == 0 and out["4"].dup_frac_e6 == 0
     # plan: exactly ONE gram-grain exchange — the explicit repartition(gh)
-    # serves both the (gh, doc) aggregation and the global-total window
+    # serves both the (gh, did) aggregation and the global-total window,
+    # and the shuffled rows are two longs (gh + did), never strings
     plan = duplicate_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
     gh_exchanges = [
         m for m in re.findall(r"Exchange hashpartitioning\((\w+)#", plan) if m == "gh"
