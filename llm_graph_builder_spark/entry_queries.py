@@ -2175,6 +2175,51 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_codec(spark, sf_dir):
+    """REAL container decode on the checked path: deterministic 24-bpp BMP
+    (even doc_id) and PCM16 WAV (odd doc_id) payloads are synthesized from
+    doc_id arithmetic, then decoded by the pure-Python parsers
+    (multimodal.decode_bmp / decode_wav — actual header validation + pixel/
+    sample parsing, no codec library) inside the standard mapInPandas
+    feature extractor. The oracle recomputes every feature from the
+    SYNTHESIS arithmetic — never parsing bytes — so a hash match proves the
+    decoders invert the encoders end-to-end."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        codec_decode_features,
+        extract_features,
+        synthesize_bmp,
+        synthesize_wav,
+    )
+
+    @F.pandas_udf("binary")
+    def payload_of(doc_ids):
+        return doc_ids.map(
+            lambda d: synthesize_bmp(int(d))
+            if int(d) % 2 == 0
+            else synthesize_wav(int(d))
+        )
+
+    docs = read_documents(spark, sf_dir).filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("media_type"),
+        payload_of(F.col("doc_id")).alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("real")).alias("meta"),
+    )
+    feats = extract_features(assets, decode_fn=codec_decode_features)
+    return feats.select(
+        "asset_id", "media_type", "n_bytes",
+        *[
+            F.element_at("feature", i + 1).cast("long").alias(f"f{i}")
+            for i in range(6)
+        ],
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Multimodal frame sampling end-to-end: deterministic synthetic assets →
     mapInPandas per-video frame explode (1 fps). The stubbed decoder is
@@ -3834,6 +3879,7 @@ QUERIES = {
     "similar_knn": q_similar_knn,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_codec": q_multimodal_codec,
     "code_graph_communities": q_code_graph_communities,
     "code_community_quality": q_code_community_quality,
     "incremental_entities": q_incremental_entities,
@@ -4103,7 +4149,7 @@ _CORE = [
 #: driver-checked), a graph-analytics slice, a TPC-H-shaped warehouse
 #: slice, and the core training-data ops.
 _ROTATE = [
-    "chunks_bpe",
+    "chunks_bpe", "multimodal_codec",
     "weighted_jaccard", "sorted_neighborhood", "katz", "butterflies",
     "densest_subgraph", "kn_bits", "seq_patterns", "poisson_bootstrap",
     "textrank_keywords", "attack_robustness", "chat_history", "bwt_runs",

@@ -56,6 +56,169 @@ def strict_decode(payload: bytes, dim: int = 8) -> list[float]:
     )
 
 
+# --- real containers: BMP (24-bpp uncompressed) and WAV (PCM16 mono) ------
+#
+# No codec libraries exist in this container, but these two formats need
+# none — their byte layout is fully specified by header arithmetic. The
+# decoders below are REAL (they reject malformed headers and parse actual
+# pixel/sample data), replacing the byte-histogram stand-in for assets in
+# these formats; the strict/fake seams remain for formats that genuinely
+# need external libraries.
+
+
+def synthesize_bmp(seed: int, w: int = 8, h: int = 8) -> bytes:
+    """A real 24-bpp uncompressed bottom-up BMP whose pixel (x, y) is
+    (r, g, b) = ((seed·31+x·7+y·13)%256, (seed·17+x·3+y·5)%256,
+    (seed·11+x+y)%256) — pure integer arithmetic, so an oracle can compute
+    any pixel statistic WITHOUT parsing bytes, which is what makes the
+    decoder end-to-end checkable."""
+    row_size = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (row_size - 3 * w)
+    rows = []
+    for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        row = bytearray()
+        for x in range(w):
+            r = (seed * 31 + x * 7 + y * 13) % 256
+            g = (seed * 17 + x * 3 + y * 5) % 256
+            b = (seed * 11 + x + y) % 256
+            row += bytes((b, g, r))  # and pixels as BGR
+        rows.append(bytes(row) + pad)
+    pixels = b"".join(rows)
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+    )
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Parse a 24-bpp uncompressed BMP → (w, h, [(r, g, b)] row-major from
+    the TOP row). Raises ValueError on anything it does not support."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    if len(payload) < data_off + row_size * h:
+        raise ValueError("truncated BMP pixel data")
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(h):
+        src_row = (h - 1 - y) if bottom_up else y
+        base = data_off + src_row * row_size
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            pixels.append((r, g, b))
+    return w, h, pixels
+
+
+def synthesize_wav(seed: int, n_samples: int = 256, rate: int = 8000) -> bytes:
+    """A real RIFF/WAVE PCM16 mono container; sample i =
+    ((seed·37 + i·101) % 2048) − 1024 — integer arithmetic an oracle can
+    replay without parsing bytes."""
+    data = b"".join(
+        (((seed * 37 + i * 101) % 2048) - 1024).to_bytes(2, "little", signed=True)
+        for i in range(n_samples)
+    )
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a RIFF/WAVE PCM16 mono container → (sample_rate, samples).
+    Walks the chunk list (fmt /data may be preceded by others). Raises
+    ValueError on non-PCM16-mono or malformed containers."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAVE (fmt={fmt}, ch={channels}, bits={bits})"
+                )
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            samples = [
+                int.from_bytes(body[i : i + 2], "little", signed=True)
+                for i in range(0, len(body) - 1, 2)
+            ]
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    return rate, samples
+
+
+def codec_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode→feature path dispatched by container magic: BMP →
+    [1, w, h, Σr, Σg, Σb, 0, 0]; WAV → [2, n, rate, Σ|s|, zero_crossings,
+    0, 0, 0]; anything else falls back to the byte-histogram stand-in.
+    Every feature is a small integer (exact in float32), so a DuckDB
+    oracle that recomputes them from the SYNTHESIS arithmetic value-checks
+    the decoders end-to-end."""
+    if payload and payload[:2] == b"BM":
+        w, h, pixels = decode_bmp(payload)
+        f = [
+            1.0, float(w), float(h),
+            float(sum(p[0] for p in pixels)),
+            float(sum(p[1] for p in pixels)),
+            float(sum(p[2] for p in pixels)),
+        ]
+    elif payload and payload[:4] == b"RIFF":
+        rate, samples = decode_wav(payload)
+        zc = sum(
+            1
+            for i in range(1, len(samples))
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+        f = [
+            2.0, float(len(samples)), float(rate),
+            float(sum(abs(s) for s in samples)), float(zc),
+        ]
+    else:
+        return fake_decode_features(payload, dim)
+    return (f + [0.0] * dim)[:dim]
+
+
 def extract_features(
     assets: DataFrame,
     decode_fn: Callable[[bytes], list[float]] | None = None,

@@ -2103,6 +2103,49 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS media_type,
 FROM documents
 """
 
+# mirrors q_multimodal_codec / multimodal.codec_decode_features: the
+# expected features are recomputed from the BMP/WAV SYNTHESIS arithmetic
+# (pixel (x,y) ← doc_id·31+x·7+y·13 mod 256 etc.; sample i ←
+# (doc_id·37+i·101 mod 2048) − 1024), never from bytes — a hash match
+# proves the pure-Python decoders invert the encoders. n_bytes are the
+# container-layout constants: BMP 54 + 24·8 = 246; WAV 44 + 2·256 = 556.
+ORACLE_SQL["multimodal_codec"] = """
+WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+bmp AS (
+  SELECT doc_id,
+         CAST(sum((doc_id*31 + (i % 8)*7 + (i // 8)*13) % 256) AS BIGINT) AS sr,
+         CAST(sum((doc_id*17 + (i % 8)*3 + (i // 8)*5) % 256) AS BIGINT) AS sg,
+         CAST(sum((doc_id*11 + (i % 8) + (i // 8)) % 256) AS BIGINT) AS sb
+  FROM base, unnest(range(0, 64)) AS u(i)
+  WHERE doc_id % 2 = 0 GROUP BY doc_id
+),
+wav_s AS (
+  SELECT doc_id, i, ((doc_id*37 + i*101) % 2048) - 1024 AS s
+  FROM base, unnest(range(0, 256)) AS u(i)
+  WHERE doc_id % 2 = 1
+),
+wav AS (
+  SELECT doc_id,
+         CAST(sum(abs(s)) AS BIGINT) AS sabs,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (s < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zc
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM wav_s)
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS media_type,
+       CAST(246 AS BIGINT) AS n_bytes, CAST(1 AS BIGINT) AS f0,
+       CAST(8 AS BIGINT) AS f1, CAST(8 AS BIGINT) AS f2,
+       sr AS f3, sg AS f4, sb AS f5
+FROM bmp
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'audio', CAST(556 AS BIGINT),
+       CAST(2 AS BIGINT), CAST(256 AS BIGINT), CAST(8000 AS BIGINT),
+       sabs, zc, CAST(0 AS BIGINT)
+FROM wav
+"""
+
 ORACLE_SQL["ann_topk"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (

@@ -2908,3 +2908,122 @@ def test_weighted_jaccard_long_document_tail(spark):
     got = {(r.doc_a, r.doc_b): r.wjacc_e4
            for r in weighted_jaccard_pairs(docs, threshold_e4=9000).collect()}
     assert ("1", "2") in got and got[("1", "2")] >= 9000
+
+
+def test_bmp_wav_codecs_round_trip_and_reject():
+    """Pure-Python BMP/WAV codecs: decode(synthesize(x)) reproduces the
+    generating arithmetic exactly; malformed containers are rejected."""
+    import pytest as _pytest
+
+    from llm_graph_builder_spark.operators.multimodal import (
+        codec_decode_features,
+        decode_bmp,
+        decode_wav,
+        synthesize_bmp,
+        synthesize_wav,
+    )
+
+    w, h, pixels = decode_bmp(synthesize_bmp(42, w=5, h=3))  # odd width → row pad
+    assert (w, h) == (5, 3) and len(pixels) == 15
+    # top-row-major order: pixel (x=2, y=0)
+    assert pixels[2] == ((42 * 31 + 2 * 7) % 256, (42 * 17 + 2 * 3) % 256,
+                         (42 * 11 + 2) % 256)
+    assert pixels[5 + 1] == ((42 * 31 + 1 * 7 + 13) % 256,
+                             (42 * 17 + 1 * 3 + 5) % 256,
+                             (42 * 11 + 1 + 1) % 256)
+    rate, samples = decode_wav(synthesize_wav(7, n_samples=32, rate=16000))
+    assert rate == 16000 and len(samples) == 32
+    assert samples[5] == ((7 * 37 + 5 * 101) % 2048) - 1024
+    # dispatcher: BMP tag 1, WAV tag 2, unknown → histogram fallback
+    fb = codec_decode_features(synthesize_bmp(3))
+    assert fb[0] == 1.0 and fb[1] == 8.0 and fb[3] == sum(
+        (3 * 31 + x * 7 + y * 13) % 256 for x in range(8) for y in range(8))
+    fw = codec_decode_features(synthesize_wav(3))
+    assert fw[0] == 2.0 and fw[2] == 8000.0
+    other = codec_decode_features(b"\x89PNG not supported here")
+    assert len(other) == 8 and abs(sum(v * v for v in other) - 1.0) < 1e-6
+    # malformed containers fail loudly, never return garbage features
+    with _pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 20)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    bad_bpp = bytearray(synthesize_bmp(1))
+    bad_bpp[28] = 8  # 8-bpp unsupported
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_streaming_crawl_end_to_end(spark, tmp_path):
+    """The continuous-crawl composition: ingest → Bloom dedup gate →
+    extraction → maintained entity snapshot across 3 micro-batches;
+    duplicates never reach extraction; the final entity table equals a full
+    batch recompute over the surviving documents; batch replay is a no-op."""
+    from llm_graph_builder_spark.operators.chunking import chunk_documents
+    from llm_graph_builder_spark.operators.extraction import (
+        extract_units,
+        mentions_from_units,
+    )
+    from llm_graph_builder_spark.sources.repos import ingest
+    from llm_graph_builder_spark.streaming.crawl import (
+        _crawl_batch,
+        start_crawl_pipeline,
+    )
+    from llm_graph_builder_spark.streaming.kg_maintain import entity_snapshot
+    import pyspark.sql.functions as F
+
+    inp = str(tmp_path / "crawl_in")
+    out = str(tmp_path / "crawl_out")
+    ckpt = str(tmp_path / "crawl_ck")
+    schema = "repo string, path string, commit string, lang string, content string"
+    texts = {
+        "a.py": "import spark module alpha uses HashJoin and SortAggregate",
+        "b.py": "class BetaPlanner extends Optimizer with PushDownRule",
+        "c.py": "def gamma_join builds BroadcastHashJoin over DimTable",
+        "d.py": "module delta imports BetaPlanner and calls gamma_join",
+    }
+    drops = [
+        [("r1", "a.py", "c1", "py", texts["a.py"]),
+         ("r1", "b.py", "c1", "py", texts["b.py"])],
+        # b.py re-crawled verbatim (dup) + fresh c.py
+        [("r2", "bcopy.py", "c2", "py", texts["b.py"]),
+         ("r1", "c.py", "c2", "py", texts["c.py"])],
+        # two dups + fresh d.py
+        [("r3", "acopy.py", "c3", "py", texts["a.py"]),
+         ("r3", "ccopy.py", "c3", "py", texts["c.py"]),
+         ("r1", "d.py", "c3", "py", texts["d.py"])],
+    ]
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        q = start_crawl_pipeline(spark, inp, out, ckpt)
+        q.awaitTermination(180)
+
+    docs = spark.read.parquet(f"{out}/documents")
+    # dedup gate: 7 crawled files → 4 unique contents survive
+    assert docs.count() == 4
+    assert docs.select("content_sha256").distinct().count() == 4
+    # dup docs never produced mention rows
+    log = spark.read.parquet(f"{out}/mention_log")
+    assert log.select("doc_id").distinct().count() <= 4
+    # exactness: streaming entity snapshot == full batch recompute over the
+    # surviving documents
+    got = {(r.id, r.label): (r.chunk_count, r.doc_count)
+           for r in spark.read.parquet(f"{out}/entities").collect()}
+    full_asserts = mentions_from_units(
+        extract_units(chunk_documents(docs.select("doc_id", "content")))
+    ).select(
+        "doc_id", F.col("entity_id").alias("id"),
+        F.col("entity_label").alias("label"), "chunk_id",
+        F.lit(1).cast("long").alias("sign"),
+    ).withColumn("batch_id", F.lit(0).cast("long"))
+    want = {(r.id, r.label): (r.chunk_count, r.doc_count)
+            for r in entity_snapshot(full_asserts).collect()}
+    assert got == want and got, f"snapshot != recompute: {got} vs {want}"
+    # at-least-once replay of the LAST batch: identical state after re-run
+    batch3 = spark.createDataFrame(drops[2], schema)
+    _crawl_batch(spark, batch3, 2, out)
+    assert spark.read.parquet(f"{out}/documents").count() == 4
+    got2 = {(r.id, r.label): (r.chunk_count, r.doc_count)
+            for r in spark.read.parquet(f"{out}/entities").collect()}
+    assert got2 == want
