@@ -1,0 +1,249 @@
+"""SF1-scale rehearsal: the full pipeline + dedup/ANN family at ~2M files,
+with a kill-mid-run → resume drill, recorded in BENCH/SF1.md.
+
+Every 100×-hazard claim in PLANS.md is argued from plans read at sf0.1;
+this script runs one order of magnitude up (documents.parquet at sf0.1
+amplified ×REPL with replica-tagged repos/commits and a replica content
+prefix — distinct content-addressed identities, so the extraction stage
+does genuinely REPL× the Python-stage work) and records what plan reading
+cannot: per-stage walls, peak driver RSS, and whether the resume protocol
+actually recovers a hard-killed run at that scale.
+
+Phases:
+  1. build    — amplified repos corpus written to parquet
+  2. kill     — launch scripts/run_pipeline.py as a subprocess, SIGKILL it
+                mid-run (SPARK_GRAFT_SF1_KILL_SEC, default 240 s)
+  3. resume   — relaunch with --resume; completed stages must be skipped
+                and the run must finish (stage walls from the manifest)
+  4. dedup/ANN— MinHash-LSH near-dup pairs + IVF build/search at the
+                amplified scale, timed in-process
+  5. report   — BENCH/SF1.md
+
+Usage: PYTHONPATH=/root/repo python scripts/sf1_rehearsal.py
+Env: SPARK_GRAFT_SF1_REPL (default 400 → ~2M files),
+     SPARK_GRAFT_SF1_KILL_SEC, SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPL = int(os.environ.get("SPARK_GRAFT_SF1_REPL", "400"))
+KILL_SEC = int(os.environ.get("SPARK_GRAFT_SF1_KILL_SEC", "240"))
+WORK = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_rehearsal")
+
+
+def peak_rss_mb() -> int:
+    self_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    child_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss // 1024
+    return max(self_mb, child_mb)
+
+
+def build_corpus(spark, path: str) -> int:
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.sources.repos import synth_repos
+
+    base = synth_repos(spark, SF_DIR)
+    rep = (
+        base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(REPL - 1))))
+        .select(
+            F.concat_ws("-", "repo", F.col("r").cast("string")).alias("repo"),
+            "path",
+            F.concat_ws("-", "commit", F.col("r").cast("string")).alias("commit"),
+            "lang",
+            F.concat_ws(" ", F.col("r").cast("string"), "content").alias("content"),
+        )
+    )
+    rep.repartition(64).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def launch_pipeline(corpus: str, warehouse: str, resume: bool) -> subprocess.Popen:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    cmd = [
+        sys.executable, f"{REPO}/scripts/run_pipeline.py",
+        "--input", corpus, "--warehouse", warehouse,
+    ] + (["--resume"] if resume else [])
+    return subprocess.Popen(
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
+    )
+
+
+def read_manifest(warehouse: str) -> list[dict]:
+    p = f"{warehouse}/_manifest.jsonl"
+    if not os.path.exists(p):
+        return []
+    return [json.loads(ln) for ln in open(p)]
+
+
+def main() -> int:
+    os.makedirs(WORK, exist_ok=True)
+    corpus = f"{WORK}/repos"
+    warehouse = f"{WORK}/warehouse"
+    report: dict = {"repl": REPL, "sf_dir": SF_DIR}
+
+    from llm_graph_builder_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n_files = build_corpus(spark, corpus)
+    report["n_files"] = n_files
+    report["build_sec"] = round(time.time() - t0, 1)
+    print(f"corpus: {n_files} files in {report['build_sec']}s")
+
+    # ---- kill drill: hard-SIGKILL the pipeline mid-run -------------------
+    subprocess.run(["rm", "-rf", warehouse], check=False)
+    proc = launch_pipeline(corpus, warehouse, resume=False)
+    time.sleep(KILL_SEC)
+    killed_midway = proc.poll() is None
+    if killed_midway:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    report["killed_after_sec"] = KILL_SEC
+    report["killed_midway"] = killed_midway
+    done_before = {
+        r["stage"] for r in read_manifest(warehouse)
+        if r.get("status") == "COMPLETED"
+    }
+    report["stages_completed_at_kill"] = sorted(done_before)
+    print(f"killed mid-run={killed_midway}; completed stages: {sorted(done_before)}")
+
+    # ---- resume: completed stages must be skipped, run must finish -------
+    t0 = time.time()
+    proc = launch_pipeline(corpus, warehouse, resume=True)
+    out, _ = proc.communicate()
+    report["resume_wall_sec"] = round(time.time() - t0, 1)
+    report["resume_exit"] = proc.returncode
+    stage_lines = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    report["resume_stages"] = stage_lines
+    skipped = {s["stage"] for s in stage_lines if s.get("skipped")}
+    reported = {s["stage"] for s in stage_lines}
+    assert proc.returncode == 0, f"resume run failed rc={proc.returncode}"
+    # invariant-audit manifest rows (e.g. invariant_content_sha256) are
+    # re-verified on purpose; every completed PIPELINE stage must be skipped
+    assert (done_before & reported) <= skipped, (
+        f"resume re-ran completed stages: {(done_before & reported) - skipped}"
+    )
+    manifest = read_manifest(warehouse)
+    latest: dict[str, dict] = {}
+    for r in manifest:
+        latest[r["stage"]] = r
+    report["stage_walls_ms"] = {
+        s: r.get("wall_ms") for s, r in latest.items()
+    }
+    report["peak_rss_mb_pipeline"] = peak_rss_mb()
+    print(f"resume ok in {report['resume_wall_sec']}s; skipped={sorted(skipped)}")
+
+    # ---- dedup / ANN family at amplified scale ---------------------------
+    from pyspark.sql import functions as F
+
+    from llm_graph_builder_spark.operators.ann import ann_ivf_topk
+    from llm_graph_builder_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = (
+        spark.read.parquet(corpus)
+        .select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        .cache()
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(docs).count()
+    report["dedup_minhash_sec"] = round(time.time() - t0, 1)
+    report["dedup_minhash_pairs"] = n_pairs
+    print(f"minhash_lsh_pairs over {n_docs}: {n_pairs} pairs "
+          f"in {report['dedup_minhash_sec']}s")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    amp = (
+        emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(99))))
+        .select(
+            (F.col("vec_id") * 100 + F.col("r")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda v: v + (F.col("r") % 7).cast("float") / 100.0,
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    n_vec = amp.count()
+    t0 = time.time()
+    queries = amp.filter(F.col("vec_id") % 20000 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    ).withColumnRenamed("embedding", "qv")
+    hits = ann_ivf_topk(
+        amp,
+        queries.select(F.col("query_id"), F.col("qv").alias("embedding")),
+        k=5, n_centroids=64, n_probe=4, lloyd_iters=3,
+    ).count()
+    report["ann_ivf_sec"] = round(time.time() - t0, 1)
+    report["ann_ivf_vectors"] = n_vec
+    report["ann_ivf_hits"] = hits
+    print(f"ivf over {n_vec} vecs: {hits} hits in {report['ann_ivf_sec']}s")
+    report["peak_rss_mb_total"] = peak_rss_mb()
+
+    # ---- report ----------------------------------------------------------
+    walls = "\n".join(
+        f"| {s} | {w/1000.0:.1f} |"
+        for s, w in sorted(report["stage_walls_ms"].items())
+        if w is not None
+    )
+    md = f"""# BENCH/SF1 — order-of-magnitude rehearsal ({n_files} files)
+
+Corpus: `{SF_DIR}` documents amplified ×{REPL} into a distinct-content
+repos table ({n_files} files, built in {report['build_sec']} s). Pipeline
+launched through the spark-submit entrypoint (scripts/run_pipeline.py) on
+local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].
+
+## Kill → resume drill
+
+The first run was SIGKILLed at t+{KILL_SEC} s (mid-run: {report['killed_midway']}).
+Stages already COMPLETED in the manifest: {', '.join(report['stages_completed_at_kill']) or '(none)'}.
+The `--resume` relaunch skipped every completed stage and finished the
+remaining ones in {report['resume_wall_sec']} s (exit {report['resume_exit']}).
+
+## Per-stage walls (manifest, ms → s)
+
+| stage | wall (s) |
+|---|---|
+{walls}
+
+Peak RSS across driver + subprocesses: {report['peak_rss_mb_pipeline']} MB
+after the pipeline, {report['peak_rss_mb_total']} MB after the dedup/ANN
+family.
+
+## Dedup / ANN at amplified scale
+
+- `minhash_lsh_pairs` over {n_docs} docs: {report['dedup_minhash_pairs']}
+  candidate pairs in {report['dedup_minhash_sec']} s.
+- IVF (fit k=64 ×3 rounds + probe search) over {n_vec} vectors:
+  {report['ann_ivf_hits']} hits in {report['ann_ivf_sec']} s.
+
+Raw record: BENCH/sf1_rehearsal.json
+"""
+    with open(f"{REPO}/BENCH/SF1.md", "w") as f:
+        f.write(md)
+    with open(f"{REPO}/BENCH/sf1_rehearsal.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("→ BENCH/SF1.md")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
