@@ -221,12 +221,34 @@ def main() -> None:
     )
 
     snap(
-        "Duplicated-span stats (one gram-grain exchange)",
+        "Duplicated-span stats (one gram-grain exchange, two-long rows)",
         "The explicit `repartition(gh)` is the ONLY gram-grain Exchange: "
-        "hashpartitioning(gh) satisfies both the (gh, doc) HashAggregate's "
+        "hashpartitioning(gh) satisfies both the (gh, did) HashAggregate's "
         "clustering and the global-total Window's, so neither adds a "
-        "shuffle; windows travel as 48-bit md5 prefixes, never strings.",
+        "shuffle. The shuffled row is TWO LONGS — the 48-bit md5 gram "
+        "prefix and the doc key cast to long (the padded doc STRING of the "
+        "former shape was ~2.5× the bytes) — and per-doc window totals are "
+        "row-local `size(grams)` that never enter the exchange at all.",
         duplicate_spans(read_documents(spark, SF, repartition=False)),
+    )
+
+    from llm_graph_builder_spark.operators.dedup import weighted_jaccard_pairs
+
+    snap(
+        "Weighted-Jaccard near-dup (no per-row quadratic)",
+        "Capped shingle counts are a SORT + POSITIONAL RUN-LENGTH collapse "
+        "inside one projection — `array_sort` once, run heads by index "
+        "arithmetic — O(d log d) row-local (the former distinct×filter scan "
+        "re-walked the full shingle array once per distinct shingle: O(d²), "
+        "a long-document-tail straggler). Both the sorted array and the "
+        "token array are BOUND through 1-element `transform` lambda "
+        "variables (`bound_ngrams`), so CollapseProject cannot inline the "
+        "tokenizer into the per-gram lambda and re-evaluate it per element "
+        "— the plan shows a single transform(array(...)) wrapper, not "
+        "repeated split/filter subtrees. Downstream: capped-multiset "
+        "expansion → 9 md5-min signatures → banded LSH candidates → exact "
+        "capped-count verify joins — the minhash_lsh_pairs shapes.",
+        weighted_jaccard_pairs(read_documents(spark, SF, repartition=False)),
     )
 
     _seen = read_documents(spark, SF, repartition=False)
@@ -534,12 +556,19 @@ def main() -> None:
         q["hybrid_skew_join"](spark, SF),
     )
     snap(
-        "Suffix-array repeated substrings (prefix doubling, no suffix strings)",
-        "Every prefix-doubling round is one equi-join on (doc, off+k) plus a "
-        "two-level prefix-sum dense re-rank (bucket offsets broadcast, "
-        "per-bucket windows) — rows stay (doc, off, rank, rank2) longs; no "
-        "suffix string longer than the 16-char seed key is ever shuffled, and "
-        "no single-partition window touches the suffix grain.",
+        "Suffix-array repeated substrings (full-document index)",
+        "text_cap now covers FULL documents (2048 ≥ every testdata doc). "
+        "The plan below is the SA-adjacency consumer: two-level prefix-sum "
+        "positions, successor pairing on pos, an explicit repartition "
+        "before the O(cap) first-mismatch LCP projection (AQE otherwise "
+        "coalesces the narrow-row shuffle into one task and funnels the "
+        "CPU through it), then the two-phase partial top-k. The SA build "
+        "itself is iterative (not one plan): smaller-count seed ranks via "
+        "a weighted two-level prefix sum, then TIE-RESTRICTED doubling "
+        "rounds — only suffixes still in tie groups join for their +k "
+        "rank, so per-round shuffle bytes track the corpus's repeated "
+        "mass; a size-gated direct full-suffix seed (parity-tested) "
+        "skips the rounds entirely when the seed keys fit memory.",
         q["suffix_repeats"](spark, SF),
     )
     snap(
