@@ -92,6 +92,13 @@ class PipelineConfig:
     knn_min_score: float = KNN_MIN_SCORE
     knn_top_k: int = KNN_TOP_K
     knn_max_degree: int = KNN_MAX_DEGREE
+    #: SIMILAR-stage cap on LSH-bucket size: blocks larger than this are
+    #: deterministically sub-split before the per-block top-k, bounding one
+    #: task's quadratic work to cap². Found at the 2M-file rehearsal: with 8
+    #: hyperplanes the 3.3M-chunk corpus put ~13k+ vectors in hot buckets
+    #: and the unsplit stage ran >25 min nearly serial; splitting loses only
+    #: cross-sub-block pairs inside an already-approximate bucket.
+    knn_max_block_rows: int = 4096
     duplicate_score: float = DUPLICATE_SCORE_VALUE
     duplicate_distance: int = DUPLICATE_TEXT_DISTANCE
     max_community_levels: int = MAX_COMMUNITY_LEVELS

@@ -568,6 +568,7 @@ class PipelineRunner:
                 top_k=cfg.knn_top_k,
                 max_degree=cfg.knn_max_degree,
                 block_col="block",
+                max_block_rows=cfg.knn_max_block_rows,
             )
 
         stage("similar", similar)
