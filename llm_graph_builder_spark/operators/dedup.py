@@ -95,7 +95,14 @@ def _minhash_banded(
     """Distinct-text collapse + MinHash signatures + exploded band keys —
     the shared expensive front half of the MinHash-LSH family.
     Returns (banded(doc=rep, band), groups(h, rep, cnt, t), members(h, doc),
-    sigs(doc, shingles, mh*))."""
+    sigs(doc, mh*)).
+
+    The checkpointed signature table is SKINNY — signatures only, never the
+    shingle arrays: shingles are ~50× the text bytes per document, and
+    materializing them corpus-wide (the former shape) is tens of GB of
+    checkpoint state at a 2M-doc rehearsal and corpus×50 at 100 TB.
+    Verification re-derives shingles from the distinct-text table for the
+    CANDIDATE rows only (bounded by the band join, ≪ corpus)."""
     base = docs.select(
         F.col(id_col).cast("string").alias("doc"), F.col(text_col).alias("t")
     )
@@ -120,10 +127,14 @@ def _minhash_banded(
     # defaultParallelism near-empty tasks on small inputs.
     dp = docs.sparkSession.sparkContext.defaultParallelism
     par = max(2, min(dp, (groups.count() + 63) // 64))
-    sigs = minhash_signatures(
-        groups.select(F.col("rep").alias("doc"), "t").repartition(par),
-        "t", "doc", n_hashes, k,
-    ).localCheckpoint(eager=True)
+    sigs = (
+        minhash_signatures(
+            groups.select(F.col("rep").alias("doc"), "t").repartition(par),
+            "t", "doc", n_hashes, k,
+        )
+        .drop("shingles")
+        .localCheckpoint(eager=True)
+    )
     n_bands = n_hashes // band_size
     keys = [
         F.concat_ws(
@@ -182,15 +193,22 @@ def _minhash_rep_pairs(
         .select(F.col("doc").alias("doc_a"), "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # shingle arrays join in only for verification of surviving candidates
-    sh = sigs.select("doc", "shingles")
+    # verification: join the candidates back to the distinct-text table
+    # (raw ~text-sized rows through the join) and re-shingle ON the
+    # candidate rows only — the corpus-wide shingle arrays never
+    # materialize or shuffle
+    txt = groups.select(F.col("rep").alias("doc"), "t")
     pairs = cands.join(
-        sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a")), on="doc_a"
+        txt.select(F.col("doc").alias("doc_a"), F.col("t").alias("t_a")),
+        on="doc_a",
     ).join(
-        sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b")), on="doc_b"
+        txt.select(F.col("doc").alias("doc_b"), F.col("t").alias("t_b")),
+        on="doc_b",
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    sh_a = _word_shingles(F.col("t_a"), k)
+    sh_b = _word_shingles(F.col("t_b"), k)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     rep_pairs = (
         pairs.withColumn("jaccard_e4", F.round(jac * 10000).cast("long"))

@@ -70,7 +70,13 @@ def build_corpus(spark, path: str) -> int:
 
 
 def launch_pipeline(corpus: str, warehouse: str, resume: bool) -> subprocess.Popen:
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # pin shuffle/temp files to a script-managed dir: a SIGKILLed JVM never
+    # runs its shutdown hooks, so default /tmp blockmgr dirs leak ~tens of
+    # GB per killed 2M-file run and the NEXT phase dies on a full disk
+    local = f"{WORK}/spark_local"
+    subprocess.run(["rm", "-rf", local], check=False)
+    os.makedirs(local, exist_ok=True)
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_LOCAL_DIRS=local)
     cmd = [
         sys.executable, f"{REPO}/scripts/run_pipeline.py",
         "--input", corpus, "--warehouse", warehouse,
@@ -90,6 +96,9 @@ def read_manifest(warehouse: str) -> list[dict]:
 
 def main() -> int:
     os.makedirs(WORK, exist_ok=True)
+    # pin the in-process session's shuffle dirs as well (same leak-on-kill
+    # and disk-budget argument as launch_pipeline's subprocess env)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", f"{WORK}/spark_local_main")
     corpus = f"{WORK}/repos"
     warehouse = f"{WORK}/warehouse"
     report: dict = {"repl": REPL, "sf_dir": SF_DIR}
