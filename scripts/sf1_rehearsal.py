@@ -55,6 +55,22 @@ def build_corpus(spark, path: str) -> int:
     from llm_graph_builder_spark.sources.repos import synth_repos
 
     base = synth_repos(spark, SF_DIR)
+    # 90% of replicas get a per-TOKEN suffix (fully distinct in shingle
+    # space — genuine new content for every pipeline stage); 10% get only a
+    # replica prefix, forming REAL near-duplicate clusters of REPL/10
+    # members per original — the structure a crawl dedup pass must find.
+    # (A prefix-only amplification makes EVERY replica group a near-dup
+    # clique: any all-pairs consumer is then inherently REPL² per original
+    # — 400M pairs here — which is the documented reason cluster-grain
+    # consumers exist; the corpus mixes both regimes on purpose.)
+    distinct_c = F.array_join(
+        F.transform(
+            F.split(F.col("content"), " "),
+            lambda t: F.concat_ws("-", t, F.col("r").cast("string")),
+        ),
+        " ",
+    )
+    near_c = F.concat_ws(" ", F.col("r").cast("string"), "content")
     rep = (
         base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(REPL - 1))))
         .select(
@@ -62,7 +78,9 @@ def build_corpus(spark, path: str) -> int:
             "path",
             F.concat_ws("-", "commit", F.col("r").cast("string")).alias("commit"),
             "lang",
-            F.concat_ws(" ", F.col("r").cast("string"), "content").alias("content"),
+            F.when(F.col("r") % 10 == 0, near_c).otherwise(distinct_c).alias(
+                "content"
+            ),
         )
     )
     rep.repartition(64).write.mode("overwrite").parquet(path)
@@ -160,7 +178,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from llm_graph_builder_spark.operators.ann import ann_ivf_topk
-    from llm_graph_builder_spark.operators.dedup import minhash_lsh_pairs
+    from llm_graph_builder_spark.operators.dedup import near_dup_clusters
 
     docs = (
         spark.read.parquet(corpus)
@@ -171,12 +189,18 @@ def main() -> int:
         .cache()
     )
     n_docs = docs.count()
+    # cluster-grain dedup — the operator a corpus pass actually runs (the
+    # all-pairs surface is inherently group² on near-dup cliques)
     t0 = time.time()
-    n_pairs = minhash_lsh_pairs(docs).count()
-    report["dedup_minhash_sec"] = round(time.time() - t0, 1)
-    report["dedup_minhash_pairs"] = n_pairs
-    print(f"minhash_lsh_pairs over {n_docs}: {n_pairs} pairs "
-          f"in {report['dedup_minhash_sec']}s")
+    cl = near_dup_clusters(docs, max_band_size=4096).cache()
+    n_rows = cl.count()
+    n_dropped = cl.filter(~F.col("keeper")).count()
+    report["dedup_clusters_sec"] = round(time.time() - t0, 1)
+    report["dedup_docs"] = n_rows
+    report["dedup_dropped"] = n_dropped
+    cl.unpersist()
+    print(f"near_dup_clusters over {n_docs}: {n_dropped} dropped "
+          f"in {report['dedup_clusters_sec']}s")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     amp = (
@@ -238,8 +262,10 @@ family.
 
 ## Dedup / ANN at amplified scale
 
-- `minhash_lsh_pairs` over {n_docs} docs: {report['dedup_minhash_pairs']}
-  candidate pairs in {report['dedup_minhash_sec']} s.
+- `near_dup_clusters` (exact + MinHash-LSH → CC → keepers, the
+  cluster-grain corpus-dedup consumer) over {n_docs} docs:
+  {report['dedup_dropped']} non-keepers dropped in
+  {report['dedup_clusters_sec']} s.
 - IVF (fit k=64 ×3 rounds + probe search) over {n_vec} vectors:
   {report['ann_ivf_hits']} hits in {report['ann_ivf_sec']} s.
 
