@@ -2421,13 +2421,24 @@ def q_textrank_keywords(spark, sf_dir):
 
     docs = read_documents(spark, sf_dir)
     base = docs.select(_tokens(F.col("text")).alias("tk"))
+    # token array bound via 1-element transform (bound_ngrams idiom) —
+    # defensive: the Generate boundary protects this site today, but the
+    # binding makes the cost independent of that planner detail
+    bigrams = F.get(
+        F.transform(
+            F.array(F.col("tk")),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("a"),
+                    F.element_at(tk, i + 1).alias("b"),
+                ),
+            ),
+        ),
+        0,
+    )
     bg = base.filter(F.size("tk") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
-            )
-        ).alias("p")
+        F.explode(bigrams).alias("p")
     ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
     edges = (
         bg.select(F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2"))

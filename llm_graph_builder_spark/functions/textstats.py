@@ -1155,13 +1155,30 @@ def kneser_ney_bits(
 
     toks = _tokens(F.col(text_col))
     base = docs.select(F.col(id_col).cast("string").alias("doc"), toks.alias("tk"))
-    pairs = F.when(
-        F.size("tk") >= 2,
-        F.expr(
-            "transform(sequence(1, size(tk) - 1), "
-            "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+    # bind the token array through a 1-element transform (the bound_ngrams
+    # idiom). NB: the Generate(explode) boundary below already keeps base's
+    # projection separate here — measured linear either way — but the
+    # binding removes the dependence on that planner detail: any future
+    # consumer of ``pairs`` inside a plain Project chain would otherwise
+    # re-tokenize per element (the CollapseProject hazard).
+    pairs = F.get(
+        F.transform(
+            F.array(F.col("tk")),
+            lambda tk: F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("a"),
+                        F.element_at(tk, i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(
+                F.expr("array()").cast("array<struct<a:string,b:string>>")
+            ),
         ),
-    ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+        0,
+    )
     exploded, _ = materialize(
         base.select("doc", F.explode(pairs).alias("p"))
         .select("doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))

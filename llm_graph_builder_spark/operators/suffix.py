@@ -175,8 +175,13 @@ def suffix_array(
         "doc",
         F.length("t").alias("len"),
         F.posexplode(
+            # t bound via 1-element transform (bound_ngrams idiom) —
+            # defensive against CollapseProject inlining substring(text,
+            # 1, cap) into the per-offset lambda; the Generate boundary
+            # protects this site today, the binding makes that permanent
             F.expr(
-                f"transform(sequence(0, length(t) - 1), i -> substr(t, i + 1, {k0}))"
+                "get(transform(array(t), t0 -> transform("
+                f"sequence(0, length(t0) - 1), i -> substr(t0, i + 1, {k0}))), 0)"
             )
         ).alias("off", "k0"),
     ).cache()  # the seed reads it twice: the gram groupBy and the join back
