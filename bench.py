@@ -567,11 +567,13 @@ def main():
     # --- late-r3 additions: mining / code-curation / hybrid-skew stages
     from llm_graph_builder_spark.entry_queries import (
         q_ahash_pairs,
+        q_chunks_bpe,
         q_comment_density,
         q_hybrid_skew_join,
         q_kn_bits,
         q_license_profile,
         q_maxsim_retrieval,
+        q_multimodal_codec,
         q_repo_forks,
         q_seq_patterns,
         q_winnow_pairs,
@@ -599,6 +601,11 @@ def main():
         (q_suffix_repeats_fresh, "suffix_repeats"),
         (q_kn_bits, "kn_bits"),
         (q_seq_patterns, "seq_patterns"),
+    ] + [
+        # r4: corpus-learned BPE through the chunk kernel (merge learning +
+        # map-only tokenize + windowing) and the real BMP/WAV codec path
+        (q_chunks_bpe, "chunks_bpe"),
+        (q_multimodal_codec, "multimodal_codec"),
     ]:
         best_of(
             lambda qfn=qfn: qfn(spark, sf_dir)
