@@ -4173,6 +4173,19 @@ _ROTATE = [
     "bloom_dedup", "quality_classifier", "sequence_packing",
     "decontamination", "winnow_pairs",
 ]
+#: Round-5 plan (swap into _ROTATE next round — 183 registered queries
+#: remain never-driver-checked after r4's head): lead with the r4 rotors
+#: that fell past the 50-slot cut (repetition_signals, paragraph_dedup,
+#: duplicate_spans, bloom_dedup, quality_classifier, sequence_packing,
+#: decontamination, winnow_pairs), then a warehouse tranche
+#: (late_shipment_priority, customer_order_distribution,
+#: large_volume_customers, revenue_rollup, volume_shipping,
+#: returned_item_revenue, promo_revenue_share, top_supplier_revenue),
+#: a graph tranche (personalized_pagerank, closeness_centrality,
+#: clustering_coefficient, ktruss, boruvka_mst, node_similarity,
+#: feature_propagation, diameter_estimate), and a curation/eval tranche
+#: (pq_codes, sq_recall, qa_eval_judged, retrieval_metrics, pii_scrub,
+#: mixture_weights, curation_curve, tokenizer_fertility).
 _front = _CORE + _ROTATE
 assert len(_front) == len(set(_front)), "rotation list has duplicates"
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
