@@ -151,3 +151,40 @@ def test_prefix_sum_rank_multi_bucket_path(spark, monkeypatch):
     assert row["n"] == sum(len(t) for _, t in docs)
     assert 1 <= row["n_runs"] <= row["n"]
     assert row["max_run"] >= 1
+
+
+def test_suffix_array_chunk_grain_long_docs(spark):
+    """The documented long-document path: index CHUNKS (bounded rows by
+    construction) instead of raising text_cap. Chunk-grain ranks must agree
+    with the Python truth mirror over the chunk texts, and the repeated-
+    substring consumer must surface a cross-document shared phrase from
+    chunk rows."""
+    from llm_graph_builder_spark.operators.chunking import chunk_documents
+    from llm_graph_builder_spark.operators.suffix import (
+        repeated_substrings,
+        suffix_array,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join("tok%d" % i for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, filler + " " + shared), (2, shared + " " + filler[::-1])],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(
+        docs.select("doc_id", docs.text.alias("content")), size=40, overlap=8
+    ).select("chunk_id", "text")
+    rows = [(r.chunk_id, r.text) for r in chunks.collect()]
+    assert len(rows) > 4  # genuinely multi-chunk
+    got = {
+        (r["doc"], r["off"]): r["r"]
+        for r in suffix_array(
+            chunks, text_col="text", id_col="chunk_id"
+        ).collect()
+    }
+    assert got == _truth_ranks(rows)
+    top = repeated_substrings(
+        chunks, text_col="text", id_col="chunk_id", top_n=5, min_lcp=20
+    ).collect()
+    assert top and top[0]["lcp"] >= 20
+    assert (top[0]["doc_a"], top[0]["off_a"]) != (top[0]["doc_b"], top[0]["off_b"])
