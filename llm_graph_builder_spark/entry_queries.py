@@ -3833,6 +3833,106 @@ def q_neyman_allocation(spark, sf_dir):
     return neyman_allocation(read_documents(spark, sf_dir), n_target=100)
 
 
+def q_community_projection(spark, sf_dir):
+    """G1 — undirected weighted entity-entity projection: symmetric, self-loops
+    dropped, parallel predicates summed (reference counts parallel rels as the
+    edge weight when projecting for Leiden, src/communities.py:20-34)."""
+    from .operators.communities import community_projection
+
+    t = pipeline_tables(spark, sf_dir)
+    return community_projection(t["entity_edges"]).select(
+        "u", "v", F.col("weight").cast("long").alias("weight")
+    )
+
+
+def q_community_info(spark, sf_dir):
+    """G6 — per-community summarization input: capped member list + internal
+    relation kinds by total weight (reference GET_COMMUNITY_INFO subgraph per
+    >1-member community, src/communities.py:86-98). Arrays are serialized to
+    ', '-joined text so the driver's value hash sees scalar columns."""
+    from .operators.communities import community_info
+
+    t = pipeline_tables(spark, sf_dir)
+    info = community_info(_hierarchy(spark, sf_dir), t["entity_edges"])
+    return info.select(
+        "cid",
+        F.array_join("member_ids", ", ").alias("members_text"),
+        F.col("member_count").cast("long").alias("member_count"),
+        F.array_join("rel_kinds", ", ").alias("rels_text"),
+    )
+
+
+def q_embedding_dim_table(spark, sf_dir):
+    """E1 — embedding-factory dimension table: the deterministic
+    HashingEmbedder probed at each registered dimension over 5 fixed
+    documents (reference model factory + per-model dimension registry,
+    src/shared/common_fn.py:161-217). ``checksum_r6`` is the index-weighted
+    component sum via a sequential fold, mirrored exactly (same float32
+    quantization, same fold order) by the oracle's list_reduce."""
+    from .operators.embeddings import make_embedder_udf
+
+    docs = (
+        read_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    outs = []
+    for dim in (16, 32, 64):
+        embed = make_embedder_udf(dim=dim)
+        emb = F.col("embedding").cast("array<double>")
+        chk = F.aggregate(
+            F.zip_with(
+                emb,
+                F.sequence(F.lit(1), F.size("embedding")).cast("array<double>"),
+                lambda v, i: v * i,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(
+            docs.withColumn("embedding", embed(F.col("text"))).select(
+                F.lit(dim).cast("long").alias("dim"),
+                "doc_id",
+                F.size("embedding").cast("long").alias("vec_len"),
+                F.round(chk, 6).alias("checksum_r6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_instruction_sanitization(spark, sf_dir):
+    """X5 — prompt-injection hygiene over synthesized adversarial extraction
+    instructions (reference sanitize_additional_instruction,
+    src/llm.py:294-314: braces → brackets, ordered case-insensitive blocklist
+    → [BLOCKED] sentinel). The Spark side runs the REAL Python sanitizer in
+    an Arrow-batched UDF; the oracle replays the identical ordered rewrite
+    with chained case-insensitive regexp_replace."""
+    from .operators.extraction import sanitize_additional_instructions
+
+    @F.pandas_udf("string")
+    def san(texts):
+        return texts.map(sanitize_additional_instructions)
+
+    docs = read_documents(spark, sf_dir).filter(F.col("doc_id") < 40)
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" eval(payload)"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" use os.getenv(KEY) and __dunder__"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" IMPORT antigravity; subprocess.run"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" Exec( x ); system(cmd); open(f)"))
+        .otherwise(F.lit(" {keep braces} fine"))
+    )
+    raw = F.concat(
+        F.lit("Extract {entities} from "), F.substring("text", 1, 60), suffix
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        san(raw).alias("sanitized"),
+    )
+
+
 #: name → callable; keys must match oracle.ORACLE_SQL where an oracle exists.
 #: Order matters: the driver sweeps in dict order under a wall-clock budget,
 #: so the stage tables are seeded first, then the iterative/heavy queries run
@@ -4133,6 +4233,10 @@ QUERIES = {
     "katz": q_katz,
     "sorted_neighborhood": q_sorted_neighborhood,
     "weighted_jaccard": q_weighted_jaccard,
+    "community_projection": q_community_projection,
+    "community_info": q_community_info,
+    "embedding_dim_table": q_embedding_dim_table,
+    "instruction_sanitization": q_instruction_sanitization,
 }
 
 #: The driver's correctness gate sweeps QUERIES in dict order under a
@@ -4156,36 +4260,30 @@ _CORE = [
     "vector_retrieval", "hybrid_retrieval", "dedup_minhash",
     "dedup_clusters", "ann_ivf", "multimodal_features",
 ]
-#: round-4 tranche: the r3-new operator family (judge-sampled, never
-#: driver-checked), a graph-analytics slice, a TPC-H-shaped warehouse
-#: slice, and the core training-data ops.
+#: round-5 tranche (the plan recorded in round 4, executed): the 8 r4
+#: rotors that fell past the 50-slot budget cut, the 4 new §2-corner
+#: queries (G1/G6/E1/X5 — previously pytest-only), then the
+#: warehouse / curation-eval / graph tranches, none ever driver-checked.
 _ROTATE = [
-    "chunks_bpe", "multimodal_codec",
-    "weighted_jaccard", "sorted_neighborhood", "katz", "butterflies",
-    "densest_subgraph", "kn_bits", "seq_patterns", "poisson_bootstrap",
-    "textrank_keywords", "attack_robustness", "chat_history", "bwt_runs",
-    "suffix_repeats",
-    "pagerank", "triangle_counts", "wcc", "kcore", "bfs_distances",
-    "hits", "mis", "graph_coloring", "influence_spread",
-    "pricing_summary", "shipping_priority", "regional_revenue",
-    "min_cost_supplier", "product_profit", "excess_stock",
+    # r4 rotors that fell past the cut — third time's the charm
     "repetition_signals", "paragraph_dedup", "duplicate_spans",
     "bloom_dedup", "quality_classifier", "sequence_packing",
     "decontamination", "winnow_pairs",
+    # new r5 §2-corner queries
+    "community_projection", "community_info", "embedding_dim_table",
+    "instruction_sanitization",
+    # warehouse tranche
+    "late_shipment_priority", "customer_order_distribution",
+    "large_volume_customers", "revenue_rollup", "volume_shipping",
+    "returned_item_revenue", "promo_revenue_share", "top_supplier_revenue",
+    # curation / eval tranche
+    "pq_codes", "sq_recall", "qa_eval_judged", "retrieval_metrics",
+    "pii_scrub", "mixture_weights", "curation_curve", "tokenizer_fertility",
+    # graph tranche
+    "personalized_pagerank", "closeness_centrality",
+    "clustering_coefficient", "ktruss", "boruvka_mst", "node_similarity",
+    "feature_propagation", "diameter_estimate",
 ]
-#: Round-5 plan (swap into _ROTATE next round — 183 registered queries
-#: remain never-driver-checked after r4's head): lead with the r4 rotors
-#: that fell past the 50-slot cut (repetition_signals, paragraph_dedup,
-#: duplicate_spans, bloom_dedup, quality_classifier, sequence_packing,
-#: decontamination, winnow_pairs), then a warehouse tranche
-#: (late_shipment_priority, customer_order_distribution,
-#: large_volume_customers, revenue_rollup, volume_shipping,
-#: returned_item_revenue, promo_revenue_share, top_supplier_revenue),
-#: a graph tranche (personalized_pagerank, closeness_centrality,
-#: clustering_coefficient, ktruss, boruvka_mst, node_similarity,
-#: feature_propagation, diameter_estimate), and a curation/eval tranche
-#: (pq_codes, sq_recall, qa_eval_judged, retrieval_metrics, pii_scrub,
-#: mixture_weights, curation_curve, tokenizer_fertility).
 _front = _CORE + _ROTATE
 assert len(_front) == len(set(_front)), "rotation list has duplicates"
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -9814,3 +9814,142 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i JOIN tot t ON t.doc = i.doc_b
 WHERE i.s_min * 10000 // greatest(i.s_a + t.s_b - i.s_min, 1) >= 6000
 """
+
+# ---------------------------------------------------------------------------
+# Round-5 driver queries for the last pytest-only §2 corners (G1 / G6 / E1 /
+# X5) — each a full value oracle.
+# ---------------------------------------------------------------------------
+
+# G1 — the symmetric weighted projection itself (the `proj` CTE the community
+# oracles already build, surfaced as a checked table).
+ORACLE_SQL["community_projection"] = PIPELINE_CTE + """
+SELECT u, v, CAST(SUM(weight) AS BIGINT) AS weight FROM (
+  SELECT subj_id || chr(1) || subj_label AS u,
+         obj_id || chr(1) || obj_label AS v, weight FROM entity_edges
+  UNION ALL
+  SELECT obj_id || chr(1) || obj_label,
+         subj_id || chr(1) || subj_label, weight FROM entity_edges
+) WHERE u <> v GROUP BY u, v
+"""
+
+# G6 — per-community member list (distinct ids, sorted, capped at 25) +
+# internal relation kinds ordered by total weight desc / pred asc, for
+# level-0 communities with >= 2 members. Mirrors operators/communities.py::
+# community_info over the same LPA hierarchy as the communities oracle.
+ORACLE_SQL["community_info"] = PIPELINE_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _COMMUNITY_BASE + """
+, gmem AS (
+  SELECT u, l0 AS cid, string_split(u, chr(1))[1] AS id FROM assigned
+),
+gmembers AS (
+  SELECT cid, CAST(COUNT(DISTINCT u) AS BIGINT) AS member_count FROM gmem
+  GROUP BY cid HAVING COUNT(DISTINCT u) >= 2
+),
+gtop_ids AS (
+  SELECT cid, string_agg(id, ', ' ORDER BY id) AS members_text
+  FROM (
+    SELECT cid, id, row_number() OVER (PARTITION BY cid ORDER BY id) AS rn
+    FROM (SELECT DISTINCT cid, id FROM gmem)
+  ) WHERE rn <= 25 GROUP BY cid
+),
+ginternal AS (
+  SELECT ms.cid, e.pred, SUM(e.weight) AS w
+  FROM entity_edges e
+  JOIN gmem ms ON ms.u = e.subj_id || chr(1) || e.subj_label
+  JOIN gmem mo ON mo.u = e.obj_id || chr(1) || e.obj_label
+  WHERE ms.cid = mo.cid
+  GROUP BY ms.cid, e.pred
+),
+grels AS (
+  SELECT cid, string_agg(pred, ', ' ORDER BY w DESC, pred ASC) AS rels_text
+  FROM ginternal GROUP BY cid
+)
+SELECT m.cid, t.members_text, m.member_count,
+       coalesce(r.rels_text, '') AS rels_text
+FROM gmembers m JOIN gtop_ids t ON t.cid = m.cid
+LEFT JOIN grels r ON r.cid = m.cid
+"""
+
+
+def _hash_vec_dim_sql(dim: int) -> str:
+    """HashingEmbedder mirror at an arbitrary dimension over ``probe_docs``
+    (doc_id, text) — the parameterized twin of _CHUNK_VEC_CTE (same
+    md5_number_upper bucket/sign arithmetic, same float32 quantization),
+    emitting ``d{dim}_out(dim, doc_id, vec_len, checksum_r6)`` where the
+    checksum is the index-weighted component sum via a sequential fold."""
+    return f"""
+d{dim}_toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS tok
+  FROM probe_docs
+),
+d{dim}_sums AS (
+  SELECT doc_id, CAST(md5_number_upper(tok) % {dim} AS INT) AS bucket,
+         sum(CASE WHEN (md5_number_upper(tok) >> 8) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS s
+  FROM d{dim}_toks GROUP BY 1, 2
+),
+d{dim}_norm AS (SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM d{dim}_sums GROUP BY 1),
+d{dim}_grid AS (
+  SELECT p.doc_id, b.i AS bucket, coalesce(s.s, 0.0) AS s, coalesce(n.nrm, 0.0) AS nrm
+  FROM probe_docs p CROSS JOIN range({dim}) b(i)
+  LEFT JOIN d{dim}_sums s ON s.doc_id = p.doc_id AND s.bucket = b.i
+  LEFT JOIN d{dim}_norm n ON n.doc_id = p.doc_id
+),
+d{dim}_vecs AS (
+  SELECT doc_id,
+         list(CAST(CAST(CASE WHEN nrm > 0 THEN s / nrm ELSE s END AS FLOAT) AS DOUBLE)
+              ORDER BY bucket) AS v
+  FROM d{dim}_grid GROUP BY doc_id
+),
+d{dim}_out AS (
+  SELECT CAST({dim} AS BIGINT) AS dim, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(v) AS BIGINT) AS vec_len,
+         round(list_reduce(list_apply(range(1, len(v) + 1),
+                                      i -> v[i] * CAST(i AS DOUBLE)),
+                           (x, y) -> x + y), 6) AS checksum_r6
+  FROM d{dim}_vecs
+)"""
+
+
+# E1 — the dimension table: HashingEmbedder at dims 16/32/64 over 5 probe
+# documents.
+ORACLE_SQL["embedding_dim_table"] = f"""
+WITH probe_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE CAST(doc_id AS BIGINT) < 5
+),
+{_hash_vec_dim_sql(16).lstrip()},
+{_hash_vec_dim_sql(32).lstrip()},
+{_hash_vec_dim_sql(64).lstrip()}
+SELECT * FROM d16_out
+UNION ALL SELECT * FROM d32_out
+UNION ALL SELECT * FROM d64_out
+"""
+
+# X5 — the sanitize_additional_instructions rewrite: braces → brackets first,
+# then the blocklist tokens in declaration order, each a global
+# case-insensitive left-to-right replace with an inert [BLOCKED] sentinel
+# (the sentinel cannot reassemble a banned token, so sequential global
+# replaces are equivalent to the engine's resume-after-sentinel scan).
+_SAN_EXPR = "replace(replace(instruction, '{', '['), '}', ']')"
+for _pat in (
+    r"eval\(", r"exec\(", "import ", "__", r"os\.getenv\(", r"getenv\(",
+    r"open\(", "subprocess", r"system\(",
+):
+    _SAN_EXPR = f"regexp_replace({_SAN_EXPR}, '{_pat}', '[BLOCKED]', 'gi')"
+
+ORACLE_SQL["instruction_sanitization"] = f"""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'Extract {{entities}} from ' || substr(text, 1, 60) ||
+         CASE CAST(doc_id AS BIGINT) % 5
+              WHEN 0 THEN ' eval(payload)'
+              WHEN 1 THEN ' use os.getenv(KEY) and __dunder__'
+              WHEN 2 THEN ' IMPORT antigravity; subprocess.run'
+              WHEN 3 THEN ' Exec( x ); system(cmd); open(f)'
+              ELSE ' {{keep braces}} fine' END AS instruction
+  FROM documents WHERE CAST(doc_id AS BIGINT) < 40
+)
+SELECT doc_id, trim({_SAN_EXPR}) AS sanitized FROM raw
+"""
