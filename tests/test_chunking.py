@@ -204,6 +204,47 @@ def test_tokenizer_seam_custom_bpe(spark):
     ]
 
 
+def test_tokenizer_seam_call_discipline():
+    """cl100k-parity contract, testable without the dependency. Two laws:
+    (1) the Arrow chunk kernel calls ``encode`` exactly once per document
+    with the RAW content (a spy asserts it — so a tokenizer's piece stream
+    is never re-windowed or re-encoded); (2) sanitization lives INSIDE the
+    tokenizer — the whitespace default proves the sanitize-then-segment
+    law the tiktoken wrapper follows at text.py:63 (``enc.encode(
+    sanitize_py(text))``, mirroring the reference's TokenTextSplitter over
+    cleaned content, src/create_chunks.py:42). A deployment that installs
+    tiktoken and passes 'tiktoken:cl100k_base' therefore gets exact cl100k
+    windows by construction — cl100k exactness is config, not code."""
+    import pyarrow as pa
+
+    from llm_graph_builder_spark.functions.text import (
+        WhitespaceTokenizer,
+        sanitize_py,
+    )
+    from llm_graph_builder_spark.operators.chunking import _make_chunk_batches
+
+    calls: list[str] = []
+
+    class SpyTokenizer:
+        sep = " "
+
+        def encode(self, text):
+            calls.append(text)
+            return text.split()
+
+    raw = 'Hello "quoted" world\nnew line with\ttabs and  spaces'
+    kernel = _make_chunk_batches(4, 1, None, SpyTokenizer())
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([1], pa.int64()), pa.array([raw])], names=["doc_id", "content"]
+    )
+    out = [r for b in kernel(iter([rb])) for r in b.to_pylist()]
+    assert calls == [raw], "encode must run exactly once per doc, on raw content"
+    assert out, "non-empty content must chunk"
+    # law (2): the default tokenizer sanitizes before segmenting — the same
+    # discipline the tiktoken wrapper applies before cl100k encoding
+    assert WhitespaceTokenizer().encode(raw) == sanitize_py(raw).split()
+
+
 def test_tokenizer_seam_tiktoken_parity():
     """Gated on tiktoken availability (absent in-sandbox): piece strings
     must concatenate back to the sanitized input."""
