@@ -122,6 +122,15 @@ class PipelineConfig:
     #: partitioned writes. At 100 TB raise toward 1024; 16 keeps the
     #: test-scale file count sane.
     partition_buckets: int = 16
+    #: stage read-backs at or below this row count are .cache()d between
+    #: consumers; larger tables are re-read from their (columnar, pruned,
+    #: bucket-partitioned) warehouse parquet instead. Whole-table executor
+    #: caching of corpus-grain string tables is the memory hazard the SF1
+    #: rehearsal hit: the columnar cache unroll of a 65M-row mentions table
+    #: OOMs a default 8 GB heap while the entities aggregation runs. The
+    #: warehouse IS the cache at scale — the manifest already knows each
+    #: stage's row count, so the gate costs zero extra jobs.
+    readback_cache_rows: int = 2_000_000
     #: allowed entity labels (reference allowedNodes, src/llm.py:257-276); None = all
     allowed_labels: tuple[str, ...] | None = None
     #: allowed (subj_label, pred, obj_label) triples; None = all

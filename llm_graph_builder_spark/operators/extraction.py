@@ -741,11 +741,23 @@ def entity_descriptions_from_units(extracted: DataFrame) -> DataFrame:
     windows emitted by the extractor (the aggregation stand-in for the
     reference's per-entity LLM description, src/llm.py:211-215 — stored on
     the entity node and used as E3 embedding text, post_processing.py:132).
-    Output: (id, label, description)."""
+    Output: (id, label, description).
+
+    Shape note: ``min(string)`` cannot HashAggregate (var-length agg
+    buffer), so a bare groupBy would run a partial SortAggregate that sorts
+    the ENTIRE exploded mention stream inside each scan partition — the
+    exact OOM the SF1 rehearsal hit at 2M files on a default heap (the
+    sorter's pointer array can't grow once 32 concurrent tasks hold the
+    pool). The distinct() first runs as a spill-safe HashAggregate with a
+    map-side partial, so the sort aggregate only ever sees post-shuffle,
+    deduplicated, bounded partitions."""
     return (
         extracted.select(F.explode("mentions").alias("m"))
-        .groupBy(F.col("m.id").alias("id"), F.col("m.label").alias("label"))
-        .agg(F.min("m.description").alias("description"))
+        .select(F.col("m.id").alias("id"), F.col("m.label").alias("label"),
+                F.col("m.description").alias("description"))
+        .distinct()
+        .groupBy("id", "label")
+        .agg(F.min("description").alias("description"))
     )
 
 

@@ -459,8 +459,18 @@ class PipelineRunner:
             results.append(res)
             return res
 
-        stage("documents", lambda: ingest(repos, cfg.repo_salt))
-        docs = self.read("documents")
+        def read_back(name: str, rows_out: int) -> DataFrame:
+            """Stage read-back, cached only when the table is small enough
+            (config.readback_cache_rows). Corpus-grain string tables must
+            NOT be executor-cached: the columnar cache unroll of a 65M-row
+            mentions table OOMs a default 8 GB heap (SF1 rehearsal hazard
+            #1's real root cause) — the bucketed warehouse parquet, with
+            column pruning, is the scale-safe cache."""
+            df = self.read(name)
+            return df.cache() if rows_out <= cfg.readback_cache_rows else df
+
+        r_docs = stage("documents", lambda: ingest(repos, cfg.repo_salt))
+        docs = read_back("documents", r_docs.rows_out)
 
         # per-row invariant: ingest must not alter content (BASELINE.json)
         sha_ok = (
@@ -469,9 +479,9 @@ class PipelineRunner:
         self._record("invariant_content_sha256", 0, 0,
                      status="COMPLETED" if sha_ok else "FAILED")
 
-        stage("chunks", lambda: chunk_documents(
+        r_chunks = stage("chunks", lambda: chunk_documents(
             docs, cfg.chunk_size, cfg.chunk_overlap, cfg.max_chunks_per_doc))
-        chunks = self.read("chunks").cache()
+        chunks = read_back("chunks", r_chunks.rows_out)
 
         stage("chunk_edges", lambda: chunk_graph_edges(chunks))
         stage("chunk_embeddings", lambda: embed_chunks(
@@ -496,19 +506,19 @@ class PipelineRunner:
             mentions, triples = enforce_allowed_schema(
                 mentions, triples, cfg.allowed_labels, cfg.allowed_relationships
             )
-        stage("mentions", lambda: mentions)
-        stage("triples", lambda: triples)
-        mentions = self.read("mentions").cache()
-        triples = self.read("triples").cache()
+        r_mentions = stage("mentions", lambda: mentions)
+        r_triples = stage("triples", lambda: triples)
+        mentions = read_back("mentions", r_mentions.rows_out)
+        triples = read_back("triples", r_triples.rows_out)
 
         # entity nodes carry the aggregated description property (reference:
         # LLM node description, llm.py:211-215) — E3 embedding text downstream
-        stage("entities", lambda: entities_from_mentions(mentions).join(
+        r_ents = stage("entities", lambda: entities_from_mentions(mentions).join(
             entity_descriptions_from_units(extracted), on=["id", "label"], how="left"))
-        stage("entity_edges", lambda: entity_edges(triples))
+        r_eedges = stage("entity_edges", lambda: entity_edges(triples))
         stage("has_entity", lambda: has_entity_edges(mentions))
-        ents = self.read("entities").cache()
-        eedges = self.read("entity_edges").cache()
+        ents = read_back("entities", r_ents.rows_out)
+        eedges = read_back("entity_edges", r_eedges.rows_out)
 
         def linked():
             # O(n²)-per-label exact candidates below the threshold; LSH

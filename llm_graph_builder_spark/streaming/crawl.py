@@ -55,15 +55,22 @@ def _crawl_batch(
     m_bits: int = 1 << 20,
     k_hashes: int = 3,
     extractor=None,
+    num_partitions: int = 4,
+    out_partitions: int = 1,
 ) -> None:
     """One idempotent crawl micro-batch (module-level so tests can replay a
-    batch id and assert retry safety directly)."""
+    batch id and assert retry safety directly).
+
+    ``num_partitions`` sizes the ingest exchange and ``out_partitions`` the
+    per-batch output files — 4/1 suits test-scale drops; size both to the
+    drop volume for production (e.g. 32/8 for 100k-file drops, see the SF1
+    crawl drill in BENCH/SF1.md)."""
     bits_dir = f"{output_dir}/bloom_bits"
     docs_dir = f"{output_dir}/documents"
     log_dir = f"{output_dir}/mention_log"
     ent_dir = f"{output_dir}/entities"
 
-    docs = ingest(batch_df, num_partitions=4).cache()
+    docs = ingest(batch_df, num_partitions=num_partitions).cache()
     # 1. exact-dup gate vs PRIOR batches only (retry sees pre-batch state)
     try:
         seen_bits = (
@@ -100,7 +107,7 @@ def _crawl_batch(
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )
     (
-        asserts.repartition(1)
+        asserts.repartition(out_partitions)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -109,7 +116,7 @@ def _crawl_batch(
     (
         survivors.select("doc_id", "file_name", "content", "content_sha256")
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .repartition(1)
+        .repartition(out_partitions)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -141,16 +148,20 @@ def start_crawl_pipeline(
     m_bits: int = 1 << 20,
     k_hashes: int = 3,
     extractor=None,
+    num_partitions: int = 4,
+    out_partitions: int = 1,
 ):
     """repos parquet drops → deduped documents + mention log + maintained
     entity table, exactly-once per input file (checkpointed file source +
-    replay-idempotent batch body)."""
+    replay-idempotent batch body). Size ``m_bits`` to ≥ 10 bits per
+    expected corpus document and the partition knobs to the drop volume."""
     stream = stream_repos(spark, input_dir)
 
     def process(batch_df: DataFrame, batch_id: int):
         _crawl_batch(
             spark, batch_df, batch_id, output_dir,
             m_bits=m_bits, k_hashes=k_hashes, extractor=extractor,
+            num_partitions=num_partitions, out_partitions=out_partitions,
         )
 
     return (
