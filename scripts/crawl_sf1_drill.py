@@ -140,8 +140,14 @@ def main() -> int:
         )
         .withColumn("batch_id", F.lit(0).cast("long"))
     )
-    want = entity_snapshot(full_asserts)
     cols = ["id", "label", "chunk_count", "doc_count"]
+    # materialize the recompute to parquet: its lineage reads the documents
+    # table the replay below will dynamically overwrite (fresh file names),
+    # so a lazy re-evaluation after the replay would hit deleted files
+    entity_snapshot(full_asserts).select(cols).write.mode("overwrite").parquet(
+        f"{WORK}/want"
+    )
+    want = spark.read.parquet(f"{WORK}/want")
     extra = got.select(cols).exceptAll(want.select(cols)).count()
     missing = want.select(cols).exceptAll(got.select(cols)).count()
     report["snapshot_rows"] = got.count()
