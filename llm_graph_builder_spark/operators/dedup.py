@@ -137,15 +137,26 @@ def _minhash_banded(
     )
     n_bands = n_hashes // band_size
     keys = [
-        F.concat_ws(
-            "|", F.lit(str(b)), *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        F.struct(
+            F.concat_ws(
+                "|", F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+            ).alias("band"),
+            # per-band sort key for the chain-candidate mode: the FIRST
+            # minhash of the NEXT band. Within a band bucket it orders
+            # similar texts adjacently (near-dups share most minhashes), so
+            # sorted-neighbor chaining links true cluster members even when
+            # doc-id order would interleave two colliding clusters.
+            F.col(f"mh{((b + 1) % n_bands) * band_size}").alias("skey"),
         )
         for b in range(n_bands)
     ]
     # one pass: every mh_i is computed once and the band keys explode from a
     # single projection (a per-band union would recompute the md5 signatures
-    # n_bands times); the skinny (doc, band) rows are all that shuffles.
-    banded = sigs.select("doc", F.explode(F.array(*keys)).alias("band"))
+    # n_bands times); the skinny (doc, band, skey) rows are all that shuffles.
+    banded = sigs.select("doc", F.explode(F.array(*keys)).alias("bs")).select(
+        "doc", "bs.band", "bs.skey"
+    )
     return banded, groups, members, sigs
 
 
@@ -158,6 +169,7 @@ def _minhash_rep_pairs(
     k: int,
     jaccard_threshold: float,
     max_band_size: int | None = None,
+    chain: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of the MinHash-LSH family, computed over DISTINCT texts.
 
@@ -187,12 +199,41 @@ def _minhash_rep_pairs(
             sizes.filter(F.col("_n") <= max_band_size).drop("_n"),
             on="band", how="leftsemi",
         )
-    cands = (
-        banded.join(banded.withColumnRenamed("doc", "doc_b"), on="band")
-        .filter(F.col("doc") < F.col("doc_b"))
-        .select(F.col("doc").alias("doc_a"), "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    if chain:
+        # CLUSTER-GRAIN candidate generation: within each band bucket, link
+        # each text only to its NEXT neighbor in (skey, doc) order —
+        # O(bucket) candidates instead of O(bucket²). The transitive CC
+        # closure downstream reconnects the whole cluster through the
+        # chain, so cluster membership is preserved; only the pair SET
+        # shrinks. This is the difference between a dedup pass that
+        # survives mirror-site-scale near-dup clusters and one that
+        # squares: the SF10 rehearsal's 400-member distinct-text clusters
+        # put ~400M verify pairs (each carrying both texts) through the
+        # exchange under all-pairs and filled a 250 GB disk; chained, the
+        # verify mass is linear in corpus size. Consumers that need the
+        # full qualifying PAIR set (minhash_lsh_pairs) keep all-pairs.
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("band").orderBy("skey", "doc")
+        nxt = banded.withColumn("doc_n", F.lead("doc").over(w))
+        cands = (
+            nxt.filter(F.col("doc_n").isNotNull())
+            .select(
+                F.least("doc", "doc_n").alias("doc_a"),
+                F.greatest("doc", "doc_n").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    else:
+        cands = (
+            banded.select("doc", "band")
+            .join(
+                banded.select(F.col("doc").alias("doc_b"), "band"), on="band"
+            )
+            .filter(F.col("doc") < F.col("doc_b"))
+            .select(F.col("doc").alias("doc_a"), "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     # verification: join the candidates back to the distinct-text table
     # (raw ~text-sized rows through the join) and re-shingle ON the
     # candidate rows only — the corpus-wide shingle arrays never
@@ -460,11 +501,21 @@ def near_dup_clusters(
     connected components → one keeper per cluster.
 
     This is the operation a pretraining corpus actually needs (drop
-    near-duplicates, keep one representative): pairs from
-    ``minhash_lsh_pairs`` plus exact-hash identity, transitively closed with
-    the same min-label propagation used for entity linking; keeper = lexical
-    min doc id of the cluster (deterministic). Output:
+    near-duplicates, keep one representative): verified near-dup CHAIN
+    edges (sorted-neighbor per band bucket — O(bucket), not O(bucket²))
+    plus exact-hash identity stars, transitively closed with the same
+    min-label propagation used for entity linking; keeper = lexical min
+    doc id of the cluster (deterministic). Output:
     (doc, cluster, keeper boolean).
+
+    Why chained candidates: a cluster consumer only needs a SPANNING set
+    of verified edges per cluster — CC supplies the closure. All-pairs
+    candidate generation (what the pair operator ``minhash_lsh_pairs``
+    rightly does, since its declared output IS the pair set) squares in
+    the near-dup cluster size: the SF10 rehearsal's 400-member
+    distinct-text clusters at 20M docs generated ~400M verify pairs, each
+    shuffling both texts, and filled a 250 GB disk. Chained, the verify
+    mass is linear in the corpus.
     """
     from .linking import connected_components
 
@@ -474,7 +525,7 @@ def near_dup_clusters(
     # edges instead of per-group cliques
     rep_pairs, groups, members = _minhash_rep_pairs(
         docs, text_col, id_col, MINHASH_HASHES, MINHASH_BAND_SIZE, SHINGLE_K,
-        jaccard_threshold, max_band_size=max_band_size,
+        jaccard_threshold, max_band_size=max_band_size, chain=True,
     )
     near = rep_pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     exact = (

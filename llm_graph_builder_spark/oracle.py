@@ -1199,11 +1199,13 @@ WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
 """
 
 # Full value oracle for near_dup_clusters: same rep-grain graph the Spark
-# side builds (MinHash-LSH pairs over DISTINCT texts + exact-hash star
-# edges rep→member), transitively closed with a recursive-CTE reachability
-# (symmetric edges → every node reaches its whole component, so
-# min(reachable label) = the component's min label, exactly Spark's
-# min-label-propagation fixpoint). Keeper = doc == cluster min.
+# side builds (chained MinHash-LSH candidates over DISTINCT texts — the
+# per-band sorted-neighbor lead() mirror of the Spark window, skey = first
+# minhash of the NEXT band — + exact-hash star edges rep→member),
+# transitively closed with a recursive-CTE reachability (symmetric edges →
+# every node reaches its whole component, so min(reachable label) = the
+# component's min label, exactly Spark's min-label-propagation fixpoint).
+# Keeper = doc == cluster min.
 _DEDUP_CLUSTER_MH = ",\n         ".join(
     f"list_min(list_transform(sh, g -> md5('{i}:' || g))) AS mh{i}"
     for i in range(9)
@@ -1221,15 +1223,23 @@ sigs AS (
   FROM sh0
 ),
 bands AS (
-  SELECT doc, sh, '0' || '|' || mh0 || '|' || mh1 || '|' || mh2 AS band FROM sigs
+  SELECT doc, sh, '0' || '|' || mh0 || '|' || mh1 || '|' || mh2 AS band, mh3 AS skey FROM sigs
   UNION ALL
-  SELECT doc, sh, '1' || '|' || mh3 || '|' || mh4 || '|' || mh5 FROM sigs
+  SELECT doc, sh, '1' || '|' || mh3 || '|' || mh4 || '|' || mh5, mh6 FROM sigs
   UNION ALL
-  SELECT doc, sh, '2' || '|' || mh6 || '|' || mh7 || '|' || mh8 FROM sigs
+  SELECT doc, sh, '2' || '|' || mh6 || '|' || mh7 || '|' || mh8, mh0 FROM sigs
+),
+chained AS (
+  SELECT doc, sh, band,
+         lead(doc) OVER (PARTITION BY band ORDER BY skey, doc) AS doc_n,
+         lead(sh)  OVER (PARTITION BY band ORDER BY skey, doc) AS sh_n
+  FROM bands
 ),
 cands AS (
-  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc
+  SELECT DISTINCT least(doc, doc_n) AS doc_a, greatest(doc, doc_n) AS doc_b,
+         CASE WHEN doc < doc_n THEN sh ELSE sh_n END AS sh_a,
+         CASE WHEN doc < doc_n THEN sh_n ELSE sh END AS sh_b
+  FROM chained WHERE doc_n IS NOT NULL
 ),
 near AS (
   SELECT doc_a AS a, doc_b AS b FROM cands
