@@ -67,12 +67,41 @@ def main() -> int:
     )
     from llm_graph_builder_spark.operators.suffix import repeated_substrings
     from llm_graph_builder_spark.session import get_spark
-    from sf1_rehearsal import build_corpus
+    from llm_graph_builder_spark.sources.repos import synth_repos
 
-    import sf1_rehearsal as _sf1
-
-    _sf1.REPL = REPL  # the generator reads its module-level REPL
-    _sf1.SF_DIR = SF_DIR
+    def build_corpus(spark, path: str) -> int:
+        """The SF1 generator's mix (90% per-token-distinct / 10% near-dup
+        prefix — see scripts/sf1_rehearsal.py for the rationale), but with
+        the replica explode REPARTITIONED before the heavy per-token
+        transform: at ×4000 the transform is ~10^9 string concats, and the
+        SF1 shape ran it inside the single documents.parquet scan task
+        (fine at ×400, half an hour single-threaded at ×4000)."""
+        base = synth_repos(spark, SF_DIR)
+        rep = (
+            base.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(REPL - 1)))
+            )
+            .repartition(256)  # transform runs 256-way, not in the scan task
+        )
+        distinct_c = F.array_join(
+            F.transform(
+                F.split(F.col("content"), " "),
+                lambda t: F.concat_ws("-", t, F.col("r").cast("string")),
+            ),
+            " ",
+        )
+        near_c = F.concat_ws(" ", F.col("r").cast("string"), "content")
+        out = rep.select(
+            F.concat_ws("-", "repo", F.col("r").cast("string")).alias("repo"),
+            "path",
+            F.concat_ws("-", "commit", F.col("r").cast("string")).alias("commit"),
+            "lang",
+            F.when(F.col("r") % 10 == 0, near_c).otherwise(distinct_c).alias(
+                "content"
+            ),
+        )
+        out.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
 
     report: dict = {
         "repl": REPL, "sf_dir": SF_DIR,
