@@ -175,6 +175,82 @@ def test_near_dup_clusters(spark):
     assert keepers == ["1", "4"] or set(keepers) == {"1", "4"}
 
 
+def test_near_dup_chain_equals_all_pairs_clusters(spark):
+    """The chained candidate generation (sorted-neighbor per band bucket —
+    the SF10 fix that keeps cluster dedup linear in cluster size) must
+    produce the SAME cluster partition as all-pairs candidates on the
+    regimes that matter: one large near-dup cluster (the quadratic case),
+    two distinct clusters that collide into shared band buckets (the
+    interleave case the skey ordering exists for), exact-dup groups, and
+    singletons. Clusters are compared as partitions of the doc set."""
+    from llm_graph_builder_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_BAND_SIZE,
+        MINHASH_HASHES,
+        SHINGLE_K,
+        _minhash_rep_pairs,
+        near_dup_clusters,
+    )
+    from llm_graph_builder_spark.operators.linking import connected_components
+
+    base_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    base_b = "spark shuffle exchange partition broadcast codegen catalyst tungsten arrow pandas"
+    rows = []
+    # 30-member near-dup cluster A: prefix variant per member (high overlap)
+    for i in range(30):
+        rows.append((100 + i, f"m{i} " + base_a))
+    # 12-member near-dup cluster B, same shingle-space scale
+    for i in range(12):
+        rows.append((300 + i, f"n{i} " + base_b))
+    # exact-dup group of 5
+    for i in range(5):
+        rows.append((500 + i, "identical content shared by the whole group verbatim"))
+    # singletons
+    rows.append((700, "totally unrelated text about gardening tulip bulbs in spring"))
+    rows.append((701, "another unrelated row mentioning submarine sonar arrays"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def partition_of(cluster_df):
+        clusters = {}
+        for r in cluster_df.collect():
+            clusters.setdefault(r.cluster, set()).add(r.doc)
+        return {frozenset(v) for v in clusters.values()}
+
+    got = partition_of(near_dup_clusters(docs))  # chained (production path)
+
+    # all-pairs reference closure, built from the same shared core
+    rep_pairs, groups, members = _minhash_rep_pairs(
+        docs, "text", "doc_id", MINHASH_HASHES, MINHASH_BAND_SIZE, SHINGLE_K,
+        JACCARD_THRESHOLD, chain=False,
+    )
+    near = rep_pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    exact = (
+        members.join(groups.select("h", "rep"), on="h")
+        .filter(F.col("rep") < F.col("doc"))
+        .select(F.col("rep").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    pairs = near.unionByName(exact).dropDuplicates().withColumn(
+        "label", F.lit("doc")
+    )
+    comp = connected_components(pairs.select("label", "id_a", "id_b"), spark)
+    singles = (
+        docs.select(F.col("doc_id").cast("string").alias("id"))
+        .join(comp.select("id"), on="id", how="left_anti")
+        .withColumn("component", F.col("id"))
+    )
+    ref = comp.select("id", "component").unionByName(singles)
+    ref_clusters = {}
+    for r in ref.collect():
+        ref_clusters.setdefault(r.component, set()).add(r.id)
+    want = {frozenset(v) for v in ref_clusters.values()}
+
+    assert got == want, f"chain partition != all-pairs partition:\n{got}\nvs\n{want}"
+    # and the structure is the intended one: clusters of 30, 12, 5, 1, 1
+    assert sorted(len(c) for c in got) == [1, 1, 5, 12, 30]
+
+
 def test_ann_ivf_recall(spark):
     """IVF top-k must agree with brute force on most neighbors (recall), and
     exactly when probing every centroid."""
