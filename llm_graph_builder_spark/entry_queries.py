@@ -1969,6 +1969,88 @@ def q_bloom_dedup(spark, sf_dir):
     return dedup.bloom_dedup(newb, dedup.bloom_build(docs))
 
 
+def q_streaming_bloom_dedup(spark, sf_dir):
+    """Run the REAL Structured Streaming incremental-dedup job
+    (:func:`streaming.dedup.start_incremental_dedup`) over three
+    deterministic parquet drops and return its on-disk per-batch flags —
+    the first §2.13 surface whose VALUES the DuckDB oracle checks (the
+    oracle replays the same cumulative Bloom arithmetic batch by batch).
+
+    Drops (one file each, ``maxFilesPerTrigger=1`` ⇒ batch b = drop b,
+    file order pinned by explicit mtimes):
+      - drop 0: doc_id % 3 == 0
+      - drop 1: doc_id % 3 == 1, plus doc_id % 6 == 0 re-submitted
+        unchanged (seen in drop 0 ⇒ must flag)
+      - drop 2: doc_id % 3 == 2, plus doc_id % 6 == 1 re-submitted
+        unchanged (seen in drop 1 ⇒ must flag) and doc_id % 6 == 3 with
+        ' v2' appended (new text ⇒ flagged only on a Bloom false positive)
+
+    Output: (doc, batch_id, n_hits, bloom_dup) — a doc re-submitted in a
+    later drop appears once per batch it arrived in.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.dedup import start_incremental_dedup
+
+    docs = read_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    base = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+    drops = [
+        base[0],
+        base[1].unionByName(docs.filter(F.col("doc_id") % 6 == 0)),
+        base[2]
+        .unionByName(docs.filter(F.col("doc_id") % 6 == 1))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 6 == 3).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" v2"))
+            )
+        ),
+    ]
+    work = tempfile.mkdtemp(prefix="stream_bloom_")
+    try:
+        in_dir = os.path.join(work, "drops")
+        os.makedirs(in_dir)
+        t0 = 1_000_000_000  # fixed epoch: file order = drop order
+        for b, d in enumerate(drops):
+            stage = os.path.join(work, f"stage{b}")
+            d.repartition(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(in_dir, f"drop{b}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (t0 + 60 * b, t0 + 60 * b))
+        out_dir = os.path.join(work, "out")
+        q = start_incremental_dedup(
+            spark,
+            in_dir,
+            out_dir,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            m_bits=1 << 16,
+            k_hashes=3,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        flags = spark.read.parquet(os.path.join(out_dir, "dup_flags")).select(
+            "doc",
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("bloom_dup").cast("long").alias("bloom_dup"),
+        )
+        out = flags.collect()  # materialize before the temp dir goes away
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, "doc string, batch_id long, n_hits long, bloom_dup long")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(read_documents(spark, sf_dir))
 
@@ -4153,6 +4235,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "duplicate_spans": q_duplicate_spans,
     "bloom_dedup": q_bloom_dedup,
+    "streaming_bloom_dedup": q_streaming_bloom_dedup,
     "coverage_select": q_coverage_select,
     "interval_union": q_interval_union,
     "table_checksum": q_table_checksum,
@@ -4291,6 +4374,7 @@ _ROTATE = [
 #: reaches past the tranche, every extra second lands on a first-time row.
 #: Already-driver-checked queries (prior CORRECTNESS_r{1-4} rows) sort last.
 _TAIL_NEVER_CHECKED = [
+    "streaming_bloom_dedup",  # r5: first value-checked §2.13 streaming row
     "corpus_sample", "revenue_forecast", "dp_counts", "table_checksum",
     "path_rollup", "revenue_cube", "ab_audit", "temporal_split",
     "cdc_apply", "repo_skew_plan", "corpus_profile", "asof_attribution",

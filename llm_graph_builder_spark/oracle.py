@@ -1825,6 +1825,46 @@ SELECT doc, CAST(n_hits AS BIGINT) AS n_hits,
 FROM h
 """
 
+# mirrors q_streaming_bloom_dedup: the Structured Streaming job's per-batch
+# flags, replayed batch-by-batch — batch b's filter = distinct positions of
+# every doc that ARRIVED in batches < b (including modified re-submissions,
+# exactly what streaming/dedup.py::_dedup_batch accumulates). Same md5-48bit
+# k=3 / m=65536 family as bloom_dedup.
+ORACLE_SQL["streaming_bloom_dedup"] = """
+WITH arrivals AS (
+  SELECT 0 AS batch_id, CAST(doc_id AS VARCHAR) AS doc, text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 1, CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT 1, CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT 2, CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT 2, CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT 2, CAST(doc_id AS VARCHAR), text || ' v2' FROM documents
+  WHERE doc_id % 6 = 3
+),
+pos AS (
+  SELECT batch_id, doc,
+         CAST(('0x' || substr(md5('bloom' || i || ':' || text), 1, 12)) AS BIGINT)
+           % 65536 AS pos
+  FROM arrivals, unnest([0, 1, 2]) AS t(i)
+),
+h AS (
+  SELECT p.batch_id, p.doc,
+         sum(CASE WHEN EXISTS (
+               SELECT 1 FROM pos s
+               WHERE s.batch_id < p.batch_id AND s.pos = p.pos
+             ) THEN 1 ELSE 0 END) AS n_hits
+  FROM pos p GROUP BY 1, 2
+)
+SELECT doc, CAST(batch_id AS BIGINT) AS batch_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_hits = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_dup
+FROM h
+"""
+
 ORACLE_SQL["dedup_ngram"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc, lang, {_MINHASH_SHINGLES} AS sh FROM documents
