@@ -3976,7 +3976,11 @@ def q_embedding_dim_table(spark, sf_dir):
                 F.lit(dim).cast("long").alias("dim"),
                 "doc_id",
                 F.size("embedding").cast("long").alias("vec_len"),
-                F.round(chk, 6).alias("checksum_r6"),
+                # + 0.0 canonicalizes IEEE negative zero: an all-(-0.0)
+                # vector folds to -0.0 in DuckDB's init-less list_reduce
+                # but to +0.0 under Spark's 0.0-seeded aggregate — the
+                # values are equal, the rendered sign is not (sf0.001)
+                (F.round(chk, 6) + F.lit(0.0)).alias("checksum_r6"),
             )
         )
     out = outs[0]

@@ -9957,7 +9957,7 @@ d{dim}_out AS (
          CAST(len(v) AS BIGINT) AS vec_len,
          round(list_reduce(list_apply(range(1, len(v) + 1),
                                       i -> v[i] * CAST(i AS DOUBLE)),
-                           (x, y) -> x + y), 6) AS checksum_r6
+                           (x, y) -> x + y), 6) + 0.0 AS checksum_r6
   FROM d{dim}_vecs
 )"""
 
