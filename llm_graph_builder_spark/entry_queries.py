@@ -4366,6 +4366,10 @@ _ROTATE = [
     # curation / eval tranche
     "pq_codes", "sq_recall", "qa_eval_judged", "retrieval_metrics",
     "pii_scrub", "mixture_weights", "curation_curve", "tokenizer_fertility",
+    # r5 addition: the first §2.13 streaming row runs the REAL Structured
+    # Streaming job — placed ahead of the graph tranche so it lands even
+    # if the driver's budget cuts at ~50 rows as in rounds 1-4
+    "streaming_bloom_dedup",
     # graph tranche
     "personalized_pagerank", "closeness_centrality",
     "clustering_coefficient", "ktruss", "boruvka_mst", "node_similarity",
@@ -4378,7 +4382,6 @@ _ROTATE = [
 #: reaches past the tranche, every extra second lands on a first-time row.
 #: Already-driver-checked queries (prior CORRECTNESS_r{1-4} rows) sort last.
 _TAIL_NEVER_CHECKED = [
-    "streaming_bloom_dedup",  # r5: first value-checked §2.13 streaming row
     "corpus_sample", "revenue_forecast", "dp_counts", "table_checksum",
     "path_rollup", "revenue_cube", "ab_audit", "temporal_split",
     "cdc_apply", "repo_skew_plan", "corpus_profile", "asof_attribution",
