@@ -31,6 +31,7 @@ against a full batch recompute over the surviving documents in
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,7 +71,16 @@ def _crawl_batch(
     log_dir = f"{output_dir}/mention_log"
     ent_dir = f"{output_dir}/entities"
 
-    docs = ingest(batch_df, num_partitions=num_partitions).cache()
+    # DISK_ONLY, not cache(): both frames carry full file content and are
+    # read by several consumers (flags, survivors/bits writes, extraction).
+    # The default MEMORY_AND_DISK unrolls content-heavy batches into
+    # columnar heap buffers across every concurrent task — at 10^6-file
+    # drops that unroll OOMs an 8 GB default heap (the same hazard class
+    # as the pipeline's readback_cache_rows fix); serialized disk blocks
+    # keep the reuse and cost only a local re-read.
+    docs = ingest(batch_df, num_partitions=num_partitions).persist(
+        StorageLevel.DISK_ONLY
+    )
     # 1. exact-dup gate vs PRIOR batches only (retry sees pre-batch state)
     try:
         seen_bits = (
@@ -91,7 +101,7 @@ def _crawl_batch(
             ),
             on="doc_id",
         )
-        .cache()
+        .persist(StorageLevel.DISK_ONLY)  # content-heavy, multi-consumer
     )
     # 2. extraction over survivors ONLY — the dup mass never reaches the
     # Python stage (the whole point of crawl dedup at 100 TB)
@@ -130,9 +140,15 @@ def _crawl_batch(
         .partitionBy("batch_id")
         .parquet(bits_dir)
     )
-    # 3. refresh the entity snapshot from the net mention log
+    # 3. refresh the entity snapshot from the net mention log. No
+    # dropDuplicates: it would be a full-history exchange per batch and it
+    # changes nothing — replays are deduped at file level (each batch's
+    # partition is dynamically overwritten), rows from different batches
+    # are never equal (batch_id is a column), and entity_snapshot's
+    # sum(sign) > 0 gate is multiplicity-insensitive for the crawl's
+    # all-(+1) signs (the batch-recompute parity path never deduped).
     try:
-        log = spark.read.parquet(log_dir).dropDuplicates()
+        log = spark.read.parquet(log_dir)
     except Exception:
         log = spark.createDataFrame([], _LOG_COLS)
     entity_snapshot(log).write.mode("overwrite").parquet(ent_dir)
