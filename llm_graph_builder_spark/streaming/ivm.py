@@ -15,10 +15,14 @@ BOTH sides' inserts (``side = 'order' | 'lineitem'``), and each micro-batch
 The served view is the groupBy-sum of the view-delta log
 (:func:`view_snapshot`) — bounded by one aggregated row-set per batch and
 compactable at any time. Replay safety is structural, as in
-:mod:`.kg_maintain`: every appended row carries its ``batch_id``, reads
-de-duplicate and EXCLUDE the current batch's id, so a crashed-and-retried
-foreachBatch recomputes the identical delta and the append is idempotent
-under the dedup.
+:mod:`.kg_maintain`: every log is partitioned by ``batch_id`` and written
+with dynamic partition overwrite, so a crashed-and-retried foreachBatch
+recomputes the identical delta (reads exclude the current batch's id) and
+REPLACES its own partition — file-level idempotency, no per-batch
+full-history dedup exchange. (The earlier append+dropDuplicates scheme
+also silently collapsed genuine duplicate inserts WITHIN a batch from the
+base logs while the view delta counted them; partition overwrite keeps
+multiplicity exact.)
 
 Extension beyond the reference (SURVEY §2.13); the arithmetic is
 value-checked by the batch ``incremental_join`` driver oracle.
@@ -62,6 +66,84 @@ def view_snapshot(view_log: DataFrame) -> DataFrame:
     )
 
 
+def _read_state(spark: SparkSession, path: str, cols: str) -> DataFrame:
+    # batch_id-partitioned logs with dynamic overwrite: replays replace
+    # their own partition, so no dedup pass is needed (and none is wanted —
+    # dropDuplicates would collapse genuine duplicate inserts within a
+    # batch). Cast restores the declared long type (partition-column
+    # discovery infers int).
+    try:
+        return spark.read.parquet(path).withColumn(
+            "batch_id", F.col("batch_id").cast("long")
+        )
+    except Exception:  # first batch: no state yet
+        return spark.createDataFrame([], cols)
+
+
+def _ivm_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, output_dir: str
+) -> None:
+    """One idempotent delta-join view-maintenance micro-batch (module-level
+    so tests can replay a batch id and assert retry safety directly — the
+    same pattern as :func:`.kg_maintain._maintain_batch`)."""
+    ord_dir = f"{output_dir}/orders_log"
+    li_dir = f"{output_dir}/lineitem_log"
+    view_dir = f"{output_dir}/view_log"
+    batch_df = batch_df.cache()
+    a0 = (
+        _read_state(spark, ord_dir, _ORD_COLS)
+        .filter(F.col("batch_id") != batch_id)
+        .drop("batch_id")
+        .cache()
+    )
+    b0 = (
+        _read_state(spark, li_dir, _LI_COLS)
+        .filter(F.col("batch_id") != batch_id)
+        .drop("batch_id")
+        .cache()
+    )
+    da = batch_df.filter(F.col("side") == "order").select(
+        "o_orderkey", "o_custkey"
+    )
+    db = batch_df.filter(F.col("side") == "lineitem").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    d1 = order_revenue_view(F.broadcast(da), b0)
+    d2 = order_revenue_view(a0, F.broadcast(db))
+    d3 = order_revenue_view(da, db)
+    delta = (
+        d1.unionByName(d2).unionByName(d3)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum("revenue_e4").cast("long").alias("revenue_e4"),
+            F.sum("n_items").cast("long").alias("n_items"),
+        )
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+
+    def write_partition(df: DataFrame, path: str) -> None:
+        (
+            df.repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    write_partition(delta, view_dir)
+    write_partition(
+        da.withColumn("batch_id", F.lit(batch_id).cast("long")), ord_dir
+    )
+    write_partition(
+        db.withColumn("batch_id", F.lit(batch_id).cast("long")), li_dir
+    )
+    batch_df.unpersist()
+    a0.unpersist()
+    b0.unpersist()
+
+
 def start_join_view_maintenance(
     spark: SparkSession,
     input_dir: str,
@@ -79,60 +161,9 @@ def start_join_view_maintenance(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    ord_dir = f"{output_dir}/orders_log"
-    li_dir = f"{output_dir}/lineitem_log"
-    view_dir = f"{output_dir}/view_log"
-
-    def read_state(path: str, cols: str) -> DataFrame:
-        try:
-            return spark.read.parquet(path).dropDuplicates()
-        except Exception:  # first batch: no state yet
-            return spark.createDataFrame([], cols)
 
     def process(batch_df: DataFrame, batch_id: int):
-        batch_df = batch_df.cache()
-        a0 = (
-            read_state(ord_dir, _ORD_COLS)
-            .filter(F.col("batch_id") != batch_id)
-            .drop("batch_id")
-            .cache()
-        )
-        b0 = (
-            read_state(li_dir, _LI_COLS)
-            .filter(F.col("batch_id") != batch_id)
-            .drop("batch_id")
-            .cache()
-        )
-        da = batch_df.filter(F.col("side") == "order").select(
-            "o_orderkey", "o_custkey"
-        )
-        db = batch_df.filter(F.col("side") == "lineitem").select(
-            F.col("o_orderkey").alias("l_orderkey"),
-            "l_extendedprice",
-            "l_discount",
-        )
-        d1 = order_revenue_view(F.broadcast(da), b0)
-        d2 = order_revenue_view(a0, F.broadcast(db))
-        d3 = order_revenue_view(da, db)
-        delta = (
-            d1.unionByName(d2).unionByName(d3)
-            .groupBy("o_orderkey", "o_custkey")
-            .agg(
-                F.sum("revenue_e4").cast("long").alias("revenue_e4"),
-                F.sum("n_items").cast("long").alias("n_items"),
-            )
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        )
-        delta.write.mode("append").parquet(view_dir)
-        da.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(ord_dir)
-        db.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(li_dir)
-        batch_df.unpersist()
-        a0.unpersist()
-        b0.unpersist()
+        _ivm_batch(spark, batch_df, batch_id, output_dir)
 
     return (
         stream.writeStream.foreachBatch(process)

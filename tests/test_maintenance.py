@@ -202,6 +202,28 @@ def test_streaming_kg_maintenance_matches_batch(spark, tmp_path):
     }
     assert gamma == {(0, 1), (1, -1)}
 
+    # at-least-once: replay the final batch directly through the module-
+    # level batch body — its partition is dynamically overwritten with the
+    # identical recomputed rows, so log and snapshot must not change
+    from llm_graph_builder_spark.streaming.kg_maintain import _maintain_batch
+
+    log_before = {tuple(r) for r in log.collect()}
+    _maintain_batch(
+        spark,
+        spark.createDataFrame([("upsert", "d3", "alpha only here")], cols),
+        2,
+        out_dir,
+    )
+    log_after = {
+        tuple(r) for r in spark.read.parquet(f"{out_dir}/mention_log").collect()
+    }
+    assert log_after == log_before
+    got2 = {
+        (r.id, r.label): (r.chunk_count, r.doc_count)
+        for r in spark.read.parquet(f"{out_dir}/entities").collect()
+    }
+    assert got2 == want
+
 
 def test_delta_join_refresh_equals_full_recompute(spark):
     """The IVM algebra must reproduce the full-recompute view exactly —
@@ -363,3 +385,38 @@ def test_streaming_join_view_maintenance_matches_batch(spark, tmp_path):
     # lineage: order 2's revenue lands in batch 1 (the late-order leg)
     log = spark.read.parquet(f"{out_dir}/view_log")
     assert {r.batch_id for r in log.filter("o_orderkey = 2").collect()} == {1}
+
+    # at-least-once: replay batch 1 through the module-level batch body —
+    # all three logs' batch-1 partitions are overwritten with identical
+    # recomputed rows, so the served view and the base logs must not change
+    from llm_graph_builder_spark.streaming.ivm import _ivm_batch
+
+    state_before = {
+        name: {
+            tuple(r)
+            for r in spark.read.parquet(f"{out_dir}/{name}").collect()
+        }
+        for name in ("view_log", "orders_log", "lineitem_log")
+    }
+    _ivm_batch(
+        spark,
+        spark.createDataFrame(
+            [("order", 2, 20, None, None), ("lineitem", 1, None, 60.0, 0.50)],
+            cols,
+        ),
+        1,
+        out_dir,
+    )
+    for name, before in state_before.items():
+        after = {
+            tuple(r)
+            for r in spark.read.parquet(f"{out_dir}/{name}").collect()
+        }
+        assert after == before, name
+    got2 = {
+        r.o_orderkey: (r.o_custkey, r.revenue_e4, r.n_items)
+        for r in view_snapshot(
+            spark.read.parquet(f"{out_dir}/view_log")
+        ).collect()
+    }
+    assert got2 == want
