@@ -49,69 +49,119 @@ def start_burst_monitor(
 ):
     """events parquet drops → merged rate state + per-batch burst flags.
 
-    Each micro-batch appends its per-(window, type) counts to the rate log;
-    the CURRENT state is the grouped sum over the log (append-only →
-    at-least-once-safe with the batch id recorded per append: retried
-    appends of the same batch_id are collapsed by the distinct-on
-    (batch_id, window, type) read). Bursts are evaluated over the merged
-    state with the exact ``burst_windows`` predicate and land in
-    ``{output_dir}/burst_flags`` with the batch id for lineage.
+    Each micro-batch writes its per-(window, type) counts into the rate
+    log's own ``batch_id`` partition (dynamic partition overwrite → a
+    retried batch REPLACES its identical recomputed rows: file-level
+    at-least-once safety, no per-batch distinct pass over the log); the
+    CURRENT state is the grouped sum over the log. Bursts are evaluated
+    over the merged state with the exact ``burst_windows`` predicate and
+    land in ``{output_dir}/burst_flags``, likewise partitioned by batch id
+    (lineage + replay overwrite — the earlier flag APPEND duplicated flag
+    rows under a replayed batch).
     """
-    from pyspark.sql.window import Window
-
-    win_us = int(window_minutes) * 60_000_000
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    rates_dir = f"{output_dir}/rate_log"
-    flags_dir = f"{output_dir}/burst_flags"
 
     def process(batch_df: DataFrame, batch_id: int):
-        us = _ntz_micros(F.col("ts"))
-        batch_rates = (
-            batch_df.select(
-                (us - (us % win_us)).alias("window_start_us"), "event_type"
-            )
-            .groupBy("window_start_us", "event_type")
-            .agg(F.count("*").cast("long").alias("n_events"))
-            .withColumn("batch_id", F.lit(batch_id))
+        _burst_batch(
+            spark, batch_df, batch_id, output_dir,
+            window_minutes=window_minutes, trail=trail, mult_e3=mult_e3,
         )
-        batch_rates.write.mode("append").parquet(rates_dir)
-        state = (
-            spark.read.parquet(rates_dir)
-            .dropDuplicates(["batch_id", "window_start_us", "event_type"])
-            .groupBy("window_start_us", "event_type")
-            .agg(F.sum("n_events").cast("long").alias("n_events"))
-        )
-        touched = batch_rates.select("event_type").distinct()
-        w = (
-            Window.partitionBy("event_type")
-            .orderBy("window_start_us")
-            .rowsBetween(-trail, -1)
-        )
-        trailed = state.join(F.broadcast(touched), on="event_type").select(
-            "window_start_us", "event_type", "n_events",
-            F.coalesce(F.sum("n_events").over(w), F.lit(0))
-            .cast("long").alias("trail_sum"),
-            F.count("n_events").over(w).cast("long").alias("trail_n"),
-        )
-        flags = trailed.filter(
-            (F.col("trail_n") == trail)
-            & (F.expr(f"n_events * trail_n * 1000L >= {mult_e3}L * trail_sum"))
-        ).select(
-            "window_start_us", "event_type", "n_events", "trail_sum",
-            "trail_n",
-            F.expr("n_events * trail_n * 1000L div greatest(trail_sum, 1L)")
-            .cast("long").alias("ratio_e3"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-        )
-        flags.write.mode("append").parquet(flags_dir)
 
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+_FLAG_COLS = (
+    "window_start_us long, event_type string, n_events long, trail_sum long, "
+    "trail_n long, ratio_e3 long, batch_id long"
+)
+
+
+def read_burst_flags(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The accumulated flag table. A batch that flags nothing writes no
+    partition (empty dynamic-overwrite writes create no files), so before
+    the first flagged batch the directory does not exist — return a typed
+    empty frame then, the same idiom as every state read in this family."""
+    try:
+        return spark.read.parquet(f"{output_dir}/burst_flags").withColumn(
+            "batch_id", F.col("batch_id").cast("long")
+        )
+    except Exception:
+        return spark.createDataFrame([], _FLAG_COLS)
+
+
+def _burst_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    window_minutes: int = 60,
+    trail: int = 3,
+    mult_e3: int = 1500,
+) -> None:
+    """One idempotent burst-monitor micro-batch (module-level so tests can
+    replay a batch id and assert retry safety directly — the same pattern
+    as :func:`.dedup._dedup_batch`)."""
+    from pyspark.sql.window import Window
+
+    win_us = int(window_minutes) * 60_000_000
+    rates_dir = f"{output_dir}/rate_log"
+    flags_dir = f"{output_dir}/burst_flags"
+    us = _ntz_micros(F.col("ts"))
+    batch_rates = (
+        batch_df.select(
+            (us - (us % win_us)).alias("window_start_us"), "event_type"
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    (
+        batch_rates.repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(rates_dir)
+    )
+    state = (
+        spark.read.parquet(rates_dir)
+        .groupBy("window_start_us", "event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    touched = batch_rates.select("event_type").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_us")
+        .rowsBetween(-trail, -1)
+    )
+    trailed = state.join(F.broadcast(touched), on="event_type").select(
+        "window_start_us", "event_type", "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long").alias("trail_sum"),
+        F.count("n_events").over(w).cast("long").alias("trail_n"),
+    )
+    flags = trailed.filter(
+        (F.col("trail_n") == trail)
+        & (F.expr(f"n_events * trail_n * 1000L >= {mult_e3}L * trail_sum"))
+    ).select(
+        "window_start_us", "event_type", "n_events", "trail_sum",
+        "trail_n",
+        F.expr("n_events * trail_n * 1000L div greatest(trail_sum, 1L)")
+        .cast("long").alias("ratio_e3"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+    )
+    (
+        flags.repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(flags_dir)
     )

@@ -1549,7 +1549,10 @@ def test_streaming_burst_monitor(spark, tmp_path):
     counts for a window split across drops merge additively."""
     import datetime as dt
 
-    from llm_graph_builder_spark.streaming.bursts import start_burst_monitor
+    from llm_graph_builder_spark.streaming.bursts import (
+        read_burst_flags,
+        start_burst_monitor,
+    )
 
     inp, out, ckpt = (
         str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
@@ -1572,20 +1575,42 @@ def test_streaming_burst_monitor(spark, tmp_path):
     ).coalesce(1).write.parquet(inp)
     q = start_burst_monitor(spark, inp, out, ckpt)
     q.awaitTermination(120)
-    # no window has 3 predecessors yet → nothing flagged
-    assert spark.read.parquet(f"{out}/burst_flags").count() == 0
+    # no window has 3 predecessors yet → nothing flagged (a batch that
+    # flags nothing writes no partition, so use the typed-empty reader)
+    assert read_burst_flags(spark, out).count() == 0
     # drop 2: the other half of hour 2 + the hour-3 burst (6 = 3x mean)
     spark.createDataFrame(
         ev(2, 1, 300) + ev(3, 6, 400), schema
     ).coalesce(1).write.mode("append").parquet(inp)
     q2 = start_burst_monitor(spark, inp, out, ckpt)
     q2.awaitTermination(120)
-    flags = spark.read.parquet(f"{out}/burst_flags").collect()
+    flags = read_burst_flags(spark, out).collect()
     assert len(flags) == 1
     r = flags[0]
     # hour-2 counts merged across drops: trailing sum = 2 + 2 + 2
     assert (r.n_events, r.trail_sum, r.trail_n, r.ratio_e3) == (6, 6, 3, 3000)
     assert r.batch_id == 1
+
+    # at-least-once: replay batch 1 through the module-level batch body —
+    # rate and flag partitions are overwritten with identical recomputed
+    # rows (the old flag APPEND would have duplicated the flag row here)
+    from llm_graph_builder_spark.streaming.bursts import _burst_batch
+
+    rates_before = {
+        tuple(r) for r in spark.read.parquet(f"{out}/rate_log").collect()
+    }
+    _burst_batch(
+        spark,
+        spark.createDataFrame(ev(2, 1, 300) + ev(3, 6, 400), schema),
+        1,
+        out,
+    )
+    rates_after = {
+        tuple(r) for r in spark.read.parquet(f"{out}/rate_log").collect()
+    }
+    assert rates_after == rates_before
+    flags2 = read_burst_flags(spark, out).collect()
+    assert len(flags2) == 1 and tuple(flags2[0]) == tuple(r)
 
 
 def test_asof_attribution_last_touch_and_same_instant(spark):
